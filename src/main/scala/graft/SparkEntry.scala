@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Query bodies live in [[Queries]]; DuckDB oracle SQL in [[Oracles]]. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * D4 whitelist violations over the stg_territory staging model — the
+    * reference's flagship post-transform check (pager-workflow.py:205-221),
+    * with NATION_20..24 deliberately outside the whitelist so violations
+    * surface (mirrors test-pager-action.py:186). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.d4WhitelistViolations(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_count" -> (Queries.d1Count _),
+    "d2_null_keys" -> (Queries.d2NullKeys _),
+    "d3_distinct" -> (Queries.d3Distinct _),
+    "d4_whitelist_violations" -> (Queries.d4WhitelistViolations _),
+    "r1_region_whitelist" -> (Queries.r1RegionWhitelist _),
+    "r2_nonempty" -> (Queries.r2NonEmpty _),
+    "r3_schema_compliance" -> (Queries.r3SchemaCompliance _),
+    "r4_business_rule" -> (Queries.r4BusinessRule _),
+    "t1_stg_territory" -> (Queries.t1StgTerritory _),
+    "t2_stg_salesperson" -> (Queries.t2StgSalesperson _),
+    "t3_mart_sales" -> (Queries.t3MartSales _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,298 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.model.{ValidationResult, ValidationStatus}
+
+/** A data-quality check over a DataFrame.
+  *
+  * Engine counterpart of the reference's hand-rolled validation tests
+  * (pager-workflow.py:117-233) and the Great Expectations vocabulary the
+  * platform pins (airflow/requirements.txt:3). Each check compiles to
+  * declarative Spark expressions so Catalyst keeps pushdown/pruning and
+  * whole-stage codegen on the path.
+  */
+trait Check {
+  def name: String
+  def run(df: DataFrame): ValidationResult
+}
+
+/** A check whose verdict derives from aggregate expressions — i.e. it can
+  * be evaluated in a SINGLE pass over the table, and any number of such
+  * checks over the same table can be fused into ONE job/scan via
+  * [[CheckSuite.runBatched]]. At 100 TB this is the difference between one
+  * table scan per suite and one per check.
+  */
+trait AggCheck extends Check {
+  /** Short, column-safe identifier used to prefix agg aliases in batch mode. */
+  final def safeName: String = name.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Aggregate columns, each aliased `${prefix}<alias>`. */
+  def aggColumns(prefix: String): Seq[Column]
+
+  /** Build the verdict from the aggregated row (aliases under `prefix`). */
+  def evaluate(row: Row, prefix: String): ValidationResult
+
+  final def run(df: DataFrame): ValidationResult = {
+    val cols = aggColumns("")
+    evaluate(df.agg(cols.head, cols.tail: _*).head(), "")
+  }
+
+  /** The check as a one-row DataFrame (used by SparkEntry query surface). */
+  final def aggDF(df: DataFrame): DataFrame = {
+    val cols = aggColumns("")
+    df.agg(cols.head, cols.tail: _*)
+  }
+}
+
+/** Shared helpers for value-level checks: `elementCount` = all rows,
+  * `unexpectedCount` = non-null rows violating the predicate (ANSI
+  * ternary-logic: NULL never "violates" a value predicate — matches the
+  * reference's SQL NOT IN semantics, pager-workflow.py:215; the ''-default
+  * row-rule variant is rules.RegionWhitelistRule). */
+abstract class ValueCheck extends AggCheck {
+  def column: String
+  /** Predicate that flags a row as unexpected (evaluated only on non-null). */
+  def unexpected: Column
+  def describe: String
+
+  override def aggColumns(prefix: String): Seq[Column] = Seq(
+    count(lit(1)).as(s"${prefix}element_count"),
+    count(when(unexpected, lit(1))).as(s"${prefix}unexpected_count"))
+
+  override def evaluate(row: Row, prefix: String): ValidationResult = {
+    val total = row.getAs[Long](s"${prefix}element_count")
+    val bad   = row.getAs[Long](s"${prefix}unexpected_count")
+    val pct   = if (total == 0) 0.0 else bad.toDouble / total * 100.0
+    ValidationResult(
+      validationName = name,
+      status = if (bad == 0) ValidationStatus.Passed else ValidationStatus.Failed,
+      message =
+        if (bad == 0) s"$describe: all $total records passed"
+        else s"$describe: $bad of $total records unexpected",
+      elementCount = total, unexpectedCount = bad, unexpectedPercent = pct)
+  }
+}
+
+/** G1/D1/R2 — `expect_table_row_count_to_be_between` (min=1 ⇒ non-empty).
+  * Reference: COUNT(*) tests at pager-workflow.py:126,133,159,174,189;
+  * empty-input rule analysis.md:9 (`validate_data_quality`). */
+final case class RowCountCheck(
+    table: String, minRows: Long = 1L, maxRows: Long = Long.MaxValue)
+  extends AggCheck {
+  val name = s"row_count_between:$table"
+  override def aggColumns(prefix: String): Seq[Column] =
+    Seq(count(lit(1)).as(s"${prefix}element_count"))
+  override def evaluate(row: Row, prefix: String): ValidationResult = {
+    val n = row.getAs[Long](s"${prefix}element_count")
+    val ok = n >= minRows && n <= maxRows
+    ValidationResult(name,
+      if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      if (ok) s"$table has $n rows (expected [$minRows, $maxRows])"
+      else s"$table row count $n outside [$minRows, $maxRows]",
+      elementCount = n,
+      unexpectedCount = if (ok) 0L else 1L)
+  }
+}
+
+/** G2/D2 — `expect_column_values_to_not_be_null`.
+  * Reference: `WHERE SalesTerritoryKey IS NULL` count, pager-workflow.py:127,134. */
+final case class NotNullCheck(column: String) extends AggCheck {
+  val name = s"not_null:$column"
+  override def aggColumns(prefix: String): Seq[Column] = Seq(
+    count(lit(1)).as(s"${prefix}element_count"),
+    count(when(col(column).isNull, lit(1))).as(s"${prefix}unexpected_count"))
+  override def evaluate(row: Row, prefix: String): ValidationResult = {
+    val total = row.getAs[Long](s"${prefix}element_count")
+    val bad   = row.getAs[Long](s"${prefix}unexpected_count")
+    ValidationResult(name,
+      if (bad == 0) ValidationStatus.Passed else ValidationStatus.Failed,
+      if (bad == 0) s"no null $column values in $total rows"
+      else s"$bad null $column values in $total rows",
+      elementCount = total, unexpectedCount = bad,
+      unexpectedPercent = if (total == 0) 0.0 else bad.toDouble / total * 100.0)
+  }
+}
+
+/** G3/D4/R1 — `expect_column_values_to_be_in_set` (whitelist).
+  * Reference: NOT-IN whitelist check pager-workflow.py:205-221; row-level
+  * variant analysis.md:9 (`validate_region_whitelist`). Collects a bounded,
+  * sorted sample of offending values (the reference collects the sorted
+  * offender set — cardinality-bounded, e.g. region names). */
+final case class InSetCheck(
+    column: String, allowed: Seq[String], sampleSize: Int = 20)
+  extends ValueCheck {
+  val name = s"in_set:$column"
+  def unexpected: Column = !col(column).isin(allowed: _*)
+  def describe: String = s"$column in {${allowed.take(4).mkString(",")}${if (allowed.size > 4) ",…" else ""}}"
+
+  override def aggColumns(prefix: String): Seq[Column] =
+    super.aggColumns(prefix) :+
+      slice(sort_array(collect_set(when(unexpected, col(column)))), 1, sampleSize)
+        .as(s"${prefix}unexpected_sample")
+
+  override def evaluate(row: Row, prefix: String): ValidationResult = {
+    val base = super.evaluate(row, prefix)
+    val sample = row.getAs[Seq[String]](s"${prefix}unexpected_sample")
+    base.copy(
+      partialUnexpectedList = sample,
+      message =
+        if (base.unexpectedCount == 0) base.message
+        else s"$describe: unauthorized values ${sample.mkString("[", ", ", "]")}")
+  }
+}
+
+/** G4 — `expect_column_values_to_not_be_in_set` (blocklist dual of G3). */
+final case class NotInSetCheck(column: String, blocked: Seq[String])
+  extends ValueCheck {
+  val name = s"not_in_set:$column"
+  def unexpected: Column = col(column).isin(blocked: _*)
+  def describe: String = s"$column not in blocklist(${blocked.size})"
+}
+
+/** G5/R4 — `expect_column_values_to_be_between`.
+  * Reference business rule: `value < 0` fails (analysis.md:9,
+  * `validate_business_rules`). */
+final case class BetweenCheck(
+    column: String,
+    min: Option[Double] = None, max: Option[Double] = None)
+  extends ValueCheck {
+  val name = s"between:$column"
+  def unexpected: Column = {
+    val lo = min.map(col(column) < _)
+    val hi = max.map(col(column) > _)
+    (lo, hi) match {
+      case (Some(l), Some(h)) => l || h
+      case (Some(l), None)    => l
+      case (None, Some(h))    => h
+      case _                  => lit(false)
+    }
+  }
+  def describe: String = s"$column in [${min.getOrElse("-inf")}, ${max.getOrElse("+inf")}]"
+}
+
+/** G9 — `expect_column_values_to_match_regex`.
+  * Reference: ISO-8601 timestamp strings in fixtures (analysis.md:9). */
+final case class RegexCheck(column: String, pattern: String)
+  extends ValueCheck {
+  val name = s"regex:$column"
+  def unexpected: Column = !col(column).rlike(pattern)
+  def describe: String = s"$column matches /$pattern/"
+}
+
+/** G10 — `expect_column_values_to_be_of_type` via cast null-diff:
+  * a non-null value whose `try_cast` to the target type is null is not of
+  * (or coercible to) that type. */
+final case class TypeCastCheck(column: String, targetType: String)
+  extends ValueCheck {
+  val name = s"type:$column:$targetType"
+  def unexpected: Column =
+    col(column).isNotNull && expr(s"try_cast(`$column` AS $targetType)").isNull
+  def describe: String = s"$column castable to $targetType"
+}
+
+/** G12 — `expect_column_pair_values_A_to_be_greater_than_B`
+  * (generalizes R4's cross-column business rules). */
+final case class PairGreaterCheck(a: String, b: String, orEqual: Boolean = false)
+  extends ValueCheck {
+  val column = a
+  val name = s"pair_greater:$a>$b"
+  def unexpected: Column =
+    if (orEqual) col(a) < col(b) else col(a) <= col(b)
+  def describe: String = s"$a ${if (orEqual) ">=" else ">"} $b"
+}
+
+/** G11 — `expect_column_mean/min/max_to_be_between` (aggregate profiling). */
+final case class AggBoundsCheck(
+    column: String, statistic: String, // "mean" | "min" | "max" | "sum" | "stddev"
+    lo: Double, hi: Double)
+  extends AggCheck {
+  val name = s"agg_bounds:$statistic:$column"
+  private def statCol: Column = statistic match {
+    case "mean"   => avg(col(column))
+    case "min"    => min(col(column))
+    case "max"    => max(col(column))
+    case "sum"    => sum(col(column))
+    case "stddev" => stddev_samp(col(column))
+    case other    => throw new IllegalArgumentException(s"unknown statistic $other")
+  }
+  override def aggColumns(prefix: String): Seq[Column] = Seq(
+    count(lit(1)).as(s"${prefix}element_count"),
+    statCol.cast("double").as(s"${prefix}observed"))
+  override def evaluate(row: Row, prefix: String): ValidationResult = {
+    val total = row.getAs[Long](s"${prefix}element_count")
+    val idx = row.fieldIndex(s"${prefix}observed")
+    val observed = if (row.isNullAt(idx)) Double.NaN else row.getDouble(idx)
+    val ok = !observed.isNaN && observed >= lo && observed <= hi
+    ValidationResult(name,
+      if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      s"$statistic($column) = $observed, expected [$lo, $hi]",
+      elementCount = total, unexpectedCount = if (ok) 0L else 1L)
+  }
+}
+
+/** G7/G8 — `expect_column_values_to_be_unique` /
+  * `expect_compound_columns_to_be_unique` (key hygiene implied by the
+  * reference's PK null checks, pager-workflow.py:127,134).
+  *
+  * Not expressible as a plain aggregate (needs per-key grouping), so it is
+  * its own single job: partial-aggregated groupBy (map-side combine) then a
+  * tiny second-level agg — 1 shuffle of (key, count) pairs, never raw rows.
+  * `unexpectedCount` = rows belonging to a duplicated key (GE semantics).
+  */
+final case class UniqueCheck(columns: Seq[String]) extends Check {
+  val name = s"unique:${columns.mkString(",")}"
+  def run(df: DataFrame): ValidationResult = {
+    val grouped = df.groupBy(columns.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val row = grouped.agg(
+      sum("cnt").as("element_count"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0))).as("dup_rows"),
+      count(when(col("cnt") > 1, lit(1))).as("dup_keys")).head()
+    val total = row.getAs[Long]("element_count")
+    val dupRows = row.getAs[Long]("dup_rows")
+    val dupKeys = row.getAs[Long]("dup_keys")
+    ValidationResult(name,
+      if (dupRows == 0) ValidationStatus.Passed else ValidationStatus.Failed,
+      if (dupRows == 0) s"(${columns.mkString(",")}) unique across $total rows"
+      else s"$dupKeys duplicated keys covering $dupRows rows of $total",
+      elementCount = total, unexpectedCount = dupRows,
+      unexpectedPercent = if (total == 0) 0.0 else dupRows.toDouble / total * 100.0)
+  }
+}
+
+/** G6/R3 — `expect_table_columns_to_match_set` / `expect_column_to_exist`.
+  * Reference: `validate_schema_compliance` required-fields rule
+  * (analysis.md:9). Pure metadata — no Spark job. */
+final case class SchemaCheck(
+    requiredFields: Seq[String], exactMatch: Boolean = false)
+  extends Check {
+  val name = s"schema:${requiredFields.mkString(",")}"
+  def run(df: DataFrame): ValidationResult = {
+    val actual = df.schema.fieldNames.toSet
+    val missing = requiredFields.filterNot(actual.contains).sorted
+    val extra = if (exactMatch) (actual -- requiredFields.toSet).toSeq.sorted else Nil
+    val ok = missing.isEmpty && extra.isEmpty
+    ValidationResult(name,
+      if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      if (ok) s"schema has all required fields (${requiredFields.size})"
+      else s"missing fields: ${missing.mkString("[", ",", "]")}" +
+        (if (extra.nonEmpty) s"; unexpected fields: ${extra.mkString("[", ",", "]")}" else ""),
+      elementCount = actual.size.toLong,
+      unexpectedCount = (missing.size + extra.size).toLong,
+      partialUnexpectedList = missing ++ extra)
+  }
+}
+
+object CheckSuite {
+  /** Fuse all agg-expressible checks over one table into a SINGLE Spark
+    * job (one scan, one partial+final aggregate). The scale property the
+    * reference can't have (it issues one warehouse query per test,
+    * pager-workflow.py:126-233): here a 100 TB table funds an entire
+    * suite with one read. */
+  def runBatched(df: DataFrame, checks: Seq[AggCheck]): Seq[graft.model.ValidationResult] = {
+    if (checks.isEmpty) return Nil
+    val cols = checks.flatMap(c => c.aggColumns(c.safeName + "__"))
+    val row = df.agg(cols.head, cols.tail: _*).head()
+    checks.map(c => c.evaluate(row, c.safeName + "__"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The dbt-style transformation layer the reference validates but runs
+  * remotely (dbt Cloud trigger: pager-workflow.py:292-306). Contracts are
+  * pinned by what the reference's validations read: `stg_territory`
+  * exposes `region_name` (pager-workflow.py:213-215); staging tables are
+  * non-empty projections of raw dims (pager-workflow.py:126-137 vs
+  * :159-177); the mart aggregates sales facts per territory
+  * (pager-workflow.py:187-199). Implemented natively as DataFrame
+  * transforms over the testdata star schema.
+  */
+object Stages {
+
+  /** T1 — staging model `raw dim_region → stg_territory`.
+    * Rename/select + trim; broadcast-joins the 5-row region dim so the
+    * plan stays a single narrow pass over nation. */
+  def stgTerritory(nation: DataFrame, region: DataFrame): DataFrame =
+    nation
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(
+        col("n_nationkey").as("territory_key"),
+        trim(col("n_name")).as("region_name"),
+        trim(col("r_name")).as("zone_name"))
+
+  /** T2 — staging model `raw dim_salesperson → stg_salesperson`
+    * (keyed by EmployeeKey in the reference, pager-workflow.py:134;
+    * supplier plays that role over the testdata). */
+  def stgSalesperson(supplier: DataFrame): DataFrame =
+    supplier.select(
+      col("s_suppkey").cast("long").as("salesperson_key"),
+      trim(col("s_name")).as("salesperson_name"),
+      col("s_nationkey").cast("long").as("nation_key"),
+      round(col("s_acctbal"), 2).as("acctbal"))
+
+  /** T3 — mart model `mart_sales_perfromance_dashboard` [sic — typo from
+    * pager-workflow.py:189]. Joins staging dims to the fact tables and
+    * rolls revenue up per region/nation for the dashboard
+    * ("sales_performance", pager-workflow.py:187-199; Redash README.md:3).
+    *
+    * Scale shape: the two fact tables join on their natural key
+    * (l_orderkey = o_orderkey, both shuffle-partitioned by that key);
+    * every dimension (customer at 1000× fewer rows than lineitem, nation,
+    * region) is broadcast, so the plan has exactly ONE big shuffle.
+    */
+  def martSalesPerformance(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val dims = broadcast(
+      customer
+        .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+        .join(region, nation("n_regionkey") === region("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name")))
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(dims, orders("o_custkey") === dims("c_custkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        count(lit(1)).as("line_count"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"))
+  }
+}
