@@ -101,4 +101,130 @@ object Queries {
     Stages.martSalesPerformance(
       lineitem(s, d), orders(s, d), customer(s, d), nation(s, d), region(s, d))
       .orderBy("region_name", "nation_name")
+
+  // ---------------------------------------------------------------- G-series
+  // Great Expectations vocabulary (SURVEY.md §2.6) — each compiled to Spark
+  // aggregations; value checks follow ANSI ternary null semantics.
+
+  private def pct(df: DataFrame): DataFrame =
+    df.withColumn("unexpected_percent",
+      round(col("unexpected_count") * lit(100.0) / col("element_count"), 4))
+
+  /** G1 — row-count bounds for every testdata table in one result. Each
+    * count is a metadata-cheap scan (no columns read). */
+  def g1RowCounts(s: SparkSession, d: String): DataFrame =
+    Tables.all.map { t =>
+      load(s, d, t).agg(count(lit(1)).as("cnt"))
+        .select(lit(t).as("table_name"), col("cnt"))
+    }.reduce(_.union(_)).orderBy("table_name")
+
+  /** G2 — not-null over the orders key/attribute columns, one scan. */
+  def g2NotNull(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(
+      count(lit(1)).as("element_count"),
+      count(when(col("o_orderkey").isNull, lit(1))).as("null_orderkey"),
+      count(when(col("o_custkey").isNull, lit(1))).as("null_custkey"),
+      count(when(col("o_orderdate").isNull, lit(1))).as("null_orderdate"))
+
+  /** G3 — in-set over customer market segments (MACHINERY deliberately
+    * outside the allowed set), with a bounded sorted offender sample. */
+  def g3InSet(s: SparkSession, d: String): DataFrame = {
+    val bad = !col("c_mktsegment").isin(marketSegments: _*)
+    pct(customer(s, d).agg(
+      count(lit(1)).as("element_count"),
+      count(when(bad, lit(1))).as("unexpected_count"),
+      coalesce(
+        array_join(slice(sort_array(collect_set(when(bad, col("c_mktsegment")))), 1, 20), ","),
+        lit("")).as("unexpected_sample")))
+      .select("element_count", "unexpected_count", "unexpected_percent", "unexpected_sample")
+  }
+
+  /** G4 — not-in-set blocklist dual: orders stuck in status 'P'. */
+  def g4NotInSet(s: SparkSession, d: String): DataFrame =
+    pct(orders(s, d).agg(
+      count(lit(1)).as("element_count"),
+      count(when(col("o_orderstatus").isin("P"), lit(1))).as("unexpected_count")))
+
+  /** G5 — value-range bounds on lineitem quantity and discount, one scan. */
+  def g5Between(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      count(lit(1)).as("element_count"),
+      count(when(col("l_quantity") < 1 || col("l_quantity") > 50, lit(1)))
+        .as("qty_out_of_range"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 0.1, lit(1)))
+        .as("discount_out_of_range"))
+
+  /** G6 — table columns match: lineitem's column set, as ordered rows
+    * (pure metadata on the Spark side — no job beyond schema read). */
+  def g6SchemaColumns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d).schema.fieldNames.sorted.toSeq.toDF("column_name")
+  }
+
+  /** G7 — single-column uniqueness on the orders PK: one partial-agg
+    * shuffle of (key,count) pairs, never raw rows. */
+  def g7Unique(s: SparkSession, d: String): DataFrame =
+    orders(s, d).groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(when(col("cnt") > 1, lit(1))).as("dup_keys"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dup_rows"))
+
+  /** G8 — compound uniqueness on lineitem (orderkey, linenumber). */
+  def g8CompoundUnique(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(when(col("cnt") > 1, lit(1))).as("dup_keys"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dup_rows"))
+
+  /** G9 — regex shape check on order priority codes. */
+  def g9Regex(s: SparkSession, d: String): DataFrame =
+    pct(orders(s, d).agg(
+      count(lit(1)).as("element_count"),
+      count(when(!col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"), lit(1)))
+        .as("unexpected_count")))
+
+  /** G10 — type conformance via cast null-diff: events.props (JSON text)
+    * must NOT be silently castable to a number; user_id must be. */
+  def g10TypeCast(s: SparkSession, d: String): DataFrame =
+    events(s, d).agg(
+      count(lit(1)).as("element_count"),
+      count(when(col("props").isNotNull && expr("try_cast(props AS DOUBLE)").isNull, lit(1)))
+        .as("props_non_numeric"),
+      count(when(col("user_id").isNotNull && expr("try_cast(user_id AS STRING)").isNull, lit(1)))
+        .as("user_id_non_string"))
+
+  /** G11 — aggregate profiling bounds on customer balances. */
+  def g11AggBounds(s: SparkSession, d: String): DataFrame =
+    customer(s, d).agg(
+      count(lit(1)).as("element_count"),
+      round(avg(col("c_acctbal")), 2).as("mean_acctbal"),
+      round(min(col("c_acctbal")), 2).as("min_acctbal"),
+      round(max(col("c_acctbal")), 2).as("max_acctbal"))
+
+  /** G12 — column-pair rule: extended price must exceed quantity. */
+  def g12PairGreater(s: SparkSession, d: String): DataFrame =
+    pct(lineitem(s, d).agg(
+      count(lit(1)).as("element_count"),
+      count(when(col("l_extendedprice") <= col("l_quantity"), lit(1)))
+        .as("unexpected_count")))
+
+  // ------------------------------------------------------------ V/P-series
+  /** V2 — the post-transform validation suite itself as a query: the
+    * engine's ValidationSuite (run-all, per-check capture, one fused job
+    * per table) over the T1–T3 outputs, with the flagship whitelist.
+    * Output = the reference's per-test summary table
+    * (pager-workflow.py:236-245). */
+  def v2SuiteSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val result = graft.pipeline.Pipeline.validateTransformed(
+      graft.pipeline.Pipeline.transform(s, d), regionWhitelist)
+    result.details
+      .map(r => (r.validationName, r.status, r.elementCount, r.unexpectedCount))
+      .toDF("validation_name", "status", "element_count", "unexpected_count")
+      .orderBy("validation_name")
+  }
+
+  /** P1–P4 — the Glue ETL diamond's final (beta) layer. */
+  def p5EtlDiamond(s: SparkSession, d: String): DataFrame =
+    graft.etl.PharmaEtl.betaLayer(s, d)
 }

@@ -78,9 +78,9 @@ abstract class ValueCheck extends AggCheck {
   * Reference: COUNT(*) tests at pager-workflow.py:126,133,159,174,189;
   * empty-input rule analysis.md:9 (`validate_data_quality`). */
 final case class RowCountCheck(
-    table: String, minRows: Long = 1L, maxRows: Long = Long.MaxValue)
+    minRows: Long = 1L, maxRows: Long = Long.MaxValue)
   extends AggCheck {
-  val name = s"row_count_between:$table"
+  val name = "row_count_between"
   override def aggColumns(prefix: String): Seq[Column] =
     Seq(count(lit(1)).as(s"${prefix}element_count"))
   override def evaluate(row: Row, prefix: String): ValidationResult = {
@@ -88,8 +88,8 @@ final case class RowCountCheck(
     val ok = n >= minRows && n <= maxRows
     ValidationResult(name,
       if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
-      if (ok) s"$table has $n rows (expected [$minRows, $maxRows])"
-      else s"$table row count $n outside [$minRows, $maxRows]",
+      if (ok) s"table has $n rows (expected [$minRows, $maxRows])"
+      else s"row count $n outside [$minRows, $maxRows]",
       elementCount = n,
       unexpectedCount = if (ok) 0L else 1L)
   }

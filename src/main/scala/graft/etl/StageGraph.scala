@@ -1,0 +1,68 @@
+package graft.etl
+
+import scala.annotation.tailrec
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.DataFrame
+
+/** Deterministic in-process stage graph — the engine's counterpart of the
+  * reference's ETL DAG semantics (Glue-etl-pipeline.py):
+  *
+  *  - P1 named batch jobs (`:64-111`) → named stage functions over the
+  *    outputs of their dependencies;
+  *  - P2 diamond dependency / fan-in barrier (`:125-129`) → topological
+  *    execution; a stage runs only after all of its inputs completed.
+  *    Spark's lazy DAG preserves the barrier at the data level too: a
+  *    stage reading three upstream DataFrames depends on all three;
+  *  - P3 blocking completion wait (`wait_for_completion=True`, `:69`) →
+  *    Spark actions are synchronous, no sleep needed;
+  *  - P4 retry policy (`retries: 1`, `:54-55`) → per-stage bounded retry;
+  *    stages marked `retries = 0` (alert emitters,
+  *    pager-workflow.py:320) are never re-run.
+  */
+final case class Stage(
+    name: String,
+    deps: Seq[String],
+    retries: Int = 1)(
+    val fn: Map[String, DataFrame] => DataFrame)
+
+final class StageGraphException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
+final case class StageGraph(stages: Seq[Stage]) {
+  private val byName = stages.map(s => s.name -> s).toMap
+  require(byName.size == stages.size, "duplicate stage names")
+  stages.foreach(s => s.deps.foreach(d =>
+    require(byName.contains(d), s"stage ${s.name} depends on unknown stage $d")))
+
+  /** Deterministic topological order (stable within a rank: declaration
+    * order). Cycles rejected. */
+  lazy val topoOrder: Seq[String] = {
+    @tailrec def go(done: Vector[String], remaining: Seq[Stage]): Vector[String] =
+      if (remaining.isEmpty) done
+      else {
+        val (ready, blocked) = remaining.partition(_.deps.forall(done.contains))
+        if (ready.isEmpty)
+          throw new StageGraphException(
+            s"cycle among stages: ${blocked.map(_.name).mkString(", ")}")
+        go(done ++ ready.map(_.name), blocked)
+      }
+    go(Vector.empty, stages)
+  }
+
+  /** Execute all stages; returns every stage's output by name. */
+  def run(inputs: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] =
+    topoOrder.foldLeft(inputs) { (acc, name) =>
+      val stage = byName(name)
+      acc + (name -> runWithRetry(stage, acc, stage.retries))
+    }
+
+  @tailrec
+  private def runWithRetry(
+      stage: Stage, acc: Map[String, DataFrame], attemptsLeft: Int): DataFrame =
+    Try(stage.fn(acc)) match {
+      case Success(df) => df
+      case Failure(e) if attemptsLeft > 0 => runWithRetry(stage, acc, attemptsLeft - 1)
+      case Failure(e) =>
+        throw new StageGraphException(s"stage ${stage.name} failed", e)
+    }
+}
