@@ -1,24 +1,67 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main (driver contract): runs every registered query on
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line (last stdout line) with
+  * per-query seconds.
+  *
+  * Harness design (fixes the round-1 flaws called out in VERDICT.md):
+  *  - one discarded warm-up pass absorbs JVM/codegen/broadcast-exchange
+  *    startup so per-query numbers reflect steady state;
+  *  - results materialize via a `noop` format write — exercises the full
+  *    plan (projections + sort included) where `.count()` lets Catalyst
+  *    prune most of the work;
+  *  - a failed query is recorded in `"errors"` and excluded from the
+  *    total, never silently timed as a pass;
+  *  - the JSON line is also written to `SPARK_GRAFT_BENCH_OUT` (if set) so
+  *    log-wrapper noise can't hide it from the driver.
+  */
 object Bench {
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = Sessions.local(cpus)
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Warm-up: run the whole suite once, discarding timings (JIT, codegen
+    // cache, parquet footer cache, broadcast thread pools).
+    queries.foreach { case (_, fn) =>
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    var errors = List.empty[String]
+    val results = queries.flatMap { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        materialize(fn(spark, sfDir))
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errors ::= name
+          None
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = f"${results.map(_._2).sum}%.3f"
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
+    // Print last, after Spark shutdown noise, so the driver's "last JSON
+    // line of stdout" parse finds it.
+    println(line)
   }
 }

@@ -5,13 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Local replica of the driver's t1 smoke: SparkEntry.entry rows > 0. */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(4)
     val df = SparkEntry.entry(spark)
     val rows = df.collect()
     println(s"ENTRY_ROWS=${rows.length}")

@@ -65,6 +65,144 @@ object Oracles {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY 1, 2
-        |ORDER BY region_name, nation_name""".stripMargin
+        |ORDER BY region_name, nation_name""".stripMargin,
+
+    "g1_row_counts" -> {
+      val unions = graft.Tables.all.map(t =>
+        s"SELECT '$t' AS table_name, count(*) AS cnt FROM $t")
+      unions.mkString("SELECT table_name, cnt FROM (", " UNION ALL ", ") ORDER BY table_name")
+    },
+
+    "g2_not_null" ->
+      """SELECT count(*) AS element_count,
+        |       count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS null_orderkey,
+        |       count(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey,
+        |       count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS null_orderdate
+        |FROM orders""".stripMargin,
+
+    "g3_in_set" ->
+      s"""SELECT c.element_count, c.unexpected_count,
+         |       round(c.unexpected_count * 100.0 / c.element_count, 4) AS unexpected_percent,
+         |       s.unexpected_sample
+         |FROM (SELECT count(*) AS element_count,
+         |             count(CASE WHEN c_mktsegment NOT IN $segs THEN 1 END) AS unexpected_count
+         |      FROM customer) c,
+         |     (SELECT coalesce(string_agg(seg, ','), '') AS unexpected_sample
+         |      FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer
+         |            WHERE c_mktsegment NOT IN $segs ORDER BY 1 LIMIT 20)) s""".stripMargin,
+
+    "g4_not_in_set" ->
+      """SELECT element_count, unexpected_count,
+        |       round(unexpected_count * 100.0 / element_count, 4) AS unexpected_percent
+        |FROM (SELECT count(*) AS element_count,
+        |             count(CASE WHEN o_orderstatus IN ('P') THEN 1 END) AS unexpected_count
+        |      FROM orders)""".stripMargin,
+
+    "g5_between" ->
+      """SELECT count(*) AS element_count,
+        |       count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS qty_out_of_range,
+        |       count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) AS discount_out_of_range
+        |FROM lineitem""".stripMargin,
+
+    "g6_schema_columns" ->
+      """SELECT column_name FROM (VALUES
+        |  ('l_orderkey'), ('l_partkey'), ('l_suppkey'), ('l_linenumber'),
+        |  ('l_quantity'), ('l_extendedprice'), ('l_discount'), ('l_tax'),
+        |  ('l_returnflag'), ('l_linestatus'), ('l_shipdate')
+        |) AS t(column_name) ORDER BY column_name""".stripMargin,
+
+    "g7_unique" ->
+      """SELECT count(CASE WHEN cnt > 1 THEN 1 END) AS dup_keys,
+        |       CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS dup_rows
+        |FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY 1)""".stripMargin,
+
+    "g8_compound_unique" ->
+      """SELECT count(CASE WHEN cnt > 1 THEN 1 END) AS dup_keys,
+        |       CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS dup_rows
+        |FROM (SELECT l_orderkey, l_linenumber, count(*) AS cnt FROM lineitem GROUP BY 1, 2)""".stripMargin,
+
+    "g9_regex" ->
+      """SELECT element_count, unexpected_count,
+        |       round(unexpected_count * 100.0 / element_count, 4) AS unexpected_percent
+        |FROM (SELECT count(*) AS element_count,
+        |             count(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 END) AS unexpected_count
+        |      FROM orders)""".stripMargin,
+
+    "g10_type_cast" ->
+      """SELECT count(*) AS element_count,
+        |       count(CASE WHEN props IS NOT NULL AND TRY_CAST(props AS DOUBLE) IS NULL THEN 1 END) AS props_non_numeric,
+        |       count(CASE WHEN user_id IS NOT NULL AND TRY_CAST(user_id AS VARCHAR) IS NULL THEN 1 END) AS user_id_non_string
+        |FROM events""".stripMargin,
+
+    "g11_agg_bounds" ->
+      """SELECT count(*) AS element_count,
+        |       round(avg(c_acctbal), 2) AS mean_acctbal,
+        |       round(min(c_acctbal), 2) AS min_acctbal,
+        |       round(max(c_acctbal), 2) AS max_acctbal
+        |FROM customer""".stripMargin,
+
+    "g12_pair_greater" ->
+      """SELECT element_count, unexpected_count,
+        |       round(unexpected_count * 100.0 / element_count, 4) AS unexpected_percent
+        |FROM (SELECT count(*) AS element_count,
+        |             count(CASE WHEN l_extendedprice <= l_quantity THEN 1 END) AS unexpected_count
+        |      FROM lineitem)""".stripMargin,
+
+    "v2_suite_summary" -> {
+      // The suite summary re-derived declaratively: each row is one check's
+      // (name, status, element_count, unexpected_count) over the T1–T3
+      // model outputs, with the deliberately-incomplete whitelist.
+      s"""SELECT * FROM (
+         |  SELECT 'mart_sales_performance.row_count_between' AS validation_name,
+         |         CASE WHEN cnt >= 1 THEN 'PASSED' ELSE 'FAILED' END AS status,
+         |         cnt AS element_count,
+         |         CAST(CASE WHEN cnt >= 1 THEN 0 ELSE 1 END AS BIGINT) AS unexpected_count
+         |  FROM (SELECT count(*) AS cnt FROM (
+         |          SELECT r_name, n_name FROM lineitem
+         |          JOIN orders   ON l_orderkey = o_orderkey
+         |          JOIN customer ON o_custkey = c_custkey
+         |          JOIN nation   ON c_nationkey = n_nationkey
+         |          JOIN region   ON n_regionkey = r_regionkey
+         |          GROUP BY 1, 2))
+         |  UNION ALL
+         |  SELECT 'stg_salesperson.row_count_between',
+         |         CASE WHEN cnt >= 1 THEN 'PASSED' ELSE 'FAILED' END,
+         |         cnt, CAST(CASE WHEN cnt >= 1 THEN 0 ELSE 1 END AS BIGINT)
+         |  FROM (SELECT count(*) AS cnt FROM supplier)
+         |  UNION ALL
+         |  SELECT 'stg_salesperson.not_null:salesperson_key',
+         |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END,
+         |         cnt, bad
+         |  FROM (SELECT count(*) AS cnt,
+         |               count(CASE WHEN s_suppkey IS NULL THEN 1 END) AS bad
+         |        FROM supplier)
+         |  UNION ALL
+         |  SELECT 'stg_territory.row_count_between',
+         |         CASE WHEN cnt >= 1 THEN 'PASSED' ELSE 'FAILED' END,
+         |         cnt, CAST(CASE WHEN cnt >= 1 THEN 0 ELSE 1 END AS BIGINT)
+         |  FROM (SELECT count(*) AS cnt FROM nation JOIN region ON n_regionkey = r_regionkey)
+         |  UNION ALL
+         |  SELECT 'stg_territory.in_set:region_name',
+         |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END,
+         |         cnt, bad
+         |  FROM (SELECT count(*) AS cnt,
+         |               count(CASE WHEN trim(n_name) NOT IN $wl THEN 1 END) AS bad
+         |        FROM nation JOIN region ON n_regionkey = r_regionkey)
+         |) ORDER BY validation_name""".stripMargin
+    },
+
+    "p5_etl_diamond" ->
+      """SELECT r_name AS region_name, trim(p_brand) AS brand,
+        |       count(*) AS line_count,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |JOIN part     ON l_partkey = p_partkey
+        |WHERE p_retailprice > 0
+        |GROUP BY 1, 2
+        |ORDER BY region_name, brand""".stripMargin
   )
 }

@@ -127,15 +127,21 @@ object Queries {
       count(when(col("o_orderdate").isNull, lit(1))).as("null_orderdate"))
 
   /** G3 — in-set over customer market segments (MACHINERY deliberately
-    * outside the allowed set), with a bounded sorted offender sample. */
+    * outside the allowed set), with a bounded sorted offender sample.
+    * The sample comes from a distinct→orderBy→limit top-k
+    * (TakeOrderedAndProject — per-partition top-k, never an unbounded
+    * collect_set into one agg buffer), cross-joined onto the one-row
+    * counts aggregate. */
   def g3InSet(s: SparkSession, d: String): DataFrame = {
     val bad = !col("c_mktsegment").isin(marketSegments: _*)
-    pct(customer(s, d).agg(
+    val counts = pct(customer(s, d).agg(
       count(lit(1)).as("element_count"),
-      count(when(bad, lit(1))).as("unexpected_count"),
-      coalesce(
-        array_join(slice(sort_array(collect_set(when(bad, col("c_mktsegment")))), 1, 20), ","),
-        lit("")).as("unexpected_sample")))
+      count(when(bad, lit(1))).as("unexpected_count")))
+    val sample = customer(s, d).filter(bad)
+      .select(col("c_mktsegment")).distinct().orderBy("c_mktsegment").limit(20)
+      .agg(coalesce(array_join(collect_list(col("c_mktsegment")), ","), lit(""))
+        .as("unexpected_sample"))
+    counts.crossJoin(sample)
       .select("element_count", "unexpected_count", "unexpected_percent", "unexpected_sample")
   }
 

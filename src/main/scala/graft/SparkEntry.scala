@@ -26,7 +26,21 @@ object SparkEntry {
     "r4_business_rule" -> (Queries.r4BusinessRule _),
     "t1_stg_territory" -> (Queries.t1StgTerritory _),
     "t2_stg_salesperson" -> (Queries.t2StgSalesperson _),
-    "t3_mart_sales" -> (Queries.t3MartSales _)
+    "t3_mart_sales" -> (Queries.t3MartSales _),
+    "g1_row_counts" -> (Queries.g1RowCounts _),
+    "g2_not_null" -> (Queries.g2NotNull _),
+    "g3_in_set" -> (Queries.g3InSet _),
+    "g4_not_in_set" -> (Queries.g4NotInSet _),
+    "g5_between" -> (Queries.g5Between _),
+    "g6_schema_columns" -> (Queries.g6SchemaColumns _),
+    "g7_unique" -> (Queries.g7Unique _),
+    "g8_compound_unique" -> (Queries.g8CompoundUnique _),
+    "g9_regex" -> (Queries.g9Regex _),
+    "g10_type_cast" -> (Queries.g10TypeCast _),
+    "g11_agg_bounds" -> (Queries.g11AggBounds _),
+    "g12_pair_greater" -> (Queries.g12PairGreater _),
+    "v2_suite_summary" -> (Queries.v2SuiteSummary _),
+    "p5_etl_diamond" -> (Queries.p5EtlDiamond _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -15,12 +15,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
-    // rejects without this conf (nanos surface as long — see `events`).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // NOTE: sessions reading `events` need spark.sql.legacy.parquet.nanosAsLong
+  // (TIMESTAMP(NANOS) in the file) — set at session construction via
+  // [[Sessions.builder]], never mutated here.
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

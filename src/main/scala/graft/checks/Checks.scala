@@ -15,6 +15,13 @@ import graft.model.{ValidationResult, ValidationStatus}
 trait Check {
   def name: String
   def run(df: DataFrame): ValidationResult
+
+  /** Optional second pass to enrich a failed verdict (e.g. fetch a bounded
+    * offender sample). Runs AFTER the cheap fused aggregate, and only when
+    * the caller passes a failed result — at scale the extra job is paid
+    * only on the failure path, and implementations must stay bounded
+    * (top-k, never full-cardinality collects). */
+  def refine(df: DataFrame, r: ValidationResult): ValidationResult = r
 }
 
 /** A check whose verdict derives from aggregate expressions — i.e. it can
@@ -35,7 +42,7 @@ trait AggCheck extends Check {
 
   final def run(df: DataFrame): ValidationResult = {
     val cols = aggColumns("")
-    evaluate(df.agg(cols.head, cols.tail: _*).head(), "")
+    refine(df, evaluate(df.agg(cols.head, cols.tail: _*).head(), ""))
   }
 
   /** The check as a one-row DataFrame (used by SparkEntry query surface). */
@@ -116,9 +123,12 @@ final case class NotNullCheck(column: String) extends AggCheck {
 
 /** G3/D4/R1 — `expect_column_values_to_be_in_set` (whitelist).
   * Reference: NOT-IN whitelist check pager-workflow.py:205-221; row-level
-  * variant analysis.md:9 (`validate_region_whitelist`). Collects a bounded,
-  * sorted sample of offending values (the reference collects the sorted
-  * offender set — cardinality-bounded, e.g. region names). */
+  * variant analysis.md:9 (`validate_region_whitelist`).
+  *
+  * The count lives in the (fusable) aggregate; the sorted offender sample
+  * is fetched in [[refine]] as a separate bounded query — distinct →
+  * orderBy → limit(k) compiles to TakeOrderedAndProject (per-partition
+  * top-k, never a full-cardinality collect), and runs only on failure. */
 final case class InSetCheck(
     column: String, allowed: Seq[String], sampleSize: Int = 20)
   extends ValueCheck {
@@ -126,20 +136,16 @@ final case class InSetCheck(
   def unexpected: Column = !col(column).isin(allowed: _*)
   def describe: String = s"$column in {${allowed.take(4).mkString(",")}${if (allowed.size > 4) ",…" else ""}}"
 
-  override def aggColumns(prefix: String): Seq[Column] =
-    super.aggColumns(prefix) :+
-      slice(sort_array(collect_set(when(unexpected, col(column)))), 1, sampleSize)
-        .as(s"${prefix}unexpected_sample")
-
-  override def evaluate(row: Row, prefix: String): ValidationResult = {
-    val base = super.evaluate(row, prefix)
-    val sample = row.getAs[Seq[String]](s"${prefix}unexpected_sample")
-    base.copy(
-      partialUnexpectedList = sample,
-      message =
-        if (base.unexpectedCount == 0) base.message
-        else s"$describe: unauthorized values ${sample.mkString("[", ", ", "]")}")
-  }
+  override def refine(df: DataFrame, r: ValidationResult): ValidationResult =
+    if (r.unexpectedCount == 0) r
+    else {
+      val sample = df.filter(unexpected).select(col(column).cast("string"))
+        .distinct().orderBy(col(column)).limit(sampleSize)
+        .collect().map(_.getString(0)).toSeq
+      r.copy(
+        partialUnexpectedList = sample,
+        message = s"$describe: unauthorized values ${sample.mkString("[", ", ", "]")}")
+    }
 }
 
 /** G4 — `expect_column_values_to_not_be_in_set` (blocklist dual of G3). */
@@ -293,6 +299,6 @@ object CheckSuite {
     if (checks.isEmpty) return Nil
     val cols = checks.flatMap(c => c.aggColumns(c.safeName + "__"))
     val row = df.agg(cols.head, cols.tail: _*).head()
-    checks.map(c => c.evaluate(row, c.safeName + "__"))
+    checks.map(c => c.refine(df, c.evaluate(row, c.safeName + "__")))
   }
 }

@@ -39,15 +39,19 @@ object PharmaEtl {
     }),
 
     // Job 4 — the fan-in: facts enriched with all three upstream outputs.
-    // lineitem⨝orders is the one big shuffle (co-keyed on orderkey); every
-    // upstream output is dimension-sized and broadcast.
+    // lineitem⨝orders is the one big shuffle (co-keyed on orderkey).
+    // hcp_brick (customer-derived) and product_mastering (part-derived)
+    // scale with the data — at 100 TB neither fits an executor, so they
+    // join via shuffle (AQE may still choose broadcast at runtime when
+    // small). Only nation-derived brick_territory (25 rows at any scale)
+    // keeps the explicit broadcast hint.
     Stage("sales_enrichment", Seq("product_mastering", "hcp_brick", "brick_territory"))(up => {
       val li = Tables.lineitem(spark, sfDir)
       val ord = Tables.orders(spark, sfDir)
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(up("hcp_brick")), col("o_custkey") === col("c_custkey"))
+        .join(up("hcp_brick"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(up("brick_territory")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(up("product_mastering")), col("l_partkey") === col("p_partkey"))
+        .join(up("product_mastering"), col("l_partkey") === col("p_partkey"))
         .select(col("r_name"), col("brand"), col("wealth_brick"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_revenue"))
     }),

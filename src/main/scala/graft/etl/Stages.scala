@@ -41,18 +41,21 @@ object Stages {
     * ("sales_performance", pager-workflow.py:187-199; Redash README.md:3).
     *
     * Scale shape: the two fact tables join on their natural key
-    * (l_orderkey = o_orderkey, both shuffle-partitioned by that key);
-    * every dimension (customer at 1000× fewer rows than lineitem, nation,
-    * region) is broadcast, so the plan has exactly ONE big shuffle.
+    * (l_orderkey = o_orderkey, both shuffle-partitioned by that key).
+    * Only the genuinely tiny dims (nation: 25 rows, region: 5) carry an
+    * explicit broadcast hint. Customer scales with the fact tables
+    * (~1/1000th of lineitem ≈ 100 GB at the 100 TB design point), so it
+    * must NOT be pinned broadcast: it joins via shuffle hash/sort-merge,
+    * and AQE is free to pick broadcast at runtime when the actual size
+    * is under threshold (as it is at test scale).
     */
   def martSalesPerformance(
       lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
       nation: DataFrame, region: DataFrame): DataFrame = {
-    val dims = broadcast(
-      customer
-        .join(nation, customer("c_nationkey") === nation("n_nationkey"))
-        .join(region, nation("n_regionkey") === region("r_regionkey"))
-        .select(col("c_custkey"), col("n_name"), col("r_name")))
+    val dims = customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
     lineitem
       .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
       .join(dims, orders("o_custkey") === dims("c_custkey"))
