@@ -37,6 +37,10 @@ object Bench {
 
     var errors = List.empty[String]
     val results = queries.flatMap { case (name, fn) =>
+      // Operators that persist() intermediates (e.g. fuzzy dedup) would
+      // otherwise hit the warm-up pass's cache via plan-fragment matching
+      // and report a fantasy number; each timed query starts cold.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         materialize(fn(spark, sfDir))

@@ -191,6 +191,131 @@ object Oracles {
          |) ORDER BY validation_name""".stripMargin
     },
 
+    "v1_raw_gate" ->
+      """SELECT * FROM (
+        |  SELECT 'raw_nation.not_null:n_nationkey' AS validation_name,
+        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END AS status,
+        |         cnt AS element_count, bad AS unexpected_count
+        |  FROM (SELECT count(*) AS cnt,
+        |               count(CASE WHEN n_nationkey IS NULL THEN 1 END) AS bad FROM nation)
+        |  UNION ALL
+        |  SELECT 'raw_nation.row_count_between',
+        |         CASE WHEN cnt >= 1 THEN 'PASSED' ELSE 'FAILED' END,
+        |         cnt, CAST(CASE WHEN cnt >= 1 THEN 0 ELSE 1 END AS BIGINT)
+        |  FROM (SELECT count(*) AS cnt FROM nation)
+        |  UNION ALL
+        |  SELECT 'raw_region.not_null:r_regionkey',
+        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END,
+        |         cnt, bad
+        |  FROM (SELECT count(*) AS cnt,
+        |               count(CASE WHEN r_regionkey IS NULL THEN 1 END) AS bad FROM region)
+        |  UNION ALL
+        |  SELECT 'raw_region.row_count_between',
+        |         CASE WHEN cnt >= 1 THEN 'PASSED' ELSE 'FAILED' END,
+        |         cnt, CAST(CASE WHEN cnt >= 1 THEN 0 ELSE 1 END AS BIGINT)
+        |  FROM (SELECT count(*) AS cnt FROM region)
+        |  UNION ALL
+        |  SELECT 'raw_salesperson.not_null:s_suppkey',
+        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END,
+        |         cnt, bad
+        |  FROM (SELECT count(*) AS cnt,
+        |               count(CASE WHEN s_suppkey IS NULL THEN 1 END) AS bad FROM supplier)
+        |  UNION ALL
+        |  SELECT 'raw_salesperson.row_count_between',
+        |         CASE WHEN cnt >= 1 THEN 'PASSED' ELSE 'FAILED' END,
+        |         cnt, CAST(CASE WHEN cnt >= 1 THEN 0 ELSE 1 END AS BIGINT)
+        |  FROM (SELECT count(*) AS cnt FROM supplier)
+        |) ORDER BY validation_name""".stripMargin,
+
+    "x1_exact_dedup" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (
+        |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |           ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "x1_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |             || ' ' || lead(tok, 3) OVER w AS gram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+        |  QUALIFY lead(tok, 3) OVER w IS NOT NULL
+        |), dc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id_a, doc_id_b, jaccard FROM (
+        |  SELECT doc_id_a, doc_id_b,
+        |         round(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
+        |  FROM inter JOIN dc x ON doc_id_a = x.doc_id JOIN dc y ON doc_id_b = y.doc_id)
+        |WHERE jaccard >= 0.8 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "x2_topk_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, cand_id,
+        |         round(list_inner_product(qv, cv) /
+        |               sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)), 6) AS sim
+        |  FROM q JOIN c ON cand_id <> query_id)
+        |SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+        |  SELECT query_id, cand_id AS neighbor_id, round(sim, 4) AS cosine_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+        |              AS BIGINT) AS rank
+        |  FROM s) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "x3_top_tokens" ->
+      """SELECT tok AS token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "x3_quality_by_lang" ->
+      """WITH per_doc AS (
+        |  SELECT lang, n_chars,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |         round(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |                                       x -> length(x))) * 1.0 /
+        |               greatest(len(string_split_regex(trim(text), '\s+')), 1), 4)
+        |           AS mean_token_len,
+        |         round(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                               x -> x IN ('a', 'the'))) * 1.0 /
+        |               greatest(len(string_split_regex(trim(text), '\s+')), 1), 4)
+        |           AS stopword_ratio
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       round(avg(n_chars), 2) AS avg_chars,
+        |       round(avg(n_tokens), 2) AS avg_tokens,
+        |       round(avg(mean_token_len), 4) AS avg_token_len,
+        |       round(avg(stopword_ratio), 4) AS avg_stopword_ratio
+        |FROM per_doc GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x3_fingerprints" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT fp) AS distinct_fp,
+        |       min(fp) AS min_fp, max(fp) AS max_fp
+        |FROM (SELECT source,
+        |             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "x4_zscore_flags" ->
+      """WITH stats AS (
+        |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value, z FROM (
+        |  SELECT event_id, e.event_type, value,
+        |         round((value - m) / sd, 4) AS z
+        |  FROM events e JOIN stats USING (event_type))
+        |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
+
     "p5_etl_diamond" ->
       """SELECT r_name AS region_name, trim(p_brand) AS brand,
         |       count(*) AS line_count,

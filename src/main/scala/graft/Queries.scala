@@ -233,4 +233,74 @@ object Queries {
   /** P1–P4 — the Glue ETL diamond's final (beta) layer. */
   def p5EtlDiamond(s: SparkSession, d: String): DataFrame =
     graft.etl.PharmaEtl.betaLayer(s, d)
+
+  /** V1 — the pre-transform gate itself as a query (runGate over the raw
+    * dims; all checks pass on the testdata, so the gate admits). */
+  def v1RawGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.pipeline.Pipeline.validateRaw(s, d).details
+      .map(r => (r.validationName, r.status, r.elementCount, r.unexpectedCount))
+      .toDF("validation_name", "status", "element_count", "unexpected_count")
+      .orderBy("validation_name")
+  }
+
+  // ---------------------------------------------------------------- X-series
+  // LLM-training-data operators (SURVEY.md §2.7) over documents/embeddings.
+  import graft.ext.{Anomaly, Dedup, Similarity, TextAnalysis}
+
+  /** X1a — exact dedup on normalized text: keep-first per fingerprint. */
+  def x1ExactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(documents(s, d))
+      .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+  /** X1b — exact n-gram Jaccard near-dup pairs via shingle inverted
+    * index (testdata has planted near-duplicates at sim ≥ 0.97).
+    * n=4: the corpus draws from a ~31-word vocabulary, so 3-gram document
+    * frequency is huge (avg ~27 at sf0.1 → ~22M candidate pairs); 4-grams
+    * keep the planted dups (identical pair set at ≥0.8) with ~1/30th the
+    * inverted-index fan-out. */
+  def x1JaccardPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(documents(s, d), n = 4, minSim = 0.8)
+
+  /** X1c — MinHash-LSH candidate near-dup pairs (signature-estimated
+    * Jaccard; randomized family is engine-specific → rows-only check,
+    * recall asserted against X1b in the test suite). 8 bands × 8 rows:
+    * planted dups (jac ≈ 0.97 → band-collision ~0.78, ≥1-of-8 ≈ 1.0)
+    * all surface, while the corpus's moderate-jac background (every doc
+    * shares the ~31-word vocabulary) stays out of the candidate set. */
+  def x1MinhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(documents(s, d), n = 4, bands = 8, minSim = 0.7)
+
+  /** X1d — SimHash Hamming-banded near-dup pairs (rows-only check). */
+  def x1SimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(documents(s, d), n = 4, maxHamming = 6)
+
+  /** X2a — exact brute-force cosine top-k: 10 query vectors, k=5. */
+  def x2TopkCosine(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** X2b — LSH-bucketed approximate top-k (rows-only check; recall vs
+    * X2a asserted in the test suite). */
+  def x2AnnTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** X3a — global token frequency top-20. */
+  def x3TopTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.topTokens(documents(s, d))
+
+  /** X3b — corpus quality metrics aggregated per language. */
+  def x3QualityByLang(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityByLang(documents(s, d))
+
+  /** X3c — md5 content fingerprint summary per source. */
+  def x3Fingerprints(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprintSummary(documents(s, d))
+
+  /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
+  def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
+    Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")
 }

@@ -39,8 +39,19 @@ object SparkEntry {
     "g10_type_cast" -> (Queries.g10TypeCast _),
     "g11_agg_bounds" -> (Queries.g11AggBounds _),
     "g12_pair_greater" -> (Queries.g12PairGreater _),
+    "v1_raw_gate" -> (Queries.v1RawGate _),
     "v2_suite_summary" -> (Queries.v2SuiteSummary _),
-    "p5_etl_diamond" -> (Queries.p5EtlDiamond _)
+    "p5_etl_diamond" -> (Queries.p5EtlDiamond _),
+    "x1_exact_dedup" -> (Queries.x1ExactDedup _),
+    "x1_jaccard_pairs" -> (Queries.x1JaccardPairs _),
+    "x1_minhash_pairs" -> (Queries.x1MinhashPairs _),
+    "x1_simhash_pairs" -> (Queries.x1SimhashPairs _),
+    "x2_topk_cosine" -> (Queries.x2TopkCosine _),
+    "x2_ann_topk" -> (Queries.x2AnnTopk _),
+    "x3_top_tokens" -> (Queries.x3TopTokens _),
+    "x3_quality_by_lang" -> (Queries.x3QualityByLang _),
+    "x3_fingerprints" -> (Queries.x3Fingerprints _),
+    "x4_zscore_flags" -> (Queries.x4ZscoreFlags _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

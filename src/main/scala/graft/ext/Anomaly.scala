@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X4 — anomaly flagging on a measure column, the "investigate anomalies"
+  * ask of the reference's ETL pipeline (Glue-etl-pipeline.py:14)
+  * generalized to a per-group z-score operator.
+  *
+  * Scale shape: per-group mean/stddev come from ONE partial-aggregable
+  * groupBy (tiny result — one row per group), joined back to the fact scan
+  * (AQE broadcasts the stats side). This deliberately avoids
+  * `Window.partitionBy(group)` for the stats, which would shuffle the
+  * entire fact table into one partition per group — with a handful of
+  * event types at 100 TB that is catastrophic skew.
+  */
+object Anomaly {
+
+  /** Rows whose |z| exceeds `threshold` within their group.
+    * Output: (idCol, groupCol, valueCol, z) ordered by id. */
+  def zscoreFlags(df: DataFrame, valueCol: String, groupCol: String,
+                  idCol: String, threshold: Double = 3.0): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      avg(col(valueCol)).as("__mean"),
+      stddev_samp(col(valueCol)).as("__sd"))
+    df.join(stats, groupCol)
+      .withColumn("z", round((col(valueCol) - col("__mean")) / col("__sd"), 4))
+      .filter(abs(col("z")) > threshold)
+      .select(col(idCol), col(groupCol), col(valueCol), col("z"))
+      .orderBy(idCol)
+  }
+
+  /** Per-group anomaly summary: count, mean, stddev, flagged count —
+    * one fused aggregate pass (flag predicate re-derived inside the same
+    * scan via the two-pass stats join above would cost a second scan;
+    * this summary instead reports the exact stats the flags derive from). */
+  def anomalySummary(df: DataFrame, valueCol: String, groupCol: String,
+                     idCol: String, threshold: Double = 3.0): DataFrame = {
+    val flags = zscoreFlags(df, valueCol, groupCol, idCol, threshold)
+    df.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 4).as("mean_value"),
+        round(stddev_samp(col(valueCol)), 4).as("sd_value"))
+      .join(
+        flags.groupBy(col(groupCol)).agg(count(lit(1)).as("flagged")),
+        Seq(groupCol), "left")
+      .withColumn("flagged", coalesce(col("flagged"), lit(0L)))
+      .orderBy(groupCol)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X3 — text analysis over the `documents` table: token statistics,
+  * per-document quality scoring, document fingerprinting, and a
+  * language-ID heuristic. North-star extension (LLM-training-data
+  * pipeline); every operator is one scan + partial-aggregable groupBy.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of trimmed text (deterministic, portable
+    * to the DuckDB oracle's string_split_regex). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** (token, count) global frequency table, top `k` by count desc then
+    * token asc — explode → partial-agg count → TakeOrdered(k). */
+  def topTokens(docs: DataFrame, textCol: String = "text", k: Int = 20): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Per-document quality metrics (classic LLM-corpus quality signals):
+    * char/token counts, mean token length, punctuation ratio, stopword
+    * ratio, alphabetic ratio. Pure per-row expressions — no shuffle. */
+  def docQuality(docs: DataFrame, textCol: String = "text",
+                 stopwords: Seq[String] = Seq("a", "the")): DataFrame = {
+    val t = col(textCol)
+    // Tokens materialized once through a projection — the metric columns
+    // below each reference the array several times, and HOF lambdas are
+    // interpreted, so inlining the split would re-run it per reference
+    // (see Dedup.wordShingles).
+    val toks = col("__toks")
+    val nChars = length(t)
+    val stopArr = array(stopwords.map(lit): _*)
+    docs
+      .withColumn("__toks", tokens(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_token_len",
+        round(aggregate(toks, lit(0), (acc, x) => acc + length(x)).cast("double") /
+          greatest(size(toks), lit(1)), 4))
+      .withColumn("punct_ratio",
+        round((nChars - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") /
+          greatest(nChars, lit(1)), 4))
+      .withColumn("stopword_ratio",
+        round(size(filter(toks, x => array_contains(stopArr, x))).cast("double") /
+          greatest(size(toks), lit(1)), 4))
+      .withColumn("alpha_ratio",
+        round(length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") /
+          greatest(nChars, lit(1)), 4))
+      .drop("__toks")
+  }
+
+  /** Quality metrics aggregated per language — the registered,
+    * oracle-checked view of [[docQuality]]. */
+  def qualityByLang(docs: DataFrame): DataFrame =
+    docQuality(docs)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"),
+        round(avg(col("mean_token_len")), 4).as("avg_token_len"),
+        round(avg(col("stopword_ratio")), 4).as("avg_stopword_ratio"))
+      .orderBy("lang")
+
+  /** Document fingerprinting: md5 of the normalized text (exact-dup
+    * grouping key; portable — DuckDB md5() emits the same hex).
+    * Summary per source: doc count, distinct fingerprints (dup detection),
+    * and min/max fingerprint as content witnesses. */
+  def fingerprintSummary(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", md5(Dedup.normText(col(textCol)).cast("binary")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("distinct_fp"),
+        min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+      .orderBy("source")
+
+  /** Rolling polynomial fingerprint (Rabin-Karp-style) over the token
+    * stream — an order-sensitive 64-bit content hash, unlike the
+    * order-insensitive md5-of-normalized-text. Built-in `aggregate` HOF:
+    * fp = fold(tokens, 0, (acc, t) -> acc*31 + xxhash64(t)). */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** Language-ID heuristic (n-gram/stopword profile, public-knowledge
+    * approach): CJK-dominant text → zh; otherwise argmax of per-language
+    * marker-token hits; `und` when nothing matches. The marker profiles
+    * are the classic high-frequency function words per language. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))
+
+  def languageId(textCol: Column): Column = {
+    val toks = tokens(lower(textCol))
+    val cjkRatio = (length(textCol) -
+      length(regexp_replace(textCol, "[\\u4e00-\\u9fff]", ""))).cast("double") /
+      greatest(length(textCol), lit(1))
+    val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val wordArr = array(words.map(lit): _*)
+      (lang, size(filter(toks, t => array_contains(wordArr, t))))
+    }
+    val best = scores.map { case (lang, score) =>
+      struct(score.as("score"), lit(lang).as("lang"))
+    }.reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    when(cjkRatio > lit(0.3), lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Confusion counts of predicted vs labeled language over a corpus. */
+  def langConfusion(docs: DataFrame, textCol: String = "text",
+                    labelCol: String = "lang"): DataFrame =
+    docs.select(col(labelCol).as("label"),
+        languageId(col(textCol)).as("predicted"))
+      .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("label", "predicted")
+}
