@@ -236,10 +236,13 @@ object Oracles {
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "x1_jaccard_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+      """WITH norm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
         |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
+        |  FROM norm
         |), grams AS (
         |  SELECT DISTINCT doc_id,
         |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w

@@ -18,6 +18,17 @@ import org.apache.spark.sql.DataFrame
   *  - P4 retry policy (`retries: 1`, `:54-55`) → per-stage bounded retry;
   *    stages marked `retries = 0` (alert emitters,
   *    pager-workflow.py:320) are never re-run.
+  *
+  * Retry semantics and laziness: by default (`eager = false`) stage
+  * functions only BUILD DataFrames — Catalyst fuses the whole graph into
+  * one plan and nothing executes until a downstream action, so retry
+  * covers construction-time failures only (missing input, bad column).
+  * That fusion is deliberately better than the reference's
+  * materialize-every-Glue-job design. With `eager = true` each stage is
+  * materialized (`localCheckpoint`) inside its retry envelope — the
+  * reference's per-job durability semantics: a runtime failure in stage N
+  * is retried without re-running stages < N, at the cost of
+  * checkpointing every intermediate.
   */
 final case class Stage(
     name: String,
@@ -28,7 +39,7 @@ final case class Stage(
 final class StageGraphException(msg: String, cause: Throwable = null)
   extends RuntimeException(msg, cause)
 
-final case class StageGraph(stages: Seq[Stage]) {
+final case class StageGraph(stages: Seq[Stage], eager: Boolean = false) {
   private val byName = stages.map(s => s.name -> s).toMap
   require(byName.size == stages.size, "duplicate stage names")
   stages.foreach(s => s.deps.foreach(d =>
@@ -59,7 +70,13 @@ final case class StageGraph(stages: Seq[Stage]) {
   @tailrec
   private def runWithRetry(
       stage: Stage, acc: Map[String, DataFrame], attemptsLeft: Int): DataFrame =
-    Try(stage.fn(acc)) match {
+    Try {
+      val df = stage.fn(acc)
+      // Eager mode: force execution inside the retry envelope (and truncate
+      // lineage) so runtime failures — not just plan-construction failures —
+      // are what the retry policy actually retries.
+      if (eager) df.localCheckpoint(true) else df
+    } match {
       case Success(df) => df
       case Failure(e) if attemptsLeft > 0 => runWithRetry(stage, acc, attemptsLeft - 1)
       case Failure(e) =>

@@ -81,12 +81,13 @@ object TextAnalysis {
         max(col("fp")).as("max_fp"))
       .orderBy("source")
 
-  /** Rolling polynomial fingerprint (Rabin-Karp-style) over the token
-    * stream — an order-sensitive 64-bit content hash, unlike the
-    * order-insensitive md5-of-normalized-text. Built-in `aggregate` HOF:
-    * fp = fold(tokens, 0, (acc, t) -> acc*31 + xxhash64(t)). */
+  /** Rolling fingerprint over the token stream — an order-sensitive
+    * 64-bit content hash, unlike the order-insensitive
+    * md5-of-normalized-text. A hash chain (fold of xxhash64 over
+    * (acc, token-hash)) rather than the classic polynomial acc*31+h:
+    * multiplication overflows under ANSI mode, a chain hash can't. */
   def rollingFingerprint(c: Column): Column =
-    aggregate(tokens(c), lit(0L), (acc, t) => acc * lit(31L) + xxhash64(t))
+    aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, xxhash64(t)))
 
   /** Language-ID heuristic (n-gram/stopword profile, public-knowledge
     * approach): CJK-dominant text → zh; otherwise argmax of per-language

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.checks._
+import graft.model.ValidationStatus
+
+/** Per-check unit tests: pass case, fail case, and the null edges that
+  * SURVEY.md §7.4 flags (ANSI ternary semantics for value checks; the
+  * D4-vs-R1 divergence has its own spec in NullSemanticsSpec). */
+class ChecksSpec extends SparkSpec {
+
+  private val regions = df(Seq(
+    Row(1L, "Northwest", 10.0),
+    Row(2L, "Southwest", -5.0),
+    Row(3L, null, 7.5),
+    Row(4L, "Northwest", 20.0)),
+    "id BIGINT, region STRING, value DOUBLE")
+
+  test("RowCountCheck passes on non-empty, fails on empty") {
+    assert(RowCountCheck().run(regions).passed)
+    val empty = regions.filter("id < 0")
+    val r = RowCountCheck().run(empty)
+    assert(r.status == ValidationStatus.Failed)
+    assert(r.elementCount == 0L)
+  }
+
+  test("RowCountCheck enforces an upper bound") {
+    val r = RowCountCheck(minRows = 1, maxRows = 2).run(regions)
+    assert(r.status == ValidationStatus.Failed)
+  }
+
+  test("NotNullCheck counts null rows") {
+    val r = NotNullCheck("region").run(regions)
+    assert(r.status == ValidationStatus.Failed)
+    assert(r.elementCount == 4L && r.unexpectedCount == 1L)
+    assert(NotNullCheck("id").run(regions).passed)
+  }
+
+  test("InSetCheck flags non-members, nulls never violate (ANSI)") {
+    val r = InSetCheck("region", Seq("Northwest")).run(regions)
+    // Southwest is out-of-set; the NULL row is NOT counted (ternary logic)
+    assert(r.unexpectedCount == 1L)
+    assert(r.elementCount == 4L)
+    assert(r.partialUnexpectedList == Seq("Southwest"))
+    assert(InSetCheck("region", Seq("Northwest", "Southwest")).run(regions).passed)
+  }
+
+  test("InSetCheck refine sample is sorted and bounded") {
+    val many = df((1 to 30).map(i => Row(f"bad_$i%02d")), "region STRING")
+    val r = InSetCheck("region", Seq("ok"), sampleSize = 5).run(many)
+    assert(r.unexpectedCount == 30L)
+    assert(r.partialUnexpectedList == Seq("bad_01", "bad_02", "bad_03", "bad_04", "bad_05"))
+  }
+
+  test("NotInSetCheck flags blocklisted values") {
+    val r = NotInSetCheck("region", Seq("Southwest")).run(regions)
+    assert(r.unexpectedCount == 1L)
+    assert(NotInSetCheck("region", Seq("Atlantis")).run(regions).passed)
+  }
+
+  test("BetweenCheck bounds, nulls never violate") {
+    val r = BetweenCheck("value", min = Some(0.0)).run(regions)
+    assert(r.unexpectedCount == 1L) // only the -5.0 row
+    assert(BetweenCheck("value", min = Some(-10.0), max = Some(100.0)).run(regions).passed)
+  }
+
+  test("RegexCheck matches shape") {
+    val ts = df(Seq(Row("2025-09-19T14:09:00Z"), Row("not-a-timestamp")), "ts STRING")
+    val r = RegexCheck("ts", "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z$").run(ts)
+    assert(r.unexpectedCount == 1L && r.elementCount == 2L)
+  }
+
+  test("TypeCastCheck flags uncastable non-nulls only") {
+    val vals = df(Seq(Row("12.5"), Row("abc"), Row(null)), "v STRING")
+    val r = TypeCastCheck("v", "DOUBLE").run(vals)
+    assert(r.unexpectedCount == 1L) // "abc"; null is not a type violation
+  }
+
+  test("PairGreaterCheck compares column pairs") {
+    val pairs = df(Seq(Row(10.0, 5.0), Row(3.0, 3.0), Row(1.0, 2.0)), "a DOUBLE, b DOUBLE")
+    assert(PairGreaterCheck("a", "b").run(pairs).unexpectedCount == 2L) // 3<=3, 1<=2
+    assert(PairGreaterCheck("a", "b", orEqual = true).run(pairs).unexpectedCount == 1L)
+  }
+
+  test("AggBoundsCheck evaluates statistics against bounds") {
+    assert(AggBoundsCheck("value", "mean", 0.0, 20.0).run(regions).passed) // mean=8.125
+    assert(!AggBoundsCheck("value", "max", 0.0, 10.0).run(regions).passed) // max=20
+    assert(AggBoundsCheck("value", "min", -10.0, 0.0).run(regions).passed)
+  }
+
+  test("UniqueCheck counts duplicated keys and their rows") {
+    val r = UniqueCheck(Seq("region")).run(regions.filter("region IS NOT NULL"))
+    assert(r.status == ValidationStatus.Failed)
+    assert(r.unexpectedCount == 2L) // two Northwest rows
+    assert(UniqueCheck(Seq("id")).run(regions).passed)
+  }
+
+  test("UniqueCheck compound keys") {
+    val r = UniqueCheck(Seq("region", "value")).run(regions)
+    assert(r.passed) // (Northwest,10) vs (Northwest,20) differ
+  }
+
+  test("SchemaCheck reports missing and unexpected fields") {
+    assert(SchemaCheck(Seq("id", "region")).run(regions).passed)
+    val r = SchemaCheck(Seq("id", "missing_col")).run(regions)
+    assert(!r.passed && r.partialUnexpectedList.contains("missing_col"))
+    val exact = SchemaCheck(Seq("id", "region"), exactMatch = true).run(regions)
+    assert(!exact.passed && exact.partialUnexpectedList.contains("value"))
+  }
+
+  test("CheckSuite.runBatched fuses checks with identical verdicts") {
+    val checks = Seq(
+      RowCountCheck(), NotNullCheck("region"),
+      InSetCheck("region", Seq("Northwest")), BetweenCheck("value", min = Some(0.0)))
+    val batched = CheckSuite.runBatched(regions, checks)
+    val individual = checks.map(_.run(regions))
+    assert(batched.map(r => (r.validationName, r.status, r.elementCount, r.unexpectedCount)) ==
+      individual.map(r => (r.validationName, r.status, r.elementCount, r.unexpectedCount)))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.Row
+
+/** X1 dedup operators: exact keep-first, shingling, exact Jaccard pairs,
+  * and the MinHash/SimHash fuzzy paths (recall asserted against the exact
+  * Jaccard ground truth — the LSH families are randomized-by-seed, so
+  * their guarantee is probabilistic, pinned here by fixed seeds). */
+class DedupSpec extends SparkSpec {
+
+  private val docs = df(Seq(
+    Row(1L, "the quick brown fox jumps over the lazy dog"),
+    Row(2L, "  The   quick brown fox jumps over the lazy dog "), // exact dup modulo norm
+    Row(3L, "the quick brown fox jumps over the lazy cat"),      // near dup of 1
+    Row(4L, "completely different content about spark engines"),
+    Row(5L, "the quick brown fox jumps over the lazy dog")),     // exact dup of 1
+    "doc_id BIGINT, text STRING")
+
+  test("exactDedup keeps the lowest key per normalized text") {
+    val kept = Dedup.exactDedup(docs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L)) // 2 and 5 collapse into 1
+  }
+
+  test("wordShingles emits distinct consecutive n-grams") {
+    val grams = Dedup.wordShingles(docs.filter("doc_id = 1"), n = 3)
+      .collect().map(_.getString(1)).toSet
+    assert(grams.contains("the quick brown"))
+    assert(grams.contains("over the lazy"))
+    assert(grams.size == 7) // 9 tokens → 7 trigrams, all distinct
+  }
+
+  test("wordShingles of a doc shorter than n is empty") {
+    val tiny = df(Seq(Row(1L, "too short")), "doc_id BIGINT, text STRING")
+    assert(Dedup.wordShingles(tiny, n = 3).count() == 0)
+  }
+
+  test("jaccardPairs: identical docs score 1.0, near-dups high, unrelated absent") {
+    val pairs = Dedup.jaccardPairs(docs, n = 3, minSim = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 5L)) == 1.0)
+    assert(pairs((2L, 5L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccardPairs maxDocFreq drops stop-shingles from candidates") {
+    // With the hot shingle capped out, docs 1/2/5 still pair via their
+    // remaining shared shingles (all identical → jaccard of the kept sets
+    // is still 1.0), and the pair set can only shrink.
+    val un = Dedup.jaccardPairs(docs, n = 3, minSim = 0.5)
+    val capped = Dedup.jaccardPairs(docs, n = 3, minSim = 0.5, maxDocFreq = Some(2))
+    val unPairs = un.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capPairs.subsetOf(unPairs))
+  }
+
+  test("minhashPairs recovers every exact-Jaccard pair on testdata (planted dups)") {
+    val documents = Tables.documents(spark, sfDir)
+    val exact = Dedup.jaccardPairs(documents, n = 4, minSim = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fuzzy = Dedup.minhashPairs(documents, n = 4, bands = 8, minSim = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-duplicates")
+    assert(exact.subsetOf(fuzzy),
+      s"MinHash-LSH missed ${(exact -- fuzzy).size} of ${exact.size} true pairs")
+  }
+
+  test("minhash signature estimates Jaccard within tolerance") {
+    val sigs = Dedup.minhashSignatures(docs, n = 3, numHashes = 128)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val est13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } / 128.0
+    // True trigram Jaccard of docs 1 and 3 is 6/8 = 0.75.
+    assert(math.abs(est13 - 0.75) < 0.15, s"estimate $est13 too far from 0.75")
+    assert(sigs(1L) == sigs(5L)) // identical docs → identical signatures
+  }
+
+  test("simhashPairs finds identical and near-identical docs, skips unrelated") {
+    val pairs = Dedup.simhashPairs(docs, n = 3, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash of identical content is identical") {
+    val sigs = Dedup.simhashSignatures(docs, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(5L))
+    assert(sigs(1L) != sigs(4L))
+  }
+}

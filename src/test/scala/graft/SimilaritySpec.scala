@@ -1,0 +1,111 @@
+package graft
+
+import graft.ext.Similarity
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** X2 similarity search: cosine math, exact top-k (custom bounded
+  * Aggregator), and ANN recall on a clustered fixture. */
+class SimilaritySpec extends SparkSpec {
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  private val tiny = df(Seq(
+    Row(0L, vec(1, 0, 0, 0)),
+    Row(1L, vec(0, 1, 0, 0)),       // orthogonal to 0
+    Row(2L, vec(1, 0.01, 0, 0)),    // nearly parallel to 0
+    Row(3L, vec(-1, 0, 0, 0)),      // antiparallel to 0
+    Row(4L, vec(1, 1, 0, 0))),      // 45° to 0
+    "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+  test("cosine: identical → 1, orthogonal → 0, antiparallel → -1, 45° → √2/2") {
+    val sims = tiny.crossJoin(tiny.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("vec_id") === 0)
+      .select(col("b_id"), Similarity.cosine(col("embedding"), col("b")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sims(0L) - 1.0) < 1e-12)
+    assert(math.abs(sims(1L)) < 1e-12)
+    assert(math.abs(sims(3L) + 1.0) < 1e-12)
+    assert(math.abs(sims(4L) - math.sqrt(2) / 2) < 1e-9)
+  }
+
+  test("bruteForceTopK ranks by similarity, excludes self, caps at k") {
+    val res = Similarity.bruteForceTopK(tiny, tiny.filter("vec_id = 0"), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (rank, neighbor)
+    assert(res.length == 3)
+    assert(res(0) == (1L, 2L)) // rank 1: the nearly-parallel vector
+    assert(res(1) == (2L, 4L)) // rank 2: 45°
+    assert(res(2) == (3L, 1L)) // rank 3: orthogonal beats antiparallel
+  }
+
+  test("TopKAggregator is deterministic under ties (ascending id)") {
+    val dupSims = df(Seq(
+      Row(0L, vec(1, 0, 0, 0)),
+      Row(7L, vec(0, 1, 0, 0)),
+      Row(5L, vec(0, 0, 1, 0)),  // both orthogonal: sim 0 ties
+      Row(9L, vec(0, 0, 0, 1))),
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val res = Similarity.bruteForceTopK(dupSims, dupSims.filter("vec_id = 0"), k = 3)
+      .collect().map(_.getLong(2))
+    assert(res.toSeq == Seq(5L, 7L, 9L)) // tie broken by id
+  }
+
+  test("TopKAggregator buffer stays bounded through compaction") {
+    val agg = new Similarity.TopKAggregator(2)
+    var buf = agg.zero
+    (1 to 100).foreach(i => buf = agg.reduce(buf, Similarity.Neighbor(i.toLong, i / 100.0)))
+    assert(buf.length <= 8) // 4k bound
+    val out = agg.finish(buf)
+    assert(out.map(_.id) == Seq(100L, 99L))
+  }
+
+  /** Clustered fixture: 20 well-separated unit vectors, each with a
+    * planted near-duplicate; ANN must recover the planted neighbor. */
+  test("annTopK finds planted nearest neighbors (recall ≥ 0.9)") {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = (0 until 20).flatMap { c =>
+      val base = unit()
+      val nearDup = base.zip(unit()).map { case (b, u) => b + 0.1 * u }
+      Seq(Row(c.toLong, base.map(_.toFloat).toSeq),
+        Row((100 + c).toLong, nearDup.map(_.toFloat).toSeq))
+    }
+    val data = df(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val queries = data.filter("vec_id < 100")
+    val ann = Similarity.annTopK(data, queries, k = 1, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = (0 until 20).count(c => ann.get(c.toLong).contains(100L + c))
+    assert(hits >= 18, s"ANN recalled only $hits/20 planted neighbors")
+  }
+
+  test("ann results are a subset-consistent approximation of brute force on testdata") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter("vec_id < 5")
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+    val ann = Similarity.annTopK(emb, queries, k = 5)
+    // ANN similarity scores can never exceed the brute-force rank-1 score.
+    val bruteBest = brute.filter("rank = 1")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    ann.filter("rank = 1").collect().foreach { r =>
+      assert(r.getDouble(3) <= bruteBest(r.getLong(0)) + 1e-9)
+    }
+  }
+
+  test("nearDupPairs surfaces planted high-cosine pairs only") {
+    val r1 = new scala.util.Random(11)
+    val r3 = new scala.util.Random(99)
+    val base = Array.fill(64)(r1.nextGaussian())
+    val rows = Seq(
+      Row(1L, base.map(_.toFloat).toSeq),
+      Row(2L, base.map(x => (x * 1.001).toFloat).toSeq), // same direction
+      Row(3L, Array.fill(64)(r3.nextGaussian().toFloat).toSeq))
+    val data = df(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val pairs = Similarity.nearDupPairs(data, minSim = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** X3 text analysis: quality metrics, token stats, fingerprints,
+  * language-ID heuristic (real-language samples — the synthetic corpus
+  * shares one vocabulary, so language behavior is pinned here). */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("docQuality computes hand-checked metrics") {
+    val docs = df(Seq(Row(1L, "the cat sat, on a mat!")), "doc_id BIGINT, text STRING")
+    val r = TextAnalysis.docQuality(docs).head()
+    assert(r.getAs[Int]("n_tokens") == 6)
+    // tokens: the(3) cat(3) sat,(4) on(2) a(1) mat!(4) → 17/6
+    assert(math.abs(r.getAs[Double]("mean_token_len") - 2.8333) < 1e-4)
+    // 2 punct chars of 22 chars
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 0.0909) < 1e-4)
+    // stopwords {a, the}: 2 of 6 tokens
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.3333) < 1e-4)
+  }
+
+  test("topTokens orders by count desc then token asc") {
+    val docs = df(Seq(Row(1L, "b b a a c")), "doc_id BIGINT, text STRING")
+    val top = TextAnalysis.topTokens(docs, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq(("a", 2L), ("b", 2L))) // tie → lexicographic
+  }
+
+  test("fingerprintSummary collapses normalized duplicates") {
+    val docs = df(Seq(
+      Row(1L, "Hello  World", "s1"),
+      Row(2L, "hello world", "s1"),   // same after normalization
+      Row(3L, "different", "s1")),
+      "doc_id BIGINT, text STRING, source STRING")
+    val r = TextAnalysis.fingerprintSummary(docs).head()
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("distinct_fp") == 2L)
+  }
+
+  test("rollingFingerprint is order-sensitive where md5-of-set is not") {
+    val docs = df(Seq(Row(1L, "alpha beta"), Row(2L, "beta alpha")),
+      "doc_id BIGINT, text STRING")
+    val fps = docs.select(TextAnalysis.rollingFingerprint(col("text")))
+      .collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+
+  test("languageId identifies real-language samples") {
+    val samples = df(Seq(
+      Row("en", "the cat is sitting in that house and the dog is there"),
+      Row("es", "el perro corre por la calle y los gatos duermen con una manta"),
+      Row("fr", "le chien et les chats sont dans une maison qui est dans la rue"),
+      Row("de", "der hund und die katze sind nicht in das haus mit ein auto"),
+      Row("zh", "这是一个关于猫和狗的故事他们住在一起"),
+      Row("und", "zzz qqq xxx yyy")),
+      "expected STRING, text STRING")
+    val preds = samples
+      .select(col("expected"), TextAnalysis.languageId(col("text")).as("got"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    preds.foreach { case (expected, got) => assert(got == expected,
+      s"expected $expected, predicted $got") }
+  }
+
+  test("langConfusion aggregates prediction counts by label") {
+    val docs = Tables.documents(spark, sfDir)
+    val conf = TextAnalysis.langConfusion(docs)
+    val total = conf.agg(sum("n")).head().getLong(0)
+    assert(total == docs.count()) // every doc lands in exactly one cell
+  }
+}
