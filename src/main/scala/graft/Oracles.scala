@@ -319,6 +319,17 @@ object Oracles {
         |  FROM events e JOIN stats USING (event_type))
         |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
 
+    "x5_media_integrity" ->
+      """SELECT kind, count(*) AS n,
+        |       count(CASE WHEN text IS NULL THEN 1 END) AS null_payload,
+        |       count(CASE WHEN octet_length(encode(text)) < 8 THEN 1 END) AS truncated,
+        |       CAST(floor(avg(octet_length(encode(text)))) AS BIGINT) AS avg_bytes
+        |FROM (SELECT text,
+        |             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY kind""".stripMargin,
+
     "p5_etl_diamond" ->
       """SELECT r_name AS region_name, trim(p_brand) AS brand,
         |       count(*) AS line_count,

@@ -246,7 +246,7 @@ object Queries {
 
   // ---------------------------------------------------------------- X-series
   // LLM-training-data operators (SURVEY.md §2.7) over documents/embeddings.
-  import graft.ext.{Anomaly, Dedup, Similarity, TextAnalysis}
+  import graft.ext.{Anomaly, Dedup, Multimodal, Similarity, TextAnalysis}
 
   /** X1a — exact dedup on normalized text: keep-first per fingerprint. */
   def x1ExactDedup(s: SparkSession, d: String): DataFrame =
@@ -303,4 +303,21 @@ object Queries {
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")
+
+  /** X5a — multimodal payload integrity per kind (synthetic media built
+    * deterministically over documents: text bytes as the opaque payload). */
+  def x5MediaIntegrity(s: SparkSession, d: String): DataFrame =
+    Multimodal.integritySummary(
+      Multimodal.syntheticMediaFromDocuments(documents(s, d)))
+
+  /** X5b — mapPartitions feature extraction (stubbed codec, real batch
+    * plumbing); summary row per media item (rows-only check). */
+  def x5MediaFeatures(s: SparkSession, d: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticMediaFromDocuments(documents(s, d)), dim = 64)
+    feats.select(col("media_id"), size(col("features")).as("dim"),
+        round(sqrt(aggregate(col("features").cast("array<double>"),
+          lit(0.0), (acc, x) => acc + x * x)), 3).as("l2_norm"))
+      .orderBy("media_id")
+  }
 }

@@ -82,4 +82,18 @@ object Pipeline {
         result = transformed, timestamp = timestamp, runId = runId))
     Outcome(raw, transformed, outputs, report)
   }
+
+  /** E1 with the V4 fan-out attached: on failure the report goes to the
+    * notifier before the outcome returns (reference: alert fires, THEN the
+    * task raises — pager-workflow.py:250-267). */
+  def runAndNotify(
+      spark: SparkSession, sfDir: String,
+      notifier: graft.sink.Notifier,
+      whitelist: Seq[String] = graft.Queries.regionWhitelist,
+      runId: String = "local-run",
+      timestamp: String = "1970-01-01T00:00:00Z"): Outcome = {
+    val outcome = run(spark, sfDir, whitelist, runId, timestamp)
+    outcome.report.foreach(notifier.notify)
+    outcome
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ext.{Multimodal, Similarity}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** X5 multimodal plumbing: schema contract, deterministic stubbed decode,
+  * partition-batch shape, frame sampling, and composition with the X2
+  * similarity operators. */
+class MultimodalSpec extends SparkSpec {
+
+  private val media = df(Seq(
+    Row(1L, "image", "payload-one".getBytes("UTF-8"),
+      Row("png", 64, 64, null, null)),
+    Row(2L, "image", "payload-one".getBytes("UTF-8"), // identical payload
+      Row("png", 64, 64, null, null)),
+    Row(3L, "audio", "a completely different payload".getBytes("UTF-8"),
+      Row("wav", null, null, 16000, 2500)),
+    Row(4L, "video", "vvv".getBytes("UTF-8"),
+      Row("mp4", 640, 480, null, 3500))),
+    "media_id BIGINT, kind STRING, payload BINARY, " +
+      "meta STRUCT<format: STRING, width: INT, height: INT, sample_rate: INT, duration_ms: INT>")
+
+  test("decodeStub is deterministic, payload-sensitive, unit-normalized") {
+    val a = Multimodal.decodeStub("hello".getBytes, 64)
+    val b = Multimodal.decodeStub("hello".getBytes, 64)
+    val c = Multimodal.decodeStub("hellp".getBytes, 64)
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != c.toSeq)
+    assert(math.abs(a.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+  }
+
+  test("extractFeatures preserves ids, fixes dimension, equal payloads → equal features") {
+    val feats = Multimodal.extractFeatures(media, dim = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.keySet == Set(1L, 2L, 3L, 4L))
+    assert(feats.values.forall(_.length == 32))
+    assert(feats(1L) == feats(2L))
+    assert(feats(1L) != feats(3L))
+  }
+
+  test("extracted features flow into the X2 similarity operator") {
+    val feats = Multimodal.extractFeatures(media, dim = 32)
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val top = Similarity.bruteForceTopK(feats, feats.filter("vec_id = 1"), k = 1)
+      .head()
+    assert(top.getLong(2) == 2L)           // the identical payload
+    assert(top.getDouble(3) == 1.0)        // cosine 1
+  }
+
+  test("sampleFrames explodes video duration into frame references") {
+    val frames = Multimodal.sampleFrames(media, frameEveryMs = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(frames.forall(_._1 == 4L)) // only the video row
+    assert(frames.map(_._2).toSeq == Seq(0, 1, 2)) // 3500ms → 3 frames
+    assert(frames.map(_._3).toSeq == Seq(0L, 1000L, 2000L))
+  }
+
+  test("integritySummary counts null and truncated payloads per kind") {
+    val withBad = media.union(df(Seq(
+      Row(5L, "image", null, Row("png", 1, 1, null, null)),
+      Row(6L, "audio", "tiny".getBytes("UTF-8"), Row("wav", null, null, 1, 1))),
+      media.schema.toDDL))
+    val s = Multimodal.integritySummary(withBad)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // ANSI ternary: length(NULL) is NULL, so a null payload is counted by
+    // null_payload but NOT by truncated — the two metrics are disjoint.
+    assert(s("image") == ((1L, 0L)))
+    assert(s("audio")._2 == 1L) // "tiny" is 4 bytes
+  }
+
+  test("syntheticMediaFromDocuments matches the media schema contract") {
+    val synth = Multimodal.syntheticMediaFromDocuments(Tables.documents(spark, sfDir))
+    assert(synth.schema.fieldNames.toSeq == Seq("media_id", "kind", "payload", "meta"))
+    assert(synth.select("kind").distinct().count() == 3)
+    assert(synth.count() == Tables.documents(spark, sfDir).count())
+  }
+}

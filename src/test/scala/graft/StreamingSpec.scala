@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.checks.{BetweenCheck, NotNullCheck, RowCountCheck}
+import graft.model.ValidationResult
+import graft.stream.StreamingSuite
+
+/** Streaming validation suite: tumbling windows + watermark over an
+  * event-time stream, fused G-checks per window, late-data drop. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:$sec%02d")
+
+  test("windowed suite finalizes windows past the watermark and drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val stream = input.toDF().toDF("ts", "event_type", "value")
+
+    val checks = Seq(RowCountCheck(), NotNullCheck("event_type"),
+      BetweenCheck("value", min = Some(0.0)))
+    val results = mutable.Map[Timestamp, Seq[ValidationResult]]()
+
+    val dir = Files.tmp("graft-stream-test")
+    val query = StreamingSuite.writer(
+      stream, "ts", "5 minutes", "5 minutes", checks, "graft-stream-spec") {
+      (w, rs) => results.synchronized { results(w) = rs }
+    }.option("checkpointLocation", dir).start()
+
+    try {
+      // Window 10:00-10:05 — 3 clean events.
+      input.addData((ts(0), "click", 1.0), (ts(2), "view", 2.0), (ts(4), "click", 3.0))
+      query.processAllAvailable()
+      assert(results.isEmpty) // watermark hasn't passed the window end yet
+
+      // Event at 10:11 pushes the watermark to 10:06 → first window emits.
+      input.addData((ts(11), "click", -5.0))
+      query.processAllAvailable()
+      assert(results.keySet == Set(ts(0)))
+      val w1 = results(ts(0))
+      assert(w1.forall(_.passed))
+      assert(w1.head.elementCount == 3L)
+
+      // A late event inside the already-finalized window is DROPPED…
+      input.addData((ts(1), "late", 100.0))
+      // …and an event at 10:21 closes the 10:10-10:15 window.
+      input.addData((ts(21), "view", 7.0))
+      query.processAllAvailable()
+      assert(results(ts(0)).head.elementCount == 3L) // unchanged: late row dropped
+      val w2 = results(ts(10))
+      assert(w2.head.elementCount == 1L) // only the 10:11 event
+      // The negative value in window 2 fails the between check.
+      assert(w2.exists(r => r.validationName.startsWith("between") && !r.passed))
+    } finally query.stop()
+  }
+
+  test("streaming and batch agree on the same fused checks") {
+    // The events parquet replayed as a bounded stream: every window's
+    // element_count must sum to the batch row count.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables.events(spark, sfDir)
+    val input = MemoryStream[(Timestamp, Double)]
+    batch.select(col("ts"), col("value")).collect()
+      .foreach(r => input.addData((r.getTimestamp(0), r.getDouble(1))))
+    val stream = input.toDF().toDF("ts", "value")
+
+    val counts = mutable.Buffer[Long]()
+    val dir = Files.tmp("graft-stream-batch-eq")
+    val query = StreamingSuite.writer(
+      stream, "ts", "1 day", "0 seconds", Seq(RowCountCheck()), "graft-stream-eq") {
+      (_, rs) => counts.synchronized { counts += rs.head.elementCount }
+    }.option("checkpointLocation", dir).start()
+    try {
+      query.processAllAvailable()
+      // Close every window: one far-future event.
+      input.addData((Timestamp.valueOf("2100-01-01 00:00:00"), 0.0))
+      query.processAllAvailable()
+      assert(counts.sum == batch.count())
+      assert(counts.size >= 2, "expected multiple event-time windows in testdata")
+    } finally query.stop()
+  }
+}
+
+object Files {
+  def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}
