@@ -25,16 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two `array` columns, computed as
-    * dot / sqrt(|a|²·|b|²) with sequential double-precision folds
-    * (built-in higher-order functions — codegen-friendly, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    dot(ad, bd) / sqrt(dot(ad, ad) * dot(bd, bd))
-  }
+  /** Cosine similarity of two `array` columns — the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression: one traversal, no
+    * per-row allocation, double accumulation in element order (bit-for-bit
+    * the dot/√(Σa²·Σb²) the DuckDB oracle computes). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine(a, b)
 
   /** One scored neighbor candidate flowing into the top-k aggregate. */
   final case class Neighbor(id: Long, sim: Double)
@@ -108,11 +104,10 @@ object Similarity {
   def lshBands(df: DataFrame, idCol: String, vecCol: String,
                dim: Int, numBits: Int, bands: Int, seed: Long): DataFrame = {
     val planes = hyperplanes(dim, numBits, seed)
-    val v = col(vecCol).cast("array<double>")
+    val v = col(vecCol)
     val bits: Seq[Column] = planes.toSeq.map { p =>
       val planeArr = array(p.toSeq.map(lit): _*)
-      when(aggregate(zip_with(v, planeArr, (x, y) => x * y),
-        lit(0.0), (acc, t) => acc + t) >= 0, 1L).otherwise(0L)
+      when(graft.functions.VectorFunctions.dot(v, planeArr) >= 0, 1L).otherwise(0L)
     }
     val bitsPerBand = numBits / bands
     val bandCols = (0 until bands).map { b =>
