@@ -309,6 +309,13 @@ object Oracles {
         |      FROM documents)
         |GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x3_token_counts" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT) AS bpe_tokens,
+        |       round(avg(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))), 2) AS avg_bpe_tokens
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
     "x4_zscore_flags" ->
       """WITH stats AS (
         |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd

@@ -296,6 +296,10 @@ object Queries {
   def x3QualityByLang(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityByLang(documents(s, d))
 
+  /** X3d — whitespace + BPE-ish token counting per language. */
+  def x3TokenCounts(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCountsByLang(documents(s, d))
+
   /** X3c — md5 content fingerprint summary per source. */
   def x3Fingerprints(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprintSummary(documents(s, d))

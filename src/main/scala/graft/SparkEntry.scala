@@ -51,6 +51,7 @@ object SparkEntry {
     "x3_top_tokens" -> (Queries.x3TopTokens _),
     "x3_quality_by_lang" -> (Queries.x3QualityByLang _),
     "x3_fingerprints" -> (Queries.x3Fingerprints _),
+    "x3_token_counts" -> (Queries.x3TokenCounts _),
     "x4_zscore_flags" -> (Queries.x4ZscoreFlags _),
     "x5_media_integrity" -> (Queries.x5MediaIntegrity _),
     "x5_media_features" -> (Queries.x5MediaFeatures _)

@@ -89,6 +89,27 @@ object TextAnalysis {
   def rollingFingerprint(c: Column): Column =
     aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, xxhash64(t)))
 
+  /** BPE-style pre-tokenization pattern (simplified GPT-2-family shape:
+    * letter runs, digit runs, punctuation runs, each with an optional
+    * leading space — kept to syntax shared by Java regex and RE2 so the
+    * DuckDB oracle tokenizes identically). */
+  val bpeIshPattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** Token counting both ways a data pipeline needs them: cheap
+    * whitespace splitting and a BPE-ish regex pre-tokenization (the
+    * better proxy for LLM token budgets). Per-language totals. */
+  def tokenCountsByLang(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("lang"),
+        size(tokens(col(textCol))).as("ws"),
+        size(regexp_extract_all(col(textCol), lit(bpeIshPattern), lit(0))).as("bpe"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        round(avg(col("bpe")), 2).as("avg_bpe_tokens"))
+      .orderBy("lang")
+
   /** Language-ID heuristic (n-gram/stopword profile, public-knowledge
     * approach): CJK-dominant text → zh; otherwise argmax of per-language
     * marker-token hits; `und` when nothing matches. The marker profiles
