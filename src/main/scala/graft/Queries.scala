@@ -288,6 +288,14 @@ object Queries {
     Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** X2c — IVF (k-means coarse quantizer) approximate top-k (rows-only
+    * check; exactness at nProbe=k asserted in the test suite). */
+  def x2IvfTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val model = graft.ext.IvfIndex.build(emb, k = 8, iters = 2)
+    graft.ext.IvfIndex.topK(model, emb, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3)
+  }
+
   /** X3a — global token frequency top-20. */
   def x3TopTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topTokens(documents(s, d))

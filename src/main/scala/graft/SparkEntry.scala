@@ -48,6 +48,7 @@ object SparkEntry {
     "x1_simhash_pairs" -> (Queries.x1SimhashPairs _),
     "x2_topk_cosine" -> (Queries.x2TopkCosine _),
     "x2_ann_topk" -> (Queries.x2AnnTopk _),
+    "x2_ivf_topk" -> (Queries.x2IvfTopk _),
     "x3_top_tokens" -> (Queries.x3TopTokens _),
     "x3_quality_by_lang" -> (Queries.x3QualityByLang _),
     "x3_fingerprints" -> (Queries.x3Fingerprints _),

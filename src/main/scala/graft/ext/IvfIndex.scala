@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** X2c — IVF (inverted-file) approximate nearest neighbor: the
+  * k-means-coarse-quantizer alternative to hyperplane LSH
+  * ([[Similarity.annTopK]]).
+  *
+  * Build: Lloyd's iterations assign every vector to its nearest centroid
+  * (ONE corpus scan per iteration — centroids are k×dim, broadcast as
+  * literals) and recompute centroids by element-wise mean (posexplode →
+  * partial-agg groupBy — never a driver-side collect of vectors; only the
+  * k×dim centroid matrix ever reaches the driver).
+  *
+  * Query: score the query against k centroids, probe the `nProbe` nearest
+  * inverted lists, exact-cosine re-rank candidates only. Recall/cost is
+  * tunable with nProbe: nProbe=k degenerates to exact brute force.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]], assignments: DataFrame)
+
+  /** Nearest-centroid id for a vector column against literal centroids:
+    * `array_max` over k (sim, cid) structs — linear expression size.
+    * (A `reduce(when(b > a, b, a))` fold would copy both accumulated
+    * subtrees at every step — 2^k expression blowup that breaches the
+    * JVM's 64 KB method limit and kicks the whole stage out of codegen.) */
+  private def nearestCentroid(vec: org.apache.spark.sql.Column,
+                              centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.toSeq.map(lit): _*)
+      struct(VectorFunctions.cosine(vec, cArr).as("sim"), lit(i).as("cid"))
+    }
+    array_max(array(scored: _*)).getField("cid")
+  }
+
+  /** Build the index: deterministic seeding (first k vectors by id), then
+    * `iters` Lloyd rounds. */
+  def build(corpus: DataFrame, k: Int, iters: Int = 3,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val spark = corpus.sparkSession
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+    var assignments: DataFrame = null
+    for (_ <- 0 until iters) {
+      assignments = corpus.select(col(idCol), col(vecCol),
+        nearestCentroid(col(vecCol), centroids).as("cluster"))
+      // Element-wise mean per cluster: explode to (cluster, pos, v),
+      // partial-agg avg, re-assemble ordered arrays. Only k×dim values
+      // are collected.
+      val means = assignments
+        .select(col("cluster"), posexplode(col(vecCol).cast("array<double>")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("col")).as("v"))
+        .groupBy(col("cluster"))
+        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("v"))).as("m"))
+        .collect()
+      val updated = centroids.clone()
+      means.foreach { r =>
+        val cid = r.getInt(0)
+        val m = r.getMap[Int, Double](1)
+        updated(cid) = Array.tabulate(m.size)(i => m(i))
+      }
+      centroids = updated
+    }
+    Model(centroids, assignments.drop(vecCol).cache())
+  }
+
+  /** Probe: per query, candidates from the `nProbe` nearest inverted
+    * lists, exact cosine re-rank, top-k via the bounded aggregator. */
+  def topK(model: Model, corpus: DataFrame, queries: DataFrame, k: Int,
+           nProbe: Int = 2, idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame = {
+    val probeScores = model.centroids.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.toSeq.map(lit): _*)
+      struct(VectorFunctions.cosine(col(vecCol), cArr).as("sim"), lit(i).as("cid"))
+    }
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(slice(array_sort(array(probeScores: _*),
+          (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+            .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
+          1, nProbe)).as("probe"))
+      .select(col("query_id"), col("qvec"), col("probe.cid").as("cluster"))
+
+    val cands = probes.join(model.assignments, "cluster")
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col("qvec"), col(idCol).as("cand_id"))
+    val withVec = cands.join(
+      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec")), "cand_id")
+
+    val topk = udaf(new Similarity.TopKAggregator(k))
+    withVec
+      .select(col("query_id"), col("cand_id"),
+        round(VectorFunctions.cosine(col("qvec"), col("cvec")), 6).as("sim"))
+      .groupBy("query_id")
+      .agg(topk(col("cand_id"), col("sim")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("nb.id").as("neighbor_id"), round(col("nb.sim"), 4).as("cosine_sim"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities.
+  *
+  * AQE's skew-join handles most runtime skew (enabled by default and left
+  * on in [[graft.Sessions]]); explicit salting remains the tool when one
+  * join key dominates so heavily that even split partitions of it
+  * overwhelm a task, or when a deterministic plan is required (AQE skew
+  * handling is size-triggered at runtime).
+  */
+object Skew {
+
+  /** Salted equi-join: the big (skewed) side sprays each key across
+    * `salt` sub-keys; the small side replicates `salt`×. The join result
+    * is EXACTLY the plain `big.join(small, key)` inner join — only the
+    * shuffle layout changes: a hot key's rows land in `salt` tasks
+    * instead of one.
+    *
+    * Cost model: small side payload × salt extra shuffle volume — use for
+    * dimension-sized right sides against fact-sized skew. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    // Deterministic spray: hash of the full row spreads a hot key's rows
+    // uniformly without relying on nondeterministic ids.
+    val sprayed = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    sprayed.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Key-frequency profile — the diagnostic that decides between AQE,
+    * salting, or a broadcast: top-k heaviest keys with their share.
+    * One partial-agg pass + TakeOrdered. */
+  def keySkewProfile(df: DataFrame, key: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val total = df.count()
+    counts
+      .withColumn("share", round(col("cnt") * lit(100.0) / lit(total), 3))
+      .orderBy(col("cnt").desc, col(key))
+      .limit(k)
+  }
+}

@@ -129,9 +129,11 @@ object TextAnalysis {
       val wordArr = array(words.map(lit): _*)
       (lang, size(filter(toks, t => array_contains(wordArr, t))))
     }
-    val best = scores.map { case (lang, score) =>
+    // array_max over (score, lang) structs: linear expression size (a
+    // when-fold would duplicate subtrees exponentially — see IvfIndex).
+    val best = array_max(array(scores.map { case (lang, score) =>
       struct(score.as("score"), lit(lang).as("lang"))
-    }.reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    }: _*))
     when(cjkRatio > lit(0.3), lit("zh"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))

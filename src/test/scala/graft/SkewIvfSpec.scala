@@ -1,0 +1,63 @@
+package graft
+
+import graft.ext.{IvfIndex, Similarity, Skew}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Skew utilities and the IVF ANN index. */
+class SkewIvfSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain join on a skewed key") {
+    // 90% of the big side is one hot key.
+    val big = df((1 to 200).map(i =>
+      Row(i.toLong, if (i <= 180) "HOT" else s"k${i % 7}")), "id BIGINT, k STRING")
+    val small = df(Seq(Row("HOT", 1.0), Row("k1", 2.0), Row("k3", 3.0)),
+      "k STRING, w DOUBLE")
+    val plain = big.join(small, "k").select("id", "w")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    val salted = Skew.saltedJoin(big, small, "k", salt = 8).select("id", "w")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("keySkewProfile surfaces the hot key with its share") {
+    val big = df((1 to 100).map(i =>
+      Row(i.toLong, if (i <= 80) "HOT" else "COLD")), "id BIGINT, k STRING")
+    val top = Skew.keySkewProfile(big, "k", 1).head()
+    assert(top.getString(0) == "HOT")
+    assert(top.getAs[Double]("share") == 80.0)
+  }
+
+  /** 10 well-separated clusters of 8 vectors each: IVF with nProbe=2 must
+    * recover each query's own-cluster nearest neighbor. */
+  test("IVF index recalls in-cluster nearest neighbors") {
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    val rows = for (c <- 0 until 10; j <- 0 until 8) yield {
+      val v = centers(c).map(_ + rnd.nextGaussian() * 0.1)
+      Row((c * 8 + j).toLong, v.map(_.toFloat).toSeq)
+    }
+    val data = df(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val model = IvfIndex.build(data, k = 10, iters = 3)
+
+    val queries = data.filter("vec_id % 8 = 0") // one per cluster
+    val ivf = IvfIndex.topK(model, data, queries, k = 1, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val brute = Similarity.bruteForceTopK(data, queries, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = brute.count { case (q, n) => ivf.get(q).contains(n) }
+    assert(hits >= 9, s"IVF matched brute force on only $hits/10 queries")
+  }
+
+  test("IVF with nProbe = k degenerates to exact brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.build(emb, k = 4, iters = 2)
+    val queries = emb.filter("vec_id < 3")
+    val ivf = IvfIndex.topK(model, emb, queries, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+}
