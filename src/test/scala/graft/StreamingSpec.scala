@@ -61,6 +61,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-source streaming: the events parquet replayed through readStream") {
+    // The realistic entry point at scale — a parquet directory consumed
+    // incrementally: first micro-batch is the driver's events file, a
+    // second far-future file pushes the watermark so every data window
+    // finalizes and emits.
+    import java.nio.file.{Files => JF, Paths}
+    import org.apache.spark.sql.functions._
+    val inDir = Files.tmp("graft-stream-in")
+    JF.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$inDir/batch0.parquet"))
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val raw = spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    val counts = mutable.Buffer[Long]()
+    val ckpt = Files.tmp("graft-stream-file-ckpt")
+    val query = StreamingSuite.writer(
+      raw, "ts", "1 day", "0 seconds", Seq(RowCountCheck()), "graft-stream-file") {
+      (_, rs) => counts.synchronized { counts += rs.head.elementCount }
+    }.option("checkpointLocation", ckpt).start()
+    try {
+      query.processAllAvailable()
+      // Closer file: one event far in the future (nanos epoch, matching
+      // the on-disk long-backed ts the legacy conf reads).
+      val scratch = Files.tmp("graft-closer")
+      spark.range(1).select(
+        lit(999999L).as("event_id"),
+        lit(4102444800L * 1000000000L).as("ts"), // 2100-01-01 in nanos
+        lit(0L).as("user_id"), lit("closer").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = JF.list(Paths.get(scratch)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      JF.copy(part, Paths.get(s"$inDir/closer.parquet"))
+      query.processAllAvailable()
+      assert(counts.sum == Tables.events(spark, sfDir).count(),
+        "every pre-closer event must land in exactly one finalized window")
+      assert(counts.size >= 2, "expected multiple event-time windows")
+    } finally query.stop()
+  }
+
   test("streaming and batch agree on the same fused checks") {
     // The events parquet replayed as a bounded stream: every window's
     // element_count must sum to the batch row count.
