@@ -293,7 +293,11 @@ object Queries {
   def x2IvfTopk(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val model = graft.ext.IvfIndex.build(emb, k = 8, iters = 2)
-    graft.ext.IvfIndex.topK(model, emb, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3)
+    val out = graft.ext.IvfIndex
+      .topK(model, emb, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3)
+      .localCheckpoint(true) // materialize, then release the index cache
+    model.release()
+    out
   }
 
   /** X3a — global token frequency top-20. */

@@ -21,7 +21,10 @@ import graft.functions.VectorFunctions
   */
 object IvfIndex {
 
-  final case class Model(centroids: Array[Array[Double]], assignments: DataFrame)
+  final case class Model(centroids: Array[Array[Double]], assignments: DataFrame) {
+    /** Drop the cached inverted lists when the index is retired. */
+    def release(): Unit = { assignments.unpersist(); () }
+  }
 
   /** Nearest-centroid id for a vector column against literal centroids:
     * `array_max` over k (sim, cid) structs — linear expression size.
@@ -47,14 +50,13 @@ object IvfIndex {
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
 
-    var assignments: DataFrame = null
     for (_ <- 0 until iters) {
-      assignments = corpus.select(col(idCol), col(vecCol),
+      val assigned = corpus.select(col(idCol), col(vecCol),
         nearestCentroid(col(vecCol), centroids).as("cluster"))
       // Element-wise mean per cluster: explode to (cluster, pos, v),
       // partial-agg avg, re-assemble ordered arrays. Only k×dim values
       // are collected.
-      val means = assignments
+      val means = assigned
         .select(col("cluster"), posexplode(col(vecCol).cast("array<double>")))
         .groupBy(col("cluster"), col("pos")).agg(avg(col("col")).as("v"))
         .groupBy(col("cluster"))
@@ -68,7 +70,14 @@ object IvfIndex {
       }
       centroids = updated
     }
-    Model(centroids, assignments.drop(vecCol).cache())
+    // Final inverted lists are assigned against the FINAL centroids —
+    // quantizer and index must agree, or a vector filed under its
+    // previous-iteration cluster is invisible to the probes that should
+    // find it (and iters = 0 is a valid seed-only index).
+    val assignments = corpus
+      .select(col(idCol), nearestCentroid(col(vecCol), centroids).as("cluster"))
+      .cache()
+    Model(centroids, assignments)
   }
 
   /** Probe: per query, candidates from the `nProbe` nearest inverted
@@ -99,9 +108,6 @@ object IvfIndex {
         round(VectorFunctions.cosine(col("qvec"), col("cvec")), 6).as("sim"))
       .groupBy("query_id")
       .agg(topk(col("cand_id"), col("sim")).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("nb.id").as("neighbor_id"), round(col("nb.sim"), 4).as("cosine_sim"))
-      .orderBy("query_id", "rank")
+      .transform(Similarity.ranked)
   }
 }

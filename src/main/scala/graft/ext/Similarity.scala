@@ -62,8 +62,9 @@ object Similarity {
   }
 
   /** Explode a top-k array column into ranked rows
-    * (query_id, rank, neighbor_id, cosine_sim). */
-  private def ranked(grouped: DataFrame): DataFrame =
+    * (query_id, rank, neighbor_id, cosine_sim) — the shared output
+    * contract of every X2 operator (brute force, LSH, IVF). */
+  private[ext] def ranked(grouped: DataFrame): DataFrame =
     grouped
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
