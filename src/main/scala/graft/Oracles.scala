@@ -57,8 +57,8 @@ object Oracles {
     "t3_mart_sales" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
         |       count(*) AS line_count,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-        |       round(avg(l_quantity), 4) AS avg_qty
+        |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -136,7 +136,7 @@ object Oracles {
 
     "g11_agg_bounds" ->
       """SELECT count(*) AS element_count,
-        |       round(avg(c_acctbal), 2) AS mean_acctbal,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS mean_acctbal,
         |       round(min(c_acctbal), 2) AS min_acctbal,
         |       round(max(c_acctbal), 2) AS max_acctbal
         |FROM customer""".stripMargin,
@@ -340,7 +340,7 @@ object Oracles {
     "p5_etl_diamond" ->
       """SELECT r_name AS region_name, trim(p_brand) AS brand,
         |       count(*) AS line_count,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

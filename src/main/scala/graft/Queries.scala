@@ -199,11 +199,14 @@ object Queries {
       count(when(col("user_id").isNotNull && expr("try_cast(user_id AS STRING)").isNull, lit(1)))
         .as("user_id_non_string"))
 
-  /** G11 — aggregate profiling bounds on customer balances. */
+  /** G11 — aggregate profiling bounds on customer balances. The mean
+    * accumulates in DECIMAL (exact, order-independent) and divides once
+    * in double — see Stages.martSalesPerformance. */
   def g11AggBounds(s: SparkSession, d: String): DataFrame =
     customer(s, d).agg(
       count(lit(1)).as("element_count"),
-      round(avg(col("c_acctbal")), 2).as("mean_acctbal"),
+      round(sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
+        count(lit(1)), 2).as("mean_acctbal"),
       round(min(col("c_acctbal")), 2).as("min_acctbal"),
       round(max(col("c_acctbal")), 2).as("max_acctbal"))
 

@@ -60,7 +60,9 @@ object PharmaEtl {
       up("sales_enrichment")
         .groupBy(col("r_name").as("region_name"), col("brand"))
         .agg(count(lit(1)).as("line_count"),
-          round(sum(col("net_revenue")), 2).as("revenue")))))
+          // exact decimal accumulation — see Stages.martSalesPerformance
+          round(sum(col("net_revenue").cast("decimal(18,4)")), 2)
+            .cast("double").as("revenue")))))
 
   /** Run the diamond and return the beta layer, deterministically ordered. */
   def betaLayer(spark: SparkSession, sfDir: String): DataFrame =

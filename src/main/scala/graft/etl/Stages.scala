@@ -62,8 +62,14 @@ object Stages {
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
       .agg(
         count(lit(1)).as("line_count"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"))
+        // Money sums accumulate in DECIMAL: double summation is
+        // order-dependent (partition order vs any other engine's order),
+        // so a 2-dp round of a 13-digit double sum can flip its last
+        // digit nondeterministically. Decimal addition is exact and
+        // associative — same digits on every engine, every run.
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("avg_qty"))
   }
 }
