@@ -294,10 +294,10 @@ object Oracles {
         |           AS stopword_ratio
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,
-        |       round(avg(n_chars), 2) AS avg_chars,
-        |       round(avg(n_tokens), 2) AS avg_tokens,
-        |       round(avg(mean_token_len), 4) AS avg_token_len,
-        |       round(avg(stopword_ratio), 4) AS avg_stopword_ratio
+        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
+        |       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 2) AS avg_tokens,
+        |       round(CAST(sum(CAST(mean_token_len AS DECIMAL(24,8))) AS DOUBLE) / count(*), 4) AS avg_token_len,
+        |       round(CAST(sum(CAST(stopword_ratio AS DECIMAL(24,8))) AS DOUBLE) / count(*), 4) AS avg_stopword_ratio
         |FROM per_doc GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "x3_fingerprints" ->
@@ -318,7 +318,12 @@ object Oracles {
 
     "x4_zscore_flags" ->
       """WITH stats AS (
-        |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |  SELECT event_type,
+        |         CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS m,
+        |         sqrt((CAST(sum(CAST(value * value AS DECIMAL(24,6))) AS DOUBLE)
+        |               - CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+        |                 * CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(*))
+        |              / (count(*) - 1)) AS sd
         |  FROM events GROUP BY 1)
         |SELECT event_id, event_type, value, z FROM (
         |  SELECT event_id, e.event_type, value,

@@ -17,12 +17,25 @@ import org.apache.spark.sql.functions._
 object Anomaly {
 
   /** Rows whose |z| exceeds `threshold` within their group.
-    * Output: (idCol, groupCol, valueCol, z) ordered by id. */
+    * Output: (idCol, groupCol, valueCol, z) ordered by id.
+    *
+    * Mean and stddev derive from exact DECIMAL sums of v and v² (then one
+    * double division/sqrt), NOT `avg`/`stddev_samp`: those accumulate in
+    * partition order (stddev_samp is a Welford merge), so a |z| sitting
+    * on the threshold could flip IN OR OUT of the flag set depending on
+    * the cluster's partitioning — this operator's verdict must not
+    * depend on parallelism. */
   def zscoreFlags(df: DataFrame, valueCol: String, groupCol: String,
                   idCol: String, threshold: Double = 3.0): DataFrame = {
+    val v = col(valueCol)
     val stats = df.groupBy(col(groupCol)).agg(
-      avg(col(valueCol)).as("__mean"),
-      stddev_samp(col(valueCol)).as("__sd"))
+        count(lit(1)).as("__n"),
+        sum(v.cast("decimal(24,6)")).cast("double").as("__s1"),
+        sum((v * v).cast("decimal(24,6)")).cast("double").as("__s2"))
+      .select(col(groupCol),
+        (col("__s1") / col("__n")).as("__mean"),
+        sqrt((col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+          (col("__n") - 1)).as("__sd"))
     df.join(stats, groupCol)
       .withColumn("z", round((col(valueCol) - col("__mean")) / col("__sd"), 4))
       .filter(abs(col("z")) > threshold)
@@ -37,10 +50,15 @@ object Anomaly {
   def anomalySummary(df: DataFrame, valueCol: String, groupCol: String,
                      idCol: String, threshold: Double = 3.0): DataFrame = {
     val flags = zscoreFlags(df, valueCol, groupCol, idCol, threshold)
+    val v = col(valueCol)
     df.groupBy(col(groupCol)).agg(
         count(lit(1)).as("n"),
-        round(avg(col(valueCol)), 4).as("mean_value"),
-        round(stddev_samp(col(valueCol)), 4).as("sd_value"))
+        sum(v.cast("decimal(24,6)")).cast("double").as("__s1"),
+        sum((v * v).cast("decimal(24,6)")).cast("double").as("__s2"))
+      .select(col(groupCol), col("n"),
+        round(col("__s1") / col("n"), 4).as("mean_value"),
+        round(sqrt((col("__s2") - col("__s1") * col("__s1") / col("n")) /
+          (col("n") - 1)), 4).as("sd_value"))
       .join(
         flags.groupBy(col(groupCol)).agg(count(lit(1)).as("flagged")),
         Seq(groupCol), "left")

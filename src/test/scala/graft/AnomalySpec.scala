@@ -28,6 +28,17 @@ class AnomalySpec extends SparkSpec {
     assert(byGroup.contains("b")) // with τ=0.5 group b's edges flag too
   }
 
+  test("zscore verdicts are invariant to partitioning (exact-sum stats)") {
+    // avg/stddev_samp accumulate in partition order; the exact-decimal
+    // formulation must produce identical flags (and identical rounded z)
+    // no matter how the data is split.
+    val ev = Tables.events(spark, sfDir)
+    def run(parts: Int) =
+      Anomaly.zscoreFlags(ev.repartition(parts), "value", "event_type", "event_id", 3.0)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq.sorted
+    assert(run(2) == run(17))
+  }
+
   test("anomalySummary reports per-group stats and flag counts") {
     val s = Anomaly.anomalySummary(events, "value", "event_type", "event_id", 3.0)
       .collect().map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("flagged"))).toMap
