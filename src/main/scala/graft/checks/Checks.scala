@@ -139,9 +139,11 @@ final case class InSetCheck(
   override def refine(df: DataFrame, r: ValidationResult): ValidationResult =
     if (r.unexpectedCount == 0) r
     else {
-      val sample = df.filter(unexpected).select(col(column).cast("string"))
-        .distinct().orderBy(col(column)).limit(sampleSize)
-        .collect().map(_.getString(0)).toSeq
+      // D5 guarded client fetch: the limit() makes the result provably
+      // bounded, so the driver-side materialization is legal.
+      val sample = graft.Client.fetchColumn[String](
+        df.filter(unexpected).select(col(column).cast("string").as("__v"))
+          .distinct().orderBy(col("__v")).limit(sampleSize), "__v")
       r.copy(
         partialUnexpectedList = sample,
         message = s"$describe: unauthorized values ${sample.mkString("[", ", ", "]")}")
