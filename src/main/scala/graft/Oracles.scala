@@ -260,6 +260,20 @@ object Oracles {
         |  FROM inter JOIN dc x ON doc_id_a = x.doc_id JOIN dc y ON doc_id_b = y.doc_id)
         |WHERE jaccard >= 0.8 ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
+    "x1_embed_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+        |  WHERE vec_id < 5)
+        |SELECT vec_id_a, vec_id_b, cosine_sim FROM (
+        |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |         round(list_inner_product(a.v, b.v) /
+        |               sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)), 4)
+        |           AS cosine_sim
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |WHERE cosine_sim >= 0.95 ORDER BY vec_id_a, vec_id_b""".stripMargin,
+
     "x2_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),

@@ -278,6 +278,18 @@ object Queries {
   def x1SimhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(documents(s, d), n = 4, maxHamming = 6)
 
+  /** X1e — embedding-cosine near-duplicate pairs. The base corpus has no
+    * pairs above 0.52, so five exact copies (vec_id + 100000) are planted
+    * deterministically; identical vectors share every LSH band, so the
+    * bucketed candidate generation finds them with probability 1 and the
+    * output equals the brute-force oracle. */
+  def x1EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val planted = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    Similarity.nearDupPairs(emb.unionByName(planted), minSim = 0.95)
+  }
+
   /** X2a — exact brute-force cosine top-k: 10 query vectors, k=5. */
   def x2TopkCosine(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
