@@ -23,8 +23,19 @@ final case class TableChecks(table: String, df: DataFrame, checks: Seq[Check])
   */
 object ValidationSuite {
 
-  def run(tables: Seq[TableChecks]): ValidationSuiteResult =
-    ValidationSuiteResult.of(tables.flatMap(runTable))
+  /** Per-table suites evaluate CONCURRENTLY (Spark sessions are
+    * thread-safe; concurrent actions schedule as parallel jobs): the
+    * suite's wall-clock is its slowest table, not the sum — on a real
+    * cluster each table's fused scan runs while the others' do. Result
+    * order stays the declaration order. */
+  def run(tables: Seq[TableChecks]): ValidationSuiteResult = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = tables.map(tc => Future(runTable(tc)))
+    ValidationSuiteResult.of(
+      futures.flatMap(f => Await.result(f, Duration.Inf)))
+  }
 
   private def qualify(table: String, r: ValidationResult): ValidationResult =
     r.copy(validationName = s"$table.${r.validationName}")
