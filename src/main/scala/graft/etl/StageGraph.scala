@@ -60,11 +60,47 @@ final case class StageGraph(stages: Seq[Stage], eager: Boolean = false) {
     go(Vector.empty, stages)
   }
 
-  /** Execute all stages; returns every stage's output by name. */
+  /** Topological ranks: every stage in rank i depends only on stages in
+    * ranks < i — stages within a rank are mutually independent. */
+  lazy val ranks: Seq[Seq[String]] = {
+    @tailrec def go(done: Set[String], acc: Vector[Seq[String]],
+                    remaining: Seq[Stage]): Vector[Seq[String]] =
+      if (remaining.isEmpty) acc
+      else {
+        val (ready, blocked) = remaining.partition(_.deps.forall(done.contains))
+        if (ready.isEmpty)
+          throw new StageGraphException(
+            s"cycle among stages: ${blocked.map(_.name).mkString(", ")}")
+        go(done ++ ready.map(_.name), acc :+ ready.map(_.name), blocked)
+      }
+    go(Set.empty, Vector.empty, stages)
+  }
+
+  /** Execute all stages; returns every stage's output by name.
+    *
+    * Eager mode materializes each rank's stages CONCURRENTLY — the
+    * reference's diamond runs its three independent Glue jobs in
+    * parallel (Glue-etl-pipeline.py:125-129), and concurrent Spark
+    * actions on one session schedule as parallel jobs. Lazy mode stays
+    * sequential: stage functions only build plans there, so parallelism
+    * would buy nothing (Catalyst fuses the whole graph anyway). */
   def run(inputs: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] =
-    topoOrder.foldLeft(inputs) { (acc, name) =>
-      val stage = byName(name)
-      acc + (name -> runWithRetry(stage, acc, stage.retries))
+    if (!eager)
+      topoOrder.foldLeft(inputs) { (acc, name) =>
+        val stage = byName(name)
+        acc + (name -> runWithRetry(stage, acc, stage.retries))
+      }
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      ranks.foldLeft(inputs) { (acc, rank) =>
+        val futures = rank.map { name =>
+          val stage = byName(name)
+          name -> Future(runWithRetry(stage, acc, stage.retries))
+        }
+        acc ++ futures.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
+      }
     }
 
   @tailrec

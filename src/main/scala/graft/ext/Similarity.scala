@@ -126,7 +126,7 @@ object Similarity {
     * cosine re-rank of the candidate set → per-query top-k. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              dim: Int = 64, numBits: Int = 32, bands: Int = 8,
+              dim: Int = 64, numBits: Int = 64, bands: Int = 8,
               seed: Long = 42L): DataFrame = {
     val cB = lshBands(corpus, idCol, vecCol, dim, numBits, bands, seed)
     val qB = lshBands(queries, idCol, vecCol, dim, numBits, bands, seed)
@@ -151,7 +151,7 @@ object Similarity {
     * Output: (vec_id_a, vec_id_b, cosine_sim), a < b. */
   def nearDupPairs(corpus: DataFrame, minSim: Double = 0.95,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   dim: Int = 64, numBits: Int = 32, bands: Int = 8,
+                   dim: Int = 64, numBits: Int = 64, bands: Int = 8,
                    seed: Long = 42L): DataFrame = {
     val b = lshBands(corpus, idCol, vecCol, dim, numBits, bands, seed)
     val cands = b.as("x").join(b.as("y"),

@@ -66,6 +66,26 @@ class StageGraphSpec extends SparkSpec {
     assert(attempts.get() == 1)
   }
 
+  test("ranks group mutually independent stages for parallel eager execution") {
+    val g = StageGraph(Seq(
+      Stage("d", Seq("b", "c"))(up => up("b").union(up("c"))),
+      Stage("a", Nil)(_ => one(1)),
+      Stage("b", Seq("a"))(up => up("a")),
+      Stage("c", Seq("a"))(up => up("a"))))
+    assert(g.ranks == Seq(Seq("a"), Seq("b", "c"), Seq("d")))
+  }
+
+  test("eager diamond produces the same outputs as lazy") {
+    def graph(eager: Boolean) = StageGraph(Seq(
+      Stage("src", Nil)(_ => one(2)),
+      Stage("x2", Seq("src"))(up => up("src").select((col("v") * 2).as("v"))),
+      Stage("x3", Seq("src"))(up => up("src").select((col("v") * 3).as("v"))),
+      Stage("sum", Seq("x2", "x3"))(up => up("x2").union(up("x3")))), eager)
+    val lazyOut = graph(eager = false).run()("sum").collect().map(_.getInt(0)).sorted
+    val eagerOut = graph(eager = true).run()("sum").collect().map(_.getInt(0)).sorted
+    assert(lazyOut.toSeq == Seq(4, 6) && eagerOut.toSeq == Seq(4, 6))
+  }
+
   test("eager mode retries runtime (action-time) failures, lazy mode cannot") {
     StageGraphSpec.runtimeFailures.set(0)
     val failOnce = udf { (v: Int) =>
