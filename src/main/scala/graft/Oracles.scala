@@ -345,6 +345,13 @@ object Oracles {
         |  FROM events e JOIN stats USING (event_type))
         |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
 
+    "s1_windowed_checks" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       count(*) AS n_rows,
+        |       count(CASE WHEN user_id IS NULL THEN 1 END) AS null_user_id,
+        |       count(CASE WHEN value < 0 THEN 1 END) AS value_below_zero
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+
     "x5_media_integrity" ->
       """SELECT kind, count(*) AS n,
         |       count(CASE WHEN text IS NULL THEN 1 END) AS null_payload,

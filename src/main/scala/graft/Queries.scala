@@ -335,6 +335,24 @@ object Queries {
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")
 
+  /** S1 — the streaming suite's fused per-window check aggregation,
+    * replayed in batch (same code path: `StreamingSuite.windowedChecks`;
+    * watermarks are a no-op on a static frame). Tumbling 1-hour windows
+    * over events with three fused checks — the correctness row for the
+    * streaming mode's aggregation semantics. */
+  def s1WindowedChecks(s: SparkSession, d: String): DataFrame = {
+    import graft.checks.{BetweenCheck, NotNullCheck, RowCountCheck}
+    graft.stream.StreamingSuite.windowedChecks(
+        events(s, d), "ts", "1 hour", "0 seconds",
+        Seq(RowCountCheck(), NotNullCheck("user_id"),
+          BetweenCheck("value", min = Some(0.0))))
+      .select(col("window_start"),
+        col("row_count_between__element_count").as("n_rows"),
+        col("not_null_user_id__unexpected_count").as("null_user_id"),
+        col("between_value__unexpected_count").as("value_below_zero"))
+      .orderBy("window_start")
+  }
+
   /** X5a — multimodal payload integrity per kind (synthetic media built
     * deterministically over documents: text bytes as the opaque payload). */
   def x5MediaIntegrity(s: SparkSession, d: String): DataFrame =

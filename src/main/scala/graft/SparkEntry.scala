@@ -55,6 +55,7 @@ object SparkEntry {
     "x3_fingerprints" -> (Queries.x3Fingerprints _),
     "x3_token_counts" -> (Queries.x3TokenCounts _),
     "x4_zscore_flags" -> (Queries.x4ZscoreFlags _),
+    "s1_windowed_checks" -> (Queries.s1WindowedChecks _),
     "x5_media_integrity" -> (Queries.x5MediaIntegrity _),
     "x5_media_features" -> (Queries.x5MediaFeatures _)
   )
