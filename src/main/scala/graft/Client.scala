@@ -30,6 +30,8 @@ object Client {
     * the result exceeds `maxRows` — the caller must aggregate, distinct,
     * or limit first. */
   def fetchColumn[T](df: DataFrame, column: String, maxRows: Int = 10000): Seq[T] = {
+    require(maxRows >= 0 && maxRows < Int.MaxValue,
+      s"maxRows must be in [0, ${Int.MaxValue - 1}]") // maxRows+1 below must not overflow
     val rows = df.select(column).limit(maxRows + 1).collect()
     if (rows.length > maxRows)
       throw new UnboundedFetchException(

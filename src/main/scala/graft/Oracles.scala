@@ -136,7 +136,7 @@ object Oracles {
 
     "g11_agg_bounds" ->
       """SELECT count(*) AS element_count,
-        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS mean_acctbal,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(c_acctbal), 2) AS mean_acctbal,
         |       round(min(c_acctbal), 2) AS min_acctbal,
         |       round(max(c_acctbal), 2) AS max_acctbal
         |FROM customer""".stripMargin,
@@ -264,7 +264,8 @@ object Oracles {
       """WITH corpus AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+        |         CAST(embedding AS DOUBLE[]) FROM embeddings
         |  WHERE vec_id < 5)
         |SELECT vec_id_a, vec_id_b, cosine_sim FROM (
         |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
@@ -308,10 +309,10 @@ object Oracles {
         |           AS stopword_ratio
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,
-        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
-        |       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 2) AS avg_tokens,
-        |       round(CAST(sum(CAST(mean_token_len AS DECIMAL(24,8))) AS DOUBLE) / count(*), 4) AS avg_token_len,
-        |       round(CAST(sum(CAST(stopword_ratio AS DECIMAL(24,8))) AS DOUBLE) / count(*), 4) AS avg_stopword_ratio
+        |       round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 2) AS avg_chars,
+        |       round(CAST(sum(n_tokens) AS DOUBLE) / count(n_tokens), 2) AS avg_tokens,
+        |       round(CAST(sum(CAST(mean_token_len AS DECIMAL(24,8))) AS DOUBLE) / count(mean_token_len), 4) AS avg_token_len,
+        |       round(CAST(sum(CAST(stopword_ratio AS DECIMAL(24,8))) AS DOUBLE) / count(stopword_ratio), 4) AS avg_stopword_ratio
         |FROM per_doc GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "x3_fingerprints" ->
@@ -333,11 +334,11 @@ object Oracles {
     "x4_zscore_flags" ->
       """WITH stats AS (
         |  SELECT event_type,
-        |         CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS m,
-        |         sqrt((CAST(sum(CAST(value * value AS DECIMAL(24,6))) AS DOUBLE)
-        |               - CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
-        |                 * CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(*))
-        |              / (count(*) - 1)) AS sd
+        |         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) AS m,
+        |         sqrt((CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+        |               - CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |                 * CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value))
+        |              / (count(value) - 1)) AS sd
         |  FROM events GROUP BY 1)
         |SELECT event_id, event_type, value, z FROM (
         |  SELECT event_id, e.event_type, value,

@@ -206,7 +206,7 @@ object Queries {
     customer(s, d).agg(
       count(lit(1)).as("element_count"),
       round(sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
-        count(lit(1)), 2).as("mean_acctbal"),
+        count(col("c_acctbal")), 2).as("mean_acctbal"),
       round(min(col("c_acctbal")), 2).as("min_acctbal"),
       round(max(col("c_acctbal")), 2).as("max_acctbal"))
 
@@ -285,8 +285,11 @@ object Queries {
     * output equals the brute-force oracle. */
   def x1EmbedNearDup(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
+    // Offset derived from the corpus, not hard-coded: a fixed constant
+    // would collide with real ids at larger scale factors.
+    val offset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val planted = emb.filter(col("vec_id") < 5)
-      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"), col("label"))
     Similarity.nearDupPairs(emb.unionByName(planted), minSim = 0.95)
   }
 

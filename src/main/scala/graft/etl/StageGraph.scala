@@ -46,19 +46,8 @@ final case class StageGraph(stages: Seq[Stage], eager: Boolean = false) {
     require(byName.contains(d), s"stage ${s.name} depends on unknown stage $d")))
 
   /** Deterministic topological order (stable within a rank: declaration
-    * order). Cycles rejected. */
-  lazy val topoOrder: Seq[String] = {
-    @tailrec def go(done: Vector[String], remaining: Seq[Stage]): Vector[String] =
-      if (remaining.isEmpty) done
-      else {
-        val (ready, blocked) = remaining.partition(_.deps.forall(done.contains))
-        if (ready.isEmpty)
-          throw new StageGraphException(
-            s"cycle among stages: ${blocked.map(_.name).mkString(", ")}")
-        go(done ++ ready.map(_.name), blocked)
-      }
-    go(Vector.empty, stages)
-  }
+    * order) — derived from [[ranks]], one traversal to maintain. */
+  lazy val topoOrder: Seq[String] = ranks.flatten
 
   /** Topological ranks: every stage in rank i depends only on stages in
     * ranks < i — stages within a rank are mutually independent. */

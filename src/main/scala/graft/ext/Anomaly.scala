@@ -28,10 +28,14 @@ object Anomaly {
   def zscoreFlags(df: DataFrame, valueCol: String, groupCol: String,
                   idCol: String, threshold: Double = 3.0): DataFrame = {
     val v = col(valueCol)
+    // count(v), not count(*): sum() skips NULLs, so the denominator must
+    // too — avg/stddev semantics. DECIMAL(38,6) bounds the domain at
+    // |v| ≲ 1e15 (v² needs 32 integer digits); beyond that the cast
+    // nulls out silently with ANSI off.
     val stats = df.groupBy(col(groupCol)).agg(
-        count(lit(1)).as("__n"),
-        sum(v.cast("decimal(24,6)")).cast("double").as("__s1"),
-        sum((v * v).cast("decimal(24,6)")).cast("double").as("__s2"))
+        count(v).as("__n"),
+        sum(v.cast("decimal(38,6)")).cast("double").as("__s1"),
+        sum((v * v).cast("decimal(38,6)")).cast("double").as("__s2"))
       .select(col(groupCol),
         (col("__s1") / col("__n")).as("__mean"),
         sqrt((col("__s2") - col("__s1") * col("__s1") / col("__n")) /
@@ -52,9 +56,9 @@ object Anomaly {
     val flags = zscoreFlags(df, valueCol, groupCol, idCol, threshold)
     val v = col(valueCol)
     df.groupBy(col(groupCol)).agg(
-        count(lit(1)).as("n"),
-        sum(v.cast("decimal(24,6)")).cast("double").as("__s1"),
-        sum((v * v).cast("decimal(24,6)")).cast("double").as("__s2"))
+        count(v).as("n"),
+        sum(v.cast("decimal(38,6)")).cast("double").as("__s1"),
+        sum((v * v).cast("decimal(38,6)")).cast("double").as("__s2"))
       .select(col(groupCol), col("n"),
         round(col("__s1") / col("n"), 4).as("mean_value"),
         round(sqrt((col("__s2") - col("__s1") * col("__s1") / col("n")) /

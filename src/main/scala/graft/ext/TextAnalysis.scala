@@ -63,12 +63,14 @@ object TextAnalysis {
         // Integer metrics sum exactly; the double ratios accumulate in
         // DECIMAL — `avg(double)` sums in partition order and its rounded
         // digits could differ run-to-run (see Anomaly.zscoreFlags).
-        round(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_chars"),
-        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 2).as("avg_tokens"),
+        round(sum(col("n_chars")).cast("double") / count(col("n_chars")), 2)
+          .as("avg_chars"),
+        round(sum(col("n_tokens")).cast("double") / count(col("n_tokens")), 2)
+          .as("avg_tokens"),
         round(sum(col("mean_token_len").cast("decimal(24,8)")).cast("double") /
-          count(lit(1)), 4).as("avg_token_len"),
+          count(col("mean_token_len")), 4).as("avg_token_len"),
         round(sum(col("stopword_ratio").cast("decimal(24,8)")).cast("double") /
-          count(lit(1)), 4).as("avg_stopword_ratio"))
+          count(col("stopword_ratio")), 4).as("avg_stopword_ratio"))
       .orderBy("lang")
 
   /** Document fingerprinting: md5 of the normalized text (exact-dup

@@ -87,6 +87,29 @@ class PlanAuditSpec extends SparkSpec {
       "a fused suite must cost exactly one scan")
   }
 
+  test("fuzzy-dedup and IVF pipelines are cartesian-free (pre-materialization plans)") {
+    // The registered variants localCheckpoint their outputs, which
+    // replaces the inspectable plan with a checkpoint scan — audit the
+    // real shapes via materialize = false / the pure probe path.
+    import graft.ext.{Dedup, IvfIndex}
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.build(emb, k = 4, iters = 0)
+    try {
+      val plans = Seq(
+        "jaccard" -> Dedup.jaccardPairs(docs, n = 4, materialize = false),
+        "minhash" -> Dedup.minhashPairs(docs, n = 4, bands = 8, materialize = false),
+        "simhash" -> Dedup.simhashPairs(docs, n = 4, maxHamming = 6, materialize = false),
+        "ivf" -> IvfIndex.topK(model, emb, emb.filter("vec_id < 3"), k = 3, nProbe = 2))
+      plans.foreach { case (name, df) =>
+        val nodes = planNodes(df.queryExecution.executedPlan)
+        assert(!nodes.exists(_.contains("CartesianProduct")), s"$name plans a cartesian")
+        assert(!nodes.exists(_.contains("BroadcastNestedLoopJoin")),
+          s"$name plans a nested-loop join")
+      }
+    } finally model.release()
+  }
+
   test("whitelist anti-membership pushes its predicate into the scan") {
     val d4 = SparkEntry.queries("d4_whitelist_violations")(spark, sfDir)
     val scanStr = scansOf(d4.queryExecution.executedPlan)
