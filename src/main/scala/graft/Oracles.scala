@@ -191,6 +191,15 @@ object Oracles {
          |) ORDER BY validation_name""".stripMargin
     },
 
+    "g13_g15_profile" ->
+      """SELECT count(*) AS element_count,
+        |       count(CASE WHEN length(c_name) < 5 OR length(c_name) > 30 THEN 1 END)
+        |         AS name_length_out_of_range,
+        |       count(DISTINCT c_mktsegment) AS distinct_segments,
+        |       round(quantile_cont(c_acctbal, 0.5), 4) AS median_acctbal,
+        |       round(quantile_cont(c_acctbal, 0.95), 4) AS p95_acctbal
+        |FROM customer""".stripMargin,
+
     "v1_raw_gate" ->
       """SELECT * FROM (
         |  SELECT 'raw_nation.not_null:n_nationkey' AS validation_name,

@@ -217,6 +217,18 @@ object Queries {
       count(when(col("l_extendedprice") <= col("l_quantity"), lit(1)))
         .as("unexpected_count")))
 
+  /** G13–G15 — value-length, distinct-count, and quantile expectations
+    * over customer, fused into one scan (the quantile sorts inside the
+    * same aggregate). */
+  def g13G15Profile(s: SparkSession, d: String): DataFrame =
+    customer(s, d).agg(
+      count(lit(1)).as("element_count"),
+      count(when(length(col("c_name")) < 5 || length(col("c_name")) > 30, lit(1)))
+        .as("name_length_out_of_range"),
+      countDistinct(col("c_mktsegment")).as("distinct_segments"),
+      round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_acctbal"),
+      round(expr("percentile(c_acctbal, 0.95)"), 4).as("p95_acctbal"))
+
   // ------------------------------------------------------------ V/P-series
   /** V2 — the post-transform validation suite itself as a query: the
     * engine's ValidationSuite (run-all, per-check capture, one fused job

@@ -39,6 +39,7 @@ object SparkEntry {
     "g10_type_cast" -> (Queries.g10TypeCast _),
     "g11_agg_bounds" -> (Queries.g11AggBounds _),
     "g12_pair_greater" -> (Queries.g12PairGreater _),
+    "g13_g15_profile" -> (Queries.g13G15Profile _),
     "v1_raw_gate" -> (Queries.v1RawGate _),
     "v2_suite_summary" -> (Queries.v2SuiteSummary _),
     "p5_etl_diamond" -> (Queries.p5EtlDiamond _),

@@ -268,6 +268,62 @@ final case class UniqueCheck(columns: Seq[String]) extends Check {
   }
 }
 
+/** G13 — `expect_column_value_lengths_to_be_between`. */
+final case class ValueLengthCheck(column: String, minLen: Int, maxLen: Int)
+  extends ValueCheck {
+  val name = s"value_length:$column"
+  def unexpected: Column =
+    length(col(column)) < minLen || length(col(column)) > maxLen
+  def describe: String = s"length($column) in [$minLen, $maxLen]"
+}
+
+/** G14 — `expect_column_unique_value_count_to_be_between`. Exact distinct
+  * count — a partial-aggregable two-level aggregate at scale (Spark
+  * rewrites count(distinct) to expand+2-phase agg); use
+  * `approx_count_distinct` instead when ±2% suffices on very hot columns. */
+final case class DistinctCountCheck(column: String, lo: Long, hi: Long)
+  extends AggCheck {
+  val name = s"distinct_count:$column"
+  override def aggColumns(prefix: String): Seq[Column] = Seq(
+    count(lit(1)).as(s"${prefix}element_count"),
+    countDistinct(col(column)).as(s"${prefix}observed"))
+  override def evaluate(row: Row, prefix: String): ValidationResult = {
+    val total = row.getAs[Long](s"${prefix}element_count")
+    val observed = row.getAs[Long](s"${prefix}observed")
+    val ok = observed >= lo && observed <= hi
+    ValidationResult(name,
+      if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      s"distinct($column) = $observed, expected [$lo, $hi]",
+      elementCount = total, unexpectedCount = if (ok) 0L else 1L)
+  }
+}
+
+/** G15 — `expect_column_quantile_values_to_be_between`: exact interpolated
+  * percentile (Spark `percentile`; the same linear-interpolation
+  * definition as ANSI quantile_cont, so it is oracle-comparable —
+  * `approx_percentile` is not engine-portable). Exact percentile sorts
+  * within the aggregation; for very large columns prefer the approx
+  * variant and drop the oracle to a range assertion. */
+final case class QuantileCheck(
+    column: String, quantile: Double, lo: Double, hi: Double)
+  extends AggCheck {
+  val name = s"quantile:$column:$quantile"
+  override def aggColumns(prefix: String): Seq[Column] = Seq(
+    count(lit(1)).as(s"${prefix}element_count"),
+    round(expr(s"percentile(`$column`, $quantile)"), 4)
+      .as(s"${prefix}observed"))
+  override def evaluate(row: Row, prefix: String): ValidationResult = {
+    val total = row.getAs[Long](s"${prefix}element_count")
+    val idx = row.fieldIndex(s"${prefix}observed")
+    val observed = if (row.isNullAt(idx)) Double.NaN else row.getDouble(idx)
+    val ok = !observed.isNaN && observed >= lo && observed <= hi
+    ValidationResult(name,
+      if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      s"p$quantile($column) = $observed, expected [$lo, $hi]",
+      elementCount = total, unexpectedCount = if (ok) 0L else 1L)
+  }
+}
+
 /** G6/R3 — `expect_table_columns_to_match_set` / `expect_column_to_exist`.
   * Reference: `validate_schema_compliance` required-fields rule
   * (analysis.md:9). Pure metadata — no Spark job. */

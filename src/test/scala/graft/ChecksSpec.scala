@@ -108,6 +108,23 @@ class ChecksSpec extends SparkSpec {
     assert(!exact.passed && exact.partialUnexpectedList.contains("value"))
   }
 
+  test("ValueLengthCheck bounds string lengths, nulls never violate") {
+    val names = df(Seq(Row("ok"), Row("toolongvalue"), Row(null)), "v STRING")
+    val r = ValueLengthCheck("v", 1, 8).run(names)
+    assert(r.unexpectedCount == 1L && r.elementCount == 3L)
+  }
+
+  test("DistinctCountCheck compares exact cardinality to bounds") {
+    assert(DistinctCountCheck("region", 1, 2).run(regions).passed) // {Northwest, Southwest}
+    assert(!DistinctCountCheck("region", 3, 10).run(regions).passed)
+  }
+
+  test("QuantileCheck evaluates exact interpolated percentiles") {
+    val vals = df((1 to 100).map(i => Row(i.toDouble)), "v DOUBLE")
+    assert(QuantileCheck("v", 0.5, 50.0, 51.0).run(vals).passed)   // median 50.5
+    assert(!QuantileCheck("v", 0.95, 0.0, 90.0).run(vals).passed)  // p95 ≈ 95.05
+  }
+
   test("CheckSuite.runBatched fuses checks with identical verdicts") {
     val checks = Seq(
       RowCountCheck(), NotNullCheck("region"),
