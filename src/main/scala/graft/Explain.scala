@@ -7,6 +7,11 @@ import java.nio.file.{Files, Paths}
   * Used to audit the physical plans — PushedAggregation/PushedFilters on
   * scans, broadcast vs shuffle join sides, WholeStageCodegen spans —
   * after every operator change.
+  *
+  * Queries whose registered form executes-and-pins (`localCheckpoint`)
+  * are dumped through their [[Queries.planOnly]] variant: the registered
+  * form would fully execute here and then show only a checkpoint scan,
+  * hiding exactly the shapes this tool audits.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -16,9 +21,10 @@ object Explain {
     val wanted = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
     val out = new StringBuilder
     wanted.foreach { name =>
-      SparkEntry.queries.get(name) match {
+      Queries.planOnly.get(name).orElse(SparkEntry.queries.get(name)) match {
         case Some(fn) =>
-          out.append(s"\n===================== $name =====================\n")
+          val tag = if (Queries.planOnly.contains(name)) " (plan-only variant)" else ""
+          out.append(s"\n===================== $name$tag =====================\n")
           try out.append(fn(spark, sfDir).queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
           catch { case e: Throwable => out.append(s"FAILED TO PLAN: ${e.getMessage}\n") }

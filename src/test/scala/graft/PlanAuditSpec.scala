@@ -33,8 +33,10 @@ class PlanAuditSpec extends SparkSpec {
   /** Queries whose broadcast-nested-loop joins are intentional:
     * g3 joins two ONE-ROW aggregates; brute-force top-k broadcasts the
     * bounded query set against the corpus scan (a non-equi join by
-    * design). */
-  private val bnljAllowed = Set("g3_in_set", "x2_topk_cosine")
+    * design); x1_embed_neardup crosses a ONE-ROW max-id aggregate onto
+    * the 5 planted rows (the lazy replacement for the plan-time `.head()`
+    * job — both sides bounded by construction). */
+  private val bnljAllowed = Set("g3_in_set", "x2_topk_cosine", "x1_embed_neardup")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -108,6 +110,50 @@ class PlanAuditSpec extends SparkSpec {
           s"$name plans a nested-loop join")
       }
     } finally model.release()
+  }
+
+  /** Queries whose construction IS their execution, by design: the fuzzy
+    * dedup/IVF operators pin their small outputs with `localCheckpoint`
+    * (and release intermediate caches), and the suite/ETL queries run the
+    * engine's action-based runners before returning the summary frame.
+    * Everything else must be a pure plan. */
+  private val eagerAtConstruction = Set(
+    "x1_jaccard_pairs", "x1_minhash_pairs", "x1_simhash_pairs", "x2_ivf_topk",
+    "v1_raw_gate", "v2_suite_summary")
+
+  test("constructing a registered query runs zero Spark jobs") {
+    // Building a DataFrame must be free: an eager action inside a query
+    // constructor (the old `.head()` offset derivation in x1_embed_neardup)
+    // makes every plan-inspection context — Explain, this spec, the bench
+    // warm-up — silently pay a full scan.
+    // Every `spark.read.parquet` fires a 1-task footer-inference job (call
+    // site "parquet at Tables.scala:…") — a constant of reading without a
+    // declared schema, not a constructor action; only other call sites
+    // count against the query.
+    val actionJobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = Option(js.properties.getProperty("callSite.short"))
+          .filter(_.nonEmpty)
+          .orElse(js.stageInfos.headOption.map(_.name))
+          .getOrElse("<unknown>")
+        if (!site.startsWith("parquet at")) { actionJobs.add(site); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(q => eagerAtConstruction(q._1))
+        .foreach { case (name, fn) =>
+          org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
+          actionJobs.clear()
+          fn(spark, sfDir) // construct only — no action
+          org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
+          assert(actionJobs.isEmpty,
+            s"$name ran Spark job(s) at plan-construction time: " +
+              actionJobs.toArray.mkString(", "))
+        }
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("whitelist anti-membership pushes its predicate into the scan") {

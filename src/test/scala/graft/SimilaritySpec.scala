@@ -54,7 +54,7 @@ class SimilaritySpec extends SparkSpec {
     val agg = new Similarity.TopKAggregator(2)
     var buf = agg.zero
     (1 to 100).foreach(i => buf = agg.reduce(buf, Similarity.Neighbor(i.toLong, i / 100.0)))
-    assert(buf.length <= 8) // 4k bound
+    assert(buf.ids.length <= 8 && buf.sims.length == buf.ids.length) // 4k bound
     val out = agg.finish(buf)
     assert(out.map(_.id) == Seq(100L, 99L))
   }
