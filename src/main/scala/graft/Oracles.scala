@@ -362,6 +362,95 @@ object Oracles {
         |       count(CASE WHEN value < 0 THEN 1 END) AS value_below_zero
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
 
+    "x5_frame_sample" ->
+      // Frame refs = one per second of duration; duration_ms = n_chars*10,
+      // so frames per video doc = max(n_chars // 100 - 1, 0) + 1
+      // (sequence(0, greatest(dur/1000 - 1, 0)) inclusive on the Spark
+      // side). Video docs are doc_id % 3 == 2 (see syntheticMediaFromDocuments).
+      """SELECT media_id, frame_idx, CAST(frame_idx * 1000 AS BIGINT) AS frame_ms
+        |FROM (
+        |  SELECT doc_id AS media_id,
+        |         unnest(range(0, greatest(CAST(n_chars AS BIGINT) // 100 - 1, 0) + 1)) AS frame_idx
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "g16_declarative_suite" ->
+      // The checked-in suites/testdata_core.json re-derived declaratively:
+      // one row per expectation — (qualified name, status, element_count,
+      // unexpected_count) — exactly the suite summary the loader+runner
+      // emit. The c_mktsegment in-set check deliberately FAILs (MACHINERY
+      // is outside the declared set, mirroring the reference's
+      // intentionally-excluded whitelist).
+      """SELECT * FROM (
+        |  SELECT 'customer.agg_bounds:mean:c_acctbal' AS validation_name,
+        |         CASE WHEN m >= 1000 AND m <= 8000 THEN 'PASSED' ELSE 'FAILED' END AS status,
+        |         cnt AS element_count,
+        |         CAST(CASE WHEN m >= 1000 AND m <= 8000 THEN 0 ELSE 1 END AS BIGINT) AS unexpected_count
+        |  FROM (SELECT count(*) AS cnt, avg(c_acctbal) AS m FROM customer)
+        |  UNION ALL
+        |  SELECT 'customer.between:c_acctbal',
+        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+        |  FROM (SELECT count(*) AS cnt,
+        |               count(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 THEN 1 END) AS bad
+        |        FROM customer)
+        |  UNION ALL
+        |  SELECT 'customer.distinct_count:c_mktsegment',
+        |         CASE WHEN dc >= 1 AND dc <= 10 THEN 'PASSED' ELSE 'FAILED' END,
+        |         cnt, CAST(CASE WHEN dc >= 1 AND dc <= 10 THEN 0 ELSE 1 END AS BIGINT)
+        |  FROM (SELECT count(*) AS cnt, count(DISTINCT c_mktsegment) AS dc FROM customer)
+        |  UNION ALL
+        |  SELECT 'customer.in_set:c_mktsegment',
+        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+        |  FROM (SELECT count(*) AS cnt,
+        |               count(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD') THEN 1 END) AS bad
+        |        FROM customer)
+        |  UNION ALL
+        |  SELECT 'customer.not_null:c_custkey',
+        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+        |  FROM (SELECT count(*) AS cnt,
+        |               count(CASE WHEN c_custkey IS NULL THEN 1 END) AS bad FROM customer)
+        |  UNION ALL
+        |  SELECT 'customer.value_length:c_name',
+        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+        |  FROM (SELECT count(*) AS cnt,
+        |               count(CASE WHEN length(c_name) < 5 OR length(c_name) > 30 THEN 1 END) AS bad
+        |        FROM customer)
+        |  UNION ALL
+        |  SELECT 'lineitem.between:l_discount',
+        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+        |  FROM (SELECT count(*) AS cnt,
+        |               count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) AS bad
+        |        FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'lineitem.pair_greater:l_extendedprice>l_quantity',
+        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+        |  FROM (SELECT count(*) AS cnt,
+        |               count(CASE WHEN l_extendedprice <= l_quantity THEN 1 END) AS bad
+        |        FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'orders.in_set:o_orderstatus',
+        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+        |  FROM (SELECT count(*) AS cnt,
+        |               count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS bad
+        |        FROM orders)
+        |  UNION ALL
+        |  SELECT 'orders.not_null:o_custkey',
+        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+        |  FROM (SELECT count(*) AS cnt,
+        |               count(CASE WHEN o_custkey IS NULL THEN 1 END) AS bad FROM orders)
+        |  UNION ALL
+        |  SELECT 'orders.regex:o_orderpriority',
+        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+        |  FROM (SELECT count(*) AS cnt,
+        |               count(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 END) AS bad
+        |        FROM orders)
+        |  UNION ALL
+        |  SELECT 'orders.row_count_between',
+        |         CASE WHEN cnt >= 1 THEN 'PASSED' ELSE 'FAILED' END,
+        |         cnt, CAST(CASE WHEN cnt >= 1 THEN 0 ELSE 1 END AS BIGINT)
+        |  FROM (SELECT count(*) AS cnt FROM orders)
+        |) ORDER BY validation_name""".stripMargin,
+
     "x5_media_integrity" ->
       """SELECT kind, count(*) AS n,
         |       count(CASE WHEN text IS NULL THEN 1 END) AS null_payload,

@@ -245,6 +245,22 @@ object Queries {
       .orderBy("validation_name")
   }
 
+  /** G16 — the declarative expectation-suite surface (the GE authoring
+    * loop the reference scaffolds but never populates): the checked-in
+    * JSON suite is parsed by [[graft.suite.SuiteLoader]], compiled to
+    * engine checks, and run through the fused ValidationSuite — adding an
+    * expectation is a file edit, not a recompile. */
+  def g16DeclarativeSuite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spec = graft.suite.SuiteLoader.load("suites/testdata_core.json")
+    val result = graft.suite.ValidationSuite.run(
+      graft.suite.SuiteLoader.bind(s, d, spec))
+    result.details
+      .map(r => (r.validationName, r.status, r.elementCount, r.unexpectedCount))
+      .toDF("validation_name", "status", "element_count", "unexpected_count")
+      .orderBy("validation_name")
+  }
+
   /** P1–P4 — the Glue ETL diamond's final (beta) layer. */
   def p5EtlDiamond(s: SparkSession, d: String): DataFrame =
     graft.etl.PharmaEtl.betaLayer(s, d)
@@ -402,6 +418,24 @@ object Queries {
   def x5MediaIntegrity(s: SparkSession, d: String): DataFrame =
     Multimodal.integritySummary(
       Multimodal.syntheticMediaFromDocuments(documents(s, d)))
+
+  /** X5c — video frame sampling: one frame reference per second of
+    * duration, a pure explode(sequence) with no shuffle. Directly
+    * SQL-expressible, so it carries a DuckDB generate-series oracle. */
+  def x5FrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.syntheticMediaFromDocuments(documents(s, d)))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_ms"))
+      .orderBy("media_id", "frame_idx")
+
+  /** X3e — language-ID heuristic, registered as its deterministic
+    * confusion matrix (predicted vs labeled language). Rows-only: the
+    * stopword-profile argmax is engine-specific logic, and the corpus
+    * shares one vocabulary across lang labels (TESTDATA.md), so the
+    * matrix is pinned by unit tests on real-language samples instead. */
+  def x3LangConfusion(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langConfusion(documents(s, d))
 
   /** X5b — mapPartitions feature extraction (stubbed codec, real batch
     * plumbing); summary row per media item (rows-only check). */

@@ -40,6 +40,7 @@ object SparkEntry {
     "g11_agg_bounds" -> (Queries.g11AggBounds _),
     "g12_pair_greater" -> (Queries.g12PairGreater _),
     "g13_g15_profile" -> (Queries.g13G15Profile _),
+    "g16_declarative_suite" -> (Queries.g16DeclarativeSuite _),
     "v1_raw_gate" -> (Queries.v1RawGate _),
     "v2_suite_summary" -> (Queries.v2SuiteSummary _),
     "p5_etl_diamond" -> (Queries.p5EtlDiamond _),
@@ -55,10 +56,12 @@ object SparkEntry {
     "x3_quality_by_lang" -> (Queries.x3QualityByLang _),
     "x3_fingerprints" -> (Queries.x3Fingerprints _),
     "x3_token_counts" -> (Queries.x3TokenCounts _),
+    "x3_lang_confusion" -> (Queries.x3LangConfusion _),
     "x4_zscore_flags" -> (Queries.x4ZscoreFlags _),
     "s1_windowed_checks" -> (Queries.s1WindowedChecks _),
     "x5_media_integrity" -> (Queries.x5MediaIntegrity _),
-    "x5_media_features" -> (Queries.x5MediaFeatures _)
+    "x5_media_features" -> (Queries.x5MediaFeatures _),
+    "x5_frame_sample" -> (Queries.x5FrameSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,162 @@
+package graft.suite
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+import graft.checks._
+
+/** One table's expectations as declared in a suite file (unbound — no
+  * DataFrame yet; [[SuiteLoader.bind]] attaches the testdata tables). */
+final case class TableSpec(table: String, checks: Seq[Check])
+
+/** A parsed expectation suite. */
+final case class SuiteSpec(suiteName: String, tables: Seq[TableSpec])
+
+/** Declarative expectation-suite loader — the authoring surface the
+  * reference platform intends but never populated: its GE project config
+  * declares an ExpectationsStore with an empty `expectations/` dir
+  * (/root/reference/great_expectations/great_expectations.yml:6-10,
+  * expectations/.gitkeep) and pins great-expectations 0.18.8
+  * (airflow/requirements.txt:3). A DQ-platform user adds an expectation by
+  * editing a JSON/YAML file, not by recompiling Scala; this loader
+  * compiles such files to the engine's [[graft.checks.Check]] vocabulary
+  * (G1–G15), which [[ValidationSuite]] then fuses to one scan per table.
+  *
+  * File shape (JSON or YAML — GE-0.18-style expectation names/kwargs):
+  * {{{
+  * { "suite_name": "core",
+  *   "tables": [
+  *     { "table": "orders",
+  *       "expectations": [
+  *         { "type": "expect_column_values_to_not_be_null",
+  *           "kwargs": { "column": "o_custkey" } } ] } ] }
+  * }}}
+  *
+  * Divergence from GE, documented: `expect_column_quantile_values_to_be_
+  * between` takes ONE `quantile` + `min_value`/`max_value` per expectation
+  * (GE's multi-quantile `quantile_ranges` unrolls to several entries).
+  */
+object SuiteLoader {
+
+  /** Parse suite text. `yaml = true` for YAML; default JSON. */
+  def parse(text: String, yaml: Boolean = false): SuiteSpec = {
+    val mapper =
+      if (yaml) new ObjectMapper(new YAMLFactory()) else new ObjectMapper()
+    val root = mapper.readTree(text)
+    val tables = root.path("tables").elements().asScala.map { t =>
+      val name = reqText(t, "table")
+      val checks = t.path("expectations").elements().asScala.map { e =>
+        toCheck(reqText(e, "type"), e.path("kwargs"))
+      }.toSeq
+      TableSpec(name, checks)
+    }.toSeq
+    require(tables.nonEmpty, "suite declares no tables")
+    SuiteSpec(root.path("suite_name").asText("unnamed"), tables)
+  }
+
+  /** Load a suite from a filesystem path, or (fallback) the classpath —
+    * checked-in suites ship as resources so Verify/Bench need no cwd
+    * assumptions. Extension picks the format (.yaml/.yml vs .json). */
+  def load(path: String): SuiteSpec = {
+    val yaml = path.endsWith(".yaml") || path.endsWith(".yml")
+    val p = Paths.get(path)
+    val text =
+      if (Files.exists(p)) Files.readString(p)
+      else {
+        val in = getClass.getClassLoader.getResourceAsStream(path)
+        require(in != null, s"suite file not found on disk or classpath: $path")
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      }
+    parse(text, yaml)
+  }
+
+  /** Bind a parsed suite to the testdata tables under `sfDir`. */
+  def bind(spark: SparkSession, sfDir: String, spec: SuiteSpec): Seq[TableChecks] =
+    spec.tables.map(t => TableChecks(t.table, Tables.load(spark, sfDir, t.table), t.checks))
+
+  // ------------------------------------------------------------ expectation map
+
+  /** GE 0.18 expectation name → engine check. Unknown names throw (a
+    * silently-dropped expectation is a check that never runs). */
+  private[suite] def toCheck(expectationType: String, kw: JsonNode): Check =
+    expectationType match {
+      case "expect_table_row_count_to_be_between" =>
+        RowCountCheck(optLong(kw, "min_value").getOrElse(1L),
+          optLong(kw, "max_value").getOrElse(Long.MaxValue))
+      case "expect_column_values_to_not_be_null" =>
+        NotNullCheck(reqText(kw, "column"))
+      case "expect_column_values_to_be_in_set" =>
+        InSetCheck(reqText(kw, "column"), strings(kw, "value_set"))
+      case "expect_column_values_to_not_be_in_set" =>
+        NotInSetCheck(reqText(kw, "column"), strings(kw, "value_set"))
+      case "expect_column_values_to_be_between" =>
+        BetweenCheck(reqText(kw, "column"),
+          optDouble(kw, "min_value"), optDouble(kw, "max_value"))
+      case "expect_column_values_to_match_regex" =>
+        RegexCheck(reqText(kw, "column"), reqText(kw, "regex"))
+      case "expect_column_values_to_be_of_type" =>
+        TypeCastCheck(reqText(kw, "column"), reqText(kw, "type_"))
+      case "expect_column_pair_values_a_to_be_greater_than_b" =>
+        PairGreaterCheck(reqText(kw, "column_A"), reqText(kw, "column_B"),
+          kw.path("or_equal").asBoolean(false))
+      case "expect_column_mean_to_be_between" =>
+        aggBounds(kw, "mean")
+      case "expect_column_min_to_be_between" =>
+        aggBounds(kw, "min")
+      case "expect_column_max_to_be_between" =>
+        aggBounds(kw, "max")
+      case "expect_column_sum_to_be_between" =>
+        aggBounds(kw, "sum")
+      case "expect_column_stdev_to_be_between" =>
+        aggBounds(kw, "stddev")
+      case "expect_column_values_to_be_unique" =>
+        UniqueCheck(Seq(reqText(kw, "column")))
+      case "expect_compound_columns_to_be_unique" =>
+        UniqueCheck(strings(kw, "column_list"))
+      case "expect_column_value_lengths_to_be_between" =>
+        ValueLengthCheck(reqText(kw, "column"),
+          optLong(kw, "min_value").getOrElse(0L).toInt,
+          optLong(kw, "max_value").getOrElse(Int.MaxValue.toLong).toInt)
+      case "expect_column_unique_value_count_to_be_between" =>
+        DistinctCountCheck(reqText(kw, "column"),
+          optLong(kw, "min_value").getOrElse(0L),
+          optLong(kw, "max_value").getOrElse(Long.MaxValue))
+      case "expect_column_quantile_values_to_be_between" =>
+        QuantileCheck(reqText(kw, "column"), kw.path("quantile").asDouble(),
+          optDouble(kw, "min_value").getOrElse(Double.NegativeInfinity),
+          optDouble(kw, "max_value").getOrElse(Double.PositiveInfinity))
+      case "expect_table_columns_to_match_set" =>
+        SchemaCheck(strings(kw, "column_set"),
+          kw.path("exact_match").asBoolean(false))
+      case other =>
+        throw new IllegalArgumentException(s"unknown expectation type: $other")
+    }
+
+  private def aggBounds(kw: JsonNode, stat: String): AggBoundsCheck =
+    AggBoundsCheck(reqText(kw, "column"), stat,
+      optDouble(kw, "min_value").getOrElse(Double.NegativeInfinity),
+      optDouble(kw, "max_value").getOrElse(Double.PositiveInfinity))
+
+  private def reqText(n: JsonNode, field: String): String = {
+    val v = n.path(field)
+    require(v.isTextual && v.asText().nonEmpty, s"missing/non-string '$field' in $n")
+    v.asText()
+  }
+  private def optDouble(n: JsonNode, field: String): Option[Double] =
+    if (n.hasNonNull(field)) Some(n.get(field).asDouble()) else None
+  private def optLong(n: JsonNode, field: String): Option[Long] =
+    if (n.hasNonNull(field)) Some(n.get(field).asLong()) else None
+  private def strings(n: JsonNode, field: String): Seq[String] = {
+    val v = n.path(field)
+    require(v.isArray && v.size() > 0, s"missing/empty array '$field' in $n")
+    v.elements().asScala.map(_.asText()).toSeq
+  }
+}

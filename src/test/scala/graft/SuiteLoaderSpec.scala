@@ -1,0 +1,89 @@
+package graft
+
+import graft.checks._
+import graft.suite.SuiteLoader
+
+/** Declarative expectation-suite loader: parse (JSON + YAML), the
+  * GE-name → check mapping, error paths, and the checked-in suite run
+  * end-to-end on the testdata. */
+class SuiteLoaderSpec extends SparkSpec {
+
+  private val json =
+    """{
+      |  "suite_name": "t",
+      |  "tables": [
+      |    { "table": "orders",
+      |      "expectations": [
+      |        { "type": "expect_table_row_count_to_be_between",
+      |          "kwargs": { "min_value": 10, "max_value": 100 } },
+      |        { "type": "expect_column_values_to_be_in_set",
+      |          "kwargs": { "column": "s", "value_set": ["A", "B"] } },
+      |        { "type": "expect_column_values_to_be_between",
+      |          "kwargs": { "column": "v", "min_value": 0.5 } },
+      |        { "type": "expect_column_pair_values_a_to_be_greater_than_b",
+      |          "kwargs": { "column_A": "hi", "column_B": "lo", "or_equal": true } },
+      |        { "type": "expect_compound_columns_to_be_unique",
+      |          "kwargs": { "column_list": ["k1", "k2"] } },
+      |        { "type": "expect_column_quantile_values_to_be_between",
+      |          "kwargs": { "column": "v", "quantile": 0.95, "max_value": 9.5 } }
+      |      ] }
+      |  ]
+      |}""".stripMargin
+
+  test("JSON parse maps GE expectation names to engine checks with kwargs") {
+    val spec = SuiteLoader.parse(json)
+    assert(spec.suiteName == "t")
+    val checks = spec.tables.head.checks
+    assert(checks(0) == RowCountCheck(10L, 100L))
+    assert(checks(1) == InSetCheck("s", Seq("A", "B")))
+    assert(checks(2) == BetweenCheck("v", min = Some(0.5), max = None))
+    assert(checks(3) == PairGreaterCheck("hi", "lo", orEqual = true))
+    assert(checks(4) == UniqueCheck(Seq("k1", "k2")))
+    assert(checks(5) ==
+      QuantileCheck("v", 0.95, Double.NegativeInfinity, 9.5))
+  }
+
+  test("YAML parses to the same checks as the equivalent JSON") {
+    val yaml =
+      """suite_name: t
+        |tables:
+        |  - table: orders
+        |    expectations:
+        |      - type: expect_column_values_to_not_be_null
+        |        kwargs: { column: o_custkey }
+        |      - type: expect_column_values_to_match_regex
+        |        kwargs: { column: p, regex: "^[1-5]$" }
+        |""".stripMargin
+    val spec = SuiteLoader.parse(yaml, yaml = true)
+    assert(spec.tables.head.checks ==
+      Seq(NotNullCheck("o_custkey"), RegexCheck("p", "^[1-5]$")))
+  }
+
+  test("unknown expectation type and malformed kwargs throw (never drop silently)") {
+    val bad =
+      """{"tables":[{"table":"t","expectations":[
+        |  {"type":"expect_total_nonsense","kwargs":{}}]}]}""".stripMargin
+    val e = intercept[IllegalArgumentException](SuiteLoader.parse(bad))
+    assert(e.getMessage.contains("expect_total_nonsense"))
+    val noColumn =
+      """{"tables":[{"table":"t","expectations":[
+        |  {"type":"expect_column_values_to_not_be_null","kwargs":{}}]}]}""".stripMargin
+    intercept[IllegalArgumentException](SuiteLoader.parse(noColumn))
+  }
+
+  test("checked-in testdata_core suite loads from the classpath and runs: " +
+    "only the deliberately-failing segment whitelist fails") {
+    val spec = SuiteLoader.load("suites/testdata_core.json")
+    assert(spec.suiteName == "testdata_core")
+    assert(spec.tables.map(_.table) == Seq("orders", "customer", "lineitem"))
+    val result = graft.suite.ValidationSuite.run(
+      SuiteLoader.bind(spark, sfDir, spec))
+    assert(result.totalCount == 12)
+    val failed = result.details.filterNot(_.passed).map(_.validationName)
+    assert(failed == Seq("customer.in_set:c_mktsegment"),
+      s"unexpected failure set: $failed")
+    // The failed in-set check refines a bounded offender sample (D5 path).
+    val inSet = result.details.find(_.validationName == "customer.in_set:c_mktsegment").get
+    assert(inSet.partialUnexpectedList == Seq("MACHINERY"))
+  }
+}
