@@ -362,6 +362,30 @@ object Oracles {
         |       count(CASE WHEN value < 0 THEN 1 END) AS value_below_zero
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
 
+    "v5_drift_check" ->
+      // The drift loop re-derived: baseline run = orders minus keys
+      // ≡ 0 mod 10 (~10% shrink → ~11.1% drift vs the full table), so the
+      // ±15% check passes and the ±5% check fails. Status compares the
+      // UNROUNDED drift; only the emitted pct_change is rounded (4 dp),
+      // matching the Spark side.
+      """WITH b AS (SELECT count(*) AS base FROM orders WHERE o_orderkey % 10 <> 0),
+        |     c AS (SELECT count(*) AS cur FROM orders),
+        |     p AS (SELECT base, cur, abs(cur - base) * 100.0 / base AS pct FROM b, c)
+        |SELECT * FROM (
+        |  SELECT 'orders.row_count_drift:15.0pct' AS validation_name,
+        |         CASE WHEN pct <= 15.0 THEN 'PASSED' ELSE 'FAILED' END AS status,
+        |         cur AS element_count,
+        |         CAST(CASE WHEN pct <= 15.0 THEN 0 ELSE 1 END AS BIGINT) AS unexpected_count,
+        |         round(pct, 4) AS pct_change
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'orders.row_count_drift:5.0pct',
+        |         CASE WHEN pct <= 5.0 THEN 'PASSED' ELSE 'FAILED' END,
+        |         cur, CAST(CASE WHEN pct <= 5.0 THEN 0 ELSE 1 END AS BIGINT),
+        |         round(pct, 4)
+        |  FROM p
+        |) ORDER BY validation_name""".stripMargin,
+
     "x5_frame_sample" ->
       // Frame refs = one per second of duration; duration_ms = n_chars*10,
       // so frames per video doc = max(n_chars // 100 - 1, 0) + 1

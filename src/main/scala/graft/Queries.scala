@@ -261,6 +261,37 @@ object Queries {
       .orderBy("validation_name")
   }
 
+  /** V5 — cross-run drift checks (the EvaluationParameterStore loop):
+    * a baseline "previous run" — the orders table minus keys ≡ 0 mod 10,
+    * a deterministic ~10% shrink — is validated and persisted through the
+    * real [[graft.sink.ResultStore]]; its recorded count is then read
+    * back as an evaluation parameter for two [[graft.checks
+    * .RowCountDriftCheck]]s over today's full table: ±15% admits the
+    * ~11% drift, ±5% flags it. */
+  def v5DriftCheck(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.checks.{EvaluationParameters, RowCountCheck, RowCountDriftCheck}
+    import graft.suite.{TableChecks, ValidationSuite}
+    val store = java.nio.file.Files.createTempDirectory("graft_drift_store").toString
+    val baseline = orders(s, d).filter(col("o_orderkey") % 10 =!= 0)
+    val prior = ValidationSuite.run(
+      Seq(TableChecks("orders", baseline, Seq(RowCountCheck()))))
+    graft.sink.ResultStore.write(s, prior, store, "2026-01-01T00:00:00Z")
+    val (runId, base) = EvaluationParameters
+      .lastRunElementCount(s, store, "orders.row_count_between")
+      .getOrElse(sys.error("baseline run missing from drift store"))
+    val result = ValidationSuite.run(Seq(TableChecks("orders", orders(s, d),
+      Seq(RowCountDriftCheck(runId, base, 15.0),
+        RowCountDriftCheck(runId, base, 5.0)))))
+    result.details
+      .map(r => (r.validationName, r.status, r.elementCount, r.unexpectedCount,
+        BigDecimal(r.unexpectedPercent).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      .toDF("validation_name", "status", "element_count", "unexpected_count",
+        "pct_change")
+      .orderBy("validation_name")
+  }
+
   /** P1–P4 — the Glue ETL diamond's final (beta) layer. */
   def p5EtlDiamond(s: SparkSession, d: String): DataFrame =
     graft.etl.PharmaEtl.betaLayer(s, d)

@@ -1,0 +1,62 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{ValidationResult, ValidationStatus}
+
+/** Cross-run evaluation parameters — the engine's analog of the GE
+  * EvaluationParameterStore the reference's project config declares
+  * (/root/reference/great_expectations/great_expectations.yml:18-19):
+  * expectations whose bounds reference a PRIOR run's recorded metrics,
+  * read back from the [[graft.sink.ResultStore]] history.
+  */
+object EvaluationParameters {
+
+  /** The most recent run's recorded `element_count` for one validation
+    * name. Run ids must sort lexically by recency (ISO-8601 timestamps
+    * do — the convention [[graft.pipeline.Pipeline]] stamps). One small
+    * aggregated read of the store: `max_by` keeps it a single pass, and
+    * the store's run_id partitioning keeps history reads prunable.
+    * Returns (runId, elementCount); None when the store holds no row for
+    * the name (first run — callers should then skip drift checks). */
+  def lastRunElementCount(spark: SparkSession, storeDir: String,
+                          validationName: String): Option[(String, Long)] = {
+    val row = graft.sink.ResultStore.read(spark, storeDir)
+      .filter(col("validation_name") === validationName)
+      .agg(max_by(struct(col("run_id"), col("element_count")), col("run_id"))
+        .as("last"))
+      .head()
+    Option(row.getStruct(0)).map(s => (s.getString(0), s.getLong(1)))
+  }
+}
+
+/** `expect_row_count_within_pct_of_last_run` — the drift expectation the
+  * GE config's EvaluationParameterStore exists for: today's row count
+  * must sit within `maxPctChange` percent of the count the baseline run
+  * recorded. `unexpectedPercent` carries the observed drift so the
+  * result row is self-explaining.
+  */
+final case class RowCountDriftCheck(
+    baselineRunId: String, baselineCount: Long, maxPctChange: Double)
+  extends AggCheck {
+
+  require(baselineCount > 0, "baseline run recorded no rows — drift undefined")
+  val name = s"row_count_drift:${maxPctChange}pct"
+
+  override def aggColumns(prefix: String): Seq[Column] =
+    Seq(count(lit(1)).as(s"${prefix}element_count"))
+
+  override def evaluate(row: Row, prefix: String): ValidationResult = {
+    val n = row.getAs[Long](s"${prefix}element_count")
+    val pct = math.abs(n - baselineCount).toDouble / baselineCount * 100.0
+    val ok = pct <= maxPctChange
+    ValidationResult(name,
+      if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      f"row count $n vs $baselineCount in run '$baselineRunId': " +
+        f"drift $pct%.2f%% (max $maxPctChange%.1f%%)",
+      elementCount = n,
+      unexpectedCount = if (ok) 0L else 1L,
+      unexpectedPercent = pct)
+  }
+}

@@ -79,18 +79,16 @@ final case class StageGraph(stages: Seq[Stage], eager: Boolean = false) {
         val stage = byName(name)
         acc + (name -> runWithRetry(stage, acc, stage.retries))
       }
-    else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+    else
+      // Each rank's blocking materializations run on a dedicated pool
+      // (not the global EC) and ALL rank failures surface together — see
+      // graft.suite.Concurrency.
       ranks.foldLeft(inputs) { (acc, rank) =>
-        val futures = rank.map { name =>
+        acc ++ graft.suite.Concurrency.all(rank) { name =>
           val stage = byName(name)
-          name -> Future(runWithRetry(stage, acc, stage.retries))
+          name -> runWithRetry(stage, acc, stage.retries)
         }
-        acc ++ futures.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
       }
-    }
 
   @tailrec
   private def runWithRetry(

@@ -27,15 +27,16 @@ object ValidationSuite {
     * thread-safe; concurrent actions schedule as parallel jobs): the
     * suite's wall-clock is its slowest table, not the sum — on a real
     * cluster each table's fused scan runs while the others' do. Result
-    * order stays the declaration order. */
-  def run(tables: Seq[TableChecks]): ValidationSuiteResult = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val futures = tables.map(tc => Future(runTable(tc)))
-    ValidationSuiteResult.of(
-      futures.flatMap(f => Await.result(f, Duration.Inf)))
-  }
+    * order stays the declaration order.
+    *
+    * The futures run on a DEDICATED pool sized to the table count (not
+    * the global ExecutionContext): each future blocks on a Spark action,
+    * and parking those on the bounded shared pool starves its other
+    * users. All table failures are surfaced together (first thrown,
+    * rest suppressed) — awaiting sequentially would report only the
+    * first and silently discard its siblings' exceptions. */
+  def run(tables: Seq[TableChecks]): ValidationSuiteResult =
+    ValidationSuiteResult.of(Concurrency.all(tables)(runTable).flatten)
 
   private def qualify(table: String, r: ValidationResult): ValidationResult =
     r.copy(validationName = s"$table.${r.validationName}")

@@ -45,4 +45,16 @@ class AnomalySpec extends SparkSpec {
     assert(s("a") == ((21L, 1L)))
     assert(s("b") == ((19L, 0L)))
   }
+
+  test("anomalySummary computes the group stats once (shared via exchange reuse)") {
+    // Summary columns and flag derivation consume the SAME rawStats
+    // frame; the identical aggregate subtrees must collapse to one
+    // executed shuffle (ReusedExchange), not two stats scans.
+    val plan = Anomaly.anomalySummary(
+      Tables.events(spark, sfDir), "value", "event_type", "event_id", 3.0)
+    plan.collect() // AQE finalizes the physical plan on execution
+    val physical = plan.queryExecution.executedPlan.toString
+    assert(physical.contains("ReusedExchange") || physical.contains("ReusedQueryStage"),
+      s"expected the stats aggregate's exchange to be reused:\n$physical")
+  }
 }

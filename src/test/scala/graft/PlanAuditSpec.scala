@@ -119,7 +119,8 @@ class PlanAuditSpec extends SparkSpec {
     * Everything else must be a pure plan. */
   private val eagerAtConstruction = Set(
     "x1_jaccard_pairs", "x1_minhash_pairs", "x1_simhash_pairs", "x2_ivf_topk",
-    "v1_raw_gate", "v2_suite_summary", "g16_declarative_suite")
+    "v1_raw_gate", "v2_suite_summary", "g16_declarative_suite",
+    "v5_drift_check")
 
   test("constructing a registered query runs zero Spark jobs") {
     // Building a DataFrame must be free: an eager action inside a query
