@@ -475,6 +475,21 @@ object Oracles {
         |  FROM (SELECT count(*) AS cnt FROM orders)
         |) ORDER BY validation_name""".stripMargin,
 
+    "s2_stream_dedup" ->
+      // The batch replay of the streaming dedup: corpus = documents + 5
+      // planted exact copies; unique = distinct normalized text (the md5
+      // fingerprint is injective up to collision, so counts agree).
+      """WITH corpus AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id < 5),
+        |n AS (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |      FROM corpus)
+        |SELECT count(*) AS n_docs,
+        |       count(DISTINCT norm) AS n_unique,
+        |       count(*) - count(DISTINCT norm) AS n_dups
+        |FROM n""".stripMargin,
+
     "x5_media_integrity" ->
       """SELECT kind, count(*) AS n,
         |       count(CASE WHEN text IS NULL THEN 1 END) AS null_payload,

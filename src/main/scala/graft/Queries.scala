@@ -444,6 +444,19 @@ object Queries {
         k = 5, nProbe = 3)
     }))
 
+  /** S2 — streaming exact dedup, batch-replayed (the watermark is a
+    * no-op on a static frame; `dropDuplicatesWithinWatermark` degenerates
+    * to per-key dedup — same code path as the streaming mode, pinned by
+    * StreamingDedupSpec across micro-batches). Five exact copies of the
+    * first documents are planted so duplicates exist at every sf; output
+    * is the deterministic (n_docs, n_unique, n_dups) summary. */
+  def s2StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpus = docs.unionByName(docs.filter(col("doc_id") < 5))
+      .withColumn("ts", expr("timestamp_micros(doc_id * 1000000)"))
+    graft.stream.StreamingDedup.dedupSummary(corpus, "ts")
+  }
+
   /** X5a — multimodal payload integrity per kind (synthetic media built
     * deterministically over documents: text bytes as the opaque payload). */
   def x5MediaIntegrity(s: SparkSession, d: String): DataFrame =

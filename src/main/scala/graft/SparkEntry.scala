@@ -60,6 +60,7 @@ object SparkEntry {
     "x3_lang_confusion" -> (Queries.x3LangConfusion _),
     "x4_zscore_flags" -> (Queries.x4ZscoreFlags _),
     "s1_windowed_checks" -> (Queries.s1WindowedChecks _),
+    "s2_stream_dedup" -> (Queries.s2StreamDedup _),
     "x5_media_integrity" -> (Queries.x5MediaIntegrity _),
     "x5_media_features" -> (Queries.x5MediaFeatures _),
     "x5_frame_sample" -> (Queries.x5FrameSample _)

@@ -111,7 +111,7 @@ object Similarity {
 
   /** Deterministic random hyperplanes: `numBits` planes × `dim` components,
     * seeded Gaussian. */
-  private[ext] def hyperplanes(dim: Int, numBits: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def hyperplanes(dim: Int, numBits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
   }

@@ -1,0 +1,64 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Streaming exact deduplication — the streaming counterpart of
+  * [[graft.ext.Dedup.exactDedup]] for continuously-ingested corpora
+  * (SURVEY.md §2.8 streaming mode; the batch-only reference has no
+  * counterpart).
+  *
+  * Scale design:
+  *  - the dedup key is a 128-bit md5 of the NORMALIZED text (case-folded,
+  *    whitespace-collapsed — same canonicalization as the batch path), so
+  *    per-key state is 16 bytes, never the document body;
+  *  - `dropDuplicatesWithinWatermark` bounds the state: keys older than
+  *    the watermark horizon are evicted, so state size is
+  *    O(unique docs per horizon), not O(stream history). A duplicate
+  *    arriving AFTER its original's key was evicted is re-admitted —
+  *    the documented trade-off of horizon-bounded streaming dedup (an
+  *    exact-forever dedup needs an external key store);
+  *  - first arrival wins within the horizon; output rows keep the full
+  *    input schema.
+  *
+  * The same transformation runs in batch (watermark is a no-op there and
+  * the dedup degenerates to plain per-key dedup), which is what the
+  * registered batch-replay query exercises against the DuckDB oracle.
+  */
+object StreamingDedup {
+
+  /** Drop near-arrival duplicates of the normalized `textCol`. The input
+    * must carry the event-time column `tsCol` for the watermark. On a
+    * batch frame the SAME transformation runs as plain per-key dedup
+    * (Spark rejects `dropDuplicatesWithinWatermark` outside streaming,
+    * where the watermark would be a no-op anyway). */
+  def exactDedupStream(stream: DataFrame, tsCol: String,
+                       textCol: String = "text",
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val keyed = stream
+      .withColumn("__fp", md5(Dedup.normText(col(textCol)).cast("binary")))
+    val deduped =
+      if (stream.isStreaming)
+        keyed.withWatermark(tsCol, watermarkDelay)
+          .dropDuplicatesWithinWatermark("__fp")
+      else keyed.dropDuplicates("__fp")
+    deduped.drop("__fp")
+  }
+
+  /** Deterministic dedup summary of a (replayed) stream: input rows,
+    * surviving unique rows, duplicates dropped. After the dedup each key
+    * has multiplicity exactly 1, so the counts are order-independent even
+    * though WHICH duplicate survives is not. */
+  def dedupSummary(stream: DataFrame, tsCol: String,
+                   textCol: String = "text",
+                   watermarkDelay: String = "10 minutes"): DataFrame = {
+    val deduped = exactDedupStream(stream, tsCol, textCol, watermarkDelay)
+      .agg(count(lit(1)).as("n_unique"))
+    stream.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(deduped)
+      .select(col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_dups"))
+  }
+}

@@ -35,8 +35,10 @@ class PlanAuditSpec extends SparkSpec {
     * bounded query set against the corpus scan (a non-equi join by
     * design); x1_embed_neardup crosses a ONE-ROW max-id aggregate onto
     * the 5 planted rows (the lazy replacement for the plan-time `.head()`
-    * job — both sides bounded by construction). */
-  private val bnljAllowed = Set("g3_in_set", "x2_topk_cosine", "x1_embed_neardup")
+    * job — both sides bounded by construction); s2_stream_dedup crosses
+    * two ONE-ROW count aggregates. */
+  private val bnljAllowed =
+    Set("g3_in_set", "x2_topk_cosine", "x1_embed_neardup", "s2_stream_dedup")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

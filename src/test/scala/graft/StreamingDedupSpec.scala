@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+import graft.stream.StreamingDedup
+
+/** Streaming exact dedup: cross-batch duplicate drop, watermark-bounded
+  * state eviction (re-admission after the horizon), and batch-replay
+  * parity with the batch dedup path. */
+class StreamingDedupSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("duplicates are dropped across micro-batches; evicted keys re-admit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val stream = input.toDF().toDF("ts", "text")
+
+    val out = mutable.Buffer[String]()
+    val query = StreamingDedup
+      .exactDedupStream(stream, "ts", "text", watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized { out ++= b.collect().map(_.getAs[String]("text")); () }
+      }
+      .option("checkpointLocation", Files.tmp("graft-sdedup-ckpt"))
+      .start()
+    try {
+      // Batch 1: two case/whitespace variants of one document — ONE survives.
+      input.addData((ts(0), "The  Quick Fox"), (ts(1), "the quick fox"))
+      query.processAllAvailable()
+      assert(out.size == 1)
+
+      // Batch 2: a third variant within the horizon — dropped.
+      input.addData((ts(5), "THE QUICK FOX"))
+      query.processAllAvailable()
+      assert(out.size == 1)
+
+      // Batch 3: unrelated doc at 10:40 pushes the watermark to 10:30,
+      // past the key's 10:00+10min horizon → its state is evicted.
+      input.addData((ts(40), "something else entirely"))
+      query.processAllAvailable()
+      assert(out.size == 2)
+
+      // Batch 4: the same document AFTER eviction is re-admitted — the
+      // documented trade-off of horizon-bounded streaming dedup.
+      input.addData((ts(45), "the quick fox"))
+      query.processAllAvailable()
+      assert(out.size == 3)
+    } finally query.stop()
+  }
+
+  test("batch replay matches the batch dedup path's unique count") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", expr("timestamp_micros(doc_id * 1000000)"))
+    val summary = StreamingDedup.dedupSummary(docs, "ts").head()
+    val batchUnique = Dedup.exactDedup(Tables.documents(spark, sfDir)).count()
+    assert(summary.getAs[Long]("n_docs") == docs.count())
+    assert(summary.getAs[Long]("n_unique") == batchUnique)
+    assert(summary.getAs[Long]("n_dups") ==
+      summary.getAs[Long]("n_docs") - summary.getAs[Long]("n_unique"))
+  }
+
+  test("registered s2_stream_dedup finds exactly the planted duplicates") {
+    val row = Queries.s2StreamDedup(spark, sfDir).head()
+    val base = Tables.documents(spark, sfDir).count()
+    val baseUnique = Dedup.exactDedup(Tables.documents(spark, sfDir)).count()
+    assert(row.getAs[Long]("n_docs") == base + 5)
+    assert(row.getAs[Long]("n_unique") == baseUnique)
+    assert(row.getAs[Long]("n_dups") == base + 5 - baseUnique)
+  }
+}

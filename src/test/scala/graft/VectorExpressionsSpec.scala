@@ -55,6 +55,66 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("sign_band_signature matches the per-plane dot-product formulation") {
+    // The fused expression must produce bit-for-bit the buckets of the
+    // literal-hyperplane formulation it replaced: bit j of band b =
+    // dot(vec, plane[b*bitsPerBand+j]) >= 0, packed little-endian.
+    val dim = 8; val numBits = 16; val bands = 4
+    val planes = graft.ext.Similarity.hyperplanes(dim, numBits, seed = 7L)
+    val data = df(
+      (0 until 20).map { i =>
+        val rnd = new scala.util.Random(100 + i)
+        Row(i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat))
+      },
+      "id BIGINT, v ARRAY<FLOAT>")
+    val fused = data.select(col("id"),
+        VectorFunctions.signBands(col("v"), planes, bands).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val naive = data.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val bits = planes.map(p => p.zip(v).map { case (a, b) => a * b }.sum >= 0)
+      val bpb = numBits / bands
+      r.getLong(0) -> (0 until bands).map { b =>
+        (0 until bpb).foldLeft(0L)((acc, j) =>
+          if (bits(b * bpb + j)) acc | (1L << j) else acc)
+      }
+    }.toMap
+    assert(fused == naive)
+  }
+
+  test("sign_band_signature: interpreted eval agrees with the codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val planes = graft.ext.Similarity.hyperplanes(4, 8, seed = 3L)
+    val vec = Seq(0.5f, -1.25f, 2.0f, 0.75f)
+    val expr = graft.functions.SignBandSignature(
+      Literal.create(vec, ArrayType(FloatType)),
+      planes.map(_.toIndexedSeq).toIndexedSeq, bands = 2)
+    val interpreted = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    val viaPlan = df(Seq(Row(1L, vec)), "id BIGINT, v ARRAY<FLOAT>")
+      .select(VectorFunctions.signBands(col("v"), planes, 2))
+      .head().getSeq[Long](0)
+    assert(interpreted == viaPlan)
+  }
+
+  test("sign_band_signature throws on a dim mismatch instead of hashing a prefix") {
+    val planes = graft.ext.Similarity.hyperplanes(dim = 8, numBits = 8, seed = 1L)
+    val short = df(Seq(Row(1L, Seq(1.0f, 2.0f))), "id BIGINT, v ARRAY<FLOAT>")
+    val e = intercept[Exception] {
+      short.select(VectorFunctions.signBands(col("v"), planes, 2)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dim=8")), s"got: ${messages(e)}")
+  }
+
+  test("TopK buffer encodes as a flat product of primitive arrays, not kryo binary") {
+    val enc = new graft.ext.Similarity.TopKAggregator(3).bufferEncoder
+    assert(enc.schema.fieldNames.toSeq == Seq("ids", "sims"),
+      s"buffer schema regressed to ${enc.schema.simpleString}")
+  }
+
   test("expression survives both codegen and interpreted evaluation") {
     // Force the interpreted path via eval() directly.
     import org.apache.spark.sql.catalyst.expressions.Literal
