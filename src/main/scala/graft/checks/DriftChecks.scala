@@ -22,13 +22,31 @@ object EvaluationParameters {
     * the name (first run — callers should then skip drift checks). */
   def lastRunElementCount(spark: SparkSession, storeDir: String,
                           validationName: String): Option[(String, Long)] = {
-    val row = graft.sink.ResultStore.read(spark, storeDir)
+    // A missing/empty store is the first-run case, not an error.
+    val store = scala.util.Try(graft.sink.ResultStore.read(spark, storeDir))
+      .getOrElse(return None)
+    val row = store
       .filter(col("validation_name") === validationName)
       .agg(max_by(struct(col("run_id"), col("element_count")), col("run_id"))
         .as("last"))
       .head()
     Option(row.getStruct(0)).map(s => (s.getString(0), s.getLong(1)))
   }
+}
+
+/** A declaratively-authored drift expectation before bind time: the
+  * baseline metric lives in a ResultStore the suite FILE cannot name, so
+  * the loader emits this placeholder and
+  * [[graft.suite.SuiteLoader.bindWithHistory]] swaps it for a concrete
+  * [[RowCountDriftCheck]] against the store's latest recorded run.
+  * Running it unresolved throws — a drift check silently skipped is a
+  * regression detector that never fires. */
+final case class UnresolvedDriftCheck(maxPctChange: Double) extends Check {
+  val name = s"row_count_drift:${maxPctChange}pct"
+  def run(df: org.apache.spark.sql.DataFrame): ValidationResult =
+    throw new IllegalStateException(
+      s"$name is unresolved — bind the suite with SuiteLoader.bindWithHistory " +
+        "so the baseline metric can be read from the result store")
 }
 
 /** `expect_row_count_within_pct_of_last_run` — the drift expectation the

@@ -41,7 +41,11 @@ final case class SuiteSpec(suiteName: String, tables: Seq[TableSpec])
   *
   * Divergence from GE, documented: `expect_column_quantile_values_to_be_
   * between` takes ONE `quantile` + `min_value`/`max_value` per expectation
-  * (GE's multi-quantile `quantile_ranges` unrolls to several entries).
+  * (GE's multi-quantile `quantile_ranges` unrolls to several entries);
+  * cross-run drift is `expect_row_count_within_pct_of_last_run` with
+  * `max_pct_change` (GE's URN-based evaluation parameters reduce to this
+  * one store-backed lookup here) — suites declaring it must bind through
+  * [[bindWithHistory]].
   */
 object SuiteLoader {
 
@@ -78,9 +82,37 @@ object SuiteLoader {
     parse(text, yaml)
   }
 
-  /** Bind a parsed suite to the testdata tables under `sfDir`. */
-  def bind(spark: SparkSession, sfDir: String, spec: SuiteSpec): Seq[TableChecks] =
-    spec.tables.map(t => TableChecks(t.table, Tables.load(spark, sfDir, t.table), t.checks))
+  /** Bind a parsed suite to the testdata tables under `sfDir`. Rejects
+    * suites containing cross-run expectations — those need a result-store
+    * history, so use [[bindWithHistory]]. */
+  def bind(spark: SparkSession, sfDir: String, spec: SuiteSpec): Seq[TableChecks] = {
+    val unresolved = spec.tables
+      .flatMap(t => t.checks.collect { case u: UnresolvedDriftCheck => s"${t.table}.${u.name}" })
+    require(unresolved.isEmpty,
+      s"suite has cross-run expectations ${unresolved.mkString(", ")} — " +
+        "bind with bindWithHistory(storeDir) so baselines can be resolved")
+    spec.tables.map(t =>
+      TableChecks(t.table, Tables.load(spark, sfDir, t.table), t.checks))
+  }
+
+  /** Bind with a [[graft.sink.ResultStore]] history: each declared
+    * cross-run expectation resolves its baseline from the store's latest
+    * recorded run of the table's row-count check. On the FIRST run (no
+    * history for the table yet) the drift check is omitted — the run
+    * bootstraps the baseline the next one validates against. */
+  def bindWithHistory(spark: SparkSession, sfDir: String, spec: SuiteSpec,
+                      storeDir: String): Seq[TableChecks] =
+    spec.tables.map { t =>
+      val checks = t.checks.flatMap {
+        case UnresolvedDriftCheck(pct) =>
+          EvaluationParameters.lastRunElementCount(
+              spark, storeDir, s"${t.table}.row_count_between")
+            .map { case (runId, n) => RowCountDriftCheck(runId, n, pct) }
+            .toSeq
+        case c => Seq(c)
+      }
+      TableChecks(t.table, Tables.load(spark, sfDir, t.table), checks)
+    }
 
   // ------------------------------------------------------------ expectation map
 
@@ -136,6 +168,8 @@ object SuiteLoader {
       case "expect_table_columns_to_match_set" =>
         SchemaCheck(strings(kw, "column_set"),
           kw.path("exact_match").asBoolean(false))
+      case "expect_row_count_within_pct_of_last_run" =>
+        UnresolvedDriftCheck(kw.path("max_pct_change").asDouble(10.0))
       case other =>
         throw new IllegalArgumentException(s"unknown expectation type: $other")
     }

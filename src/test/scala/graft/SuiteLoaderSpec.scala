@@ -71,6 +71,37 @@ class SuiteLoaderSpec extends SparkSpec {
     intercept[IllegalArgumentException](SuiteLoader.parse(noColumn))
   }
 
+  test("drift expectations resolve against store history at bind time") {
+    import graft.sink.ResultStore
+    import graft.suite.{TableChecks, ValidationSuite}
+    val driftSuite = SuiteLoader.parse(
+      """{"tables":[{"table":"orders","expectations":[
+        |  {"type":"expect_row_count_within_pct_of_last_run",
+        |   "kwargs":{"max_pct_change": 15.0}}]}]}""".stripMargin)
+    assert(driftSuite.tables.head.checks == Seq(UnresolvedDriftCheck(15.0)))
+
+    // Plain bind refuses: the baseline cannot come from the suite file.
+    intercept[IllegalArgumentException](SuiteLoader.bind(spark, sfDir, driftSuite))
+    // Unresolved check never silently passes if someone runs it anyway.
+    intercept[IllegalStateException](
+      UnresolvedDriftCheck(15.0).run(Tables.orders(spark, sfDir)))
+
+    // First run: empty store → the drift check is omitted (bootstrap).
+    val store = java.nio.file.Files.createTempDirectory("graft_loader_drift").toString
+    assert(SuiteLoader.bindWithHistory(spark, sfDir, driftSuite, store)
+      .head.checks.isEmpty)
+
+    // Seed a baseline run, rebind: the placeholder becomes a concrete
+    // check against the recorded count, and the suite passes (0% drift).
+    val seed = ValidationSuite.run(Seq(TableChecks("orders",
+      Tables.orders(spark, sfDir), Seq(RowCountCheck()))))
+    ResultStore.write(spark, seed, store, "2026-02-01T00:00:00Z")
+    val bound = SuiteLoader.bindWithHistory(spark, sfDir, driftSuite, store)
+    assert(bound.head.checks.map(_.name) == Seq("row_count_drift:15.0pct"))
+    val result = ValidationSuite.run(bound)
+    assert(result.passed && result.totalCount == 1)
+  }
+
   test("checked-in testdata_core suite loads from the classpath and runs: " +
     "only the deliberately-failing segment whitelist fails") {
     val spec = SuiteLoader.load("suites/testdata_core.json")
