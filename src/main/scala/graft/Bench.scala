@@ -35,7 +35,11 @@ object Bench {
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = Sessions.local(cpus)
 
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional args = subset of query names (focused measurement while
+    // iterating on one operator); default = the full registry.
+    val wanted: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
+    val queries = SparkEntry.queries.toSeq.filter(q => wanted(q._1)).sortBy(_._1)
 
     // Warm-up: run the whole suite once, discarding timings (JIT, codegen
     // cache, parquet footer cache, broadcast thread pools).
@@ -77,8 +81,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
 
     // Write the JSON unconditionally to a default file — the driver can
-    // pick it up even when its stdout parse fails (see Scaladoc).
-    val outs = Seq("target/bench.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    // pick it up even when its stdout parse fails (see Scaladoc). Focused
+    // subset runs (args non-empty) skip it: a 2-query file must never
+    // masquerade as the round's full bench.
+    val defaultOut = if (args.isEmpty) Seq("target/bench.json") else Nil
+    val outs = defaultOut ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
     outs.foreach { p =>
       val path = java.nio.file.Paths.get(p)
       Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
