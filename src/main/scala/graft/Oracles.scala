@@ -284,6 +284,31 @@ object Oracles {
         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |WHERE cosine_sim >= 0.95 ORDER BY vec_id_a, vec_id_b""".stripMargin,
 
+    "x2_quant_topk" ->
+      // Symmetric int8 quantization replayed in SQL: scale = max|x|/127,
+      // q = round(x/scale) — all double arithmetic in the same order as
+      // the Spark side, so the quantized vectors and ranking match
+      // bit-for-bit. Scales cancel in cosine (no dequantization).
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x / (m / 127))) END AS qv
+        |  FROM (SELECT vec_id, v,
+        |               list_max(list_transform(v, x -> abs(x))) AS m FROM base)),
+        |q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, qv AS qc FROM qz),
+        |s AS (
+        |  SELECT query_id, cand_id,
+        |         round(list_inner_product(qq, qc) /
+        |               sqrt(list_inner_product(qq, qq) * list_inner_product(qc, qc)), 6) AS sim
+        |  FROM q JOIN c ON cand_id <> query_id)
+        |SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+        |  SELECT query_id, cand_id AS neighbor_id, round(sim, 4) AS cosine_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+        |              AS BIGINT) AS rank
+        |  FROM s) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "x2_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),

@@ -383,6 +383,15 @@ object Queries {
     out
   }
 
+  /** X2d — int8-quantized exact top-k: the same 10-query top-5 as X2a
+    * but over scalar-quantized vectors (4× smaller candidate rows; the
+    * per-vector scales cancel in cosine). Deterministically
+    * oracle-checked — quantization is plain double arithmetic. */
+  def x2QuantTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.ext.Quantize.quantTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
   /** X3a — global token frequency top-20. */
   def x3TopTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topTokens(documents(s, d))
