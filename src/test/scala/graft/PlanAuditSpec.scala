@@ -38,7 +38,8 @@ class PlanAuditSpec extends SparkSpec {
     * job — both sides bounded by construction); s2_stream_dedup crosses
     * two ONE-ROW count aggregates. */
   private val bnljAllowed =
-    Set("g3_in_set", "x2_topk_cosine", "x1_embed_neardup", "s2_stream_dedup")
+    Set("g3_in_set", "x2_topk_cosine", "x2_quant_topk", "x1_embed_neardup",
+      "s2_stream_dedup")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
