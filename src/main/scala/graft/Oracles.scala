@@ -515,6 +515,24 @@ object Oracles {
         |       count(*) - count(DISTINCT norm) AS n_dups
         |FROM n""".stripMargin,
 
+    "x6_stratified_sample" ->
+      // The keyed multiplicative hash replayed exactly: bucket =
+      // ((doc_id + 42) * 2654435761) >> 16 mod 10000; keep iff bucket <
+      // rate*10000 (en 4000, zh 5000, else 10000).
+      // (doc_id + seed) * Knuth stays positive for all testdata ids, so
+      // plain % equals Spark's pmod here.
+      """SELECT lang AS stratum,
+        |       count(*) AS n_in,
+        |       count(CASE WHEN b < t THEN 1 END) AS n_kept,
+        |       round(count(CASE WHEN b < t THEN 1 END) * 1.0 / count(*), 4) AS kept_rate
+        |FROM (SELECT lang,
+        |             (((doc_id + 42) * 2654435761) >> 16) % 10000 AS b,
+        |             CASE lang WHEN 'en' THEN 4000
+        |                       WHEN 'zh' THEN 5000
+        |                       ELSE 10000 END AS t
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY stratum""".stripMargin,
+
     "x5_media_integrity" ->
       """SELECT kind, count(*) AS n,
         |       count(CASE WHEN text IS NULL THEN 1 END) AS null_payload,

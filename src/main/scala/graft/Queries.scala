@@ -392,6 +392,15 @@ object Queries {
     graft.ext.Quantize.quantTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** X6 — deterministic stratified sampling (training-data curation):
+    * down-weight the over-represented 'en' stratum to 40%, halve 'zh',
+    * keep the rest. Output = the per-stratum audit summary; survivors
+    * are identical across runs/partitionings/engines (keyed hash, no
+    * RNG), so the whole thing hash-matches a DuckDB replay. */
+  def x6StratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.ext.Sampling.sampleSummary(documents(s, d), "doc_id", "lang",
+      rates = Map("en" -> 0.4, "zh" -> 0.5))
+
   /** X3a — global token frequency top-20. */
   def x3TopTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topTokens(documents(s, d))

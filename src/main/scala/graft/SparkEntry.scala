@@ -64,7 +64,8 @@ object SparkEntry {
     "s2_stream_dedup" -> (Queries.s2StreamDedup _),
     "x5_media_integrity" -> (Queries.x5MediaIntegrity _),
     "x5_media_features" -> (Queries.x5MediaFeatures _),
-    "x5_frame_sample" -> (Queries.x5FrameSample _)
+    "x5_frame_sample" -> (Queries.x5FrameSample _),
+    "x6_stratified_sample" -> (Queries.x6StratifiedSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

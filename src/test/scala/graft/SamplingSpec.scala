@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sampling
+
+/** X6 deterministic stratified sampling: reproducibility across
+  * partitionings, per-stratum rate accuracy, and filter semantics. */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("survivor set is identical across partitionings and repeated runs") {
+    def ids(parts: Int): Seq[Long] =
+      Sampling.stratifiedSample(docs.repartition(parts), "doc_id", "lang",
+          Map("en" -> 0.4), seed = 7L)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids(2) == ids(13))
+    assert(ids(2) == ids(2)) // deterministic, not RNG-backed
+  }
+
+  test("achieved rates track configured rates per stratum") {
+    val summary = Sampling.sampleSummary(docs, "doc_id", "lang",
+        Map("en" -> 0.4, "zh" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // Hash buckets are uniform-ish; strata here have 60+ docs, so the
+    // achieved rate should land within ±0.15 of the target.
+    assert(math.abs(summary("en") - 0.4) < 0.15, s"en: ${summary("en")}")
+    assert(math.abs(summary("zh") - 0.5) < 0.15, s"zh: ${summary("zh")}")
+    assert(summary("de") == 1.0 && summary("fr") == 1.0 && summary("es") == 1.0)
+  }
+
+  test("rate 0 drops a stratum entirely; rate 1 keeps it entirely") {
+    val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.0), defaultRate = 1.0)
+    assert(out.filter(col("lang") === "en").count() == 0)
+    assert(out.filter(col("lang") =!= "en").count() ==
+      docs.filter(col("lang") =!= "en").count())
+  }
+
+  test("different seeds select different survivor sets") {
+    def ids(seed: Long) =
+      Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.4),
+          seed = seed)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(1L) != ids(2L))
+  }
+
+  test("out-of-range rates are rejected") {
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.5)))
+  }
+}
