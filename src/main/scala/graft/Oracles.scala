@@ -533,6 +533,30 @@ object Oracles {
         |      FROM documents)
         |GROUP BY 1 ORDER BY stratum""".stripMargin,
 
+    "x7_pii_scan" ->
+      // Synthetic PII planted on every 17th doc, replicated verbatim;
+      // the same RE2-safe patterns replayed via regexp_extract_all.
+      """WITH planted AS (
+        |  SELECT source,
+        |         CASE WHEN doc_id % 17 = 0
+        |              THEN text || ' contact user' || doc_id ||
+        |                   '@example.com or 555-867-5309 at 10.0.0.' || (doc_id % 256)
+        |              ELSE text END AS text
+        |  FROM documents),
+        |counted AS (
+        |  SELECT source,
+        |         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |         len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+        |         len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4
+        |  FROM planted)
+        |SELECT source,
+        |       count(*) AS n_docs,
+        |       count(CASE WHEN n_email > 0 OR n_phone > 0 OR n_ipv4 > 0 THEN 1 END) AS docs_with_pii,
+        |       CAST(sum(n_email) AS BIGINT) AS n_email,
+        |       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+        |       CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4
+        |FROM counted GROUP BY 1 ORDER BY source""".stripMargin,
+
     "x5_media_integrity" ->
       """SELECT kind, count(*) AS n,
         |       count(CASE WHEN text IS NULL THEN 1 END) AS null_payload,

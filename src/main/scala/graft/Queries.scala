@@ -401,6 +401,21 @@ object Queries {
     graft.ext.Sampling.sampleSummary(documents(s, d), "doc_id", "lang",
       rates = Map("en" -> 0.4, "zh" -> 0.5))
 
+  /** X7 — PII scan over the corpus. The testdata vocabulary contains no
+    * PII, so synthetic contacts (email + phone + IP) are planted on every
+    * 17th document — deterministically, replicated in the oracle — and
+    * the per-source summary proves the patterns find exactly those. */
+  def x7PiiScan(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 17 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-867-5309 at 10.0.0."),
+          pmod(col("doc_id"), lit(256))))
+        .otherwise(col("text")))
+    graft.ext.Pii.scanSummary(planted)
+  }
+
   /** X3a — global token frequency top-20. */
   def x3TopTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topTokens(documents(s, d))

@@ -65,7 +65,8 @@ object SparkEntry {
     "x5_media_integrity" -> (Queries.x5MediaIntegrity _),
     "x5_media_features" -> (Queries.x5MediaFeatures _),
     "x5_frame_sample" -> (Queries.x5FrameSample _),
-    "x6_stratified_sample" -> (Queries.x6StratifiedSample _)
+    "x6_stratified_sample" -> (Queries.x6StratifiedSample _),
+    "x7_pii_scan" -> (Queries.x7PiiScan _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
