@@ -533,6 +533,34 @@ object Oracles {
         |      FROM documents)
         |GROUP BY 1 ORDER BY stratum""".stripMargin,
 
+    "x8_contamination" ->
+      // Same 4-gram windowing as the x1_jaccard oracle; containment =
+      // |grams(doc) ∩ grams(bench)| / |grams(bench)|, threshold on the
+      // ROUNDED value (matching the Spark side).
+      """WITH norm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
+        |  FROM norm
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |             || ' ' || lead(tok, 3) OVER w AS gram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+        |  QUALIFY lead(tok, 3) OVER w IS NOT NULL
+        |), bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+        |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+        |inter AS (
+        |  SELECT g.doc_id, b.bench_id, count(*) AS i
+        |  FROM grams g JOIN bench b ON g.gram = b.gram
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, bench_id, containment FROM (
+        |  SELECT doc_id, bench_id, round(i * 1.0 / n, 4) AS containment
+        |  FROM inter JOIN bn USING (bench_id))
+        |WHERE containment >= 0.8 ORDER BY doc_id, bench_id""".stripMargin,
+
     "x7_pii_scan" ->
       // Synthetic PII planted on every 17th doc, replicated verbatim;
       // the same RE2-safe patterns replayed via regexp_extract_all.

@@ -416,6 +416,17 @@ object Queries {
     graft.ext.Pii.scanSummary(planted)
   }
 
+  /** X8 — benchmark decontamination: the first three documents stand in
+    * as the "benchmark" set; every corpus document containing ≥80% of a
+    * benchmark doc's 4-grams flags (the benchmark docs themselves at
+    * containment 1.0, plus any planted near-duplicates of them). */
+  def x8Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    Dedup.contaminationPairs(docs, bench, n = 4, minContainment = 0.8)
+  }
+
   /** X3a — global token frequency top-20. */
   def x3TopTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topTokens(documents(s, d))

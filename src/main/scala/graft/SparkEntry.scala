@@ -66,7 +66,8 @@ object SparkEntry {
     "x5_media_features" -> (Queries.x5MediaFeatures _),
     "x5_frame_sample" -> (Queries.x5FrameSample _),
     "x6_stratified_sample" -> (Queries.x6StratifiedSample _),
-    "x7_pii_scan" -> (Queries.x7PiiScan _)
+    "x7_pii_scan" -> (Queries.x7PiiScan _),
+    "x8_contamination" -> (Queries.x8Contamination _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

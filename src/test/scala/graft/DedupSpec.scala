@@ -90,4 +90,25 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) == sigs(5L))
     assert(sigs(1L) != sigs(4L))
   }
+
+  test("contaminationPairs flags verbatim and embedded benchmark quotes, not clean docs") {
+    import org.apache.spark.sql.Row
+    val corpus = df(Seq(
+      Row(10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // quotes ALL of bench doc 0 inside a longer doc: containment 1.0
+      // with tiny Jaccard — the case containment (not Jaccard) exists for
+      Row(11L, "intro words alpha beta gamma delta epsilon zeta eta theta outro trailer"),
+      Row(12L, "totally unrelated content with other words entirely present"),
+      // shares only a prefix of bench 0 → containment 1/5 < 0.8
+      Row(13L, "alpha beta gamma delta unrelated tail here now")),
+      "doc_id BIGINT, text STRING")
+    val bench = df(Seq(
+      Row(0L, "alpha beta gamma delta epsilon zeta eta theta")),
+      "bench_id BIGINT, text STRING")
+    val pairs = Dedup.contaminationPairs(corpus, bench, n = 4,
+        minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(pairs.keySet == Set(10L, 11L))
+    assert(pairs(10L) == 1.0 && pairs(11L) == 1.0)
+  }
 }
