@@ -37,7 +37,7 @@ object IvfIndex {
       val cArr = array(c.toSeq.map(lit): _*)
       struct(VectorFunctions.cosine(vec, cArr).as("sim"), lit(i).as("cid"))
     }
-    array_max(array(scored: _*)).getField("cid")
+    array_max(array(scored.toIndexedSeq: _*)).getField("cid")
   }
 
   /** Build the index: deterministic seeding (first k vectors by id), then
@@ -90,7 +90,7 @@ object IvfIndex {
       struct(VectorFunctions.cosine(col(vecCol), cArr).as("sim"), lit(i).as("cid"))
     }
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        explode(slice(array_sort(array(probeScores: _*),
+        explode(slice(array_sort(array(probeScores.toIndexedSeq: _*),
           (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
             .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
           1, nProbe)).as("probe"))

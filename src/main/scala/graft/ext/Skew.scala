@@ -27,7 +27,7 @@ object Skew {
     // Deterministic spray: hash of the full row spreads a hot key's rows
     // uniformly without relying on nondeterministic ids.
     val sprayed = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salt)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     sprayed.join(replicated, Seq(key, "__salt")).drop("__salt")

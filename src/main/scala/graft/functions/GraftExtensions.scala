@@ -15,7 +15,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+    new ExpressionInfo(
+      classOf[CosineSimilarity].getName, null, name, usage,
+      /* arguments */ "", /* examples */ "", /* note */ "",
+      /* group */ "misc_funcs", /* since */ "", /* deprecated */ "",
+      /* source */ "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -46,6 +46,17 @@ class SamplingSpec extends SparkSpec {
     assert(ids(1L) != ids(2L))
   }
 
+  test("survivor sets are monotone in the rate (raising a rate only adds rows)") {
+    // bucket(key) is fixed per row; only the threshold moves — so the
+    // 0.2-rate survivors must be a strict subset of the 0.6-rate ones.
+    def ids(rate: Double) =
+      Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> rate))
+        .filter(col("lang") === "en")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (lo, hi) = (ids(0.2), ids(0.6))
+    assert(lo.subsetOf(hi) && lo.size < hi.size)
+  }
+
   test("out-of-range rates are rejected") {
     intercept[IllegalArgumentException](
       Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.5)))
