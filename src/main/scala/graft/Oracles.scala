@@ -561,6 +561,31 @@ object Oracles {
         |  FROM inter JOIN bn USING (bench_id))
         |WHERE containment >= 0.8 ORDER BY doc_id, bench_id""".stripMargin,
 
+    "x9_pack_sequences" ->
+      // The two-level prefix sum degenerates to ONE ordered window
+      // single-node: start = exclusive cumsum of token counts in doc_id
+      // order; spans = the 512-token chunks [start, start+n_tok) crosses.
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |                   ELSE len(string_split_regex(trim(text), '\s+')) END
+        |              AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |         COALESCE(CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start
+        |  FROM t WHERE n_tok > 0),
+        |spans AS (
+        |  SELECT doc_id, n_tok, start,
+        |         unnest(range(start // 512, (start + n_tok - 1) // 512 + 1)) AS seq_id
+        |  FROM c)
+        |SELECT doc_id, seq_id,
+        |       greatest(seq_id * 512, start) - start AS begin_tok,
+        |       least((seq_id + 1) * 512, start + n_tok) - start AS end_tok,
+        |       n_tok
+        |FROM spans ORDER BY doc_id, seq_id""".stripMargin,
+
     "x7_pii_scan" ->
       // Synthetic PII planted on every 17th doc, replicated verbatim;
       // the same RE2-safe patterns replayed via regexp_extract_all.

@@ -427,6 +427,14 @@ object Queries {
     Dedup.contaminationPairs(docs, bench, n = 4, minContainment = 0.8)
   }
 
+  /** X9 — sequence packing (concat-and-chunk): the documents' token
+    * stream chunked into 512-token training sequences via the two-level
+    * prefix sum; every (document, sequence) span is emitted. Small
+    * blockSize so the testdata actually exercises multiple blocks. */
+  def x9PackSequences(s: SparkSession, d: String): DataFrame =
+    graft.ext.Packing.packSequences(documents(s, d),
+      seqLen = 512L, blockSize = 1000L)
+
   /** X3a — global token frequency top-20. */
   def x3TopTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topTokens(documents(s, d))

@@ -67,7 +67,8 @@ object SparkEntry {
     "x5_frame_sample" -> (Queries.x5FrameSample _),
     "x6_stratified_sample" -> (Queries.x6StratifiedSample _),
     "x7_pii_scan" -> (Queries.x7PiiScan _),
-    "x8_contamination" -> (Queries.x8Contamination _)
+    "x8_contamination" -> (Queries.x8Contamination _),
+    "x9_pack_sequences" -> (Queries.x9PackSequences _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

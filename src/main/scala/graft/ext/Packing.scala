@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X9 — sequence packing for LLM pretraining: concatenate the corpus in
+  * a deterministic document order and chunk the token stream into
+  * fixed-length training sequences (`seqLen`), emitting for every
+  * document the sequences it lands in and its token span within each —
+  * the standard concat-and-chunk packing that turns ragged documents
+  * into dense fixed-shape batches.
+  *
+  * The hard part at scale is the GLOBAL exclusive prefix sum of token
+  * counts: a single `Window.orderBy` over the corpus would shuffle
+  * everything into one partition. Instead, a two-level scan:
+  *
+  *  1. documents group into key-range BLOCKS (`__blk = key / blockSize`)
+  *     — a deterministic, data-independent partitioning;
+  *  2. within-block exclusive cumsum: window partitioned by block
+  *     (parallel across blocks);
+  *  3. block offsets: cumsum over per-block totals — a window over
+  *     keyspace/blockSize rows, bounded and tiny, broadcast back.
+  *
+  * `start = blockOffset + localCumsum` is independent of Spark's
+  * physical partitioning, so the packing is bit-for-bit reproducible
+  * across runs, cluster sizes, and engines (the DuckDB oracle replays it
+  * with one ORDER BY window — affordable single-node).
+  *
+  * Output: (keyCol, seq_id, begin_tok, end_tok, n_tok) — one row per
+  * (document, sequence) intersection; a document crossing a boundary
+  * emits one row per sequence it spans. `begin_tok`/`end_tok` are the
+  * within-document token span [begin, end) contributing to `seq_id`.
+  */
+object Packing {
+
+  def packSequences(docs: DataFrame, textCol: String = "text",
+                    keyCol: String = "doc_id", seqLen: Long = 2048L,
+                    blockSize: Long = 100000L): DataFrame = {
+    require(seqLen > 0 && blockSize > 0, "seqLen and blockSize must be positive")
+    // Blank text must count 0 tokens — split("") returns [""] (size 1).
+    val nTok = when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
+    val toks = docs
+      .select(col(keyCol), nTok.as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("__blk", expr(s"$keyCol div $blockSize"))
+
+    val localW = Window.partitionBy("__blk").orderBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = toks.withColumn("__local",
+      coalesce(sum(col("n_tok")).over(localW), lit(0L)))
+
+    // Per-block totals reuse the same shuffle key; the offsets window
+    // runs over ≤ keyspace/blockSize rows — bounded, NOT data-scale.
+    val offsetW = Window.orderBy("__blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("__blk").agg(sum(col("n_tok")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(offsetW), lit(0L)))
+      .select("__blk", "__off")
+
+    local.join(broadcast(offsets), "__blk")
+      .withColumn("start", col("__off") + col("__local"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start div $seqLen"),
+        expr(s"(start + n_tok - 1) div $seqLen"))))
+      .select(col(keyCol), col("seq_id"),
+        (greatest(col("seq_id") * seqLen, col("start")) - col("start"))
+          .as("begin_tok"),
+        (least((col("seq_id") + 1) * seqLen, col("start") + col("n_tok"))
+          - col("start")).as("end_tok"),
+        col("n_tok"))
+      .orderBy(col(keyCol), col("seq_id"))
+  }
+
+  /** Packing efficiency audit: sequences produced, mean fill of all but
+    * the final (partial) sequence, and documents split across a
+    * boundary. One aggregate over [[packSequences]]. */
+  def packingSummary(docs: DataFrame, textCol: String = "text",
+                     keyCol: String = "doc_id", seqLen: Long = 2048L,
+                     blockSize: Long = 100000L): DataFrame = {
+    val packed = packSequences(docs, textCol, keyCol, seqLen, blockSize)
+    packed.agg(
+      countDistinct(col("seq_id")).as("n_sequences"),
+      sum(col("end_tok") - col("begin_tok")).as("n_tokens"),
+      count(lit(1)).as("n_spans"),
+      countDistinct(when(col("begin_tok") > 0 ||
+        col("end_tok") < col("n_tok"), col(keyCol))).as("docs_split"))
+  }
+}

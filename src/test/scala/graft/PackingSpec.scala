@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.Packing
+
+/** X9 sequence packing: span tiling, boundary splitting, and the
+  * partitioning/block-size invariance of the two-level prefix sum. */
+class PackingSpec extends SparkSpec {
+
+  private def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+
+  test("spans tile each document exactly and sequences fill to the budget") {
+    // 3 docs of 6/5/4 tokens into 8-token sequences:
+    // stream [0,15): doc1 [0,6), doc2 [6,11) CROSSES the 8-boundary,
+    // doc3 [11,15).
+    val docs = df(Seq(
+      Row(1L, words(6)), Row(2L, words(5)), Row(3L, words(4))),
+      "doc_id BIGINT, text STRING")
+    val spans = Packing.packSequences(docs, seqLen = 8L, blockSize = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq(
+      (1L, 0L, 0L, 6L),          // doc1 whole in seq 0
+      (2L, 0L, 0L, 2L),          // doc2 first 2 tokens finish seq 0…
+      (2L, 1L, 2L, 5L),          // …remaining 3 open seq 1
+      (3L, 1L, 0L, 4L)))         // doc3 whole in seq 1
+    // Every doc's spans sum to its token count.
+    val perDoc = spans.groupBy(_._1).view.mapValues(_.map(s => s._4 - s._3).sum)
+    assert(perDoc.toMap == Map(1L -> 6L, 2L -> 5L, 3L -> 4L))
+  }
+
+  test("every non-final sequence is filled to exactly seqLen") {
+    val packed = Packing.packSequences(Tables.documents(spark, sfDir),
+      seqLen = 512L, blockSize = 1000L)
+    val fills = packed.groupBy("seq_id")
+      .agg(sum(col("end_tok") - col("begin_tok")).as("fill"))
+    val lastSeq = fills.agg(max("seq_id")).head().getLong(0)
+    assert(fills.filter(col("seq_id") < lastSeq && col("fill") =!= 512L).count() == 0)
+  }
+
+  test("output is invariant to physical partitioning AND block size") {
+    val docs = Tables.documents(spark, sfDir)
+    def run(parts: Int, block: Long) =
+      Packing.packSequences(docs.repartition(parts), seqLen = 512L,
+          blockSize = block)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val base = run(4, 1000L)
+    assert(run(13, 1000L) == base)   // partitioning-independent
+    assert(run(4, 7L) == base)       // two-level scan ≡ any block split
+  }
+
+  test("packing summary reports sequences, fill, and split docs") {
+    val docs = df(Seq(
+      Row(1L, words(6)), Row(2L, words(5)), Row(3L, words(4))),
+      "doc_id BIGINT, text STRING")
+    val s = Packing.packingSummary(docs, seqLen = 8L, blockSize = 2L).head()
+    assert(s.getAs[Long]("n_sequences") == 2L)
+    assert(s.getAs[Long]("n_tokens") == 15L)
+    assert(s.getAs[Long]("n_spans") == 4L)
+    assert(s.getAs[Long]("docs_split") == 1L) // only doc2 crosses
+  }
+
+  test("empty documents are excluded from the stream") {
+    val docs = df(Seq(Row(1L, words(3)), Row(2L, "   "), Row(3L, words(2))),
+      "doc_id BIGINT, text STRING")
+    val spans = Packing.packSequences(docs, seqLen = 8L, blockSize = 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(spans == Set(1L, 3L))
+  }
+}
