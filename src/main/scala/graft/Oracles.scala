@@ -561,6 +561,95 @@ object Oracles {
         |  FROM inter JOIN bn USING (bench_id))
         |WHERE containment >= 0.8 ORDER BY doc_id, bench_id""".stripMargin,
 
+    "x3_repetition" ->
+      // Bigram repetition per language: same normalization + lead-window
+      // gram construction as the x1_jaccard oracle (n=2); docs with no
+      // bigrams drop out of both sides.
+      """WITH norm AS (
+        |  SELECT doc_id, lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, lang, unnest(string_split_regex(t, '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
+        |  FROM norm
+        |), grams AS (
+        |  SELECT doc_id, lang, tok || ' ' || lead(tok, 1) OVER w AS gram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+        |  QUALIFY lead(tok, 1) OVER w IS NOT NULL
+        |), per AS (
+        |  SELECT doc_id, any_value(lang) AS lang,
+        |         count(*) AS total, count(DISTINCT gram) AS dist
+        |  FROM grams GROUP BY doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(total) AS BIGINT) AS grams_total,
+        |       CAST(sum(total - dist) AS BIGINT) AS dup_grams,
+        |       round(sum(total - dist) * 1.0 / sum(total), 4) AS dup_frac
+        |FROM per GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x10_curation_funnel" ->
+      // The annotate-don't-filter funnel replayed: dedup flag = min id
+      // per normalized text; contamination = the x8 containment CTE vs
+      // docs 0-2; quality = whitespace tokens of the PII-REDACTED text in
+      // [25, 90]; sampling = the x6 hash bucket with en→0.4; sequences =
+      // ceil(survivor tokens / 512).
+      """WITH norm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
+        |  FROM norm
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |             || ' ' || lead(tok, 3) OVER w AS gram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+        |  QUALIFY lead(tok, 3) OVER w IS NOT NULL
+        |), bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+        |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT g.doc_id, b.bench_id, count(*) AS i
+        |    FROM grams g JOIN bench b ON g.gram = b.gram
+        |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+        |  WHERE round(i * 1.0 / n, 4) >= 0.8
+        |), ann AS (
+        |  SELECT doc_id, lang,
+        |         doc_id = min(doc_id) OVER (
+        |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |           AS is_canonical,
+        |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+        |         CASE WHEN len(trim(rtext)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(rtext), '\s+')) END AS n_tok,
+        |         (((doc_id + 42) * 2654435761) >> 16) % 10000 AS b,
+        |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
+        |  FROM (SELECT doc_id, lang, text,
+        |               regexp_replace(regexp_replace(regexp_replace(text,
+        |                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+        |        FROM documents)
+        |), f AS (
+        |  SELECT count(*) AS n_raw,
+        |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
+        |         count(CASE WHEN is_canonical AND NOT is_contaminated THEN 1 END)
+        |           AS n_after_decontam,
+        |         count(CASE WHEN is_canonical AND NOT is_contaminated
+        |                         AND n_tok BETWEEN 25 AND 90 THEN 1 END)
+        |           AS n_after_quality,
+        |         count(CASE WHEN is_canonical AND NOT is_contaminated
+        |                         AND n_tok BETWEEN 25 AND 90 AND b < thr THEN 1 END)
+        |           AS n_after_sample,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+        |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
+        |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
+        |  FROM ann)
+        |SELECT n_raw, n_after_dedup, n_after_decontam, n_after_quality,
+        |       n_after_sample, n_tokens,
+        |       CASE WHEN n_tokens = 0 THEN 0
+        |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
+        |FROM f""".stripMargin,
+
     "x9_pack_sequences" ->
       // The two-level prefix sum degenerates to ONE ordered window
       // single-node: start = exclusive cumsum of token counts in doc_id

@@ -435,6 +435,24 @@ object Queries {
     graft.ext.Packing.packSequences(documents(s, d),
       seqLen = 512L, blockSize = 1000L)
 
+  /** X3f — within-document bigram repetition per language (Gopher-style
+    * quality rule). */
+  def x3Repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionByLang(documents(s, d), n = 2)
+
+  /** X10 — the end-to-end curation funnel over documents: exact dedup →
+    * decontamination vs the first 3 docs as "benchmark" → PII redaction →
+    * token-band quality filter [25, 90] → 'en' down-sampled to 40% →
+    * packed into 512-token sequences. One row: survivors per stage. */
+  def x10CurationFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
+      minTokens = 25L, maxTokens = 90L,
+      rates = Map("en" -> 0.4), seqLen = 512L))
+  }
+
   /** X3a — global token frequency top-20. */
   def x3TopTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topTokens(documents(s, d))

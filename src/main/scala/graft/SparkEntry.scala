@@ -59,6 +59,7 @@ object SparkEntry {
     "x3_fingerprints" -> (Queries.x3Fingerprints _),
     "x3_token_counts" -> (Queries.x3TokenCounts _),
     "x3_lang_confusion" -> (Queries.x3LangConfusion _),
+    "x3_repetition" -> (Queries.x3Repetition _),
     "x4_zscore_flags" -> (Queries.x4ZscoreFlags _),
     "s1_windowed_checks" -> (Queries.s1WindowedChecks _),
     "s2_stream_dedup" -> (Queries.s2StreamDedup _),
@@ -68,7 +69,8 @@ object SparkEntry {
     "x6_stratified_sample" -> (Queries.x6StratifiedSample _),
     "x7_pii_scan" -> (Queries.x7PiiScan _),
     "x8_contamination" -> (Queries.x8Contamination _),
-    "x9_pack_sequences" -> (Queries.x9PackSequences _)
+    "x9_pack_sequences" -> (Queries.x9PackSequences _),
+    "x10_curation_funnel" -> (Queries.x10CurationFunnel _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

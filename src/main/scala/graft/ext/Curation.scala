@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X10 — the end-to-end corpus-curation pipeline, composing the engine's
+  * operators the way a training-data run actually chains them:
+  *
+  *   raw → exact dedup → benchmark decontamination → PII redaction →
+  *   quality filter (token band) → stratified sampling → sequence packing
+  *
+  * Design: ANNOTATE, don't filter. [[annotate]] marks every document
+  * with per-stage verdict flags in ONE pass (plus the bounded
+  * contamination join), so the funnel audit — how many documents each
+  * stage would remove — is a single aggregate with no stage re-computed
+  * and nothing checkpointed. [[curate]] is then just the conjunction
+  * filter over the same plan. At 100 TB the alternative (materialize
+  * each stage to count it) either recomputes the expensive stages per
+  * count or checkpoints the whole corpus per stage.
+  */
+object Curation {
+
+  final case class Config(
+      minContainment: Double = 0.8,
+      contaminationNGram: Int = 4,
+      minTokens: Long = 1L,
+      maxTokens: Long = Long.MaxValue,
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      seed: Long = 42L,
+      seqLen: Long = 2048L)
+
+  /** Every document with its stage verdicts:
+    * `is_canonical` (survives exact dedup — lowest id per normalized
+    * text), `is_contaminated` (contains ≥ minContainment of a benchmark
+    * doc's n-grams), `n_tok` (whitespace tokens of the REDACTED text),
+    * `is_quality` (token band), `is_sampled` (stratified keep). The text
+    * column is the redacted text. */
+  def annotate(docs: DataFrame, benchmark: DataFrame,
+               cfg: Config = Config()): DataFrame = {
+    val keepers = docs
+      .groupBy(Dedup.normText(col("text")).as("__norm"))
+      .agg(min(col("doc_id")).as("__keep_id"))
+    val contaminated = Dedup
+      .contaminationPairs(docs, benchmark, n = cfg.contaminationNGram,
+        minContainment = cfg.minContainment)
+      .select(col("doc_id")).distinct()
+      .withColumn("__cont", lit(true))
+    val nTok: Column =
+      when(length(trim(col("text"))) === 0, lit(0L))
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    Pii.redact(
+        docs.withColumn("__norm", Dedup.normText(col("text")))
+          .join(keepers, "__norm")
+          .withColumn("is_canonical", col("doc_id") === col("__keep_id"))
+          .drop("__norm", "__keep_id")
+          .join(contaminated, Seq("doc_id"), "left")
+          .withColumn("is_contaminated", coalesce(col("__cont"), lit(false)))
+          .drop("__cont"))
+      .withColumn("n_tok", nTok)
+      .withColumn("is_quality",
+        col("n_tok").between(cfg.minTokens, cfg.maxTokens))
+      .withColumn("is_sampled",
+        Sampling.bucket(col("doc_id"), cfg.seed) <
+          Sampling.keepThreshold("lang", cfg.rates, cfg.defaultRate))
+  }
+
+  private def survives: Column =
+    col("is_canonical") && !col("is_contaminated") &&
+      col("is_quality") && col("is_sampled")
+
+  /** The curated corpus: redacted text, survivors only. */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+             cfg: Config = Config()): DataFrame =
+    annotate(docs, benchmark, cfg)
+      .filter(survives)
+      .drop("is_canonical", "is_contaminated", "is_quality", "is_sampled")
+
+  /** One-row funnel audit: documents surviving after each stage, plus
+    * the survivor token total and the fixed-length sequence count it
+    * packs into (`⌈n_tokens / seqLen⌉` — what [[Packing.packSequences]]
+    * produces on the survivors by construction). */
+  def funnel(docs: DataFrame, benchmark: DataFrame,
+             cfg: Config = Config()): DataFrame = {
+    val dedup = col("is_canonical")
+    val decon = dedup && !col("is_contaminated")
+    val qual = decon && col("is_quality")
+    val samp = qual && col("is_sampled")
+    annotate(docs, benchmark, cfg).agg(
+        count(lit(1)).as("n_raw"),
+        count(when(dedup, lit(1))).as("n_after_dedup"),
+        count(when(decon, lit(1))).as("n_after_decontam"),
+        count(when(qual, lit(1))).as("n_after_quality"),
+        count(when(samp, lit(1))).as("n_after_sample"),
+        coalesce(sum(when(samp, col("n_tok"))), lit(0L)).as("n_tokens"))
+      .withColumn("n_sequences",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr(s"(n_tokens - 1) div ${cfg.seqLen} + 1")))
+  }
+}

@@ -31,30 +31,32 @@ object Sampling {
   def bucket(key: Column, seed: Long): Column =
     pmod(shiftright((key + lit(seed)) * lit(Knuth), 16), lit(Buckets))
 
-  /** Keep each stratum at its configured rate (strata absent from
-    * `rates` fall back to `defaultRate`). Rates are quantized to 1/10000
-    * precision. */
-  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
-                       rates: Map[String, Double], defaultRate: Double = 1.0,
-                       seed: Long = 42L): DataFrame = {
+  /** The per-row bucket threshold for a rate map: a when-chain over the
+    * strata, `defaultRate` otherwise. Rates quantize to 1/10000. */
+  def keepThreshold(strataCol: String, rates: Map[String, Double],
+                    defaultRate: Double = 1.0): Column = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "rates must be in [0, 1]")
-    val threshold = rates.foldLeft(
+    rates.foldLeft(
         lit((defaultRate * Buckets).toLong): Column) { case (acc, (stratum, rate)) =>
       when(col(strataCol) === stratum, lit((rate * Buckets).toLong)).otherwise(acc)
     }
-    df.filter(bucket(col(keyCol), seed) < threshold)
   }
+
+  /** Keep each stratum at its configured rate (strata absent from
+    * `rates` fall back to `defaultRate`). */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 1.0,
+                       seed: Long = 42L): DataFrame =
+    df.filter(bucket(col(keyCol), seed) <
+      keepThreshold(strataCol, rates, defaultRate))
 
   /** Audit view: per-stratum input size, survivor count, achieved rate —
     * one aggregate over the sampled-or-not flag (single scan, no join). */
   def sampleSummary(df: DataFrame, keyCol: String, strataCol: String,
                     rates: Map[String, Double], defaultRate: Double = 1.0,
                     seed: Long = 42L): DataFrame = {
-    val threshold = rates.foldLeft(
-        lit((defaultRate * Buckets).toLong): Column) { case (acc, (stratum, rate)) =>
-      when(col(strataCol) === stratum, lit((rate * Buckets).toLong)).otherwise(acc)
-    }
+    val threshold = keepThreshold(strataCol, rates, defaultRate)
     df.groupBy(col(strataCol).as("stratum")).agg(
         count(lit(1)).as("n_in"),
         count(when(bucket(col(keyCol), seed) < threshold, lit(1))).as("n_kept"))

@@ -73,6 +73,36 @@ object TextAnalysis {
           count(col("stopword_ratio")), 4).as("avg_stopword_ratio"))
       .orderBy("lang")
 
+  /** X3f — within-document repetition (the Gopher-family quality rule:
+    * heavily self-repeating documents are low-quality machine text):
+    * fraction of duplicated word n-grams per language. All sums are
+    * integers; the single double division happens once per output row,
+    * so the ratios are partition-order-invariant. Documents with fewer
+    * than `n` tokens carry no n-grams and are excluded (documented —
+    * matches the oracle's window formulation). */
+  def repetitionByLang(docs: DataFrame, textCol: String = "text",
+                       n: Int = 2): DataFrame = {
+    val toks = col("__toks")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("lang"), split(Dedup.normText(col(textCol)), "\\s+").as("__toks"))
+      .select(col("lang"), grams.as("__grams"))
+      .select(col("lang"), size(col("__grams")).as("total"),
+        size(array_distinct(col("__grams"))).as("dist"))
+      .filter(col("total") > 0)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("total")).as("grams_total"),
+        sum(col("total") - col("dist")).as("dup_grams"),
+        round(sum(col("total") - col("dist")) /
+          sum(col("total")).cast("double"), 4).as("dup_frac"))
+      .orderBy("lang")
+  }
+
   /** Document fingerprinting: md5 of the normalized text (exact-dup
     * grouping key; portable — DuckDB md5() emits the same hex).
     * Summary per source: doc count, distinct fingerprints (dup detection),

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Dedup, Packing, Pii, Sampling}
+
+/** X10 curation pipeline: the one-pass annotated funnel must agree with
+  * the stages run independently as actual filters. */
+class CurationSpec extends SparkSpec {
+
+  private val cfg = Curation.Config(
+    minTokens = 25L, maxTokens = 90L, rates = Map("en" -> 0.4), seqLen = 512L)
+
+  private def docs = Tables.documents(spark, sfDir)
+  private def bench = docs.filter(col("doc_id") < 3)
+    .select(col("doc_id").as("bench_id"), col("text"))
+
+  test("funnel counts equal the independently-filtered stages") {
+    val f = Curation.funnel(docs, bench, cfg).head()
+
+    val dedup = Dedup.exactDedup(docs)
+    assert(f.getAs[Long]("n_raw") == docs.count())
+    assert(f.getAs[Long]("n_after_dedup") == dedup.count())
+
+    val contaminatedIds = Dedup.contaminationPairs(docs, bench, n = 4,
+      minContainment = 0.8).select("doc_id").distinct()
+    val decon = dedup.join(contaminatedIds, Seq("doc_id"), "left_anti")
+    assert(f.getAs[Long]("n_after_decontam") == decon.count())
+
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val quality = Pii.redact(decon).withColumn("n_tok", nTok)
+      .filter(col("n_tok").between(25, 90))
+    assert(f.getAs[Long]("n_after_quality") == quality.count())
+
+    val sampled = Sampling.stratifiedSample(quality, "doc_id", "lang",
+      Map("en" -> 0.4))
+    assert(f.getAs[Long]("n_after_sample") == sampled.count())
+    assert(f.getAs[Long]("n_tokens") ==
+      sampled.agg(sum("n_tok")).head().getLong(0))
+  }
+
+  test("funnel n_sequences equals what packSequences actually produces on survivors") {
+    val f = Curation.funnel(docs, bench, cfg).head()
+    val survivors = Curation.curate(docs, bench, cfg)
+    val packed = Packing.packSequences(survivors, seqLen = 512L, blockSize = 1000L)
+    assert(f.getAs[Long]("n_sequences") ==
+      packed.agg(countDistinct("seq_id")).head().getLong(0))
+    assert(f.getAs[Long]("n_tokens") ==
+      packed.agg(sum(col("end_tok") - col("begin_tok"))).head().getLong(0))
+  }
+
+  test("curate drops the benchmark docs themselves and each stage only removes") {
+    val f = Curation.funnel(docs, bench, cfg).head()
+    val surv = Curation.curate(docs, bench, cfg)
+    assert(surv.filter(col("doc_id") < 3).count() == 0) // decontaminated away
+    val stages = Seq("n_raw", "n_after_dedup", "n_after_decontam",
+      "n_after_quality", "n_after_sample").map(f.getAs[Long])
+    assert(stages == stages.sorted.reverse, s"funnel not monotone: $stages")
+    assert(stages.last == surv.count())
+    assert(stages.last > 0, "fixture config filtered everything out")
+  }
+}

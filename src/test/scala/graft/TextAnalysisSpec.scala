@@ -69,4 +69,21 @@ class TextAnalysisSpec extends SparkSpec {
     val total = conf.agg(sum("n")).head().getLong(0)
     assert(total == docs.count()) // every doc lands in exactly one cell
   }
+
+  test("repetitionByLang: self-repeating docs score high, varied text zero, short docs drop") {
+    import org.apache.spark.sql.Row
+    val docs = df(Seq(
+      // "spam spam spam spam spam" → 4 bigrams, 1 distinct → dup_frac 0.75
+      Row(1L, "rep", "spam spam spam spam spam"),
+      // all-distinct bigrams → dup_frac 0
+      Row(2L, "var", "one two three four five"),
+      // single token → no bigrams → excluded from its lang's n_docs
+      Row(3L, "var", "lonely")),
+      "doc_id BIGINT, lang STRING, text STRING")
+    val r = TextAnalysis.repetitionByLang(docs, n = 2).collect()
+      .map(x => x.getString(0) ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Double]("dup_frac")))).toMap
+    assert(r("rep") == ((1L, 0.75)))
+    assert(r("var") == ((1L, 0.0)))
+  }
 }
