@@ -82,17 +82,22 @@ object TextAnalysis {
     * matches the oracle's window formulation). */
   def repetitionByLang(docs: DataFrame, textCol: String = "text",
                        n: Int = 2): DataFrame = {
+    // Same explode-then-aggregate shape as Dedup.wordShingles (but
+    // keeping duplicate grams): the Generate boundary protects the
+    // materialized token array from projection collapse — an array-typed
+    // formulation let the optimizer inline the split into the gram
+    // lambda, re-running the regex per gram (~10× slower, measured).
     val toks = col("__toks")
     val grams = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
     docs
-      .select(col("lang"), split(Dedup.normText(col(textCol)), "\\s+").as("__toks"))
-      .select(col("lang"), grams.as("__grams"))
-      .select(col("lang"), size(col("__grams")).as("total"),
-        size(array_distinct(col("__grams"))).as("dist"))
-      .filter(col("total") > 0)
+      .select(col("doc_id"), col("lang"),
+        split(Dedup.normText(col(textCol)), "\\s+").as("__toks"))
+      .select(col("doc_id"), col("lang"), explode(grams).as("gram"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("total"), countDistinct(col("gram")).as("dist"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
