@@ -49,6 +49,7 @@ object Bench {
 
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
     var errors = List.empty[String]
+    var flaky = List.empty[String] // some reps failed, some passed
     val results = queries.flatMap { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         // Operators that persist() intermediates (e.g. fuzzy dedup) would
@@ -66,7 +67,11 @@ object Bench {
         }
       }
       if (times.isEmpty) { errors ::= name; None }
-      else Some(name -> times.min)
+      else {
+        // An intermittent failure must not vanish into a clean pass.
+        if (times.size < reps) flaky ::= name
+        Some(name -> times.min)
+      }
     }
 
     // Locale.ROOT: the default-locale `f` interpolator would print a
@@ -76,9 +81,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakyJson = flaky.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = num(results.map(_._2).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
 
     // Write the JSON unconditionally to a default file — the driver can
     // pick it up even when its stdout parse fails (see Scaladoc). Focused

@@ -268,18 +268,28 @@ object Queries {
     * back as an evaluation parameter for two [[graft.checks
     * .RowCountDriftCheck]]s over today's full table: ±15% admits the
     * ~11% drift, ±5% flags it. */
+  /** Memoized drift baselines: the "previous run" is written through the
+    * real ResultStore and read back ONCE per (JVM, sfDir) — without this,
+    * every plan-building context (Explain, each Bench warm-up and rep)
+    * re-ran the baseline suite and leaked a fresh temp store dir. */
+  private val driftBaselines =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+
   def v5DriftCheck(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.checks.{EvaluationParameters, RowCountCheck, RowCountDriftCheck}
     import graft.suite.{TableChecks, ValidationSuite}
-    val store = java.nio.file.Files.createTempDirectory("graft_drift_store").toString
-    val baseline = orders(s, d).filter(col("o_orderkey") % 10 =!= 0)
-    val prior = ValidationSuite.run(
-      Seq(TableChecks("orders", baseline, Seq(RowCountCheck()))))
-    graft.sink.ResultStore.write(s, prior, store, "2026-01-01T00:00:00Z")
-    val (runId, base) = EvaluationParameters
-      .lastRunElementCount(s, store, "orders.row_count_between")
-      .getOrElse(sys.error("baseline run missing from drift store"))
+    val (runId, base) = driftBaselines.getOrElseUpdate(d, {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_drift_store").toString
+      val baseline = orders(s, d).filter(col("o_orderkey") % 10 =!= 0)
+      val prior = ValidationSuite.run(
+        Seq(TableChecks("orders", baseline, Seq(RowCountCheck()))))
+      graft.sink.ResultStore.write(s, prior, store, "2026-01-01T00:00:00Z")
+      EvaluationParameters
+        .lastRunElementCount(s, store, "orders.row_count_between")
+        .getOrElse(sys.error("baseline run missing from drift store"))
+    })
     val result = ValidationSuite.run(Seq(TableChecks("orders", orders(s, d),
       Seq(RowCountDriftCheck(runId, base, 15.0),
         RowCountDriftCheck(runId, base, 5.0)))))

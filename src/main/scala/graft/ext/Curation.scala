@@ -38,8 +38,11 @@ object Curation {
     * column is the redacted text. */
   def annotate(docs: DataFrame, benchmark: DataFrame,
                cfg: Config = Config()): DataFrame = {
+    // Null-safe join key: an inner join on a nullable norm would silently
+    // DROP null-text documents from the audit (NULL = NULL is false);
+    // <=> groups them like the oracle's window-partition formulation does.
     val keepers = docs
-      .groupBy(Dedup.normText(col("text")).as("__norm"))
+      .groupBy(Dedup.normText(col("text")).as("__knorm"))
       .agg(min(col("doc_id")).as("__keep_id"))
     val contaminated = Dedup
       .contaminationPairs(docs, benchmark, n = cfg.contaminationNGram,
@@ -51,9 +54,9 @@ object Curation {
         .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
     Pii.redact(
         docs.withColumn("__norm", Dedup.normText(col("text")))
-          .join(keepers, "__norm")
+          .join(keepers, col("__norm") <=> col("__knorm"))
           .withColumn("is_canonical", col("doc_id") === col("__keep_id"))
-          .drop("__norm", "__keep_id")
+          .drop("__norm", "__knorm", "__keep_id")
           .join(contaminated, Seq("doc_id"), "left")
           .withColumn("is_contaminated", coalesce(col("__cont"), lit(false)))
           .drop("__cont"))

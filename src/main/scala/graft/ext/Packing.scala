@@ -73,18 +73,24 @@ object Packing {
       .orderBy(col(keyCol), col("seq_id"))
   }
 
-  /** Packing efficiency audit: sequences produced, mean fill of all but
-    * the final (partial) sequence, and documents split across a
-    * boundary. One aggregate over [[packSequences]]. */
+  /** Packing efficiency audit: sequences produced, tokens packed, spans
+    * emitted, documents split across a boundary, and the overall fill
+    * ratio `n_tokens / (n_sequences · seqLen)` — concat-and-chunk fills
+    * every non-final sequence exactly, so only the final partial
+    * sequence drags the ratio below 1. One aggregate over
+    * [[packSequences]]. */
   def packingSummary(docs: DataFrame, textCol: String = "text",
                      keyCol: String = "doc_id", seqLen: Long = 2048L,
                      blockSize: Long = 100000L): DataFrame = {
     val packed = packSequences(docs, textCol, keyCol, seqLen, blockSize)
     packed.agg(
-      countDistinct(col("seq_id")).as("n_sequences"),
-      sum(col("end_tok") - col("begin_tok")).as("n_tokens"),
-      count(lit(1)).as("n_spans"),
-      countDistinct(when(col("begin_tok") > 0 ||
-        col("end_tok") < col("n_tok"), col(keyCol))).as("docs_split"))
+        countDistinct(col("seq_id")).as("n_sequences"),
+        sum(col("end_tok") - col("begin_tok")).as("n_tokens"),
+        count(lit(1)).as("n_spans"),
+        countDistinct(when(col("begin_tok") > 0 ||
+          col("end_tok") < col("n_tok"), col(keyCol))).as("docs_split"))
+      .withColumn("fill_ratio",
+        round(col("n_tokens") /
+          (col("n_sequences") * seqLen).cast("double"), 4))
   }
 }

@@ -37,9 +37,11 @@ object Sampling {
                     defaultRate: Double = 1.0): Column = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "rates must be in [0, 1]")
+    // math.round, not .toLong: truncation quantizes ~6% of exact
+    // 4-decimal rates one bucket low (0.0003 * 10000 = 2.9999…).
     rates.foldLeft(
-        lit((defaultRate * Buckets).toLong): Column) { case (acc, (stratum, rate)) =>
-      when(col(strataCol) === stratum, lit((rate * Buckets).toLong)).otherwise(acc)
+        lit(math.round(defaultRate * Buckets)): Column) { case (acc, (stratum, rate)) =>
+      when(col(strataCol) === stratum, lit(math.round(rate * Buckets))).otherwise(acc)
     }
   }
 

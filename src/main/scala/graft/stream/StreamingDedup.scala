@@ -54,6 +54,12 @@ object StreamingDedup {
   def dedupSummary(stream: DataFrame, tsCol: String,
                    textCol: String = "text",
                    watermarkDelay: String = "10 minutes"): DataFrame = {
+    // Batch-replay audit only: two aggregations + a crossJoin are
+    // unsupported in structured streaming — fail at construction with a
+    // real message rather than at writeStream.start().
+    require(!stream.isStreaming,
+      "dedupSummary is a batch-replay audit; for a live stream, count " +
+        "exactDedupStream's output per micro-batch in foreachBatch")
     val deduped = exactDedupStream(stream, tsCol, textCol, watermarkDelay)
       .agg(count(lit(1)).as("n_unique"))
     stream.agg(count(lit(1)).as("n_docs"))

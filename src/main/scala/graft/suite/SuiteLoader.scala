@@ -154,14 +154,21 @@ object SuiteLoader {
       case "expect_compound_columns_to_be_unique" =>
         UniqueCheck(strings(kw, "column_list"))
       case "expect_column_value_lengths_to_be_between" =>
+        // Clamp instead of narrowing: .toInt of an out-of-Int-range bound
+        // silently wraps negative and fails every value.
+        def asLen(v: Long): Int =
+          math.min(math.max(v, 0L), Int.MaxValue.toLong).toInt
         ValueLengthCheck(reqText(kw, "column"),
-          optLong(kw, "min_value").getOrElse(0L).toInt,
-          optLong(kw, "max_value").getOrElse(Int.MaxValue.toLong).toInt)
+          asLen(optLong(kw, "min_value").getOrElse(0L)),
+          asLen(optLong(kw, "max_value").getOrElse(Int.MaxValue.toLong)))
       case "expect_column_unique_value_count_to_be_between" =>
         DistinctCountCheck(reqText(kw, "column"),
           optLong(kw, "min_value").getOrElse(0L),
           optLong(kw, "max_value").getOrElse(Long.MaxValue))
       case "expect_column_quantile_values_to_be_between" =>
+        // A defaulted quantile (missing/typoed kwarg → 0.0) would build a
+        // p0 check that validates nothing — required, like other kwargs.
+        require(kw.hasNonNull("quantile"), s"missing 'quantile' in $kw")
         QuantileCheck(reqText(kw, "column"), kw.path("quantile").asDouble(),
           optDouble(kw, "min_value").getOrElse(Double.NegativeInfinity),
           optDouble(kw, "max_value").getOrElse(Double.PositiveInfinity))
