@@ -49,6 +49,28 @@ class CurationSpec extends SparkSpec {
       packed.agg(sum(col("end_tok") - col("begin_tok"))).head().getLong(0))
   }
 
+  test("null-text documents stay in the audit (null-safe dedup key)") {
+    import org.apache.spark.sql.Row
+    val withNull = df(Seq(
+      Row(1L, "en", "some real words here"),
+      Row(2L, "en", null),
+      Row(3L, "en", null)),
+      "doc_id BIGINT, lang STRING, text STRING")
+    val noBench = df(Seq(Row(99L, "zz nothing matches zz")),
+      "bench_id BIGINT, text STRING")
+    val ann = Curation.annotate(withNull, noBench,
+      Curation.Config(minTokens = 1L))
+    // All three docs are audited; the two null-text docs dedup together
+    // (one canonical) and fail the quality band via n_tok = 0.
+    assert(ann.count() == 3)
+    val rows = ann.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_canonical"), r.getAs[Long]("n_tok")))).toMap
+    assert(rows(2L) == ((true, 0L)))  // lowest null-text id is canonical
+    assert(rows(3L) == ((false, 0L)))
+    assert(rows(1L)._1)
+  }
+
   test("curate drops the benchmark docs themselves and each stage only removes") {
     val f = Curation.funnel(docs, bench, cfg).head()
     val surv = Curation.curate(docs, bench, cfg)

@@ -57,6 +57,15 @@ class SamplingSpec extends SparkSpec {
     assert(lo.subsetOf(hi) && lo.size < hi.size)
   }
 
+  test("thresholds round rather than truncate (0.0003 keeps 3 buckets, not 2)") {
+    // 0.0003 * 10000 = 2.9999999999999996 in double — truncation loses a
+    // bucket (33% shortfall at this rate); rounding restores the contract.
+    val t = docs.filter(col("lang") === "en").limit(1)
+      .select(Sampling.keepThreshold("lang", Map("en" -> 0.0003)).as("t"))
+      .head().getLong(0)
+    assert(t == 3L)
+  }
+
   test("out-of-range rates are rejected") {
     intercept[IllegalArgumentException](
       Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.5)))
