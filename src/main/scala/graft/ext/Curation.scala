@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   *   quality filter (token band) → stratified sampling → sequence packing
   *
   * Design: ANNOTATE, don't filter. [[annotate]] marks every document
-  * with per-stage verdict flags in ONE pass (plus the bounded
-  * contamination join), so the funnel audit — how many documents each
-  * stage would remove — is a single aggregate with no stage re-computed
-  * and nothing checkpointed. [[curate]] is then just the conjunction
-  * filter over the same plan. At 100 TB the alternative (materialize
-  * each stage to count it) either recomputes the expensive stages per
-  * count or checkpoints the whole corpus per stage.
+  * with per-stage verdict flags, so the funnel audit — how many
+  * documents each stage would remove — is a single aggregate with no
+  * stage re-computed and nothing checkpointed; [[curate]] is then just
+  * the conjunction filter over the same plan. Cost, precisely: THREE
+  * corpus-wide scans (the flag pass, the dedup-keeper aggregate, the
+  * contamination shingle pass) plus benchmark-side scans that pushdown
+  * prunes to the benchmark ids — vs materialize-each-stage-to-count-it,
+  * which at 100 TB either recomputes expensive stages per count or
+  * checkpoints the whole corpus per stage.
   */
 object Curation {
 
