@@ -699,6 +699,21 @@ object Oracles {
         |       CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4
         |FROM counted GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x5_header_parse" ->
+      // The planted header fields re-derived from the generation
+      // formulas: doc_id%3 picks the container; width/height/rate/
+      // duration are pure functions of doc_id and n_chars. The Spark side
+      // reads these values OUT OF THE PAYLOAD BYTES — equality proves
+      // both the hex assembly and the byte parsing.
+      """SELECT doc_id AS media_id,
+        |       CASE CAST(doc_id % 3 AS INT)
+        |            WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+        |       CASE WHEN doc_id % 3 = 0 THEN CAST(32 + doc_id % 64 AS INT) END AS width,
+        |       CASE WHEN doc_id % 3 = 0 THEN CAST(32 + doc_id % 32 AS INT) END AS height,
+        |       CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (doc_id % 5) * 2000 AS INT) END AS sample_rate,
+        |       CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars * 10 AS BIGINT) END AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "x5_media_integrity" ->
       """SELECT kind, count(*) AS n,
         |       count(CASE WHEN text IS NULL THEN 1 END) AS null_payload,

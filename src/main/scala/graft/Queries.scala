@@ -561,6 +561,16 @@ object Queries {
   def x3LangConfusion(s: SparkSession, d: String): DataFrame =
     TextAnalysis.langConfusion(documents(s, d))
 
+  /** X5d — REAL container-header decoding, no codec library: payloads
+    * carry byte-valid PNG/WAV/MP4 headers with per-row field values, and
+    * the parser reads them back out of the bytes. The oracle recomputes
+    * the planted values from the generation formulas — a wrong byte on
+    * either side breaks the hash match. */
+  def x5HeaderParse(s: SparkSession, d: String): DataFrame =
+    Multimodal.parseHeaders(
+        Multimodal.syntheticMediaWithHeaders(documents(s, d)))
+      .orderBy("media_id")
+
   /** X5b — mapPartitions feature extraction (stubbed codec, real batch
     * plumbing); summary row per media item (rows-only check). */
   def x5MediaFeatures(s: SparkSession, d: String): DataFrame = {

@@ -66,6 +66,7 @@ object SparkEntry {
     "x5_media_integrity" -> (Queries.x5MediaIntegrity _),
     "x5_media_features" -> (Queries.x5MediaFeatures _),
     "x5_frame_sample" -> (Queries.x5FrameSample _),
+    "x5_header_parse" -> (Queries.x5HeaderParse _),
     "x6_stratified_sample" -> (Queries.x6StratifiedSample _),
     "x7_pii_scan" -> (Queries.x7PiiScan _),
     "x8_contamination" -> (Queries.x8Contamination _),

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -121,4 +121,142 @@ object Multimodal {
         lit(64).as("width"), lit(64).as("height"),
         lit(16000).as("sample_rate"),
         (col("n_chars") * 10).cast("int").as("duration_ms")).as("meta"))
+
+  // ------------------------------------------------- real header codecs (X5d)
+
+  /** Big-endian 4-byte hex of an int column (for container headers). */
+  private def be4(c: Column): Column = lpad(hex(c), 8, "0")
+
+  /** Little-endian 4-byte hex (byte-swapped big-endian). */
+  private def le4(c: Column): Column = {
+    val h = be4(c)
+    concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Synthetic media whose payloads carry REAL container headers —
+    * byte-valid PNG signatures + IHDR, canonical WAV RIFF/fmt chunks,
+    * and MP4 ftyp+moov/mvhd boxes — with per-row field values derived
+    * from the document (so a header parser is genuinely exercised, not
+    * handed constants), followed by the text bytes as the opaque body.
+    * No codec library is involved in either direction: generation is hex
+    * assembly, decoding is byte arithmetic. */
+  def syntheticMediaWithHeaders(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val width = (lit(32) + pmod(id, lit(64))).cast("int")
+    val height = (lit(32) + pmod(id, lit(32))).cast("int")
+    val sampleRate = (lit(8000) + pmod(id, lit(5)) * 2000).cast("int")
+    val durationMs = (col("n_chars") * 10).cast("int")
+    val body = col("text").cast("binary")
+
+    // PNG: signature, IHDR(len 13) with width/height BE, 8-bit RGB.
+    val png = concat(unhex(concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      be4(width), be4(height), lit("0802000000"))), body)
+    // WAV: RIFF/WAVE + canonical 16-byte fmt chunk (PCM mono 16-bit),
+    // sample rate LE at byte offset 24.
+    val wav = concat(unhex(concat(
+      lit("52494646" + "00000000" + "57415645" + "666D7420" + "10000000" +
+        "0100" + "0100"),
+      le4(sampleRate),
+      lit("00000000" + "0000" + "1000" + "64617461" + "00000000"))), body)
+    // MP4: 16-byte ftyp(isom) box + moov box holding a version-0 mvhd
+    // (timescale 1000 BE at payload+12, duration BE at +16, rest zero).
+    val mp4 = concat(unhex(concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000000" +
+        "00000074" + "6D6F6F76" + "0000006C" + "6D766864" + "00000000" +
+        "00000000" + "00000000" + "000003E8"),
+      be4(durationMs), lit("00" * 80))), body)
+
+    docs.select(
+      id.as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(id, lit(3)) + 1).cast("int")).as("kind"),
+      element_at(array(png, wav, mp4),
+        (pmod(id, lit(3)) + 1).cast("int")).as("payload"),
+      struct(
+        element_at(array(lit("png"), lit("wav"), lit("mp4")),
+          (pmod(id, lit(3)) + 1).cast("int")).as("format"),
+        when(pmod(id, lit(3)) === 0, width).as("width"),
+        when(pmod(id, lit(3)) === 0, height).as("height"),
+        when(pmod(id, lit(3)) === 1, sampleRate).as("sample_rate"),
+        when(pmod(id, lit(3)) === 2, durationMs).as("duration_ms")).as("meta"))
+  }
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  private def ascii(b: Array[Byte], off: Int, s: String): Boolean =
+    b.length >= off + s.length &&
+      s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+  /** Parsed header fields: format detected from MAGIC BYTES (not the
+    * kind column — detection is part of the decode), dimension/rate/
+    * duration from the container structure. Unknown layouts yield
+    * format "unknown" with null fields, never an exception — corrupt
+    * payloads are data, not crashes. */
+  final case class ParsedHeader(
+      media_id: Long, format: String, width: Option[Int], height: Option[Int],
+      sample_rate: Option[Int], duration_ms: Option[Long])
+
+  private val pngSig =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private[graft] def parseOne(id: Long, b: Array[Byte]): ParsedHeader = {
+    def unknown = ParsedHeader(id, "unknown", None, None, None, None)
+    if (b == null || b.length < 12) unknown
+    else if (b.length >= 24 && b.take(8).sameElements(pngSig) &&
+      ascii(b, 12, "IHDR"))
+      ParsedHeader(id, "png", Some(beInt(b, 16)), Some(beInt(b, 20)), None, None)
+    else if (b.length >= 28 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE") &&
+      ascii(b, 12, "fmt "))
+      ParsedHeader(id, "wav", None, None, Some(leInt(b, 24)), None)
+    else if (ascii(b, 4, "ftyp")) {
+      // Scan top-level boxes for moov, then moov's children for mvhd v0.
+      var off = 0
+      var result = unknown
+      while (off + 8 <= b.length && result.format == "unknown") {
+        val size = beInt(b, off)
+        // Long arithmetic: a hostile 0x7FFFFFFF box size overflows the
+        // int sum right past the bounds check.
+        if (size < 8 || off.toLong + size > b.length)
+          return unknown.copy(format = "mp4")
+        if (ascii(b, off + 4, "moov")) {
+          var in = off + 8
+          while (in + 8 <= off + size && result.format == "unknown") {
+            val isz = beInt(b, in)
+            if (isz < 8 || in.toLong + isz > off.toLong + size)
+              return unknown.copy(format = "mp4")
+            if (ascii(b, in + 4, "mvhd") && isz >= 28) {
+              val timescale = beInt(b, in + 8 + 12)
+              val duration = beInt(b, in + 8 + 16)
+              val ms = if (timescale > 0)
+                Some(duration.toLong * 1000L / timescale) else None
+              result = ParsedHeader(id, "mp4", None, None, None, ms)
+            }
+            in += isz
+          }
+        }
+        off += size
+      }
+      if (result.format == "unknown") unknown.copy(format = "mp4") else result
+    }
+    else unknown
+  }
+
+  /** X5d — header decode over the media table: one narrow mapPartitions
+    * pass (per-partition dispatch setup, the real-codec batch shape),
+    * returning the container metadata read out of the payload BYTES. */
+  def parseHeaders(media: DataFrame): DataFrame = {
+    val session = media.sparkSession
+    import session.implicits._
+    media.select(col("media_id"), col("payload"))
+      .map { r => parseOne(r.getLong(0), r.getAs[Array[Byte]](1)) }
+      .toDF()
+  }
 }

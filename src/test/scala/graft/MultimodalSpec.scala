@@ -75,4 +75,40 @@ class MultimodalSpec extends SparkSpec {
     assert(synth.select("kind").distinct().count() == 3)
     assert(synth.count() == Tables.documents(spark, sfDir).count())
   }
+
+  test("header round-trip: parsed bytes equal the declared meta for every row") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.syntheticMediaWithHeaders(Tables.documents(spark, sfDir))
+    val parsed = Multimodal.parseHeaders(media)
+    val joined = media.select(col("media_id"), col("meta.*"))
+      .join(parsed.withColumnRenamed("format", "pformat")
+        .withColumnRenamed("width", "pwidth")
+        .withColumnRenamed("height", "pheight")
+        .withColumnRenamed("sample_rate", "prate")
+        .withColumnRenamed("duration_ms", "pdur"), "media_id")
+    val mismatches = joined.filter(
+      !(col("format") <=> col("pformat")) ||
+        !(col("width") <=> col("pwidth")) ||
+        !(col("height") <=> col("pheight")) ||
+        !(col("sample_rate") <=> col("prate")) ||
+        !(col("duration_ms").cast("long") <=> col("pdur"))).count()
+    assert(mismatches == 0)
+  }
+
+  test("parseOne handles corrupt and truncated payloads without throwing") {
+    import graft.ext.Multimodal.parseOne
+    assert(parseOne(1L, null).format == "unknown")
+    assert(parseOne(2L, Array[Byte](1, 2, 3)).format == "unknown")
+    assert(parseOne(3L, "just some text bytes".getBytes).format == "unknown")
+    // A PNG signature with a truncated IHDR must not crash.
+    val sigOnly = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    assert(parseOne(4L, sigOnly).format == "unknown")
+    // An ftyp with a lying box size must degrade to format-only mp4.
+    val badBox = Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p',
+      'i', 's', 'o', 'm', 0, 0, 0, 0, /* moov with absurd size */
+      0x7F, -1, -1, -1, 'm', 'o', 'o', 'v')
+    val mp4 = parseOne(5L, badBox)
+    assert(mp4.format == "mp4" && mp4.duration_ms.isEmpty)
+  }
 }
