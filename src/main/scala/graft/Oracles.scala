@@ -10,6 +10,80 @@ object Oracles {
   val wl: String = inList(Queries.regionWhitelist)
   val segs: String = inList(Queries.marketSegments)
 
+  /** The suites/testdata_core.json expectations re-derived row-by-row —
+    * shared by the g16 (suite summary) and v6 (checkpoint store
+    * read-back) oracles. The c_mktsegment in-set check deliberately
+    * FAILs (MACHINERY is outside the declared set, mirroring the
+    * reference's intentionally-excluded whitelist). */
+  private val testdataCoreSuiteRows: String =
+    """  SELECT 'customer.agg_bounds:mean:c_acctbal' AS validation_name,
+      |         CASE WHEN m >= 1000 AND m <= 8000 THEN 'PASSED' ELSE 'FAILED' END AS status,
+      |         cnt AS element_count,
+      |         CAST(CASE WHEN m >= 1000 AND m <= 8000 THEN 0 ELSE 1 END AS BIGINT) AS unexpected_count
+      |  FROM (SELECT count(*) AS cnt, avg(c_acctbal) AS m FROM customer)
+      |  UNION ALL
+      |  SELECT 'customer.between:c_acctbal',
+      |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+      |  FROM (SELECT count(*) AS cnt,
+      |               count(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 THEN 1 END) AS bad
+      |        FROM customer)
+      |  UNION ALL
+      |  SELECT 'customer.distinct_count:c_mktsegment',
+      |         CASE WHEN dc >= 1 AND dc <= 10 THEN 'PASSED' ELSE 'FAILED' END,
+      |         cnt, CAST(CASE WHEN dc >= 1 AND dc <= 10 THEN 0 ELSE 1 END AS BIGINT)
+      |  FROM (SELECT count(*) AS cnt, count(DISTINCT c_mktsegment) AS dc FROM customer)
+      |  UNION ALL
+      |  SELECT 'customer.in_set:c_mktsegment',
+      |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+      |  FROM (SELECT count(*) AS cnt,
+      |               count(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD') THEN 1 END) AS bad
+      |        FROM customer)
+      |  UNION ALL
+      |  SELECT 'customer.not_null:c_custkey',
+      |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+      |  FROM (SELECT count(*) AS cnt,
+      |               count(CASE WHEN c_custkey IS NULL THEN 1 END) AS bad FROM customer)
+      |  UNION ALL
+      |  SELECT 'customer.value_length:c_name',
+      |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+      |  FROM (SELECT count(*) AS cnt,
+      |               count(CASE WHEN length(c_name) < 5 OR length(c_name) > 30 THEN 1 END) AS bad
+      |        FROM customer)
+      |  UNION ALL
+      |  SELECT 'lineitem.between:l_discount',
+      |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+      |  FROM (SELECT count(*) AS cnt,
+      |               count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) AS bad
+      |        FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'lineitem.pair_greater:l_extendedprice>l_quantity',
+      |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+      |  FROM (SELECT count(*) AS cnt,
+      |               count(CASE WHEN l_extendedprice <= l_quantity THEN 1 END) AS bad
+      |        FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'orders.in_set:o_orderstatus',
+      |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+      |  FROM (SELECT count(*) AS cnt,
+      |               count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS bad
+      |        FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders.not_null:o_custkey',
+      |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+      |  FROM (SELECT count(*) AS cnt,
+      |               count(CASE WHEN o_custkey IS NULL THEN 1 END) AS bad FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders.regex:o_orderpriority',
+      |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+      |  FROM (SELECT count(*) AS cnt,
+      |               count(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 END) AS bad
+      |        FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders.row_count_between',
+      |         CASE WHEN cnt >= 1 THEN 'PASSED' ELSE 'FAILED' END,
+      |         cnt, CAST(CASE WHEN cnt >= 1 THEN 0 ELSE 1 END AS BIGINT)
+      |  FROM (SELECT count(*) AS cnt FROM orders)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "d1_count" -> "SELECT count(*) AS cnt FROM lineitem",
 
@@ -430,75 +504,15 @@ object Oracles {
       // emit. The c_mktsegment in-set check deliberately FAILs (MACHINERY
       // is outside the declared set, mirroring the reference's
       // intentionally-excluded whitelist).
-      """SELECT * FROM (
-        |  SELECT 'customer.agg_bounds:mean:c_acctbal' AS validation_name,
-        |         CASE WHEN m >= 1000 AND m <= 8000 THEN 'PASSED' ELSE 'FAILED' END AS status,
-        |         cnt AS element_count,
-        |         CAST(CASE WHEN m >= 1000 AND m <= 8000 THEN 0 ELSE 1 END AS BIGINT) AS unexpected_count
-        |  FROM (SELECT count(*) AS cnt, avg(c_acctbal) AS m FROM customer)
-        |  UNION ALL
-        |  SELECT 'customer.between:c_acctbal',
-        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
-        |  FROM (SELECT count(*) AS cnt,
-        |               count(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 THEN 1 END) AS bad
-        |        FROM customer)
-        |  UNION ALL
-        |  SELECT 'customer.distinct_count:c_mktsegment',
-        |         CASE WHEN dc >= 1 AND dc <= 10 THEN 'PASSED' ELSE 'FAILED' END,
-        |         cnt, CAST(CASE WHEN dc >= 1 AND dc <= 10 THEN 0 ELSE 1 END AS BIGINT)
-        |  FROM (SELECT count(*) AS cnt, count(DISTINCT c_mktsegment) AS dc FROM customer)
-        |  UNION ALL
-        |  SELECT 'customer.in_set:c_mktsegment',
-        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
-        |  FROM (SELECT count(*) AS cnt,
-        |               count(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD') THEN 1 END) AS bad
-        |        FROM customer)
-        |  UNION ALL
-        |  SELECT 'customer.not_null:c_custkey',
-        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
-        |  FROM (SELECT count(*) AS cnt,
-        |               count(CASE WHEN c_custkey IS NULL THEN 1 END) AS bad FROM customer)
-        |  UNION ALL
-        |  SELECT 'customer.value_length:c_name',
-        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
-        |  FROM (SELECT count(*) AS cnt,
-        |               count(CASE WHEN length(c_name) < 5 OR length(c_name) > 30 THEN 1 END) AS bad
-        |        FROM customer)
-        |  UNION ALL
-        |  SELECT 'lineitem.between:l_discount',
-        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
-        |  FROM (SELECT count(*) AS cnt,
-        |               count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) AS bad
-        |        FROM lineitem)
-        |  UNION ALL
-        |  SELECT 'lineitem.pair_greater:l_extendedprice>l_quantity',
-        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
-        |  FROM (SELECT count(*) AS cnt,
-        |               count(CASE WHEN l_extendedprice <= l_quantity THEN 1 END) AS bad
-        |        FROM lineitem)
-        |  UNION ALL
-        |  SELECT 'orders.in_set:o_orderstatus',
-        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
-        |  FROM (SELECT count(*) AS cnt,
-        |               count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS bad
-        |        FROM orders)
-        |  UNION ALL
-        |  SELECT 'orders.not_null:o_custkey',
-        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
-        |  FROM (SELECT count(*) AS cnt,
-        |               count(CASE WHEN o_custkey IS NULL THEN 1 END) AS bad FROM orders)
-        |  UNION ALL
-        |  SELECT 'orders.regex:o_orderpriority',
-        |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
-        |  FROM (SELECT count(*) AS cnt,
-        |               count(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 END) AS bad
-        |        FROM orders)
-        |  UNION ALL
-        |  SELECT 'orders.row_count_between',
-        |         CASE WHEN cnt >= 1 THEN 'PASSED' ELSE 'FAILED' END,
-        |         cnt, CAST(CASE WHEN cnt >= 1 THEN 0 ELSE 1 END AS BIGINT)
-        |  FROM (SELECT count(*) AS cnt FROM orders)
-        |) ORDER BY validation_name""".stripMargin,
+      s"""SELECT * FROM ($testdataCoreSuiteRows) ORDER BY validation_name""",
+
+    "v6_checkpoint_run" ->
+      // The checkpoint persists the same suite results into the store
+      // under a fixed run id; the query reads the store back, so the
+      // oracle is the g16 derivation plus the run_id column.
+      s"""SELECT '2026-01-01T00:00:00Z' AS run_id, *
+         |FROM ($testdataCoreSuiteRows)
+         |ORDER BY validation_name""".stripMargin,
 
     "s2_stream_dedup" ->
       // The batch replay of the streaming dedup: corpus = documents + 5

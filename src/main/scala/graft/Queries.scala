@@ -302,6 +302,31 @@ object Queries {
       .orderBy("validation_name")
   }
 
+  /** Memoized checkpoint stores — one run per (JVM, sfDir), mirroring
+    * [[driftBaselines]]. */
+  private val checkpointStores =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** V6 — the GE-checkpoint analog end-to-end: the checked-in checkpoint
+    * file loads the declarative suite, runs it fused, persists results
+    * through the ResultStore, and the QUERY OUTPUT is the store read
+    * back — so the correctness row covers the file → run → persist →
+    * read loop, not just the in-memory verdicts. */
+  def v6CheckpointRun(s: SparkSession, d: String): DataFrame = {
+    val runId = "2026-01-01T00:00:00Z"
+    val store = checkpointStores.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_store").toString
+      val spec = graft.suite.Checkpoint.load("checkpoints/testdata_core.json")
+      graft.suite.Checkpoint.run(s, d, spec, dir, runId)
+      dir
+    })
+    graft.sink.ResultStore.read(s, store, Some(runId))
+      .select("run_id", "validation_name", "status",
+        "element_count", "unexpected_count")
+      .orderBy("validation_name")
+  }
+
   /** P1–P4 — the Glue ETL diamond's final (beta) layer. */
   def p5EtlDiamond(s: SparkSession, d: String): DataFrame =
     graft.etl.PharmaEtl.betaLayer(s, d)

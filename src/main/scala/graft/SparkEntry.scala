@@ -44,6 +44,7 @@ object SparkEntry {
     "v1_raw_gate" -> (Queries.v1RawGate _),
     "v2_suite_summary" -> (Queries.v2SuiteSummary _),
     "v5_drift_check" -> (Queries.v5DriftCheck _),
+    "v6_checkpoint_run" -> (Queries.v6CheckpointRun _),
     "p5_etl_diamond" -> (Queries.p5EtlDiamond _),
     "x1_exact_dedup" -> (Queries.x1ExactDedup _),
     "x1_jaccard_pairs" -> (Queries.x1JaccardPairs _),

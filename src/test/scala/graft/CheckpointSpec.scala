@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sink.ResultStore
+import graft.suite.Checkpoint
+
+/** GE-checkpoint analog: file → suite run → stored verdicts → data-docs,
+  * and the drift loop across two checkpoint runs. */
+class CheckpointSpec extends SparkSpec {
+
+  private def tmp = java.nio.file.Files
+    .createTempDirectory("graft_ckpt_spec").toString
+
+  test("checked-in checkpoint loads, runs, persists, and renders docs") {
+    val spec = Checkpoint.load("checkpoints/testdata_core.json")
+    assert(spec.name == "testdata_core_checkpoint" && spec.writeDocs)
+    val store = tmp
+    val result = Checkpoint.run(spark, sfDir, spec, store, "r1")
+    assert(result.totalCount == 12)
+    // Stored rows match the in-memory verdicts.
+    val stored = ResultStore.read(spark, store, Some("r1"))
+    assert(stored.count() == 12)
+    assert(stored.filter(col("status") === "FAILED").count() ==
+      result.failedCount)
+    // Data-docs page rendered under the store (underscore-hidden from
+    // parquet partition discovery).
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$store/_docs/r1.md")))
+    // And the store stays readable after the docs write.
+    assert(ResultStore.read(spark, store).count() == 12)
+  }
+
+  test("a history-bound checkpoint resolves drift from the previous run") {
+    val store = tmp
+    val driftSuite =
+      """{"tables":[{"table":"orders","expectations":[
+        |  {"type":"expect_table_row_count_to_be_between",
+        |   "kwargs":{"min_value": 1}},
+        |  {"type":"expect_row_count_within_pct_of_last_run",
+        |   "kwargs":{"max_pct_change": 10.0}}]}]}""".stripMargin
+    val suitePath = java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "drift_suite.json"), driftSuite).toString
+    val spec = graft.suite.CheckpointSpec(
+      "drift", suitePath, useHistory = true, writeDocs = false)
+    // Run 1: no history → drift omitted, row-count baseline recorded.
+    val r1 = Checkpoint.run(spark, sfDir, spec, store, "2026-01-01T00:00:00Z")
+    assert(r1.totalCount == 1)
+    // Run 2: same data → drift resolves against run 1 and passes at 0%.
+    val r2 = Checkpoint.run(spark, sfDir, spec, store, "2026-01-02T00:00:00Z")
+    assert(r2.totalCount == 2)
+    assert(r2.passed)
+    assert(r2.details.exists(_.validationName.contains("row_count_drift")))
+  }
+
+  test("unknown checkpoint path and missing suite field throw") {
+    intercept[IllegalArgumentException](Checkpoint.load("no/such/ckpt.json"))
+    intercept[IllegalArgumentException](
+      Checkpoint.parse("""{"checkpoint_name": "x"}"""))
+  }
+}

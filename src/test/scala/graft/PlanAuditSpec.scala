@@ -123,7 +123,7 @@ class PlanAuditSpec extends SparkSpec {
   private val eagerAtConstruction = Set(
     "x1_jaccard_pairs", "x1_minhash_pairs", "x1_simhash_pairs", "x2_ivf_topk",
     "v1_raw_gate", "v2_suite_summary", "g16_declarative_suite",
-    "v5_drift_check")
+    "v5_drift_check", "v6_checkpoint_run")
 
   test("constructing a registered query runs zero Spark jobs") {
     // Building a DataFrame must be free: an eager action inside a query
