@@ -30,7 +30,12 @@ object Curation {
       rates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
       seed: Long = 42L,
-      seqLen: Long = 2048L)
+      seqLen: Long = 2048L,
+      // Column names, matching the sibling operators' parameters — a
+      // corpus with e.g. content/id/language columns works unrenamed.
+      textCol: String = "text",
+      keyCol: String = "doc_id",
+      strataCol: String = "lang")
 
   /** Every document with its stage verdicts:
     * `is_canonical` (survives exact dedup — lowest id per normalized
@@ -44,30 +49,32 @@ object Curation {
     // DROP null-text documents from the audit (NULL = NULL is false);
     // <=> groups them like the oracle's window-partition formulation does.
     val keepers = docs
-      .groupBy(Dedup.normText(col("text")).as("__knorm"))
-      .agg(min(col("doc_id")).as("__keep_id"))
+      .groupBy(Dedup.normText(col(cfg.textCol)).as("__knorm"))
+      .agg(min(col(cfg.keyCol)).as("__keep_id"))
     val contaminated = Dedup
-      .contaminationPairs(docs, benchmark, n = cfg.contaminationNGram,
+      .contaminationPairs(docs, benchmark, textCol = cfg.textCol,
+        corpusKey = cfg.keyCol, n = cfg.contaminationNGram,
         minContainment = cfg.minContainment)
-      .select(col("doc_id")).distinct()
+      .select(col(cfg.keyCol)).distinct()
       .withColumn("__cont", lit(true))
-    val nTok: Column =
-      when(length(trim(col("text"))) === 0, lit(0L))
-        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    // Shared definition with Packing: the funnel's n_tokens/n_sequences
+    // cross-check against packSequences depends on identical counting.
+    val nTok: Column = TextAnalysis.tokenCount(col(cfg.textCol))
     Pii.redact(
-        docs.withColumn("__norm", Dedup.normText(col("text")))
+        docs.withColumn("__norm", Dedup.normText(col(cfg.textCol)))
           .join(keepers, col("__norm") <=> col("__knorm"))
-          .withColumn("is_canonical", col("doc_id") === col("__keep_id"))
+          .withColumn("is_canonical", col(cfg.keyCol) === col("__keep_id"))
           .drop("__norm", "__knorm", "__keep_id")
-          .join(contaminated, Seq("doc_id"), "left")
+          .join(contaminated, Seq(cfg.keyCol), "left")
           .withColumn("is_contaminated", coalesce(col("__cont"), lit(false)))
-          .drop("__cont"))
+          .drop("__cont"),
+        textCol = cfg.textCol)
       .withColumn("n_tok", nTok)
       .withColumn("is_quality",
         col("n_tok").between(cfg.minTokens, cfg.maxTokens))
       .withColumn("is_sampled",
-        Sampling.bucket(col("doc_id"), cfg.seed) <
-          Sampling.keepThreshold("lang", cfg.rates, cfg.defaultRate))
+        Sampling.bucket(col(cfg.keyCol), cfg.seed) <
+          Sampling.keepThreshold(cfg.strataCol, cfg.rates, cfg.defaultRate))
   }
 
   private def survives: Column =

@@ -147,7 +147,10 @@ object Multimodal {
     val height = (lit(32) + pmod(id, lit(32))).cast("int")
     val sampleRate = (lit(8000) + pmod(id, lit(5)) * 2000).cast("int")
     val durationMs = (col("n_chars") * 10).cast("int")
-    val body = col("text").cast("binary")
+    // coalesce: concat(header, NULL) would null the WHOLE payload, making
+    // a null-text doc parse as "unknown" while formula-based oracles
+    // still expect its planted header fields.
+    val body = coalesce(col("text"), lit("")).cast("binary")
 
     // PNG: signature, IHDR(len 13) with width/height BE, 8-bit RGB.
     val png = concat(unhex(concat(
@@ -168,15 +171,18 @@ object Multimodal {
         "00000000" + "00000000" + "000003E8"),
       be4(durationMs), lit("00" * 80))), body)
 
+    // when-chain, not element_at(array(...)): CreateArray evaluates ALL
+    // elements per row — three header assemblies with two discarded.
+    val kindIdx = pmod(id, lit(3))
     docs.select(
       id.as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(id, lit(3)) + 1).cast("int")).as("kind"),
-      element_at(array(png, wav, mp4),
-        (pmod(id, lit(3)) + 1).cast("int")).as("payload"),
+      when(kindIdx === 0, "image").when(kindIdx === 1, "audio")
+        .otherwise("video").as("kind"),
+      when(kindIdx === 0, png).when(kindIdx === 1, wav)
+        .otherwise(mp4).as("payload"),
       struct(
-        element_at(array(lit("png"), lit("wav"), lit("mp4")),
-          (pmod(id, lit(3)) + 1).cast("int")).as("format"),
+        when(kindIdx === 0, "png").when(kindIdx === 1, "wav")
+          .otherwise("mp4").as("format"),
         when(pmod(id, lit(3)) === 0, width).as("width"),
         when(pmod(id, lit(3)) === 0, height).as("height"),
         when(pmod(id, lit(3)) === 1, sampleRate).as("sample_rate"),
@@ -232,11 +238,17 @@ object Multimodal {
             val isz = beInt(b, in)
             if (isz < 8 || in.toLong + isz > off.toLong + size)
               return unknown.copy(format = "mp4")
-            if (ascii(b, in + 4, "mvhd") && isz >= 28) {
-              val timescale = beInt(b, in + 8 + 12)
-              val duration = beInt(b, in + 8 + 16)
+            // Version byte must be 0: a v1 mvhd carries 64-bit times at
+            // different offsets — decoding it with v0 offsets would emit
+            // wrong-but-plausible values instead of null.
+            if (ascii(b, in + 4, "mvhd") && isz >= 28 && b(in + 8) == 0) {
+              // timescale/duration are UNSIGNED 32-bit: mask, or a
+              // >2^31 duration (a ~7h clip at timescale 90000) goes
+              // negative through the signed read.
+              val timescale = beInt(b, in + 8 + 12) & 0xFFFFFFFFL
+              val duration = beInt(b, in + 8 + 16) & 0xFFFFFFFFL
               val ms = if (timescale > 0)
-                Some(duration.toLong * 1000L / timescale) else None
+                Some(duration * 1000L / timescale) else None
               result = ParsedHeader(id, "mp4", None, None, None, ms)
             }
             in += isz
@@ -250,13 +262,17 @@ object Multimodal {
   }
 
   /** X5d — header decode over the media table: one narrow mapPartitions
-    * pass (per-partition dispatch setup, the real-codec batch shape),
-    * returning the container metadata read out of the payload BYTES. */
+    * pass (per-partition setup point, the real-codec batch shape — like
+    * [[extractFeatures]]), returning the container metadata read out of
+    * the payload BYTES. */
   def parseHeaders(media: DataFrame): DataFrame = {
     val session = media.sparkSession
     import session.implicits._
     media.select(col("media_id"), col("payload"))
-      .map { r => parseOne(r.getLong(0), r.getAs[Array[Byte]](1)) }
+      .mapPartitions { rows =>
+        // Per-partition setup happens HERE once in a real decoder.
+        rows.map(r => parseOne(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
       .toDF()
   }
 }

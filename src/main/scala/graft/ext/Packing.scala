@@ -38,11 +38,8 @@ object Packing {
                     keyCol: String = "doc_id", seqLen: Long = 2048L,
                     blockSize: Long = 100000L): DataFrame = {
     require(seqLen > 0 && blockSize > 0, "seqLen and blockSize must be positive")
-    // Blank text must count 0 tokens — split("") returns [""] (size 1).
-    val nTok = when(length(trim(col(textCol))) === 0, lit(0L))
-      .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
     val toks = docs
-      .select(col(keyCol), nTok.as("n_tok"))
+      .select(col(keyCol), TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
       .filter(col("n_tok") > 0)
       .withColumn("__blk", expr(s"$keyCol div $blockSize"))
 

@@ -14,6 +14,14 @@ object TextAnalysis {
     * to the DuckDB oracle's string_split_regex). */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Blank-safe whitespace token COUNT: split("") returns [""] (size 1),
+    * so blank/null text must count 0 explicitly. The single definition
+    * shared by sequence packing and the curation funnel — their
+    * n_tokens/n_sequences cross-check depends on bit-identical counts. */
+  def tokenCount(c: Column): Column =
+    when(c.isNull || length(trim(c)) === 0, lit(0L))
+      .otherwise(size(tokens(c)).cast("long"))
+
   /** (token, count) global frequency table, top `k` by count desc then
     * token asc — explode → partial-agg count → TakeOrdered(k). */
   def topTokens(docs: DataFrame, textCol: String = "text", k: Int = 20): DataFrame =

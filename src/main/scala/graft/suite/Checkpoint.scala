@@ -26,10 +26,23 @@ final case class CheckpointSpec(
   */
 object Checkpoint {
 
+  private val knownFields =
+    Set("checkpoint_name", "suite", "use_history", "write_docs")
+
   def parse(text: String, yaml: Boolean = false): CheckpointSpec = {
     val mapper =
       if (yaml) new ObjectMapper(new YAMLFactory()) else new ObjectMapper()
     val root = mapper.readTree(text)
+    // Reject unknown keys: a typo like "use_histroy" must not silently
+    // drop the declared behavior (same silent-kwarg-default class the
+    // suite loader guards against).
+    val unknown = {
+      import scala.jdk.CollectionConverters._
+      root.fieldNames().asScala.filterNot(knownFields).toSeq
+    }
+    require(unknown.isEmpty,
+      s"unknown checkpoint field(s) ${unknown.mkString(", ")} — " +
+        s"known: ${knownFields.toSeq.sorted.mkString(", ")}")
     val suite = root.path("suite").asText("")
     require(suite.nonEmpty, s"checkpoint declares no 'suite' path: $root")
     CheckpointSpec(

@@ -58,4 +58,10 @@ class CheckpointSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Checkpoint.parse("""{"checkpoint_name": "x"}"""))
   }
+
+  test("a typoed checkpoint field is rejected, not silently defaulted") {
+    val e = intercept[IllegalArgumentException](Checkpoint.parse(
+      """{"suite": "s.json", "use_histroy": true}"""))
+    assert(e.getMessage.contains("use_histroy"))
+  }
 }

@@ -71,6 +71,17 @@ class CurationSpec extends SparkSpec {
     assert(rows(1L)._1)
   }
 
+  test("renamed corpus columns work through the Config (no pre-renaming needed)") {
+    val renamed = docs.withColumnRenamed("text", "content")
+      .withColumnRenamed("doc_id", "id").withColumnRenamed("lang", "language")
+    val renamedCfg = cfg.copy(textCol = "content", keyCol = "id",
+      strataCol = "language")
+    val f0 = Curation.funnel(docs, bench, cfg).head()
+    val f1 = Curation.funnel(renamed,
+      bench.withColumnRenamed("text", "content"), renamedCfg).head()
+    assert(f0.toSeq == f1.toSeq)
+  }
+
   test("curate drops the benchmark docs themselves and each stage only removes") {
     val f = Curation.funnel(docs, bench, cfg).head()
     val surv = Curation.curate(docs, bench, cfg)

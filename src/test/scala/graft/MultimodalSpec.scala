@@ -111,4 +111,25 @@ class MultimodalSpec extends SparkSpec {
     val mp4 = parseOne(5L, badBox)
     assert(mp4.format == "mp4" && mp4.duration_ms.isEmpty)
   }
+
+  test("mvhd decode: v1 yields null duration; unsigned 32-bit duration stays positive") {
+    import graft.ext.Multimodal.parseOne
+    def mp4With(version: Byte, timescale: Long, duration: Long): Array[Byte] = {
+      def be(v: Long) = Array(
+        ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      val ftyp = be(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be(0)
+      val mvhdBody = Array(version, 0, 0, 0).map(_.toByte) ++
+        be(0) ++ be(0) ++ be(timescale) ++ be(duration) ++ new Array[Byte](80)
+      val mvhd = be(8 + mvhdBody.length) ++ "mvhd".getBytes ++ mvhdBody
+      val moov = be(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
+      ftyp ++ moov
+    }
+    // v1 mvhd has different field offsets — must NOT decode as v0.
+    val v1 = parseOne(1L, mp4With(1, 1000L, 5000L))
+    assert(v1.format == "mp4" && v1.duration_ms.isEmpty)
+    // Unsigned duration >= 2^31: a ~7h clip at timescale 90000.
+    val big = parseOne(2L, mp4With(0, 90000L, 2268000000L))
+    assert(big.duration_ms.contains(2268000000L * 1000L / 90000L))
+  }
 }
