@@ -68,4 +68,58 @@ class PropertySpec extends SparkSpec {
       assert(r.passed == (dupRows == 0))
     }
   }
+
+  test("property: packing spans tile every random corpus exactly") {
+    // Random doc lengths (incl. empty) into random sequence budgets:
+    // per-doc span lengths must sum to its token count, per-sequence
+    // fills must equal seqLen except the last, and total tokens match.
+    val corpusGen = for {
+      n <- Gen.choose(1, 25)
+      lens <- Gen.listOfN(n, Gen.chooseNum(0, 30))
+      seqLen <- Gen.choose(3, 17)
+    } yield (lens, seqLen)
+    samples(corpusGen, 6).foreach { case (lens, seqLen) =>
+      val data = df(lens.zipWithIndex.map { case (l, i) =>
+        Row(i.toLong, Seq.fill(l)("w").mkString(" "))
+      }, "doc_id BIGINT, text STRING")
+      val spans = graft.ext.Packing
+        .packSequences(data, seqLen = seqLen.toLong, blockSize = 4L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val perDoc = spans.groupBy(_._1).view.mapValues(_.map(s => s._4 - s._3).sum)
+      lens.zipWithIndex.filter(_._1 > 0).foreach { case (l, i) =>
+        assert(perDoc(i.toLong) == l.toLong, s"doc $i of $l tokens mistiled")
+      }
+      val total = lens.sum.toLong
+      assert(spans.map(s => s._4 - s._3).sum == total)
+      if (total > 0) {
+        val fills = spans.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum)
+        val last = fills.keys.max
+        fills.filter(_._1 != last).foreach { case (sid, fill) =>
+          assert(fill == seqLen.toLong, s"sequence $sid underfilled: $fill")
+        }
+      }
+    }
+  }
+
+  test("property: quantized values reconstruct within half a step on random vectors") {
+    val vecGen = for {
+      d <- Gen.choose(2, 24)
+      xs <- Gen.listOfN(d, Gen.chooseNum(-100.0, 100.0))
+    } yield xs
+    val vecs = samples(vecGen, 12).zipWithIndex
+      .map { case (xs, i) => Row(i.toLong, xs.map(_.toFloat)) }
+    val data = df(vecs, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val q = graft.ext.Quantize.quantize(data).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Byte](1), r.getFloat(2)))).toMap
+    vecs.foreach { row =>
+      val id = row.getLong(0)
+      val orig = row.getSeq[Float](1)
+      val (qv, scale) = q(id)
+      assert(qv.forall(b => b >= -127 && b <= 127))
+      orig.zip(qv).foreach { case (x, b) =>
+        assert(math.abs(x - b * scale) <= scale * 0.51 + 1e-6,
+          s"vec $id reconstructs outside half a quantization step")
+      }
+    }
+  }
 }
