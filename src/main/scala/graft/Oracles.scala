@@ -514,6 +514,15 @@ object Oracles {
          |FROM ($testdataCoreSuiteRows)
          |ORDER BY validation_name""".stripMargin,
 
+    "x11_skew_profile" ->
+      // Top-10 heaviest l_suppkey values with their row share; ties at
+      // the cut break by key ascending on both sides.
+      """SELECT l_suppkey, cnt, share FROM (
+        |  SELECT l_suppkey, count(*) AS cnt,
+        |         round(count(*) * 100.0 / (SELECT count(*) FROM lineitem), 3) AS share
+        |  FROM lineitem GROUP BY 1)
+        |ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin,
+
     "s2_stream_dedup" ->
       // The batch replay of the streaming dedup: corpus = documents + 5
       // planted exact copies; unique = distinct normalized text (the md5

@@ -488,6 +488,12 @@ object Queries {
       rates = Map("en" -> 0.4), seqLen = 512L))
   }
 
+  /** X11 — key-skew profile: the heaviest join keys on the fact table
+    * with their share of rows, the diagnostic that decides between AQE,
+    * salting, and broadcast (ext/Skew). */
+  def x11SkewProfile(s: SparkSession, d: String): DataFrame =
+    graft.ext.Skew.keySkewProfile(lineitem(s, d), "l_suppkey", k = 10)
+
   /** X3a — global token frequency top-20. */
   def x3TopTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topTokens(documents(s, d))

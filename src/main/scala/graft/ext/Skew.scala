@@ -35,12 +35,15 @@ object Skew {
 
   /** Key-frequency profile — the diagnostic that decides between AQE,
     * salting, or a broadcast: top-k heaviest keys with their share.
-    * One partial-agg pass + TakeOrdered. */
+    * One partial-agg pass + TakeOrdered; the total stays IN the plan as
+    * a one-row broadcast cross join (a `.count()` here would run a full
+    * scan at plan-construction time — the x1EmbedNearDup flaw class). */
   def keySkewProfile(df: DataFrame, key: String, k: Int = 10): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-    val total = df.count()
-    counts
-      .withColumn("share", round(col("cnt") * lit(100.0) / lit(total), 3))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("cnt") * lit(100.0) / col("__total"), 3))
+      .drop("__total")
       .orderBy(col("cnt").desc, col(key))
       .limit(k)
   }

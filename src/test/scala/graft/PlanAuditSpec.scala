@@ -39,7 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     * two ONE-ROW count aggregates. */
   private val bnljAllowed =
     Set("g3_in_set", "x2_topk_cosine", "x2_quant_topk", "x1_embed_neardup",
-      "s2_stream_dedup")
+      "s2_stream_dedup", "x11_skew_profile")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
