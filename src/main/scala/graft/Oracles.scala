@@ -514,6 +514,37 @@ object Oracles {
          |FROM ($testdataCoreSuiteRows)
          |ORDER BY validation_name""".stripMargin,
 
+    "x3_lang_confusion" ->
+      // The language-ID heuristic replayed in SQL: per-language stopword
+      // hit counts over whitespace tokens of the lowercased text, CJK
+      // ratio gate, then the argmax with ties breaking to the
+      // lexicographically LARGEST language — exactly the Spark side's
+      // array_max over (score, lang) structs (fr > es > en > de).
+      """WITH t AS (
+        |  SELECT lang AS label, text,
+        |         string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |         (length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))) * 1.0
+        |           / greatest(length(text), 1) AS cjk
+        |  FROM documents),
+        |s AS (
+        |  SELECT label, cjk,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in','that'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','que','los','una','por','con'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['le','la','les','et','des','une','est','dans'], x))) AS s_fr
+        |  FROM t),
+        |p AS (
+        |  SELECT label,
+        |    CASE WHEN cjk > 0.3 THEN 'zh'
+        |         WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |         WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |         WHEN s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS predicted
+        |  FROM s)
+        |SELECT label, predicted, count(*) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin,
+
     "x11_skew_profile" ->
       // Top-10 heaviest l_suppkey values with their row share; ties at
       // the cut break by key ascending on both sides.

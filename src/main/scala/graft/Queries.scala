@@ -585,10 +585,13 @@ object Queries {
       .orderBy("media_id", "frame_idx")
 
   /** X3e — language-ID heuristic, registered as its deterministic
-    * confusion matrix (predicted vs labeled language). Rows-only: the
-    * stopword-profile argmax is engine-specific logic, and the corpus
-    * shares one vocabulary across lang labels (TESTDATA.md), so the
-    * matrix is pinned by unit tests on real-language samples instead. */
+    * confusion matrix (predicted vs labeled language), fully
+    * oracle-checked: the stopword-profile argmax replays in SQL as
+    * ordered CASE comparisons (ties → lexicographically largest
+    * language, identical to array_max over (score, lang) structs).
+    * Real-language prediction quality is pinned by unit tests — the
+    * corpus shares one vocabulary across labels (TESTDATA.md), so the
+    * matrix here exercises the mechanism, not linguistics. */
   def x3LangConfusion(s: SparkSession, d: String): DataFrame =
     TextAnalysis.langConfusion(documents(s, d))
 
