@@ -141,12 +141,16 @@ object Similarity {
     * (band, bucket) — colliding buckets only, never all-pairs) → exact
     * cosine re-rank of the candidate set → per-query top-k.
     * `dim` must equal the embedding width — a mismatch throws at runtime
-    * (never silently hashes a prefix). */
+    * (never silently hashes a prefix). `maxBucketSize` drops oversized
+    * CORPUS buckets before the probe join ([[Dedup.capLshBuckets]]) —
+    * a hot bucket otherwise multiplies every colliding query by its full
+    * membership. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               dim: Int = 64, numBits: Int = 64, bands: Int = 8,
-              seed: Long = 42L): DataFrame = {
-    val cB = lshBands(corpus, idCol, vecCol, dim, numBits, bands, seed)
+              seed: Long = 42L, maxBucketSize: Option[Int] = None): DataFrame = {
+    val cB = Dedup.capLshBuckets(
+      lshBands(corpus, idCol, vecCol, dim, numBits, bands, seed), maxBucketSize)
     val qB = lshBands(queries, idCol, vecCol, dim, numBits, bands, seed)
     val cands = cB.as("c").join(qB.as("q"),
         col("c.band") === col("q.band") && col("c.bucket") === col("q.bucket") &&
@@ -166,12 +170,14 @@ object Similarity {
 
   /** X1e — embedding-cosine near-duplicate pairs: same LSH banding on one
     * corpus, self-join within buckets, exact-cosine verify, `minSim` gate.
+    * `maxBucketSize` bounds the per-bucket self-join ([[Dedup.capLshBuckets]]).
     * Output: (vec_id_a, vec_id_b, cosine_sim), a < b. */
   def nearDupPairs(corpus: DataFrame, minSim: Double = 0.95,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    dim: Int = 64, numBits: Int = 64, bands: Int = 8,
-                   seed: Long = 42L): DataFrame = {
-    val b = lshBands(corpus, idCol, vecCol, dim, numBits, bands, seed)
+                   seed: Long = 42L, maxBucketSize: Option[Int] = None): DataFrame = {
+    val b = Dedup.capLshBuckets(
+      lshBands(corpus, idCol, vecCol, dim, numBits, bands, seed), maxBucketSize)
     val cands = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))

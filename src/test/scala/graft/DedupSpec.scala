@@ -91,6 +91,63 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
   }
 
+  // ---------------------------------------------------- LSH bucket caps
+  // The banded operators' guard against the quadratic hot-bucket cliff:
+  // a bucket of m members emits ~m²/2 candidates, so low-diversity
+  // corpora need a hard per-bucket bound (recall trade-off documented on
+  // capLshBuckets). The planted near-dups in the driver testdata are the
+  // recall fixture: a TIGHT cap must not lose them, because true
+  // near-dups also collide in small, discriminative buckets.
+
+  test("capLshBuckets enforces the bound and only shrinks candidate volume") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max => smax, sum}
+    val documents = Tables.documents(spark, sfDir)
+    val buckets = Dedup.lshBuckets(
+      Dedup.minhashSignatures(documents, n = 4), numHashes = 64, bands = 8)
+    def stats(b: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = b.groupBy("band", "bucket").agg(count(lit(1)).as("m"))
+        .agg(smax("m"), sum(expr("m * (m - 1) DIV 2"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (rawMax, rawVolume) = stats(buckets)
+    assert(rawMax > 2, "fixture should contain buckets above the test cap")
+    val (capMax, capVolume) = stats(Dedup.capLshBuckets(buckets, Some(2)))
+    assert(capMax <= 2, s"surviving bucket of size $capMax exceeds the cap")
+    assert(capVolume < rawVolume,
+      s"cap did not reduce candidate volume ($capVolume vs $rawVolume)")
+    assertThrows[IllegalArgumentException](
+      Dedup.capLshBuckets(buckets, Some(1)))
+  }
+
+  test("minhashPairs under a tight bucket cap keeps full planted recall") {
+    val documents = Tables.documents(spark, sfDir)
+    val exact = Dedup.jaccardPairs(documents, n = 4, minSim = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.minhashPairs(documents, n = 4, bands = 8, minSim = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashPairs(documents, n = 4, bands = 8, minSim = 0.7,
+        maxBucketSize = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && exact.subsetOf(capped),
+      s"cap lost ${(exact -- capped).size} of ${exact.size} true pairs")
+    assert(capped.subsetOf(uncapped), "a cap can only shrink the pair set")
+  }
+
+  test("simhashPairs under a tight bucket cap keeps every uncapped pair") {
+    val documents = Tables.documents(spark, sfDir)
+    val uncapped = Dedup.simhashPairs(documents, n = 4, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhashPairs(documents, n = 4, maxHamming = 6,
+        maxBucketSize = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.nonEmpty)
+    // Near-identical signatures collide in SMALL buckets too (their band
+    // values are shared, discriminative slices); the hot buckets a cap
+    // drops hold unrelated low-entropy collisions on this corpus.
+    assert(capped == uncapped,
+      s"cap lost ${(uncapped -- capped).size} of ${uncapped.size} pairs")
+  }
+
   test("contaminationPairs flags verbatim and embedded benchmark quotes, not clean docs") {
     import org.apache.spark.sql.Row
     val corpus = df(Seq(

@@ -108,4 +108,23 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  test("nearDupPairs under a bucket cap still finds every planted copy") {
+    // Same planted-copy construction as the x1_embed_neardup query: five
+    // exact copies over a corpus with no natural pairs above 0.52. The
+    // testdata's hottest LSH bucket holds 14 members, so cap=8 genuinely
+    // drops buckets — but identical vectors collide in ALL 8 bands, and
+    // at least one of those buckets is small enough to survive.
+    val emb = Tables.embeddings(spark, sfDir)
+    val offset = 100000L
+    val planted = emb.filter("vec_id < 5")
+      .selectExpr(s"vec_id + $offset AS vec_id", "embedding", "label")
+    val corpus = emb.unionByName(planted)
+    val capped = Similarity.nearDupPairs(corpus, minSim = 0.95,
+        maxBucketSize = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 5L).map(i => (i, i + offset)).toSet
+    assert(capped == expected,
+      s"cap lost ${(expected -- capped).size} of 5 planted pairs")
+  }
 }
