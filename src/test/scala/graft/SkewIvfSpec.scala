@@ -50,6 +50,18 @@ class SkewIvfSpec extends SparkSpec {
     assert(hits >= 9, s"IVF matched brute force on only $hits/10 queries")
   }
 
+  test("IVF probe join broadcasts the probes side (never shuffles assignments)") {
+    // The assignments side is keyed on `cluster`, which has only k
+    // distinct values — a shuffle on it is catastrophic skew at corpus
+    // scale. The broadcast(probes) pin must survive to the physical plan.
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.build(emb, k = 4, iters = 1)
+    val plan = IvfIndex.topK(model, emb, emb.filter("vec_id < 3"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [cluster"),
+      s"probe join is not a broadcast join on cluster:\n$plan")
+  }
+
   test("IVF with nProbe = k degenerates to exact brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val model = IvfIndex.build(emb, k = 4, iters = 2)

@@ -109,6 +109,84 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("dim=8")), s"got: ${messages(e)}")
   }
 
+  test("nearest_centroids matches the literal formulations bit-for-bit") {
+    // The native expression replaced TWO literal formulations with
+    // different tie semantics; both must reproduce exactly:
+    //  - assignment: array_max over (sim, cid) structs → ties to HIGHER cid
+    //  - probing: stable array_sort desc on sim only → ties keep LOWER cid
+    val rnd = new scala.util.Random(21)
+    val dim = 16; val k = 6
+    val cents = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+    val emb = df((0 until 40).map { i =>
+      val r = new scala.util.Random(300 + i)
+      Row(i.toLong, Seq.fill(dim)(r.nextGaussian().toFloat))
+    }, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.toSeq.map(lit): _*)
+      struct(VectorFunctions.cosine(col("embedding"), cArr).as("sim"),
+        lit(i).as("cid"))
+    }
+    val legacyAssign = array_max(array(scored.toIndexedSeq: _*)).getField("cid")
+    val legacyProbes = slice(array_sort(array(scored.toIndexedSeq: _*),
+      (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+        .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)), 1, 3)
+
+    val rows = emb.select(col("vec_id"),
+      VectorFunctions.nearestCentroids(col("embedding"), cents, 1, tiesHigh = true)
+        .getItem(0).as("na"),
+      legacyAssign.as("la"),
+      VectorFunctions.nearestCentroids(col("embedding"), cents, 3, tiesHigh = false)
+        .as("np"),
+      transform(legacyProbes, p => p.getField("cid")).as("lp")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"assignment diverged on ${r.getLong(0)}")
+      assert(r.getSeq[Int](3) == r.getSeq[Int](4), s"probes diverged on ${r.getLong(0)}")
+    }
+  }
+
+  test("nearest_centroids ties: higher cid under array_max, lower under sort") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // Two identical centroids → cosine ties exactly.
+    val cents = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0)).map(_.toIndexedSeq).toIndexedSeq
+    val v = Literal.create(Seq(3.0, 4.0), ArrayType(DoubleType))
+    def ids(e: graft.functions.NearestCentroids): Seq[Int] =
+      e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray.toSeq
+    assert(ids(graft.functions.NearestCentroids(v, cents, 1, tiesHigh = true)) == Seq(1))
+    assert(ids(graft.functions.NearestCentroids(v, cents, 2, tiesHigh = false)) == Seq(0, 1))
+  }
+
+  test("nearest_centroids plan size is independent of k (k=256 stays one node)") {
+    val cents = Array.tabulate(256)(c => Array.tabulate(64)(i =>
+      math.sin(c * 64 + i))) // deterministic filler, no Random needed
+    val data = df(Seq(Row(1L, Seq.fill(64)(0.5f))), "id BIGINT, v ARRAY<FLOAT>")
+    val plan = data.select(
+      VectorFunctions.nearestCentroids(col("v"), cents, 4, tiesHigh = false))
+      .queryExecution.analyzed
+    val nodeCount = plan.expressions.map(_.collect { case e => e }.size).sum
+    // The literal formulation would carry k×dim = 16,384 literal nodes.
+    assert(nodeCount < 20, s"expected a constant-size plan, got $nodeCount nodes")
+  }
+
+  test("nearest_centroids: interpreted eval agrees with the codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val rnd = new scala.util.Random(5)
+    val cents = Array.fill(5)(Array.fill(6)(rnd.nextGaussian()))
+    val vec = Seq(0.5f, -1.25f, 2.0f, 0.75f, -0.1f, 1.5f)
+    val interpreted = graft.functions.NearestCentroids(
+        Literal.create(vec, ArrayType(FloatType)),
+        cents.map(_.toIndexedSeq).toIndexedSeq, 3, tiesHigh = false)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray.toSeq
+    val viaPlan = df(Seq(Row(1L, vec)), "id BIGINT, v ARRAY<FLOAT>")
+      .select(VectorFunctions.nearestCentroids(col("v"), cents, 3, tiesHigh = false))
+      .head().getSeq[Int](0)
+    assert(interpreted == viaPlan)
+  }
+
   test("TopK buffer encodes as a flat product of primitive arrays, not kryo binary") {
     val enc = new graft.ext.Similarity.TopKAggregator(3).bufferEncoder
     assert(enc.schema.fieldNames.toSeq == Seq("ids", "sims"),
