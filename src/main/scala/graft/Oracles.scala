@@ -44,6 +44,18 @@ object Oracles {
       |  FROM (SELECT count(*) AS cnt,
       |               count(CASE WHEN c_custkey IS NULL THEN 1 END) AS bad FROM customer)
       |  UNION ALL
+      |  SELECT 'customer.quantile:c_acctbal:0.5',
+      |         CASE WHEN q >= 1000 AND q <= 8000 THEN 'PASSED' ELSE 'FAILED' END,
+      |         cnt, CAST(CASE WHEN q >= 1000 AND q <= 8000 THEN 0 ELSE 1 END AS BIGINT)
+      |  FROM (SELECT count(*) AS cnt,
+      |               round(quantile_cont(c_acctbal, 0.5), 4) AS q FROM customer)
+      |  UNION ALL
+      |  SELECT 'customer.quantile:c_acctbal:0.95',
+      |         CASE WHEN q >= 9000 THEN 'PASSED' ELSE 'FAILED' END,
+      |         cnt, CAST(CASE WHEN q >= 9000 THEN 0 ELSE 1 END AS BIGINT)
+      |  FROM (SELECT count(*) AS cnt,
+      |               round(quantile_cont(c_acctbal, 0.95), 4) AS q FROM customer)
+      |  UNION ALL
       |  SELECT 'customer.value_length:c_name',
       |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
       |  FROM (SELECT count(*) AS cnt,
@@ -61,6 +73,13 @@ object Oracles {
       |  FROM (SELECT count(*) AS cnt,
       |               count(CASE WHEN l_extendedprice <= l_quantity THEN 1 END) AS bad
       |        FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'orders.between:o_totalprice',
+      |         CASE WHEN bad * 100.0 / cnt <= 50.0 THEN 'PASSED' ELSE 'FAILED' END,
+      |         cnt, bad
+      |  FROM (SELECT count(*) AS cnt,
+      |               count(CASE WHEN o_totalprice < 0 OR o_totalprice > 300000 THEN 1 END) AS bad
+      |        FROM orders)
       |  UNION ALL
       |  SELECT 'orders.in_set:o_orderstatus',
       |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad

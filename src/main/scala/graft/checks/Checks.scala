@@ -81,6 +81,45 @@ abstract class ValueCheck extends AggCheck {
   }
 }
 
+/** GE's `mostly` tolerance kwarg — the single most-used GE kwarg in real
+  * suites (core vocabulary of the 0.18 release the reference pins,
+  * airflow/requirements.txt:3): a column expectation passes when at least
+  * `mostly` fraction of rows conform, i.e. success iff
+  * `unexpected_percent ≤ (1 − mostly)·100`.
+  *
+  * Modeled as a wrapper so every counting check gets tolerance without
+  * touching its aggregation: the inner check's fused aggregate columns are
+  * reused verbatim (still one scan per suite), only the verdict threshold
+  * changes. Supported for checks whose `unexpected_percent` is meaningful —
+  * the value-level family and not-null; wrapping an aggregate-verdict
+  * check (row counts, mean bounds…) is rejected at construction, matching
+  * GE, where `mostly` exists only on column map expectations. */
+final case class MostlyCheck(inner: AggCheck, mostly: Double) extends AggCheck {
+  require(mostly > 0.0 && mostly < 1.0,
+    s"mostly ($mostly) must be in (0, 1) — 1.0 is the zero-tolerance default")
+  require(inner.isInstanceOf[ValueCheck] || inner.isInstanceOf[NotNullCheck],
+    s"mostly is not meaningful for '${inner.name}' — it applies to " +
+      "row-counting (column map) expectations only")
+  val name: String = inner.name
+  override def aggColumns(prefix: String): Seq[Column] = inner.aggColumns(prefix)
+  override def evaluate(row: Row, prefix: String): ValidationResult = {
+    val base = inner.evaluate(row, prefix)
+    val ok = base.unexpectedPercent <= (1.0 - mostly) * 100.0
+    base.copy(
+      status = if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      message =
+        if (ok && base.unexpectedCount > 0)
+          s"${base.message} — within mostly=$mostly tolerance"
+        else if (!ok)
+          s"${base.message} — exceeds mostly=$mostly tolerance"
+        else base.message)
+  }
+  /** Offender samples stay failure-path-only (a within-tolerance pass
+    * should not pay the inner check's refine job). */
+  override def refine(df: DataFrame, r: ValidationResult): ValidationResult =
+    if (r.status == ValidationStatus.Failed) inner.refine(df, r) else r
+}
+
 /** G1/D1/R2 — `expect_table_row_count_to_be_between` (min=1 ⇒ non-empty).
   * Reference: COUNT(*) tests at pager-workflow.py:126,133,159,174,189;
   * empty-input rule analysis.md:9 (`validate_data_quality`). */

@@ -39,10 +39,13 @@ final case class SuiteSpec(suiteName: String, tables: Seq[TableSpec])
   *           "kwargs": { "column": "o_custkey" } } ] } ] }
   * }}}
   *
-  * Divergence from GE, documented: `expect_column_quantile_values_to_be_
-  * between` takes ONE `quantile` + `min_value`/`max_value` per expectation
-  * (GE's multi-quantile `quantile_ranges` unrolls to several entries);
-  * cross-run drift is `expect_row_count_within_pct_of_last_run` with
+  * GE-parity kwargs: `mostly` (tolerance — at least that fraction of rows
+  * must conform; compiles to [[graft.checks.MostlyCheck]] around the
+  * counting check) and the multi-quantile `quantile_ranges` form of
+  * `expect_column_quantile_values_to_be_between` (unrolled to one
+  * [[graft.checks.QuantileCheck]] per quantile; the single-`quantile`
+  * shorthand also works). Cross-run drift is
+  * `expect_row_count_within_pct_of_last_run` with a required
   * `max_pct_change` (GE's URN-based evaluation parameters reduce to this
   * one store-backed lookup here) — suites declaring it must bind through
   * [[bindWithHistory]].
@@ -56,8 +59,8 @@ object SuiteLoader {
     val root = mapper.readTree(text)
     val tables = root.path("tables").elements().asScala.map { t =>
       val name = reqText(t, "table")
-      val checks = t.path("expectations").elements().asScala.map { e =>
-        toCheck(reqText(e, "type"), e.path("kwargs"))
+      val checks = t.path("expectations").elements().asScala.flatMap { e =>
+        toChecks(reqText(e, "type"), e.path("kwargs"))
       }.toSeq
       TableSpec(name, checks)
     }.toSeq
@@ -99,11 +102,22 @@ object SuiteLoader {
     * cross-run expectation resolves its baseline from the store's latest
     * recorded run of the table's row-count check. On the FIRST run (no
     * history for the table yet) the drift check is omitted — the run
-    * bootstraps the baseline the next one validates against. */
+    * bootstraps the baseline the next one validates against.
+    *
+    * A drift-declaring table that lacks a row-count expectation gets a
+    * default `RowCountCheck` injected: the baseline is recorded under
+    * `<table>.row_count_between`, so WITHOUT one the baseline would never
+    * be written and the drift check would be silently omitted on EVERY
+    * run — a regression detector that never fires (ADVICE r3). */
   def bindWithHistory(spark: SparkSession, sfDir: String, spec: SuiteSpec,
                       storeDir: String): Seq[TableChecks] =
     spec.tables.map { t =>
-      val checks = t.checks.flatMap {
+      val declared =
+        if (t.checks.exists(_.isInstanceOf[UnresolvedDriftCheck]) &&
+            !t.checks.exists(_.isInstanceOf[RowCountCheck]))
+          t.checks :+ RowCountCheck()
+        else t.checks
+      val checks = declared.flatMap {
         case UnresolvedDriftCheck(pct) =>
           EvaluationParameters.lastRunElementCount(
               spark, storeDir, s"${t.table}.row_count_between")
@@ -116,9 +130,48 @@ object SuiteLoader {
 
   // ------------------------------------------------------------ expectation map
 
-  /** GE 0.18 expectation name → engine check. Unknown names throw (a
-    * silently-dropped expectation is a check that never runs). */
-  private[suite] def toCheck(expectationType: String, kw: JsonNode): Check =
+  /** GE 0.18 expectation name → engine checks. Unknown names throw (a
+    * silently-dropped expectation is a check that never runs). One
+    * expectation usually yields one check; the multi-quantile
+    * `quantile_ranges` form unrolls to several. A `mostly` kwarg wraps
+    * each produced counting check in [[MostlyCheck]] — and throws on
+    * expectation types where GE defines no `mostly` (a tolerance that
+    * silently does nothing is worse than an error). */
+  private[suite] def toChecks(expectationType: String, kw: JsonNode): Seq[Check] = {
+    val base: Seq[Check] = expectationType match {
+      case "expect_column_quantile_values_to_be_between"
+          if kw.hasNonNull("quantile_ranges") =>
+        quantileRanges(kw)
+      case other => Seq(toCheck(other, kw))
+    }
+    if (!kw.hasNonNull("mostly")) base
+    else base.map {
+      case a: AggCheck => MostlyCheck(a, kw.get("mostly").asDouble())
+      case other => throw new IllegalArgumentException(
+        s"'mostly' is not supported for $expectationType (check ${other.name})")
+    }
+  }
+
+  /** GE's one-expectation-many-quantiles form:
+    * `quantile_ranges: { quantiles: [..], value_ranges: [[lo,hi],..] }`
+    * unrolled to per-quantile checks (null bound → unbounded, as GE). */
+  private def quantileRanges(kw: JsonNode): Seq[Check] = {
+    val column = reqText(kw, "column")
+    val qr = kw.get("quantile_ranges")
+    val qs = qr.path("quantiles").elements().asScala.map(_.asDouble()).toSeq
+    val ranges = qr.path("value_ranges").elements().asScala.map { r =>
+      require(r.isArray && r.size() == 2, s"value_range must be [lo, hi]: $r")
+      def bound(i: Int, default: Double): Double =
+        if (r.get(i).isNull) default else r.get(i).asDouble()
+      (bound(0, Double.NegativeInfinity), bound(1, Double.PositiveInfinity))
+    }.toSeq
+    require(qs.nonEmpty && qs.size == ranges.size,
+      s"quantile_ranges needs equal-length non-empty quantiles/value_ranges, " +
+        s"got ${qs.size} quantiles and ${ranges.size} ranges")
+    qs.zip(ranges).map { case (q, (lo, hi)) => QuantileCheck(column, q, lo, hi) }
+  }
+
+  private def toCheck(expectationType: String, kw: JsonNode): Check =
     expectationType match {
       case "expect_table_row_count_to_be_between" =>
         RowCountCheck(optLong(kw, "min_value").getOrElse(1L),
@@ -176,7 +229,11 @@ object SuiteLoader {
         SchemaCheck(strings(kw, "column_set"),
           kw.path("exact_match").asBoolean(false))
       case "expect_row_count_within_pct_of_last_run" =>
-        UnresolvedDriftCheck(kw.path("max_pct_change").asDouble(10.0))
+        // Required like the quantile kwarg: a typo ('max_pct_chnage')
+        // silently defaulting to 10% changes the declared tolerance.
+        require(kw.hasNonNull("max_pct_change"),
+          s"missing 'max_pct_change' in $kw")
+        UnresolvedDriftCheck(kw.path("max_pct_change").asDouble())
       case other =>
         throw new IllegalArgumentException(s"unknown expectation type: $other")
     }

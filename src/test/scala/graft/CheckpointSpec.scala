@@ -17,10 +17,10 @@ class CheckpointSpec extends SparkSpec {
     assert(spec.name == "testdata_core_checkpoint" && spec.writeDocs)
     val store = tmp
     val result = Checkpoint.run(spark, sfDir, spec, store, "r1")
-    assert(result.totalCount == 12)
+    assert(result.totalCount == 15)
     // Stored rows match the in-memory verdicts.
     val stored = ResultStore.read(spark, store, Some("r1"))
-    assert(stored.count() == 12)
+    assert(stored.count() == 15)
     assert(stored.filter(col("status") === "FAILED").count() ==
       result.failedCount)
     // Data-docs page rendered under the store (underscore-hidden from
@@ -28,7 +28,7 @@ class CheckpointSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$store/_docs/r1.md")))
     // And the store stays readable after the docs write.
-    assert(ResultStore.read(spark, store).count() == 12)
+    assert(ResultStore.read(spark, store).count() == 15)
   }
 
   test("a history-bound checkpoint resolves drift from the previous run") {

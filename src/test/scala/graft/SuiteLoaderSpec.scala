@@ -86,20 +86,80 @@ class SuiteLoaderSpec extends SparkSpec {
     intercept[IllegalStateException](
       UnresolvedDriftCheck(15.0).run(Tables.orders(spark, sfDir)))
 
-    // First run: empty store → the drift check is omitted (bootstrap).
+    // First run: empty store → the drift check is omitted (bootstrap),
+    // and a default RowCountCheck is INJECTED so this very run records
+    // the baseline — without it a drift-only suite would omit the check
+    // on every run forever (ADVICE r3).
     val store = java.nio.file.Files.createTempDirectory("graft_loader_drift").toString
-    assert(SuiteLoader.bindWithHistory(spark, sfDir, driftSuite, store)
-      .head.checks.isEmpty)
+    val first = SuiteLoader.bindWithHistory(spark, sfDir, driftSuite, store)
+    assert(first.head.checks.map(_.name) == Seq("row_count_between"))
 
-    // Seed a baseline run, rebind: the placeholder becomes a concrete
+    // Persist the first run; rebind: the placeholder becomes a concrete
     // check against the recorded count, and the suite passes (0% drift).
-    val seed = ValidationSuite.run(Seq(TableChecks("orders",
-      Tables.orders(spark, sfDir), Seq(RowCountCheck()))))
+    val seed = ValidationSuite.run(first)
     ResultStore.write(spark, seed, store, "2026-02-01T00:00:00Z")
     val bound = SuiteLoader.bindWithHistory(spark, sfDir, driftSuite, store)
-    assert(bound.head.checks.map(_.name) == Seq("row_count_drift:15.0pct"))
+    assert(bound.head.checks.map(_.name) ==
+      Seq("row_count_drift:15.0pct", "row_count_between"))
     val result = ValidationSuite.run(bound)
-    assert(result.passed && result.totalCount == 1)
+    assert(result.passed && result.totalCount == 2)
+  }
+
+  test("max_pct_change is required — a typoed kwarg must not default silently") {
+    val typoed =
+      """{"tables":[{"table":"orders","expectations":[
+        |  {"type":"expect_row_count_within_pct_of_last_run",
+        |   "kwargs":{"max_pct_chnage": 15.0}}]}]}""".stripMargin
+    val e = intercept[IllegalArgumentException](SuiteLoader.parse(typoed))
+    assert(e.getMessage.contains("max_pct_change"))
+  }
+
+  test("mostly compiles to a tolerance-thresholded check with GE semantics") {
+    import org.apache.spark.sql.Row
+    // 10 rows, 3 violations = 30% unexpected.
+    val data = df((1 to 10).map(i => Row(i.toLong, if (i <= 3) -1.0 else 5.0)),
+      "id BIGINT, v DOUBLE")
+    def betweenWith(mostly: Double) = SuiteLoader.parse(
+      s"""{"tables":[{"table":"t","expectations":[
+         |  {"type":"expect_column_values_to_be_between",
+         |   "kwargs":{"column":"v","min_value":0.0,"mostly":$mostly}}]}]}""".stripMargin)
+      .tables.head.checks.head
+    val tolerant = betweenWith(0.7).run(data)   // 30% <= 30% tolerance
+    assert(tolerant.passed && tolerant.unexpectedCount == 3)
+    assert(tolerant.message.contains("mostly=0.7"))
+    val strict = betweenWith(0.8).run(data)     // 30% > 20% tolerance
+    assert(!strict.passed && strict.unexpectedCount == 3)
+    // The wrapper preserves the inner name (GE: mostly is a kwarg, not an
+    // expectation identity).
+    assert(betweenWith(0.7).name == "between:v")
+  }
+
+  test("mostly on a non-counting expectation throws instead of silently no-oping") {
+    val bad =
+      """{"tables":[{"table":"t","expectations":[
+        |  {"type":"expect_table_row_count_to_be_between",
+        |   "kwargs":{"min_value":1,"mostly":0.9}}]}]}""".stripMargin
+    val e = intercept[IllegalArgumentException](SuiteLoader.parse(bad))
+    assert(e.getMessage.contains("mostly"))
+  }
+
+  test("quantile_ranges unrolls to one QuantileCheck per quantile") {
+    val spec = SuiteLoader.parse(
+      """{"tables":[{"table":"t","expectations":[
+        |  {"type":"expect_column_quantile_values_to_be_between",
+        |   "kwargs":{"column":"v","quantile_ranges":{
+        |     "quantiles":[0.25, 0.5, 0.95],
+        |     "value_ranges":[[0.0, 1.0], [null, 2.0], [3.0, null]]}}}]}]}""".stripMargin)
+    assert(spec.tables.head.checks == Seq(
+      QuantileCheck("v", 0.25, 0.0, 1.0),
+      QuantileCheck("v", 0.5, Double.NegativeInfinity, 2.0),
+      QuantileCheck("v", 0.95, 3.0, Double.PositiveInfinity)))
+    val mismatched =
+      """{"tables":[{"table":"t","expectations":[
+        |  {"type":"expect_column_quantile_values_to_be_between",
+        |   "kwargs":{"column":"v","quantile_ranges":{
+        |     "quantiles":[0.25, 0.5], "value_ranges":[[0.0, 1.0]]}}}]}]}""".stripMargin
+    intercept[IllegalArgumentException](SuiteLoader.parse(mismatched))
   }
 
   test("checked-in testdata_core suite loads from the classpath and runs: " +
@@ -109,7 +169,11 @@ class SuiteLoaderSpec extends SparkSpec {
     assert(spec.tables.map(_.table) == Seq("orders", "customer", "lineitem"))
     val result = graft.suite.ValidationSuite.run(
       SuiteLoader.bind(spark, sfDir, spec))
-    assert(result.totalCount == 12)
+    assert(result.totalCount == 15)
+    // The mostly-tolerated between check passes WITH violations on record.
+    val mostly = result.details
+      .find(_.validationName == "orders.between:o_totalprice").get
+    assert(mostly.passed && mostly.unexpectedCount > 0)
     val failed = result.details.filterNot(_.passed).map(_.validationName)
     assert(failed == Seq("customer.in_set:c_mktsegment"),
       s"unexpected failure set: $failed")
