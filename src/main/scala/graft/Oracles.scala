@@ -787,6 +787,37 @@ object Oracles {
         |       CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars * 10 AS BIGINT) END AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    "x5_media_features" ->
+      // The byte-window pseudo-decode replayed from the document text
+      // (payload = its UTF-8 bytes; testdata is pure ASCII so character
+      // positions == byte positions): byte i of an n-byte payload lands
+      // in window ((i+1)*64 - 1) / n, feature = mean of the window's
+      // bytes computed in DOUBLE then narrowed to FLOAT, exactly the
+      // Spark decode's arithmetic. Empty windows (n < 64) are absent
+      // from `win` → sampled features coalesce to 0 and n_nonzero counts
+      // the occupied windows (every mean is >= 32, never 0).
+      """WITH doc AS (
+        |  SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents),
+        |byte AS (
+        |  SELECT media_id, text, n, unnest(range(0, n)) AS i FROM doc),
+        |win AS (
+        |  SELECT media_id, ((i + 1) * 64 - 1) // n AS d, count(*) AS w,
+        |         sum(ascii(substr(text, CAST(i AS INT) + 1, 1))) AS s
+        |  FROM byte GROUP BY 1, 2),
+        |feat AS (
+        |  SELECT media_id, d,
+        |         round(CAST(CAST(CAST(s AS DOUBLE) / w AS FLOAT) AS DOUBLE), 4) AS f
+        |  FROM win)
+        |SELECT media_id, CAST(64 AS INT) AS dim,
+        |       coalesce(max(CASE WHEN d = 0 THEN f END), 0.0) AS f0,
+        |       coalesce(max(CASE WHEN d = 16 THEN f END), 0.0) AS f16,
+        |       coalesce(max(CASE WHEN d = 31 THEN f END), 0.0) AS f31,
+        |       coalesce(max(CASE WHEN d = 47 THEN f END), 0.0) AS f47,
+        |       coalesce(max(CASE WHEN d = 63 THEN f END), 0.0) AS f63,
+        |       CAST(count(*) AS BIGINT) AS n_nonzero
+        |FROM feat GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     "x5_media_integrity" ->
       """SELECT kind, count(*) AS n,
         |       count(CASE WHEN text IS NULL THEN 1 END) AS null_payload,

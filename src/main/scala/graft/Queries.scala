@@ -606,13 +606,22 @@ object Queries {
       .orderBy("media_id")
 
   /** X5b — mapPartitions feature extraction (stubbed codec, real batch
-    * plumbing); summary row per media item (rows-only check). */
+    * plumbing). The pseudo-decode is byte-window means, so the oracle
+    * re-derives sampled feature values and window occupancy from the
+    * document text (payload = its UTF-8 bytes; the testdata is pure
+    * ASCII, so SQL character positions are byte positions) — a full
+    * hash-checked row per media item, not a rows-only count. */
   def x5MediaFeatures(s: SparkSession, d: String): DataFrame = {
     val feats = Multimodal.extractFeatures(
       Multimodal.syntheticMediaFromDocuments(documents(s, d)), dim = 64)
+    // Sampled feature values: float → double is exact, then one 4-dp
+    // round, mirrored verbatim in the oracle's cast chain.
+    def f(i: Int) = round(element_at(col("features"), i + 1).cast("double"), 4)
     feats.select(col("media_id"), size(col("features")).as("dim"),
-        round(sqrt(aggregate(col("features").cast("array<double>"),
-          lit(0.0), (acc, x) => acc + x * x)), 3).as("l2_norm"))
+        f(0).as("f0"), f(16).as("f16"), f(31).as("f31"),
+        f(47).as("f47"), f(63).as("f63"),
+        // ASCII bytes are >= 32, so nonzero features == occupied windows.
+        size(filter(col("features"), x => x > 0f)).cast("long").as("n_nonzero"))
       .orderBy("media_id")
   }
 }

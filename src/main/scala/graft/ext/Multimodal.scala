@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   *
   * ONLY the codec is stubbed: this environment ships no image/audio
   * libraries, so [[decodeStub]] derives deterministic pseudo-features
-  * from the payload bytes. Swapping in a real decoder changes one
-  * function — the operator shapes (one pass, partition-local batches, no
-  * shuffle before the per-item map) are what this module pins down.
+  * (byte-window means) from the payload bytes. Swapping in a real
+  * decoder changes one function — the operator shapes (one pass,
+  * partition-local batches, no shuffle before the per-item map) are what
+  * this module pins down.
   */
 object Multimodal {
 
@@ -37,27 +38,35 @@ object Multimodal {
     StructField("payload", BinaryType),
     StructField("meta", metaSchema)))
 
-  /** ======== STUB ========
-    * Deterministic fake decode: a real implementation would decode the
-    * payload (JPEG/WAV/MP4) and pool pixel/sample values; here features
-    * are a seeded hash cascade over the payload bytes, which preserves
-    * the properties the pipeline cares about (deterministic, payload-
-    * sensitive, fixed dimension, unit-normalized). */
+  /** ======== STUB (codec swap point) ========
+    * Deterministic pseudo-decode: feature d = mean of the unsigned
+    * payload bytes falling in the d-th of `dim` equal contiguous windows
+    * — byte i belongs to window ((i+1)·dim − 1) / n (integer division),
+    * the exact partition of [0, n) into `dim` ranges; windows left empty
+    * by a short payload stay 0. A real implementation would decode the
+    * payload (JPEG/WAV/MP4) and pool pixel/sample values — byte-window
+    * pooling has the same shape (deterministic, payload-sensitive, fixed
+    * dimension) with no codec library, and unlike the previous seeded
+    * hash cascade it is SQL-expressible, so the whole feature path is
+    * DuckDB-oracle-checked (the mean is computed in double and narrowed
+    * to float exactly as the oracle replays it). */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
-    var h = 1125899906842597L // deterministic seed
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    val n = payload.length
+    if (n == 0) return out
     var d = 0
     while (d < dim) {
-      // xorshift mix per dimension
-      var x = h + d * 0x9E3779B97F4A7C15L
-      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
-      out(d) = ((x & 0xFFFF) / 32768.0f) - 1.0f
+      val lo = (d.toLong * n / dim).toInt
+      val hi = ((d + 1).toLong * n / dim).toInt
+      if (hi > lo) {
+        var s = 0L
+        var i = lo
+        while (i < hi) { s += payload(i) & 0xFF; i += 1 }
+        out(d) = (s.toDouble / (hi - lo)).toFloat
+      }
       d += 1
     }
-    val norm = math.sqrt(out.map(x => x.toDouble * x).sum).toFloat
-    if (norm > 0) out.map(_ / norm) else out
+    out
   }
 
   /** Feature extraction over the media table: ONE narrow pass,

@@ -61,11 +61,81 @@ object ResultStore {
     header + rows.mkString("\n") + "\n"
   }
 
-  /** Write `<runId>.md` under `dir` (created if absent); returns the path. */
+  /** Data-docs HTML page of one suite run — the SiteBuilder output the
+    * reference's GE config declares (great_expectations.yml:25-30):
+    * self-contained (inline CSS, no assets), one status-coloured row per
+    * check. Messages are entity-escaped; a check message is data. */
+  def renderHtml(suite: ValidationSuiteResult, runId: String): String = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val overallCls = if (suite.passed) "pass" else "fail"
+    val rows = suite.details.map { r =>
+      val cls = if (r.passed) "pass" else "fail"
+      s"""    <tr class="$cls"><td>${esc(r.validationName)}</td>""" +
+        s"<td>${r.status}</td><td>${r.elementCount}</td>" +
+        s"<td>${r.unexpectedCount}</td><td>${f"${r.unexpectedPercent}%.2f"}</td>" +
+        s"<td>${esc(r.message)}</td></tr>"
+    }
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>Validation run ${esc(runId)}</title>
+       |<style>
+       |  body { font-family: sans-serif; margin: 2em; }
+       |  table { border-collapse: collapse; width: 100%; }
+       |  th, td { border: 1px solid #ccc; padding: 4px 8px; text-align: left; }
+       |  tr.pass td:nth-child(2) { color: #0a7a0a; font-weight: bold; }
+       |  tr.fail td:nth-child(2) { color: #b00020; font-weight: bold; }
+       |  .badge.pass { color: #0a7a0a; } .badge.fail { color: #b00020; }
+       |</style></head><body>
+       |<h1>Validation run <code>${esc(runId)}</code></h1>
+       |<p><strong class="badge $overallCls">${suite.overallStatus}</strong>
+       | — ${suite.passedCount}/${suite.totalCount} passed</p>
+       |<table>
+       |  <thead><tr><th>check</th><th>status</th><th>elements</th>
+       |  <th>unexpected</th><th>%</th><th>detail</th></tr></thead>
+       |  <tbody>
+       |${rows.mkString("\n")}
+       |  </tbody>
+       |</table>
+       |</body></html>
+       |""".stripMargin
+  }
+
+  /** Write the run's data-docs under `dir` (created if absent): the
+    * markdown summary, the HTML page, and a regenerated `index.html`
+    * linking every run page in the site (latest first) — the
+    * SiteBuilder loop: each checkpoint run extends the site. Returns the
+    * HTML page's path. */
   def writeDocs(suite: ValidationSuiteResult, dir: String, runId: String): java.nio.file.Path = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
     val safe = runId.replaceAll("[^A-Za-z0-9._-]", "_")
     Files.writeString(d.resolve(s"$safe.md"), renderDocs(suite, runId))
+    val page = Files.writeString(d.resolve(s"$safe.html"), renderHtml(suite, runId))
+    rebuildIndex(d)
+    page
+  }
+
+  /** Regenerate `index.html` from the run pages present in the site dir.
+    * Run ids sort lexically by recency (ISO-8601 stamping convention), so
+    * reverse-sorted filenames list the newest run first. */
+  private def rebuildIndex(d: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val pages = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".html") && n != "index.html")
+      .toSeq.sorted.reverse
+    val items = pages.map { p =>
+      s"""    <li><a href="$p"><code>${p.stripSuffix(".html")}</code></a></li>"""
+    }
+    Files.writeString(d.resolve("index.html"),
+      s"""<!DOCTYPE html>
+         |<html><head><meta charset="utf-8"><title>Validation runs</title></head>
+         |<body><h1>Validation runs</h1>
+         |<ul>
+         |${items.mkString("\n")}
+         |</ul>
+         |</body></html>
+         |""".stripMargin)
+    ()
   }
 }

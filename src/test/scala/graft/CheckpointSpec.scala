@@ -23,12 +23,39 @@ class CheckpointSpec extends SparkSpec {
     assert(stored.count() == 15)
     assert(stored.filter(col("status") === "FAILED").count() ==
       result.failedCount)
-    // Data-docs page rendered under the store (underscore-hidden from
-    // parquet partition discovery).
+    // Data-docs rendered under the store (underscore-hidden from parquet
+    // partition discovery): markdown + HTML page + site index.
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$store/_docs/r1.md")))
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$store/_docs/r1.html"))
+    assert(html.contains("customer.in_set:c_mktsegment") &&
+      html.contains("""class="fail""""))
+    val index = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$store/_docs/index.html"))
+    assert(index.contains("""href="r1.html""""))
     // And the store stays readable after the docs write.
     assert(ResultStore.read(spark, store).count() == 15)
+  }
+
+  test("the docs site index accumulates run pages, newest first") {
+    import graft.checks.RowCountCheck
+    import graft.suite.{TableChecks, ValidationSuite}
+    val docs = tmp
+    val result = ValidationSuite.run(Seq(TableChecks("orders",
+      Tables.orders(spark, sfDir), Seq(RowCountCheck()))))
+    ResultStore.writeDocs(result, docs, "2026-01-01T00:00:00Z")
+    ResultStore.writeDocs(result, docs, "2026-01-02T00:00:00Z")
+    val index = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(docs, "index.html"))
+    val first = index.indexOf("2026-01-02T00_00_00Z.html")
+    val second = index.indexOf("2026-01-01T00_00_00Z.html")
+    assert(first >= 0 && second >= 0 && first < second,
+      "index must list the newest run first")
+    // Escaping: a hostile message cannot inject markup.
+    val htmlPage = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(docs, "2026-01-01T00_00_00Z.html"))
+    assert(!htmlPage.contains("<script"))
   }
 
   test("a history-bound checkpoint resolves drift from the previous run") {

@@ -21,13 +21,24 @@ class MultimodalSpec extends SparkSpec {
     "media_id BIGINT, kind STRING, payload BINARY, " +
       "meta STRUCT<format: STRING, width: INT, height: INT, sample_rate: INT, duration_ms: INT>")
 
-  test("decodeStub is deterministic, payload-sensitive, unit-normalized") {
+  test("decodeStub is deterministic, payload-sensitive byte-window means") {
     val a = Multimodal.decodeStub("hello".getBytes, 64)
     val b = Multimodal.decodeStub("hello".getBytes, 64)
     val c = Multimodal.decodeStub("hellp".getBytes, 64)
     assert(a.toSeq == b.toSeq)
     assert(a.toSeq != c.toSeq)
-    assert(math.abs(a.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+    assert(Multimodal.decodeStub(Array.emptyByteArray, 8).toSeq ==
+      Seq.fill(8)(0.0f))
+    // Exact window partition: 5 bytes into 4 windows — [0,1) [1,2) [2,3)
+    // [3,5): the last window averages bytes 3 and 4.
+    val w = Multimodal.decodeStub(Array[Byte](10, 20, 30, 40, 60), 4)
+    assert(w.toSeq == Seq(10.0f, 20.0f, 30.0f, 50.0f))
+    // Unsigned byte semantics: 0xFF reads as 255, not -1.
+    assert(Multimodal.decodeStub(Array(0xFF.toByte), 1).head == 255.0f)
+    // Short payloads leave leading windows empty (byte 0 of n=2 lands in
+    // window (1*4-1)/2 = 1).
+    assert(Multimodal.decodeStub(Array[Byte](100, 120), 4).toSeq ==
+      Seq(0.0f, 100.0f, 0.0f, 120.0f))
   }
 
   test("extractFeatures preserves ids, fixes dimension, equal payloads → equal features") {

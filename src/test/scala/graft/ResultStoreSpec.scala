@@ -41,10 +41,14 @@ class ResultStoreSpec extends SparkSpec {
     assert(md.contains("| t.in_set:region | FAILED | 10 | 2 | 20.00 |"))
   }
 
-  test("writeDocs persists a markdown page per run") {
+  test("writeDocs persists markdown + HTML pages and the site index per run") {
     val dir = JFiles.createTempDirectory("graft-docs").toString
     val p = ResultStore.writeDocs(suite(bad = false), dir, "run/..3")
-    assert(p.getFileName.toString == "run_..3.md")
-    assert(JFiles.readString(p).contains("Overall: PASSED"))
+    assert(p.getFileName.toString == "run_..3.html")
+    assert(JFiles.readString(p).contains("PASSED"))
+    val md = p.resolveSibling("run_..3.md")
+    assert(JFiles.readString(md).contains("Overall: PASSED"))
+    assert(JFiles.readString(p.resolveSibling("index.html"))
+      .contains("""href="run_..3.html""""))
   }
 }
