@@ -36,7 +36,14 @@ object Bench {
     val spark = Sessions.local(cpus)
 
     // Optional args = subset of query names (focused measurement while
-    // iterating on one operator); default = the full registry.
+    // iterating on one operator); default = the full registry. Unknown
+    // names fail fast — a typo must not silently time zero queries and
+    // (with SPARK_GRAFT_BENCH_OUT set) overwrite the output with an
+    // empty result.
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — known: " +
+        SparkEntry.queries.keySet.toSeq.sorted.mkString(", "))
     val wanted: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
     val queries = SparkEntry.queries.toSeq.filter(q => wanted(q._1)).sortBy(_._1)

@@ -577,16 +577,20 @@ object Oracles {
       // The batch replay of the streaming dedup: corpus = documents + 5
       // planted exact copies; unique = distinct normalized text (the md5
       // fingerprint is injective up to collision, so counts agree).
+      // count(DISTINCT) ignores NULLs while Spark's dropDuplicates keeps
+      // one row for the null-norm group — the CASE term counts that group
+      // so the oracle stays correct if fixtures ever gain null texts.
       """WITH corpus AS (
         |  SELECT text FROM documents
         |  UNION ALL
         |  SELECT text FROM documents WHERE doc_id < 5),
         |n AS (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
-        |      FROM corpus)
-        |SELECT count(*) AS n_docs,
-        |       count(DISTINCT norm) AS n_unique,
-        |       count(*) - count(DISTINCT norm) AS n_dups
-        |FROM n""".stripMargin,
+        |      FROM corpus),
+        |u AS (SELECT count(*) AS n_docs,
+        |             count(DISTINCT norm)
+        |               + CASE WHEN count(*) > count(norm) THEN 1 ELSE 0 END AS n_unique
+        |      FROM n)
+        |SELECT n_docs, n_unique, n_docs - n_unique AS n_dups FROM u""".stripMargin,
 
     "x6_stratified_sample" ->
       // The keyed multiplicative hash replayed exactly: bucket =

@@ -20,6 +20,34 @@ class SkewIvfSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("autoSaltedJoin picks broadcast/salted/plain from the profile, result-identical") {
+    val big = df((1 to 200).map(i =>
+      Row(i.toLong, if (i <= 160) "HOT" else s"k${i % 5}")), "id BIGINT, k STRING")
+    val small = df(Seq(Row("HOT", 1.0), Row("k1", 2.0), Row("k3", 3.0)),
+      "k STRING, w DOUBLE")
+    val expected = big.join(small, "k").select("id", "w")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+
+    // Small side fits → broadcast, regardless of skew.
+    assert(Skew.chooseStrategy(big, small, "k") == Skew.BroadcastJoin)
+    // Broadcast forbidden + 80% hot key → salted spray.
+    assert(Skew.chooseStrategy(big, small, "k", broadcastRowLimit = 0) ==
+      Skew.SprayJoin(16))
+    // Broadcast forbidden + no dominant key → plain shuffle join.
+    val uniform = df((1 to 200).map(i => Row(i.toLong, s"k${i % 20}")),
+      "id BIGINT, k STRING")
+    assert(Skew.chooseStrategy(uniform, small, "k", broadcastRowLimit = 0) ==
+      Skew.PlainJoin)
+
+    // Result identity under every forced strategy.
+    for (limit <- Seq(0L, 1000000L)) {
+      val got = Skew.autoSaltedJoin(big, small, "k", broadcastRowLimit = limit)
+        .select("id", "w")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      assert(got == expected, s"strategy at broadcastRowLimit=$limit diverged")
+    }
+  }
+
   test("keySkewProfile surfaces the hot key with its share") {
     val big = df((1 to 100).map(i =>
       Row(i.toLong, if (i <= 80) "HOT" else "COLD")), "id BIGINT, k STRING")
