@@ -13,14 +13,19 @@ import org.apache.spark.sql.functions._
   *
   * The hard part at scale is the GLOBAL exclusive prefix sum of token
   * counts: a single `Window.orderBy` over the corpus would shuffle
-  * everything into one partition. Instead, a two-level scan:
+  * everything into one partition. Instead, a hierarchical scan:
   *
   *  1. documents group into key-range BLOCKS (`__blk = key / blockSize`)
   *     — a deterministic, data-independent partitioning;
   *  2. within-block exclusive cumsum: window partitioned by block
   *     (parallel across blocks);
-  *  3. block offsets: cumsum over per-block totals — a window over
-  *     keyspace/blockSize rows, bounded and tiny, broadcast back.
+  *  3. block offsets, themselves two-level: blocks group into
+  *     SUPERBLOCKS of `fanout` blocks; within-superblock cumsum of block
+  *     totals runs partitioned (parallel), and only the superblock
+  *     totals see an unpartitioned window — keyspace/(blockSize·fanout)
+  *     rows, ≤ ~10³ even at a 10¹² key space with the defaults. All
+  *     sums are integer, so the regrouping is exact and the output is
+  *     identical for every (blockSize, fanout).
   *
   * `start = blockOffset + localCumsum` is independent of Spark's
   * physical partitioning, so the packing is bit-for-bit reproducible
@@ -36,8 +41,10 @@ object Packing {
 
   def packSequences(docs: DataFrame, textCol: String = "text",
                     keyCol: String = "doc_id", seqLen: Long = 2048L,
-                    blockSize: Long = 100000L): DataFrame = {
-    require(seqLen > 0 && blockSize > 0, "seqLen and blockSize must be positive")
+                    blockSize: Long = 100000L,
+                    fanout: Long = 10000L): DataFrame = {
+    require(seqLen > 0 && blockSize > 0 && fanout > 0,
+      "seqLen, blockSize, and fanout must be positive")
     val toks = docs
       .select(col(keyCol), TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
       .filter(col("n_tok") > 0)
@@ -48,12 +55,24 @@ object Packing {
     val local = toks.withColumn("__local",
       coalesce(sum(col("n_tok")).over(localW), lit(0L)))
 
-    // Per-block totals reuse the same shuffle key; the offsets window
-    // runs over ≤ keyspace/blockSize rows — bounded, NOT data-scale.
-    val offsetW = Window.orderBy("__blk")
+    // Block offsets via the superblock level: the within-superblock
+    // cumsum is partitioned (parallel across superblocks); only the
+    // per-superblock totals see an unpartitioned window, bounded at
+    // keyspace/(blockSize·fanout) rows regardless of corpus size.
+    val blockTotals = toks.groupBy("__blk").agg(sum(col("n_tok")).as("__bt"))
+      .withColumn("__sblk", expr(s"__blk div $fanout"))
+    val withinSuperW = Window.partitionBy("__sblk").orderBy("__blk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toks.groupBy("__blk").agg(sum(col("n_tok")).as("__bt"))
-      .withColumn("__off", coalesce(sum(col("__bt")).over(offsetW), lit(0L)))
+    val superW = Window.orderBy("__sblk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val superOffsets = blockTotals.groupBy("__sblk")
+      .agg(sum(col("__bt")).as("__st"))
+      .withColumn("__soff", coalesce(sum(col("__st")).over(superW), lit(0L)))
+      .select("__sblk", "__soff")
+    val offsets = blockTotals
+      .withColumn("__within", coalesce(sum(col("__bt")).over(withinSuperW), lit(0L)))
+      .join(broadcast(superOffsets), "__sblk")
+      .withColumn("__off", col("__soff") + col("__within"))
       .select("__blk", "__off")
 
     local.join(broadcast(offsets), "__blk")
@@ -78,8 +97,9 @@ object Packing {
     * [[packSequences]]. */
   def packingSummary(docs: DataFrame, textCol: String = "text",
                      keyCol: String = "doc_id", seqLen: Long = 2048L,
-                     blockSize: Long = 100000L): DataFrame = {
-    val packed = packSequences(docs, textCol, keyCol, seqLen, blockSize)
+                     blockSize: Long = 100000L,
+                     fanout: Long = 10000L): DataFrame = {
+    val packed = packSequences(docs, textCol, keyCol, seqLen, blockSize, fanout)
     packed.agg(
         countDistinct(col("seq_id")).as("n_sequences"),
         sum(col("end_tok") - col("begin_tok")).as("n_tokens"),

@@ -39,16 +39,21 @@ class PackingSpec extends SparkSpec {
     assert(fills.filter(col("seq_id") < lastSeq && col("fill") =!= 512L).count() == 0)
   }
 
-  test("output is invariant to physical partitioning AND block size") {
+  test("output is invariant to physical partitioning, block size, AND fanout") {
     val docs = Tables.documents(spark, sfDir)
-    def run(parts: Int, block: Long) =
+    def run(parts: Int, block: Long, fanout: Long = 10000L) =
       Packing.packSequences(docs.repartition(parts), seqLen = 512L,
-          blockSize = block)
+          blockSize = block, fanout = fanout)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSeq
     val base = run(4, 1000L)
     assert(run(13, 1000L) == base)   // partitioning-independent
-    assert(run(4, 7L) == base)       // two-level scan ≡ any block split
+    assert(run(4, 7L) == base)       // hierarchical scan ≡ any block split
+    // The superblock level is pure regrouping of integer sums: every
+    // fanout (1 = one block per superblock, 3 = many superblocks on this
+    // fixture's keyspace) packs identically.
+    assert(run(4, 7L, fanout = 1L) == base)
+    assert(run(4, 7L, fanout = 3L) == base)
   }
 
   test("packing summary reports sequences, fill, and split docs") {
