@@ -75,9 +75,9 @@ object Oracles {
       |        FROM lineitem)
       |  UNION ALL
       |  SELECT 'orders.between:o_totalprice',
-      |         CASE WHEN bad * 100.0 / cnt <= 50.0 THEN 'PASSED' ELSE 'FAILED' END,
+      |         CASE WHEN bad * 100.0 / nn <= 50.0 THEN 'PASSED' ELSE 'FAILED' END,
       |         cnt, bad
-      |  FROM (SELECT count(*) AS cnt,
+      |  FROM (SELECT count(*) AS cnt, count(o_totalprice) AS nn,
       |               count(CASE WHEN o_totalprice < 0 OR o_totalprice > 300000 THEN 1 END) AS bad
       |        FROM orders)
       |  UNION ALL
@@ -800,27 +800,39 @@ object Oracles {
       // Spark decode's arithmetic. Empty windows (n < 64) are absent
       // from `win` → sampled features coalesce to 0 and n_nonzero counts
       // the occupied windows (every mean is >= 32, never 0).
+      // doc LEFT JOINs the per-window aggregate so an empty/NULL-text
+      // document still yields its all-zero row, matching decodeStub's
+      // zero array (the s2-oracle null-hardening class).
       """WITH doc AS (
-        |  SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS n
+        |  SELECT doc_id AS media_id, coalesce(text, '') AS t,
+        |         CAST(length(coalesce(text, '')) AS BIGINT) AS n
         |  FROM documents),
         |byte AS (
-        |  SELECT media_id, text, n, unnest(range(0, n)) AS i FROM doc),
+        |  SELECT media_id, t, n, unnest(range(0, n)) AS i FROM doc),
         |win AS (
         |  SELECT media_id, ((i + 1) * 64 - 1) // n AS d, count(*) AS w,
-        |         sum(ascii(substr(text, CAST(i AS INT) + 1, 1))) AS s
+        |         sum(ascii(substr(t, CAST(i AS INT) + 1, 1))) AS s
         |  FROM byte GROUP BY 1, 2),
         |feat AS (
         |  SELECT media_id, d,
         |         round(CAST(CAST(CAST(s AS DOUBLE) / w AS FLOAT) AS DOUBLE), 4) AS f
-        |  FROM win)
-        |SELECT media_id, CAST(64 AS INT) AS dim,
-        |       coalesce(max(CASE WHEN d = 0 THEN f END), 0.0) AS f0,
-        |       coalesce(max(CASE WHEN d = 16 THEN f END), 0.0) AS f16,
-        |       coalesce(max(CASE WHEN d = 31 THEN f END), 0.0) AS f31,
-        |       coalesce(max(CASE WHEN d = 47 THEN f END), 0.0) AS f47,
-        |       coalesce(max(CASE WHEN d = 63 THEN f END), 0.0) AS f63,
-        |       CAST(count(*) AS BIGINT) AS n_nonzero
-        |FROM feat GROUP BY media_id ORDER BY media_id""".stripMargin,
+        |  FROM win),
+        |agg AS (
+        |  SELECT media_id,
+        |         max(CASE WHEN d = 0 THEN f END) AS f0,
+        |         max(CASE WHEN d = 16 THEN f END) AS f16,
+        |         max(CASE WHEN d = 31 THEN f END) AS f31,
+        |         max(CASE WHEN d = 47 THEN f END) AS f47,
+        |         max(CASE WHEN d = 63 THEN f END) AS f63,
+        |         count(*) AS n_nonzero
+        |  FROM feat GROUP BY media_id)
+        |SELECT doc.media_id, CAST(64 AS INT) AS dim,
+        |       coalesce(f0, 0.0) AS f0, coalesce(f16, 0.0) AS f16,
+        |       coalesce(f31, 0.0) AS f31, coalesce(f47, 0.0) AS f47,
+        |       coalesce(f63, 0.0) AS f63,
+        |       CAST(coalesce(n_nonzero, 0) AS BIGINT) AS n_nonzero
+        |FROM doc LEFT JOIN agg ON doc.media_id = agg.media_id
+        |ORDER BY doc.media_id""".stripMargin,
 
     "x5_media_integrity" ->
       """SELECT kind, count(*) AS n,

@@ -87,26 +87,46 @@ abstract class ValueCheck extends AggCheck {
   * `mostly` fraction of rows conform, i.e. success iff
   * `unexpected_percent ≤ (1 − mostly)·100`.
   *
+  * GE basis, exactly: for value predicates the percent is over NON-NULL
+  * rows (GE's `unexpected_percent` for column map expectations divides by
+  * `nonnull_count` — nulls neither conform nor violate), while for
+  * not-null the nulls ARE the violations and the basis is all rows. A
+  * null-heavy column under an all-rows basis would pass checks GE fails.
+  * `mostly = 1.0` (GE's own default, which real suites state explicitly)
+  * is accepted and degenerates to zero tolerance.
+  *
   * Modeled as a wrapper so every counting check gets tolerance without
-  * touching its aggregation: the inner check's fused aggregate columns are
-  * reused verbatim (still one scan per suite), only the verdict threshold
-  * changes. Supported for checks whose `unexpected_percent` is meaningful —
-  * the value-level family and not-null; wrapping an aggregate-verdict
-  * check (row counts, mean bounds…) is rejected at construction, matching
-  * GE, where `mostly` exists only on column map expectations. */
+  * touching its scan count: the inner check's fused aggregate columns are
+  * reused (plus one non-null counter for the value family — same single
+  * pass), only the verdict threshold changes. Wrapping an
+  * aggregate-verdict check (row counts, mean bounds…) is rejected at
+  * construction, matching GE, where `mostly` exists only on column map
+  * expectations. */
 final case class MostlyCheck(inner: AggCheck, mostly: Double) extends AggCheck {
-  require(mostly > 0.0 && mostly < 1.0,
-    s"mostly ($mostly) must be in (0, 1) — 1.0 is the zero-tolerance default")
+  require(mostly > 0.0 && mostly <= 1.0, s"mostly ($mostly) must be in (0, 1]")
   require(inner.isInstanceOf[ValueCheck] || inner.isInstanceOf[NotNullCheck],
     s"mostly is not meaningful for '${inner.name}' — it applies to " +
       "row-counting (column map) expectations only")
   val name: String = inner.name
-  override def aggColumns(prefix: String): Seq[Column] = inner.aggColumns(prefix)
+  override def aggColumns(prefix: String): Seq[Column] = inner match {
+    case v: ValueCheck =>
+      v.aggColumns(prefix) :+
+        count(when(col(v.column).isNotNull, lit(1)))
+          .as(s"${prefix}nonnull_count")
+    case _ => inner.aggColumns(prefix)
+  }
   override def evaluate(row: Row, prefix: String): ValidationResult = {
     val base = inner.evaluate(row, prefix)
-    val ok = base.unexpectedPercent <= (1.0 - mostly) * 100.0
+    val basis = inner match {
+      case _: ValueCheck => row.getAs[Long](s"${prefix}nonnull_count")
+      case _             => base.elementCount
+    }
+    val pct =
+      if (basis == 0) 0.0 else base.unexpectedCount.toDouble / basis * 100.0
+    val ok = pct <= (1.0 - mostly) * 100.0
     base.copy(
       status = if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      unexpectedPercent = pct,
       message =
         if (ok && base.unexpectedCount > 0)
           s"${base.message} — within mostly=$mostly tolerance"

@@ -79,10 +79,15 @@ object IvfIndex {
   }
 
   /** Probe: per query, candidates from the `nProbe` nearest inverted
-    * lists, exact cosine re-rank, top-k via the bounded aggregator. */
+    * lists, exact cosine re-rank, top-k via the bounded aggregator.
+    * `broadcastProbes = false` is the corpus-vs-corpus escape hatch: a
+    * query set too large to broadcast (it carries full vectors) falls
+    * back to the optimizer's choice instead of hitting the 8 GB
+    * broadcast ceiling. */
   def topK(model: Model, corpus: DataFrame, queries: DataFrame, k: Int,
            nProbe: Int = 2, idCol: String = "vec_id",
-           vecCol: String = "embedding"): DataFrame = {
+           vecCol: String = "embedding",
+           broadcastProbes: Boolean = true): DataFrame = {
     // One NearestCentroids node scores all k centroids and returns the
     // nProbe best cluster ids (stable-sort ties: lower cid first, like
     // the array_sort formulation it replaces).
@@ -90,12 +95,13 @@ object IvfIndex {
         explode(VectorFunctions.nearestCentroids(
           col(vecCol), model.centroids, nProbe, tiesHigh = false)).as("cluster"))
 
-    // Probes are queries × nProbe rows — broadcast-pinned so the probe
-    // join NEVER shuffles the assignments side on the k-valued `cluster`
-    // key (k distinct values = catastrophic shuffle skew at corpus scale;
-    // AQE happens to broadcast at test scale, but the plan should not
-    // depend on it).
-    val cands = broadcast(probes).join(model.assignments, "cluster")
+    // Probes are queries × nProbe rows — broadcast-pinned (default) so
+    // the probe join NEVER shuffles the assignments side on the k-valued
+    // `cluster` key (k distinct values = catastrophic shuffle skew at
+    // corpus scale; AQE happens to broadcast at test scale, but the plan
+    // should not depend on it).
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    val cands = probeSide.join(model.assignments, "cluster")
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col("qvec"), col(idCol).as("cand_id"))
     val withVec = cands.join(

@@ -271,10 +271,13 @@ case class SignBandSignature(child: Expression, planes: Seq[Seq[Double]], bands:
   * independent of k and dim.
   *
   * Scoring is bit-for-bit [[CosineSimilarity]] (same element order, same
-  * accumulator interleaving, nulls as 0, common-prefix length) — the
-  * query-side norm is accumulated once and reused, which is the identical
-  * add sequence every per-centroid evaluation would produce. Selection
-  * semantics replicate the two literal formulations exactly:
+  * accumulator interleaving, nulls as 0) — the query-side norm is
+  * accumulated once and reused, which is the identical add sequence every
+  * per-centroid evaluation would produce. A vector whose length differs
+  * from the centroid width throws instead of silently scoring a prefix
+  * (the ADVICE-r2 silent-recall class [[SignBandSignature]] guards
+  * against). Selection semantics replicate the two literal formulations
+  * exactly:
   *
   *  - `tiesHigh = true` (assignment): Spark's struct `array_max` — max by
   *    (sim, cid), NaN largest, ties to the HIGHER cid;
@@ -318,10 +321,16 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
   override def toString: String =
     s"nearest_centroids($child, k=$k, dim=$dim, nProbe=$nProbe, tiesHigh=$tiesHigh)"
 
+  // Public: invoked from generated Java code.
+  def badDim(n: Int): Nothing = throw new IllegalArgumentException(
+    s"nearest_centroids: vector has $n elements but the centroid matrix " +
+      s"has dim=$dim — wrong embedding column or model/corpus version skew")
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) badDim(v.numElements())
     val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val n = math.min(v.numElements(), dim)
+    val n = dim
     var na = 0.0
     var i = 0
     while (i < n) {
@@ -371,6 +380,8 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val flatRef = ctx.addReferenceObj("centroidMatrix", flat, "double[]")
+      val self = ctx.addReferenceObj("nearestCentroidsExpr", this,
+        classOf[NearestCentroids].getName)
       val get = child.dataType.asInstanceOf[ArrayType].elementType match {
         case FloatType  => (i: String) => s"(double) $v.getFloat($i)"
         case DoubleType => (i: String) => s"$v.getDouble($i)"
@@ -393,7 +404,8 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
       val best = ctx.freshName("best")
       val cmp = ctx.freshName("cmp")
       s"""
-         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |if ($v.numElements() != $dim) $self.badDim($v.numElements());
+         |int $n = $dim;
          |double $na = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = $v.isNullAt($i) ? 0.0 : ${get(i)};

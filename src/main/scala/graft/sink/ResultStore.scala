@@ -43,6 +43,12 @@ object ResultStore {
     runId.fold(all)(id => all.filter(col("run_id") === id))
   }
 
+  /** Locale-stable 2-dp percent: the default-locale `f` interpolator
+    * prints a comma decimal separator on some machines (the Bench.scala
+    * JSON pitfall) — docs must render identically everywhere. */
+  private def pct2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   /** Data-docs-style markdown summary of one suite run. */
   def renderDocs(suite: ValidationSuiteResult, runId: String): String = {
     val header =
@@ -54,9 +60,9 @@ object ResultStore {
          ||---|---|---|---|---|---|
          |""".stripMargin
     val rows = suite.details.map { r =>
-      val pct = f"${r.unexpectedPercent}%.2f"
       s"| ${r.validationName} | ${r.status} | ${r.elementCount} " +
-        s"| ${r.unexpectedCount} | $pct | ${r.message.replace("|", "\\|")} |"
+        s"| ${r.unexpectedCount} | ${pct2(r.unexpectedPercent)} " +
+        s"| ${r.message.replace("|", "\\|")} |"
     }
     header + rows.mkString("\n") + "\n"
   }
@@ -73,7 +79,7 @@ object ResultStore {
       val cls = if (r.passed) "pass" else "fail"
       s"""    <tr class="$cls"><td>${esc(r.validationName)}</td>""" +
         s"<td>${r.status}</td><td>${r.elementCount}</td>" +
-        s"<td>${r.unexpectedCount}</td><td>${f"${r.unexpectedPercent}%.2f"}</td>" +
+        s"<td>${r.unexpectedCount}</td><td>${pct2(r.unexpectedPercent)}</td>" +
         s"<td>${esc(r.message)}</td></tr>"
     }
     s"""<!DOCTYPE html>
@@ -120,10 +126,15 @@ object ResultStore {
     * reverse-sorted filenames list the newest run first. */
   private def rebuildIndex(d: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    val pages = Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".html") && n != "index.html")
-      .toSeq.sorted.reverse
+    // Files.list holds an open DirectoryStream — close it, or every docs
+    // write leaks a descriptor for the life of the driver.
+    val listing = Files.list(d)
+    val pages =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".html") && n != "index.html")
+        .toSeq.sorted.reverse
+      finally listing.close()
     val items = pages.map { p =>
       s"""    <li><a href="$p"><code>${p.stripSuffix(".html")}</code></a></li>"""
     }

@@ -105,22 +105,27 @@ object SuiteLoader {
     * bootstraps the baseline the next one validates against.
     *
     * A drift-declaring table that lacks a row-count expectation gets a
-    * default `RowCountCheck` injected: the baseline is recorded under
-    * `<table>.row_count_between`, so WITHOUT one the baseline would never
-    * be written and the drift check would be silently omitted on EVERY
-    * run — a regression detector that never fires (ADVICE r3). */
+    * `RowCountCheck(0)` injected — min 0, so the UNDECLARED check can
+    * never itself fail the suite (an empty bootstrap table must not trip
+    * a gate the user never wrote); its only job is recording the baseline
+    * under `<table>.row_count_between`, without which the drift check
+    * would be silently omitted on EVERY run — a regression detector that
+    * never fires (ADVICE r3). A recorded baseline of 0 rows resolves like
+    * a missing one (drift against an empty run is undefined — the next
+    * non-empty run re-bootstraps). */
   def bindWithHistory(spark: SparkSession, sfDir: String, spec: SuiteSpec,
                       storeDir: String): Seq[TableChecks] =
     spec.tables.map { t =>
       val declared =
         if (t.checks.exists(_.isInstanceOf[UnresolvedDriftCheck]) &&
             !t.checks.exists(_.isInstanceOf[RowCountCheck]))
-          t.checks :+ RowCountCheck()
+          t.checks :+ RowCountCheck(minRows = 0L)
         else t.checks
       val checks = declared.flatMap {
         case UnresolvedDriftCheck(pct) =>
           EvaluationParameters.lastRunElementCount(
               spark, storeDir, s"${t.table}.row_count_between")
+            .filter { case (_, n) => n > 0 }
             .map { case (runId, n) => RowCountDriftCheck(runId, n, pct) }
             .toSeq
         case c => Seq(c)

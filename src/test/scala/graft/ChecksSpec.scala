@@ -82,6 +82,28 @@ class ChecksSpec extends SparkSpec {
     assert(PairGreaterCheck("a", "b", orEqual = true).run(pairs).unexpectedCount == 1L)
   }
 
+  test("MostlyCheck uses GE's non-null basis for value predicates") {
+    // 10 rows: 6 NULL, 3 violations among 4 non-null = 75% unexpected on
+    // the GE basis (non-null), only 30% over all rows. GE fails this at
+    // mostly=0.5; an all-rows basis would wrongly pass it.
+    val data = df((1 to 10).map { i =>
+      Row(i.toLong, if (i <= 6) null else if (i <= 9) java.lang.Double.valueOf(-1.0)
+          else java.lang.Double.valueOf(5.0))
+      }, "id BIGINT, v DOUBLE")
+    val r = MostlyCheck(BetweenCheck("v", min = Some(0.0)), 0.5).run(data)
+    assert(!r.passed && r.unexpectedCount == 3)
+    assert(math.abs(r.unexpectedPercent - 75.0) < 1e-9)
+    // NotNullCheck keeps the all-rows basis (nulls ARE the violations):
+    // 6/10 = 60% nulls passes mostly=0.3 (tolerates 70%), fails 0.5.
+    assert(MostlyCheck(NotNullCheck("v"), 0.3).run(data).passed)
+    assert(!MostlyCheck(NotNullCheck("v"), 0.5).run(data).passed)
+    // mostly = 1.0 (GE's default, stated explicitly in real suites) is
+    // legal and degenerates to zero tolerance.
+    val zeroTol = MostlyCheck(BetweenCheck("v", min = Some(-10.0)), 1.0).run(data)
+    assert(zeroTol.passed)
+    assert(!MostlyCheck(BetweenCheck("v", min = Some(0.0)), 1.0).run(data).passed)
+  }
+
   test("AggBoundsCheck evaluates statistics against bounds") {
     assert(AggBoundsCheck("value", "mean", 0.0, 20.0).run(regions).passed) // mean=8.125
     assert(!AggBoundsCheck("value", "max", 0.0, 10.0).run(regions).passed) // max=20

@@ -105,6 +105,26 @@ class SuiteLoaderSpec extends SparkSpec {
     assert(result.passed && result.totalCount == 2)
   }
 
+  test("a zero-row recorded baseline resolves like a missing one (re-bootstrap)") {
+    import graft.sink.ResultStore
+    import graft.suite.{TableChecks, ValidationSuite}
+    val driftSuite = SuiteLoader.parse(
+      """{"tables":[{"table":"orders","expectations":[
+        |  {"type":"expect_row_count_within_pct_of_last_run",
+        |   "kwargs":{"max_pct_change": 15.0}}]}]}""".stripMargin)
+    val store = java.nio.file.Files.createTempDirectory("graft_zero_base").toString
+    // Record a baseline from an EMPTY table (min 0 — the injected check's
+    // configuration, which must not fail on it either).
+    val empty = Tables.orders(spark, sfDir).filter("1 = 0")
+    val seed = ValidationSuite.run(Seq(TableChecks("orders", empty,
+      Seq(RowCountCheck(minRows = 0L)))))
+    assert(seed.passed, "a zero-row bootstrap must not fail the injected check")
+    ResultStore.write(spark, seed, store, "2026-03-01T00:00:00Z")
+    // Drift against a 0-count baseline is undefined → omitted, not thrown.
+    val bound = SuiteLoader.bindWithHistory(spark, sfDir, driftSuite, store)
+    assert(bound.head.checks.map(_.name) == Seq("row_count_between"))
+  }
+
   test("max_pct_change is required — a typoed kwarg must not default silently") {
     val typoed =
       """{"tables":[{"table":"orders","expectations":[

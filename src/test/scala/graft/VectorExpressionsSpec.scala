@@ -170,6 +170,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(nodeCount < 20, s"expected a constant-size plan, got $nodeCount nodes")
   }
 
+  test("nearest_centroids throws on a dim mismatch instead of scoring a prefix") {
+    val cents = Array.fill(3)(Array.fill(8)(0.5))
+    val short = df(Seq(Row(1L, Seq(1.0f, 2.0f))), "id BIGINT, v ARRAY<FLOAT>")
+    val e = intercept[Exception] {
+      short.select(VectorFunctions.nearestCentroids(col("v"), cents, 1,
+        tiesHigh = true)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dim=8")), s"got: ${messages(e)}")
+  }
+
   test("nearest_centroids: interpreted eval agrees with the codegen path") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, FloatType}
