@@ -63,6 +63,11 @@ abstract class ValueCheck extends AggCheck {
   def unexpected: Column
   def describe: String
 
+  /** Rows forming GE's `mostly` denominator — those that can conform or
+    * violate. Column checks: the column is non-null. Pair checks
+    * override with GE's not-both-missing default (`ignore_row_if`). */
+  def mostlyBasis: Column = col(column).isNotNull
+
   override def aggColumns(prefix: String): Seq[Column] = Seq(
     count(lit(1)).as(s"${prefix}element_count"),
     count(when(unexpected, lit(1))).as(s"${prefix}unexpected_count"))
@@ -87,11 +92,11 @@ abstract class ValueCheck extends AggCheck {
   * `mostly` fraction of rows conform, i.e. success iff
   * `unexpected_percent ≤ (1 − mostly)·100`.
   *
-  * GE basis, exactly: for value predicates the percent is over NON-NULL
-  * rows (GE's `unexpected_percent` for column map expectations divides by
-  * `nonnull_count` — nulls neither conform nor violate), while for
-  * not-null the nulls ARE the violations and the basis is all rows. A
-  * null-heavy column under an all-rows basis would pass checks GE fails.
+  * GE basis: for value predicates the percent is over the check's
+  * [[ValueCheck.mostlyBasis]] rows — non-null for column checks, GE's
+  * not-both-missing default for pair checks — while for not-null the
+  * nulls ARE the violations and the basis is all rows. A null-heavy
+  * column under an all-rows basis would pass checks GE fails.
   * `mostly = 1.0` (GE's own default, which real suites state explicitly)
   * is accepted and degenerates to zero tolerance.
   *
@@ -111,8 +116,7 @@ final case class MostlyCheck(inner: AggCheck, mostly: Double) extends AggCheck {
   override def aggColumns(prefix: String): Seq[Column] = inner match {
     case v: ValueCheck =>
       v.aggColumns(prefix) :+
-        count(when(col(v.column).isNotNull, lit(1)))
-          .as(s"${prefix}nonnull_count")
+        count(when(v.mostlyBasis, lit(1))).as(s"${prefix}nonnull_count")
     case _ => inner.aggColumns(prefix)
   }
   override def evaluate(row: Row, prefix: String): ValidationResult = {
@@ -267,6 +271,9 @@ final case class PairGreaterCheck(a: String, b: String, orEqual: Boolean = false
   def unexpected: Column =
     if (orEqual) col(a) < col(b) else col(a) <= col(b)
   def describe: String = s"$a ${if (orEqual) ">=" else ">"} $b"
+  /** GE's column-pair default (`ignore_row_if: both_values_are_missing`):
+    * a row counts toward the mostly denominator unless BOTH are null. */
+  override def mostlyBasis: Column = col(a).isNotNull || col(b).isNotNull
 }
 
 /** G11 — `expect_column_mean/min/max_to_be_between` (aggregate profiling). */
@@ -414,8 +421,16 @@ object CheckSuite {
     * suite with one read. */
   def runBatched(df: DataFrame, checks: Seq[AggCheck]): Seq[graft.model.ValidationResult] = {
     if (checks.isEmpty) return Nil
-    val cols = checks.flatMap(c => c.aggColumns(c.safeName + "__"))
+    // Position-qualified prefixes: two same-named checks (e.g. a hard and
+    // a mostly-tolerant BetweenCheck on one column — both named
+    // 'between:<col>') would otherwise emit colliding aliases, and
+    // Row.getAs-by-name silently resolves BOTH to the first check's
+    // counters.
+    def prefix(i: Int, c: AggCheck) = s"c${i}__${c.safeName}__"
+    val cols = checks.zipWithIndex.flatMap { case (c, i) => c.aggColumns(prefix(i, c)) }
     val row = df.agg(cols.head, cols.tail: _*).head()
-    checks.map(c => c.refine(df, c.evaluate(row, c.safeName + "__")))
+    checks.zipWithIndex.map { case (c, i) =>
+      c.refine(df, c.evaluate(row, prefix(i, c)))
+    }
   }
 }

@@ -69,10 +69,15 @@ final case class RowCountDriftCheck(
     val n = row.getAs[Long](s"${prefix}element_count")
     val pct = math.abs(n - baselineCount).toDouble / baselineCount * 100.0
     val ok = pct <= maxPctChange
+    // Locale.ROOT: the default-locale f interpolator prints comma
+    // decimals on some machines, and this message lands verbatim in the
+    // data-docs pages, which must render identically everywhere.
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     ValidationResult(name,
       if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
-      f"row count $n vs $baselineCount in run '$baselineRunId': " +
-        f"drift $pct%.2f%% (max $maxPctChange%.1f%%)",
+      s"row count $n vs $baselineCount in run '$baselineRunId': " +
+        s"drift ${num(pct, 2)}% (max ${num(maxPctChange, 1)}%)",
       elementCount = n,
       unexpectedCount = if (ok) 0L else 1L,
       unexpectedPercent = pct)

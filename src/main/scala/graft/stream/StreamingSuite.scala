@@ -31,6 +31,15 @@ object StreamingSuite {
       stream: DataFrame, tsCol: String, windowLength: String,
       watermarkDelay: String, checks: Seq[AggCheck]): DataFrame = {
     require(checks.nonEmpty, "at least one check")
+    // The check name IS the output schema here (callers select
+    // '<safeName>__<alias>' columns), so duplicates can't be silently
+    // position-qualified like CheckSuite.runBatched does — two
+    // same-named checks would emit colliding columns and getAs-by-name
+    // would read the wrong one. Reject loudly instead.
+    val dup = checks.groupBy(_.safeName).collect { case (n, cs) if cs.sizeIs > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate check name(s) in one streaming suite: ${dup.mkString(", ")} — " +
+        "rename or merge; windowed column names derive from check names")
     val cols: Seq[Column] = checks.flatMap(c => c.aggColumns(c.safeName + "__"))
     stream
       .withWatermark(tsCol, watermarkDelay)

@@ -82,6 +82,18 @@ class ChecksSpec extends SparkSpec {
     assert(PairGreaterCheck("a", "b", orEqual = true).run(pairs).unexpectedCount == 1L)
   }
 
+  test("runBatched keeps same-named checks independent (no alias collision)") {
+    // Both checks are named 'between:v'; before position-qualified
+    // prefixes the second silently evaluated the FIRST check's counters.
+    val data = df((1 to 10).map(i => Row(i.toLong, i.toDouble)),
+      "id BIGINT, v DOUBLE")
+    val hard = BetweenCheck("v", min = Some(0.0))                     // passes
+    val tight = MostlyCheck(BetweenCheck("v", max = Some(5.0)), 0.6)  // 50% > 40% tol
+    val rs = CheckSuite.runBatched(data, Seq(hard, tight))
+    assert(rs(0).passed && rs(0).unexpectedCount == 0)
+    assert(!rs(1).passed && rs(1).unexpectedCount == 5)
+  }
+
   test("MostlyCheck uses GE's non-null basis for value predicates") {
     // 10 rows: 6 NULL, 3 violations among 4 non-null = 75% unexpected on
     // the GE basis (non-null), only 30% over all rows. GE fails this at

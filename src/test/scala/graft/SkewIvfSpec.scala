@@ -99,5 +99,11 @@ class SkewIvfSpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(ivf.toSeq == brute.toSeq)
+    // The corpus-vs-corpus escape hatch (no broadcast pin) must produce
+    // the identical result through the optimizer-chosen join.
+    val unpinned = IvfIndex.topK(model, emb, queries, k = 3, nProbe = 4,
+        broadcastProbes = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(unpinned.toSeq == brute.toSeq)
   }
 }

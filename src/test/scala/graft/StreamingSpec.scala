@@ -101,6 +101,16 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("duplicate check names are rejected — windowed columns derive from names") {
+    val e = intercept[IllegalArgumentException] {
+      graft.stream.StreamingSuite.windowedChecks(
+        Tables.events(spark, sfDir), "ts", "1 hour", "0 seconds",
+        Seq(BetweenCheck("value", min = Some(0.0)),
+          BetweenCheck("value", max = Some(10.0))))
+    }
+    assert(e.getMessage.contains("between_value"))
+  }
+
   test("streaming and batch agree on the same fused checks") {
     // The events parquet replayed as a bounded stream: every window's
     // element_count must sum to the batch row count.
