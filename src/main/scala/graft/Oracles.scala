@@ -573,6 +573,14 @@ object Oracles {
         |  FROM lineitem GROUP BY 1)
         |ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin,
 
+    "x11_salted_join" ->
+      // The PLAIN inner join: equality with the Spark side's salted
+      // spray+replicate layout proves salting is result-invisible.
+      """SELECT l_suppkey AS s_suppkey, count(*) AS n_lines,
+        |       max(s_nationkey) AS nation_key
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY s_suppkey""".stripMargin,
+
     "s2_stream_dedup" ->
       // The batch replay of the streaming dedup: corpus = documents + 5
       // planted exact copies; unique = distinct normalized text (the md5

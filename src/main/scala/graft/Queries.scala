@@ -494,6 +494,23 @@ object Queries {
   def x11SkewProfile(s: SparkSession, d: String): DataFrame =
     graft.ext.Skew.keySkewProfile(lineitem(s, d), "l_suppkey", k = 10)
 
+  /** X11b — the salted join itself through the correctness gate: the
+    * lineitem fact sprayed across 8 salt sub-keys joins the supplier dim
+    * (replicated 8×), aggregated per supplier. The DuckDB oracle is the
+    * PLAIN join — hash equality proves the spray+replicate layout is
+    * result-invisible at data scale, not just on the unit fixture. The
+    * big side keeps (orderkey, linenumber) so the full-row spray hash
+    * actually spreads a hot supplier's rows across salts. */
+  def x11SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).select(col("l_suppkey").as("s_suppkey"),
+      col("l_orderkey"), col("l_linenumber"))
+    val small = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    graft.ext.Skew.saltedJoin(big, small, "s_suppkey", salt = 8)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_lines"), max(col("s_nationkey")).as("nation_key"))
+      .orderBy("s_suppkey")
+  }
+
   /** X3a — global token frequency top-20. */
   def x3TopTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topTokens(documents(s, d))

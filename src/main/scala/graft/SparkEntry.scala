@@ -73,7 +73,8 @@ object SparkEntry {
     "x8_contamination" -> (Queries.x8Contamination _),
     "x9_pack_sequences" -> (Queries.x9PackSequences _),
     "x10_curation_funnel" -> (Queries.x10CurationFunnel _),
-    "x11_skew_profile" -> (Queries.x11SkewProfile _)
+    "x11_skew_profile" -> (Queries.x11SkewProfile _),
+    "x11_salted_join" -> (Queries.x11SaltedJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
