@@ -272,7 +272,15 @@ final case class PairGreaterCheck(a: String, b: String, orEqual: Boolean = false
     if (orEqual) col(a) < col(b) else col(a) <= col(b)
   def describe: String = s"$a ${if (orEqual) ">=" else ">"} $b"
   /** GE's column-pair default (`ignore_row_if: both_values_are_missing`):
-    * a row counts toward the mostly denominator unless BOTH are null. */
+    * a row counts toward the mostly denominator unless BOTH are null.
+    *
+    * Deliberate SQL-engine parity (ADVICE r4): a one-sided-null row is in
+    * the basis but the null comparison is never `unexpected` (ANSI ternary
+    * logic), so it always registers as conforming — exactly GE's
+    * SparkDF/SQLAlchemy engines. GE's pandas engine differs (NaN
+    * comparisons count as unexpected); this engine is Spark, so SQL
+    * semantics are the contract, and the DuckDB oracles replay the same
+    * ternary logic. */
   override def mostlyBasis: Column = col(a).isNotNull || col(b).isNotNull
 }
 

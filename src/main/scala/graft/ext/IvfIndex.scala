@@ -80,14 +80,20 @@ object IvfIndex {
 
   /** Probe: per query, candidates from the `nProbe` nearest inverted
     * lists, exact cosine re-rank, top-k via the bounded aggregator.
-    * `broadcastProbes = false` is the corpus-vs-corpus escape hatch: a
-    * query set too large to broadcast (it carries full vectors) falls
-    * back to the optimizer's choice instead of hitting the 8 GB
-    * broadcast ceiling. */
+    *
+    * Probe broadcasting degrades instead of failing (ADVICE r4): probe
+    * rows carry full query vectors, so an unguarded `broadcast()` of a
+    * corpus-sized query set hard-fails at the 8 GB broadcast ceiling. A
+    * guarded row-count fetch (the [[Skew.chooseStrategy]] pattern — an
+    * explicit, bounded planning cost) pins the broadcast only while
+    * `queries × nProbe ≤ broadcastProbeLimit`; above it the join falls
+    * back to the optimizer's choice. `broadcastProbes = false` skips the
+    * count and never broadcasts (corpus-vs-corpus escape hatch). */
   def topK(model: Model, corpus: DataFrame, queries: DataFrame, k: Int,
            nProbe: Int = 2, idCol: String = "vec_id",
            vecCol: String = "embedding",
-           broadcastProbes: Boolean = true): DataFrame = {
+           broadcastProbes: Boolean = true,
+           broadcastProbeLimit: Long = 1000000L): DataFrame = {
     // One NearestCentroids node scores all k centroids and returns the
     // nProbe best cluster ids (stable-sort ties: lower cid first, like
     // the array_sort formulation it replaces).
@@ -95,12 +101,17 @@ object IvfIndex {
         explode(VectorFunctions.nearestCentroids(
           col(vecCol), model.centroids, nProbe, tiesHigh = false)).as("cluster"))
 
-    // Probes are queries × nProbe rows — broadcast-pinned (default) so
-    // the probe join NEVER shuffles the assignments side on the k-valued
-    // `cluster` key (k distinct values = catastrophic shuffle skew at
-    // corpus scale; AQE happens to broadcast at test scale, but the plan
-    // should not depend on it).
-    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    // Probes are queries × nProbe rows — broadcast-pinned (when within
+    // the guard) so the probe join NEVER shuffles the assignments side on
+    // the k-valued `cluster` key (k distinct values = catastrophic
+    // shuffle skew at corpus scale; AQE happens to broadcast at test
+    // scale, but the plan should not depend on it).
+    val pin = broadcastProbes && {
+      val queryRows = graft.Client.fetchScalar[Long](
+        queries.agg(count(lit(1)).as("__n")), "__n")
+      queryRows * math.min(nProbe, model.centroids.length) <= broadcastProbeLimit
+    }
+    val probeSide = if (pin) broadcast(probes) else probes
     val cands = probeSide.join(model.assignments, "cluster")
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col("qvec"), col(idCol).as("cand_id"))

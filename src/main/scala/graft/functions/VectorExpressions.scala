@@ -289,7 +289,10 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
   extends UnaryExpression {
 
   private def k = centroids.length
-  private def dim = centroids.head.length
+  // Guarded for k = 0: toString/checkInputDataTypes render the
+  // empty-centroids misuse, and a NoSuchElementException from `head` there
+  // would mask the intended TypeCheckFailure (ADVICE r4).
+  private def dim = centroids.headOption.map(_.length).getOrElse(0)
   private def effProbe = math.min(nProbe, k)
 
   // k×dim row-major; @transient: rebuilt from `centroids` per JVM.

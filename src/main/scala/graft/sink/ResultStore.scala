@@ -138,7 +138,12 @@ object ResultStore {
     val items = pages.map { p =>
       s"""    <li><a href="$p"><code>${p.stripSuffix(".html")}</code></a></li>"""
     }
-    Files.writeString(d.resolve("index.html"),
+    // Write-then-atomic-move: a reader (or a second concurrent checkpoint
+    // run rebuilding the same site) never observes a truncated index. The
+    // ".tmp" suffix also keeps the scratch file out of the page listing
+    // above if a crash strands it.
+    val tmp = Files.createTempFile(d, ".index", ".tmp")
+    Files.writeString(tmp,
       s"""<!DOCTYPE html>
          |<html><head><meta charset="utf-8"><title>Validation runs</title></head>
          |<body><h1>Validation runs</h1>
@@ -147,6 +152,9 @@ object ResultStore {
          |</ul>
          |</body></html>
          |""".stripMargin)
+    Files.move(tmp, d.resolve("index.html"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()
   }
 }
