@@ -33,6 +33,14 @@ object Oracles {
       |         cnt, CAST(CASE WHEN dc >= 1 AND dc <= 10 THEN 0 ELSE 1 END AS BIGINT)
       |  FROM (SELECT count(*) AS cnt, count(DISTINCT c_mktsegment) AS dc FROM customer)
       |  UNION ALL
+      |  SELECT 'customer.distinct_count_approx:c_mktsegment',
+      |         CASE WHEN dc >= 1 AND dc <= 10 THEN 'PASSED' ELSE 'FAILED' END,
+      |         cnt, CAST(CASE WHEN dc >= 1 AND dc <= 10 THEN 0 ELSE 1 END AS BIGINT)
+      |  -- Approx-check oracle contract: DuckDB computes the EXACT
+      |  -- cardinality; the suite's bounds dominate the HLL rsd error, so
+      |  -- the VERDICT (not the estimate) is what both engines agree on.
+      |  FROM (SELECT count(*) AS cnt, count(DISTINCT c_mktsegment) AS dc FROM customer)
+      |  UNION ALL
       |  SELECT 'customer.in_set:c_mktsegment',
       |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
       |  FROM (SELECT count(*) AS cnt,
@@ -55,6 +63,14 @@ object Oracles {
       |         cnt, CAST(CASE WHEN q >= 9000 THEN 0 ELSE 1 END AS BIGINT)
       |  FROM (SELECT count(*) AS cnt,
       |               round(quantile_cont(c_acctbal, 0.95), 4) AS q FROM customer)
+      |  UNION ALL
+      |  SELECT 'customer.quantile_approx:c_acctbal:0.5',
+      |         CASE WHEN q >= 1000 AND q <= 8000 THEN 'PASSED' ELSE 'FAILED' END,
+      |         cnt, CAST(CASE WHEN q >= 1000 AND q <= 8000 THEN 0 ELSE 1 END AS BIGINT)
+      |  -- Exact quantile on the oracle side; verdict-level agreement
+      |  -- (bounds dominate the GK sketch's rank error).
+      |  FROM (SELECT count(*) AS cnt,
+      |               quantile_cont(c_acctbal, 0.5) AS q FROM customer)
       |  UNION ALL
       |  SELECT 'customer.value_length:c_name',
       |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
@@ -80,6 +96,14 @@ object Oracles {
       |  FROM (SELECT count(*) AS cnt, count(o_totalprice) AS nn,
       |               count(CASE WHEN o_totalprice < 0 OR o_totalprice > 300000 THEN 1 END) AS bad
       |        FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders.between:o_totalprice:where:o_orderstatus = ''F''',
+      |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
+      |  -- row_condition folds into BOTH counters: element_count is the
+      |  -- condition rows, unexpected only among them.
+      |  FROM (SELECT count(*) AS cnt,
+      |               count(CASE WHEN o_totalprice < 0 THEN 1 END) AS bad
+      |        FROM orders WHERE o_orderstatus = 'F')
       |  UNION ALL
       |  SELECT 'orders.in_set:o_orderstatus',
       |         CASE WHEN bad = 0 THEN 'PASSED' ELSE 'FAILED' END, cnt, bad
@@ -748,6 +772,33 @@ object Oracles {
         |c AS (
         |  SELECT doc_id, n_tok,
         |         COALESCE(CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start
+        |  FROM t WHERE n_tok > 0),
+        |spans AS (
+        |  SELECT doc_id, n_tok, start,
+        |         unnest(range(start // 512, (start + n_tok - 1) // 512 + 1)) AS seq_id
+        |  FROM c)
+        |SELECT doc_id, seq_id,
+        |       greatest(seq_id * 512, start) - start AS begin_tok,
+        |       least((seq_id + 1) * 512, start + n_tok) - start AS end_tok,
+        |       n_tok
+        |FROM spans ORDER BY doc_id, seq_id""".stripMargin,
+
+    "x9_pack_padded" ->
+      // Pad-to-boundary variant: the advance summed by the window is the
+      // token count ceil-rounded to whole 512-token sequences, so every
+      // document starts on a boundary; spans still cover actual tokens
+      // only (the rounded tail is implicit padding).
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |                   ELSE len(string_split_regex(trim(text), '\s+')) END
+        |              AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |         COALESCE(CAST(sum(((n_tok - 1) // 512 + 1) * 512) OVER (
+        |           ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start
         |  FROM t WHERE n_tok > 0),
         |spans AS (

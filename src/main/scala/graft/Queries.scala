@@ -470,6 +470,14 @@ object Queries {
     graft.ext.Packing.packSequences(documents(s, d),
       seqLen = 512L, blockSize = 1000L)
 
+  /** X9b — the pad-to-boundary packing variant: no sequence mixes two
+    * documents; each doc's advance is ceil-rounded to whole sequences.
+    * Same hierarchical scan, so the oracle replays it with the rounded
+    * quantity in the one ordered window. */
+  def x9PackPadded(s: SparkSession, d: String): DataFrame =
+    graft.ext.Packing.packSequences(documents(s, d),
+      seqLen = 512L, blockSize = 1000L, respectDocBoundaries = true)
+
   /** X3f — within-document bigram repetition per language (Gopher-style
     * quality rule). */
   def x3Repetition(s: SparkSession, d: String): DataFrame =

@@ -72,6 +72,7 @@ object SparkEntry {
     "x7_pii_scan" -> (Queries.x7PiiScan _),
     "x8_contamination" -> (Queries.x8Contamination _),
     "x9_pack_sequences" -> (Queries.x9PackSequences _),
+    "x9_pack_padded" -> (Queries.x9PackPadded _),
     "x10_curation_funnel" -> (Queries.x10CurationFunnel _),
     "x11_skew_profile" -> (Queries.x11SkewProfile _),
     "x11_salted_join" -> (Queries.x11SaltedJoin _)

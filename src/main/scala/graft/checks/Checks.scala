@@ -63,14 +63,29 @@ abstract class ValueCheck extends AggCheck {
   def unexpected: Column
   def describe: String
 
-  /** Rows forming GE's `mostly` denominator — those that can conform or
-    * violate. Column checks: the column is non-null. Pair checks
-    * override with GE's not-both-missing default (`ignore_row_if`). */
-  def mostlyBasis: Column = col(column).isNotNull
+  /** GE's `row_condition` kwarg: when set, the expectation sees ONLY rows
+    * satisfying this predicate — `element_count`, `unexpected_count`, and
+    * the `mostly` basis all fold it into the same fused aggregate (no
+    * second scan, no pre-filtered DataFrame). Set via
+    * [[ConditionedCheck]]; None = unconditioned (every existing check). */
+  def rowCondition: Option[Column] = None
+  protected final def conditioned(c: Column): Column =
+    rowCondition.map(_ && c).getOrElse(c)
+
+  /** Rows that can conform or violate, BEFORE the row condition. Column
+    * checks: the column is non-null. Pair checks override with GE's
+    * not-both-missing default (`ignore_row_if`). */
+  def basisRaw: Column = col(column).isNotNull
+
+  /** Rows forming GE's `mostly` denominator: the unconditioned basis
+    * restricted to the row condition. */
+  final def mostlyBasis: Column = conditioned(basisRaw)
 
   override def aggColumns(prefix: String): Seq[Column] = Seq(
-    count(lit(1)).as(s"${prefix}element_count"),
-    count(when(unexpected, lit(1))).as(s"${prefix}unexpected_count"))
+    count(when(rowCondition.getOrElse(lit(true)), lit(1)))
+      .as(s"${prefix}element_count"),
+    count(when(conditioned(unexpected), lit(1)))
+      .as(s"${prefix}unexpected_count"))
 
   override def evaluate(row: Row, prefix: String): ValidationResult = {
     val total = row.getAs[Long](s"${prefix}element_count")
@@ -142,6 +157,46 @@ final case class MostlyCheck(inner: AggCheck, mostly: Double) extends AggCheck {
     * should not pay the inner check's refine job). */
   override def refine(df: DataFrame, r: ValidationResult): ValidationResult =
     if (r.status == ValidationStatus.Failed) inner.refine(df, r) else r
+}
+
+/** GE's `row_condition` kwarg — a conditional expectation: validate the
+  * column only where `conditionSql` (a Spark SQL boolean expression over
+  * the table's columns) holds. Core GE 0.18 vocabulary alongside `mostly`
+  * (airflow/requirements.txt:3); suites ported from real deployments use
+  * it constantly ("o_totalprice >= 0, but only for finalized orders").
+  *
+  * A wrapper, like [[MostlyCheck]]: the condition folds into the inner
+  * check's fused aggregate counters via [[ValueCheck.rowCondition]] —
+  * element count, unexpected count, and the mostly basis all see only
+  * condition rows, still in ONE scan. Composes inside `mostly`
+  * (`MostlyCheck(ConditionedCheck(...), m)`): the tolerance denominator
+  * is then the conditioned basis, matching GE. */
+final case class ConditionedCheck(inner: ValueCheck, conditionSql: String)
+  extends ValueCheck {
+  require(conditionSql.trim.nonEmpty, "row_condition must be non-empty")
+  val name: String = s"${inner.name}:where:$conditionSql"
+  def column: String = inner.column
+  def unexpected: Column = inner.unexpected
+  def describe: String = s"${inner.describe} (where $conditionSql)"
+  override def basisRaw: Column = inner.basisRaw
+  override def rowCondition: Option[Column] = Some(expr(conditionSql))
+  /** The offender sample must honor the condition too: refine over the
+    * restricted frame (failure-path-only, so the filter job is paid only
+    * when the conditioned check actually failed). */
+  override def refine(df: DataFrame, r: ValidationResult): ValidationResult =
+    inner.refine(df.filter(expr(conditionSql)), r)
+}
+
+/** `expect_column_values_to_not_be_null` under a `row_condition`: GE's
+  * not-null semantics lifted into the [[ValueCheck]] family so the
+  * condition folds into both counters — the basis is ALL condition rows
+  * (nulls are the violations, so they must stay in the denominator,
+  * unlike value predicates where null rows can't conform or violate). */
+final case class NotNullWhereCheck(column: String) extends ValueCheck {
+  val name = s"not_null:$column"
+  def unexpected: Column = col(column).isNull
+  def describe: String = s"$column not null"
+  override def basisRaw: Column = lit(true)
 }
 
 /** G1/D1/R2 — `expect_table_row_count_to_be_between` (min=1 ⇒ non-empty).
@@ -281,7 +336,7 @@ final case class PairGreaterCheck(a: String, b: String, orEqual: Boolean = false
     * comparisons count as unexpected); this engine is Spark, so SQL
     * semantics are the contract, and the DuckDB oracles replay the same
     * ternary logic. */
-  override def mostlyBasis: Column = col(a).isNotNull || col(b).isNotNull
+  override def basisRaw: Column = col(a).isNotNull || col(b).isNotNull
 }
 
 /** G11 — `expect_column_mean/min/max_to_be_between` (aggregate profiling). */
@@ -353,8 +408,9 @@ final case class ValueLengthCheck(column: String, minLen: Int, maxLen: Int)
 
 /** G14 — `expect_column_unique_value_count_to_be_between`. Exact distinct
   * count — a partial-aggregable two-level aggregate at scale (Spark
-  * rewrites count(distinct) to expand+2-phase agg); use
-  * `approx_count_distinct` instead when ±2% suffices on very hot columns. */
+  * rewrites count(distinct) to expand+2-phase agg); declare
+  * [[ApproxDistinctCountCheck]] (`approx: true` in a suite file) when
+  * ±2% suffices on very hot columns. */
 final case class DistinctCountCheck(column: String, lo: Long, hi: Long)
   extends AggCheck {
   val name = s"distinct_count:$column"
@@ -372,12 +428,43 @@ final case class DistinctCountCheck(column: String, lo: Long, hi: Long)
   }
 }
 
+/** G14-approx — the `approx: true` variant: HyperLogLog++
+  * (`approx_count_distinct`, default rsd 5%) instead of the exact
+  * expand+2-phase aggregate. At 100 TB an exact distinct on a hot
+  * wide column shuffles every distinct value; the sketch is a fixed-size
+  * buffer merged map-side. Fuses like any AggCheck. The estimate is
+  * deterministic for a given dataset (hash-based sketch, no RNG) but NOT
+  * engine-portable — a DuckDB oracle can only range-assert that the true
+  * cardinality sits inside the declared bounds (both engines then agree
+  * on the VERDICT whenever the bounds dominate the rsd error, which is
+  * how a suite should use it: bounds at least ~3·rsd away from the true
+  * value on both sides). */
+final case class ApproxDistinctCountCheck(
+    column: String, lo: Long, hi: Long, rsd: Double = 0.05)
+  extends AggCheck {
+  require(rsd > 0.0 && rsd < 1.0, s"rsd ($rsd) must be in (0, 1)")
+  val name = s"distinct_count_approx:$column"
+  override def aggColumns(prefix: String): Seq[Column] = Seq(
+    count(lit(1)).as(s"${prefix}element_count"),
+    approx_count_distinct(col(column), rsd).as(s"${prefix}observed"))
+  override def evaluate(row: Row, prefix: String): ValidationResult = {
+    val total = row.getAs[Long](s"${prefix}element_count")
+    val observed = row.getAs[Long](s"${prefix}observed")
+    val ok = observed >= lo && observed <= hi
+    ValidationResult(name,
+      if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      s"approx_distinct($column) = $observed (rsd=$rsd), expected [$lo, $hi]",
+      elementCount = total, unexpectedCount = if (ok) 0L else 1L)
+  }
+}
+
 /** G15 — `expect_column_quantile_values_to_be_between`: exact interpolated
   * percentile (Spark `percentile`; the same linear-interpolation
   * definition as ANSI quantile_cont, so it is oracle-comparable —
   * `approx_percentile` is not engine-portable). Exact percentile sorts
-  * within the aggregation; for very large columns prefer the approx
-  * variant and drop the oracle to a range assertion. */
+  * within the aggregation; for very large columns declare
+  * [[ApproxQuantileCheck]] (`approx: true` in a suite file) and drop the
+  * oracle to a range assertion. */
 final case class QuantileCheck(
     column: String, quantile: Double, lo: Double, hi: Double)
   extends AggCheck {
@@ -394,6 +481,37 @@ final case class QuantileCheck(
     ValidationResult(name,
       if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
       s"p$quantile($column) = $observed, expected [$lo, $hi]",
+      elementCount = total, unexpectedCount = if (ok) 0L else 1L)
+  }
+}
+
+/** G15-approx — the `approx: true` variant: Greenwald-Khanna
+  * (`approx_percentile`) instead of the exact within-aggregate sort. At
+  * 100 TB the exact percentile buffers the whole column per group; the
+  * GK sketch is bounded by the accuracy parameter and merges map-side.
+  * Deterministic for a given dataset, but not engine-portable — same
+  * range-assertion oracle contract as [[ApproxDistinctCountCheck]]:
+  * declare bounds comfortably wider than the sketch's rank error
+  * (±1/accuracy of the rank) and both engines agree on the verdict. */
+final case class ApproxQuantileCheck(
+    column: String, quantile: Double, lo: Double, hi: Double,
+    accuracy: Int = 10000)
+  extends AggCheck {
+  require(quantile >= 0.0 && quantile <= 1.0, s"quantile in [0,1]: $quantile")
+  require(accuracy > 0, s"accuracy ($accuracy) must be positive")
+  val name = s"quantile_approx:$column:$quantile"
+  override def aggColumns(prefix: String): Seq[Column] = Seq(
+    count(lit(1)).as(s"${prefix}element_count"),
+    round(expr(s"approx_percentile(`$column`, $quantile, $accuracy)")
+      .cast("double"), 4).as(s"${prefix}observed"))
+  override def evaluate(row: Row, prefix: String): ValidationResult = {
+    val total = row.getAs[Long](s"${prefix}element_count")
+    val idx = row.fieldIndex(s"${prefix}observed")
+    val observed = if (row.isNullAt(idx)) Double.NaN else row.getDouble(idx)
+    val ok = !observed.isNaN && observed >= lo && observed <= hi
+    ValidationResult(name,
+      if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      s"approx_p$quantile($column) = $observed, expected [$lo, $hi]",
       elementCount = total, unexpectedCount = if (ok) 0L else 1L)
   }
 }

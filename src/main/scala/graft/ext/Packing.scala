@@ -36,30 +36,48 @@ import org.apache.spark.sql.functions._
   * (document, sequence) intersection; a document crossing a boundary
   * emits one row per sequence it spans. `begin_tok`/`end_tok` are the
   * within-document token span [begin, end) contributing to `seq_id`.
+  *
+  * `respectDocBoundaries = true` is the pad-to-boundary variant real
+  * pretraining recipes pair with concat-and-chunk: no sequence ever
+  * mixes tokens from two documents. Each document's advance through the
+  * global token stream is its token count CEIL-ROUNDED to a whole number
+  * of sequences (`⌈n_tok/seqLen⌉·seqLen`); since every advance is a
+  * multiple of `seqLen`, every document starts on a sequence boundary by
+  * induction, and the tail of its last sequence is implicit padding.
+  * Same hierarchical scan — only the summed quantity changes — so the
+  * bit-for-bit (blockSize, fanout) invariance carries over. Documents
+  * longer than `seqLen` still span multiple sequences (their own).
   */
 object Packing {
 
   def packSequences(docs: DataFrame, textCol: String = "text",
                     keyCol: String = "doc_id", seqLen: Long = 2048L,
                     blockSize: Long = 100000L,
-                    fanout: Long = 10000L): DataFrame = {
+                    fanout: Long = 10000L,
+                    respectDocBoundaries: Boolean = false): DataFrame = {
     require(seqLen > 0 && blockSize > 0 && fanout > 0,
       "seqLen, blockSize, and fanout must be positive")
+    // The document's advance through the global token stream: exact
+    // (split mode) or ceil-rounded to whole sequences (boundary mode).
+    val advance =
+      if (respectDocBoundaries) expr(s"((n_tok - 1) div $seqLen + 1) * $seqLen")
+      else col("n_tok")
     val toks = docs
       .select(col(keyCol), TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
       .filter(col("n_tok") > 0)
+      .withColumn("__adv", advance)
       .withColumn("__blk", expr(s"$keyCol div $blockSize"))
 
     val localW = Window.partitionBy("__blk").orderBy(keyCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = toks.withColumn("__local",
-      coalesce(sum(col("n_tok")).over(localW), lit(0L)))
+      coalesce(sum(col("__adv")).over(localW), lit(0L)))
 
     // Block offsets via the superblock level: the within-superblock
     // cumsum is partitioned (parallel across superblocks); only the
     // per-superblock totals see an unpartitioned window, bounded at
     // keyspace/(blockSize·fanout) rows regardless of corpus size.
-    val blockTotals = toks.groupBy("__blk").agg(sum(col("n_tok")).as("__bt"))
+    val blockTotals = toks.groupBy("__blk").agg(sum(col("__adv")).as("__bt"))
       .withColumn("__sblk", expr(s"__blk div $fanout"))
     val withinSuperW = Window.partitionBy("__sblk").orderBy("__blk")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -93,13 +111,16 @@ object Packing {
     * emitted, documents split across a boundary, and the overall fill
     * ratio `n_tokens / (n_sequences · seqLen)` — concat-and-chunk fills
     * every non-final sequence exactly, so only the final partial
-    * sequence drags the ratio below 1. One aggregate over
-    * [[packSequences]]. */
+    * sequence drags the ratio below 1 (in boundary mode every document's
+    * final sequence is padded, so the ratio quantifies the padding cost
+    * of `respectDocBoundaries`). One aggregate over [[packSequences]]. */
   def packingSummary(docs: DataFrame, textCol: String = "text",
                      keyCol: String = "doc_id", seqLen: Long = 2048L,
                      blockSize: Long = 100000L,
-                     fanout: Long = 10000L): DataFrame = {
-    val packed = packSequences(docs, textCol, keyCol, seqLen, blockSize, fanout)
+                     fanout: Long = 10000L,
+                     respectDocBoundaries: Boolean = false): DataFrame = {
+    val packed = packSequences(docs, textCol, keyCol, seqLen, blockSize,
+      fanout, respectDocBoundaries)
     packed.agg(
         countDistinct(col("seq_id")).as("n_sequences"),
         sum(col("end_tok") - col("begin_tok")).as("n_tokens"),

@@ -138,10 +138,13 @@ object SuiteLoader {
   /** GE 0.18 expectation name → engine checks. Unknown names throw (a
     * silently-dropped expectation is a check that never runs). One
     * expectation usually yields one check; the multi-quantile
-    * `quantile_ranges` form unrolls to several. A `mostly` kwarg wraps
-    * each produced counting check in [[MostlyCheck]] — and throws on
-    * expectation types where GE defines no `mostly` (a tolerance that
-    * silently does nothing is worse than an error). */
+    * `quantile_ranges` form unrolls to several. A `row_condition` kwarg
+    * (Spark SQL predicate; `condition_parser`, when present, must be
+    * "spark") wraps each counting check in [[ConditionedCheck]]; a
+    * `mostly` kwarg then wraps in [[MostlyCheck]] — so a conditioned
+    * tolerance measures over condition rows, as GE does. Either kwarg on
+    * an expectation type that doesn't support it throws (a tolerance or
+    * condition that silently does nothing is worse than an error). */
   private[suite] def toChecks(expectationType: String, kw: JsonNode): Seq[Check] = {
     val base: Seq[Check] = expectationType match {
       case "expect_column_quantile_values_to_be_between"
@@ -149,8 +152,29 @@ object SuiteLoader {
         quantileRanges(kw)
       case other => Seq(toCheck(other, kw))
     }
-    if (!kw.hasNonNull("mostly")) base
-    else base.map {
+    val conditioned =
+      if (!kw.hasNonNull("row_condition")) base
+      else {
+        val cond = reqText(kw, "row_condition")
+        if (kw.hasNonNull("condition_parser")) {
+          val p = kw.get("condition_parser").asText()
+          require(p == "spark",
+            s"unsupported condition_parser '$p' — row_condition here is a " +
+              "Spark SQL predicate (declare 'spark' or omit)")
+        }
+        base.map {
+          // GE's not-null keeps nulls in the basis (they ARE the
+          // violations); the lifted ValueCheck variant preserves that
+          // under the condition.
+          case n: NotNullCheck => ConditionedCheck(NotNullWhereCheck(n.column), cond)
+          case v: ValueCheck => ConditionedCheck(v, cond)
+          case other => throw new IllegalArgumentException(
+            s"row_condition is not supported for $expectationType " +
+              s"(check ${other.name}) — it applies to column map expectations only")
+        }
+      }
+    if (!kw.hasNonNull("mostly")) conditioned
+    else conditioned.map {
       case a: AggCheck => MostlyCheck(a, kw.get("mostly").asDouble())
       case other => throw new IllegalArgumentException(
         s"'mostly' is not supported for $expectationType (check ${other.name})")
@@ -173,7 +197,11 @@ object SuiteLoader {
     require(qs.nonEmpty && qs.size == ranges.size,
       s"quantile_ranges needs equal-length non-empty quantiles/value_ranges, " +
         s"got ${qs.size} quantiles and ${ranges.size} ranges")
-    qs.zip(ranges).map { case (q, (lo, hi)) => QuantileCheck(column, q, lo, hi) }
+    val approx = kw.path("approx").asBoolean(false)
+    qs.zip(ranges).map { case (q, (lo, hi)) =>
+      if (approx) ApproxQuantileCheck(column, q, lo, hi)
+      else QuantileCheck(column, q, lo, hi)
+    }
   }
 
   private def toCheck(expectationType: String, kw: JsonNode): Check =
@@ -220,16 +248,26 @@ object SuiteLoader {
           asLen(optLong(kw, "min_value").getOrElse(0L)),
           asLen(optLong(kw, "max_value").getOrElse(Int.MaxValue.toLong)))
       case "expect_column_unique_value_count_to_be_between" =>
-        DistinctCountCheck(reqText(kw, "column"),
-          optLong(kw, "min_value").getOrElse(0L),
+        // `approx: true` → the HLL sketch variant for very hot columns.
+        // ORACLE NOTE: the estimate is not engine-portable, so a suite
+        // declaring it must size bounds so the verdict, not the value, is
+        // what both engines agree on (see ApproxDistinctCountCheck).
+        val (lo14, hi14) = (optLong(kw, "min_value").getOrElse(0L),
           optLong(kw, "max_value").getOrElse(Long.MaxValue))
+        if (kw.path("approx").asBoolean(false))
+          ApproxDistinctCountCheck(reqText(kw, "column"), lo14, hi14)
+        else DistinctCountCheck(reqText(kw, "column"), lo14, hi14)
       case "expect_column_quantile_values_to_be_between" =>
         // A defaulted quantile (missing/typoed kwarg → 0.0) would build a
         // p0 check that validates nothing — required, like other kwargs.
         require(kw.hasNonNull("quantile"), s"missing 'quantile' in $kw")
-        QuantileCheck(reqText(kw, "column"), kw.path("quantile").asDouble(),
-          optDouble(kw, "min_value").getOrElse(Double.NegativeInfinity),
+        val (lo15, hi15) = (optDouble(kw, "min_value").getOrElse(Double.NegativeInfinity),
           optDouble(kw, "max_value").getOrElse(Double.PositiveInfinity))
+        if (kw.path("approx").asBoolean(false))
+          ApproxQuantileCheck(reqText(kw, "column"),
+            kw.path("quantile").asDouble(), lo15, hi15)
+        else QuantileCheck(reqText(kw, "column"), kw.path("quantile").asDouble(),
+          lo15, hi15)
       case "expect_table_columns_to_match_set" =>
         SchemaCheck(strings(kw, "column_set"),
           kw.path("exact_match").asBoolean(false))

@@ -17,10 +17,10 @@ class CheckpointSpec extends SparkSpec {
     assert(spec.name == "testdata_core_checkpoint" && spec.writeDocs)
     val store = tmp
     val result = Checkpoint.run(spark, sfDir, spec, store, "r1")
-    assert(result.totalCount == 15)
+    assert(result.totalCount == 18)
     // Stored rows match the in-memory verdicts.
     val stored = ResultStore.read(spark, store, Some("r1"))
-    assert(stored.count() == 15)
+    assert(stored.count() == 18)
     assert(stored.filter(col("status") === "FAILED").count() ==
       result.failedCount)
     // Data-docs rendered under the store (underscore-hidden from parquet
@@ -35,7 +35,7 @@ class CheckpointSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$store/_docs/index.html"))
     assert(index.contains("""href="r1.html""""))
     // And the store stays readable after the docs write.
-    assert(ResultStore.read(spark, store).count() == 15)
+    assert(ResultStore.read(spark, store).count() == 18)
   }
 
   test("the docs site index accumulates run pages, newest first") {
@@ -78,6 +78,26 @@ class CheckpointSpec extends SparkSpec {
     assert(r2.totalCount == 2)
     assert(r2.passed)
     assert(r2.details.exists(_.validationName.contains("row_count_drift")))
+  }
+
+  test("checked-in YAML checkpoint: bootstrap run, then drift-validated run") {
+    // The full declared-surface bundle in one file pair: a YAML checkpoint
+    // over a YAML suite combining a plain gate, a history-bound drift
+    // expectation, and a row_condition expectation.
+    val spec = Checkpoint.load("checkpoints/testdata_drift.yaml")
+    assert(spec.name == "testdata_drift_checkpoint" && spec.useHistory)
+    val store = tmp
+    // Bootstrap: no history, so drift is omitted and the row-count
+    // baseline records; the conditioned between runs normally.
+    val r1 = Checkpoint.run(spark, sfDir, spec, store, "2026-01-01T00:00:00Z")
+    assert(r1.totalCount == 2 && r1.passed)
+    assert(r1.details.exists(
+      _.validationName == "orders.between:o_totalprice:where:o_orderstatus = 'F'"))
+    // Second run: drift resolves against the stored baseline (same data →
+    // 0% change) and the whole bundle passes.
+    val r2 = Checkpoint.run(spark, sfDir, spec, store, "2026-01-02T00:00:00Z")
+    assert(r2.totalCount == 3 && r2.passed)
+    assert(r2.details.exists(_.validationName == "orders.row_count_drift:10.0pct"))
   }
 
   test("unknown checkpoint path and missing suite field throw") {

@@ -159,6 +159,31 @@ class ChecksSpec extends SparkSpec {
     assert(!QuantileCheck("v", 0.95, 0.0, 90.0).run(vals).passed)  // p95 ≈ 95.05
   }
 
+  test("ConditionedCheck restricts counters AND the refined offender sample") {
+    val data = df(Seq(
+      Row("F", "bad1"), Row("F", "ok"), Row("O", "bad2"), Row("O", "ok")),
+      "s STRING, v STRING")
+    val check = ConditionedCheck(InSetCheck("v", Seq("ok")), "s = 'F'")
+    val r = check.run(data)
+    assert(!r.passed && r.elementCount == 2 && r.unexpectedCount == 1)
+    // The offender sample honors the condition: bad2 (an O-row) is absent.
+    assert(r.partialUnexpectedList == Seq("bad1"))
+    assert(r.message.contains("bad1") && !r.message.contains("bad2"))
+  }
+
+  test("ApproxDistinctCountCheck and ApproxQuantileCheck fuse like any AggCheck") {
+    val vals = df((1 to 1000).map(i => Row((i % 37).toLong, i.toDouble)),
+      "k BIGINT, v DOUBLE")
+    val checks = Seq[AggCheck](
+      ApproxDistinctCountCheck("k", 30L, 45L),  // true 37; rsd 5% stays inside
+      ApproxQuantileCheck("v", 0.5, 400.0, 600.0)) // true median 500.5
+    val batched = CheckSuite.runBatched(vals, checks)
+    assert(batched.forall(_.passed), batched.map(_.message).mkString("; "))
+    // And the bounds actually bite.
+    assert(!ApproxDistinctCountCheck("k", 100L, 200L).run(vals).passed)
+    assert(!ApproxQuantileCheck("v", 0.5, 0.0, 100.0).run(vals).passed)
+  }
+
   test("CheckSuite.runBatched fuses checks with identical verdicts") {
     val checks = Seq(
       RowCountCheck(), NotNullCheck("region"),

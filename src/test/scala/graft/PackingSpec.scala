@@ -67,6 +67,67 @@ class PackingSpec extends SparkSpec {
     assert(s.getAs[Long]("docs_split") == 1L) // only doc2 crosses
   }
 
+  test("boundary mode: no sequence mixes documents, docs start on boundaries") {
+    // 6/5/4-token docs into 8-token sequences with padding: each doc gets
+    // its own sequence (none exceeds 8 tokens), starts at k·8.
+    val docs = df(Seq(
+      Row(1L, words(6)), Row(2L, words(5)), Row(3L, words(4))),
+      "doc_id BIGINT, text STRING")
+    val spans = Packing.packSequences(docs, seqLen = 8L, blockSize = 2L,
+        respectDocBoundaries = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq(
+      (1L, 0L, 0L, 6L), (2L, 1L, 0L, 5L), (3L, 2L, 0L, 4L)))
+  }
+
+  test("boundary mode on the corpus: exclusive sequences, over-long docs split") {
+    val docs = Tables.documents(spark, sfDir)
+    val packed = Packing.packSequences(docs, seqLen = 32L, blockSize = 1000L,
+      respectDocBoundaries = true)
+    // No sequence holds spans from two documents.
+    assert(packed.groupBy("seq_id")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).count() == 0)
+    // Every document's first span begins at token 0 of a fresh sequence,
+    // and its spans tile [0, n_tok) contiguously.
+    val bad = packed.groupBy("doc_id")
+      .agg(min("begin_tok").as("b0"),
+        max("end_tok").as("bn"),
+        sum(col("end_tok") - col("begin_tok")).as("covered"),
+        first("n_tok").as("n"))
+      .filter(col("b0") =!= 0L || col("bn") =!= col("n") ||
+        col("covered") =!= col("n"))
+    assert(bad.count() == 0)
+    // A doc longer than seqLen still spans multiple (its own) sequences.
+    assert(packed.groupBy("doc_id").count().filter(col("count") > 1).count() ==
+      docs.select(graft.ext.TextAnalysis.tokenCount(col("text")).as("n"))
+        .filter(col("n") > 32L).count())
+  }
+
+  test("boundary mode is (blockSize, fanout)-invariant with predictable fill") {
+    val docs = Tables.documents(spark, sfDir)
+    def run(block: Long, fanout: Long) =
+      Packing.packSequences(docs, seqLen = 64L, blockSize = block,
+          fanout = fanout, respectDocBoundaries = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val base = run(1000L, 10000L)
+    assert(run(7L, 3L) == base)
+    assert(run(7L, 1L) == base)
+    // Fill ratio equals sum(n_tok) / (sum(ceil(n_tok/L)) · L) exactly.
+    val s = Packing.packingSummary(docs, seqLen = 64L, blockSize = 1000L,
+      respectDocBoundaries = true).head()
+    val toks = docs
+      .select(graft.ext.TextAnalysis.tokenCount(col("text")).as("n"))
+      .filter(col("n") > 0)
+      .agg(sum("n").as("t"), sum(expr("(n - 1) div 64 + 1")).as("seqs")).head()
+    assert(s.getAs[Long]("n_tokens") == toks.getAs[Long]("t"))
+    assert(s.getAs[Long]("n_sequences") == toks.getAs[Long]("seqs"))
+    assert(s.getAs[Double]("fill_ratio") ==
+      BigDecimal(toks.getAs[Long]("t").toDouble / (toks.getAs[Long]("seqs") * 64L))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("empty documents are excluded from the stream") {
     val docs = df(Seq(Row(1L, words(3)), Row(2L, "   "), Row(3L, words(2))),
       "doc_id BIGINT, text STRING")

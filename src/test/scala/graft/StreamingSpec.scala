@@ -101,6 +101,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("mostly rides the fused window aggregate: within-tolerance windows PASS") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val stream = input.toDF().toDF("ts", "value")
+
+    // 25% violations in window 1 (within mostly=0.7), 50% in window 2
+    // (beyond it); the extra non-null counter rides the SAME stateful
+    // aggregate — no second scan, one state row per window.
+    val checks = Seq(graft.checks.MostlyCheck(
+      BetweenCheck("value", min = Some(0.0)), mostly = 0.7))
+    val results = mutable.Map[Timestamp, Seq[ValidationResult]]()
+    val dir = Files.tmp("graft-stream-mostly")
+    val query = StreamingSuite.writer(
+      stream, "ts", "5 minutes", "5 minutes", checks, "graft-stream-mostly") {
+      (w, rs) => results.synchronized { results(w) = rs }
+    }.option("checkpointLocation", dir).start()
+    try {
+      val w1 = Seq((ts(0), -1.0), (ts(1), 1.0), (ts(2), 2.0), (ts(3), 3.0))
+      val w2 = Seq((ts(6), -1.0), (ts(7), -2.0), (ts(8), 3.0), (ts(9), 4.0))
+      input.addData(w1: _*)
+      input.addData(w2: _*)
+      input.addData((ts(21), 0.0)) // closer: watermark past both windows
+      query.processAllAvailable()
+
+      val r1 = results(ts(0)).head
+      assert(r1.passed && r1.unexpectedCount == 1,
+        s"25% violations must pass mostly=0.7: $r1")
+      assert(r1.message.contains("mostly=0.7"))
+      val r2 = results(ts(5)).head
+      assert(!r2.passed && r2.unexpectedCount == 2,
+        s"50% violations must fail mostly=0.7: $r2")
+
+      // Batch/streaming parity: the same check over each window's rows,
+      // batch-evaluated, yields the identical verdict and counters.
+      for ((rows, w) <- Seq((w1, r1), (w2, r2))) {
+        val batch = rows.toDF("ts", "value")
+        val b = graft.checks.CheckSuite.runBatched(batch, checks).head
+        assert(b.status == w.status && b.unexpectedCount == w.unexpectedCount &&
+          b.elementCount == w.elementCount)
+      }
+    } finally query.stop()
+  }
+
   test("duplicate check names are rejected — windowed columns derive from names") {
     val e = intercept[IllegalArgumentException] {
       graft.stream.StreamingSuite.windowedChecks(

@@ -163,6 +163,103 @@ class SuiteLoaderSpec extends SparkSpec {
     assert(e.getMessage.contains("mostly"))
   }
 
+  test("row_condition wraps counting checks; counters see only condition rows") {
+    import org.apache.spark.sql.Row
+    // 6 rows; condition s='F' selects 3, of which 1 violates v >= 0.
+    val data = df(Seq(
+      Row(1L, "F", -1.0), Row(2L, "F", 5.0), Row(3L, "F", 6.0),
+      Row(4L, "O", -9.0), Row(5L, "O", -9.0), Row(6L, "O", 1.0)),
+      "id BIGINT, s STRING, v DOUBLE")
+    val check = SuiteLoader.parse(
+      """{"tables":[{"table":"t","expectations":[
+        |  {"type":"expect_column_values_to_be_between",
+        |   "kwargs":{"column":"v","min_value":0.0,
+        |             "row_condition":"s = 'F'","condition_parser":"spark"}}]}]}""".stripMargin)
+      .tables.head.checks.head
+    assert(check == ConditionedCheck(
+      BetweenCheck("v", min = Some(0.0), max = None), "s = 'F'"))
+    val r = check.run(data)
+    assert(!r.passed)
+    assert(r.elementCount == 3)      // condition rows only
+    assert(r.unexpectedCount == 1)   // the O-row violations are invisible
+  }
+
+  test("row_condition composes with mostly: tolerance over condition rows") {
+    import org.apache.spark.sql.Row
+    // Condition picks 4 rows, 1 of 4 violates = 25% — passes mostly=0.75,
+    // fails mostly=0.8. The unconditioned violation rate would be 3/6.
+    val data = df(Seq(
+      Row(1L, "F", -1.0), Row(2L, "F", 5.0), Row(3L, "F", 6.0), Row(4L, "F", 7.0),
+      Row(5L, "O", -9.0), Row(6L, "O", -9.0)),
+      "id BIGINT, s STRING, v DOUBLE")
+    def parse(mostly: Double) = SuiteLoader.parse(
+      s"""{"tables":[{"table":"t","expectations":[
+         |  {"type":"expect_column_values_to_be_between",
+         |   "kwargs":{"column":"v","min_value":0.0,"mostly":$mostly,
+         |             "row_condition":"s = 'F'"}}]}]}""".stripMargin)
+      .tables.head.checks.head
+    val ok = parse(0.75).run(data)
+    assert(ok.passed && ok.unexpectedCount == 1)
+    assert(!parse(0.8).run(data).passed)
+  }
+
+  test("row_condition on not_null keeps nulls in the conditioned basis") {
+    import org.apache.spark.sql.Row
+    val data = df(Seq(
+      Row(1L, "F", "x"), Row(2L, "F", null), Row(3L, "O", null)),
+      "id BIGINT, s STRING, c STRING")
+    val check = SuiteLoader.parse(
+      """{"tables":[{"table":"t","expectations":[
+        |  {"type":"expect_column_values_to_not_be_null",
+        |   "kwargs":{"column":"c","row_condition":"s = 'F'"}}]}]}""".stripMargin)
+      .tables.head.checks.head
+    val r = check.run(data)
+    assert(!r.passed)
+    assert(r.elementCount == 2 && r.unexpectedCount == 1) // row 3 invisible
+  }
+
+  test("row_condition rejects non-spark parsers and non-map expectations") {
+    val badParser =
+      """{"tables":[{"table":"t","expectations":[
+        |  {"type":"expect_column_values_to_be_between",
+        |   "kwargs":{"column":"v","min_value":0,
+        |             "row_condition":"s = 'F'","condition_parser":"pandas"}}]}]}""".stripMargin
+    val e1 = intercept[IllegalArgumentException](SuiteLoader.parse(badParser))
+    assert(e1.getMessage.contains("condition_parser"))
+    val badType =
+      """{"tables":[{"table":"t","expectations":[
+        |  {"type":"expect_table_row_count_to_be_between",
+        |   "kwargs":{"min_value":1,"row_condition":"s = 'F'"}}]}]}""".stripMargin
+    val e2 = intercept[IllegalArgumentException](SuiteLoader.parse(badType))
+    assert(e2.getMessage.contains("row_condition"))
+  }
+
+  test("approx: true compiles to the sketch-backed checks and range-asserts") {
+    val spec = SuiteLoader.parse(
+      """{"tables":[{"table":"t","expectations":[
+        |  {"type":"expect_column_unique_value_count_to_be_between",
+        |   "kwargs":{"column":"c","min_value":1,"max_value":10,"approx":true}},
+        |  {"type":"expect_column_quantile_values_to_be_between",
+        |   "kwargs":{"column":"v","quantile":0.5,"min_value":0.0,
+        |             "max_value":100.0,"approx":true}},
+        |  {"type":"expect_column_quantile_values_to_be_between",
+        |   "kwargs":{"column":"v","approx":true,"quantile_ranges":{
+        |     "quantiles":[0.25, 0.75],"value_ranges":[[0.0, 50.0],[null, 99.0]]}}}
+        |]}]}""".stripMargin).tables.head.checks
+    assert(spec == Seq(
+      ApproxDistinctCountCheck("c", 1L, 10L),
+      ApproxQuantileCheck("v", 0.5, 0.0, 100.0),
+      ApproxQuantileCheck("v", 0.25, 0.0, 50.0),
+      ApproxQuantileCheck("v", 0.75, Double.NegativeInfinity, 99.0)))
+    // On real data the estimates land inside honest bounds: 5 segments,
+    // median acctbal well within [1000, 8000].
+    val customer = Tables.customer(spark, sfDir)
+    val d = ApproxDistinctCountCheck("c_mktsegment", 1L, 10L).run(customer)
+    assert(d.passed, d.message)
+    val q = ApproxQuantileCheck("c_acctbal", 0.5, 1000.0, 8000.0).run(customer)
+    assert(q.passed, q.message)
+  }
+
   test("quantile_ranges unrolls to one QuantileCheck per quantile") {
     val spec = SuiteLoader.parse(
       """{"tables":[{"table":"t","expectations":[
@@ -189,7 +286,16 @@ class SuiteLoaderSpec extends SparkSpec {
     assert(spec.tables.map(_.table) == Seq("orders", "customer", "lineitem"))
     val result = graft.suite.ValidationSuite.run(
       SuiteLoader.bind(spark, sfDir, spec))
-    assert(result.totalCount == 15)
+    assert(result.totalCount == 18)
+    // The conditioned expectation sees only finalized orders.
+    val cond = result.details.find(
+      _.validationName == "orders.between:o_totalprice:where:o_orderstatus = 'F'").get
+    assert(cond.passed && cond.elementCount > 0)
+    // Approx variants pass inside their verdict-level bounds.
+    assert(result.details.exists(r =>
+      r.validationName == "customer.distinct_count_approx:c_mktsegment" && r.passed))
+    assert(result.details.exists(r =>
+      r.validationName == "customer.quantile_approx:c_acctbal:0.5" && r.passed))
     // The mostly-tolerated between check passes WITH violations on record.
     val mostly = result.details
       .find(_.validationName == "orders.between:o_totalprice").get
