@@ -386,6 +386,46 @@ object Oracles {
         |  FROM inter JOIN dc x ON doc_id_a = x.doc_id JOIN dc y ON doc_id_b = y.doc_id)
         |WHERE jaccard >= 0.8 ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
+    "x1_dedup_groups" ->
+      // The x1_jaccard pair derivation, then connected components via a
+      // recursive reachability CTE: reach accumulates, for every vertex,
+      // the labels of all vertices that can reach it along the symmetric
+      // edge set; min(label) per vertex = its component's smallest id —
+      // exactly the Spark side's min-label propagation fixpoint.
+      """WITH RECURSIVE norm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
+        |  FROM norm
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |             || ' ' || lead(tok, 3) OVER w AS gram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+        |  QUALIFY lead(tok, 3) OVER w IS NOT NULL
+        |), dc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_id_a, doc_id_b FROM (
+        |    SELECT doc_id_a, doc_id_b,
+        |           round(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
+        |    FROM inter JOIN dc x ON doc_id_a = x.doc_id JOIN dc y ON doc_id_b = y.doc_id)
+        |  WHERE jaccard >= 0.8),
+        |edges AS (
+        |  SELECT doc_id_a AS src, doc_id_b AS dst FROM jp
+        |  UNION SELECT doc_id_b, doc_id_a FROM jp),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.id)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id, min(lbl) = id AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
     "x1_embed_neardup" ->
       """WITH corpus AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -697,11 +737,13 @@ object Oracles {
 
     "x10_curation_funnel" ->
       // The annotate-don't-filter funnel replayed: dedup flag = min id
-      // per normalized text; contamination = the x8 containment CTE vs
-      // docs 0-2; quality = whitespace tokens of the PII-REDACTED text in
-      // [25, 90]; sampling = the x6 hash bucket with en→0.4; sequences =
-      // ceil(survivor tokens / 512).
-      """WITH norm AS (
+      // per normalized text; fuzzy flag = NOT a non-canonical member of
+      // the jaccard-pair components (x1_dedup_groups' recursive CTE);
+      // contamination = the x8 containment CTE vs docs 0-2; quality =
+      // whitespace tokens of the PII-REDACTED text in [25, 90]; sampling
+      // = the x6 hash bucket with en→0.4; sequences = ceil(survivor
+      // tokens / 512).
+      """WITH RECURSIVE norm AS (
         |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
         |  FROM documents
         |), toks AS (
@@ -722,11 +764,29 @@ object Oracles {
         |    FROM grams g JOIN bench b ON g.gram = b.gram
         |    GROUP BY 1, 2) JOIN bn USING (bench_id)
         |  WHERE round(i * 1.0 / n, 4) >= 0.8
-        |), ann AS (
+        |), dc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |jinter AS (
+        |  SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT pa, pb FROM (
+        |    SELECT pa, pb, round(i * 1.0 / (x.n + y.n - i), 4) AS j
+        |    FROM jinter JOIN dc x ON pa = x.doc_id JOIN dc y ON pb = y.doc_id)
+        |  WHERE j >= 0.8),
+        |fedges AS (SELECT pa AS src, pb AS dst FROM jp
+        |           UNION SELECT pb, pa FROM jp),
+        |freach(id, lbl) AS (
+        |  SELECT src, src FROM fedges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM fedges e JOIN freach r ON e.src = r.id),
+        |fdrop AS (SELECT id FROM freach GROUP BY id HAVING min(lbl) <> id),
+        |ann AS (
         |  SELECT doc_id, lang,
         |         doc_id = min(doc_id) OVER (
         |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |           AS is_canonical,
+        |         doc_id NOT IN (SELECT id FROM fdrop) AS is_fuzzy,
         |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
         |         CASE WHEN len(trim(rtext)) = 0 THEN 0
         |              ELSE len(string_split_regex(trim(rtext), '\s+')) END AS n_tok,
@@ -741,20 +801,24 @@ object Oracles {
         |), f AS (
         |  SELECT count(*) AS n_raw,
         |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
-        |         count(CASE WHEN is_canonical AND NOT is_contaminated THEN 1 END)
+        |         count(CASE WHEN is_canonical AND is_fuzzy THEN 1 END)
+        |           AS n_after_fuzzy,
+        |         count(CASE WHEN is_canonical AND is_fuzzy
+        |                         AND NOT is_contaminated THEN 1 END)
         |           AS n_after_decontam,
-        |         count(CASE WHEN is_canonical AND NOT is_contaminated
+        |         count(CASE WHEN is_canonical AND is_fuzzy AND NOT is_contaminated
         |                         AND n_tok BETWEEN 25 AND 90 THEN 1 END)
         |           AS n_after_quality,
-        |         count(CASE WHEN is_canonical AND NOT is_contaminated
+        |         count(CASE WHEN is_canonical AND is_fuzzy AND NOT is_contaminated
         |                         AND n_tok BETWEEN 25 AND 90 AND b < thr THEN 1 END)
         |           AS n_after_sample,
-        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
+        |                         AND NOT is_contaminated
         |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
         |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
         |  FROM ann)
-        |SELECT n_raw, n_after_dedup, n_after_decontam, n_after_quality,
-        |       n_after_sample, n_tokens,
+        |SELECT n_raw, n_after_dedup, n_after_fuzzy, n_after_decontam,
+        |       n_after_quality, n_after_sample, n_tokens,
         |       CASE WHEN n_tokens = 0 THEN 0
         |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
         |FROM f""".stripMargin,

@@ -372,6 +372,19 @@ object Queries {
   def x1SimhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(documents(s, d), n = 4, maxHamming = 6)
 
+  /** X1f — fuzzy-dedup resolution: the X1b pair set resolved to keep/drop
+    * decisions via connected components (min-label propagation) and
+    * keep-lowest-per-cluster. One row per document that appears in any
+    * candidate pair; the oracle replays the components with a recursive
+    * reachability CTE over the same jaccard pairs. */
+  def x1DedupGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(documents(s, d), n = 4, minSim = 0.8)
+    graft.ext.DedupResolve.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** X1e — embedding-cosine near-duplicate pairs. The base corpus has no
     * pairs above 0.52, so five exact copies (vec_id + 100000) are planted
     * deterministically; identical vectors share every LSH band, so the
@@ -484,16 +497,19 @@ object Queries {
     TextAnalysis.repetitionByLang(documents(s, d), n = 2)
 
   /** X10 — the end-to-end curation funnel over documents: exact dedup →
+    * fuzzy dedup (X1b pairs resolved via connected components) →
     * decontamination vs the first 3 docs as "benchmark" → PII redaction →
     * token-band quality filter [25, 90] → 'en' down-sampled to 40% →
-    * packed into 512-token sequences. One row: survivors per stage. */
+    * packed into 512-token sequences. One row: survivors per stage; the
+    * planted near-duplicates visibly drop at the fuzzy stage. */
   def x10CurationFunnel(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val bench = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("bench_id"), col("text"))
+    val pairs = graft.ext.Dedup.jaccardPairs(docs, n = 4, minSim = 0.8)
     graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
       minTokens = 25L, maxTokens = 90L,
-      rates = Map("en" -> 0.4), seqLen = 512L))
+      rates = Map("en" -> 0.4), seqLen = 512L), fuzzyPairs = Some(pairs))
   }
 
   /** X11 — key-skew profile: the heaviest join keys on the fact table

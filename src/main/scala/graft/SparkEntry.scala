@@ -50,6 +50,7 @@ object SparkEntry {
     "x1_jaccard_pairs" -> (Queries.x1JaccardPairs _),
     "x1_minhash_pairs" -> (Queries.x1MinhashPairs _),
     "x1_simhash_pairs" -> (Queries.x1SimhashPairs _),
+    "x1_dedup_groups" -> (Queries.x1DedupGroups _),
     "x1_embed_neardup" -> (Queries.x1EmbedNearDup _),
     "x2_topk_cosine" -> (Queries.x2TopkCosine _),
     "x2_ann_topk" -> (Queries.x2AnnTopk _),

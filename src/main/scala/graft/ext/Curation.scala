@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** X10 — the end-to-end corpus-curation pipeline, composing the engine's
   * operators the way a training-data run actually chains them:
   *
-  *   raw → exact dedup → benchmark decontamination → PII redaction →
-  *   quality filter (token band) → stratified sampling → sequence packing
+  *   raw → exact dedup → fuzzy dedup (optional) → benchmark
+  *   decontamination → PII redaction → quality filter (token band) →
+  *   stratified sampling → sequence packing
   *
   * Design: ANNOTATE, don't filter. [[annotate]] marks every document
   * with per-stage verdict flags, so the funnel audit — how many
@@ -39,12 +40,24 @@ object Curation {
 
   /** Every document with its stage verdicts:
     * `is_canonical` (survives exact dedup — lowest id per normalized
-    * text), `is_contaminated` (contains ≥ minContainment of a benchmark
-    * doc's n-grams), `n_tok` (whitespace tokens of the REDACTED text),
-    * `is_quality` (token band), `is_sampled` (stratified keep). The text
-    * column is the redacted text. */
+    * text), `is_fuzzy_canonical` (survives near-dup resolution: NOT a
+    * non-canonical member of a `fuzzyPairs` connected component — always
+    * true when no pair frame is supplied), `is_contaminated` (contains
+    * ≥ minContainment of a benchmark doc's n-grams), `n_tok` (whitespace
+    * tokens of the REDACTED text), `is_quality` (token band),
+    * `is_sampled` (stratified keep). The text column is the redacted
+    * text.
+    *
+    * `fuzzyPairs` is any X1 detector output (jaccard/minhash/simhash/
+    * embedding pairs — DedupResolveSpec pins that the cheap LSH detector
+    * yields the same drop set as the exact one on the fixtures). The
+    * resolution runs on the PAIR graph only ([[DedupResolve]]); the drop
+    * set it joins back is bounded by the number of detected duplicates,
+    * so the corpus-side join is a broadcast at any scale. Annotate-don't-
+    * filter is preserved: the cluster verdict is one more flag column. */
   def annotate(docs: DataFrame, benchmark: DataFrame,
-               cfg: Config = Config()): DataFrame = {
+               cfg: Config = Config(),
+               fuzzyPairs: Option[DataFrame] = None): DataFrame = {
     // Null-safe join key: an inner join on a nullable norm would silently
     // DROP null-text documents from the audit (NULL = NULL is false);
     // <=> groups them like the oracle's window-partition formulation does.
@@ -57,18 +70,30 @@ object Curation {
         minContainment = cfg.minContainment)
       .select(col(cfg.keyCol)).distinct()
       .withColumn("__cont", lit(true))
+    // Fuzzy drop set: non-canonical members of the pair-graph components.
+    // broadcast() pinned — its cardinality is bounded by detected
+    // duplicates, tiny next to the corpus.
+    val fuzzyDrops = fuzzyPairs.map(p =>
+      broadcast(DedupResolve.dropSet(p)
+        .select(col("id").as(cfg.keyCol)).withColumn("__fdrop", lit(true))))
     // Shared definition with Packing: the funnel's n_tokens/n_sequences
     // cross-check against packSequences depends on identical counting.
     val nTok: Column = TextAnalysis.tokenCount(col(cfg.textCol))
-    Pii.redact(
-        docs.withColumn("__norm", Dedup.normText(col(cfg.textCol)))
-          .join(keepers, col("__norm") <=> col("__knorm"))
-          .withColumn("is_canonical", col(cfg.keyCol) === col("__keep_id"))
-          .drop("__norm", "__knorm", "__keep_id")
-          .join(contaminated, Seq(cfg.keyCol), "left")
-          .withColumn("is_contaminated", coalesce(col("__cont"), lit(false)))
-          .drop("__cont"),
-        textCol = cfg.textCol)
+    val flagged0 = docs.withColumn("__norm", Dedup.normText(col(cfg.textCol)))
+      .join(keepers, col("__norm") <=> col("__knorm"))
+      .withColumn("is_canonical", col(cfg.keyCol) === col("__keep_id"))
+      .drop("__norm", "__knorm", "__keep_id")
+      .join(contaminated, Seq(cfg.keyCol), "left")
+      .withColumn("is_contaminated", coalesce(col("__cont"), lit(false)))
+      .drop("__cont")
+    val flagged = fuzzyDrops match {
+      case Some(drops) =>
+        flagged0.join(drops, Seq(cfg.keyCol), "left")
+          .withColumn("is_fuzzy_canonical", !coalesce(col("__fdrop"), lit(false)))
+          .drop("__fdrop")
+      case None => flagged0.withColumn("is_fuzzy_canonical", lit(true))
+    }
+    Pii.redact(flagged, textCol = cfg.textCol)
       .withColumn("n_tok", nTok)
       .withColumn("is_quality",
         col("n_tok").between(cfg.minTokens, cfg.maxTokens))
@@ -78,29 +103,36 @@ object Curation {
   }
 
   private def survives: Column =
-    col("is_canonical") && !col("is_contaminated") &&
-      col("is_quality") && col("is_sampled")
+    col("is_canonical") && col("is_fuzzy_canonical") &&
+      !col("is_contaminated") && col("is_quality") && col("is_sampled")
 
   /** The curated corpus: redacted text, survivors only. */
   def curate(docs: DataFrame, benchmark: DataFrame,
-             cfg: Config = Config()): DataFrame =
-    annotate(docs, benchmark, cfg)
+             cfg: Config = Config(),
+             fuzzyPairs: Option[DataFrame] = None): DataFrame =
+    annotate(docs, benchmark, cfg, fuzzyPairs)
       .filter(survives)
-      .drop("is_canonical", "is_contaminated", "is_quality", "is_sampled")
+      .drop("is_canonical", "is_fuzzy_canonical", "is_contaminated",
+        "is_quality", "is_sampled")
 
   /** One-row funnel audit: documents surviving after each stage, plus
     * the survivor token total and the fixed-length sequence count it
     * packs into (`⌈n_tokens / seqLen⌉` — what [[Packing.packSequences]]
-    * produces on the survivors by construction). */
+    * produces on the survivors by construction). The fuzzy stage sits
+    * between exact dedup and decontamination; without a pair frame it is
+    * a no-op (`n_after_fuzzy = n_after_dedup`). */
   def funnel(docs: DataFrame, benchmark: DataFrame,
-             cfg: Config = Config()): DataFrame = {
+             cfg: Config = Config(),
+             fuzzyPairs: Option[DataFrame] = None): DataFrame = {
     val dedup = col("is_canonical")
-    val decon = dedup && !col("is_contaminated")
+    val fuzzy = dedup && col("is_fuzzy_canonical")
+    val decon = fuzzy && !col("is_contaminated")
     val qual = decon && col("is_quality")
     val samp = qual && col("is_sampled")
-    annotate(docs, benchmark, cfg).agg(
+    annotate(docs, benchmark, cfg, fuzzyPairs).agg(
         count(lit(1)).as("n_raw"),
         count(when(dedup, lit(1))).as("n_after_dedup"),
+        count(when(fuzzy, lit(1))).as("n_after_fuzzy"),
         count(when(decon, lit(1))).as("n_after_decontam"),
         count(when(qual, lit(1))).as("n_after_quality"),
         count(when(samp, lit(1))).as("n_after_sample"),

@@ -49,6 +49,29 @@ class CurationSpec extends SparkSpec {
       packed.agg(sum(col("end_tok") - col("begin_tok"))).head().getLong(0))
   }
 
+  test("fuzzy stage: planted near-dups drop, counts match the resolver") {
+    import graft.ext.DedupResolve
+    val pairs = Dedup.jaccardPairs(docs, n = 4, minSim = 0.8)
+    val f = Curation.funnel(docs, bench, cfg, fuzzyPairs = Some(pairs)).head()
+    val f0 = Curation.funnel(docs, bench, cfg).head()
+    // Without pairs the stage is a no-op…
+    assert(f0.getAs[Long]("n_after_fuzzy") == f0.getAs[Long]("n_after_dedup"))
+    // …with pairs it removes exactly the resolver's drop set that
+    // survived exact dedup (planted near-dups are NOT exact dups, so the
+    // funnel visibly shrinks).
+    val exactKept = Dedup.exactDedup(docs).select("doc_id")
+    val fuzzyDropped = DedupResolve.dropSet(pairs)
+      .select(col("id").as("doc_id")).join(exactKept, "doc_id")
+    assert(f.getAs[Long]("n_after_fuzzy") ==
+      f.getAs[Long]("n_after_dedup") - fuzzyDropped.count())
+    assert(f.getAs[Long]("n_after_fuzzy") < f.getAs[Long]("n_after_dedup"),
+      "planted near-duplicates must visibly drop at the fuzzy stage")
+    // The cheap LSH detector wired in produces the same funnel.
+    val lsh = Dedup.minhashPairs(docs, n = 4, bands = 8, minSim = 0.7)
+    val fLsh = Curation.funnel(docs, bench, cfg, fuzzyPairs = Some(lsh)).head()
+    assert(fLsh.toSeq == f.toSeq)
+  }
+
   test("null-text documents stay in the audit (null-safe dedup key)") {
     import org.apache.spark.sql.Row
     val withNull = df(Seq(
@@ -86,8 +109,8 @@ class CurationSpec extends SparkSpec {
     val f = Curation.funnel(docs, bench, cfg).head()
     val surv = Curation.curate(docs, bench, cfg)
     assert(surv.filter(col("doc_id") < 3).count() == 0) // decontaminated away
-    val stages = Seq("n_raw", "n_after_dedup", "n_after_decontam",
-      "n_after_quality", "n_after_sample").map(f.getAs[Long])
+    val stages = Seq("n_raw", "n_after_dedup", "n_after_fuzzy",
+      "n_after_decontam", "n_after_quality", "n_after_sample").map(f.getAs[Long])
     assert(stages == stages.sorted.reverse, s"funnel not monotone: $stages")
     assert(stages.last == surv.count())
     assert(stages.last > 0, "fixture config filtered everything out")

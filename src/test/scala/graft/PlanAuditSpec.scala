@@ -117,11 +117,14 @@ class PlanAuditSpec extends SparkSpec {
 
   /** Queries whose construction IS their execution, by design: the fuzzy
     * dedup/IVF operators pin their small outputs with `localCheckpoint`
-    * (and release intermediate caches), and the suite/ETL queries run the
-    * engine's action-based runners before returning the summary frame.
-    * Everything else must be a pure plan. */
+    * (and release intermediate caches), the resolution/funnel queries
+    * build on those pinned pair sets (and min-label propagation is
+    * iterative — actions are its nature), and the suite/ETL queries run
+    * the engine's action-based runners before returning the summary
+    * frame. Everything else must be a pure plan. */
   private val eagerAtConstruction = Set(
     "x1_jaccard_pairs", "x1_minhash_pairs", "x1_simhash_pairs", "x2_ivf_topk",
+    "x1_dedup_groups", "x10_curation_funnel",
     "v1_raw_gate", "v2_suite_summary", "g16_declarative_suite",
     "v5_drift_check", "v6_checkpoint_run")
 
