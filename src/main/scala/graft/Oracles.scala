@@ -52,6 +52,14 @@ object Oracles {
       |  FROM (SELECT count(*) AS cnt,
       |               count(CASE WHEN c_custkey IS NULL THEN 1 END) AS bad FROM customer)
       |  UNION ALL
+      |  SELECT 'customer.proportion_unique:c_custkey',
+      |         CASE WHEN dc * 1.0 / nn >= 0.99 AND dc * 1.0 / nn <= 1.0
+      |              THEN 'PASSED' ELSE 'FAILED' END,
+      |         cnt, CAST(CASE WHEN dc * 1.0 / nn >= 0.99 AND dc * 1.0 / nn <= 1.0
+      |                        THEN 0 ELSE 1 END AS BIGINT)
+      |  FROM (SELECT count(*) AS cnt, count(DISTINCT c_custkey) AS dc,
+      |               count(c_custkey) AS nn FROM customer)
+      |  UNION ALL
       |  SELECT 'customer.quantile:c_acctbal:0.5',
       |         CASE WHEN q >= 1000 AND q <= 8000 THEN 'PASSED' ELSE 'FAILED' END,
       |         cnt, CAST(CASE WHEN q >= 1000 AND q <= 8000 THEN 0 ELSE 1 END AS BIGINT)

@@ -317,26 +317,66 @@ final case class TypeCastCheck(column: String, targetType: String)
   def describe: String = s"$column castable to $targetType"
 }
 
+/** GE's column-pair `ignore_row_if` kwarg → the basis rows a pair
+  * expectation measures over: rows matching the mode are EXCLUDED.
+  *  - `both_values_are_missing` (GE default): basis = at least one side
+  *    present;
+  *  - `either_value_is_missing`: basis = both sides present;
+  *  - `neither`: basis = every row. */
+private[checks] object IgnoreRowIf {
+  val modes = Seq("both_values_are_missing", "either_value_is_missing", "neither")
+  def basis(a: String, b: String, mode: String): Column = mode match {
+    case "both_values_are_missing" => col(a).isNotNull || col(b).isNotNull
+    case "either_value_is_missing" => col(a).isNotNull && col(b).isNotNull
+    case "neither"                 => lit(true)
+    case other => throw new IllegalArgumentException(
+      s"unknown ignore_row_if '$other' — one of ${modes.mkString(", ")}")
+  }
+}
+
 /** G12 — `expect_column_pair_values_A_to_be_greater_than_B`
   * (generalizes R4's cross-column business rules). */
-final case class PairGreaterCheck(a: String, b: String, orEqual: Boolean = false)
+final case class PairGreaterCheck(a: String, b: String, orEqual: Boolean = false,
+                                  ignoreRowIf: String = "both_values_are_missing")
   extends ValueCheck {
   val column = a
   val name = s"pair_greater:$a>$b"
   def unexpected: Column =
     if (orEqual) col(a) < col(b) else col(a) <= col(b)
   def describe: String = s"$a ${if (orEqual) ">=" else ">"} $b"
-  /** GE's column-pair default (`ignore_row_if: both_values_are_missing`):
-    * a row counts toward the mostly denominator unless BOTH are null.
+  /** GE's column-pair basis per [[IgnoreRowIf]] (default: a row counts
+    * toward the mostly denominator unless BOTH are null).
     *
-    * Deliberate SQL-engine parity (ADVICE r4): a one-sided-null row is in
-    * the basis but the null comparison is never `unexpected` (ANSI ternary
-    * logic), so it always registers as conforming — exactly GE's
+    * Deliberate SQL-engine parity (ADVICE r4): a one-sided-null row can
+    * be in the basis but the null comparison is never `unexpected` (ANSI
+    * ternary logic), so it always registers as conforming — exactly GE's
     * SparkDF/SQLAlchemy engines. GE's pandas engine differs (NaN
     * comparisons count as unexpected); this engine is Spark, so SQL
     * semantics are the contract, and the DuckDB oracles replay the same
     * ternary logic. */
-  override def basisRaw: Column = col(a).isNotNull || col(b).isNotNull
+  override def basisRaw: Column = IgnoreRowIf.basis(a, b, ignoreRowIf)
+}
+
+/** `expect_column_pair_values_to_be_equal` — the equality sibling of G12
+  * (same basis/null contract, including [[IgnoreRowIf]]). */
+final case class PairEqualCheck(a: String, b: String,
+                                ignoreRowIf: String = "both_values_are_missing")
+  extends ValueCheck {
+  val column = a
+  val name = s"pair_equal:$a=$b"
+  def unexpected: Column = col(a) =!= col(b)
+  def describe: String = s"$a = $b"
+  override def basisRaw: Column = IgnoreRowIf.basis(a, b, ignoreRowIf)
+}
+
+/** `expect_column_values_to_be_null` — the inverse of G2: non-null values
+  * are the violations, so (like not-null) the basis is ALL rows. A
+  * ValueCheck, so `row_condition` and `mostly` compose the usual way. */
+final case class NullCheck(column: String) extends ValueCheck {
+  val name = s"null:$column"
+  def unexpected: Column = col(column).isNotNull
+  def describe: String = s"$column null"
+  override def basisRaw: Column = lit(true)
 }
 
 /** G11 — `expect_column_mean/min/max_to_be_between` (aggregate profiling). */
@@ -454,6 +494,30 @@ final case class ApproxDistinctCountCheck(
     ValidationResult(name,
       if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
       s"approx_distinct($column) = $observed (rsd=$rsd), expected [$lo, $hi]",
+      elementCount = total, unexpectedCount = if (ok) 0L else 1L)
+  }
+}
+
+/** `expect_column_proportion_of_unique_values_to_be_between` — distinct
+  * values over non-null values (GE's definition), the standard key-ness /
+  * cardinality-profile expectation. Fuses like any AggCheck: the exact
+  * distinct rides Spark's expand+2-phase rewrite in the same job. */
+final case class ProportionUniqueCheck(column: String, lo: Double, hi: Double)
+  extends AggCheck {
+  val name = s"proportion_unique:$column"
+  override def aggColumns(prefix: String): Seq[Column] = Seq(
+    count(lit(1)).as(s"${prefix}element_count"),
+    countDistinct(col(column)).as(s"${prefix}distinct"),
+    count(col(column)).as(s"${prefix}nonnull"))
+  override def evaluate(row: Row, prefix: String): ValidationResult = {
+    val total = row.getAs[Long](s"${prefix}element_count")
+    val distinct = row.getAs[Long](s"${prefix}distinct")
+    val nonnull = row.getAs[Long](s"${prefix}nonnull")
+    val proportion = if (nonnull == 0) Double.NaN else distinct.toDouble / nonnull
+    val ok = !proportion.isNaN && proportion >= lo && proportion <= hi
+    ValidationResult(name,
+      if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      s"proportion_unique($column) = $distinct/$nonnull, expected [$lo, $hi]",
       elementCount = total, unexpectedCount = if (ok) 0L else 1L)
   }
 }

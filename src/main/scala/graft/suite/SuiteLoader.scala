@@ -222,9 +222,24 @@ object SuiteLoader {
         RegexCheck(reqText(kw, "column"), reqText(kw, "regex"))
       case "expect_column_values_to_be_of_type" =>
         TypeCastCheck(reqText(kw, "column"), reqText(kw, "type_"))
+      case "expect_column_values_to_be_null" =>
+        NullCheck(reqText(kw, "column"))
       case "expect_column_pair_values_a_to_be_greater_than_b" =>
         PairGreaterCheck(reqText(kw, "column_A"), reqText(kw, "column_B"),
-          kw.path("or_equal").asBoolean(false))
+          kw.path("or_equal").asBoolean(false),
+          optText(kw, "ignore_row_if").getOrElse("both_values_are_missing"))
+      case "expect_column_pair_values_to_be_equal" =>
+        PairEqualCheck(reqText(kw, "column_A"), reqText(kw, "column_B"),
+          optText(kw, "ignore_row_if").getOrElse("both_values_are_missing"))
+      case "expect_column_proportion_of_unique_values_to_be_between" =>
+        ProportionUniqueCheck(reqText(kw, "column"),
+          optDouble(kw, "min_value").getOrElse(0.0),
+          optDouble(kw, "max_value").getOrElse(1.0))
+      case "expect_column_median_to_be_between" =>
+        // GE's median == interpolated p50 — the exact quantile check.
+        QuantileCheck(reqText(kw, "column"), 0.5,
+          optDouble(kw, "min_value").getOrElse(Double.NegativeInfinity),
+          optDouble(kw, "max_value").getOrElse(Double.PositiveInfinity))
       case "expect_column_mean_to_be_between" =>
         aggBounds(kw, "mean")
       case "expect_column_min_to_be_between" =>
@@ -293,6 +308,8 @@ object SuiteLoader {
   }
   private def optDouble(n: JsonNode, field: String): Option[Double] =
     if (n.hasNonNull(field)) Some(n.get(field).asDouble()) else None
+  private def optText(n: JsonNode, field: String): Option[String] =
+    if (n.hasNonNull(field)) Some(n.get(field).asText()) else None
   private def optLong(n: JsonNode, field: String): Option[Long] =
     if (n.hasNonNull(field)) Some(n.get(field).asLong()) else None
   private def strings(n: JsonNode, field: String): Seq[String] = {

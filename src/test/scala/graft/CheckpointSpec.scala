@@ -17,10 +17,10 @@ class CheckpointSpec extends SparkSpec {
     assert(spec.name == "testdata_core_checkpoint" && spec.writeDocs)
     val store = tmp
     val result = Checkpoint.run(spark, sfDir, spec, store, "r1")
-    assert(result.totalCount == 18)
+    assert(result.totalCount == 19)
     // Stored rows match the in-memory verdicts.
     val stored = ResultStore.read(spark, store, Some("r1"))
-    assert(stored.count() == 18)
+    assert(stored.count() == 19)
     assert(stored.filter(col("status") === "FAILED").count() ==
       result.failedCount)
     // Data-docs rendered under the store (underscore-hidden from parquet
@@ -35,7 +35,7 @@ class CheckpointSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$store/_docs/index.html"))
     assert(index.contains("""href="r1.html""""))
     // And the store stays readable after the docs write.
-    assert(ResultStore.read(spark, store).count() == 18)
+    assert(ResultStore.read(spark, store).count() == 19)
   }
 
   test("the docs site index accumulates run pages, newest first") {

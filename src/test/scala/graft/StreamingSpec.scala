@@ -145,6 +145,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("row_condition rides the fused window aggregate (batch-replay path)") {
+    import graft.checks.{CheckSuite, ConditionedCheck}
+    val events = Tables.events(spark, sfDir)
+    val check = ConditionedCheck(
+      BetweenCheck("value", min = Some(0.0)), "event_type = 'click'")
+    val windowed = StreamingSuite.windowedChecks(
+      events, "ts", "1 day", "0 seconds", Seq(check))
+    val verdicts = windowed.collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start") ->
+        StreamingSuite.evaluate(r, Seq(check)).head)
+    assert(verdicts.nonEmpty)
+    // Summed over windows, the conditioned counters equal the batch run.
+    val batch = CheckSuite.runBatched(events, Seq(check)).head
+    assert(verdicts.map(_._2.elementCount).sum == batch.elementCount)
+    assert(verdicts.map(_._2.unexpectedCount).sum == batch.unexpectedCount)
+    // And the basis is genuinely restricted: fewer elements than rows.
+    assert(batch.elementCount < events.count())
+  }
+
   test("duplicate check names are rejected — windowed columns derive from names") {
     val e = intercept[IllegalArgumentException] {
       graft.stream.StreamingSuite.windowedChecks(

@@ -234,6 +234,63 @@ class SuiteLoaderSpec extends SparkSpec {
     assert(e2.getMessage.contains("row_condition"))
   }
 
+  test("pair_equal, to_be_null, proportion_unique, and median map with kwargs") {
+    val spec = SuiteLoader.parse(
+      """{"tables":[{"table":"t","expectations":[
+        |  {"type":"expect_column_pair_values_to_be_equal",
+        |   "kwargs":{"column_A":"a","column_B":"b"}},
+        |  {"type":"expect_column_pair_values_a_to_be_greater_than_b",
+        |   "kwargs":{"column_A":"hi","column_B":"lo",
+        |             "ignore_row_if":"either_value_is_missing"}},
+        |  {"type":"expect_column_values_to_be_null",
+        |   "kwargs":{"column":"deleted_at"}},
+        |  {"type":"expect_column_proportion_of_unique_values_to_be_between",
+        |   "kwargs":{"column":"k","min_value":0.9}},
+        |  {"type":"expect_column_median_to_be_between",
+        |   "kwargs":{"column":"v","min_value":1.0,"max_value":2.0}}]}]}""".stripMargin)
+      .tables.head.checks
+    assert(spec == Seq(
+      PairEqualCheck("a", "b"),
+      PairGreaterCheck("hi", "lo", orEqual = false,
+        ignoreRowIf = "either_value_is_missing"),
+      NullCheck("deleted_at"),
+      ProportionUniqueCheck("k", 0.9, 1.0),
+      QuantileCheck("v", 0.5, 1.0, 2.0)))
+    // An invalid ignore_row_if throws at parse time, not silently.
+    intercept[IllegalArgumentException](SuiteLoader.parse(
+      """{"tables":[{"table":"t","expectations":[
+        |  {"type":"expect_column_pair_values_to_be_equal",
+        |   "kwargs":{"column_A":"a","column_B":"b",
+        |             "ignore_row_if":"sometimes"}}]}]}""".stripMargin)
+      .tables.head.checks.head.asInstanceOf[PairEqualCheck].basisRaw)
+  }
+
+  test("ignore_row_if changes the pair basis; to_be_null counts non-nulls") {
+    import org.apache.spark.sql.Row
+    val data = df(Seq(
+      Row(5.0, 1.0), Row(null, 2.0), Row(3.0, null), Row(null, null)),
+      "a DOUBLE, b DOUBLE")
+    // Default basis: not-both-missing → 3 rows; 'either' → 1; 'neither' → 4.
+    def basisCount(mode: String) = {
+      val c = PairGreaterCheck("a", "b", ignoreRowIf = mode)
+      val m = MostlyCheck(c, 0.5)
+      val cols = m.aggColumns("")
+      data.agg(cols.head, cols.tail: _*).head().getAs[Long]("nonnull_count")
+    }
+    assert(basisCount("both_values_are_missing") == 3L)
+    assert(basisCount("either_value_is_missing") == 1L)
+    assert(basisCount("neither") == 4L)
+    // PairEqualCheck: ANSI nulls — only the fully-present unequal row flags.
+    val eq = PairEqualCheck("a", "b").run(data)
+    assert(eq.unexpectedCount == 1L && eq.elementCount == 4L)
+    // NullCheck: the two non-null 'b after filter'… plain: 2 non-null a.
+    val nu = NullCheck("a").run(data)
+    assert(nu.unexpectedCount == 2L && !nu.passed)
+    // …and composes with mostly over ALL rows (2/4 = 50% violations).
+    assert(MostlyCheck(NullCheck("a"), 0.5).run(data).passed)
+    assert(!MostlyCheck(NullCheck("a"), 0.6).run(data).passed)
+  }
+
   test("approx: true compiles to the sketch-backed checks and range-asserts") {
     val spec = SuiteLoader.parse(
       """{"tables":[{"table":"t","expectations":[
@@ -286,7 +343,7 @@ class SuiteLoaderSpec extends SparkSpec {
     assert(spec.tables.map(_.table) == Seq("orders", "customer", "lineitem"))
     val result = graft.suite.ValidationSuite.run(
       SuiteLoader.bind(spark, sfDir, spec))
-    assert(result.totalCount == 18)
+    assert(result.totalCount == 19)
     // The conditioned expectation sees only finalized orders.
     val cond = result.details.find(
       _.validationName == "orders.between:o_totalprice:where:o_orderstatus = 'F'").get
