@@ -135,6 +135,55 @@ object Oracles {
       |         cnt, CAST(CASE WHEN cnt >= 1 THEN 0 ELSE 1 END AS BIGINT)
       |  FROM (SELECT count(*) AS cnt FROM orders)""".stripMargin
 
+  /** Shared CTE blocks for the document-dedup family. ONE definition each
+    * — x1_jaccard_pairs, x1_dedup_groups, x8_contamination, and
+    * x10_curation_funnel interpolate these, so a threshold or
+    * shingle-width change cannot desynchronize the oracles that
+    * cross-check each other. */
+
+  /** Normalized distinct 4-gram shingles per document → `grams`. */
+  private val gram4Ctes: String =
+    """norm AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
+      |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
+      |  FROM norm
+      |), grams AS (
+      |  SELECT DISTINCT doc_id,
+      |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+      |             || ' ' || lead(tok, 3) OVER w AS gram
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      |  QUALIFY lead(tok, 3) OVER w IS NOT NULL
+      |)""".stripMargin
+
+  /** Exact-Jaccard pairs over `grams` → `jpair` (scored) and `jp`
+    * (thresholded at 0.8, the registered queries' minSim). */
+  private val jaccardPairCtes: String =
+    """dc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+      |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jpair AS (
+      |  SELECT doc_id_a, doc_id_b,
+      |         round(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
+      |  FROM inter JOIN dc x ON doc_id_a = x.doc_id JOIN dc y ON doc_id_b = y.doc_id),
+      |jp AS (SELECT doc_id_a, doc_id_b FROM jpair WHERE jaccard >= 0.8)""".stripMargin
+
+  /** Connected components over `jp` via recursive reachability → `creach`
+    * (min(lbl) per id = the component's smallest member — the Spark
+    * side's min-label-propagation fixpoint). Requires WITH RECURSIVE. */
+  private val componentCtes: String =
+    """cedges AS (
+      |  SELECT doc_id_a AS src, doc_id_b AS dst FROM jp
+      |  UNION SELECT doc_id_b, doc_id_a FROM jp),
+      |creach(id, lbl) AS (
+      |  SELECT src, src FROM cedges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM cedges e JOIN creach r ON e.src = r.id)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "d1_count" -> "SELECT count(*) AS cnt FROM lineitem",
 
@@ -369,70 +418,24 @@ object Oracles {
         |           ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // NOTE on the shared-CTE entries: the blocks are concatenated (never
+    // interpolated into a string that later runs .stripMargin — the SQL
+    // `||` operator at a line start would be eaten as a margin).
     "x1_jaccard_pairs" ->
-      """WITH norm AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-        |  FROM documents
-        |), toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
-        |  FROM norm
-        |), grams AS (
-        |  SELECT DISTINCT doc_id,
-        |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
-        |             || ' ' || lead(tok, 3) OVER w AS gram
-        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-        |  QUALIFY lead(tok, 3) OVER w IS NOT NULL
-        |), dc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
-        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_id_a, doc_id_b, jaccard FROM (
-        |  SELECT doc_id_a, doc_id_b,
-        |         round(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
-        |  FROM inter JOIN dc x ON doc_id_a = x.doc_id JOIN dc y ON doc_id_b = y.doc_id)
-        |WHERE jaccard >= 0.8 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+      ("WITH " + gram4Ctes + ",\n" + jaccardPairCtes + "\n" +
+        """SELECT doc_id_a, doc_id_b, jaccard FROM jpair
+          |WHERE jaccard >= 0.8 ORDER BY doc_id_a, doc_id_b""".stripMargin),
 
     "x1_dedup_groups" ->
-      // The x1_jaccard pair derivation, then connected components via a
-      // recursive reachability CTE: reach accumulates, for every vertex,
+      // The x1_jaccard pair derivation, then connected components via the
+      // recursive reachability CTE: creach accumulates, for every vertex,
       // the labels of all vertices that can reach it along the symmetric
       // edge set; min(label) per vertex = its component's smallest id —
       // exactly the Spark side's min-label propagation fixpoint.
-      """WITH RECURSIVE norm AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-        |  FROM documents
-        |), toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
-        |  FROM norm
-        |), grams AS (
-        |  SELECT DISTINCT doc_id,
-        |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
-        |             || ' ' || lead(tok, 3) OVER w AS gram
-        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-        |  QUALIFY lead(tok, 3) OVER w IS NOT NULL
-        |), dc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
-        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT doc_id_a, doc_id_b FROM (
-        |    SELECT doc_id_a, doc_id_b,
-        |           round(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
-        |    FROM inter JOIN dc x ON doc_id_a = x.doc_id JOIN dc y ON doc_id_b = y.doc_id)
-        |  WHERE jaccard >= 0.8),
-        |edges AS (
-        |  SELECT doc_id_a AS src, doc_id_b AS dst FROM jp
-        |  UNION SELECT doc_id_b, doc_id_a FROM jp),
-        |reach(id, lbl) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.id)
-        |SELECT id AS doc_id, min(lbl) AS cluster_id, min(lbl) = id AS keep
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      ("WITH RECURSIVE " + gram4Ctes + ",\n" + jaccardPairCtes + ",\n" +
+        componentCtes + "\n" +
+        """SELECT id AS doc_id, min(lbl) AS cluster_id, min(lbl) = id AS keep
+          |FROM creach GROUP BY id ORDER BY doc_id""".stripMargin),
 
     "x1_embed_neardup" ->
       """WITH corpus AS (
@@ -691,32 +694,20 @@ object Oracles {
         |GROUP BY 1 ORDER BY stratum""".stripMargin,
 
     "x8_contamination" ->
-      // Same 4-gram windowing as the x1_jaccard oracle; containment =
+      // Same shared 4-gram CTE as the x1_jaccard oracle; containment =
       // |grams(doc) ∩ grams(bench)| / |grams(bench)|, threshold on the
       // ROUNDED value (matching the Spark side).
-      """WITH norm AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-        |  FROM documents
-        |), toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
-        |  FROM norm
-        |), grams AS (
-        |  SELECT DISTINCT doc_id,
-        |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
-        |             || ' ' || lead(tok, 3) OVER w AS gram
-        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-        |  QUALIFY lead(tok, 3) OVER w IS NOT NULL
-        |), bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
-        |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
-        |inter AS (
-        |  SELECT g.doc_id, b.bench_id, count(*) AS i
-        |  FROM grams g JOIN bench b ON g.gram = b.gram
-        |  GROUP BY 1, 2)
-        |SELECT doc_id, bench_id, containment FROM (
-        |  SELECT doc_id, bench_id, round(i * 1.0 / n, 4) AS containment
-        |  FROM inter JOIN bn USING (bench_id))
-        |WHERE containment >= 0.8 ORDER BY doc_id, bench_id""".stripMargin,
+      ("WITH " + gram4Ctes + ",\n" +
+        """bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |binter AS (
+          |  SELECT g.doc_id, b.bench_id, count(*) AS i
+          |  FROM grams g JOIN bench b ON g.gram = b.gram
+          |  GROUP BY 1, 2)
+          |SELECT doc_id, bench_id, containment FROM (
+          |  SELECT doc_id, bench_id, round(i * 1.0 / n, 4) AS containment
+          |  FROM binter JOIN bn USING (bench_id))
+          |WHERE containment >= 0.8 ORDER BY doc_id, bench_id""".stripMargin),
 
     "x3_repetition" ->
       // Bigram repetition per language: same normalization + lead-window
@@ -751,44 +742,18 @@ object Oracles {
       // whitespace tokens of the PII-REDACTED text in [25, 90]; sampling
       // = the x6 hash bucket with en→0.4; sequences = ceil(survivor
       // tokens / 512).
-      """WITH RECURSIVE norm AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-        |  FROM documents
-        |), toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
-        |  FROM norm
-        |), grams AS (
-        |  SELECT DISTINCT doc_id,
-        |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
-        |             || ' ' || lead(tok, 3) OVER w AS gram
-        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-        |  QUALIFY lead(tok, 3) OVER w IS NOT NULL
-        |), bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
-        |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
-        |contam AS (
-        |  SELECT DISTINCT doc_id FROM (
-        |    SELECT g.doc_id, b.bench_id, count(*) AS i
-        |    FROM grams g JOIN bench b ON g.gram = b.gram
-        |    GROUP BY 1, 2) JOIN bn USING (bench_id)
-        |  WHERE round(i * 1.0 / n, 4) >= 0.8
-        |), dc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-        |jinter AS (
-        |  SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS i
-        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT pa, pb FROM (
-        |    SELECT pa, pb, round(i * 1.0 / (x.n + y.n - i), 4) AS j
-        |    FROM jinter JOIN dc x ON pa = x.doc_id JOIN dc y ON pb = y.doc_id)
-        |  WHERE j >= 0.8),
-        |fedges AS (SELECT pa AS src, pb AS dst FROM jp
-        |           UNION SELECT pb, pa FROM jp),
-        |freach(id, lbl) AS (
-        |  SELECT src, src FROM fedges
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM fedges e JOIN freach r ON e.src = r.id),
-        |fdrop AS (SELECT id FROM freach GROUP BY id HAVING min(lbl) <> id),
+      ("WITH RECURSIVE " + gram4Ctes + ",\n" +
+        """bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8
+          |),""".stripMargin + "\n" +
+        jaccardPairCtes + ",\n" + componentCtes + ",\n" +
+      """fdrop AS (SELECT id FROM creach GROUP BY id HAVING min(lbl) <> id),
         |ann AS (
         |  SELECT doc_id, lang,
         |         doc_id = min(doc_id) OVER (
@@ -829,7 +794,7 @@ object Oracles {
         |       n_after_quality, n_after_sample, n_tokens,
         |       CASE WHEN n_tokens = 0 THEN 0
         |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
-        |FROM f""".stripMargin,
+        |FROM f""".stripMargin),
 
     "x9_pack_sequences" ->
       // The two-level prefix sum degenerates to ONE ordered window

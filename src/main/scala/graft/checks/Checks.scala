@@ -179,7 +179,10 @@ final case class ConditionedCheck(inner: ValueCheck, conditionSql: String)
   def unexpected: Column = inner.unexpected
   def describe: String = s"${inner.describe} (where $conditionSql)"
   override def basisRaw: Column = inner.basisRaw
-  override def rowCondition: Option[Column] = Some(expr(conditionSql))
+  /** ANDed with any condition the inner check carries itself (the pair
+    * checks model `ignore_row_if` as a built-in row condition). */
+  override def rowCondition: Option[Column] =
+    Some(inner.rowCondition.map(_ && expr(conditionSql)).getOrElse(expr(conditionSql)))
   /** The offender sample must honor the condition too: refine over the
     * restricted frame (failure-path-only, so the filter job is paid only
     * when the conditioned check actually failed). */
@@ -335,38 +338,49 @@ private[checks] object IgnoreRowIf {
 }
 
 /** G12 — `expect_column_pair_values_A_to_be_greater_than_B`
-  * (generalizes R4's cross-column business rules). */
+  * (generalizes R4's cross-column business rules).
+  *
+  * `ignore_row_if` is modeled as a built-in row condition (GE filters
+  * ignored rows OUT of the expectation entirely), so `element_count`,
+  * `unexpected_count`, and the `mostly` denominator all exclude ignored
+  * rows — and an invalid mode throws at CONSTRUCTION, not first use.
+  *
+  * Deliberate SQL-engine parity (ADVICE r4): under the default mode a
+  * one-sided-null row is in the basis but the null comparison is never
+  * `unexpected` (ANSI ternary logic), so it always registers as
+  * conforming — exactly GE's SparkDF/SQLAlchemy engines. GE's pandas
+  * engine differs (NaN comparisons count as unexpected); this engine is
+  * Spark, so SQL semantics are the contract, and the DuckDB oracles
+  * replay the same ternary logic. */
 final case class PairGreaterCheck(a: String, b: String, orEqual: Boolean = false,
                                   ignoreRowIf: String = "both_values_are_missing")
   extends ValueCheck {
+  require(IgnoreRowIf.modes.contains(ignoreRowIf),
+    s"unknown ignore_row_if '$ignoreRowIf' — one of ${IgnoreRowIf.modes.mkString(", ")}")
   val column = a
   val name = s"pair_greater:$a>$b"
   def unexpected: Column =
     if (orEqual) col(a) < col(b) else col(a) <= col(b)
   def describe: String = s"$a ${if (orEqual) ">=" else ">"} $b"
-  /** GE's column-pair basis per [[IgnoreRowIf]] (default: a row counts
-    * toward the mostly denominator unless BOTH are null).
-    *
-    * Deliberate SQL-engine parity (ADVICE r4): a one-sided-null row can
-    * be in the basis but the null comparison is never `unexpected` (ANSI
-    * ternary logic), so it always registers as conforming — exactly GE's
-    * SparkDF/SQLAlchemy engines. GE's pandas engine differs (NaN
-    * comparisons count as unexpected); this engine is Spark, so SQL
-    * semantics are the contract, and the DuckDB oracles replay the same
-    * ternary logic. */
-  override def basisRaw: Column = IgnoreRowIf.basis(a, b, ignoreRowIf)
+  override def basisRaw: Column = lit(true)
+  override def rowCondition: Option[Column] =
+    Some(IgnoreRowIf.basis(a, b, ignoreRowIf))
 }
 
 /** `expect_column_pair_values_to_be_equal` — the equality sibling of G12
-  * (same basis/null contract, including [[IgnoreRowIf]]). */
+  * (same basis/null/`ignore_row_if` contract). */
 final case class PairEqualCheck(a: String, b: String,
                                 ignoreRowIf: String = "both_values_are_missing")
   extends ValueCheck {
+  require(IgnoreRowIf.modes.contains(ignoreRowIf),
+    s"unknown ignore_row_if '$ignoreRowIf' — one of ${IgnoreRowIf.modes.mkString(", ")}")
   val column = a
   val name = s"pair_equal:$a=$b"
   def unexpected: Column = col(a) =!= col(b)
   def describe: String = s"$a = $b"
-  override def basisRaw: Column = IgnoreRowIf.basis(a, b, ignoreRowIf)
+  override def basisRaw: Column = lit(true)
+  override def rowCondition: Option[Column] =
+    Some(IgnoreRowIf.basis(a, b, ignoreRowIf))
 }
 
 /** `expect_column_values_to_be_null` — the inverse of G2: non-null values

@@ -71,11 +71,20 @@ object Curation {
       .select(col(cfg.keyCol)).distinct()
       .withColumn("__cont", lit(true))
     // Fuzzy drop set: non-canonical members of the pair-graph components.
-    // broadcast() pinned — its cardinality is bounded by detected
-    // duplicates, tiny next to the corpus.
-    val fuzzyDrops = fuzzyPairs.map(p =>
-      broadcast(DedupResolve.dropSet(p)
-        .select(col("id").as(cfg.keyCol)).withColumn("__fdrop", lit(true))))
+    // Broadcast GUARDED, not pinned: the drop set is usually tiny next to
+    // the corpus, but its size is data-dependent (a boilerplate-heavy
+    // crawl can drop a third of its documents), so an unguarded
+    // broadcast() would hard-fail at the 8 GB ceiling exactly when dedup
+    // matters most. The count is a bounded fetch over the already-
+    // materialized component labels (the IvfIndex.topK / Skew pattern);
+    // past the limit the join degrades to the optimizer's choice.
+    val fuzzyDrops = fuzzyPairs.map { p =>
+      val drops = DedupResolve.dropSet(p)
+        .select(col("id").as(cfg.keyCol)).withColumn("__fdrop", lit(true))
+      val n = graft.Client.fetchScalar[Long](
+        drops.agg(count(lit(1)).as("__n")), "__n")
+      if (n <= 10000000L) broadcast(drops) else drops
+    }
     // Shared definition with Packing: the funnel's n_tokens/n_sequences
     // cross-check against packSequences depends on identical counting.
     val nTok: Column = TextAnalysis.tokenCount(col(cfg.textCol))

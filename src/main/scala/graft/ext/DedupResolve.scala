@@ -38,17 +38,23 @@ object DedupResolve {
                           bCol: String = "doc_id_b",
                           maxIters: Int = 25): DataFrame = {
     require(maxIters >= 1, s"maxIters ($maxIters) must be >= 1")
+    import org.apache.spark.sql.graftbridge.CheckpointBridge.releaseLocalCheckpoint
     // Both directions once: propagation below only looks src → dst, so
-    // the symmetric closure makes the graph undirected.
+    // the symmetric closure makes the graph undirected. Keys keep their
+    // native type — a cast here would turn e.g. string doc ids into
+    // nulls and silently collapse the graph. min() requires an ordered
+    // type, which every sensible document key (numeric/string) has.
     val edges = pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
-        col(aCol).cast("long").as("dst")))
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true) // consumed once per iteration — pin it
-    var labels = edges.select(col("src").as("id")).distinct()
+    // `labelsCkpt` is always the checkpointed frame backing `labels` (the
+    // bridge releases a bare checkpoint root, not a projection over it).
+    var labelsCkpt = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    var labels = labelsCkpt
     var iter = 0
     var changed = 1L
     while (changed > 0) {
@@ -67,9 +73,16 @@ object DedupResolve {
           (coalesce(col("__nbr"), col("label")) < col("label")).as("__ch"))
         .localCheckpoint(true)
       changed = next.filter(col("__ch")).count()
+      // The superseded generation is dead the moment `next` materialized —
+      // release its block-manager storage instead of letting one
+      // generation per round pile up until GC (Dataset.unpersist doesn't
+      // touch local-checkpoint blocks; see CheckpointBridge).
+      releaseLocalCheckpoint(labelsCkpt)
+      labelsCkpt = next
       labels = next.drop("__ch")
       iter += 1
     }
+    releaseLocalCheckpoint(edges) // the final labels checkpoint stays live
     labels.select(col("id"), col("label").as("component"))
   }
 

@@ -15,3 +15,19 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Storage release for `localCheckpoint`ed Datasets. A local checkpoint
+  * is backed by block-manager storage that `Dataset.unpersist` does NOT
+  * touch (it only clears CacheManager entries), so iterative algorithms
+  * that checkpoint per round (graft.ext.DedupResolve) would pile up one
+  * dead generation per iteration until GC + ContextCleaner get around to
+  * them. Only call on a frame that is provably DEAD: after release the
+  * checkpoint cannot be recomputed (its lineage was truncated). */
+object CheckpointBridge {
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+}

@@ -256,13 +256,14 @@ class SuiteLoaderSpec extends SparkSpec {
       NullCheck("deleted_at"),
       ProportionUniqueCheck("k", 0.9, 1.0),
       QuantileCheck("v", 0.5, 1.0, 2.0)))
-    // An invalid ignore_row_if throws at parse time, not silently.
-    intercept[IllegalArgumentException](SuiteLoader.parse(
+    // An invalid ignore_row_if throws at parse time (check construction),
+    // never lazily at first use.
+    val e = intercept[IllegalArgumentException](SuiteLoader.parse(
       """{"tables":[{"table":"t","expectations":[
         |  {"type":"expect_column_pair_values_to_be_equal",
         |   "kwargs":{"column_A":"a","column_B":"b",
-        |             "ignore_row_if":"sometimes"}}]}]}""".stripMargin)
-      .tables.head.checks.head.asInstanceOf[PairEqualCheck].basisRaw)
+        |             "ignore_row_if":"sometimes"}}]}]}""".stripMargin))
+    assert(e.getMessage.contains("ignore_row_if"))
   }
 
   test("ignore_row_if changes the pair basis; to_be_null counts non-nulls") {
@@ -270,19 +271,23 @@ class SuiteLoaderSpec extends SparkSpec {
     val data = df(Seq(
       Row(5.0, 1.0), Row(null, 2.0), Row(3.0, null), Row(null, null)),
       "a DOUBLE, b DOUBLE")
-    // Default basis: not-both-missing → 3 rows; 'either' → 1; 'neither' → 4.
-    def basisCount(mode: String) = {
-      val c = PairGreaterCheck("a", "b", ignoreRowIf = mode)
-      val m = MostlyCheck(c, 0.5)
+    // Ignored rows are excluded from the expectation ENTIRELY (GE filters
+    // them out): element_count and the mostly denominator agree.
+    // Default: not-both-missing → 3 rows; 'either' → 1; 'neither' → 4.
+    def counts(mode: String) = {
+      val m = MostlyCheck(PairGreaterCheck("a", "b", ignoreRowIf = mode), 0.5)
       val cols = m.aggColumns("")
-      data.agg(cols.head, cols.tail: _*).head().getAs[Long]("nonnull_count")
+      val row = data.agg(cols.head, cols.tail: _*).head()
+      (row.getAs[Long]("element_count"), row.getAs[Long]("nonnull_count"))
     }
-    assert(basisCount("both_values_are_missing") == 3L)
-    assert(basisCount("either_value_is_missing") == 1L)
-    assert(basisCount("neither") == 4L)
+    assert(counts("both_values_are_missing") == ((3L, 3L)))
+    assert(counts("either_value_is_missing") == ((1L, 1L)))
+    assert(counts("neither") == ((4L, 4L)))
+    // An invalid mode throws at construction.
+    intercept[IllegalArgumentException](PairEqualCheck("a", "b", "sometimes"))
     // PairEqualCheck: ANSI nulls — only the fully-present unequal row flags.
     val eq = PairEqualCheck("a", "b").run(data)
-    assert(eq.unexpectedCount == 1L && eq.elementCount == 4L)
+    assert(eq.unexpectedCount == 1L && eq.elementCount == 3L)
     // NullCheck: the two non-null 'b after filter'… plain: 2 non-null a.
     val nu = NullCheck("a").run(data)
     assert(nu.unexpectedCount == 2L && !nu.passed)
