@@ -61,6 +61,31 @@ class DedupResolveSpec extends SparkSpec {
     assert(drops == Set(2L, 3L, 11L))
   }
 
+  test("random graphs agree with a driver-side union-find oracle") {
+    // Deterministic pseudo-random edge sets (no RNG API — the multiplier
+    // walk is fixed): dense-ish and sparse regimes, compared against a
+    // classic union-find computed on the driver.
+    for ((nVertices, nEdges, salt) <- Seq((40L, 50, 1L), (60L, 30, 2L), (25L, 80, 3L))) {
+      val edges = (0 until nEdges).map { i =>
+        val a = math.abs((i * 2654435761L + salt) % nVertices)
+        val b = math.abs((i * 40503L + salt * 7L + 13L) % nVertices)
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val parent = scala.collection.mutable.Map((0L until nVertices).map(v => v -> v): _*)
+      def find(v: Long): Long = if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = vertices.map { v =>
+        // Component label = min vertex sharing v's union-find root.
+        val r = find(v)
+        v -> vertices.filter(find(_) == r).min
+      }.toMap
+      val got = DedupResolve.connectedComponents(pairsDF(edges: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"mismatch for salt=$salt")
+    }
+  }
+
   test("non-convergence throws instead of silently splitting clusters") {
     // Chain of diameter 3 cannot settle in 1 iteration.
     val pairs = pairsDF((1L, 2L), (2L, 3L), (3L, 4L))
