@@ -135,6 +135,18 @@ object Oracles {
       |         cnt, CAST(CASE WHEN cnt >= 1 THEN 0 ELSE 1 END AS BIGINT)
       |  FROM (SELECT count(*) AS cnt FROM orders)""".stripMargin
 
+  /** The [[graft.ext.Sampling.bucket]] hash as a DuckDB scalar expression
+    * over `key` — multiply → xor-shift → mask → multiply → xor-shift →
+    * mod, every intermediate positive (so `%` = pmod, `>>` logical). ONE
+    * definition shared by every oracle that replays survivor selection
+    * (x6, x10, x12), so a hash change cannot desynchronize them. */
+  private def bucketSql(key: String, seed: Long = 42L): String = {
+    val h1 = s"(($key + $seed) * 2654435761)"
+    val h2 = s"(xor($h1, $h1 >> 31) & 2147483647)"
+    val h3 = s"($h2 * 2246822519)"
+    s"(xor($h3, $h3 >> 29) % 10000)"
+  }
+
   /** Shared CTE blocks for the document-dedup family. ONE definition each
     * — x1_jaccard_pairs, x1_dedup_groups, x8_contamination, and
     * x10_curation_funnel interpolate these, so a threshold or
@@ -437,6 +449,37 @@ object Oracles {
         """SELECT id AS doc_id, min(lbl) AS cluster_id, min(lbl) = id AS keep
           |FROM creach GROUP BY id ORDER BY doc_id""".stripMargin),
 
+    "x1_span_dedup" ->
+      // Token-block spans replayed: 0-based block pos = (ord-1)/8 over
+      // the normalized token stream, span = the block's tokens re-joined.
+      // keep iff the span is corpus-unique, OR this is its first
+      // (doc_id, pos) occurrence, OR it is blank — exactly
+      // SpanDedup.flagSpans (Spark groups by xxhash64(span); the oracle
+      // groups by the span itself — identical absent 64-bit collisions).
+      // coalesce('') matches Spark's concat_ws on a fully-dropped doc.
+      """WITH norm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
+        |  FROM norm),
+        |spans AS (
+        |  SELECT doc_id, CAST(floor((ord - 1) / 8.0) AS BIGINT) AS pos,
+        |         string_agg(tok, ' ' ORDER BY ord) AS span
+        |  FROM toks GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT doc_id, pos, span,
+        |         (count(*) OVER (PARTITION BY span) < 2
+        |          OR row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1
+        |          OR length(span) = 0) AS kept
+        |  FROM spans)
+        |SELECT doc_id, count(*) AS n_spans,
+        |       count(CASE WHEN NOT kept THEN 1 END) AS n_dropped,
+        |       md5(coalesce(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY pos),
+        |                    '')) AS text_md5
+        |FROM flagged GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "x1_embed_neardup" ->
       """WITH corpus AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -656,6 +699,52 @@ object Oracles {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY s_suppkey""".stripMargin,
 
+    "x12_token_mix" ->
+      // The recipe replayed: per-source token supply, literal targets
+      // (budget 3000 × weights .5/.3/.2 on src0/1/2, else 0), keep
+      // threshold = floor(least(1, target/supply)·10⁴ + 0.5) — the same
+      // explicit half-up rounding as Mixing.rateFrame — and survivor
+      // selection via the shared Sampling.bucket replay (bucketSql).
+      // Every sum/coalesce cast to BIGINT to match Spark's long
+      // aggregates (DuckDB sum(int) widens to HUGEINT).
+      raw"""WITH tc AS (
+        |  SELECT doc_id, source,
+        |         len(string_split_regex(trim(text), '\s+')) AS nt
+        |  FROM documents),
+        |tot AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(nt) AS BIGINT) AS tokens_in
+        |  FROM tc GROUP BY 1),
+        |rates AS (
+        |  SELECT source, n_docs, tokens_in,
+        |         CAST(CASE source WHEN 'src0' THEN 1500 WHEN 'src1' THEN 900
+        |                          WHEN 'src2' THEN 600 ELSE 0 END AS BIGINT)
+        |           AS target_tokens,
+        |         CAST(floor(least(1.0,
+        |                CAST(CASE source WHEN 'src0' THEN 1500 WHEN 'src1' THEN 900
+        |                                 WHEN 'src2' THEN 600 ELSE 0 END AS BIGINT)
+        |                * 1.0 / tokens_in) * 10000 + 0.5) AS BIGINT) AS thr
+        |  FROM tot),
+        |kept AS (
+        |  SELECT t.source, count(*) AS docs_kept,
+        |         CAST(sum(t.nt) AS BIGINT) AS tokens_kept
+        |  FROM tc t JOIN rates r USING (source)
+        |  WHERE ${bucketSql("t.doc_id")} < r.thr
+        |  GROUP BY 1)
+        |SELECT r.source, r.n_docs, r.tokens_in, r.target_tokens,
+        |       CAST(coalesce(k.docs_kept, 0) AS BIGINT) AS docs_kept,
+        |       CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+        |FROM rates r LEFT JOIN kept k USING (source)
+        |ORDER BY source""".stripMargin,
+
+    "x12_training_order" ->
+      // The keyed-hash global order replayed (the shared bucket formula),
+      // doc_id tiebreak, first 50.
+      s"""SELECT doc_id,
+        |       ${bucketSql("doc_id")} AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id LIMIT 50""".stripMargin,
+
     "s2_stream_dedup" ->
       // The batch replay of the streaming dedup: corpus = documents + 5
       // planted exact copies; unique = distinct normalized text (the md5
@@ -676,17 +765,15 @@ object Oracles {
         |SELECT n_docs, n_unique, n_docs - n_unique AS n_dups FROM u""".stripMargin,
 
     "x6_stratified_sample" ->
-      // The keyed multiplicative hash replayed exactly: bucket =
-      // ((doc_id + 42) * 2654435761) >> 16 mod 10000; keep iff bucket <
+      // The keyed hash replayed exactly (shared bucketSql — multiply →
+      // xor-shift → multiply → xor-shift → mod); keep iff bucket <
       // rate*10000 (en 4000, zh 5000, else 10000).
-      // (doc_id + seed) * Knuth stays positive for all testdata ids, so
-      // plain % equals Spark's pmod here.
-      """SELECT lang AS stratum,
+      s"""SELECT lang AS stratum,
         |       count(*) AS n_in,
         |       count(CASE WHEN b < t THEN 1 END) AS n_kept,
         |       round(count(CASE WHEN b < t THEN 1 END) * 1.0 / count(*), 4) AS kept_rate
         |FROM (SELECT lang,
-        |             (((doc_id + 42) * 2654435761) >> 16) % 10000 AS b,
+        |             ${bucketSql("doc_id")} AS b,
         |             CASE lang WHEN 'en' THEN 4000
         |                       WHEN 'zh' THEN 5000
         |                       ELSE 10000 END AS t
@@ -753,7 +840,7 @@ object Oracles {
           |  WHERE round(i * 1.0 / n, 4) >= 0.8
           |),""".stripMargin + "\n" +
         jaccardPairCtes + ",\n" + componentCtes + ",\n" +
-      """fdrop AS (SELECT id FROM creach GROUP BY id HAVING min(lbl) <> id),
+      raw"""fdrop AS (SELECT id FROM creach GROUP BY id HAVING min(lbl) <> id),
         |ann AS (
         |  SELECT doc_id, lang,
         |         doc_id = min(doc_id) OVER (
@@ -763,7 +850,7 @@ object Oracles {
         |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
         |         CASE WHEN len(trim(rtext)) = 0 THEN 0
         |              ELSE len(string_split_regex(trim(rtext), '\s+')) END AS n_tok,
-        |         (((doc_id + 42) * 2654435761) >> 16) % 10000 AS b,
+        |         ${bucketSql("doc_id")} AS b,
         |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
         |  FROM (SELECT doc_id, lang, text,
         |               regexp_replace(regexp_replace(regexp_replace(text,

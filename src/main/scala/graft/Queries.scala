@@ -385,6 +385,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X1g — cross-corpus span-level dedup (C4/RefinedWeb "keep one
+    * occurrence of a duplicated span"): token-block spans (width 8 —
+    * the testdata has no newline structure, so line granularity would
+    * degenerate to whole-document dedup), duplicated blocks dropped
+    * everywhere but their first (doc_id, pos) occurrence, documents
+    * reassembled. One row per document: span census + the md5 of the
+    * rewritten text, so a single wrong keep/drop decision on either
+    * engine breaks the hash. */
+  def x1SpanDedup(s: SparkSession, d: String): DataFrame =
+    graft.ext.SpanDedup.dedupTokenSpans(documents(s, d), width = 8, minCount = 2)
+      .select(col("doc_id"), col("n_spans"), col("n_dropped"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+
   /** X1e — embedding-cosine near-duplicate pairs. The base corpus has no
     * pairs above 0.52, so five exact copies (vec_id + 100000) are planted
     * deterministically; identical vectors share every LSH band, so the
@@ -534,6 +548,22 @@ object Queries {
       .agg(count(lit(1)).as("n_lines"), max(col("s_nationkey")).as("nation_key"))
       .orderBy("s_suppkey")
   }
+
+  /** X12a — corpus mixing to a token budget: per-source supply census →
+    * deterministic keep-rate → recipe audit. src0 is deliberately
+    * UNDER-supplied relative to its 50% share (rate caps at 1.0 — the
+    * epochs>1 signal), src1/src2 sample fractionally, every other source
+    * has weight 0 and drops — all three regimes through one oracle. */
+  def x12TokenMix(s: SparkSession, d: String): DataFrame =
+    graft.ext.Mixing.mixSummary(documents(s, d),
+      weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+      totalTokens = 3000L)
+
+  /** X12b — deterministic global training order (mix → shuffle → pack):
+    * the first 50 documents of the keyed-hash order, engine-replayable. */
+  def x12TrainingOrder(s: SparkSession, d: String): DataFrame =
+    graft.ext.Mixing.trainingOrder(documents(s, d))
+      .select(col("doc_id"), col("shuffle_key")).limit(50)
 
   /** X3a — global token frequency top-20. */
   def x3TopTokens(s: SparkSession, d: String): DataFrame =

@@ -51,6 +51,7 @@ object SparkEntry {
     "x1_minhash_pairs" -> (Queries.x1MinhashPairs _),
     "x1_simhash_pairs" -> (Queries.x1SimhashPairs _),
     "x1_dedup_groups" -> (Queries.x1DedupGroups _),
+    "x1_span_dedup" -> (Queries.x1SpanDedup _),
     "x1_embed_neardup" -> (Queries.x1EmbedNearDup _),
     "x2_topk_cosine" -> (Queries.x2TopkCosine _),
     "x2_ann_topk" -> (Queries.x2AnnTopk _),
@@ -76,7 +77,9 @@ object SparkEntry {
     "x9_pack_padded" -> (Queries.x9PackPadded _),
     "x10_curation_funnel" -> (Queries.x10CurationFunnel _),
     "x11_skew_profile" -> (Queries.x11SkewProfile _),
-    "x11_salted_join" -> (Queries.x11SaltedJoin _)
+    "x11_salted_join" -> (Queries.x11SaltedJoin _),
+    "x12_token_mix" -> (Queries.x12TokenMix _),
+    "x12_training_order" -> (Queries.x12TrainingOrder _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -8,28 +8,48 @@ import org.apache.spark.sql.functions._
   * with per-stratum keep rates that are REPRODUCIBLE — the same row set
   * survives on every run, cluster size, and engine.
   *
-  * Mechanism: a keyed multiplicative hash (Knuth 2654435761, high bits)
-  * maps each row's key+seed to a bucket in [0, 10000); a row survives iff
-  * its bucket < rate×10000. No RNG state, no partition-order dependence —
-  * unlike `df.sample`/`sampleBy`, whose survivors change with
-  * partitioning. The hash is plain integer arithmetic, so the DuckDB
-  * oracle replays it exactly.
+  * Mechanism: a keyed integer hash maps each row's key+seed to a bucket
+  * in [0, 10000); a row survives iff its bucket < rate×10000. No RNG
+  * state, no partition-order dependence — unlike `df.sample`/`sampleBy`,
+  * whose survivors change with partitioning. The hash is plain integer
+  * arithmetic, so the DuckDB oracle replays it exactly.
+  *
+  * The hash is multiply → xor-shift → multiply → xor-shift (Knuth and
+  * xxhash primes). The xor-shifts are load-bearing: a PURE multiplicative
+  * hash maps arithmetic progressions of keys to arithmetic progressions
+  * of buckets, so a STRIDED key set (interleaved shards, every-Nth-id
+  * sources — exactly how per-source ids land in real corpora) clusters
+  * into a narrow bucket band and a requested 58% rate can keep 94% or 0%
+  * (measured, r5). XOR is non-affine, so the second multiply sees a
+  * stride-free input; deciles over strided keys are uniform to ±5%.
+  * All intermediates stay positive and below 2⁶³ for keys ≤ ~3.4e9
+  * (ANSI mode throws on Long wrap, so the bound is loud, not silent).
   *
   * At 100 TB this is a narrow map-only pass (no shuffle): the predicate
   * evaluates per row and pushes into the scan where the source supports
   * it. A production deployment wanting stronger mixing can swap the
-  * multiplicative hash for `xxhash64` (Spark-native, codegen'd) at the
-  * cost of engine-portable replay.
+  * hash for `xxhash64` (Spark-native, codegen'd) at the cost of
+  * engine-portable replay.
   */
 object Sampling {
 
-  private val Knuth = 2654435761L
+  private val Knuth = 2654435761L       // Knuth's 2^32 golden-ratio prime
+  private val XxPrime = 2246822519L     // xxhash PRIME32_2
+  private val Mask31 = 0x7FFFFFFFL      // keep the 2nd multiply under 2^63
   private val Buckets = 10000L
 
   /** Stable per-row bucket in [0, Buckets). Keys up to ~3.4e9 stay clear
-    * of Long overflow (ANSI mode throws on wrap). */
-  def bucket(key: Column, seed: Long): Column =
-    pmod(shiftright((key + lit(seed)) * lit(Knuth), 16), lit(Buckets))
+    * of Long overflow (ANSI mode throws on wrap). Replay in SQL:
+    * `h1 = (key + seed) * 2654435761`,
+    * `h2 = xor(h1, h1 >> 31) & 2147483647`, `h3 = h2 * 2246822519`,
+    * `bucket = xor(h3, h3 >> 29) % 10000` (all values positive, so plain
+    * `%` equals Spark's pmod and `>>` is a logical shift). */
+  def bucket(key: Column, seed: Long): Column = {
+    val h1 = (key + lit(seed)) * lit(Knuth)
+    val h2 = h1.bitwiseXOR(shiftright(h1, 31)).bitwiseAND(lit(Mask31))
+    val h3 = h2 * lit(XxPrime)
+    pmod(h3.bitwiseXOR(shiftright(h3, 29)), lit(Buckets))
+  }
 
   /** The per-row bucket threshold for a rate map: a when-chain over the
     * strata, `defaultRate` otherwise. Rates quantize to 1/10000. */

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Mixing, Sampling}
+
+class MixingSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, String)*) =
+    df(rows.map { case (id, src, t) => Row(id, src, t) },
+      "doc_id BIGINT, source STRING, text STRING")
+
+  /** The documented Sampling.bucket formula, independently restated
+    * (multiply → xor-shift → mask → multiply → xor-shift → mod). */
+  private def refBucket(id: Long, seed: Long = 42L): Long = {
+    val h1 = (id + seed) * 2654435761L
+    val h2 = (h1 ^ (h1 >>> 31)) & 0x7FFFFFFFL
+    val h3 = h2 * 2246822519L
+    (h3 ^ (h3 >>> 29)) % 10000L
+  }
+
+  test("sourceTotals counts docs and whitespace tokens per source") {
+    val d = docs((1L, "a", "one two three"), (2L, "a", "four"), (3L, "b", "x y"))
+    val t = Mixing.sourceTotals(d).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(t.toSeq == Seq(("a", 2L, 4L), ("b", 1L, 2L)))
+  }
+
+  test("undersupplied source caps at rate 1.0 and keeps everything") {
+    val d = docs((1L, "a", "t1 t2"), (2L, "b", "t3 t4"))
+    // a's target = 100 tokens >> 2 supplied -> rate 1; b weight 0 -> dropped.
+    val kept = Mixing.mixToBudget(d, weights = Map("a" -> 1.0), totalTokens = 100L)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("fractional rate selects the same survivors on any partitioning") {
+    val d = docs((1L to 200L).map(i => (i, "a", s"tok$i word$i")): _*)
+    val w = Map("a" -> 1.0)
+    val a = Mixing.mixToBudget(d, weights = w, totalTokens = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Mixing.mixToBudget(d.repartition(13), weights = w, totalTokens = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty && a.size < 200,
+      s"expected a stable strict subset, got ${a.size}")
+  }
+
+  test("mixSummary reports all three regimes and zero-weight sources") {
+    val sf = Tables.documents(spark, sfDir)
+    val out = Queries.x12TokenMix(spark, sfDir).collect()
+    assert(out.length == sf.select("source").distinct().count())
+    val bySrc = out.map(r => r.getString(0) -> r).toMap
+    // src0: target 1500 vs its supply — capped or fractional, never over.
+    val s0 = bySrc("src0")
+    assert(s0.getLong(4) <= s0.getLong(1) && s0.getLong(5) <= s0.getLong(2))
+    // weight-0 source keeps nothing.
+    val s9 = bySrc("src9")
+    assert(s9.getLong(3) == 0L && s9.getLong(4) == 0L && s9.getLong(5) == 0L)
+    // fractional source lands within 25% of target (hash-rate variance on
+    // ~25 docs is wide; the point is the rate machinery, not tight bounds).
+    val s1 = bySrc("src1")
+    assert(s1.getLong(5) > 0L && math.abs(s1.getLong(5) - s1.getLong(3)) <=
+      (s1.getLong(3) * 0.25).toLong + 200,
+      s"src1 achieved ${s1.getLong(5)} vs target ${s1.getLong(3)}")
+  }
+
+  test("mix keeps exactly the rows under the per-source threshold") {
+    val d = docs((1L to 50L).map(i => (i, "a", "w1 w2 w3 w4")): _*)
+    val total = 200L // 50 docs * 4 tokens = 200 supplied; target 100 -> rate .5
+    val kept = Mixing.mixToBudget(d, weights = Map("a" -> 0.5), totalTokens = total)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = (1L to 50L).filter(refBucket(_) < 5000L).toSet
+    assert(kept == expected)
+  }
+
+  test("trainingOrder is a total deterministic order, partitioning-invariant") {
+    val d = docs((1L to 100L).map(i => (i, "a", "t")): _*)
+    val o1 = Mixing.trainingOrder(d).select("doc_id").collect().map(_.getLong(0)).toSeq
+    val o2 = Mixing.trainingOrder(d.repartition(17)).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(o1 == o2 && o1.toSet == (1L to 100L).toSet)
+    // The order is the hash order, not the key order.
+    assert(o1 != (1L to 100L).toSeq)
+    // And it replays the documented formula.
+    val manual = (1L to 100L).sortBy(id => (refBucket(id), id))
+    assert(o1 == manual)
+  }
+
+  test("bad recipe inputs are rejected") {
+    val d = docs((1L, "a", "t"))
+    intercept[IllegalArgumentException] {
+      Mixing.mixToBudget(d, weights = Map("a" -> 1.0), totalTokens = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.mixToBudget(d, weights = Map("a" -> -0.1), totalTokens = 10L)
+    }
+  }
+}

@@ -66,6 +66,22 @@ class SamplingSpec extends SparkSpec {
     assert(t == 3L)
   }
 
+  test("strided key sets sample near the configured rate (xor-mix regression)") {
+    // Interleaved shards assign every-Nth id to a source — exactly the
+    // key shape that collapsed the old pure-multiplicative hash into a
+    // narrow bucket band (a 58% rate kept 94% of one stride and 0% of
+    // another, r5). The xor-shifts break the affine lattice.
+    import org.apache.spark.sql.Row
+    for (stride <- Seq(7L, 20L, 100L)) {
+      val rows = (0L until 400L).map(i => Row(1L + i * stride, "s"))
+      val d = df(rows, "doc_id BIGINT, src STRING")
+      val kept = Sampling.stratifiedSample(d, "doc_id", "src", Map("s" -> 0.5))
+        .count()
+      assert(math.abs(kept / 400.0 - 0.5) < 0.12,
+        s"stride $stride: kept ${kept}/400 at rate 0.5")
+    }
+  }
+
   test("out-of-range rates are rejected") {
     intercept[IllegalArgumentException](
       Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.5)))
