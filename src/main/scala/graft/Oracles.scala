@@ -737,6 +737,45 @@ object Oracles {
         |FROM rates r LEFT JOIN kept k USING (source)
         |ORDER BY source""".stripMargin,
 
+    "x12_temperature_mix" ->
+      // Temperature-0.5 targets replayed exactly: sqrt is IEEE-754
+      // correctly rounded in BOTH engines (general pow is not — that is
+      // why the registered recipe uses α = 0.5), weights quantize to
+      // integer milli-units before the integer-sum normalization, and
+      // every remaining op is integer or exact-double arithmetic.
+      raw"""WITH tc AS (
+        |  SELECT doc_id, source,
+        |         len(string_split_regex(trim(text), '\s+')) AS nt
+        |  FROM documents),
+        |tot AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(nt) AS BIGINT) AS tokens_in
+        |  FROM tc GROUP BY 1),
+        |wq AS (
+        |  SELECT source, n_docs, tokens_in,
+        |         CAST(floor(sqrt(tokens_in) * 1000 + 0.5) AS BIGINT) AS w
+        |  FROM tot),
+        |rates AS (
+        |  SELECT source, n_docs, tokens_in,
+        |         CAST(floor((10000 * w) * 1.0 / (SELECT sum(w) FROM wq) + 0.5)
+        |              AS BIGINT) AS target_tokens,
+        |         CAST(floor(least(1.0,
+        |                CAST(floor((10000 * w) * 1.0 / (SELECT sum(w) FROM wq) + 0.5)
+        |                     AS BIGINT) * 1.0 / tokens_in) * 10000 + 0.5)
+        |              AS BIGINT) AS thr
+        |  FROM wq),
+        |kept AS (
+        |  SELECT t.source, count(*) AS docs_kept,
+        |         CAST(sum(t.nt) AS BIGINT) AS tokens_kept
+        |  FROM tc t JOIN rates r USING (source)
+        |  WHERE ${bucketSql("t.doc_id")} < r.thr
+        |  GROUP BY 1)
+        |SELECT r.source, r.n_docs, r.tokens_in, r.target_tokens,
+        |       CAST(coalesce(k.docs_kept, 0) AS BIGINT) AS docs_kept,
+        |       CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+        |FROM rates r LEFT JOIN kept k USING (source)
+        |ORDER BY source""".stripMargin,
+
     "x12_training_order" ->
       // The keyed-hash global order replayed (the shared bucket formula),
       // doc_id tiebreak, first 50.

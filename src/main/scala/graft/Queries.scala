@@ -565,6 +565,15 @@ object Queries {
     graft.ext.Mixing.trainingOrder(documents(s, d))
       .select(col("doc_id"), col("shuffle_key")).limit(50)
 
+  /** X12c — temperature-scaled mixing (share ∝ supply^α, α = 0.5): the
+    * re-balancing recipe multilingual pretraining uses. α = 0.5 runs as
+    * `sqrt`, which IEEE-754 correctly rounds in every engine, and weights
+    * are integer-quantized before normalizing — so the oracle replays the
+    * targets exactly, not approximately. */
+  def x12TemperatureMix(s: SparkSession, d: String): DataFrame =
+    graft.ext.Mixing.temperatureSummary(documents(s, d),
+      alpha = 0.5, totalTokens = 10000L)
+
   /** X3a — global token frequency top-20. */
   def x3TopTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topTokens(documents(s, d))

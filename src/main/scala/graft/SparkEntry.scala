@@ -79,7 +79,8 @@ object SparkEntry {
     "x11_skew_profile" -> (Queries.x11SkewProfile _),
     "x11_salted_join" -> (Queries.x11SaltedJoin _),
     "x12_token_mix" -> (Queries.x12TokenMix _),
-    "x12_training_order" -> (Queries.x12TrainingOrder _)
+    "x12_training_order" -> (Queries.x12TrainingOrder _),
+    "x12_temperature_mix" -> (Queries.x12TemperatureMix _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

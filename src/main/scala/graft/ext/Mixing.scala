@@ -61,6 +61,68 @@ object Mixing {
           col("target_tokens") / col("tokens_in")) * 10000 + lit(0.5)).cast("long"))
   }
 
+  /** Temperature-scaled targets: per-source share ∝ supply^alpha — the
+    * standard multi-source re-balancing rule (alpha = 1 keeps natural
+    * proportions, alpha = 0 is uniform; real multilingual recipes sit
+    * around 0.3–0.7 so low-resource sources are up-weighted without
+    * flooding epochs). Output: (source, n_docs, tokens_in,
+    * target_tokens, keep_threshold) — same shape as the explicit-weight
+    * [[mixSummary]] path, so the two recipes share survivor selection.
+    *
+    * Engine-replay exactness is engineered, not hoped for:
+    *  - weights quantize to INTEGER milli-units (floor(supply^α·10³+0.5))
+    *    and normalize by their integer sum, so no float summation order
+    *    can flip a target (the norm rides a window over the per-source
+    *    frame — dozens of rows, bounded by construction);
+    *  - at alpha = 0.5 the power is computed as `sqrt`, which IEEE-754
+    *    requires correctly rounded — bit-identical across engines —
+    *    while general `pow` is only ~1-ulp and carries a (vanishing)
+    *    replay risk at target-rounding boundaries;
+    *  - `totalTokens · wq` must stay under 2⁵³ for the double division
+    *    to be exact (holds for budgets ≤ ~10¹² with milli-unit weights;
+    *    pre-scale the quantization for more). */
+  def temperatureTargets(docs: DataFrame, textCol: String = "text",
+                         srcCol: String = "source", alpha: Double,
+                         totalTokens: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in [0, 1]")
+    require(totalTokens > 0, s"totalTokens ($totalTokens) must be positive")
+    val w = if (alpha == 0.5) sqrt(col("tokens_in"))
+            else pow(col("tokens_in"), lit(alpha))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    sourceTotals(docs, textCol, srcCol)
+      .withColumn("__wq", floor(w * 1000 + lit(0.5)).cast("long"))
+      .withColumn("target_tokens",
+        floor((lit(totalTokens) * col("__wq")) / sum(col("__wq")).over(win)
+          + lit(0.5)).cast("long"))
+      .withColumn("keep_threshold",
+        floor(least(lit(1.0),
+          col("target_tokens") / col("tokens_in")) * 10000 + lit(0.5)).cast("long"))
+      .drop("__wq")
+  }
+
+  /** The temperature-mixed corpus (see [[temperatureTargets]]): same
+    * zero-corpus-shuffle shape as [[mixToBudget]]. */
+  def temperatureMix(docs: DataFrame, textCol: String = "text",
+                     keyCol: String = "doc_id", srcCol: String = "source",
+                     alpha: Double, totalTokens: Long,
+                     seed: Long = 42L): DataFrame = {
+    val rates = temperatureTargets(docs, textCol, srcCol, alpha, totalTokens)
+      .select(col("source").as(srcCol), col("keep_threshold"))
+    docs.join(broadcast(rates), srcCol)
+      .filter(Sampling.bucket(col(keyCol), seed) < col("keep_threshold"))
+      .select(docs.columns.toIndexedSeq.map(col): _*)
+  }
+
+  /** Recipe audit for the temperature path — the [[mixSummary]] columns
+    * driven by [[temperatureTargets]]. */
+  def temperatureSummary(docs: DataFrame, textCol: String = "text",
+                         keyCol: String = "doc_id", srcCol: String = "source",
+                         alpha: Double, totalTokens: Long,
+                         seed: Long = 42L): DataFrame =
+    summarize(docs, textCol, keyCol, srcCol, seed,
+      temperatureTargets(docs, textCol, srcCol, alpha, totalTokens))
+
   /** The mixed corpus: input columns, filtered to the survivors of the
     * per-source rate. One census aggregate + one broadcast join; the
     * corpus itself never shuffles. */
@@ -83,8 +145,15 @@ object Mixing {
   def mixSummary(docs: DataFrame, textCol: String = "text",
                  keyCol: String = "doc_id", srcCol: String = "source",
                  weights: Map[String, Double], totalTokens: Long,
-                 seed: Long = 42L): DataFrame = {
-    val rates = rateFrame(docs, textCol, srcCol, weights, totalTokens)
+                 seed: Long = 42L): DataFrame =
+    summarize(docs, textCol, keyCol, srcCol, seed,
+      rateFrame(docs, textCol, srcCol, weights, totalTokens))
+
+  /** Shared audit shape for both recipe styles: achieved docs/tokens per
+    * source against the rates frame's targets. */
+  private def summarize(docs: DataFrame, textCol: String, keyCol: String,
+                        srcCol: String, seed: Long,
+                        rates: DataFrame): DataFrame = {
     val kept = docs.join(
         broadcast(rates.select(col("source").as(srcCol), col("keep_threshold"))), srcCol)
       .filter(Sampling.bucket(col(keyCol), seed) < col("keep_threshold"))

@@ -86,6 +86,45 @@ class MixingSpec extends SparkSpec {
     assert(o1 == manual)
   }
 
+  test("temperature alpha=0 gives uniform targets, alpha=1 proportional") {
+    val d = docs(
+      (1L, "big", ("w " * 90).trim), (2L, "small", ("w " * 10).trim))
+    def targets(alpha: Double): Map[String, Long] =
+      Mixing.temperatureTargets(d, alpha = alpha, totalTokens = 1000L)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("target_tokens")).toMap
+    val uniform = targets(0.0)
+    assert(uniform("big") == 500L && uniform("small") == 500L)
+    val natural = targets(1.0)
+    assert(natural("big") == 900L && natural("small") == 100L)
+    // 0 < alpha < 1 sits between: up-weights the small source.
+    val mid = targets(0.5)
+    assert(mid("small") > 100L && mid("small") < 500L, mid.toString)
+    assert(mid("big") + mid("small") >= 999L) // rounding, not leakage
+  }
+
+  test("temperature summary is partitioning-invariant and caps at supply") {
+    val d = Tables.documents(spark, sfDir)
+    val a = Queries.x12TemperatureMix(spark, sfDir).collect()
+    val b = graft.ext.Mixing.temperatureSummary(
+      d.repartition(11), alpha = 0.5, totalTokens = 10000L).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      assert(r.getAs[Long]("docs_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_in"))
+    }
+    assert(a.length == d.select("source").distinct().count())
+  }
+
+  test("bad temperature inputs are rejected") {
+    val d = docs((1L, "a", "t"))
+    intercept[IllegalArgumentException] {
+      Mixing.temperatureTargets(d, alpha = 1.5, totalTokens = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.temperatureTargets(d, alpha = 0.5, totalTokens = 0L)
+    }
+  }
+
   test("bad recipe inputs are rejected") {
     val d = docs((1L, "a", "t"))
     intercept[IllegalArgumentException] {
