@@ -458,7 +458,8 @@ object Oracles {
       // groups by the span itself — identical absent 64-bit collisions).
       // coalesce('') matches Spark's concat_ws on a fully-dropped doc.
       """WITH norm AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  SELECT doc_id,
+        |         lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
         |  FROM documents),
         |toks AS (
         |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
@@ -709,7 +710,8 @@ object Oracles {
       // aggregates (DuckDB sum(int) widens to HUGEINT).
       raw"""WITH tc AS (
         |  SELECT doc_id, source,
-        |         len(string_split_regex(trim(text), '\s+')) AS nt
+        |         CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
         |  FROM documents),
         |tot AS (
         |  SELECT source, count(*) AS n_docs,
@@ -745,7 +747,8 @@ object Oracles {
       // every remaining op is integer or exact-double arithmetic.
       raw"""WITH tc AS (
         |  SELECT doc_id, source,
-        |         len(string_split_regex(trim(text), '\s+')) AS nt
+        |         CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
         |  FROM documents),
         |tot AS (
         |  SELECT source, count(*) AS n_docs,

@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
-  /** Whitespace token count — the same tokenization as
-    * [[TextAnalysis]] (and the x3 oracles): tokens of the trimmed text. */
-  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+  /** Whitespace token count — DELEGATED to [[TextAnalysis.tokenCount]]
+    * so the budget accounting here agrees with the funnel/packing counts
+    * it feeds (blank and null text are 0 tokens, not 1/null). */
+  def tokenCount(text: Column): Column = TextAnalysis.tokenCount(text)
 
   /** Per-source supply census: (source, n_docs, tokens_in). */
   def sourceTotals(docs: DataFrame, textCol: String = "text",
@@ -49,6 +50,10 @@ object Mixing {
                         totalTokens: Long): DataFrame = {
     require(totalTokens > 0, s"totalTokens ($totalTokens) must be positive")
     require(weights.values.forall(w => w >= 0.0), "weights must be >= 0")
+    // Weights are budget SHARES ("50% web, 30% books"): a sum above 1
+    // would silently target more than totalTokens across sources.
+    require(weights.values.sum <= 1.0 + 1e-9,
+      s"weights sum to ${weights.values.sum} — shares of totalTokens must sum to <= 1")
     val target = weights.foldLeft(lit(0L): Column) { case (acc, (src, w)) =>
       when(col("source") === src, lit(math.round(w * totalTokens))).otherwise(acc)
     }

@@ -52,7 +52,11 @@ object SpanDedup {
     val lastPos = floor((size(toks) - 1) / lit(width)).cast("int")
     val blocks = transform(sequence(lit(0), lastPos),
       i => concat_ws(" ", slice(toks, i * width + 1, lit(width))))
-    docs.select(col(keyCol), split(Dedup.normText(col(textCol)), "\\s+").as("__toks"))
+    // coalesce: posexplode of a null array emits ZERO rows, which would
+    // silently drop null-text documents from the rewritten corpus — the
+    // contract is that every input doc survives (empty text at worst).
+    docs.select(col(keyCol),
+        split(Dedup.normText(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
       .select(col(keyCol), posexplode(blocks).as(Seq("pos", "span")))
       .withColumn("span_key", col("span"))
   }
@@ -64,7 +68,8 @@ object SpanDedup {
     * Output: (keyCol, pos, span, span_key). */
   def lineSpans(docs: DataFrame, textCol: String = "text",
                 keyCol: String = "doc_id"): DataFrame =
-    docs.select(col(keyCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "span")))
+    docs.select(col(keyCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "span")))
       .withColumn("span_key", Dedup.normText(col("span")))
 
   /** Flag each span occurrence keep/drop: a span whose corpus-wide

@@ -133,5 +133,18 @@ class MixingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Mixing.mixToBudget(d, weights = Map("a" -> -0.1), totalTokens = 10L)
     }
+    // Weights are budget shares: summing above 1 silently overshoots the
+    // total token budget, so it is rejected at construction.
+    intercept[IllegalArgumentException] {
+      Mixing.mixToBudget(d, weights = Map("a" -> 0.9, "b" -> 0.9), totalTokens = 10L)
+    }
+  }
+
+  test("blank and null text count 0 tokens in the supply census") {
+    val d = df(Seq(Row(1L, "a", "x y"), Row(2L, "a", "   "), Row(3L, "a", null)),
+      "doc_id BIGINT, source STRING, text STRING")
+    val t = Mixing.sourceTotals(d).collect().head
+    assert(t.getAs[Long]("n_docs") == 3L && t.getAs[Long]("tokens_in") == 2L,
+      s"blank/null must not inflate the budget accounting: $t")
   }
 }

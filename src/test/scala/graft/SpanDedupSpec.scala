@@ -72,6 +72,15 @@ class SpanDedupSpec extends SparkSpec {
     assert(out.getAs[Long]("n_spans") == 14L)
   }
 
+  test("null-text documents survive with empty text (annotate, don't drop)") {
+    val d = df(Seq(Row(1L, "a b"), Row(2L, null)), "doc_id BIGINT, text STRING")
+    val tok = SpanDedup.dedupTokenSpans(d, width = 2).orderBy("doc_id").collect()
+    assert(tok.map(_.getLong(0)).toSeq == Seq(1L, 2L), "no row loss")
+    assert(tok(1).getAs[String]("text") == "")
+    val ln = SpanDedup.dedupLines(d).orderBy("doc_id").collect()
+    assert(ln.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("minCount below 2 is rejected") {
     intercept[IllegalArgumentException] {
       SpanDedup.flagSpans(SpanDedup.tokenSpans(docs((1L, "a b"))), minCount = 1)
