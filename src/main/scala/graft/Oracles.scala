@@ -561,6 +561,53 @@ object Oracles {
         |       round(CAST(sum(CAST(stopword_ratio AS DECIMAL(24,8))) AS DOUBLE) / count(stopword_ratio), 4) AS avg_stopword_ratio
         |FROM per_doc GROUP BY 1 ORDER BY lang""".stripMargin,
 
+    "x3_gopher_rules" ->
+      // Every rule replayed in integer cross-multiplied form (3·n ≤ Σlen,
+      // 10·symbols > chars, 5·dup ≥ bigrams…) — no float division reaches
+      // a comparison, so the per-lang verdict counts are exact. Bigrams
+      // via range(1, len) 1-based adjacency, matching the Spark slice.
+      """WITH d AS (
+        |  SELECT lang, coalesce(text, '') AS t,
+        |         string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang,
+        |         CASE WHEN len(trim(t)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+        |         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+        |              AS BIGINT) AS sum_tok_len,
+        |         length(t) AS n_chars,
+        |         length(t) - length(regexp_replace(t, '[^A-Za-z0-9\s]', '', 'g'))
+        |           AS n_symbols,
+        |         len(list_filter(['a', 'the', 'and', 'of'],
+        |                         s -> list_contains(toks, s))) AS stop_hits,
+        |         CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS n_bigrams,
+        |         CASE WHEN len(toks) >= 2
+        |              THEN (len(toks) - 1) - len(list_distinct(list_transform(
+        |                     range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])))
+        |              ELSE 0 END AS dup_bigrams
+        |  FROM d),
+        |f AS (
+        |  SELECT lang,
+        |         n_tokens < 50 AS too_short,
+        |         n_tokens > 100000 AS too_long,
+        |         NOT (3 * n_tokens <= sum_tok_len AND sum_tok_len <= 10 * n_tokens)
+        |           AS bad_tok_len,
+        |         10 * n_symbols > n_chars AS symbol_heavy,
+        |         stop_hits < 2 AS low_stopword,
+        |         n_bigrams > 0 AND 5 * dup_bigrams >= n_bigrams AS repetitive
+        |  FROM m)
+        |SELECT lang, count(*) AS n_docs,
+        |       count(CASE WHEN too_short THEN 1 END) AS n_too_short,
+        |       count(CASE WHEN too_long THEN 1 END) AS n_too_long,
+        |       count(CASE WHEN bad_tok_len THEN 1 END) AS n_bad_tok_len,
+        |       count(CASE WHEN symbol_heavy THEN 1 END) AS n_symbol_heavy,
+        |       count(CASE WHEN low_stopword THEN 1 END) AS n_low_stopword,
+        |       count(CASE WHEN repetitive THEN 1 END) AS n_repetitive,
+        |       count(CASE WHEN NOT too_short AND NOT too_long AND NOT bad_tok_len
+        |                   AND NOT symbol_heavy AND NOT low_stopword
+        |                   AND NOT repetitive THEN 1 END) AS n_pass
+        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
+
     "x3_fingerprints" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT fp) AS distinct_fp,

@@ -582,6 +582,12 @@ object Queries {
   def x3QualityByLang(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityByLang(documents(s, d))
 
+  /** X3g — Gopher-style quality rule census per language. Every
+    * threshold is an integer cross-multiplied comparison, so the
+    * verdict counts replay exactly in SQL. */
+  def x3GopherRules(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.gopherSummary(documents(s, d))
+
   /** X3d — whitespace + BPE-ish token counting per language. */
   def x3TokenCounts(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCountsByLang(documents(s, d))

@@ -63,6 +63,7 @@ object SparkEntry {
     "x3_token_counts" -> (Queries.x3TokenCounts _),
     "x3_lang_confusion" -> (Queries.x3LangConfusion _),
     "x3_repetition" -> (Queries.x3Repetition _),
+    "x3_gopher_rules" -> (Queries.x3GopherRules _),
     "x4_zscore_flags" -> (Queries.x4ZscoreFlags _),
     "s1_windowed_checks" -> (Queries.s1WindowedChecks _),
     "s2_stream_dedup" -> (Queries.s2StreamDedup _),

@@ -116,6 +116,81 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** X3g — the Gopher-style document-quality rule bundle (the named
+    * heuristic filter stage of Gopher/MassiveText-family pipelines):
+    * per-document boolean verdicts for the classic reject rules —
+    * too short / too long, out-of-range mean token length, symbol-heavy,
+    * too few distinct stopwords, internally repetitive — plus the
+    * conjunction `pass`.
+    *
+    * Engine-exactness by construction: every threshold is evaluated in
+    * CROSS-MULTIPLIED INTEGER form (`3·n ≤ Σlen ≤ 10·n` instead of
+    * `3 ≤ Σlen/n ≤ 10`), so no float division ever reaches a comparison
+    * and the oracle replays each verdict bit-for-bit. Everything is a
+    * per-row expression — bigram duplication included, via per-row
+    * `array_distinct` rather than an explode — so flagging a 100 TB
+    * corpus is one map-only pass, no shuffle.
+    * Output: input columns + the metric and flag columns. */
+  def gopherFlags(docs: DataFrame, textCol: String = "text",
+                  minTokens: Long = 50L, maxTokens: Long = 100000L,
+                  minMeanTokLen: Long = 3L, maxMeanTokLen: Long = 10L,
+                  stopwords: Seq[String] = Seq("a", "the", "and", "of"),
+                  minStopwordHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = col("__toks")
+    // Bigrams per row (duplication rule ≥ 20%): no explode, no shuffle.
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val stopArr = array(stopwords.map(lit): _*)
+    docs
+      // coalesce: tokens(null) is a null array, which would null-poison
+      // every flag; a null doc must flag as too_short, not as unknown.
+      .withColumn("__toks", coalesce(tokens(t), array().cast("array<string>")))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("sum_tok_len",
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("n_chars", coalesce(length(t), lit(0)).cast("long"))
+      .withColumn("n_symbols",
+        (coalesce(length(t), lit(0)) -
+          coalesce(length(regexp_replace(t, "[^A-Za-z0-9\\s]", "")), lit(0)))
+          .cast("long"))
+      .withColumn("stop_hits",
+        size(filter(stopArr, s => array_contains(toks, s))).cast("long"))
+      .withColumn("__bg", bigrams)
+      .withColumn("n_bigrams", size(col("__bg")).cast("long"))
+      .withColumn("dup_bigrams",
+        (size(col("__bg")) - size(array_distinct(col("__bg")))).cast("long"))
+      .withColumn("too_short", col("n_tokens") < minTokens)
+      .withColumn("too_long", col("n_tokens") > maxTokens)
+      .withColumn("bad_tok_len",
+        !(lit(minMeanTokLen) * col("n_tokens") <= col("sum_tok_len") &&
+          col("sum_tok_len") <= lit(maxMeanTokLen) * col("n_tokens")))
+      .withColumn("symbol_heavy", lit(10L) * col("n_symbols") > col("n_chars"))
+      .withColumn("low_stopword", col("stop_hits") < minStopwordHits)
+      .withColumn("repetitive",
+        col("n_bigrams") > 0 && lit(5L) * col("dup_bigrams") >= col("n_bigrams"))
+      .withColumn("pass",
+        !col("too_short") && !col("too_long") && !col("bad_tok_len") &&
+          !col("symbol_heavy") && !col("low_stopword") && !col("repetitive"))
+      .drop("__toks", "__bg")
+  }
+
+  /** Per-language rule census over [[gopherFlags]] — the registered,
+    * oracle-checked view: one partial-agg groupBy over the map-only
+    * flag pass. */
+  def gopherSummary(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val f = gopherFlags(docs, textCol)
+    def cnt(c: String) = count(when(col(c), lit(1))).as(s"n_$c")
+    f.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        cnt("too_short"), cnt("too_long"), cnt("bad_tok_len"),
+        cnt("symbol_heavy"), cnt("low_stopword"), cnt("repetitive"),
+        cnt("pass"))
+      .orderBy("lang")
+  }
+
   /** Document fingerprinting: md5 of the normalized text (exact-dup
     * grouping key; portable — DuckDB md5() emits the same hex).
     * Summary per source: doc count, distinct fingerprints (dup detection),

@@ -70,6 +70,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(total == docs.count()) // every doc lands in exactly one cell
   }
 
+  test("gopherFlags: each rule fires on its planted fixture and only there") {
+    val docs = df(Seq(
+      Row(1L, "en", "the quick brown fox and the lazy dog ran over the hill of beans"), // pass
+      Row(2L, "en", "tiny the and doc"),                            // too_short (min 5 below)
+      Row(3L, "en", "the extraordinarily incomprehensible and of " +
+        "unquestionably extraordinarily incomprehensible extraordinarily"), // bad_tok_len (mean > 10)
+      Row(4L, "en", "the !!! ### $$$ %%% and of cash"),             // symbol_heavy
+      Row(5L, "en", "one two three four five six seven"),           // low_stopword (0 hits)
+      Row(6L, "en", "the spam and spam the spam and spam the spam and spam of it"), // repetitive? check
+      Row(7L, "en", null)),                                         // null → too_short, no null flags
+      "doc_id BIGINT, lang STRING, text STRING")
+    val f = graft.ext.TextAnalysis.gopherFlags(docs, minTokens = 5L)
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = Seq("too_short", "too_long", "bad_tok_len",
+      "symbol_heavy", "low_stopword", "repetitive").filter(c => f(i).getAs[Boolean](c))
+    assert(f(0).getAs[Boolean]("pass"), s"doc 1 must pass: ${flags(0)}")
+    assert(flags(1) == Seq("too_short"))
+    assert(flags(2).contains("bad_tok_len"))
+    assert(flags(3).contains("symbol_heavy"))
+    assert(flags(4) == Seq("low_stopword"))
+    assert(flags(6).contains("too_short")) // null text: flagged, not null
+    val flagCols = Seq("too_short", "too_long", "bad_tok_len",
+      "symbol_heavy", "low_stopword", "repetitive", "pass")
+    f.foreach(r => flagCols.foreach(c =>
+      assert(!r.isNullAt(r.fieldIndex(c)), s"$c null-poisoned on doc ${r.getLong(0)}")))
+  }
+
+  test("gopherFlags repetitive rule: 20% duplicated bigrams trips it") {
+    val docs = df(Seq(
+      Row(1L, "x", "go go go go go and the stop of it"),  // dup bigrams >= 20%
+      Row(2L, "x", "all of the tokens and here differ")), // 0 dups
+      "doc_id BIGINT, lang STRING, text STRING")
+    val f = graft.ext.TextAnalysis.gopherFlags(docs, minTokens = 2L)
+      .orderBy("doc_id").collect()
+    assert(f(0).getAs[Boolean]("repetitive"))
+    assert(!f(1).getAs[Boolean]("repetitive"))
+  }
+
+  test("gopherSummary partitions every doc into its lang row; counts reconcile") {
+    val d = Tables.documents(spark, sfDir)
+    val s = graft.ext.TextAnalysis.gopherSummary(d).collect()
+    assert(s.map(_.getAs[Long]("n_docs")).sum == d.count())
+    s.foreach { r =>
+      assert(r.getAs[Long]("n_pass") <= r.getAs[Long]("n_docs"))
+      // pass + (at least one failure) partitions the lang's docs.
+      assert(r.getAs[Long]("n_pass") + Seq("n_too_short", "n_too_long",
+        "n_bad_tok_len", "n_symbol_heavy", "n_low_stopword", "n_repetitive")
+        .map(r.getAs[Long]).max <= r.getAs[Long]("n_docs") * 2)
+    }
+  }
+
   test("repetitionByLang: self-repeating docs score high, varied text zero, short docs drop") {
     import org.apache.spark.sql.Row
     val docs = df(Seq(
