@@ -101,6 +101,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: span dedup matches an independent reference model on random corpora") {
+    // Random low-vocabulary corpora (heavy block collisions by design),
+    // checked occurrence-for-occurrence against a sequential model of the
+    // rule: a duplicated span survives only at its smallest (doc, pos).
+    val vocab = Vector("a", "b", "c", "d")
+    val docGen = Gen.choose(1, 25).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(2, 10).flatMap(n => Gen.listOfN(n, docGen))
+    samples(corpusGen, 6).foreach { texts =>
+      val width = 2
+      def spansOf(t: String): Vector[String] =
+        t.split("\\s+").toVector.grouped(width).map(_.mkString(" ")).toVector
+      val occ = texts.zipWithIndex.flatMap { case (t, i) =>
+        spansOf(t).zipWithIndex.map { case (sp, p) => (i.toLong, p, sp) }
+      }
+      val counts = occ.groupBy(_._3).view.mapValues(_.size).toMap
+      val first = occ.groupBy(_._3).view.mapValues(_.minBy(o => (o._1, o._2))).toMap
+      val expected = texts.indices.map { i =>
+        val mine = occ.filter(_._1 == i.toLong)
+        val kept = mine.filter(o => counts(o._3) < 2 || first(o._3) == o)
+        (i.toLong, mine.size.toLong, (mine.size - kept.size).toLong,
+          kept.sortBy(_._2).map(_._3).mkString(" "))
+      }
+      val data = df(texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) },
+        "doc_id BIGINT, text STRING").repartition(3)
+      val got = graft.ext.SpanDedup.dedupTokenSpans(data, width = width)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(got.toSeq == expected, s"corpus: $texts")
+    }
+  }
+
+  test("property: token mix summary matches an independent reference model") {
+    val docGen = for {
+      src <- Gen.oneOf("s0", "s1", "s2")
+      k <- Gen.choose(1, 12)
+      toks <- Gen.listOfN(k, Gen.oneOf("w1", "w2", "w3"))
+    } yield (src, toks.mkString(" "))
+    val corpusGen = Gen.choose(5, 30).flatMap(n => Gen.listOfN(n, docGen))
+    def refBucket(id: Long): Long = {
+      val h1 = (id + 42L) * 2654435761L
+      val h3 = ((h1 ^ (h1 >>> 31)) & 0x7FFFFFFFL) * 2246822519L
+      (h3 ^ (h3 >>> 29)) % 10000L
+    }
+    val weights = Map("s0" -> 0.6, "s1" -> 0.4) // s2 weight-0
+    val budget = 40L
+    samples(corpusGen, 6).foreach { rows =>
+      val docs = rows.zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      val supply = docs.groupBy(_._2).view
+        .mapValues(_.map(_._3.split(" ").length.toLong).sum).toMap
+      val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+        val target = math.round(weights.getOrElse(src, 0.0) * budget)
+        val thr = math.floor(
+          math.min(1.0, target.toDouble / supply(src)) * 10000 + 0.5).toLong
+        val kept = ds.filter(d => refBucket(d._1) < thr)
+        (src, ds.size.toLong, supply(src), target,
+          kept.size.toLong, kept.map(_._3.split(" ").length.toLong).sum)
+      }
+      val data = df(docs.map { case (i, s, t) => Row(i, s, t) },
+        "doc_id BIGINT, source STRING, text STRING").repartition(3)
+      val got = graft.ext.Mixing.mixSummary(data, weights = weights,
+          totalTokens = budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(got.toSeq == expected, s"docs: $docs")
+    }
+  }
+
   test("property: quantized values reconstruct within half a step on random vectors") {
     val vecGen = for {
       d <- Gen.choose(2, 24)
