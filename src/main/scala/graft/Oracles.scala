@@ -496,6 +496,32 @@ object Oracles {
         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |WHERE cosine_sim >= 0.95 ORDER BY vec_id_a, vec_id_b""".stripMargin,
 
+    "x2_semdedup" ->
+      // Brute-force pairs >= 0.95 over the planted-copy corpus (the
+      // x1_embed_neardup derivation) + recursive component resolution.
+      // Valid against the k-means path because identical vectors share a
+      // cluster at any k and nothing else clears the threshold.
+      """WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+        |         CAST(embedding AS DOUBLE[]) FROM embeddings
+        |  WHERE vec_id < 5),
+        |ep AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE round(list_inner_product(a.v, b.v) /
+        |              sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)),
+        |              4) >= 0.95),
+        |eedges AS (SELECT ia AS src, ib AS dst FROM ep
+        |           UNION SELECT ib, ia FROM ep),
+        |ereach AS (
+        |  SELECT src AS id, src AS lbl FROM eedges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM ereach r JOIN eedges e ON e.src = r.id)
+        |SELECT id, min(lbl) AS cluster_id, min(lbl) = id AS keep
+        |FROM ereach GROUP BY id ORDER BY id""".stripMargin,
+
     "x2_quant_topk" ->
       // Symmetric int8 quantization replayed in SQL: scale = max|x|/127,
       // q = round(x/scale) — all double arithmetic in the same order as

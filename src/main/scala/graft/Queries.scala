@@ -420,6 +420,24 @@ object Queries {
     Similarity.nearDupPairs(emb.unionByName(planted), minSim = 0.95)
   }
 
+  /** X2e — SemDeDup decisions over the planted-copy corpus. Oracle-
+    * checkable DESPITE the un-replayable k-means: identical vectors are
+    * assigned identically by the quantizer (a pure function of the
+    * vector), so at minCosine=0.95 — above the base corpus's 0.52
+    * maximum — the within-cluster pair set equals the global brute-force
+    * pair set at ANY k, and the oracle replays that plus the component
+    * resolution. */
+  def x2SemDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val offset = emb.agg((max(col("vec_id")) + 1).as("__offset"))
+    val planted = emb.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(offset))
+      .select((col("vec_id") + col("__offset")).as("vec_id"),
+        col("embedding"), col("label"))
+    graft.ext.SemDedup.decisions(emb.unionByName(planted), k = 8, iters = 2,
+      minCosine = 0.95)
+  }
+
   /** X2a — exact brute-force cosine top-k: 10 query vectors, k=5. */
   def x2TopkCosine(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)

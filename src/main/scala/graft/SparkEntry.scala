@@ -57,6 +57,7 @@ object SparkEntry {
     "x2_ann_topk" -> (Queries.x2AnnTopk _),
     "x2_ivf_topk" -> (Queries.x2IvfTopk _),
     "x2_quant_topk" -> (Queries.x2QuantTopk _),
+    "x2_semdedup" -> (Queries.x2SemDedup _),
     "x3_top_tokens" -> (Queries.x3TopTokens _),
     "x3_quality_by_lang" -> (Queries.x3QualityByLang _),
     "x3_fingerprints" -> (Queries.x3Fingerprints _),

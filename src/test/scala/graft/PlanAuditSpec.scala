@@ -39,7 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     * two ONE-ROW count aggregates. */
   private val bnljAllowed =
     Set("g3_in_set", "x2_topk_cosine", "x2_quant_topk", "x1_embed_neardup",
-      "s2_stream_dedup", "x11_skew_profile")
+      "x2_semdedup", "s2_stream_dedup", "x11_skew_profile")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -124,7 +124,7 @@ class PlanAuditSpec extends SparkSpec {
     * frame. Everything else must be a pure plan. */
   private val eagerAtConstruction = Set(
     "x1_jaccard_pairs", "x1_minhash_pairs", "x1_simhash_pairs", "x2_ivf_topk",
-    "x1_dedup_groups", "x10_curation_funnel",
+    "x1_dedup_groups", "x2_semdedup", "x10_curation_funnel",
     "v1_raw_gate", "v2_suite_summary", "g16_declarative_suite",
     "v5_drift_check", "v6_checkpoint_run")
 

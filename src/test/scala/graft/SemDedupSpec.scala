@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.{SemDedup, Similarity}
+
+class SemDedupSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  /** Base corpus + exact copies of vec_id < n at offset 100000. */
+  private def planted(n: Int) = {
+    val copies = emb.filter(col("vec_id") < n)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    emb.unionByName(copies)
+  }
+
+  test("k=1 degenerates to exact brute force: pair set equals the LSH-free truth") {
+    // One cluster → within-cluster = all-pairs, so SemDeDup at k=1 must
+    // find exactly the threshold-clearing pairs (here: the planted
+    // copies; base corpus maxes at ~0.52).
+    val corpus = planted(4)
+    val got = SemDedup.pairs(corpus, k = 1, iters = 0, minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0 until 4).map(i => (i.toLong, i + 100000L)).toSet)
+  }
+
+  test("exact copies are found at ANY k (quantizer is a pure function)") {
+    val corpus = planted(5)
+    for (k <- Seq(2, 8)) {
+      val got = SemDedup.pairs(corpus, k = k, iters = 1, minCosine = 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == (0 until 5).map(i => (i.toLong, i + 100000L)).toSet,
+        s"k=$k missed planted copies")
+    }
+  }
+
+  test("decisions keep the lowest id per component and drop the copies") {
+    val d = SemDedup.decisions(planted(3), k = 4, iters = 1, minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(d.toSeq == (0 until 3).map(i => (i.toLong, i.toLong, true)) ++
+      (0 until 3).map(i => (i + 100000L, i.toLong, false)))
+  }
+
+  test("within-cluster pairs are a subset of global brute-force pairs") {
+    // SemDeDup can only MISS pairs (cluster-boundary recall loss), never
+    // invent them: every emitted pair must clear the threshold globally.
+    val corpus = planted(2)
+    val sem = SemDedup.pairs(corpus, k = 6, iters = 1, minCosine = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(corpus, corpus, k = 50)
+      .filter(col("cosine_sim") >= 0.4)
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(brute), s"invented pairs: ${sem -- brute}")
+    assert(sem.nonEmpty)
+  }
+
+  test("maxClusterSize drops degenerate clusters before the self-join") {
+    // k=1 puts everything in one cluster; capping it below the corpus
+    // size must yield zero candidates rather than a quadratic join.
+    val corpus = planted(3)
+    val capped = SemDedup.pairs(corpus, k = 1, iters = 0, minCosine = 0.95,
+      maxClusterSize = Some(10))
+    assert(capped.count() == 0L)
+    intercept[IllegalArgumentException] {
+      SemDedup.pairs(corpus, k = 1, maxClusterSize = Some(1))
+    }
+  }
+}
