@@ -795,10 +795,11 @@ object Oracles {
         |         CAST(CASE source WHEN 'src0' THEN 1500 WHEN 'src1' THEN 900
         |                          WHEN 'src2' THEN 600 ELSE 0 END AS BIGINT)
         |           AS target_tokens,
-        |         CAST(floor(least(1.0,
+        |         CASE WHEN tokens_in = 0 THEN 0
+        |              ELSE CAST(floor(least(1.0,
         |                CAST(CASE source WHEN 'src0' THEN 1500 WHEN 'src1' THEN 900
         |                                 WHEN 'src2' THEN 600 ELSE 0 END AS BIGINT)
-        |                * 1.0 / tokens_in) * 10000 + 0.5) AS BIGINT) AS thr
+        |                * 1.0 / tokens_in) * 10000 + 0.5) AS BIGINT) END AS thr
         |  FROM tot),
         |kept AS (
         |  SELECT t.source, count(*) AS docs_kept,
@@ -835,10 +836,11 @@ object Oracles {
         |  SELECT source, n_docs, tokens_in,
         |         CAST(floor((10000 * w) * 1.0 / (SELECT sum(w) FROM wq) + 0.5)
         |              AS BIGINT) AS target_tokens,
-        |         CAST(floor(least(1.0,
+        |         CASE WHEN tokens_in = 0 THEN 0
+        |              ELSE CAST(floor(least(1.0,
         |                CAST(floor((10000 * w) * 1.0 / (SELECT sum(w) FROM wq) + 0.5)
         |                     AS BIGINT) * 1.0 / tokens_in) * 10000 + 0.5)
-        |              AS BIGINT) AS thr
+        |              AS BIGINT) END AS thr
         |  FROM wq),
         |kept AS (
         |  SELECT t.source, count(*) AS docs_kept,

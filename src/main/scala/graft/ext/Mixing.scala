@@ -59,12 +59,19 @@ object Mixing {
     }
     sourceTotals(docs, textCol, srcCol)
       .withColumn("target_tokens", target)
-      // Quantized keep threshold in [0, 10000]: explicit floor(x+0.5) so
-      // Spark and the SQL oracle round half-up identically.
-      .withColumn("keep_threshold",
-        floor(least(lit(1.0),
-          col("target_tokens") / col("tokens_in")) * 10000 + lit(0.5)).cast("long"))
+      .withColumn("keep_threshold", quantizedThreshold)
   }
+
+  /** Keep threshold in [0, 10000] from (target_tokens, tokens_in):
+    * explicit floor(x+0.5) so Spark and the SQL oracle round half-up
+    * identically. The zero-supply guard is load-bearing: 0/0 is null and
+    * Spark's `least` SKIPS nulls, so without it a source whose docs are
+    * all blank text (supply 0, target 0) would get threshold 10000 —
+    * keep-everything — instead of dropping. */
+  private def quantizedThreshold: Column =
+    when(col("tokens_in") === 0L, lit(0L)).otherwise(
+      floor(least(lit(1.0),
+        col("target_tokens") / col("tokens_in")) * 10000 + lit(0.5)).cast("long"))
 
   /** Temperature-scaled targets: per-source share ∝ supply^alpha — the
     * standard multi-source re-balancing rule (alpha = 1 keeps natural
@@ -83,9 +90,12 @@ object Mixing {
     *    requires correctly rounded — bit-identical across engines —
     *    while general `pow` is only ~1-ulp and carries a (vanishing)
     *    replay risk at target-rounding boundaries;
-    *  - `totalTokens · wq` must stay under 2⁵³ for the double division
-    *    to be exact (holds for budgets ≤ ~10¹² with milli-unit weights;
-    *    pre-scale the quantization for more). */
+    *  - `totalTokens · wq` is computed in DOUBLE, so oversized recipes
+    *    lose sub-integer precision instead of wrapping: a long multiply
+    *    here would overflow at realistic scale (budget 10¹⁰ × a 10¹²-
+    *    token source's wq ≈ 10⁹ exceeds 2⁶³). Replay is bit-exact while
+    *    the product stays under 2⁵³ (any plausible oracle scale) and
+    *    merely approximate — never wrapped — beyond. */
   def temperatureTargets(docs: DataFrame, textCol: String = "text",
                          srcCol: String = "source", alpha: Double,
                          totalTokens: Long): DataFrame = {
@@ -98,11 +108,9 @@ object Mixing {
     sourceTotals(docs, textCol, srcCol)
       .withColumn("__wq", floor(w * 1000 + lit(0.5)).cast("long"))
       .withColumn("target_tokens",
-        floor((lit(totalTokens) * col("__wq")) / sum(col("__wq")).over(win)
-          + lit(0.5)).cast("long"))
-      .withColumn("keep_threshold",
-        floor(least(lit(1.0),
-          col("target_tokens") / col("tokens_in")) * 10000 + lit(0.5)).cast("long"))
+        floor(lit(totalTokens).cast("double") * col("__wq")
+          / sum(col("__wq")).over(win) + lit(0.5)).cast("long"))
+      .withColumn("keep_threshold", quantizedThreshold)
       .drop("__wq")
   }
 
@@ -111,10 +119,16 @@ object Mixing {
   def temperatureMix(docs: DataFrame, textCol: String = "text",
                      keyCol: String = "doc_id", srcCol: String = "source",
                      alpha: Double, totalTokens: Long,
-                     seed: Long = 42L): DataFrame = {
-    val rates = temperatureTargets(docs, textCol, srcCol, alpha, totalTokens)
-      .select(col("source").as(srcCol), col("keep_threshold"))
-    docs.join(broadcast(rates), srcCol)
+                     seed: Long = 42L): DataFrame =
+    mix(docs, keyCol, srcCol, seed,
+      temperatureTargets(docs, textCol, srcCol, alpha, totalTokens))
+
+  /** ONE survivor-selection path for both recipe styles — the
+    * "identical rows across runs/engines" contract lives here only. */
+  private def mix(docs: DataFrame, keyCol: String, srcCol: String,
+                  seed: Long, rates: DataFrame): DataFrame = {
+    val thresholds = rates.select(col("source").as(srcCol), col("keep_threshold"))
+    docs.join(broadcast(thresholds), srcCol)
       .filter(Sampling.bucket(col(keyCol), seed) < col("keep_threshold"))
       .select(docs.columns.toIndexedSeq.map(col): _*)
   }
@@ -134,13 +148,9 @@ object Mixing {
   def mixToBudget(docs: DataFrame, textCol: String = "text",
                   keyCol: String = "doc_id", srcCol: String = "source",
                   weights: Map[String, Double], totalTokens: Long,
-                  seed: Long = 42L): DataFrame = {
-    val rates = rateFrame(docs, textCol, srcCol, weights, totalTokens)
-      .select(col("source").as(srcCol), col("keep_threshold"))
-    docs.join(broadcast(rates), srcCol)
-      .filter(Sampling.bucket(col(keyCol), seed) < col("keep_threshold"))
-      .select(docs.columns.toIndexedSeq.map(col): _*)
-  }
+                  seed: Long = 42L): DataFrame =
+    mix(docs, keyCol, srcCol, seed,
+      rateFrame(docs, textCol, srcCol, weights, totalTokens))
 
   /** Recipe audit: per source, supply vs target vs achieved — the frame a
     * recipe author reads to decide re-weighting. Two aggregates total

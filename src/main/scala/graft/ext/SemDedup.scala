@@ -39,6 +39,18 @@ object SemDedup {
             idCol: String = "vec_id", vecCol: String = "embedding",
             maxClusterSize: Option[Int] = None,
             materialize: Boolean = true): DataFrame = {
+    // Ordering is a presentation contract of THIS surface only — the
+    // decisions path consumes the unsorted set (the component resolver
+    // re-shuffles by vertex anyway, so a pre-sort is pure waste there).
+    // With materialize, the sort reads the already-pinned pair set.
+    rawPairs(emb, k, iters, minCosine, idCol, vecCol,
+      maxClusterSize, materialize).orderBy("id_a", "id_b")
+  }
+
+  private def rawPairs(emb: DataFrame, k: Int, iters: Int, minCosine: Double,
+                       idCol: String, vecCol: String,
+                       maxClusterSize: Option[Int],
+                       materialize: Boolean): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     val model = IvfIndex.build(emb, k, iters, idCol, vecCol)
     val asg0 = model.assignments // (idCol, cluster), cached by build
@@ -59,7 +71,6 @@ object SemDedup {
       // A pair straddling zero clusters can't appear; one sharing BOTH of
       // two probe-able clusters can't either (assignment is single-best),
       // so no distinct() is needed — each pair meets at most once.
-      .orderBy("id_a", "id_b")
     if (!materialize) out
     else {
       // Pin the (small) pair set, then drop the cached inverted lists —
@@ -77,7 +88,8 @@ object SemDedup {
                 vecCol: String = "embedding",
                 maxClusterSize: Option[Int] = None): DataFrame =
     DedupResolve.connectedComponents(
-        pairs(emb, k, iters, minCosine, idCol, vecCol, maxClusterSize),
+        rawPairs(emb, k, iters, minCosine, idCol, vecCol, maxClusterSize,
+          materialize = true),
         aCol = "id_a", bCol = "id_b")
       .select(col("id"), col("component").as("cluster_id"),
         (col("id") === col("component")).as("keep"))

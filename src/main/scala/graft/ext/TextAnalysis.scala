@@ -95,15 +95,11 @@ object TextAnalysis {
     // materialized token array from projection collapse — an array-typed
     // formulation let the optimizer inline the split into the gram
     // lambda, re-running the regex per gram (~10× slower, measured).
-    val toks = col("__toks")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
     docs
       .select(col("doc_id"), col("lang"),
         split(Dedup.normText(col(textCol)), "\\s+").as("__toks"))
-      .select(col("doc_id"), col("lang"), explode(grams).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        explode(Dedup.ngrams(col("__toks"), n)).as("gram"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("total"), countDistinct(col("gram")).as("dist"))
       .groupBy("lang")
@@ -139,10 +135,7 @@ object TextAnalysis {
     val t = col(textCol)
     val toks = col("__toks")
     // Bigrams per row (duplication rule ≥ 20%): no explode, no shuffle.
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = Dedup.ngrams(toks, 2)
     val stopArr = array(stopwords.map(lit): _*)
     docs
       // coalesce: tokens(null) is a null array, which would null-poison

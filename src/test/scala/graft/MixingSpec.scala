@@ -140,6 +140,21 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("a zero-supply source drops instead of keeping everything") {
+    // tokens_in = 0 makes target/supply 0/0 = null, and Spark's least()
+    // SKIPS nulls — without the explicit guard the threshold silently
+    // became 10000 (keep-all) for a source with a target of 0.
+    val d = df(Seq(Row(1L, "a", "   "), Row(2L, "a", null), Row(3L, "b", "x y")),
+      "doc_id BIGINT, source STRING, text STRING")
+    val w = Map("a" -> 0.5, "b" -> 0.5)
+    val kept = Mixing.mixToBudget(d, weights = w, totalTokens = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L) && !kept.contains(2L), s"zero-supply docs kept: $kept")
+    val a = Mixing.mixSummary(d, weights = w, totalTokens = 2L)
+      .collect().find(_.getString(0) == "a").get
+    assert(a.getAs[Long]("tokens_in") == 0L && a.getAs[Long]("docs_kept") == 0L)
+  }
+
   test("blank and null text count 0 tokens in the supply census") {
     val d = df(Seq(Row(1L, "a", "x y"), Row(2L, "a", "   "), Row(3L, "a", null)),
       "doc_id BIGINT, source STRING, text STRING")

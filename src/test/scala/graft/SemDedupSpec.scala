@@ -46,14 +46,25 @@ class SemDedupSpec extends SparkSpec {
   test("within-cluster pairs are a subset of global brute-force pairs") {
     // SemDeDup can only MISS pairs (cluster-boundary recall loss), never
     // invent them: every emitted pair must clear the threshold globally.
+    // Ground truth is an exact all-pairs computation in plain Scala —
+    // NOT bruteForceTopK, whose top-k truncation would under-count dense
+    // neighborhoods and flag correct pairs as "invented".
     val corpus = planted(2)
     val sem = SemDedup.pairs(corpus, k = 6, iters = 1, minCosine = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = Similarity.bruteForceTopK(corpus, corpus, k = 50)
-      .filter(col("cosine_sim") >= 0.4)
-      .filter(col("query_id") < col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val (d, na, nb) = a.indices.foldLeft((0.0, 0.0, 0.0)) { case ((s, x, y), i) =>
+        (s + a(i) * b(i), x + a(i) * a(i), y + b(i) * b(i))
+      }
+      d / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      if BigDecimal(cos(vecs(i), vecs(j))).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.4
+    } yield (i, j)).toSet
     assert(sem.subsetOf(brute), s"invented pairs: ${sem -- brute}")
     assert(sem.nonEmpty)
   }

@@ -90,6 +90,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(flags(2).contains("bad_tok_len"))
     assert(flags(3).contains("symbol_heavy"))
     assert(flags(4) == Seq("low_stopword"))
+    assert(flags(5) == Seq("repetitive"))
     assert(flags(6).contains("too_short")) // null text: flagged, not null
     val flagCols = Seq("too_short", "too_long", "bad_tok_len",
       "symbol_heavy", "low_stopword", "repetitive", "pass")
@@ -108,16 +109,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!f(1).getAs[Boolean]("repetitive"))
   }
 
-  test("gopherSummary partitions every doc into its lang row; counts reconcile") {
+  test("gopherSummary counts equal the per-doc flag frame it summarizes") {
     val d = Tables.documents(spark, sfDir)
     val s = graft.ext.TextAnalysis.gopherSummary(d).collect()
     assert(s.map(_.getAs[Long]("n_docs")).sum == d.count())
+    // Recompute every census column from the per-doc flags independently:
+    // pass + at-least-one-failure must PARTITION each lang's docs, and
+    // each flag count must match a direct count over the flag frame.
+    val flags = graft.ext.TextAnalysis.gopherFlags(d).collect()
+      .groupBy(_.getAs[String]("lang"))
     s.foreach { r =>
-      assert(r.getAs[Long]("n_pass") <= r.getAs[Long]("n_docs"))
-      // pass + (at least one failure) partitions the lang's docs.
-      assert(r.getAs[Long]("n_pass") + Seq("n_too_short", "n_too_long",
-        "n_bad_tok_len", "n_symbol_heavy", "n_low_stopword", "n_repetitive")
-        .map(r.getAs[Long]).max <= r.getAs[Long]("n_docs") * 2)
+      val f = flags(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == f.length.toLong)
+      assert(r.getAs[Long]("n_pass") == f.count(_.getAs[Boolean]("pass")).toLong)
+      assert(r.getAs[Long]("n_pass") +
+        f.count(!_.getAs[Boolean]("pass")) == f.length.toLong)
+      for (c <- Seq("too_short", "too_long", "bad_tok_len",
+          "symbol_heavy", "low_stopword", "repetitive"))
+        assert(r.getAs[Long](s"n_$c") == f.count(_.getAs[Boolean](c)).toLong, c)
     }
   }
 
