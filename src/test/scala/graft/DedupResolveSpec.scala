@@ -87,11 +87,39 @@ class DedupResolveSpec extends SparkSpec {
   }
 
   test("non-convergence throws instead of silently splitting clusters") {
-    // Chain of diameter 3 cannot settle in 1 iteration.
+    // Chain of diameter 3 cannot settle in 1 iteration. maxDriverPairs=0
+    // forces the distributed path — the driver union-find would resolve
+    // any chain without iterating.
     val pairs = pairsDF((1L, 2L), (2L, 3L), (3L, 4L))
     val e = intercept[IllegalStateException](
-      DedupResolve.connectedComponents(pairs, maxIters = 1).collect())
+      DedupResolve.connectedComponents(pairs, maxIters = 1, maxDriverPairs = 0)
+        .collect())
     assert(e.getMessage.contains("converge"))
+  }
+
+  test("driver and distributed paths produce identical labelings") {
+    // The driver fast path must be observationally equivalent to the
+    // iterative propagation — same graphs through both, compared exactly.
+    for ((nVertices, nEdges, salt) <- Seq((40L, 50, 4L), (30L, 12, 5L))) {
+      val edges = (0 until nEdges).map { i =>
+        val a = math.abs((i * 2654435761L + salt) % nVertices)
+        val b = math.abs((i * 40503L + salt * 7L + 13L) % nVertices)
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val driver = DedupResolve.connectedComponents(pairsDF(edges: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = DedupResolve.connectedComponents(pairsDF(edges: _*),
+          maxDriverPairs = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(driver == dist, s"paths diverge for salt=$salt")
+    }
+  }
+
+  test("an oversized pair set falls through to the distributed path") {
+    val pairs = pairsDF((1L, 2L), (2L, 3L), (4L, 5L))
+    val comp = DedupResolve.connectedComponents(pairs, maxDriverPairs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
   test("multi-detector unions with duplicate and reversed pairs resolve once") {
