@@ -897,6 +897,17 @@ object Oracles {
         |      FROM documents)
         |GROUP BY 1 ORDER BY stratum""".stripMargin,
 
+    "x6_splits" ->
+      // The split when-chain replayed over the shared bucket formula:
+      // cumulative half-up bounds 9800/9900/10000 for 98/1/1.
+      s"""SELECT split, count(*) AS n_docs
+        |FROM (SELECT CASE WHEN b < 9800 THEN 'train'
+        |                  WHEN b < 9900 THEN 'val'
+        |                  WHEN b < 10000 THEN 'test'
+        |                  ELSE 'holdout' END AS split
+        |      FROM (SELECT ${bucketSql("doc_id")} AS b FROM documents))
+        |GROUP BY 1 ORDER BY split""".stripMargin,
+
     "x8_contamination" ->
       // Same shared 4-gram CTE as the x1_jaccard oracle; containment =
       // |grams(doc) ∩ grams(bench)| / |grams(bench)|, threshold on the

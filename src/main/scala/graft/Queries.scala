@@ -481,6 +481,13 @@ object Queries {
     graft.ext.Sampling.sampleSummary(documents(s, d), "doc_id", "lang",
       rates = Map("en" -> 0.4, "zh" -> 0.5))
 
+  /** X6b — deterministic train/val/test split census (98/1/1 by hash
+    * band): disjoint by construction, replayed via the shared bucket
+    * formula. */
+  def x6Splits(s: SparkSession, d: String): DataFrame =
+    graft.ext.Sampling.splitSummary(documents(s, d), "doc_id",
+      Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+
   /** X7 — PII scan over the corpus. The testdata vocabulary contains no
     * PII, so synthetic contacts (email + phone + IP) are planted on every
     * 17th document — deterministically, replicated in the oracle — and

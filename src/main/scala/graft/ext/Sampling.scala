@@ -65,6 +65,40 @@ object Sampling {
     }
   }
 
+  /** Deterministic dataset split assignment — train/val/test by hash
+    * band: a document's split is a pure function of (key, seed), so the
+    * same row lands in the same split on every run, cluster size, and
+    * engine, and splits are DISJOINT by construction (contiguous bucket
+    * ranges). `fractions` is ordered; rows past the cumulative fractions
+    * get `otherwise` (holdout). Map-only, no shuffle — the assignment is
+    * a column, so callers can filter OR keep it as annotation.
+    * Quantization is 1/10000 (half-up, like [[keepThreshold]]). */
+  def assignSplit(keyCol: Column, fractions: Seq[(String, Double)],
+                  otherwise: String = "holdout", seed: Long = 42L): Column = {
+    require(fractions.nonEmpty, "at least one split fraction")
+    require(fractions.forall(_._2 >= 0.0), "fractions must be >= 0")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"fractions sum to ${fractions.map(_._2).sum} — must be <= 1")
+    val names = fractions.map(_._1)
+    require(names.distinct.size == names.size && !names.contains(otherwise),
+      "split names must be distinct and not collide with the holdout label")
+    val b = bucket(keyCol, seed)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * Buckets))
+    // foldRight nests the when-chain so the FIRST matching (smallest)
+    // bound wins — ranges are [prev, bound), disjoint by construction.
+    fractions.zip(cum).foldRight(lit(otherwise): Column) {
+      case (((name, _), bound), acc) => when(b < bound, lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Split census: (split, n_docs), ordered — the audit frame. */
+  def splitSummary(df: DataFrame, keyCol: String,
+                   fractions: Seq[(String, Double)],
+                   otherwise: String = "holdout", seed: Long = 42L): DataFrame =
+    df.groupBy(assignSplit(col(keyCol), fractions, otherwise, seed).as("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+
   /** Keep each stratum at its configured rate (strata absent from
     * `rates` fall back to `defaultRate`). */
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,

@@ -82,6 +82,43 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("splits are disjoint, exhaustive, and partitioning-invariant") {
+    import graft.ext.Sampling.assignSplit
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def splitsOf(parts: Int): Map[Long, String] =
+      docs.repartition(parts)
+        .select(col("doc_id"), assignSplit(col("doc_id"), fr).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = splitsOf(2)
+    assert(a == splitsOf(13), "assignment must not depend on partitioning")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")),
+      "fractions summing to 1 leave no holdout")
+    val byS = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    val n = a.size.toDouble
+    assert(math.abs(byS("train") / n - 0.8) < 0.1, byS.toString)
+    assert(byS.getOrElse("val", 0) > 0 && byS.getOrElse("test", 0) > 0)
+  }
+
+  test("split fractions below 1 route the remainder to the holdout label") {
+    import graft.ext.Sampling.assignSplit
+    val out = docs.select(assignSplit(col("doc_id"),
+        Seq("train" -> 0.5), otherwise = "rest").as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("train", "rest"))
+    assert(out.values.sum == docs.count())
+  }
+
+  test("bad split specs are rejected") {
+    import graft.ext.Sampling.assignSplit
+    intercept[IllegalArgumentException](
+      assignSplit(col("k"), Seq("a" -> 0.6, "b" -> 0.6)))
+    intercept[IllegalArgumentException](
+      assignSplit(col("k"), Seq("a" -> 0.5, "a" -> 0.2)))
+    intercept[IllegalArgumentException](
+      assignSplit(col("k"), Seq("holdout" -> 0.5)))
+    intercept[IllegalArgumentException](assignSplit(col("k"), Seq.empty))
+  }
+
   test("out-of-range rates are rejected") {
     intercept[IllegalArgumentException](
       Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.5)))
