@@ -135,17 +135,30 @@ object Oracles {
       |         cnt, CAST(CASE WHEN cnt >= 1 THEN 0 ELSE 1 END AS BIGINT)
       |  FROM (SELECT count(*) AS cnt FROM orders)""".stripMargin
 
-  /** The [[graft.ext.Sampling.bucket]] hash as a DuckDB scalar expression
-    * over `key` — multiply → xor-shift → mask → multiply → xor-shift →
-    * mod, every intermediate positive (so `%` = pmod, `>>` logical). ONE
-    * definition shared by every oracle that replays survivor selection
-    * (x6, x10, x12), so a hash change cannot desynchronize them. */
-  private def bucketSql(key: String, seed: Long = 42L): String = {
-    val h1 = s"(($key + $seed) * 2654435761)"
-    val h2 = s"(xor($h1, $h1 >> 31) & 2147483647)"
-    val h3 = s"($h2 * 2246822519)"
-    s"(xor($h3, $h3 >> 29) % 10000)"
+  /** The [[graft.ext.Sampling.hash64]] split-key mix as a DuckDB scalar
+    * expression over `key` — each 31-bit half runs multiply → xor-shift,
+    * then a combining multiply and final xor-shift; every intermediate
+    * positive and below 2⁶³ for any non-negative key (so `%` = pmod and
+    * `>>` is a logical shift). ONE definition shared by every oracle
+    * that replays survivor selection (x6, x10, x12), so a hash change
+    * cannot desynchronize them. Seeds carry the operator-purpose salts
+    * ([[graft.ext.Sampling.SplitSalt]]/MixSalt/OrderSalt) exactly as the
+    * Scala side applies them. */
+  private def hash64Sql(key: String, seed: Long): String = {
+    val s = seed & 0x7FFFFFFFL
+    val k0 = s"(($key) & 2147483647)"
+    val k1r = s"(($key) >> 31)"
+    val k1 = s"(xor($k1r, $k1r >> 31) & 2147483647)"
+    val h1 = s"((($k0 + $s) & 2147483647) * 2654435761)"
+    val g1 = s"(xor($h1, $h1 >> 31) & 2147483647)"
+    val h2 = s"((($k1 + $s) & 2147483647) * 2246822519)"
+    val g2 = s"(xor($h2, $h2 >> 31) & 2147483647)"
+    val h3 = s"(xor($g1, $g2) * 2654435761)"
+    s"xor($h3, $h3 >> 29)"
   }
+
+  private def bucketSql(key: String, seed: Long = 42L): String =
+    s"(${hash64Sql(key, seed)} % 10000)"
 
   /** Shared CTE blocks for the document-dedup family. ONE definition each
     * — x1_jaccard_pairs, x1_dedup_groups, x8_contamination, and
@@ -589,13 +602,42 @@ object Oracles {
 
     "x3_gopher_rules" ->
       // Every rule replayed in integer cross-multiplied form (3·n ≤ Σlen,
-      // 10·symbols > chars, 5·dup ≥ bigrams…) — no float division reaches
-      // a comparison, so the per-lang verdict counts are exact. Bigrams
-      // via range(1, len) 1-based adjacency, matching the Spark slice.
-      """WITH d AS (
+      // 10·symbols > chars, 5·dup ≥ bigrams, 10·dup > 3·lines,
+      // 5·c₂ > chars / 50·c₃ > 9·chars / 25·c₄ > 4·chars) — no float
+      // division reaches a comparison, so the per-lang verdict counts
+      // are exact. N-grams via range() 1-based adjacency, matching the
+      // Spark slice; top-gram coverage = max over distinct grams of
+      // count·length (the sorted-run fold's fixpoint). The plant CASE
+      // replicates the Spark side's structural-duplication fixtures.
+      raw"""WITH pl AS (
+        |  SELECT lang,
+        |         CASE WHEN doc_id % 13 = 0 THEN text ||
+        |                e'\nrepeat line\nrepeat line\nrepeat line\n\nsame para\n\nsame para'
+        |              WHEN doc_id % 29 = 0 THEN text ||
+        |                repeat(' badger badger', length(text) // 10 + 5)
+        |              ELSE text END AS text
+        |  FROM documents),
+        |d AS (
         |  SELECT lang, coalesce(text, '') AS t,
         |         string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
-        |  FROM documents),
+        |  FROM pl),
+        |g AS (
+        |  SELECT lang, t, toks,
+        |         CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i + 1])
+        |              ELSE CAST([] AS VARCHAR[]) END AS bg,
+        |         CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        |              ELSE CAST([] AS VARCHAR[]) END AS tg,
+        |         CASE WHEN len(toks) >= 4 THEN list_transform(range(1, len(toks) - 2),
+        |                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+        |                       || ' ' || toks[i + 3])
+        |              ELSE CAST([] AS VARCHAR[]) END AS qg,
+        |         list_filter(string_split_regex(t, '\n'),
+        |                     l -> length(l) > 0) AS lns,
+        |         list_filter(string_split_regex(t, '\n{2,}'),
+        |                     q -> length(trim(q)) > 0) AS paras
+        |  FROM d),
         |m AS (
         |  SELECT lang,
         |         CASE WHEN len(trim(t)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
@@ -606,12 +648,19 @@ object Oracles {
         |           AS n_symbols,
         |         len(list_filter(['a', 'the', 'and', 'of'],
         |                         s -> list_contains(toks, s))) AS stop_hits,
-        |         CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS n_bigrams,
-        |         CASE WHEN len(toks) >= 2
-        |              THEN (len(toks) - 1) - len(list_distinct(list_transform(
-        |                     range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])))
-        |              ELSE 0 END AS dup_bigrams
-        |  FROM d),
+        |         len(bg) AS n_bigrams,
+        |         len(bg) - len(list_distinct(bg)) AS dup_bigrams,
+        |         len(lns) AS n_lines,
+        |         len(lns) - len(list_distinct(lns)) AS dup_lines,
+        |         len(paras) AS n_paras,
+        |         len(paras) - len(list_distinct(paras)) AS dup_paras,
+        |         coalesce(list_max(list_transform(list_distinct(bg),
+        |           u -> CAST(length(u) * len(list_filter(bg, x -> x = u)) AS BIGINT))), 0) AS c2,
+        |         coalesce(list_max(list_transform(list_distinct(tg),
+        |           u -> CAST(length(u) * len(list_filter(tg, x -> x = u)) AS BIGINT))), 0) AS c3,
+        |         coalesce(list_max(list_transform(list_distinct(qg),
+        |           u -> CAST(length(u) * len(list_filter(qg, x -> x = u)) AS BIGINT))), 0) AS c4
+        |  FROM g),
         |f AS (
         |  SELECT lang,
         |         n_tokens < 50 AS too_short,
@@ -620,7 +669,12 @@ object Oracles {
         |           AS bad_tok_len,
         |         10 * n_symbols > n_chars AS symbol_heavy,
         |         stop_hits < 2 AS low_stopword,
-        |         n_bigrams > 0 AND 5 * dup_bigrams >= n_bigrams AS repetitive
+        |         n_bigrams > 0 AND 5 * dup_bigrams >= n_bigrams AS repetitive,
+        |         10 * dup_lines > 3 * n_lines AS dup_line_heavy,
+        |         10 * dup_paras > 3 * n_paras AS dup_para_heavy,
+        |         5 * c2 > n_chars AS top_2gram_heavy,
+        |         50 * c3 > 9 * n_chars AS top_3gram_heavy,
+        |         25 * c4 > 4 * n_chars AS top_4gram_heavy
         |  FROM m)
         |SELECT lang, count(*) AS n_docs,
         |       count(CASE WHEN too_short THEN 1 END) AS n_too_short,
@@ -629,9 +683,17 @@ object Oracles {
         |       count(CASE WHEN symbol_heavy THEN 1 END) AS n_symbol_heavy,
         |       count(CASE WHEN low_stopword THEN 1 END) AS n_low_stopword,
         |       count(CASE WHEN repetitive THEN 1 END) AS n_repetitive,
+        |       count(CASE WHEN dup_line_heavy THEN 1 END) AS n_dup_line_heavy,
+        |       count(CASE WHEN dup_para_heavy THEN 1 END) AS n_dup_para_heavy,
+        |       count(CASE WHEN top_2gram_heavy THEN 1 END) AS n_top_2gram_heavy,
+        |       count(CASE WHEN top_3gram_heavy THEN 1 END) AS n_top_3gram_heavy,
+        |       count(CASE WHEN top_4gram_heavy THEN 1 END) AS n_top_4gram_heavy,
         |       count(CASE WHEN NOT too_short AND NOT too_long AND NOT bad_tok_len
         |                   AND NOT symbol_heavy AND NOT low_stopword
-        |                   AND NOT repetitive THEN 1 END) AS n_pass
+        |                   AND NOT repetitive AND NOT dup_line_heavy
+        |                   AND NOT dup_para_heavy AND NOT top_2gram_heavy
+        |                   AND NOT top_3gram_heavy AND NOT top_4gram_heavy
+        |                   THEN 1 END) AS n_pass
         |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "x3_fingerprints" ->
@@ -726,19 +788,33 @@ object Oracles {
          |ORDER BY validation_name""".stripMargin,
 
     "x3_lang_confusion" ->
-      // The language-ID heuristic replayed in SQL: per-language stopword
-      // hit counts over whitespace tokens of the lowercased text, CJK
-      // ratio gate, then the argmax with ties breaking to the
-      // lexicographically LARGEST language — exactly the Spark side's
-      // array_max over (score, lang) structs (fr > es > en > de).
-      """WITH t AS (
+      // The language-ID heuristic replayed in SQL: script-ratio gates
+      // (kana → ja at 5%, hangul → ko and han → zh at 30% — most
+      // specific first, since ja/ko text contains han), then per-language
+      // stopword hit counts over whitespace tokens of the lowercased
+      // text, then the argmax with ties breaking to the lexicographically
+      // LARGEST language — exactly the Spark side's array_max over
+      // (score, lang) structs (fr > es > en > de). The ja/ko fixture
+      // rows interpolate from the SAME Scala constant the query unions
+      // in ([[Queries.jaKoFixtures]]), so both engines see identical
+      // text.
+      s"""WITH corpus AS (
+        |  SELECT lang, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES ${Queries.jaKoFixtures
+             .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")}) v(lang, text)),
+        |t AS (
         |  SELECT lang AS label, text,
-        |         string_split_regex(trim(lower(text)), '\s+') AS toks,
-        |         (length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))) * 1.0
+        |         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+        |         (length(text) - length(regexp_replace(text, '[\\x{3040}-\\x{30ff}]', '', 'g'))) * 1.0
+        |           / greatest(length(text), 1) AS kana,
+        |         (length(text) - length(regexp_replace(text, '[\\x{ac00}-\\x{d7a3}]', '', 'g'))) * 1.0
+        |           / greatest(length(text), 1) AS hang,
+        |         (length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))) * 1.0
         |           / greatest(length(text), 1) AS cjk
-        |  FROM documents),
+        |  FROM corpus),
         |s AS (
-        |  SELECT label, cjk,
+        |  SELECT label, kana, hang, cjk,
         |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
         |    len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in','that'], x))) AS s_en,
         |    len(list_filter(toks, x -> list_contains(['el','la','de','que','los','una','por','con'], x))) AS s_es,
@@ -746,7 +822,9 @@ object Oracles {
         |  FROM t),
         |p AS (
         |  SELECT label,
-        |    CASE WHEN cjk > 0.3 THEN 'zh'
+        |    CASE WHEN kana > 0.05 THEN 'ja'
+        |         WHEN hang > 0.3 THEN 'ko'
+        |         WHEN cjk > 0.3 THEN 'zh'
         |         WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
         |         WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
         |         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
@@ -805,7 +883,7 @@ object Oracles {
         |  SELECT t.source, count(*) AS docs_kept,
         |         CAST(sum(t.nt) AS BIGINT) AS tokens_kept
         |  FROM tc t JOIN rates r USING (source)
-        |  WHERE ${bucketSql("t.doc_id")} < r.thr
+        |  WHERE ${bucketSql("t.doc_id", 42L ^ graft.ext.Sampling.MixSalt)} < r.thr
         |  GROUP BY 1)
         |SELECT r.source, r.n_docs, r.tokens_in, r.target_tokens,
         |       CAST(coalesce(k.docs_kept, 0) AS BIGINT) AS docs_kept,
@@ -846,7 +924,7 @@ object Oracles {
         |  SELECT t.source, count(*) AS docs_kept,
         |         CAST(sum(t.nt) AS BIGINT) AS tokens_kept
         |  FROM tc t JOIN rates r USING (source)
-        |  WHERE ${bucketSql("t.doc_id")} < r.thr
+        |  WHERE ${bucketSql("t.doc_id", 42L ^ graft.ext.Sampling.MixSalt)} < r.thr
         |  GROUP BY 1)
         |SELECT r.source, r.n_docs, r.tokens_in, r.target_tokens,
         |       CAST(coalesce(k.docs_kept, 0) AS BIGINT) AS docs_kept,
@@ -855,10 +933,10 @@ object Oracles {
         |ORDER BY source""".stripMargin,
 
     "x12_training_order" ->
-      // The keyed-hash global order replayed (the shared bucket formula),
-      // doc_id tiebreak, first 50.
+      // The keyed-hash global order replayed (the shared FULL-WIDTH
+      // hash64, order-salted), doc_id tiebreak, first 50.
       s"""SELECT doc_id,
-        |       ${bucketSql("doc_id")} AS shuffle_key
+        |       ${hash64Sql("doc_id", 42L ^ graft.ext.Sampling.OrderSalt)} AS shuffle_key
         |FROM documents
         |ORDER BY shuffle_key, doc_id LIMIT 50""".stripMargin,
 
@@ -898,14 +976,16 @@ object Oracles {
         |GROUP BY 1 ORDER BY stratum""".stripMargin,
 
     "x6_splits" ->
-      // The split when-chain replayed over the shared bucket formula:
-      // cumulative half-up bounds 9800/9900/10000 for 98/1/1.
+      // The split when-chain replayed over the shared bucket formula
+      // (split-salted seed): cumulative half-up bounds 9800/9900/10000
+      // for 98/1/1.
       s"""SELECT split, count(*) AS n_docs
         |FROM (SELECT CASE WHEN b < 9800 THEN 'train'
         |                  WHEN b < 9900 THEN 'val'
         |                  WHEN b < 10000 THEN 'test'
         |                  ELSE 'holdout' END AS split
-        |      FROM (SELECT ${bucketSql("doc_id")} AS b FROM documents))
+        |      FROM (SELECT ${bucketSql("doc_id", 42L ^ graft.ext.Sampling.SplitSalt)} AS b
+        |            FROM documents))
         |GROUP BY 1 ORDER BY split""".stripMargin,
 
     "x8_contamination" ->

@@ -609,9 +609,24 @@ object Queries {
 
   /** X3g — Gopher-style quality rule census per language. Every
     * threshold is an integer cross-multiplied comparison, so the
-    * verdict counts replay exactly in SQL. */
-  def x3GopherRules(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.gopherSummary(documents(s, d))
+    * verdict counts replay exactly in SQL. The corpus text carries no
+    * newlines or dominant n-grams, so the structural-duplication rules
+    * (duplicate lines/paragraphs, top-gram share) are exercised by
+    * deterministic plants — every 13th doc gains 3 duplicate lines + a
+    * duplicate paragraph, every 29th (not also 13th) a dominant
+    * ' badger badger' run sized to its own length — replicated verbatim
+    * in the oracle (the x7_pii_scan pattern). */
+  def x3GopherRules(s: SparkSession, d: String): DataFrame = {
+    val planted = documents(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(col("text"),
+          lit("\nrepeat line\nrepeat line\nrepeat line\n\nsame para\n\nsame para")))
+        .when(pmod(col("doc_id"), lit(29)) === 0,
+          concat(col("text"),
+            expr("repeat(' badger badger', length(text) div 10 + 5)")))
+        .otherwise(col("text")))
+    TextAnalysis.gopherSummary(planted)
+  }
 
   /** X3d — whitespace + BPE-ish token counting per language. */
   def x3TokenCounts(s: SparkSession, d: String): DataFrame =
@@ -703,8 +718,23 @@ object Queries {
     * Real-language prediction quality is pinned by unit tests — the
     * corpus shares one vocabulary across labels (TESTDATA.md), so the
     * matrix here exercises the mechanism, not linguistics. */
-  def x3LangConfusion(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.langConfusion(documents(s, d))
+  def x3LangConfusion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.langConfusion(
+      documents(s, d).select(col("lang"), col("text"))
+        .unionByName(jaKoFixtures.toDF("lang", "text")))
+  }
+
+  /** ja/ko script-gate fixtures for [[x3LangConfusion]] — defined ONCE
+    * (unicode escapes, all BMP so Spark's UTF-16 length == DuckDB's
+    * codepoint length) and interpolated into the oracle's VALUES rows,
+    * so both engines see byte-identical text. Each is kana-/hangul-
+    * dominant enough to clear its script gate. */
+  val jaKoFixtures: Seq[(String, String)] = Seq(
+    "ja" -> "これ は 日本語 の テスト です",
+    "ja" -> "カタカナ の テキスト データ",
+    "ko" -> "이것 은 한국어 테스트 입니다",
+    "ko" -> "한글 문서 품질 검사")
 
   /** X5d — REAL container-header decoding, no codec library: payloads
     * carry byte-valid PNG/WAV/MP4 headers with per-row field values, and

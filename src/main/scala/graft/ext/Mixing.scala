@@ -103,15 +103,21 @@ object Mixing {
     require(totalTokens > 0, s"totalTokens ($totalTokens) must be positive")
     val w = if (alpha == 0.5) sqrt(col("tokens_in"))
             else pow(col("tokens_in"), lit(alpha))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    sourceTotals(docs, textCol, srcCol)
+    // The weight normalization is a one-row sum over the per-source
+    // census, cross-joined (broadcast) back onto it — NOT an
+    // unpartitioned window: the empty-partition WindowExec warning it
+    // used to emit buried real regressions in bench tails. The census
+    // aggregate appears in both branches, so the exchange is reused
+    // (one corpus scan), and the broadcast side is a single row.
+    val census = sourceTotals(docs, textCol, srcCol)
       .withColumn("__wq", floor(w * 1000 + lit(0.5)).cast("long"))
+    census
+      .crossJoin(broadcast(census.agg(sum(col("__wq")).as("__wsum"))))
       .withColumn("target_tokens",
         floor(lit(totalTokens).cast("double") * col("__wq")
-          / sum(col("__wq")).over(win) + lit(0.5)).cast("long"))
+          / col("__wsum") + lit(0.5)).cast("long"))
       .withColumn("keep_threshold", quantizedThreshold)
-      .drop("__wq")
+      .drop("__wq", "__wsum")
   }
 
   /** The temperature-mixed corpus (see [[temperatureTargets]]): same
@@ -124,12 +130,15 @@ object Mixing {
       temperatureTargets(docs, textCol, srcCol, alpha, totalTokens))
 
   /** ONE survivor-selection path for both recipe styles — the
-    * "identical rows across runs/engines" contract lives here only. */
+    * "identical rows across runs/engines" contract lives here only.
+    * The seed is salted with [[Sampling.MixSalt]], so mixing composes
+    * independently with sampling/splits at the same seed. */
   private def mix(docs: DataFrame, keyCol: String, srcCol: String,
                   seed: Long, rates: DataFrame): DataFrame = {
     val thresholds = rates.select(col("source").as(srcCol), col("keep_threshold"))
     docs.join(broadcast(thresholds), srcCol)
-      .filter(Sampling.bucket(col(keyCol), seed) < col("keep_threshold"))
+      .filter(Sampling.bucket(col(keyCol), seed ^ Sampling.MixSalt) <
+        col("keep_threshold"))
       .select(docs.columns.toIndexedSeq.map(col): _*)
   }
 
@@ -171,7 +180,8 @@ object Mixing {
                         rates: DataFrame): DataFrame = {
     val kept = docs.join(
         broadcast(rates.select(col("source").as(srcCol), col("keep_threshold"))), srcCol)
-      .filter(Sampling.bucket(col(keyCol), seed) < col("keep_threshold"))
+      .filter(Sampling.bucket(col(keyCol), seed ^ Sampling.MixSalt) <
+        col("keep_threshold"))
       .groupBy(col(srcCol).as("source"))
       .agg(count(lit(1)).as("docs_kept"),
         sum(tokenCount(col(textCol)).cast("long")).as("tokens_kept"))
@@ -185,11 +195,17 @@ object Mixing {
 
   /** Deterministic global training order: documents reordered by a keyed
     * hash (shuffle-the-corpus-once, the step between mixing and
-    * [[Packing]]). The sort key is engine-replayable ([[Sampling.bucket]]
-    * + key tiebreak); Spark executes it as a range-partitioned sort — no
-    * single-reducer bottleneck at any corpus size. */
+    * [[Packing]]). The sort key is the FULL-WIDTH engine-replayable mix
+    * ([[Sampling.hash64]], ~2⁶² distinct values, [[Sampling.OrderSalt]]-
+    * salted) — not the 10⁴-valued bucket, whose huge tie groups would
+    * leave each group's documents in original id order: at billions of
+    * docs that is a chunked interleave with ~10⁵-doc same-source runs,
+    * not a global shuffle. doc_id stays as the final tiebreak only.
+    * Spark executes it as a range-partitioned sort — no single-reducer
+    * bottleneck at any corpus size. */
   def trainingOrder(docs: DataFrame, keyCol: String = "doc_id",
                     seed: Long = 42L): DataFrame =
-    docs.withColumn("shuffle_key", Sampling.bucket(col(keyCol), seed))
+    docs.withColumn("shuffle_key",
+        Sampling.hash64(col(keyCol), seed ^ Sampling.OrderSalt))
       .orderBy(col("shuffle_key"), col(keyCol))
 }

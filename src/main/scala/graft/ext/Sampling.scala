@@ -14,16 +14,36 @@ import org.apache.spark.sql.functions._
   * whose survivors change with partitioning. The hash is plain integer
   * arithmetic, so the DuckDB oracle replays it exactly.
   *
-  * The hash is multiply → xor-shift → multiply → xor-shift (Knuth and
-  * xxhash primes). The xor-shifts are load-bearing: a PURE multiplicative
-  * hash maps arithmetic progressions of keys to arithmetic progressions
-  * of buckets, so a STRIDED key set (interleaved shards, every-Nth-id
-  * sources — exactly how per-source ids land in real corpora) clusters
-  * into a narrow bucket band and a requested 58% rate can keep 94% or 0%
-  * (measured, r5). XOR is non-affine, so the second multiply sees a
-  * stride-free input; deciles over strided keys are uniform to ±5%.
-  * All intermediates stay positive and below 2⁶³ for keys ≤ ~3.4e9
-  * (ANSI mode throws on Long wrap, so the bound is loud, not silent).
+  * The hash splits the key into 31-bit halves and runs each through
+  * multiply → xor-shift (Knuth / xxhash primes) before a combining
+  * multiply and a final xor-shift. Two properties are load-bearing:
+  *
+  *  - EVERY intermediate stays positive and below 2⁶³ for ANY
+  *    non-negative 63-bit key: operands entering a multiply are first
+  *    masked to 31 bits, so products are < 2³¹·2⁶³ᐟ²… < 2⁶³. (The r5
+  *    single-multiply form overflowed — loudly, ANSI throw — for keys
+  *    above ~3.4×10⁹, a real ceiling at 100 TB where 64-bit
+  *    hash-derived doc ids are the norm. Bit 62 of the key is folded
+  *    into the high half by an extra xor, so the full non-negative Long
+  *    range hashes distinctly.)
+  *  - the xor-shifts are non-affine: a PURE multiplicative hash maps
+  *    arithmetic progressions of keys to arithmetic progressions of
+  *    buckets, so a STRIDED key set (interleaved shards, every-Nth-id
+  *    sources — exactly how per-source ids land in real corpora)
+  *    clusters into a narrow bucket band and a requested 58% rate can
+  *    keep 94% or 0% (measured, r5). Each half passes through two
+  *    multiplies and two xor-shifts, so both low- and high-half strides
+  *    decorrelate; deciles over strided keys are uniform to ±5% at both
+  *    ends of the key range (SamplingSpec re-proves this at ~2⁶²).
+  *
+  * Composability: the bucket-based operators (sampling, splits, mixing,
+  * training order) each salt the seed with a distinct per-purpose
+  * constant ([[SplitSalt]]/[[MixSalt]]/[[OrderSalt]]). Without salting,
+  * composing two operators at the same seed correlates them fully —
+  * e.g. mixing at rate ≤ 0.98 keeps only buckets below the threshold,
+  * so a subsequent 98/1/1 split would assign EVERY survivor to 'train'
+  * and leave val/test silently empty. With distinct salts the
+  * selections are independent at any shared seed.
   *
   * At 100 TB this is a narrow map-only pass (no shuffle): the predicate
   * evaluates per row and pushes into the scan where the source supports
@@ -35,21 +55,50 @@ object Sampling {
 
   private val Knuth = 2654435761L       // Knuth's 2^32 golden-ratio prime
   private val XxPrime = 2246822519L     // xxhash PRIME32_2
-  private val Mask31 = 0x7FFFFFFFL      // keep the 2nd multiply under 2^63
+  private val Mask31 = 0x7FFFFFFFL      // keep every multiply under 2^63
   private val Buckets = 10000L
 
-  /** Stable per-row bucket in [0, Buckets). Keys up to ~3.4e9 stay clear
-    * of Long overflow (ANSI mode throws on wrap). Replay in SQL:
-    * `h1 = (key + seed) * 2654435761`,
-    * `h2 = xor(h1, h1 >> 31) & 2147483647`, `h3 = h2 * 2246822519`,
-    * `bucket = xor(h3, h3 >> 29) % 10000` (all values positive, so plain
-    * `%` equals Spark's pmod and `>>` is a logical shift). */
-  def bucket(key: Column, seed: Long): Column = {
-    val h1 = (key + lit(seed)) * lit(Knuth)
-    val h2 = h1.bitwiseXOR(shiftright(h1, 31)).bitwiseAND(lit(Mask31))
-    val h3 = h2 * lit(XxPrime)
-    pmod(h3.bitwiseXOR(shiftright(h3, 29)), lit(Buckets))
+  /** Per-purpose seed salts (xor'd into the caller's seed) so composed
+    * operators draw independent selections at the same seed. Plain
+    * stratified sampling is the unsalted baseline. */
+  val SplitSalt = 0x53504C49L   // "SPLI"
+  val MixSalt = 0x4D495853L     // "MIXS"
+  val OrderSalt = 0x4F524452L   // "ORDR"
+
+  /** Full-width keyed mix of a non-negative key: the value [[bucket]]
+    * reduces mod 10000. Exposed for order-by uses ([[Mixing
+    * .trainingOrder]]) where 10⁴ distinct values would leave huge tie
+    * groups in input order — this is ~2⁶²-valued, so ties are rare.
+    * Replay in SQL (all values positive: `%` = pmod, `>>` logical):
+    * {{{
+    *   s  = seed & 2147483647                     -- Scala-side constant
+    *   k0 = key & 2147483647
+    *   k1r = key >> 31
+    *   k1 = xor(k1r, k1r >> 31) & 2147483647      -- folds key bit 62 in
+    *   h1 = ((k0 + s) & 2147483647) * 2654435761
+    *   g1 = xor(h1, h1 >> 31) & 2147483647
+    *   h2 = ((k1 + s) & 2147483647) * 2246822519
+    *   g2 = xor(h2, h2 >> 31) & 2147483647
+    *   h3 = xor(g1, g2) * 2654435761
+    *   hash64 = xor(h3, h3 >> 29)
+    * }}} */
+  def hash64(key: Column, seed: Long): Column = {
+    val s = seed & Mask31
+    val k0 = key.bitwiseAND(lit(Mask31))
+    val k1r = shiftright(key, 31)
+    val k1 = k1r.bitwiseXOR(shiftright(k1r, 31)).bitwiseAND(lit(Mask31))
+    val h1 = (k0 + lit(s)).bitwiseAND(lit(Mask31)) * lit(Knuth)
+    val g1 = h1.bitwiseXOR(shiftright(h1, 31)).bitwiseAND(lit(Mask31))
+    val h2 = (k1 + lit(s)).bitwiseAND(lit(Mask31)) * lit(XxPrime)
+    val g2 = h2.bitwiseXOR(shiftright(h2, 31)).bitwiseAND(lit(Mask31))
+    val h3 = g1.bitwiseXOR(g2) * lit(Knuth)
+    h3.bitwiseXOR(shiftright(h3, 29))
   }
+
+  /** Stable per-row bucket in [0, Buckets) for any non-negative key —
+    * see [[hash64]] for the formula and its replay contract. */
+  def bucket(key: Column, seed: Long): Column =
+    pmod(hash64(key, seed), lit(Buckets))
 
   /** The per-row bucket threshold for a rate map: a when-chain over the
     * strata, `defaultRate` otherwise. Rates quantize to 1/10000. */
@@ -72,7 +121,9 @@ object Sampling {
     * ranges). `fractions` is ordered; rows past the cumulative fractions
     * get `otherwise` (holdout). Map-only, no shuffle — the assignment is
     * a column, so callers can filter OR keep it as annotation.
-    * Quantization is 1/10000 (half-up, like [[keepThreshold]]). */
+    * Quantization is 1/10000 (half-up, like [[keepThreshold]]).
+    * The seed is salted with [[SplitSalt]], so splitting the output of
+    * a sample/mix at the same seed still lands every stratum. */
   def assignSplit(keyCol: Column, fractions: Seq[(String, Double)],
                   otherwise: String = "holdout", seed: Long = 42L): Column = {
     require(fractions.nonEmpty, "at least one split fraction")
@@ -82,7 +133,7 @@ object Sampling {
     val names = fractions.map(_._1)
     require(names.distinct.size == names.size && !names.contains(otherwise),
       "split names must be distinct and not collide with the holdout label")
-    val b = bucket(keyCol, seed)
+    val b = bucket(keyCol, seed ^ SplitSalt)
     val cum = fractions.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * Buckets))
     // foldRight nests the when-chain so the FIRST matching (smallest)
     // bound wins — ranges are [prev, bound), disjoint by construction.

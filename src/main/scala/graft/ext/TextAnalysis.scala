@@ -112,26 +112,61 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Characters covered by the most frequent element of a gram array:
+    * max over distinct grams of count(g)·length(g). Computed per row
+    * with NO explode: sort the array, then one linear fold tracking the
+    * current equal-run length — a run of g in the sorted array has
+    * length count(g), so the fold's max equals the max over distinct
+    * grams. length(g) includes the gram's joining spaces (documented
+    * contract, mirrored verbatim by the oracle's length(gram)). */
+  private def topGramChars(grams: Column): Column =
+    aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run * length(x)).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** X3g — the Gopher-style document-quality rule bundle (the named
     * heuristic filter stage of Gopher/MassiveText-family pipelines):
-    * per-document boolean verdicts for the classic reject rules —
+    * per-document boolean verdicts for the published reject-rule table —
     * too short / too long, out-of-range mean token length, symbol-heavy,
-    * too few distinct stopwords, internally repetitive — plus the
-    * conjunction `pass`.
+    * too few distinct stopwords, internally repetitive (duplicate
+    * bigrams), duplicate-line and duplicate-paragraph fractions, and the
+    * top-2/3/4-gram character-share family — plus the conjunction
+    * `pass`.
     *
     * Engine-exactness by construction: every threshold is evaluated in
     * CROSS-MULTIPLIED INTEGER form (`3·n ≤ Σlen ≤ 10·n` instead of
-    * `3 ≤ Σlen/n ≤ 10`), so no float division ever reaches a comparison
-    * and the oracle replays each verdict bit-for-bit. Everything is a
-    * per-row expression — bigram duplication included, via per-row
-    * `array_distinct` rather than an explode — so flagging a 100 TB
-    * corpus is one map-only pass, no shuffle.
+    * `3 ≤ Σlen/n ≤ 10`; `10·dup > 3·lines` for the 0.30 line rule;
+    * `5·c₂ > chars` / `50·c₃ > 9·chars` / `25·c₄ > 4·chars` for the
+    * 0.20/0.18/0.16 top-gram shares), so no float division ever reaches
+    * a comparison and the oracle replays each verdict bit-for-bit.
+    * Everything is a per-row expression — bigram duplication via
+    * `array_distinct`, top-gram coverage via sort + linear fold
+    * ([[topGramChars]]), lines/paragraphs via per-row splits — so
+    * flagging a 100 TB corpus is ONE map-only pass, no shuffle.
+    *
+    * SCOPE: the default `symbolClass`/`stopwords` are English/ASCII-
+    * centric — every non-Latin-script document counts all its characters
+    * as symbols (always `symbol_heavy`) and hits no English stopwords
+    * (always `low_stopword`), so `pass` is structurally unreachable for
+    * those languages and a per-language census reads as "rule not
+    * applicable", NOT as a quality signal. For non-English corpora pass
+    * language-appropriate `stopwords` and a script-aware `symbolClass`
+    * (e.g. add the relevant Unicode ranges to the keep-class), or apply
+    * the bundle behind a language filter.
     * Output: input columns + the metric and flag columns. */
   def gopherFlags(docs: DataFrame, textCol: String = "text",
                   minTokens: Long = 50L, maxTokens: Long = 100000L,
                   minMeanTokLen: Long = 3L, maxMeanTokLen: Long = 10L,
                   stopwords: Seq[String] = Seq("a", "the", "and", "of"),
-                  minStopwordHits: Int = 2): DataFrame = {
+                  minStopwordHits: Int = 2,
+                  symbolClass: String = "[^A-Za-z0-9\\s]"): DataFrame = {
     val t = col(textCol)
     val toks = col("__toks")
     // Bigrams per row (duplication rule ≥ 20%): no explode, no shuffle.
@@ -147,7 +182,7 @@ object TextAnalysis {
       .withColumn("n_chars", coalesce(length(t), lit(0)).cast("long"))
       .withColumn("n_symbols",
         (coalesce(length(t), lit(0)) -
-          coalesce(length(regexp_replace(t, "[^A-Za-z0-9\\s]", "")), lit(0)))
+          coalesce(length(regexp_replace(t, symbolClass, "")), lit(0)))
           .cast("long"))
       .withColumn("stop_hits",
         size(filter(stopArr, s => array_contains(toks, s))).cast("long"))
@@ -155,6 +190,24 @@ object TextAnalysis {
       .withColumn("n_bigrams", size(col("__bg")).cast("long"))
       .withColumn("dup_bigrams",
         (size(col("__bg")) - size(array_distinct(col("__bg")))).cast("long"))
+      // Lines: non-empty elements of the '\n' split. Paragraphs: blank-
+      // line-separated blocks ('\n{2,}' split) that are non-blank after
+      // trim. Null text yields empty arrays via the coalesce below.
+      .withColumn("__lines",
+        filter(coalesce(split(t, "\n"), array().cast("array<string>")),
+          l => length(l) > 0))
+      .withColumn("__paras",
+        filter(coalesce(split(t, "\n{2,}"), array().cast("array<string>")),
+          p => length(trim(p)) > 0))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("dup_lines",
+        (size(col("__lines")) - size(array_distinct(col("__lines")))).cast("long"))
+      .withColumn("n_paras", size(col("__paras")).cast("long"))
+      .withColumn("dup_paras",
+        (size(col("__paras")) - size(array_distinct(col("__paras")))).cast("long"))
+      .withColumn("top_2gram_chars", topGramChars(col("__bg")))
+      .withColumn("top_3gram_chars", topGramChars(Dedup.ngrams(toks, 3)))
+      .withColumn("top_4gram_chars", topGramChars(Dedup.ngrams(toks, 4)))
       .withColumn("too_short", col("n_tokens") < minTokens)
       .withColumn("too_long", col("n_tokens") > maxTokens)
       .withColumn("bad_tok_len",
@@ -164,10 +217,26 @@ object TextAnalysis {
       .withColumn("low_stopword", col("stop_hits") < minStopwordHits)
       .withColumn("repetitive",
         col("n_bigrams") > 0 && lit(5L) * col("dup_bigrams") >= col("n_bigrams"))
+      // Gopher's structural-duplication rules: > 0.30 of lines /
+      // paragraphs duplicated, or the most frequent word 2/3/4-gram
+      // covering > 0.20 / 0.18 / 0.16 of the characters.
+      .withColumn("dup_line_heavy",
+        lit(10L) * col("dup_lines") > lit(3L) * col("n_lines"))
+      .withColumn("dup_para_heavy",
+        lit(10L) * col("dup_paras") > lit(3L) * col("n_paras"))
+      .withColumn("top_2gram_heavy",
+        lit(5L) * col("top_2gram_chars") > col("n_chars"))
+      .withColumn("top_3gram_heavy",
+        lit(50L) * col("top_3gram_chars") > lit(9L) * col("n_chars"))
+      .withColumn("top_4gram_heavy",
+        lit(25L) * col("top_4gram_chars") > lit(4L) * col("n_chars"))
       .withColumn("pass",
         !col("too_short") && !col("too_long") && !col("bad_tok_len") &&
-          !col("symbol_heavy") && !col("low_stopword") && !col("repetitive"))
-      .drop("__toks", "__bg")
+          !col("symbol_heavy") && !col("low_stopword") && !col("repetitive") &&
+          !col("dup_line_heavy") && !col("dup_para_heavy") &&
+          !col("top_2gram_heavy") && !col("top_3gram_heavy") &&
+          !col("top_4gram_heavy"))
+      .drop("__toks", "__bg", "__lines", "__paras")
   }
 
   /** Per-language rule census over [[gopherFlags]] — the registered,
@@ -180,6 +249,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         cnt("too_short"), cnt("too_long"), cnt("bad_tok_len"),
         cnt("symbol_heavy"), cnt("low_stopword"), cnt("repetitive"),
+        cnt("dup_line_heavy"), cnt("dup_para_heavy"),
+        cnt("top_2gram_heavy"), cnt("top_3gram_heavy"),
+        cnt("top_4gram_heavy"),
         cnt("pass"))
       .orderBy("lang")
   }
@@ -246,11 +318,25 @@ object TextAnalysis {
   def languageId(textCol: Column): Column =
     languageIdFromTokens(textCol, tokens(lower(textCol)))
 
-  /** Language-ID from a pre-materialized lowercase token array. */
+  /** Language-ID from a pre-materialized lowercase token array.
+    *
+    * Script gates run BEFORE the stopword argmax, most-specific first:
+    * kana (hiragana U+3040–U+309F + katakana U+30A0–U+30FF) is unique
+    * to Japanese, so ANY meaningful kana presence (> 5% — ja mixes
+    * kanji and kana, so a 30% bar would miss kanji-heavy text) decides
+    * ja; hangul syllables (U+AC00–U+D7A3) decide ko at the same 30%
+    * bar as han→zh. The han gate comes LAST of the three: Japanese and
+    * (rarely) Korean text contains han characters, so testing han first
+    * would mislabel ja/ko as zh — and a wrong lang corrupts per-language
+    * mixing rates downstream (X12 consumes `lang`). */
   def languageIdFromTokens(textCol: Column, toks: Column): Column = {
-    val cjkRatio = (length(textCol) -
-      length(regexp_replace(textCol, "[\\u4e00-\\u9fff]", ""))).cast("double") /
-      greatest(length(textCol), lit(1))
+    def scriptRatio(charClass: String): Column =
+      (length(textCol) -
+        length(regexp_replace(textCol, charClass, ""))).cast("double") /
+        greatest(length(textCol), lit(1))
+    val kanaRatio = scriptRatio("[\\u3040-\\u30ff]")
+    val hangulRatio = scriptRatio("[\\uac00-\\ud7a3]")
+    val cjkRatio = scriptRatio("[\\u4e00-\\u9fff]")
     val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val wordArr = array(words.map(lit): _*)
       (lang, size(filter(toks, t => array_contains(wordArr, t))))
@@ -260,7 +346,9 @@ object TextAnalysis {
     val best = array_max(array(scores.map { case (lang, score) =>
       struct(score.as("score"), lit(lang).as("lang"))
     }: _*))
-    when(cjkRatio > lit(0.3), lit("zh"))
+    when(kanaRatio > lit(0.05), lit("ja"))
+      .when(hangulRatio > lit(0.3), lit("ko"))
+      .when(cjkRatio > lit(0.3), lit("zh"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }

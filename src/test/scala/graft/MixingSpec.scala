@@ -11,14 +11,10 @@ class MixingSpec extends SparkSpec {
     df(rows.map { case (id, src, t) => Row(id, src, t) },
       "doc_id BIGINT, source STRING, text STRING")
 
-  /** The documented Sampling.bucket formula, independently restated
-    * (multiply → xor-shift → mask → multiply → xor-shift → mod). */
-  private def refBucket(id: Long, seed: Long = 42L): Long = {
-    val h1 = (id + seed) * 2654435761L
-    val h2 = (h1 ^ (h1 >>> 31)) & 0x7FFFFFFFL
-    val h3 = h2 * 2246822519L
-    (h3 ^ (h3 >>> 29)) % 10000L
-  }
+  /** Mixing selects with the MIX-salted seed ([[RefHash]] restates the
+    * documented split-key formula independently of the Spark side). */
+  private def refBucket(id: Long, seed: Long = 42L): Long =
+    RefHash.bucket(id, seed ^ Sampling.MixSalt)
 
   test("sourceTotals counts docs and whitespace tokens per source") {
     val d = docs((1L, "a", "one two three"), (2L, "a", "four"), (3L, "b", "x y"))
@@ -81,8 +77,11 @@ class MixingSpec extends SparkSpec {
     assert(o1 == o2 && o1.toSet == (1L to 100L).toSet)
     // The order is the hash order, not the key order.
     assert(o1 != (1L to 100L).toSeq)
-    // And it replays the documented formula.
-    val manual = (1L to 100L).sortBy(id => (refBucket(id), id))
+    // And it replays the documented FULL-WIDTH order-salted formula —
+    // not the 10^4-valued bucket, whose tie groups would preserve long
+    // id-order runs at scale.
+    val manual = (1L to 100L).sortBy(id =>
+      (RefHash.hash64(id, 42L ^ Sampling.OrderSalt), id))
     assert(o1 == manual)
   }
 

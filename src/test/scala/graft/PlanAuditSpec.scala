@@ -36,10 +36,13 @@ class PlanAuditSpec extends SparkSpec {
     * design); x1_embed_neardup crosses a ONE-ROW max-id aggregate onto
     * the 5 planted rows (the lazy replacement for the plan-time `.head()`
     * job — both sides bounded by construction); s2_stream_dedup crosses
-    * two ONE-ROW count aggregates. */
+    * two ONE-ROW count aggregates; x12_temperature_mix crosses the
+    * ONE-ROW weight-sum aggregate back onto the per-source census (the
+    * replacement for the unpartitioned-window normalization). */
   private val bnljAllowed =
     Set("g3_in_set", "x2_topk_cosine", "x2_quant_topk", "x1_embed_neardup",
-      "x2_semdedup", "s2_stream_dedup", "x11_skew_profile")
+      "x2_semdedup", "s2_stream_dedup", "x11_skew_profile",
+      "x12_temperature_mix")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

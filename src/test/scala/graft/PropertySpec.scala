@@ -140,11 +140,8 @@ class PropertySpec extends SparkSpec {
       toks <- Gen.listOfN(k, Gen.oneOf("w1", "w2", "w3"))
     } yield (src, toks.mkString(" "))
     val corpusGen = Gen.choose(5, 30).flatMap(n => Gen.listOfN(n, docGen))
-    def refBucket(id: Long): Long = {
-      val h1 = (id + 42L) * 2654435761L
-      val h3 = ((h1 ^ (h1 >>> 31)) & 0x7FFFFFFFL) * 2246822519L
-      (h3 ^ (h3 >>> 29)) % 10000L
-    }
+    def refBucket(id: Long): Long =
+      RefHash.bucket(id, 42L ^ graft.ext.Sampling.MixSalt)
     val weights = Map("s0" -> 0.6, "s1" -> 0.4) // s2 weight-0
     val budget = 40L
     samples(corpusGen, 6).foreach { rows =>

@@ -82,6 +82,54 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("Spark hash matches the reference restatement across the 63-bit key range") {
+    // 64-bit hash-derived doc ids are the norm at 100 TB; the r5
+    // single-multiply hash overflowed (loud ANSI throw) past ~3.4e9.
+    // The split-key form must agree with the documented formula — and
+    // not throw — from 0 through Long.MaxValue.
+    import org.apache.spark.sql.Row
+    val keys = Seq(0L, 1L, 41L, Int.MaxValue.toLong, 1L << 31,
+      (1L << 42) + 12345L, (1L << 62) - 1L, 1L << 62,
+      Long.MaxValue - 1L, Long.MaxValue) ++
+      (0 until 100).map(i => (1L << 55) + i * 104729L)
+    val d = df(keys.map(Row(_)), "k BIGINT")
+    val got = d.select(col("k"), Sampling.hash64(col("k"), 7L).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keys.foreach(k => assert(got(k) == RefHash.hash64(k, 7L), s"key $k"))
+    // Key bit 62 is FOLDED into the high half, not silently masked off.
+    assert(RefHash.hash64(1L << 62, 7L) != RefHash.hash64(0L, 7L))
+  }
+
+  test("strided keys near 2^62 still sample near the configured rate") {
+    // The xor-mix uniformity argument re-proven at the top of the key
+    // range: high-magnitude ids with a coarse stride (the shape of
+    // hash-derived ids partitioned across shards).
+    import org.apache.spark.sql.Row
+    for (stride <- Seq(1001L, 1L << 33)) {
+      val base = (1L << 62) - 400L * stride
+      val rows = (0L until 400L).map(i => Row(base + i * stride, "s"))
+      val d = df(rows, "doc_id BIGINT, src STRING")
+      val kept = Sampling.stratifiedSample(d, "doc_id", "src", Map("s" -> 0.5))
+        .count()
+      assert(math.abs(kept / 400.0 - 0.5) < 0.12,
+        s"stride $stride at 2^62: kept $kept/400 at rate 0.5")
+    }
+  }
+
+  test("composed sample→split at the same seed still lands every split") {
+    // ADVICE r5: with one unsalted hash, sampling at rate r keeps only
+    // buckets below r·10⁴, so a subsequent split would route EVERY
+    // survivor to the first band — val/test silently empty. The
+    // per-purpose salts decorrelate the two selections.
+    val survivors = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map.empty, defaultRate = 0.5)
+    val bands = Sampling.splitSummary(survivors, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bands.getOrElse("val", 0L) > 0 && bands.getOrElse("test", 0L) > 0,
+      s"correlated selections: $bands")
+  }
+
   test("splits are disjoint, exhaustive, and partitioning-invariant") {
     import graft.ext.Sampling.assignSplit
     val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

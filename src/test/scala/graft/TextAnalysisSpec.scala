@@ -54,13 +54,19 @@ class TextAnalysisSpec extends SparkSpec {
       Row("fr", "le chien et les chats sont dans une maison qui est dans la rue"),
       Row("de", "der hund und die katze sind nicht in das haus mit ein auto"),
       Row("zh", "这是一个关于猫和狗的故事他们住在一起"),
+      // ja/ko script gates (ADVICE r5: kana/hangul used to fall through
+      // to zh): kana-heavy, kanji-heavy-with-kana-particles, and hangul.
+      Row("ja", "これは日本語のテストですきょうは天気がいいです"),
+      Row("ja", "日本語の文章です"), // mostly kanji — particles alone must decide ja
+      Row("ko", "이것은 한국어 테스트 입니다 오늘은 날씨가 좋습니다"),
       Row("und", "zzz qqq xxx yyy")),
       "expected STRING, text STRING")
     val preds = samples
       .select(col("expected"), TextAnalysis.languageId(col("text")).as("got"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
     preds.foreach { case (expected, got) => assert(got == expected,
       s"expected $expected, predicted $got") }
+    assert(preds.count(_._1 == "ja") == 2) // both ja fixtures asserted
   }
 
   test("langConfusion aggregates prediction counts by label") {
@@ -71,8 +77,13 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("gopherFlags: each rule fires on its planted fixture and only there") {
+    // The pass fixture is 44 tokens: on a ~14-token doc ANY 4-gram
+    // covers > 16% of the chars, so the (unconditional, Gopher-faithful)
+    // top-gram rule would fire — in the default config minTokens=50
+    // already rejects docs that short before dominance is meaningful.
+    val passDoc = "the a and of " + (1 to 40).map(i => s"word$i").mkString(" ")
     val docs = df(Seq(
-      Row(1L, "en", "the quick brown fox and the lazy dog ran over the hill of beans"), // pass
+      Row(1L, "en", passDoc),                                  // pass
       Row(2L, "en", "tiny the and doc"),                            // too_short (min 5 below)
       Row(3L, "en", "the extraordinarily incomprehensible and of " +
         "unquestionably extraordinarily incomprehensible extraordinarily"), // bad_tok_len (mean > 10)
@@ -125,9 +136,43 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Long]("n_pass") +
         f.count(!_.getAs[Boolean]("pass")) == f.length.toLong)
       for (c <- Seq("too_short", "too_long", "bad_tok_len",
-          "symbol_heavy", "low_stopword", "repetitive"))
+          "symbol_heavy", "low_stopword", "repetitive",
+          "dup_line_heavy", "dup_para_heavy",
+          "top_2gram_heavy", "top_3gram_heavy", "top_4gram_heavy"))
         assert(r.getAs[Long](s"n_$c") == f.count(_.getAs[Boolean](c)).toLong, c)
     }
+  }
+
+  test("gopher structural rules: dup lines, dup paragraphs, dominant n-grams") {
+    // 44 tokens: long enough that no single 4-gram covers > 16% of the
+    // chars (on a ~24-token doc ANY 4-gram would — the rule is scoped
+    // to reasonably sized docs, like Gopher's).
+    val base = "the a and of " + (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = df(Seq(
+      Row(1L, "en", base),                                    // clean: no structural flags
+      Row(2L, "en", base + "\ndup line x\ndup line x"),       // 1 of 3 lines duplicated
+      Row(3L, "en", base + "\n\nsame para\n\nsame para"),     // 1 of 3 paragraphs duplicated
+      Row(4L, "en", base + " badger badger" * 15)),           // one 2-gram dominates the chars
+      "doc_id BIGINT, lang STRING, text STRING")
+    val f = graft.ext.TextAnalysis.gopherFlags(docs, minTokens = 5L)
+      .orderBy("doc_id").collect()
+    val structural = Seq("dup_line_heavy", "dup_para_heavy",
+      "top_2gram_heavy", "top_3gram_heavy", "top_4gram_heavy")
+    structural.foreach(c => assert(!f(0).getAs[Boolean](c), s"clean doc flagged $c"))
+    assert(f(0).getAs[Boolean]("pass"))
+    assert(f(1).getAs[Boolean]("dup_line_heavy"))
+    assert(!f(1).getAs[Boolean]("dup_para_heavy"))
+    assert(f(2).getAs[Boolean]("dup_para_heavy"))
+    assert(f(3).getAs[Boolean]("top_2gram_heavy"))
+    assert(f(3).getAs[Boolean]("top_3gram_heavy")) // 'badger badger badger' runs
+    assert(f(3).getAs[Boolean]("top_4gram_heavy"))
+    assert(!f(3).getAs[Boolean]("pass"))
+    // Metric arithmetic spot-checks (the integer cross-multiply inputs).
+    assert(f(1).getAs[Long]("n_lines") == 3L && f(1).getAs[Long]("dup_lines") == 1L)
+    assert(f(2).getAs[Long]("n_paras") == 3L && f(2).getAs[Long]("dup_paras") == 1L)
+    // doc 4: 'badger badger' appears 29 times in the 30-badger run,
+    // each occurrence 13 chars.
+    assert(f(3).getAs[Long]("top_2gram_chars") == 29L * 13L)
   }
 
   test("repetitionByLang: self-repeating docs score high, varied text zero, short docs drop") {
