@@ -443,6 +443,36 @@ object Oracles {
         |           ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    "x1_incremental_dedup" ->
+      // The cross-shard plant replayed: history = docs < 300 (as a norm
+      // set), shard = docs >= 300 plus re-keyed copies of docs < 10
+      // (+10000) and docs < 5 (+20000). Intra-shard keep = min doc_id
+      // per norm; history drop via NOT EXISTS on norm equality — the
+      // null-safe analog of Spark's left_anti on the md5 fingerprint
+      // (md5 is injective up to collision, so norm equality = fp
+      // equality).
+      """WITH hist AS (
+        |  SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents WHERE doc_id < 300),
+        |shard AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 5),
+        |s AS (
+        |  SELECT doc_id,
+        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM shard),
+        |intra AS (
+        |  SELECT doc_id, norm,
+        |         min(doc_id) OVER (PARTITION BY norm) AS keep_id
+        |  FROM s)
+        |SELECT doc_id FROM intra i
+        |WHERE doc_id = keep_id
+        |  AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.norm = i.norm)
+        |ORDER BY doc_id""".stripMargin,
+
     // NOTE on the shared-CTE entries: the blocks are concatenated (never
     // interpolated into a string that later runs .stripMargin — the SQL
     // `||` operator at a line start would be eaten as a margin).
@@ -711,6 +741,48 @@ object Oracles {
         |       CAST(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT) AS bpe_tokens,
         |       round(avg(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))), 2) AS avg_bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x13_quality_bands" ->
+      // The linear scorer replayed with zero float division: band
+      // decisions multiply through by the positive denominator
+      // n_tokens·n_chars, so `score >= t` becomes the integer
+      // comparison `score_num >= t·ntok·nchar` (milli-unit weights
+      // 2000·stop + 1000·alpha − 1000·punct + 100·sum_tok_len; bias 0;
+      // hi/lo = 1450/1300).
+      """WITH m AS (
+        |  SELECT lang,
+        |         CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok,
+        |         length(coalesce(text, '')) AS nchar,
+        |         len(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+        |             x -> list_contains(['a','the','and','of','is','to','in','that'], x)))
+        |           AS stop_hits,
+        |         length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g'))
+        |           AS alpha_chars,
+        |         length(coalesce(text, '')) -
+        |           length(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g'))
+        |           AS punct_chars,
+        |         CAST(coalesce(list_sum(list_transform(
+        |             string_split_regex(trim(coalesce(text, '')), '\s+'),
+        |             x -> length(x))), 0) AS BIGINT) AS sum_tok_len
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang, ntok,
+        |         2000 * stop_hits * nchar + 1000 * alpha_chars * ntok
+        |           - 1000 * punct_chars * ntok + 100 * sum_tok_len * nchar
+        |           AS score_num,
+        |         ntok * nchar AS den
+        |  FROM m),
+        |b AS (
+        |  SELECT lang, ntok,
+        |         CASE WHEN den = 0 THEN 'empty'
+        |              WHEN score_num >= 1450 * den THEN 'high'
+        |              WHEN score_num >= 1300 * den THEN 'medium'
+        |              ELSE 'low' END AS band
+        |  FROM f)
+        |SELECT lang, band, count(*) AS n_docs,
+        |       CAST(sum(ntok) AS BIGINT) AS tokens
+        |FROM b GROUP BY 1, 2 ORDER BY lang, band""".stripMargin,
 
     "x4_zscore_flags" ->
       """WITH stats AS (

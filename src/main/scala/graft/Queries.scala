@@ -350,6 +350,26 @@ object Queries {
     Dedup.exactDedup(documents(s, d))
       .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
 
+  /** X1h — incremental (cross-shard) exact dedup, the nightly-pipeline
+    * shape: today's shard dedups within itself, then against the frozen
+    * fingerprint index of prior shards (keep-history). History = docs
+    * 0–299; shard = docs 300+ plus planted cross-shard duplicates
+    * (docs 0–9 re-keyed +10000 — new ids, history text) and planted
+    * intra-shard duplicates of those (docs 0–4 re-keyed +20000, which
+    * must lose the intra-shard min-key race AND match history). Output =
+    * surviving shard doc_ids; every plant must be absent. */
+  def x1IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val history = docs.filter(col("doc_id") < 300)
+    val shard = docs.filter(col("doc_id") >= 300)
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 10000))
+      .unionByName(docs.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 20000))
+    Dedup.exactDedupAgainst(shard, Dedup.fingerprints(history))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** X1b — exact n-gram Jaccard near-dup pairs via shingle inverted
     * index (testdata has planted near-duplicates at sim ≥ 0.97).
     * n=4: the corpus draws from a ~31-word vocabulary, so 3-gram document
@@ -635,6 +655,16 @@ object Queries {
   /** X3c — md5 content fingerprint summary per source. */
   def x3Fingerprints(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprintSummary(documents(s, d))
+
+  /** X13 — linear quality-classifier banding (fasttext-style proxy):
+    * per-(lang, band) census under the default English-centric weight
+    * vector. Every band decision is an integer cross-multiplied
+    * comparison, so the census replays exactly in SQL. */
+  def x13QualityBands(s: SparkSession, d: String): DataFrame =
+    // Thresholds chosen inside the corpus's score range (~1.2–1.64
+    // under the default weights) so all three bands are populated and
+    // the census exercises both cut lines.
+    graft.ext.QualityScore.bandCensus(documents(s, d), hi = 1450L, lo = 1300L)
 
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =

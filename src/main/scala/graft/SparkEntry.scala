@@ -47,6 +47,7 @@ object SparkEntry {
     "v6_checkpoint_run" -> (Queries.v6CheckpointRun _),
     "p5_etl_diamond" -> (Queries.p5EtlDiamond _),
     "x1_exact_dedup" -> (Queries.x1ExactDedup _),
+    "x1_incremental_dedup" -> (Queries.x1IncrementalDedup _),
     "x1_jaccard_pairs" -> (Queries.x1JaccardPairs _),
     "x1_minhash_pairs" -> (Queries.x1MinhashPairs _),
     "x1_simhash_pairs" -> (Queries.x1SimhashPairs _),
@@ -65,6 +66,7 @@ object SparkEntry {
     "x3_lang_confusion" -> (Queries.x3LangConfusion _),
     "x3_repetition" -> (Queries.x3Repetition _),
     "x3_gopher_rules" -> (Queries.x3GopherRules _),
+    "x13_quality_bands" -> (Queries.x13QualityBands _),
     "x4_zscore_flags" -> (Queries.x4ZscoreFlags _),
     "s1_windowed_checks" -> (Queries.s1WindowedChecks _),
     "s2_stream_dedup" -> (Queries.s2StreamDedup _),

@@ -57,6 +57,49 @@ class DedupSpec extends SparkSpec {
     assert(capPairs.subsetOf(unPairs))
   }
 
+  test("exactDedupAgainst: history collisions drop, shard-unique and null-text keep") {
+    val history = df(Seq(
+      Row(1L, "seen before text"),
+      Row(2L, "another old document")),
+      "doc_id BIGINT, text STRING")
+    val shard = df(Seq(
+      Row(10L, "Seen  Before text"),     // history dup modulo normalization
+      Row(11L, "brand new content"),     // survives
+      Row(12L, "brand NEW content"),     // intra-shard dup of 11 (loses min-key)
+      Row(13L, "another old document"),  // history dup
+      Row(14L, null)),                   // null text: anti-join keeps it
+      "doc_id BIGINT, text STRING")
+    val kept = Dedup.exactDedupAgainst(shard, Dedup.fingerprints(history))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 14L), s"got $kept")
+  }
+
+  test("minhashPairsAgainst: cross-shard recall vs exact Jaccard ground truth") {
+    import org.apache.spark.sql.functions.col
+    val documents = Tables.documents(spark, sfDir)
+    val history = documents.filter("doc_id < 250")
+    // Tomorrow's shard: re-keyed copies of 30 history docs (cross-shard
+    // exact dups) plus 20 genuinely new docs history has never seen.
+    val shard = documents.filter("doc_id < 30")
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .unionByName(documents.filter("doc_id >= 250 AND doc_id < 270"))
+    val cross = Dedup.minhashPairsAgainst(shard,
+        Dedup.minhashSignatures(history, n = 4), n = 4, bands = 8, minSim = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Ground truth: exact-Jaccard pairs over history ∪ shard with exactly
+    // one side in the shard (every shard id >= 250, every history id < 250).
+    val exact = Dedup.jaccardPairs(history.unionByName(shard), n = 4, minSim = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a >= 250) != (b >= 250) }
+      .map { case (a, b) => if (a >= 250) (a, b) else (b, a) }.toSet
+    assert(exact.size >= 30, s"fixture must contain cross-shard dups (${exact.size})")
+    assert(exact.subsetOf(cross),
+      s"incremental MinHash missed ${(exact -- cross).size} of ${exact.size} true pairs")
+    // And the keep-history drop set covers every planted re-keyed copy.
+    val drops = cross.map(_._1)
+    assert((0L until 30L).map(_ + 10000L).toSet.subsetOf(drops))
+  }
+
   test("minhashPairs recovers every exact-Jaccard pair on testdata (planted dups)") {
     val documents = Tables.documents(spark, sfDir)
     val exact = Dedup.jaccardPairs(documents, n = 4, minSim = 0.8)

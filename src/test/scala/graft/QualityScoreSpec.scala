@@ -1,0 +1,64 @@
+package graft
+
+import graft.ext.QualityScore
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** X13 linear quality scorer: hand-checked integer score arithmetic,
+  * band edges, empty handling, and census consistency. */
+class QualityScoreSpec extends SparkSpec {
+
+  test("score_num matches the hand-computed cross-multiplied sum") {
+    // "the cat is big.": ntok 4, nchar 15, stop_hits {the, is} = 2,
+    // alpha 11, punct 1, sum_tok_len 3+3+2+4 = 12 →
+    // 2000·2·15 + 1000·11·4 − 1000·1·4 + 100·12·15 = 118000;
+    // score = 118000 / (1000·4·15) ≈ 1.967 → high at the default cuts.
+    val docs = df(Seq(Row(1L, "x", "the cat is big.")),
+      "doc_id BIGINT, lang STRING, text STRING")
+    val r = QualityScore.scored(docs).head()
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("n_chars") == 15L)
+    assert(r.getAs[Long]("stop_hits") == 2L)
+    assert(r.getAs[Long]("alpha_chars") == 11L)
+    assert(r.getAs[Long]("punct_chars") == 1L)
+    assert(r.getAs[Long]("sum_tok_len") == 12L)
+    assert(r.getAs[Long]("score_num") == 118000L)
+    assert(r.getAs[String]("band") == "high")
+  }
+
+  test("band edges are >= on the cross-multiplied comparison") {
+    // "aa aa": ntok 2, nchar 5, stop 0, alpha 4, punct 0, sum_tok_len 4
+    // → score_num = 1000·4·2 + 100·4·5 = 10000; den = 10, so the score
+    // is exactly 1.0. A threshold exactly at the score must still band
+    // high (>=, not >); one milli above must not.
+    val docs = df(Seq(Row(1L, "x", "aa aa")), "doc_id BIGINT, lang STRING, text STRING")
+    assert(QualityScore.scored(docs).head().getAs[Long]("score_num") == 10000L)
+    assert(QualityScore.scored(docs, hi = 1000L, lo = 0L)
+      .head().getAs[String]("band") == "high")
+    assert(QualityScore.scored(docs, hi = 1001L, lo = 0L)
+      .head().getAs[String]("band") == "medium")
+  }
+
+  test("null and blank docs band as empty; bad thresholds rejected") {
+    val docs = df(Seq(Row(1L, "x", null), Row(2L, "x", "   "), Row(3L, "x", "")),
+      "doc_id BIGINT, lang STRING, text STRING")
+    val bands = QualityScore.scored(docs).select("band")
+      .collect().map(_.getString(0)).toSet
+    assert(bands == Set("empty"))
+    intercept[IllegalArgumentException](
+      QualityScore.scored(docs, hi = 100L, lo = 200L))
+  }
+
+  test("bandCensus partitions the corpus and counts token mass") {
+    val d = Tables.documents(spark, sfDir)
+    val census = Queries.x13QualityBands(spark, sfDir).collect()
+    assert(census.map(_.getAs[Long]("n_docs")).sum == d.count())
+    // The tuned thresholds must exercise all three bands somewhere.
+    val bands = census.map(_.getAs[String]("band")).toSet
+    assert(Set("high", "medium", "low").subsetOf(bands), bands.toString)
+    // Token mass equals the corpus's total whitespace tokens.
+    val total = d.select(sum(graft.ext.TextAnalysis.tokenCount(col("text"))))
+      .head().getLong(0)
+    assert(census.map(_.getAs[Long]("tokens")).sum == total)
+  }
+}
