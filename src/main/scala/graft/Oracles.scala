@@ -1152,13 +1152,27 @@ object Oracles {
         |         count(CASE WHEN is_canonical AND is_fuzzy AND NOT is_contaminated
         |                         AND n_tok BETWEEN 25 AND 90 AND b < thr THEN 1 END)
         |           AS n_after_sample,
+        |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_fuzzy,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
+        |                         AND NOT is_contaminated
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
+        |                         AND NOT is_contaminated
+        |                         AND n_tok BETWEEN 25 AND 90
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
         |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
         |                         AND NOT is_contaminated
         |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
         |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
         |  FROM ann)
         |SELECT n_raw, n_after_dedup, n_after_fuzzy, n_after_decontam,
-        |       n_after_quality, n_after_sample, n_tokens,
+        |       n_after_quality, n_after_sample,
+        |       tokens_raw, tokens_after_dedup, tokens_after_fuzzy,
+        |       tokens_after_decontam, tokens_after_quality, n_tokens,
         |       CASE WHEN n_tokens = 0 THEN 0
         |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
         |FROM f""".stripMargin),

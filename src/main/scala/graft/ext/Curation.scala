@@ -124,12 +124,21 @@ object Curation {
       .drop("is_canonical", "is_fuzzy_canonical", "is_contaminated",
         "is_quality", "is_sampled")
 
-  /** One-row funnel audit: documents surviving after each stage, plus
-    * the survivor token total and the fixed-length sequence count it
-    * packs into (`⌈n_tokens / seqLen⌉` — what [[Packing.packSequences]]
-    * produces on the survivors by construction). The fuzzy stage sits
-    * between exact dedup and decontamination; without a pair frame it is
-    * a no-op (`n_after_fuzzy = n_after_dedup`). */
+  /** One-row funnel audit: documents AND tokens surviving after each
+    * stage, plus the survivor token total and the fixed-length sequence
+    * count it packs into (`⌈n_tokens / seqLen⌉` — what
+    * [[Packing.packSequences]] produces on the survivors by
+    * construction). The fuzzy stage sits between exact dedup and
+    * decontamination; without a pair frame it is a no-op
+    * (`n_after_fuzzy = n_after_dedup`).
+    *
+    * The `tokens_after_*` columns are the recipe-debugging view —
+    * WHICH stage ate the token budget — and ride the SAME single
+    * aggregate as the doc counts (the flag pass already carries
+    * `n_tok`), so they cost nothing extra. Token counts are of the
+    * PII-redacted text at every stage (redaction happens before
+    * counting), so `tokens_raw` is the pre-filter post-redaction mass
+    * and `n_tokens` keeps its name as the final survivor total. */
   def funnel(docs: DataFrame, benchmark: DataFrame,
              cfg: Config = Config(),
              fuzzyPairs: Option[DataFrame] = None): DataFrame = {
@@ -138,6 +147,8 @@ object Curation {
     val decon = fuzzy && !col("is_contaminated")
     val qual = decon && col("is_quality")
     val samp = qual && col("is_sampled")
+    def toks(stage: Column, name: String) =
+      coalesce(sum(when(stage, col("n_tok"))), lit(0L)).as(name)
     annotate(docs, benchmark, cfg, fuzzyPairs).agg(
         count(lit(1)).as("n_raw"),
         count(when(dedup, lit(1))).as("n_after_dedup"),
@@ -145,7 +156,12 @@ object Curation {
         count(when(decon, lit(1))).as("n_after_decontam"),
         count(when(qual, lit(1))).as("n_after_quality"),
         count(when(samp, lit(1))).as("n_after_sample"),
-        coalesce(sum(when(samp, col("n_tok"))), lit(0L)).as("n_tokens"))
+        coalesce(sum(col("n_tok")), lit(0L)).as("tokens_raw"),
+        toks(dedup, "tokens_after_dedup"),
+        toks(fuzzy, "tokens_after_fuzzy"),
+        toks(decon, "tokens_after_decontam"),
+        toks(qual, "tokens_after_quality"),
+        toks(samp, "n_tokens"))
       .withColumn("n_sequences",
         when(col("n_tokens") === 0, lit(0L))
           .otherwise(expr(s"(n_tokens - 1) div ${cfg.seqLen} + 1")))

@@ -37,6 +37,16 @@ class CurationSpec extends SparkSpec {
     assert(f.getAs[Long]("n_after_sample") == sampled.count())
     assert(f.getAs[Long]("n_tokens") ==
       sampled.agg(sum("n_tok")).head().getLong(0))
+    // Per-stage token accounting rides the same aggregate: each
+    // tokens_after_* equals the independent stage's redacted-token sum.
+    assert(f.getAs[Long]("tokens_raw") ==
+      Pii.redact(docs).select(sum(nTok)).head().getLong(0))
+    assert(f.getAs[Long]("tokens_after_dedup") ==
+      Pii.redact(dedup).select(sum(nTok)).head().getLong(0))
+    assert(f.getAs[Long]("tokens_after_decontam") ==
+      Pii.redact(decon).select(sum(nTok)).head().getLong(0))
+    assert(f.getAs[Long]("tokens_after_quality") ==
+      quality.agg(sum("n_tok")).head().getLong(0))
   }
 
   test("funnel n_sequences equals what packSequences actually produces on survivors") {
@@ -114,5 +124,10 @@ class CurationSpec extends SparkSpec {
     assert(stages == stages.sorted.reverse, s"funnel not monotone: $stages")
     assert(stages.last == surv.count())
     assert(stages.last > 0, "fixture config filtered everything out")
+    val tokStages = Seq("tokens_raw", "tokens_after_dedup",
+      "tokens_after_fuzzy", "tokens_after_decontam", "tokens_after_quality",
+      "n_tokens").map(f.getAs[Long])
+    assert(tokStages == tokStages.sorted.reverse,
+      s"token funnel not monotone: $tokStages")
   }
 }

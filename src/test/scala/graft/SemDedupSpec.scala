@@ -80,4 +80,48 @@ class SemDedupSpec extends SparkSpec {
       SemDedup.pairs(corpus, k = 1, maxClusterSize = Some(1))
     }
   }
+
+  test("ε-band pruning: full recall on planted copies, subset of the exact path") {
+    // Identical vectors have identical centroid cosines, so copies sort
+    // adjacent (id tiebreak can interleave same-distance groups — w=8
+    // absorbs that on 5 planted groups) and the band must not lose them.
+    val corpus = planted(5)
+    val exact = SemDedup.pairs(corpus, k = 4, iters = 1, minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = SemDedup.pairs(corpus, k = 4, iters = 1, minCosine = 0.95,
+        bandWidth = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exact), s"band invented pairs: ${banded -- exact}")
+    val plantedPairs = (0 until 5).map(i => (i.toLong, i + 100000L)).toSet
+    assert(plantedPairs.subsetOf(banded),
+      s"band lost planted copies: ${plantedPairs -- banded}")
+  }
+
+  test("ε-band candidate volume is linear in the band, not quadratic in the cluster") {
+    // One cluster of n members: the exact path joins n²/2 candidates;
+    // a width-w band at most n·w. Count candidates via a threshold of
+    // -1 (every candidate survives the cosine filter) — the pair count
+    // IS the candidate count.
+    val corpus = planted(2) // n = base + 2 copies, all in one cluster at k=1
+    val n = corpus.count()
+    val w = 3
+    val bandedCount = SemDedup.pairs(corpus, k = 1, iters = 0,
+      minCosine = -1.0, bandWidth = Some(w)).count()
+    assert(bandedCount <= n * w,
+      s"banded candidates $bandedCount exceed n·w = ${n * w}")
+    val exactCount = SemDedup.pairs(corpus, k = 1, iters = 0,
+      minCosine = -1.0).count()
+    assert(exactCount == n * (n - 1) / 2)
+    assert(bandedCount < exactCount)
+  }
+
+  test("banded decisions still drop every planted copy") {
+    val d = SemDedup.decisions(planted(3), k = 4, iters = 1,
+        minCosine = 0.95, bandWidth = Some(8))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    (0 until 3).foreach { i =>
+      assert(d(i + 100000L) == false, s"copy of $i kept")
+      assert(d(i.toLong) == true, s"original $i dropped")
+    }
+  }
 }
