@@ -47,6 +47,36 @@ object StreamingDedup {
     deduped.drop("__fp")
   }
 
+  /** Streaming dedup AGAINST A FROZEN HISTORY INDEX — the streaming
+    * counterpart of [[graft.ext.Dedup.exactDedupAgainst]], closing the
+    * horizon-eviction gap: `dropDuplicatesWithinWatermark` forgets a key
+    * once the watermark passes it, but a duplicate of LAST MONTH's
+    * corpus should still drop. `historyFp` is the persisted
+    * [[graft.ext.Dedup.fingerprints]] parquet (a STATIC frame — Spark
+    * executes the anti join as a stream-static join, re-reading the
+    * static side per micro-batch, so a nightly-refreshed index is picked
+    * up without restarting the query).
+    *
+    * The anti join runs BEFORE the stateful dedup, so history-known keys
+    * never even enter the state store — state stays
+    * O(unique NEW docs per horizon). First arrival wins within the
+    * horizon; a NEW document's re-arrival after eviction is re-admitted
+    * (the documented horizon trade-off, now scoped to genuinely new
+    * content only). */
+  def exactDedupStreamAgainst(stream: DataFrame, historyFp: DataFrame,
+                              tsCol: String, textCol: String = "text",
+                              watermarkDelay: String = "10 minutes"): DataFrame = {
+    val keyed = stream
+      .withColumn("__fp", md5(Dedup.normText(col(textCol)).cast("binary")))
+      .join(historyFp.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+    val deduped =
+      if (stream.isStreaming)
+        keyed.withWatermark(tsCol, watermarkDelay)
+          .dropDuplicatesWithinWatermark("__fp")
+      else keyed.dropDuplicates("__fp")
+    deduped.drop("__fp")
+  }
+
   /** Deterministic dedup summary of a (replayed) stream: input rows,
     * surviving unique rows, duplicates dropped. After the dedup each key
     * has multiplicity exactly 1, so the counts are order-independent even

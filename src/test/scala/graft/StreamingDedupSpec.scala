@@ -78,4 +78,64 @@ class StreamingDedupSpec extends SparkSpec {
     assert(row.getAs[Long]("n_unique") == baseUnique)
     assert(row.getAs[Long]("n_dups") == base + 5 - baseUnique)
   }
+
+  test("history-index dedup drops last-month's dups even past the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val history = df(Seq(
+        org.apache.spark.sql.Row(1L, "seen last month"),
+        org.apache.spark.sql.Row(2L, "also archived content")),
+      "doc_id BIGINT, text STRING")
+    val historyFp = Dedup.fingerprints(history)
+    val input = MemoryStream[(Timestamp, String)]
+    val stream = input.toDF().toDF("ts", "text")
+    val out = mutable.Buffer[String]()
+    val query = StreamingDedup
+      .exactDedupStreamAgainst(stream, historyFp, "ts", "text",
+        watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized { out ++= b.collect().map(_.getAs[String]("text")); () }
+      }
+      .option("checkpointLocation", Files.tmp("graft-sdedup-hist-ckpt"))
+      .start()
+    try {
+      // History dup (modulo normalization) drops; new doc survives.
+      input.addData((ts(0), "Seen  LAST month"), (ts(1), "fresh new document"))
+      query.processAllAvailable()
+      assert(out.toSeq == Seq("fresh new document"))
+      // Within-horizon dup of the new doc drops (stateful path intact).
+      input.addData((ts(5), "FRESH new document"))
+      query.processAllAvailable()
+      assert(out.size == 1)
+      // A far-future NEW doc advances the watermark past the first key's
+      // horizon (history rows can't drive the watermark — the anti join
+      // filters them before the event-time node).
+      input.addData((ts(40), "another brand new doc"))
+      query.processAllAvailable()
+      assert(out.size == 2)
+      // A history dup STILL drops after eviction — the index is
+      // horizon-proof — while the evicted NEW key re-admits (the
+      // documented horizon trade, now scoped to new content only).
+      input.addData((ts(41), "also archived content"))
+      query.processAllAvailable()
+      assert(out.size == 2, "history dup must drop even after eviction")
+      input.addData((ts(45), "fresh new document"))
+      query.processAllAvailable()
+      assert(out.size == 3, "evicted NEW key re-admits (documented horizon trade)")
+    } finally query.stop()
+  }
+
+  test("history-index dedup batch replay equals the batch incremental path") {
+    val docs = Tables.documents(spark, sfDir)
+    val history = docs.filter(col("doc_id") < 300)
+    val shard = docs.filter(col("doc_id") >= 300)
+      .withColumn("ts", expr("timestamp_micros(doc_id * 1000000)"))
+    val streamed = StreamingDedup.exactDedupStreamAgainst(
+        shard, Dedup.fingerprints(history), "ts")
+      .count()
+    val batch = Dedup.exactDedupAgainst(
+      docs.filter(col("doc_id") >= 300), Dedup.fingerprints(history)).count()
+    assert(streamed == batch)
+  }
 }
