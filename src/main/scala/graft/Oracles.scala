@@ -684,6 +684,12 @@ object Oracles {
         |         len(lns) - len(list_distinct(lns)) AS dup_lines,
         |         len(paras) AS n_paras,
         |         len(paras) - len(list_distinct(paras)) AS dup_paras,
+        |         CAST(coalesce(list_sum(list_transform(lns, l -> length(l))), 0) AS BIGINT)
+        |           - CAST(coalesce(list_sum(list_transform(list_distinct(lns),
+        |               l -> length(l))), 0) AS BIGINT) AS dup_line_chars,
+        |         CAST(coalesce(list_sum(list_transform(paras, q -> length(q))), 0) AS BIGINT)
+        |           - CAST(coalesce(list_sum(list_transform(list_distinct(paras),
+        |               q -> length(q))), 0) AS BIGINT) AS dup_para_chars,
         |         coalesce(list_max(list_transform(list_distinct(bg),
         |           u -> CAST(length(u) * len(list_filter(bg, x -> x = u)) AS BIGINT))), 0) AS c2,
         |         coalesce(list_max(list_transform(list_distinct(tg),
@@ -702,6 +708,8 @@ object Oracles {
         |         n_bigrams > 0 AND 5 * dup_bigrams >= n_bigrams AS repetitive,
         |         10 * dup_lines > 3 * n_lines AS dup_line_heavy,
         |         10 * dup_paras > 3 * n_paras AS dup_para_heavy,
+        |         5 * dup_line_chars > n_chars AS dup_line_chars_heavy,
+        |         5 * dup_para_chars > n_chars AS dup_para_chars_heavy,
         |         5 * c2 > n_chars AS top_2gram_heavy,
         |         50 * c3 > 9 * n_chars AS top_3gram_heavy,
         |         25 * c4 > 4 * n_chars AS top_4gram_heavy
@@ -715,13 +723,16 @@ object Oracles {
         |       count(CASE WHEN repetitive THEN 1 END) AS n_repetitive,
         |       count(CASE WHEN dup_line_heavy THEN 1 END) AS n_dup_line_heavy,
         |       count(CASE WHEN dup_para_heavy THEN 1 END) AS n_dup_para_heavy,
+        |       count(CASE WHEN dup_line_chars_heavy THEN 1 END) AS n_dup_line_chars_heavy,
+        |       count(CASE WHEN dup_para_chars_heavy THEN 1 END) AS n_dup_para_chars_heavy,
         |       count(CASE WHEN top_2gram_heavy THEN 1 END) AS n_top_2gram_heavy,
         |       count(CASE WHEN top_3gram_heavy THEN 1 END) AS n_top_3gram_heavy,
         |       count(CASE WHEN top_4gram_heavy THEN 1 END) AS n_top_4gram_heavy,
         |       count(CASE WHEN NOT too_short AND NOT too_long AND NOT bad_tok_len
         |                   AND NOT symbol_heavy AND NOT low_stopword
         |                   AND NOT repetitive AND NOT dup_line_heavy
-        |                   AND NOT dup_para_heavy AND NOT top_2gram_heavy
+        |                   AND NOT dup_para_heavy AND NOT dup_line_chars_heavy
+        |                   AND NOT dup_para_chars_heavy AND NOT top_2gram_heavy
         |                   AND NOT top_3gram_heavy AND NOT top_4gram_heavy
         |                   THEN 1 END) AS n_pass
         |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
@@ -1032,9 +1043,9 @@ object Oracles {
         |SELECT n_docs, n_unique, n_docs - n_unique AS n_dups FROM u""".stripMargin,
 
     "x6_stratified_sample" ->
-      // The keyed hash replayed exactly (shared bucketSql — multiply →
-      // xor-shift → multiply → xor-shift → mod); keep iff bucket <
-      // rate*10000 (en 4000, zh 5000, else 10000).
+      // The keyed hash replayed exactly (shared bucketSql — split-key
+      // per-half multiply + xor-shift, combining multiply, mod); keep
+      // iff bucket < rate*10000 (en 4000, zh 5000, else 10000).
       s"""SELECT lang AS stratum,
         |       count(*) AS n_in,
         |       count(CASE WHEN b < t THEN 1 END) AS n_kept,

@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   *        = medium iff score_num ≥ lo·ntok·nchar
   *
   * — exactly replayable by the SQL oracle (the Gopher cross-multiply
-  * discipline). Intermediates stay under 2⁶³ for documents below ~10⁹
-  * chars with milli weights — far past any real document.
+  * discipline). Overflow bound, precisely: the largest term is
+  * ≤ 2000·ntok·nchar ≤ 2000·nchar², so the sum stays under 2⁶³ for ANY
+  * content up to ~10⁷ chars per document (~10 MB text; realistic
+  * tokenized text ~5× more). Past that, ANSI mode throws loudly rather
+  * than banding on wrapped arithmetic — bound document size upstream
+  * (the Gopher `too_long` cap at 100k tokens is the standard gate).
   *
   * Everything is ONE map-only pass per row (no shuffle); the census is
   * a partial-agg groupBy. The weight set is a broadcast-free plan

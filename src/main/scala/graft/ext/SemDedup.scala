@@ -46,7 +46,10 @@ object SemDedup {
     * lands in its rank-block and the next, so pairs within w ranks
     * share a block and meet exactly once (same-block pairs are taken
     * unshifted; cross-block pairs meet only where one side shifted —
-    * both-shifted re-meetings are excluded). */
+    * both-shifted re-meetings are excluded). The ranking window
+    * buffers one CLUSTER per partition (not the corpus) — on a corpus
+    * where a degenerate cluster could exceed executor memory, combine
+    * with `maxClusterSize`, which drops such clusters before ranking. */
   def pairs(emb: DataFrame, k: Int, iters: Int = 2, minCosine: Double = 0.95,
             idCol: String = "vec_id", vecCol: String = "embedding",
             maxClusterSize: Option[Int] = None,

@@ -136,9 +136,11 @@ object TextAnalysis {
     * per-document boolean verdicts for the published reject-rule table —
     * too short / too long, out-of-range mean token length, symbol-heavy,
     * too few distinct stopwords, internally repetitive (duplicate
-    * bigrams), duplicate-line and duplicate-paragraph fractions, and the
-    * top-2/3/4-gram character-share family — plus the conjunction
-    * `pass`.
+    * bigrams), duplicate-line and duplicate-paragraph fractions (by
+    * count AND by character mass — boilerplate headers are many short
+    * lines, a duplicated body is few huge ones; the published table
+    * carries both), and the top-2/3/4-gram character-share family —
+    * plus the conjunction `pass`.
     *
     * Engine-exactness by construction: every threshold is evaluated in
     * CROSS-MULTIPLIED INTEGER form (`3·n ≤ Σlen ≤ 10·n` instead of
@@ -205,6 +207,13 @@ object TextAnalysis {
       .withColumn("n_paras", size(col("__paras")).cast("long"))
       .withColumn("dup_paras",
         (size(col("__paras")) - size(array_distinct(col("__paras")))).cast("long"))
+      // Characters inside repeat occurrences: Σlen(all) − Σlen(distinct).
+      .withColumn("dup_line_chars",
+        aggregate(col("__lines"), lit(0L), (acc, x) => acc + length(x)) -
+          aggregate(array_distinct(col("__lines")), lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("dup_para_chars",
+        aggregate(col("__paras"), lit(0L), (acc, x) => acc + length(x)) -
+          aggregate(array_distinct(col("__paras")), lit(0L), (acc, x) => acc + length(x)))
       .withColumn("top_2gram_chars", topGramChars(col("__bg")))
       .withColumn("top_3gram_chars", topGramChars(Dedup.ngrams(toks, 3)))
       .withColumn("top_4gram_chars", topGramChars(Dedup.ngrams(toks, 4)))
@@ -224,6 +233,10 @@ object TextAnalysis {
         lit(10L) * col("dup_lines") > lit(3L) * col("n_lines"))
       .withColumn("dup_para_heavy",
         lit(10L) * col("dup_paras") > lit(3L) * col("n_paras"))
+      .withColumn("dup_line_chars_heavy",
+        lit(5L) * col("dup_line_chars") > col("n_chars"))
+      .withColumn("dup_para_chars_heavy",
+        lit(5L) * col("dup_para_chars") > col("n_chars"))
       .withColumn("top_2gram_heavy",
         lit(5L) * col("top_2gram_chars") > col("n_chars"))
       .withColumn("top_3gram_heavy",
@@ -234,6 +247,7 @@ object TextAnalysis {
         !col("too_short") && !col("too_long") && !col("bad_tok_len") &&
           !col("symbol_heavy") && !col("low_stopword") && !col("repetitive") &&
           !col("dup_line_heavy") && !col("dup_para_heavy") &&
+          !col("dup_line_chars_heavy") && !col("dup_para_chars_heavy") &&
           !col("top_2gram_heavy") && !col("top_3gram_heavy") &&
           !col("top_4gram_heavy"))
       .drop("__toks", "__bg", "__lines", "__paras")
@@ -250,6 +264,7 @@ object TextAnalysis {
         cnt("too_short"), cnt("too_long"), cnt("bad_tok_len"),
         cnt("symbol_heavy"), cnt("low_stopword"), cnt("repetitive"),
         cnt("dup_line_heavy"), cnt("dup_para_heavy"),
+        cnt("dup_line_chars_heavy"), cnt("dup_para_chars_heavy"),
         cnt("top_2gram_heavy"), cnt("top_3gram_heavy"),
         cnt("top_4gram_heavy"),
         cnt("pass"))

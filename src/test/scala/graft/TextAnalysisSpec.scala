@@ -138,6 +138,7 @@ class TextAnalysisSpec extends SparkSpec {
       for (c <- Seq("too_short", "too_long", "bad_tok_len",
           "symbol_heavy", "low_stopword", "repetitive",
           "dup_line_heavy", "dup_para_heavy",
+          "dup_line_chars_heavy", "dup_para_chars_heavy",
           "top_2gram_heavy", "top_3gram_heavy", "top_4gram_heavy"))
         assert(r.getAs[Long](s"n_$c") == f.count(_.getAs[Boolean](c)).toLong, c)
     }
@@ -157,6 +158,7 @@ class TextAnalysisSpec extends SparkSpec {
     val f = graft.ext.TextAnalysis.gopherFlags(docs, minTokens = 5L)
       .orderBy("doc_id").collect()
     val structural = Seq("dup_line_heavy", "dup_para_heavy",
+      "dup_line_chars_heavy", "dup_para_chars_heavy",
       "top_2gram_heavy", "top_3gram_heavy", "top_4gram_heavy")
     structural.foreach(c => assert(!f(0).getAs[Boolean](c), s"clean doc flagged $c"))
     assert(f(0).getAs[Boolean]("pass"))
@@ -173,6 +175,24 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 4: 'badger badger' appears 29 times in the 30-badger run,
     // each occurrence 13 chars.
     assert(f(3).getAs[Long]("top_2gram_chars") == 29L * 13L)
+  }
+
+  test("gopher char-mass duplication: few huge duplicate lines beat the count rule") {
+    // One duplicated LONG line among many distinct short ones: the
+    // count fraction (2 dups of 12 lines = 17%) stays under 30%, but
+    // the duplicated characters dominate — the char rule catches what
+    // the count rule misses (why the published table carries both).
+    val longLine = ("the a and of " + (1 to 30).map(i => s"w$i").mkString(" "))
+    val shorts = (1 to 10).map(i => s"s$i").mkString("\n")
+    val docs = df(Seq(
+      Row(1L, "en", s"$longLine\n$longLine\n$longLine\n$shorts")),
+      "doc_id BIGINT, lang STRING, text STRING")
+    val f = graft.ext.TextAnalysis.gopherFlags(docs, minTokens = 5L).head()
+    assert(!f.getAs[Boolean]("dup_line_heavy"),
+      s"count rule should NOT fire: ${f.getAs[Long]("dup_lines")}/${f.getAs[Long]("n_lines")}")
+    assert(f.getAs[Boolean]("dup_line_chars_heavy"))
+    // dup chars = 2 extra occurrences of the long line.
+    assert(f.getAs[Long]("dup_line_chars") == 2L * longLine.length)
   }
 
   test("repetitionByLang: self-repeating docs score high, varied text zero, short docs drop") {
