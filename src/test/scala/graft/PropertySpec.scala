@@ -166,6 +166,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Spark hash64 equals the reference restatement on arbitrary keys") {
+    // The engine-replay contract of the sampling hash, over the FULL
+    // non-negative key range (random 63-bit keys and random seeds) —
+    // not just the fixed probe keys SamplingSpec pins.
+    val caseGen = for {
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+      keys <- Gen.listOfN(60, Gen.chooseNum(0L, Long.MaxValue))
+    } yield (seed, keys)
+    samples(caseGen, 5).foreach { case (seed, keys) =>
+      val data = df(keys.map(Row(_)), "k BIGINT")
+      val got = data.select(org.apache.spark.sql.functions.col("k"),
+          graft.ext.Sampling.hash64(
+            org.apache.spark.sql.functions.col("k"), seed).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      keys.foreach(k => assert(got(k) == RefHash.hash64(k, seed),
+        s"key $k seed $seed"))
+    }
+  }
+
   test("property: quantized values reconstruct within half a step on random vectors") {
     val vecGen = for {
       d <- Gen.choose(2, 24)
