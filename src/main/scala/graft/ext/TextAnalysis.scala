@@ -112,25 +112,6 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
-  /** Characters covered by the most frequent element of a gram array:
-    * max over distinct grams of count(g)·length(g). Computed per row
-    * with NO explode: sort the array, then one linear fold tracking the
-    * current equal-run length — a run of g in the sorted array has
-    * length count(g), so the fold's max equals the max over distinct
-    * grams. length(g) includes the gram's joining spaces (documented
-    * contract, mirrored verbatim by the oracle's length(gram)). */
-  private def topGramChars(grams: Column): Column =
-    aggregate(
-      array_sort(grams),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run * length(x)).as("best"))
-      },
-      acc => acc.getField("best"))
-
   /** X3g — the Gopher-style document-quality rule bundle (the named
     * heuristic filter stage of Gopher/MassiveText-family pipelines):
     * per-document boolean verdicts for the published reject-rule table —
@@ -148,10 +129,12 @@ object TextAnalysis {
     * `5·c₂ > chars` / `50·c₃ > 9·chars` / `25·c₄ > 4·chars` for the
     * 0.20/0.18/0.16 top-gram shares), so no float division ever reaches
     * a comparison and the oracle replays each verdict bit-for-bit.
-    * Everything is a per-row expression — bigram duplication via
-    * `array_distinct`, top-gram coverage via sort + linear fold
-    * ([[topGramChars]]), lines/paragraphs via per-row splits — so
-    * flagging a 100 TB corpus is ONE map-only pass, no shuffle.
+    * Everything is a per-row expression — the n-gram census (counts,
+    * distinct, top-gram coverage) via the native codegen-friendly
+    * [[graft.functions.NGramStats]] (one hash-counting traversal per
+    * gram size — no interpreted sort/fold), lines/paragraphs via
+    * per-row splits — so flagging a 100 TB corpus is ONE map-only
+    * pass, no shuffle.
     *
     * SCOPE: the default `symbolClass`/`stopwords` are English/ASCII-
     * centric — every non-Latin-script document counts all its characters
@@ -171,8 +154,6 @@ object TextAnalysis {
                   symbolClass: String = "[^A-Za-z0-9\\s]"): DataFrame = {
     val t = col(textCol)
     val toks = col("__toks")
-    // Bigrams per row (duplication rule ≥ 20%): no explode, no shuffle.
-    val bigrams = Dedup.ngrams(toks, 2)
     val stopArr = array(stopwords.map(lit): _*)
     docs
       // coalesce: tokens(null) is a null array, which would null-poison
@@ -188,10 +169,13 @@ object TextAnalysis {
           .cast("long"))
       .withColumn("stop_hits",
         size(filter(stopArr, s => array_contains(toks, s))).cast("long"))
-      .withColumn("__bg", bigrams)
-      .withColumn("n_bigrams", size(col("__bg")).cast("long"))
+      // One native census per gram size: [n_grams, distinct, top-chars].
+      .withColumn("__g2", graft.functions.TextFunctions.ngramStats(toks, 2))
+      .withColumn("__g3", graft.functions.TextFunctions.ngramStats(toks, 3))
+      .withColumn("__g4", graft.functions.TextFunctions.ngramStats(toks, 4))
+      .withColumn("n_bigrams", element_at(col("__g2"), 1))
       .withColumn("dup_bigrams",
-        (size(col("__bg")) - size(array_distinct(col("__bg")))).cast("long"))
+        element_at(col("__g2"), 1) - element_at(col("__g2"), 2))
       // Lines: non-empty elements of the '\n' split. Paragraphs: blank-
       // line-separated blocks ('\n{2,}' split) that are non-blank after
       // trim. Null text yields empty arrays via the coalesce below.
@@ -214,9 +198,9 @@ object TextAnalysis {
       .withColumn("dup_para_chars",
         aggregate(col("__paras"), lit(0L), (acc, x) => acc + length(x)) -
           aggregate(array_distinct(col("__paras")), lit(0L), (acc, x) => acc + length(x)))
-      .withColumn("top_2gram_chars", topGramChars(col("__bg")))
-      .withColumn("top_3gram_chars", topGramChars(Dedup.ngrams(toks, 3)))
-      .withColumn("top_4gram_chars", topGramChars(Dedup.ngrams(toks, 4)))
+      .withColumn("top_2gram_chars", element_at(col("__g2"), 3))
+      .withColumn("top_3gram_chars", element_at(col("__g3"), 3))
+      .withColumn("top_4gram_chars", element_at(col("__g4"), 3))
       .withColumn("too_short", col("n_tokens") < minTokens)
       .withColumn("too_long", col("n_tokens") > maxTokens)
       .withColumn("bad_tok_len",
@@ -250,7 +234,7 @@ object TextAnalysis {
           !col("dup_line_chars_heavy") && !col("dup_para_chars_heavy") &&
           !col("top_2gram_heavy") && !col("top_3gram_heavy") &&
           !col("top_4gram_heavy"))
-      .drop("__toks", "__bg", "__lines", "__paras")
+      .drop("__toks", "__g2", "__g3", "__g4", "__lines", "__paras")
   }
 
   /** Per-language rule census over [[gopherFlags]] — the registered,

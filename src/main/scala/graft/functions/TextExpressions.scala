@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native n-gram census of a token array — the hot per-row loop of the
+  * Gopher structural rules in ONE expression node.
+  *
+  * The HOF formulation this replaces ran per row, per gram size:
+  * `transform(sequence…, concat_ws(slice…))` to build the gram strings,
+  * `array_sort` over them, then an `aggregate` fold with a struct
+  * accumulator — four interpreted lambda passes allocating intermediate
+  * arrays, and the dominant cost of `x3_gopher_rules` (measured ~3× the
+  * rest of the bundle at sf0.1). Here one traversal builds each gram
+  * with `UTF8String.concatWs` (byte-level, no per-token String
+  * conversion) and counts occurrences in an open HashMap — no sort at
+  * all, O(total gram bytes) per row.
+  *
+  * Output: `array<long>` of
+  * `[n_grams, distinct_grams, max over grams of count·numChars(gram)]`
+  * — exactly the quantities the duplication and top-gram-share rules
+  * consume, with semantics IDENTICAL to the list formulation the DuckDB
+  * oracle replays (gram = tokens joined by single spaces; `length` =
+  * codepoint count = `numChars`; max-coverage = count of the most
+  * frequent gram times its length, since a running `count·len` maximum
+  * attains its final value at the winner's last occurrence).
+  *
+  * Codegen: `doGenCode` emits a single static call, so the surrounding
+  * projection stays inside WholeStageCodegen (the StaticInvoke pattern
+  * of Spark's own builtins). Null tokens are treated as empty strings —
+  * callers pass `split` output, which never contains nulls. */
+case class NGramStats(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: n ($n) must be >= 1")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    NGramStats.compute(v.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramStats.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "ngram_stats"
+}
+
+object NGramStats {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** [total, distinct, maxCoverage] for the n-grams of `toks`. */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array(0L, 0L, 0L))
+    val total = m - n + 1
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long](total * 2)
+    val parts = new Array[UTF8String](n)
+    var best = 0L
+    var i = 0
+    while (i < total) {
+      var j = 0
+      while (j < n) {
+        parts(j) =
+          if (toks.isNullAt(i + j)) UTF8String.EMPTY_UTF8
+          else toks.getUTF8String(i + j)
+        j += 1
+      }
+      val gram = UTF8String.concatWs(Space, parts: _*)
+      val c: Long = {
+        val prev = counts.get(gram)
+        val next = if (prev == null) 1L else prev.longValue() + 1L
+        counts.put(gram, java.lang.Long.valueOf(next))
+        next
+      }
+      val coverage = c * gram.numChars()
+      if (coverage > best) best = coverage
+      i += 1
+    }
+    new GenericArrayData(Array(total.toLong, counts.size().toLong, best))
+  }
+}
+
+/** Column-API entry points for the text expressions. */
+object TextFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def ngramStats(toks: Column, n: Int): Column =
+    column(NGramStats(expression(toks), n))
+}

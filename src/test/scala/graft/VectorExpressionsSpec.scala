@@ -220,4 +220,38 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(VectorFunctions.dot(col("a"), col("b"))).head().getDouble(0)
     assert(viaPlan == 32.0)
   }
+
+  test("NGramStats census matches a plain-Scala reference on random token lists") {
+    import graft.functions.{NGramStats, TextFunctions}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def ref(toks: Seq[String], n: Int): (Long, Long, Long) = {
+      if (toks.size < n) (0L, 0L, 0L)
+      else {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+        (grams.size.toLong, counts.size.toLong,
+          counts.map { case (g, c) => c * g.length }.max)
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "bb", "ccc", "dddd", "badger")
+    for (trial <- 1 to 30; n <- Seq(2, 3, 4)) {
+      val toks = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      val got = NGramStats(Literal.create(toks,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)), n)
+        .eval(null).asInstanceOf[ArrayData].toLongArray.toSeq
+      val (t, d, b) = ref(toks, n)
+      assert(got == Seq(t, d, b), s"trial $trial n=$n toks=$toks")
+    }
+    // And through a real plan (codegen path).
+    val viaPlan = df(Seq(Row(1L, "go go go stop go go")),
+        "id BIGINT, text STRING")
+      .select(TextFunctions.ngramStats(
+        org.apache.spark.sql.functions.split(col("text"), " "), 2))
+      .head().getSeq[Long](0)
+    // bigrams: [go go, go go, go stop, stop go, go go] -> 5 total, 3 distinct,
+    // "go go" x3 covering 3*5=15 chars.
+    assert(viaPlan == Seq(5L, 3L, 15L))
+  }
 }
