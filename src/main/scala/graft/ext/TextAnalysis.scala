@@ -87,21 +87,25 @@ object TextAnalysis {
     * integers; the single double division happens once per output row,
     * so the ratios are partition-order-invariant. Documents with fewer
     * than `n` tokens carry no n-grams and are excluded (documented —
-    * matches the oracle's window formulation). */
+    * matches the oracle's window formulation).
+    *
+    * Per-document gram counting is the native [[graft.functions
+    * .NGramStats]] census — one map-only traversal per row. The r5
+    * formulation EXPLODED every gram and shuffled the whole gram stream
+    * to a per-document aggregate before the language rollup; at corpus
+    * scale that shuffle dwarfed the answer (the per-language result is
+    * a handful of rows). Now the only shuffle is the final partial-agg
+    * `groupBy(lang)` over per-row integers. */
   def repetitionByLang(docs: DataFrame, textCol: String = "text",
-                       n: Int = 2): DataFrame = {
-    // Same explode-then-aggregate shape as Dedup.wordShingles (but
-    // keeping duplicate grams): the Generate boundary protects the
-    // materialized token array from projection collapse — an array-typed
-    // formulation let the optimizer inline the split into the gram
-    // lambda, re-running the regex per gram (~10× slower, measured).
+                       n: Int = 2): DataFrame =
     docs
-      .select(col("doc_id"), col("lang"),
-        split(Dedup.normText(col(textCol)), "\\s+").as("__toks"))
-      .select(col("doc_id"), col("lang"),
-        explode(Dedup.ngrams(col("__toks"), n)).as("gram"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("total"), countDistinct(col("gram")).as("dist"))
+      .select(col("lang"),
+        graft.functions.TextFunctions.ngramStats(
+          split(Dedup.normText(col(textCol)), "\\s+"), n).as("__g"))
+      .select(col("lang"),
+        element_at(col("__g"), 1).as("total"),
+        element_at(col("__g"), 2).as("dist"))
+      .filter(col("total") > 0)
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -110,7 +114,6 @@ object TextAnalysis {
         round(sum(col("total") - col("dist")) /
           sum(col("total")).cast("double"), 4).as("dup_frac"))
       .orderBy("lang")
-  }
 
   /** X3g — the Gopher-style document-quality rule bundle (the named
     * heuristic filter stage of Gopher/MassiveText-family pipelines):
