@@ -100,6 +100,29 @@ class DedupSpec extends SparkSpec {
     assert((0L until 30L).map(_ + 10000L).toSet.subsetOf(drops))
   }
 
+  test("simhashPairsAgainst: cross-shard recall vs the uncapped self-join truth") {
+    import org.apache.spark.sql.functions.col
+    val documents = Tables.documents(spark, sfDir)
+    val history = documents.filter("doc_id < 250")
+    val shard = documents.filter("doc_id < 30")
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .unionByName(documents.filter("doc_id >= 250 AND doc_id < 270"))
+    val cross = Dedup.simhashPairsAgainst(shard,
+        Dedup.simhashSignatures(history, n = 4), n = 4, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Every re-keyed exact copy collides with its original at hamming 0.
+    val planted = (0L until 30L).map(i => (i + 10000L, i)).toSet
+    assert(planted.subsetOf(cross),
+      s"missed planted copies: ${planted -- cross}")
+    // Ground truth: the self-join over history ∪ shard, restricted to
+    // cross-side pairs — the incremental path must find the same set.
+    val full = Dedup.simhashPairs(history.unionByName(shard), n = 4, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a >= 250) != (b >= 250) }
+      .map { case (a, b) => if (a >= 250) (a, b) else (b, a) }.toSet
+    assert(full == cross, s"asymmetric: ${(full -- cross)} / ${(cross -- full)}")
+  }
+
   test("minhashPairs recovers every exact-Jaccard pair on testdata (planted dups)") {
     val documents = Tables.documents(spark, sfDir)
     val exact = Dedup.jaccardPairs(documents, n = 4, minSim = 0.8)
