@@ -32,11 +32,23 @@ object Curation {
       defaultRate: Double = 1.0,
       seed: Long = 42L,
       seqLen: Long = 2048L,
+      // Optional X13 classifier gate: when set, `is_quality` also
+      // requires the linear-scorer band of the REDACTED text to clear
+      // `qualityMinBand` ("medium" = medium-or-high, "high" = high
+      // only) — the classifier-scored curation recipes (CCNet/FineWeb
+      // shape) on top of the token band.
+      qualityWeights: Option[QualityScore.Weights] = None,
+      qualityHi: Long = 1500L,
+      qualityLo: Long = 800L,
+      qualityMinBand: String = "medium",
       // Column names, matching the sibling operators' parameters — a
       // corpus with e.g. content/id/language columns works unrenamed.
       textCol: String = "text",
       keyCol: String = "doc_id",
-      strataCol: String = "lang")
+      strataCol: String = "lang") {
+    require(Set("medium", "high")(qualityMinBand),
+      s"qualityMinBand ($qualityMinBand) must be 'medium' or 'high'")
+  }
 
   /** Every document with its stage verdicts:
     * `is_canonical` (survives exact dedup — lowest id per normalized
@@ -102,10 +114,25 @@ object Curation {
           .drop("__fdrop")
       case None => flagged0.withColumn("is_fuzzy_canonical", lit(true))
     }
-    Pii.redact(flagged, textCol = cfg.textCol)
+    val redacted = Pii.redact(flagged, textCol = cfg.textCol)
       .withColumn("n_tok", nTok)
-      .withColumn("is_quality",
-        col("n_tok").between(cfg.minTokens, cfg.maxTokens))
+    val tokenBand = col("n_tok").between(cfg.minTokens, cfg.maxTokens)
+    val withQuality = cfg.qualityWeights match {
+      case Some(w) =>
+        // Band of the REDACTED text (consistent with n_tok); tokens
+        // materialized once for the band's two HOF references.
+        val bands = if (cfg.qualityMinBand == "high") Seq("high")
+                    else Seq("high", "medium")
+        redacted
+          .withColumn("__qtoks", coalesce(TextAnalysis.tokens(col(cfg.textCol)),
+            array().cast("array<string>")))
+          .withColumn("is_quality", tokenBand &&
+            QualityScore.bandFromToks(col(cfg.textCol), col("__qtoks"), w,
+              cfg.qualityHi, cfg.qualityLo).isin(bands: _*))
+          .drop("__qtoks")
+      case None => redacted.withColumn("is_quality", tokenBand)
+    }
+    withQuality
       .withColumn("is_sampled",
         Sampling.bucket(col(cfg.keyCol), cfg.seed) <
           Sampling.keepThreshold(cfg.strataCol, cfg.rates, cfg.defaultRate))

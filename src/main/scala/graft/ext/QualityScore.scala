@@ -93,6 +93,38 @@ object QualityScore {
       .drop("__toks")
   }
 
+  /** The band as ONE Column over (text, MATERIALIZED tokens) — the hook
+    * the curation funnel's `is_quality` consumes
+    * ([[Curation.Config.qualityWeights]]) without a second scoring pass
+    * or column collisions with the corpus schema. `toks` must be a
+    * projected column (two HOFs reference it — an inline split would
+    * re-run the regex per reference). Decisions are identical to
+    * [[scored]]'s `band` column (same arithmetic; parity pinned in
+    * QualityScoreSpec). */
+  def bandFromToks(t: Column, toks: Column, w: Weights = Weights(),
+                   hi: Long = 1500L, lo: Long = 800L): Column = {
+    require(hi >= lo, s"hi ($hi) must be >= lo ($lo)")
+    val stopArr = array(w.stopwords.map(lit): _*)
+    val ntok = when(t.isNull || length(trim(t)) === 0, lit(0L))
+      .otherwise(size(toks).cast("long"))
+    val nchar = coalesce(length(t), lit(0)).cast("long")
+    val num =
+      lit(w.bias) * ntok * nchar +
+        lit(w.stop) * size(filter(toks, x => array_contains(stopArr, x)))
+          .cast("long") * nchar +
+        lit(w.alpha) * coalesce(length(regexp_replace(t, "[^A-Za-z]", "")), lit(0))
+          .cast("long") * ntok +
+        lit(w.punct) * (coalesce(length(t), lit(0)) -
+          coalesce(length(regexp_replace(t, "[.,!?;:]", "")), lit(0)))
+          .cast("long") * ntok +
+        lit(w.meanTokLen) *
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x)) * nchar
+    when(ntok === 0 || nchar === 0, lit("empty"))
+      .when(num >= lit(hi) * ntok * nchar, lit("high"))
+      .when(num >= lit(lo) * ntok * nchar, lit("medium"))
+      .otherwise(lit("low"))
+  }
+
   /** The registered, oracle-checked view: per-(lang, band) census with
     * the token mass each band carries — what a recipe author reads to
     * pick a quality cut. One partial-agg groupBy over the map-only

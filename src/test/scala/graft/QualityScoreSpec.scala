@@ -49,6 +49,44 @@ class QualityScoreSpec extends SparkSpec {
       QualityScore.scored(docs, hi = 100L, lo = 200L))
   }
 
+  test("bandFromToks agrees with scored()'s band column on the whole corpus") {
+    val d = Tables.documents(spark, sfDir)
+    val viaScored = QualityScore.scored(d, hi = 1450L, lo = 1300L)
+      .select(col("doc_id"), col("band"))
+    val viaColumn = d
+      .withColumn("__t", graft.ext.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        QualityScore.bandFromToks(col("text"), col("__t"),
+          hi = 1450L, lo = 1300L).as("band2"))
+    val joined = viaScored.join(viaColumn, "doc_id")
+      .filter(col("band") =!= col("band2"))
+    assert(joined.count() == 0L, "band definitions diverged")
+  }
+
+  test("curation funnel consumes the classifier band when configured") {
+    import graft.ext.{Curation, Pii}
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val base = Curation.Config(minTokens = 25L, maxTokens = 90L)
+    val gated = base.copy(qualityWeights = Some(QualityScore.Weights()),
+      qualityHi = 1450L, qualityLo = 1300L, qualityMinBand = "high")
+    val f0 = Curation.funnel(docs, bench, base).head()
+    val f1 = Curation.funnel(docs, bench, gated).head()
+    // The band gate can only REMOVE documents at the quality stage…
+    assert(f1.getAs[Long]("n_after_quality") < f0.getAs[Long]("n_after_quality"))
+    assert(f1.getAs[Long]("n_after_decontam") == f0.getAs[Long]("n_after_decontam"))
+    // …and equals the independent recount: decontam survivors whose
+    // REDACTED text is token-banded AND scored high.
+    val ann = Curation.annotate(docs, bench, base)
+      .filter(col("is_canonical") && !col("is_contaminated"))
+    val expected = QualityScore.scored(ann, hi = 1450L, lo = 1300L)
+      .filter(col("n_tok").between(25, 90) && col("band") === "high")
+      .count()
+    assert(f1.getAs[Long]("n_after_quality") == expected)
+    intercept[IllegalArgumentException](base.copy(qualityMinBand = "low"))
+  }
+
   test("bandCensus partitions the corpus and counts token mass") {
     val d = Tables.documents(spark, sfDir)
     val census = Queries.x13QualityBands(spark, sfDir).collect()
