@@ -1071,6 +1071,22 @@ object Oracles {
         |            FROM documents))
         |GROUP BY 1 ORDER BY split""".stripMargin,
 
+    "x6_sample_then_split" ->
+      // Both hashes replayed: the sample keeps bucket(seed 42) < 5000,
+      // the split then bands the SURVIVORS by the split-salted hash —
+      // cumulative half-up bounds 8000/9000/10000 for 80/10/10. With one
+      // unsalted hash every survivor would satisfy b < 5000 < 8000 and
+      // land in 'train'; the salted census proves decorrelation.
+      s"""SELECT split, count(*) AS n_docs
+        |FROM (SELECT CASE WHEN b < 8000 THEN 'train'
+        |                  WHEN b < 9000 THEN 'val'
+        |                  WHEN b < 10000 THEN 'test'
+        |                  ELSE 'holdout' END AS split
+        |      FROM (SELECT ${bucketSql("doc_id", 42L ^ graft.ext.Sampling.SplitSalt)} AS b
+        |            FROM documents
+        |            WHERE ${bucketSql("doc_id")} < 5000))
+        |GROUP BY 1 ORDER BY split""".stripMargin,
+
     "x8_contamination" ->
       // Same shared 4-gram CTE as the x1_jaccard oracle; containment =
       // |grams(doc) ∩ grams(bench)| / |grams(bench)|, threshold on the

@@ -508,6 +508,19 @@ object Queries {
     graft.ext.Sampling.splitSummary(documents(s, d), "doc_id",
       Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
 
+  /** X6c — composed sample→split at ONE seed: the round-5 failure mode
+    * (one unsalted hash fully correlated the two selections, so a 98/1/1
+    * split of any sampled corpus routed EVERY survivor to 'train') as an
+    * oracle-checked regression gate. Sampling keeps ~50% by the unsalted
+    * hash; the split then bands the survivors by the SPLIT-salted hash —
+    * all three splits must land documents, and the exact census replays
+    * both hashes in SQL. */
+  def x6SampleThenSplit(s: SparkSession, d: String): DataFrame =
+    graft.ext.Sampling.splitSummary(
+      graft.ext.Sampling.stratifiedSample(documents(s, d), "doc_id", "lang",
+        Map.empty, defaultRate = 0.5),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
   /** X7 — PII scan over the corpus. The testdata vocabulary contains no
     * PII, so synthetic contacts (email + phone + IP) are planted on every
     * 17th document — deterministically, replicated in the oracle — and

@@ -76,6 +76,7 @@ object SparkEntry {
     "x5_header_parse" -> (Queries.x5HeaderParse _),
     "x6_stratified_sample" -> (Queries.x6StratifiedSample _),
     "x6_splits" -> (Queries.x6Splits _),
+    "x6_sample_then_split" -> (Queries.x6SampleThenSplit _),
     "x7_pii_scan" -> (Queries.x7PiiScan _),
     "x8_contamination" -> (Queries.x8Contamination _),
     "x9_pack_sequences" -> (Queries.x9PackSequences _),
