@@ -147,11 +147,10 @@ object Oracles {
   private def hash64Sql(key: String, seed: Long): String = {
     val s = seed & 0x7FFFFFFFL
     val k0 = s"(($key) & 2147483647)"
-    val k1r = s"(($key) >> 31)"
-    val k1 = s"(xor($k1r, $k1r >> 31) & 2147483647)"
+    val k1 = s"(($key) >> 31)"
     val h1 = s"((($k0 + $s) & 2147483647) * 2654435761)"
     val g1 = s"(xor($h1, $h1 >> 31) & 2147483647)"
-    val h2 = s"((($k1 + $s) & 2147483647) * 2246822519)"
+    val h2 = s"(($k1 + $s) * 486187739)"
     val g2 = s"(xor($h2, $h2 >> 31) & 2147483647)"
     val h3 = s"(xor($g1, $g2) * 2654435761)"
     s"xor($h3, $h3 >> 29)"
@@ -636,9 +635,11 @@ object Oracles {
       // 5·c₂ > chars / 50·c₃ > 9·chars / 25·c₄ > 4·chars) — no float
       // division reaches a comparison, so the per-lang verdict counts
       // are exact. N-grams via range() 1-based adjacency, matching the
-      // Spark slice; top-gram coverage = max over distinct grams of
-      // count·length (the sorted-run fold's fixpoint). The plant CASE
-      // replicates the Spark side's structural-duplication fixtures.
+      // Spark slice; top-gram coverage = the published Gopher quantity:
+      // count of the MOST FREQUENT gram × its length, count ties broken
+      // to the longest gram (mc first, then max length among grams at
+      // mc). The plant CASE replicates the Spark side's
+      // structural-duplication fixtures.
       raw"""WITH pl AS (
         |  SELECT lang,
         |         CASE WHEN doc_id % 13 = 0 THEN text ||
@@ -668,6 +669,15 @@ object Oracles {
         |         list_filter(string_split_regex(t, '\n{2,}'),
         |                     q -> length(trim(q)) > 0) AS paras
         |  FROM d),
+        |gm AS (
+        |  SELECT *,
+        |         coalesce(list_max(list_transform(list_distinct(bg),
+        |           u -> len(list_filter(bg, x -> x = u)))), 0) AS mc2,
+        |         coalesce(list_max(list_transform(list_distinct(tg),
+        |           u -> len(list_filter(tg, x -> x = u)))), 0) AS mc3,
+        |         coalesce(list_max(list_transform(list_distinct(qg),
+        |           u -> len(list_filter(qg, x -> x = u)))), 0) AS mc4
+        |  FROM g),
         |m AS (
         |  SELECT lang,
         |         CASE WHEN len(trim(t)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
@@ -690,13 +700,19 @@ object Oracles {
         |         CAST(coalesce(list_sum(list_transform(paras, q -> length(q))), 0) AS BIGINT)
         |           - CAST(coalesce(list_sum(list_transform(list_distinct(paras),
         |               q -> length(q))), 0) AS BIGINT) AS dup_para_chars,
-        |         coalesce(list_max(list_transform(list_distinct(bg),
-        |           u -> CAST(length(u) * len(list_filter(bg, x -> x = u)) AS BIGINT))), 0) AS c2,
-        |         coalesce(list_max(list_transform(list_distinct(tg),
-        |           u -> CAST(length(u) * len(list_filter(tg, x -> x = u)) AS BIGINT))), 0) AS c3,
-        |         coalesce(list_max(list_transform(list_distinct(qg),
-        |           u -> CAST(length(u) * len(list_filter(qg, x -> x = u)) AS BIGINT))), 0) AS c4
-        |  FROM g),
+        |         CAST(mc2 AS BIGINT) * coalesce(list_max(list_transform(
+        |           list_filter(list_distinct(bg),
+        |             u -> len(list_filter(bg, x -> x = u)) = mc2),
+        |           u -> length(u))), 0) AS c2,
+        |         CAST(mc3 AS BIGINT) * coalesce(list_max(list_transform(
+        |           list_filter(list_distinct(tg),
+        |             u -> len(list_filter(tg, x -> x = u)) = mc3),
+        |           u -> length(u))), 0) AS c3,
+        |         CAST(mc4 AS BIGINT) * coalesce(list_max(list_transform(
+        |           list_filter(list_distinct(qg),
+        |             u -> len(list_filter(qg, x -> x = u)) = mc4),
+        |           u -> length(u))), 0) AS c4
+        |  FROM gm),
         |f AS (
         |  SELECT lang,
         |         n_tokens < 50 AS too_short,

@@ -19,13 +19,13 @@ import org.apache.spark.sql.functions._
   * multiply and a final xor-shift. Two properties are load-bearing:
   *
   *  - EVERY intermediate stays positive and below 2⁶³ for ANY
-  *    non-negative 63-bit key: operands entering a multiply are first
-  *    masked to 31 bits, so products are < 2³¹·2⁶³ᐟ²… < 2⁶³. (The r5
-  *    single-multiply form overflowed — loudly, ANSI throw — for keys
-  *    above ~3.4×10⁹, a real ceiling at 100 TB where 64-bit
-  *    hash-derived doc ids are the norm. Bit 62 of the key is folded
-  *    into the high half by an extra xor, so the full non-negative Long
-  *    range hashes distinctly.)
+  *    non-negative 63-bit key: the low lane masks to 31 bits before its
+  *    2³²-scale multiplier, and the high lane (the key's full upper 32
+  *    bits — NOT folded down, so no seed-independent collision family
+  *    exists across the 2⁶² boundary) multiplies by a sub-2²⁹ prime, so
+  *    both products are < 2⁶³. (The r5 single-multiply form overflowed
+  *    — loudly, ANSI throw — for keys above ~3.4×10⁹, a real ceiling at
+  *    100 TB where 64-bit hash-derived doc ids are the norm.)
   *  - the xor-shifts are non-affine: a PURE multiplicative hash maps
   *    arithmetic progressions of keys to arithmetic progressions of
   *    buckets, so a STRIDED key set (interleaved shards, every-Nth-id
@@ -54,7 +54,9 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   private val Knuth = 2654435761L       // Knuth's 2^32 golden-ratio prime
-  private val XxPrime = 2246822519L     // xxhash PRIME32_2
+  private val HighPrime = 486187739L    // < 2^29: (2^33)·HighPrime < 2^63,
+                                        // so the UNMASKED 32-bit high lane
+                                        // (plus seed) multiplies safely
   private val Mask31 = 0x7FFFFFFFL      // keep every multiply under 2^63
   private val Buckets = 10000L
 
@@ -69,15 +71,22 @@ object Sampling {
     * reduces mod 10000. Exposed for order-by uses ([[Mixing
     * .trainingOrder]]) where 10⁴ distinct values would leave huge tie
     * groups in input order — this is ~2⁶²-valued, so ties are rare.
+    *
+    * The high lane takes the key's upper 32 bits WHOLE (`key >> 31`,
+    * seed added, NO mask) into a sub-2²⁹ multiplier: an earlier form
+    * folded bit 62 into bit 31 before the seed entered, which made
+    * `hash64(2³¹+c) == hash64(2⁶²+c)` for EVERY c at EVERY seed — a
+    * structural 2-to-1 family no salt could decorrelate. With the full
+    * lane seeded before any compression, residual collisions are the
+    * generic seed-dependent kind every bucketed hash has.
     * Replay in SQL (all values positive: `%` = pmod, `>>` logical):
     * {{{
     *   s  = seed & 2147483647                     -- Scala-side constant
     *   k0 = key & 2147483647
-    *   k1r = key >> 31
-    *   k1 = xor(k1r, k1r >> 31) & 2147483647      -- folds key bit 62 in
+    *   k1 = key >> 31                             -- upper 32 bits, whole
     *   h1 = ((k0 + s) & 2147483647) * 2654435761
     *   g1 = xor(h1, h1 >> 31) & 2147483647
-    *   h2 = ((k1 + s) & 2147483647) * 2246822519
+    *   h2 = (k1 + s) * 486187739
     *   g2 = xor(h2, h2 >> 31) & 2147483647
     *   h3 = xor(g1, g2) * 2654435761
     *   hash64 = xor(h3, h3 >> 29)
@@ -85,11 +94,10 @@ object Sampling {
   def hash64(key: Column, seed: Long): Column = {
     val s = seed & Mask31
     val k0 = key.bitwiseAND(lit(Mask31))
-    val k1r = shiftright(key, 31)
-    val k1 = k1r.bitwiseXOR(shiftright(k1r, 31)).bitwiseAND(lit(Mask31))
+    val k1 = shiftright(key, 31)
     val h1 = (k0 + lit(s)).bitwiseAND(lit(Mask31)) * lit(Knuth)
     val g1 = h1.bitwiseXOR(shiftright(h1, 31)).bitwiseAND(lit(Mask31))
-    val h2 = (k1 + lit(s)).bitwiseAND(lit(Mask31)) * lit(XxPrime)
+    val h2 = (k1 + lit(s)) * lit(HighPrime)
     val g2 = h2.bitwiseXOR(shiftright(h2, 31)).bitwiseAND(lit(Mask31))
     val h3 = g1.bitwiseXOR(g2) * lit(Knuth)
     h3.bitwiseXOR(shiftright(h3, 29))

@@ -22,13 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * all, O(total gram bytes) per row.
   *
   * Output: `array<long>` of
-  * `[n_grams, distinct_grams, max over grams of count·numChars(gram)]`
-  * — exactly the quantities the duplication and top-gram-share rules
-  * consume, with semantics IDENTICAL to the list formulation the DuckDB
-  * oracle replays (gram = tokens joined by single spaces; `length` =
-  * codepoint count = `numChars`; max-coverage = count of the most
-  * frequent gram times its length, since a running `count·len` maximum
-  * attains its final value at the winner's last occurrence).
+  * `[n_grams, distinct_grams, top-gram coverage]`, where coverage is
+  * the published Gopher quantity: characters contained in the MOST
+  * FREQUENTLY occurring n-gram — `maxCount · numChars(gram)`, ties on
+  * count broken to the longest gram (deterministic, and the reading
+  * that catches the most boilerplate). NOT `max over grams of
+  * count·len`: that different quantity would reject a doc whose most
+  * common bigram is harmless just because one long phrase repeats
+  * twice. Gram = tokens joined by single spaces; `length` = codepoint
+  * count = `numChars` — the exact list formulation the DuckDB oracle
+  * replays.
   *
   * Codegen: `doGenCode` emits a single static call, so the surrounding
   * projection stays inside WholeStageCodegen (the StaticInvoke pattern
@@ -62,14 +65,21 @@ object NGramStats {
 
   private val Space = UTF8String.fromString(" ")
 
-  /** [total, distinct, maxCoverage] for the n-grams of `toks`. */
+  /** [total, distinct, mostFrequentCount·itsLength] for the n-grams of
+    * `toks`. The running (bestCount, bestLen) pair is exact: every gram
+    * whose FINAL count equals the maximum passes through that value at
+    * its last occurrence — a strictly greater count resets bestLen (and
+    * clears any pollution from earlier lower ties), an equal count
+    * widens it — so bestLen ends as the longest gram among the most
+    * frequent. */
   def compute(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()
     if (m < n) return new GenericArrayData(Array(0L, 0L, 0L))
     val total = m - n + 1
     val counts = new java.util.HashMap[UTF8String, java.lang.Long](total * 2)
     val parts = new Array[UTF8String](n)
-    var best = 0L
+    var bestCount = 0L
+    var bestLen = 0L
     var i = 0
     while (i < total) {
       var j = 0
@@ -86,11 +96,12 @@ object NGramStats {
         counts.put(gram, java.lang.Long.valueOf(next))
         next
       }
-      val coverage = c * gram.numChars()
-      if (coverage > best) best = coverage
+      if (c > bestCount) { bestCount = c; bestLen = gram.numChars() }
+      else if (c == bestCount && gram.numChars() > bestLen) bestLen = gram.numChars()
       i += 1
     }
-    new GenericArrayData(Array(total.toLong, counts.size().toLong, best))
+    new GenericArrayData(
+      Array(total.toLong, counts.size().toLong, bestCount * bestLen))
   }
 }
 

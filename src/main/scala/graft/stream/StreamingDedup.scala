@@ -52,10 +52,16 @@ object StreamingDedup {
     * horizon-eviction gap: `dropDuplicatesWithinWatermark` forgets a key
     * once the watermark passes it, but a duplicate of LAST MONTH's
     * corpus should still drop. `historyFp` is the persisted
-    * [[graft.ext.Dedup.fingerprints]] parquet (a STATIC frame — Spark
-    * executes the anti join as a stream-static join, re-reading the
-    * static side per micro-batch, so a nightly-refreshed index is picked
-    * up without restarting the query).
+    * [[graft.ext.Dedup.fingerprints]] parquet, joined as a stream-static
+    * anti join. REFRESH CAVEAT: a plain `spark.read.parquet(path)` frame
+    * pins its FILE LISTING when the DataFrame is created — files a
+    * nightly job adds later are invisible to the running query, and an
+    * overwrite that deletes listed files fails micro-batches with
+    * FileNotFoundException. To pick up a refreshed index, restart the
+    * query (or the stream) against a re-created static frame, or read
+    * the index through a catalog table and `REFRESH TABLE` it — the
+    * streaming state checkpoint survives the restart, so this is a
+    * planned-rollover concern, not data loss.
     *
     * The anti join runs BEFORE the stateful dedup, so history-known keys
     * never even enter the state store — state stays

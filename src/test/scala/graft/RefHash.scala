@@ -9,11 +9,10 @@ object RefHash {
   def hash64(key: Long, seed: Long): Long = {
     val s = seed & 0x7FFFFFFFL
     val k0 = key & 0x7FFFFFFFL
-    val k1r = key >>> 31
-    val k1 = (k1r ^ (k1r >>> 31)) & 0x7FFFFFFFL
+    val k1 = key >>> 31 // upper 32 bits, whole — no fold, no 2^62 family
     val h1 = ((k0 + s) & 0x7FFFFFFFL) * 2654435761L
     val g1 = (h1 ^ (h1 >>> 31)) & 0x7FFFFFFFL
-    val h2 = ((k1 + s) & 0x7FFFFFFFL) * 2246822519L
+    val h2 = (k1 + s) * 486187739L
     val g2 = (h2 ^ (h2 >>> 31)) & 0x7FFFFFFFL
     val h3 = (g1 ^ g2) * 2654435761L
     h3 ^ (h3 >>> 29)

@@ -96,8 +96,23 @@ class SamplingSpec extends SparkSpec {
     val got = d.select(col("k"), Sampling.hash64(col("k"), 7L).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     keys.foreach(k => assert(got(k) == RefHash.hash64(k, 7L), s"key $k"))
-    // Key bit 62 is FOLDED into the high half, not silently masked off.
+    // Key bit 62 reaches the hash, not silently masked off.
     assert(RefHash.hash64(1L << 62, 7L) != RefHash.hash64(0L, 7L))
+  }
+
+  test("no seed-independent collision family across the 2^62 boundary") {
+    // An earlier split-key form folded key bit 62 into bit 31 BEFORE the
+    // seed entered, making hash64(2^31 + c) == hash64(2^62 + c) for
+    // every c at EVERY seed — pairs of hash-derived doc ids that always
+    // shared a bucket, split, and training-order position, un-fixable by
+    // salting. The whole-lane form must not collide on that family (or
+    // its generalization) at any probed seed.
+    for (seed <- Seq(7L, 42L, 999L, 0x4D495853L); c <- 0L until 50L) {
+      assert(RefHash.hash64((1L << 31) + c, seed) !=
+        RefHash.hash64((1L << 62) + c, seed), s"c=$c seed=$seed")
+      assert(RefHash.hash64(c, seed) !=
+        RefHash.hash64((1L << 62) + (3L << 31) + c, seed), s"xor-family c=$c")
+    }
   }
 
   test("strided keys near 2^62 still sample near the configured rate") {

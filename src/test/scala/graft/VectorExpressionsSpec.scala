@@ -229,9 +229,12 @@ class VectorExpressionsSpec extends SparkSpec {
       if (toks.size < n) (0L, 0L, 0L)
       else {
         val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
-        val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
-        (grams.size.toLong, counts.size.toLong,
-          counts.map { case (g, c) => c * g.length }.max)
+        val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        // Published Gopher semantics: chars in the MOST FREQUENT gram,
+        // count ties broken to the longest gram.
+        val mc = counts.values.max
+        val len = counts.collect { case (g, c) if c == mc => g.length.toLong }.max
+        (grams.size.toLong, counts.size.toLong, mc * len)
       }
     }
     val rnd = new scala.util.Random(7)
@@ -253,5 +256,14 @@ class VectorExpressionsSpec extends SparkSpec {
     // bigrams: [go go, go go, go stop, stop go, go go] -> 5 total, 3 distinct,
     // "go go" x3 covering 3*5=15 chars.
     assert(viaPlan == Seq(5L, 3L, 15L))
+    // A rare-but-long gram must NOT beat the most frequent one: "aa aa"
+    // x2 (coverage 10) wins over the once-occurring 25-char phrase —
+    // max-over-grams of count*len would report 25 and reject wrongly.
+    val longPhrase = df(Seq(Row(1L, "aa aa aa zz internationalization w")),
+        "id BIGINT, text STRING")
+      .select(TextFunctions.ngramStats(
+        org.apache.spark.sql.functions.split(col("text"), " "), 2))
+      .head().getSeq[Long](0)
+    assert(longPhrase(2) == 2L * 5L, s"got ${longPhrase(2)}")
   }
 }
