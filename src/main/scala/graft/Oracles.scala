@@ -145,12 +145,15 @@ object Oracles {
     * ([[graft.ext.Sampling.SplitSalt]]/MixSalt/OrderSalt) exactly as the
     * Scala side applies them. */
   private def hash64Sql(key: String, seed: Long): String = {
-    val s = seed & 0x7FFFFFFFL
+    // The lane seeds come from the SAME Scala finalizer the engine uses
+    // (Sampling.seedLanes — full 64-bit seed sensitivity); they reach
+    // DuckDB as plain integer literals.
+    val (sLo, sHi) = graft.ext.Sampling.seedLanes(seed)
     val k0 = s"(($key) & 2147483647)"
     val k1 = s"(($key) >> 31)"
-    val h1 = s"((($k0 + $s) & 2147483647) * 2654435761)"
+    val h1 = s"((($k0 + $sLo) & 2147483647) * 2654435761)"
     val g1 = s"(xor($h1, $h1 >> 31) & 2147483647)"
-    val h2 = s"(($k1 + $s) * 486187739)"
+    val h2 = s"(($k1 + $sHi) * 486187739)"
     val g2 = s"(xor($h2, $h2 >> 31) & 2147483647)"
     val h3 = s"(xor($g1, $g2) * 2654435761)"
     s"xor($h3, $h3 >> 29)"

@@ -53,76 +53,84 @@ object QualityScore {
       meanTokLen: Long = 100L,
       stopwords: Seq[String] = Seq("a", "the", "and", "of", "is", "to", "in", "that"))
 
-  /** Per-document integer features + `score_num` + `band`. Appends to
-    * the input columns; `hi`/`lo` are milli-unit score thresholds.
-    * Zero-token or zero-char documents band as `empty` (the score is
-    * undefined — 0/0). */
+  /** The ONE definition of the scorer's feature expressions over
+    * (text, MATERIALIZED tokens) — consumed by [[scored]] (as output
+    * columns) and [[bandFromToks]] (inline). `toks` must be a projected
+    * column: two of these reference it through interpreted HOF lambdas,
+    * and an inline split would re-run the regex per reference. Ordered
+    * so [[scored]] emits them deterministically. */
+  private def features(t: Column, toks: Column,
+                       w: Weights): Seq[(String, Column)] = {
+    val stopArr = array(w.stopwords.map(lit): _*)
+    Seq(
+      "q_tokens" -> when(t.isNull || length(trim(t)) === 0, lit(0L))
+        .otherwise(size(toks).cast("long")),
+      "q_chars" -> coalesce(length(t), lit(0)).cast("long"),
+      "q_stop_hits" ->
+        size(filter(toks, x => array_contains(stopArr, x))).cast("long"),
+      "q_alpha_chars" ->
+        coalesce(length(regexp_replace(t, "[^A-Za-z]", "")), lit(0)).cast("long"),
+      "q_punct_chars" -> (coalesce(length(t), lit(0)) -
+        coalesce(length(regexp_replace(t, "[.,!?;:]", "")), lit(0))).cast("long"),
+      "q_sum_tok_len" -> aggregate(toks, lit(0L), (acc, x) => acc + length(x)))
+  }
+
+  /** The ONE definition of the linear form (milli-unit weights). */
+  private def scoreNum(w: Weights, ntok: Column, nchar: Column, stop: Column,
+                       alpha: Column, punct: Column, sumLen: Column): Column =
+    lit(w.bias) * ntok * nchar +
+      lit(w.stop) * stop * nchar +
+      lit(w.alpha) * alpha * ntok +
+      lit(w.punct) * punct * ntok +
+      lit(w.meanTokLen) * sumLen * nchar
+
+  /** The ONE definition of the band cut (integer cross-multiply). */
+  private def bandOf(num: Column, ntok: Column, nchar: Column,
+                     hi: Long, lo: Long): Column =
+    when(ntok === 0 || nchar === 0, lit("empty"))
+      .when(num >= lit(hi) * ntok * nchar, lit("high"))
+      .when(num >= lit(lo) * ntok * nchar, lit("medium"))
+      .otherwise(lit("low"))
+
+  /** Per-document integer features (`q_`-prefixed so a corpus's own
+    * n_chars/n_tokens-style metadata is never silently overwritten) +
+    * `score_num` + `band`, appended to the input columns. `hi`/`lo` are
+    * milli-unit score thresholds. Zero-token or zero-char documents
+    * band as `empty` (the score is undefined — 0/0). */
   def scored(docs: DataFrame, textCol: String = "text",
              w: Weights = Weights(), hi: Long = 1500L, lo: Long = 800L): DataFrame = {
     require(hi >= lo, s"hi ($hi) must be >= lo ($lo)")
     val t = col(textCol)
-    val toks = col("__toks")
-    val stopArr = array(w.stopwords.map(lit): _*)
-    val ntok = col("n_tokens")
-    val nchar = col("n_chars")
-    docs
-      .withColumn("__toks", coalesce(TextAnalysis.tokens(t),
-        array().cast("array<string>")))
-      .withColumn("n_tokens", TextAnalysis.tokenCount(t))
-      .withColumn("n_chars", coalesce(length(t), lit(0)).cast("long"))
-      .withColumn("stop_hits",
-        size(filter(toks, x => array_contains(stopArr, x))).cast("long"))
-      .withColumn("alpha_chars",
-        coalesce(length(regexp_replace(t, "[^A-Za-z]", "")), lit(0)).cast("long"))
-      .withColumn("punct_chars",
-        (coalesce(length(t), lit(0)) -
-          coalesce(length(regexp_replace(t, "[.,!?;:]", "")), lit(0))).cast("long"))
-      .withColumn("sum_tok_len",
-        aggregate(toks, lit(0L), (acc, x) => acc + length(x)))
+    val fs = features(t, col("__toks"), w)
+    val withFeatures = fs.foldLeft(
+        docs.withColumn("__toks", coalesce(TextAnalysis.tokens(t),
+          array().cast("array<string>")))) {
+      case (acc, (name, expr)) => acc.withColumn(name, expr)
+    }
+    withFeatures
       .withColumn("score_num",
-        lit(w.bias) * ntok * nchar +
-          lit(w.stop) * col("stop_hits") * nchar +
-          lit(w.alpha) * col("alpha_chars") * ntok +
-          lit(w.punct) * col("punct_chars") * ntok +
-          lit(w.meanTokLen) * col("sum_tok_len") * nchar)
+        scoreNum(w, col("q_tokens"), col("q_chars"), col("q_stop_hits"),
+          col("q_alpha_chars"), col("q_punct_chars"), col("q_sum_tok_len")))
       .withColumn("band",
-        when(ntok === 0 || nchar === 0, lit("empty"))
-          .when(col("score_num") >= lit(hi) * ntok * nchar, lit("high"))
-          .when(col("score_num") >= lit(lo) * ntok * nchar, lit("medium"))
-          .otherwise(lit("low")))
+        bandOf(col("score_num"), col("q_tokens"), col("q_chars"), hi, lo))
       .drop("__toks")
   }
 
   /** The band as ONE Column over (text, MATERIALIZED tokens) — the hook
     * the curation funnel's `is_quality` consumes
     * ([[Curation.Config.qualityWeights]]) without a second scoring pass
-    * or column collisions with the corpus schema. `toks` must be a
-    * projected column (two HOFs reference it — an inline split would
-    * re-run the regex per reference). Decisions are identical to
-    * [[scored]]'s `band` column (same arithmetic; parity pinned in
-    * QualityScoreSpec). */
+    * or column collisions with the corpus schema. Decisions are
+    * identical to [[scored]]'s `band` column by construction (same
+    * [[features]]/[[scoreNum]]/[[bandOf]] definitions; parity also
+    * pinned in QualityScoreSpec under non-default weights). */
   def bandFromToks(t: Column, toks: Column, w: Weights = Weights(),
                    hi: Long = 1500L, lo: Long = 800L): Column = {
     require(hi >= lo, s"hi ($hi) must be >= lo ($lo)")
-    val stopArr = array(w.stopwords.map(lit): _*)
-    val ntok = when(t.isNull || length(trim(t)) === 0, lit(0L))
-      .otherwise(size(toks).cast("long"))
-    val nchar = coalesce(length(t), lit(0)).cast("long")
-    val num =
-      lit(w.bias) * ntok * nchar +
-        lit(w.stop) * size(filter(toks, x => array_contains(stopArr, x)))
-          .cast("long") * nchar +
-        lit(w.alpha) * coalesce(length(regexp_replace(t, "[^A-Za-z]", "")), lit(0))
-          .cast("long") * ntok +
-        lit(w.punct) * (coalesce(length(t), lit(0)) -
-          coalesce(length(regexp_replace(t, "[.,!?;:]", "")), lit(0)))
-          .cast("long") * ntok +
-        lit(w.meanTokLen) *
-          aggregate(toks, lit(0L), (acc, x) => acc + length(x)) * nchar
-    when(ntok === 0 || nchar === 0, lit("empty"))
-      .when(num >= lit(hi) * ntok * nchar, lit("high"))
-      .when(num >= lit(lo) * ntok * nchar, lit("medium"))
-      .otherwise(lit("low"))
+    val f = features(t, toks, w).toMap
+    bandOf(
+      scoreNum(w, f("q_tokens"), f("q_chars"), f("q_stop_hits"),
+        f("q_alpha_chars"), f("q_punct_chars"), f("q_sum_tok_len")),
+      f("q_tokens"), f("q_chars"), hi, lo)
   }
 
   /** The registered, oracle-checked view: per-(lang, band) census with
@@ -135,6 +143,6 @@ object QualityScore {
     scored(docs, textCol, w, hi, lo)
       .groupBy(col("lang"), col("band"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("tokens"))
+        sum(col("q_tokens")).as("tokens"))
       .orderBy("lang", "band")
 }

@@ -67,6 +67,22 @@ object Sampling {
   val MixSalt = 0x4D495853L     // "MIXS"
   val OrderSalt = 0x4F524452L   // "ORDR"
 
+  /** Per-lane 31-bit seed material from the FULL 64-bit seed: a
+    * splitmix64-style finalizer runs Scala-side (the result is a plan
+    * literal, so engine replay is unaffected), then splits into the two
+    * lanes' addends. Without this, masking the raw seed to 31 bits made
+    * seeds differing only above bit 30 — e.g. seeds derived from 64-bit
+    * run-id hashes — produce byte-identical samples/splits/mixes with
+    * no warning. Shared with [[graft.Oracles]]' SQL generation, ONE
+    * definition. */
+  private[graft] def seedLanes(seed: Long): (Long, Long) = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z & Mask31, (z >>> 31) & Mask31)
+  }
+
   /** Full-width keyed mix of a non-negative key: the value [[bucket]]
     * reduces mod 10000. Exposed for order-by uses ([[Mixing
     * .trainingOrder]]) where 10⁴ distinct values would leave huge tie
@@ -79,25 +95,25 @@ object Sampling {
     * structural 2-to-1 family no salt could decorrelate. With the full
     * lane seeded before any compression, residual collisions are the
     * generic seed-dependent kind every bucketed hash has.
-    * Replay in SQL (all values positive: `%` = pmod, `>>` logical):
+    * Replay in SQL (all values positive: `%` = pmod, `>>` logical;
+    * sLo/sHi are the [[seedLanes]] constants of the full 64-bit seed):
     * {{{
-    *   s  = seed & 2147483647                     -- Scala-side constant
     *   k0 = key & 2147483647
     *   k1 = key >> 31                             -- upper 32 bits, whole
-    *   h1 = ((k0 + s) & 2147483647) * 2654435761
+    *   h1 = ((k0 + sLo) & 2147483647) * 2654435761
     *   g1 = xor(h1, h1 >> 31) & 2147483647
-    *   h2 = (k1 + s) * 486187739
+    *   h2 = (k1 + sHi) * 486187739
     *   g2 = xor(h2, h2 >> 31) & 2147483647
     *   h3 = xor(g1, g2) * 2654435761
     *   hash64 = xor(h3, h3 >> 29)
     * }}} */
   def hash64(key: Column, seed: Long): Column = {
-    val s = seed & Mask31
+    val (sLo, sHi) = seedLanes(seed)
     val k0 = key.bitwiseAND(lit(Mask31))
     val k1 = shiftright(key, 31)
-    val h1 = (k0 + lit(s)).bitwiseAND(lit(Mask31)) * lit(Knuth)
+    val h1 = (k0 + lit(sLo)).bitwiseAND(lit(Mask31)) * lit(Knuth)
     val g1 = h1.bitwiseXOR(shiftright(h1, 31)).bitwiseAND(lit(Mask31))
-    val h2 = (k1 + lit(s)) * lit(HighPrime)
+    val h2 = (k1 + lit(sHi)) * lit(HighPrime)
     val g2 = h2.bitwiseXOR(shiftright(h2, 31)).bitwiseAND(lit(Mask31))
     val h3 = g1.bitwiseXOR(g2) * lit(Knuth)
     h3.bitwiseXOR(shiftright(h3, 29))

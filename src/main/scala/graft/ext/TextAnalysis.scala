@@ -188,19 +188,24 @@ object TextAnalysis {
       .withColumn("__paras",
         filter(coalesce(split(t, "\n{2,}"), array().cast("array<string>")),
           p => length(trim(p)) > 0))
+      // Distinct arrays materialized ONCE: the count and char-mass rules
+      // below each need them, and array_distinct re-evaluated per
+      // reference would double that per-row work.
+      .withColumn("__dlines", array_distinct(col("__lines")))
+      .withColumn("__dparas", array_distinct(col("__paras")))
       .withColumn("n_lines", size(col("__lines")).cast("long"))
       .withColumn("dup_lines",
-        (size(col("__lines")) - size(array_distinct(col("__lines")))).cast("long"))
+        (size(col("__lines")) - size(col("__dlines"))).cast("long"))
       .withColumn("n_paras", size(col("__paras")).cast("long"))
       .withColumn("dup_paras",
-        (size(col("__paras")) - size(array_distinct(col("__paras")))).cast("long"))
+        (size(col("__paras")) - size(col("__dparas"))).cast("long"))
       // Characters inside repeat occurrences: Σlen(all) − Σlen(distinct).
       .withColumn("dup_line_chars",
         aggregate(col("__lines"), lit(0L), (acc, x) => acc + length(x)) -
-          aggregate(array_distinct(col("__lines")), lit(0L), (acc, x) => acc + length(x)))
+          aggregate(col("__dlines"), lit(0L), (acc, x) => acc + length(x)))
       .withColumn("dup_para_chars",
         aggregate(col("__paras"), lit(0L), (acc, x) => acc + length(x)) -
-          aggregate(array_distinct(col("__paras")), lit(0L), (acc, x) => acc + length(x)))
+          aggregate(col("__dparas"), lit(0L), (acc, x) => acc + length(x)))
       .withColumn("top_2gram_chars", element_at(col("__g2"), 3))
       .withColumn("top_3gram_chars", element_at(col("__g3"), 3))
       .withColumn("top_4gram_chars", element_at(col("__g4"), 3))
@@ -237,7 +242,8 @@ object TextAnalysis {
           !col("dup_line_chars_heavy") && !col("dup_para_chars_heavy") &&
           !col("top_2gram_heavy") && !col("top_3gram_heavy") &&
           !col("top_4gram_heavy"))
-      .drop("__toks", "__g2", "__g3", "__g4", "__lines", "__paras")
+      .drop("__toks", "__g2", "__g3", "__g4", "__lines", "__paras",
+        "__dlines", "__dparas")
   }
 
   /** Per-language rule census over [[gopherFlags]] — the registered,
@@ -264,7 +270,7 @@ object TextAnalysis {
     * and min/max fingerprint as content witnesses. */
   def fingerprintSummary(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .withColumn("fp", md5(Dedup.normText(col(textCol)).cast("binary")))
+      .withColumn("fp", Dedup.fingerprintOf(col(textCol)))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

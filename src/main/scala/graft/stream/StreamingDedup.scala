@@ -29,23 +29,30 @@ import graft.ext.Dedup
   */
 object StreamingDedup {
 
-  /** Drop near-arrival duplicates of the normalized `textCol`. The input
-    * must carry the event-time column `tsCol` for the watermark. On a
-    * batch frame the SAME transformation runs as plain per-key dedup
-    * (Spark rejects `dropDuplicatesWithinWatermark` outside streaming,
-    * where the watermark would be a no-op anyway). */
-  def exactDedupStream(stream: DataFrame, tsCol: String,
-                       textCol: String = "text",
-                       watermarkDelay: String = "10 minutes"): DataFrame = {
-    val keyed = stream
-      .withColumn("__fp", md5(Dedup.normText(col(textCol)).cast("binary")))
+  /** The shared stateful tail of both dedup paths: watermark +
+    * within-horizon drop on the already-keyed frame (batch degenerates
+    * to plain per-key dedup — Spark rejects
+    * `dropDuplicatesWithinWatermark` outside streaming, where the
+    * watermark would be a no-op anyway). ONE definition so the plain
+    * and history-index paths cannot diverge. */
+  private def dedupKeyed(keyed: DataFrame, tsCol: String,
+                         watermarkDelay: String): DataFrame = {
     val deduped =
-      if (stream.isStreaming)
+      if (keyed.isStreaming)
         keyed.withWatermark(tsCol, watermarkDelay)
           .dropDuplicatesWithinWatermark("__fp")
       else keyed.dropDuplicates("__fp")
     deduped.drop("__fp")
   }
+
+  /** Drop near-arrival duplicates of the normalized `textCol`. The input
+    * must carry the event-time column `tsCol` for the watermark. */
+  def exactDedupStream(stream: DataFrame, tsCol: String,
+                       textCol: String = "text",
+                       watermarkDelay: String = "10 minutes"): DataFrame =
+    dedupKeyed(
+      stream.withColumn("__fp", Dedup.fingerprintOf(col(textCol))),
+      tsCol, watermarkDelay)
 
   /** Streaming dedup AGAINST A FROZEN HISTORY INDEX — the streaming
     * counterpart of [[graft.ext.Dedup.exactDedupAgainst]], closing the
@@ -71,17 +78,11 @@ object StreamingDedup {
     * content only). */
   def exactDedupStreamAgainst(stream: DataFrame, historyFp: DataFrame,
                               tsCol: String, textCol: String = "text",
-                              watermarkDelay: String = "10 minutes"): DataFrame = {
-    val keyed = stream
-      .withColumn("__fp", md5(Dedup.normText(col(textCol)).cast("binary")))
-      .join(historyFp.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
-    val deduped =
-      if (stream.isStreaming)
-        keyed.withWatermark(tsCol, watermarkDelay)
-          .dropDuplicatesWithinWatermark("__fp")
-      else keyed.dropDuplicates("__fp")
-    deduped.drop("__fp")
-  }
+                              watermarkDelay: String = "10 minutes"): DataFrame =
+    dedupKeyed(
+      stream.withColumn("__fp", Dedup.fingerprintOf(col(textCol)))
+        .join(historyFp.select(col("fp").as("__fp")), Seq("__fp"), "left_anti"),
+      tsCol, watermarkDelay)
 
   /** Deterministic dedup summary of a (replayed) stream: input rows,
     * surviving unique rows, duplicates dropped. After the dedup each key

@@ -16,12 +16,12 @@ class QualityScoreSpec extends SparkSpec {
     val docs = df(Seq(Row(1L, "x", "the cat is big.")),
       "doc_id BIGINT, lang STRING, text STRING")
     val r = QualityScore.scored(docs).head()
-    assert(r.getAs[Long]("n_tokens") == 4L)
-    assert(r.getAs[Long]("n_chars") == 15L)
-    assert(r.getAs[Long]("stop_hits") == 2L)
-    assert(r.getAs[Long]("alpha_chars") == 11L)
-    assert(r.getAs[Long]("punct_chars") == 1L)
-    assert(r.getAs[Long]("sum_tok_len") == 12L)
+    assert(r.getAs[Long]("q_tokens") == 4L)
+    assert(r.getAs[Long]("q_chars") == 15L)
+    assert(r.getAs[Long]("q_stop_hits") == 2L)
+    assert(r.getAs[Long]("q_alpha_chars") == 11L)
+    assert(r.getAs[Long]("q_punct_chars") == 1L)
+    assert(r.getAs[Long]("q_sum_tok_len") == 12L)
     assert(r.getAs[Long]("score_num") == 118000L)
     assert(r.getAs[String]("band") == "high")
   }
@@ -51,16 +51,26 @@ class QualityScoreSpec extends SparkSpec {
 
   test("bandFromToks agrees with scored()'s band column on the whole corpus") {
     val d = Tables.documents(spark, sfDir)
-    val viaScored = QualityScore.scored(d, hi = 1450L, lo = 1300L)
-      .select(col("doc_id"), col("band"))
-    val viaColumn = d
-      .withColumn("__t", graft.ext.TextAnalysis.tokens(col("text")))
-      .select(col("doc_id"),
-        QualityScore.bandFromToks(col("text"), col("__t"),
-          hi = 1450L, lo = 1300L).as("band2"))
-    val joined = viaScored.join(viaColumn, "doc_id")
-      .filter(col("band") =!= col("band2"))
-    assert(joined.count() == 0L, "band definitions diverged")
+    // Parity at the registered thresholds AND under a non-default weight
+    // vector — a drift in one definition's terms must not hide behind
+    // the defaults.
+    val configs = Seq(
+      (QualityScore.Weights(), 1450L, 1300L),
+      (QualityScore.Weights(bias = 50L, stop = 900L, alpha = -200L,
+        punct = 300L, meanTokLen = 250L,
+        stopwords = Seq("the", "of")), 1200L, 400L))
+    configs.foreach { case (w, hi, lo) =>
+      val viaScored = QualityScore.scored(d, w = w, hi = hi, lo = lo)
+        .select(col("doc_id"), col("band"))
+      val viaColumn = d
+        .withColumn("__t", graft.ext.TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          QualityScore.bandFromToks(col("text"), col("__t"), w, hi, lo)
+            .as("band2"))
+      val joined = viaScored.join(viaColumn, "doc_id")
+        .filter(col("band") =!= col("band2"))
+      assert(joined.count() == 0L, s"band definitions diverged under $w")
+    }
   }
 
   test("curation funnel consumes the classifier band when configured") {

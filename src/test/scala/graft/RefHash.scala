@@ -7,12 +7,18 @@ package graft
 object RefHash {
 
   def hash64(key: Long, seed: Long): Long = {
-    val s = seed & 0x7FFFFFFFL
+    // splitmix64-style lane-seed derivation (full 64-bit seed enters).
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    val sLo = z & 0x7FFFFFFFL
+    val sHi = (z >>> 31) & 0x7FFFFFFFL
     val k0 = key & 0x7FFFFFFFL
     val k1 = key >>> 31 // upper 32 bits, whole — no fold, no 2^62 family
-    val h1 = ((k0 + s) & 0x7FFFFFFFL) * 2654435761L
+    val h1 = ((k0 + sLo) & 0x7FFFFFFFL) * 2654435761L
     val g1 = (h1 ^ (h1 >>> 31)) & 0x7FFFFFFFL
-    val h2 = (k1 + s) * 486187739L
+    val h2 = (k1 + sHi) * 486187739L
     val g2 = (h2 ^ (h2 >>> 31)) & 0x7FFFFFFFL
     val h3 = (g1 ^ g2) * 2654435761L
     h3 ^ (h3 >>> 29)

@@ -44,6 +44,12 @@ class SamplingSpec extends SparkSpec {
           seed = seed)
         .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids(1L) != ids(2L))
+    // The FULL 64-bit seed must matter: seeds differing only above bit
+    // 30 (e.g. derived from 64-bit run-id hashes) and negative seeds
+    // must draw different samples — a bare 31-bit mask collapsed them.
+    assert(ids(0L) != ids(1L << 31))
+    assert(ids(5L) != ids(5L | (1L << 40)))
+    assert(ids(-7L) != ids(-7L & 0x7FFFFFFFL))
   }
 
   test("survivor sets are monotone in the rate (raising a rate only adds rows)") {
