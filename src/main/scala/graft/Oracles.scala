@@ -1187,6 +1187,9 @@ object Oracles {
         |), f AS (
         |  SELECT count(*) AS n_raw,
         |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
+        |         -- no history index in the registered funnel: the X1h
+        |         -- stage is a no-op, so history == dedup on both sides
+        |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_history,
         |         count(CASE WHEN is_canonical AND is_fuzzy THEN 1 END)
         |           AS n_after_fuzzy,
         |         count(CASE WHEN is_canonical AND is_fuzzy
@@ -1201,6 +1204,8 @@ object Oracles {
         |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
         |         COALESCE(CAST(sum(CASE WHEN is_canonical
         |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_history,
         |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
         |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_fuzzy,
         |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
@@ -1215,10 +1220,11 @@ object Oracles {
         |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
         |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
         |  FROM ann)
-        |SELECT n_raw, n_after_dedup, n_after_fuzzy, n_after_decontam,
-        |       n_after_quality, n_after_sample,
-        |       tokens_raw, tokens_after_dedup, tokens_after_fuzzy,
-        |       tokens_after_decontam, tokens_after_quality, n_tokens,
+        |SELECT n_raw, n_after_dedup, n_after_history, n_after_fuzzy,
+        |       n_after_decontam, n_after_quality, n_after_sample,
+        |       tokens_raw, tokens_after_dedup, tokens_after_history,
+        |       tokens_after_fuzzy, tokens_after_decontam,
+        |       tokens_after_quality, n_tokens,
         |       CASE WHEN n_tokens = 0 THEN 0
         |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
         |FROM f""".stripMargin),

@@ -66,10 +66,20 @@ object Curation {
     * resolution runs on the PAIR graph only ([[DedupResolve]]); the drop
     * set it joins back is bounded by the number of detected duplicates,
     * so the corpus-side join is a broadcast at any scale. Annotate-don't-
-    * filter is preserved: the cluster verdict is one more flag column. */
+    * filter is preserved: the cluster verdict is one more flag column.
+    *
+    * `historyFp` (the X1h [[Dedup.fingerprints]] index) makes this the
+    * NIGHTLY-SHARD funnel: `is_unseen` flags documents whose fingerprint
+    * is absent from prior shards (keep-history; always true without an
+    * index). Conjoined with `is_canonical` this is exactly
+    * [[Dedup.exactDedupAgainst]]'s survivor set — pinned by test. The
+    * flag join shuffles on the fingerprint like the anti join would, so
+    * a multi-billion-row history never concentrates; null-text rows flag
+    * unseen (null key matches nothing), matching the batch path. */
   def annotate(docs: DataFrame, benchmark: DataFrame,
                cfg: Config = Config(),
-               fuzzyPairs: Option[DataFrame] = None): DataFrame = {
+               fuzzyPairs: Option[DataFrame] = None,
+               historyFp: Option[DataFrame] = None): DataFrame = {
     // Null-safe join key: an inner join on a nullable norm would silently
     // DROP null-text documents from the audit (NULL = NULL is false);
     // <=> groups them like the oracle's window-partition formulation does.
@@ -107,12 +117,25 @@ object Curation {
       .join(contaminated, Seq(cfg.keyCol), "left")
       .withColumn("is_contaminated", coalesce(col("__cont"), lit(false)))
       .drop("__cont")
-    val flagged = fuzzyDrops match {
+    val flagged1 = fuzzyDrops match {
       case Some(drops) =>
         flagged0.join(drops, Seq(cfg.keyCol), "left")
           .withColumn("is_fuzzy_canonical", !coalesce(col("__fdrop"), lit(false)))
           .drop("__fdrop")
       case None => flagged0.withColumn("is_fuzzy_canonical", lit(true))
+    }
+    val flagged = historyFp match {
+      case Some(h) =>
+        // distinct() is LOAD-BEARING here, unlike the anti-join path: a
+        // LEFT flag join with duplicate index rows would multiply corpus
+        // rows ([[Dedup.fingerprints]] output is already distinct; this
+        // guards hand-rolled indexes at one extra index-side shuffle).
+        flagged1.withColumn("__fp", Dedup.fingerprintOf(col(cfg.textCol)))
+          .join(h.select(col("fp").as("__fp")).distinct()
+            .withColumn("__seen", lit(true)), Seq("__fp"), "left")
+          .withColumn("is_unseen", coalesce(col("__seen"), lit(false)) === false)
+          .drop("__fp", "__seen")
+      case None => flagged1.withColumn("is_unseen", lit(true))
     }
     val redacted = Pii.redact(flagged, textCol = cfg.textCol)
       .withColumn("n_tok", nTok)
@@ -139,17 +162,18 @@ object Curation {
   }
 
   private def survives: Column =
-    col("is_canonical") && col("is_fuzzy_canonical") &&
+    col("is_canonical") && col("is_unseen") && col("is_fuzzy_canonical") &&
       !col("is_contaminated") && col("is_quality") && col("is_sampled")
 
   /** The curated corpus: redacted text, survivors only. */
   def curate(docs: DataFrame, benchmark: DataFrame,
              cfg: Config = Config(),
-             fuzzyPairs: Option[DataFrame] = None): DataFrame =
-    annotate(docs, benchmark, cfg, fuzzyPairs)
+             fuzzyPairs: Option[DataFrame] = None,
+             historyFp: Option[DataFrame] = None): DataFrame =
+    annotate(docs, benchmark, cfg, fuzzyPairs, historyFp)
       .filter(survives)
-      .drop("is_canonical", "is_fuzzy_canonical", "is_contaminated",
-        "is_quality", "is_sampled")
+      .drop("is_canonical", "is_unseen", "is_fuzzy_canonical",
+        "is_contaminated", "is_quality", "is_sampled")
 
   /** One-row funnel audit: documents AND tokens surviving after each
     * stage, plus the survivor token total and the fixed-length sequence
@@ -168,23 +192,30 @@ object Curation {
     * and `n_tokens` keeps its name as the final survivor total. */
   def funnel(docs: DataFrame, benchmark: DataFrame,
              cfg: Config = Config(),
-             fuzzyPairs: Option[DataFrame] = None): DataFrame = {
+             fuzzyPairs: Option[DataFrame] = None,
+             historyFp: Option[DataFrame] = None): DataFrame = {
     val dedup = col("is_canonical")
-    val fuzzy = dedup && col("is_fuzzy_canonical")
+    // History (X1h) sits between exact dedup and fuzzy: a no-op without
+    // an index (`n_after_history = n_after_dedup`); with one,
+    // dedup && unseen is exactly Dedup.exactDedupAgainst's survivor set.
+    val hist = dedup && col("is_unseen")
+    val fuzzy = hist && col("is_fuzzy_canonical")
     val decon = fuzzy && !col("is_contaminated")
     val qual = decon && col("is_quality")
     val samp = qual && col("is_sampled")
     def toks(stage: Column, name: String) =
       coalesce(sum(when(stage, col("n_tok"))), lit(0L)).as(name)
-    annotate(docs, benchmark, cfg, fuzzyPairs).agg(
+    annotate(docs, benchmark, cfg, fuzzyPairs, historyFp).agg(
         count(lit(1)).as("n_raw"),
         count(when(dedup, lit(1))).as("n_after_dedup"),
+        count(when(hist, lit(1))).as("n_after_history"),
         count(when(fuzzy, lit(1))).as("n_after_fuzzy"),
         count(when(decon, lit(1))).as("n_after_decontam"),
         count(when(qual, lit(1))).as("n_after_quality"),
         count(when(samp, lit(1))).as("n_after_sample"),
         coalesce(sum(col("n_tok")), lit(0L)).as("tokens_raw"),
         toks(dedup, "tokens_after_dedup"),
+        toks(hist, "tokens_after_history"),
         toks(fuzzy, "tokens_after_fuzzy"),
         toks(decon, "tokens_after_decontam"),
         toks(qual, "tokens_after_quality"),

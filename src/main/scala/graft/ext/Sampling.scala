@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * whose survivors change with partitioning. The hash is plain integer
   * arithmetic, so the DuckDB oracle replays it exactly.
   *
-  * The hash splits the key into 31-bit halves and runs each through
-  * multiply → xor-shift (Knuth / xxhash primes) before a combining
-  * multiply and a final xor-shift. Two properties are load-bearing:
+  * The hash splits the key into a 31-bit low lane and a 32-bit high
+  * lane, runs each through multiply → xor-shift (Knuth's golden-ratio
+  * prime / a sub-2²⁹ prime) before a combining multiply and a final
+  * xor-shift. Two properties are load-bearing:
   *
   *  - EVERY intermediate stays positive and below 2⁶³ for ANY
   *    non-negative 63-bit key: the low lane masks to 31 bits before its

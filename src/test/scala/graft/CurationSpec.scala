@@ -82,6 +82,24 @@ class CurationSpec extends SparkSpec {
     assert(fLsh.toSeq == f.toSeq)
   }
 
+  test("history index makes the funnel the nightly-shard shape (X1h inside X10)") {
+    val history = Dedup.fingerprints(docs.filter(col("doc_id") < 50))
+    val f0 = Curation.funnel(docs, bench, cfg).head()
+    val f = Curation.funnel(docs, bench, cfg, historyFp = Some(history)).head()
+    // Without an index the stage is a no-op…
+    assert(f0.getAs[Long]("n_after_history") == f0.getAs[Long]("n_after_dedup"))
+    // …with one, dedup ∧ unseen is EXACTLY the batch incremental path.
+    assert(f.getAs[Long]("n_after_history") ==
+      Dedup.exactDedupAgainst(docs, history).count())
+    assert(f.getAs[Long]("n_after_history") < f.getAs[Long]("n_after_dedup"),
+      "the 50-doc history must visibly drop shard documents")
+    // Downstream stages only see history survivors.
+    assert(f.getAs[Long]("n_after_fuzzy") <= f.getAs[Long]("n_after_history"))
+    // curate() agrees with the funnel's final count under the index.
+    assert(Curation.curate(docs, bench, cfg, historyFp = Some(history)).count() ==
+      f.getAs[Long]("n_after_sample"))
+  }
+
   test("null-text documents stay in the audit (null-safe dedup key)") {
     import org.apache.spark.sql.Row
     val withNull = df(Seq(
@@ -119,14 +137,15 @@ class CurationSpec extends SparkSpec {
     val f = Curation.funnel(docs, bench, cfg).head()
     val surv = Curation.curate(docs, bench, cfg)
     assert(surv.filter(col("doc_id") < 3).count() == 0) // decontaminated away
-    val stages = Seq("n_raw", "n_after_dedup", "n_after_fuzzy",
-      "n_after_decontam", "n_after_quality", "n_after_sample").map(f.getAs[Long])
+    val stages = Seq("n_raw", "n_after_dedup", "n_after_history",
+      "n_after_fuzzy", "n_after_decontam", "n_after_quality",
+      "n_after_sample").map(f.getAs[Long])
     assert(stages == stages.sorted.reverse, s"funnel not monotone: $stages")
     assert(stages.last == surv.count())
     assert(stages.last > 0, "fixture config filtered everything out")
     val tokStages = Seq("tokens_raw", "tokens_after_dedup",
-      "tokens_after_fuzzy", "tokens_after_decontam", "tokens_after_quality",
-      "n_tokens").map(f.getAs[Long])
+      "tokens_after_history", "tokens_after_fuzzy", "tokens_after_decontam",
+      "tokens_after_quality", "n_tokens").map(f.getAs[Long])
     assert(tokStages == tokStages.sorted.reverse,
       s"token funnel not monotone: $tokStages")
   }
