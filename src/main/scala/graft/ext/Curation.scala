@@ -75,7 +75,18 @@ object Curation {
     * [[Dedup.exactDedupAgainst]]'s survivor set — pinned by test. The
     * flag join shuffles on the fingerprint like the anti join would, so
     * a multi-billion-row history never concentrates; null-text rows flag
-    * unseen (null key matches nothing), matching the batch path. */
+    * unseen (null key matches nothing), matching the batch path.
+    *
+    * HISTORY × FUZZY interaction (deliberate, pinned by test): the
+    * fuzzy flag is computed over the WHOLE shard, so when a near-dup
+    * cluster's canonical member is itself history-known, the cluster's
+    * other members still drop at the fuzzy stage — the funnel
+    * transitively removes near-duplicates OF historical content. This
+    * is STRICTER than running `exactDedupAgainst` first and fuzzy dedup
+    * only among its survivors (which would re-admit a near-dup whose
+    * exact-dup anchor was historical); pipelines wanting the looser
+    * sequential semantics should feed `fuzzyPairs` detected on the
+    * history-surviving subset instead. */
   def annotate(docs: DataFrame, benchmark: DataFrame,
                cfg: Config = Config(),
                fuzzyPairs: Option[DataFrame] = None,
@@ -110,10 +121,13 @@ object Curation {
     // Shared definition with Packing: the funnel's n_tokens/n_sequences
     // cross-check against packSequences depends on identical counting.
     val nTok: Column = TextAnalysis.tokenCount(col(cfg.textCol))
+    // __norm stays alive through the history stage: the fingerprint is
+    // md5 of this exact value, so recomputing the normalization regex
+    // per row for the index join would double the flag pass's CPU.
     val flagged0 = docs.withColumn("__norm", Dedup.normText(col(cfg.textCol)))
       .join(keepers, col("__norm") <=> col("__knorm"))
       .withColumn("is_canonical", col(cfg.keyCol) === col("__keep_id"))
-      .drop("__norm", "__knorm", "__keep_id")
+      .drop("__knorm", "__keep_id")
       .join(contaminated, Seq(cfg.keyCol), "left")
       .withColumn("is_contaminated", coalesce(col("__cont"), lit(false)))
       .drop("__cont")
@@ -124,19 +138,19 @@ object Curation {
           .drop("__fdrop")
       case None => flagged0.withColumn("is_fuzzy_canonical", lit(true))
     }
-    val flagged = historyFp match {
+    val flagged = (historyFp match {
       case Some(h) =>
         // distinct() is LOAD-BEARING here, unlike the anti-join path: a
         // LEFT flag join with duplicate index rows would multiply corpus
         // rows ([[Dedup.fingerprints]] output is already distinct; this
         // guards hand-rolled indexes at one extra index-side shuffle).
-        flagged1.withColumn("__fp", Dedup.fingerprintOf(col(cfg.textCol)))
+        flagged1.withColumn("__fp", Dedup.fingerprintOfNorm(col("__norm")))
           .join(h.select(col("fp").as("__fp")).distinct()
             .withColumn("__seen", lit(true)), Seq("__fp"), "left")
-          .withColumn("is_unseen", coalesce(col("__seen"), lit(false)) === false)
+          .withColumn("is_unseen", !coalesce(col("__seen"), lit(false)))
           .drop("__fp", "__seen")
       case None => flagged1.withColumn("is_unseen", lit(true))
-    }
+    }).drop("__norm")
     val redacted = Pii.redact(flagged, textCol = cfg.textCol)
       .withColumn("n_tok", nTok)
     val tokenBand = col("n_tok").between(cfg.minTokens, cfg.maxTokens)

@@ -51,6 +51,14 @@ import org.apache.spark.sql.functions._
   * it. A production deployment wanting stronger mixing can swap the
   * hash for `xxhash64` (Spark-native, codegen'd) at the cost of
   * engine-portable replay.
+  *
+  * DETERMINISM SCOPE: selections are reproducible across runs, cluster
+  * sizes, partitionings, and engines — for a given LIBRARY VERSION.
+  * The hash function itself is not a cross-version contract (it was
+  * strengthened for key range, collision structure, and full-seed
+  * sensitivity); a pipeline that must reproduce a historical split
+  * byte-for-byte should persist the assignment column, not re-derive
+  * it under a newer hash.
   */
 object Sampling {
 

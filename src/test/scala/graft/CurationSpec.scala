@@ -100,6 +100,35 @@ class CurationSpec extends SparkSpec {
       f.getAs[Long]("n_after_sample"))
   }
 
+  test("history × fuzzy: near-dups of history-known canonicals drop transitively") {
+    import graft.ext.DedupResolve
+    // The planted near-dup clusters in the corpus: take one cluster,
+    // put its CANONICAL member's text in history, and check the
+    // cluster's other members still drop at the fuzzy stage (the
+    // documented stricter-than-sequential semantics).
+    val pairs = Dedup.jaccardPairs(docs, n = 4, minSim = 0.8)
+    val drops = DedupResolve.dropSet(pairs).collect().map(_.getLong(0)).toSet
+    assert(drops.nonEmpty, "fixture needs near-dup clusters")
+    val anchors = DedupResolve.connectedComponents(pairs)
+    val anchorIds = anchors.filter(col("id") === col("component"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val history = Dedup.fingerprints(
+      docs.filter(col("doc_id").isin(anchorIds.toSeq: _*)))
+    val f = Curation.funnel(docs, bench, cfg,
+      fuzzyPairs = Some(pairs), historyFp = Some(history)).head()
+    // Anchors drop at the history stage; their near-dup satellites
+    // STILL drop at the fuzzy stage — the whole cluster vanishes.
+    val ann = Curation.annotate(docs, bench, cfg,
+      fuzzyPairs = Some(pairs), historyFp = Some(history))
+    val fuzzySurvivingSatellites = ann
+      .filter(col("doc_id").isin(drops.toSeq: _*) &&
+        col("is_canonical") && col("is_unseen") && col("is_fuzzy_canonical"))
+      .count()
+    assert(fuzzySurvivingSatellites == 0L,
+      "satellites of history-known anchors must not re-admit")
+    assert(f.getAs[Long]("n_after_fuzzy") < f.getAs[Long]("n_after_history"))
+  }
+
   test("null-text documents stay in the audit (null-safe dedup key)") {
     import org.apache.spark.sql.Row
     val withNull = df(Seq(
