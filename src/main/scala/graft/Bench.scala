@@ -14,11 +14,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    prune most of the work;
   *  - a failed query is recorded in `"errors"` and excluded from the
   *    total, never silently timed as a pass;
-  *  - each query is timed `SPARK_GRAFT_BENCH_REPS` times (default 2) and
+  *  - each query is timed `SPARK_GRAFT_BENCH_REPS` times (default 3) and
   *    the BEST run is reported: a transient contention spike (another
   *    process stealing the box's cores mid-run — BENCH_r02 recorded a 4×
   *    uniformly-inflated total this way) has to hit every repetition of a
   *    query to corrupt its number;
+  *  - contention is MEASURED, not guessed (VERDICT r6 #1 — four rounds of
+  *    recorded benches were 4-5× inflated by builder-session load, which
+  *    best-of-N cannot beat when the load is sustained): `"cpu_sec"`
+  *    records each query's process-CPU seconds for its best rep
+  *    (contention inflates wall, not our CPU work), `"other_cpu_load"`
+  *    is the mean fraction of the MACHINE's CPU consumed by processes
+  *    other than this JVM (sampled at every rep boundary via
+  *    `com.sun.management.OperatingSystemMXBean`), and
+  *    `"load_inflated": true` is set when that exceeds 0.25 — so the
+  *    driver and judge can spot a contaminated number mechanically.
+  *    Manual check: run once idle, once under `stress -c 16`; the
+  *    stressed run must carry the flag (the wall totals will differ —
+  *    the flag, not best-of-N, is what marks the contaminated one).
   *  - the JSON line is always written to `target/bench.json` (and to
   *    `SPARK_GRAFT_BENCH_OUT` when set) so sbt log-wrapper noise can't
   *    hide it from the driver — both recorded rounds show
@@ -54,7 +67,19 @@ object Bench {
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Machine-minus-us CPU load samples, one per rep boundary. getCpuLoad
+    // returns a recent-interval average, so rep-boundary sampling sees
+    // sustained load; both calls return a negative value when the
+    // platform can't provide them — those samples are dropped.
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleLoad(): Unit = {
+      val sys0 = osBean.getCpuLoad
+      val proc = osBean.getProcessCpuLoad
+      if (sys0 >= 0 && proc >= 0) loadSamples += math.max(0.0, sys0 - proc)
+    }
     var errors = List.empty[String]
     var flaky = List.empty[String] // some reps failed, some passed
     val results = queries.flatMap { case (name, fn) =>
@@ -63,13 +88,18 @@ object Bench {
         // otherwise hit a previous pass's cache via plan-fragment matching
         // and report a fantasy number; each timed run starts cold.
         spark.catalog.clearCache()
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         try {
           materialize(fn(spark, sfDir))
-          Some((System.nanoTime() - t0) / 1e9)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+          sampleLoad()
+          Some((wall, cpu))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            sampleLoad()
             None
         }
       }
@@ -77,7 +107,7 @@ object Bench {
       else {
         // An intermittent failure must not vanish into a clean pass.
         if (times.size < reps) flaky ::= name
-        Some(name -> times.min)
+        Some(name -> times.minBy(_._1)) // best rep's (wall, cpu) pair
       }
     }
 
@@ -85,13 +115,18 @@ object Bench {
     // comma decimal separator on some machines — invalid JSON.
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+    val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + num(w) }
+      .mkString("{", ",", "}")
+    val cpuQs = results.map { case (k, (_, c)) => "\"" + k + "\":" + num(c) }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = num(results.map(_._2).sum)
+    val total = num(results.map(_._2._1).sum)
+    val otherLoad =
+      if (loadSamples.isEmpty) -1.0 else loadSamples.sum / loadSamples.size
+    val inflated = otherLoad > 0.25
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpuQs,"reps":$reps,"other_cpu_load":${num(otherLoad)},"load_inflated":$inflated,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir"}"""
 
     // Write the JSON unconditionally to a default file — the driver can
     // pick it up even when its stdout parse fails (see Scaladoc). Focused

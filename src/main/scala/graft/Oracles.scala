@@ -152,10 +152,10 @@ object Oracles {
     val k0 = s"(($key) & 2147483647)"
     val k1 = s"(($key) >> 31)"
     val h1 = s"((($k0 + $sLo) & 2147483647) * 2654435761)"
-    val g1 = s"(xor($h1, $h1 >> 31) & 2147483647)"
+    val g1 = s"xor($h1, $h1 >> 31)" // unmasked: low lane stays injective
     val h2 = s"(($k1 + $sHi) * 486187739)"
     val g2 = s"(xor($h2, $h2 >> 31) & 2147483647)"
-    val h3 = s"(xor($g1, $g2) * 2654435761)"
+    val h3 = s"xor($g1, $g2 * 2654435761)"
     s"xor($h3, $h3 >> 29)"
   }
 
@@ -772,6 +772,64 @@ object Oracles {
         |       round(avg(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))), 2) AS avg_bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
+    "x14_url_stage" ->
+      // The URL stage re-derived: same (source, doc_id)-residue URL
+      // construction, then an INDEPENDENT canonicalization restatement
+      // (strpos/substr for the query split where the engine uses an
+      // anchored regexp) — strip fragment, lowercase scheme+host, strip
+      // www., strip the scheme's default port, strip trailing path
+      // slashes, keep the query. Blocklist = src3/src7 with the
+      // subdomain suffix rule; url-dedup = min doc_id per canonical.
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END)
+        |         || '://'
+        |         || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+        |         || (CASE WHEN doc_id % 13 = 0 THEN 'cdn.' ELSE '' END)
+        |         || source || '.example.org'
+        |         || (CASE WHEN doc_id % 5 = 0 THEN
+        |               (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+        |             ELSE '' END)
+        |         || '/doc/' || (doc_id % 50)
+        |         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |         || (CASE WHEN doc_id % 11 = 0 THEN '?page=2' ELSE '' END)
+        |         || (CASE WHEN doc_id % 7 = 0 THEN '#sec' || doc_id ELSE '' END)
+        |           AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |         lower(regexp_replace(t, '://.*', '')) AS scheme,
+        |         regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '') AS t
+        |        FROM u)),
+        |h AS (
+        |  SELECT doc_id, url, scheme,
+        |         regexp_replace(lower(regexp_replace(rest, '[/?].*', '')),
+        |                        '^www\.', '') AS nowww,
+        |         regexp_replace(rest, '^[^/?]+', '') AS pathq
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id, url,
+        |         scheme || '://' || dom
+        |         || regexp_replace(regexp_replace(pathq, '\?.*', ''), '/+$', '')
+        |         || (CASE WHEN strpos(pathq, '?') > 0
+        |                  THEN substr(pathq, strpos(pathq, '?')) ELSE '' END)
+        |           AS curl,
+        |         dom
+        |  FROM (SELECT doc_id, url, scheme, pathq,
+        |               CASE WHEN scheme = 'http'
+        |                      THEN regexp_replace(nowww, ':80$', '')
+        |                    WHEN scheme = 'https'
+        |                      THEN regexp_replace(nowww, ':443$', '')
+        |                    ELSE nowww END AS dom
+        |        FROM h))
+        |SELECT doc_id, url, curl, dom,
+        |       NOT (dom = 'src3.example.org' OR dom LIKE '%.src3.example.org'
+        |            OR dom = 'src7.example.org' OR dom LIKE '%.src7.example.org')
+        |         AS is_url_ok,
+        |       doc_id = min(doc_id) OVER (PARTITION BY curl) AS is_url_canonical
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "x13_quality_bands" ->
       // The linear scorer replayed with zero float division: band
       // decisions multiply through by the positive denominator
@@ -1220,9 +1278,14 @@ object Oracles {
         |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
         |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
         |  FROM ann)
-        |SELECT n_raw, n_after_dedup, n_after_history, n_after_fuzzy,
+        |SELECT n_raw,
+        |       -- no urlCol in the registered funnel: the URL stage is a
+        |       -- no-op, so after_url == raw on both sides
+        |       n_raw AS n_after_url,
+        |       n_after_dedup, n_after_history, n_after_fuzzy,
         |       n_after_decontam, n_after_quality, n_after_sample,
-        |       tokens_raw, tokens_after_dedup, tokens_after_history,
+        |       tokens_raw, tokens_raw AS tokens_after_url,
+        |       tokens_after_dedup, tokens_after_history,
         |       tokens_after_fuzzy, tokens_after_decontam,
         |       tokens_after_quality, n_tokens,
         |       CASE WHEN n_tokens = 0 THEN 0

@@ -679,6 +679,44 @@ object Queries {
     // the census exercises both cut lines.
     graft.ext.QualityScore.bandCensus(documents(s, d), hi = 1450L, lo = 1300L)
 
+  /** X14 — the URL curation stage, oracle-checked at the STRING level
+    * (per-document canonical URL + domain + verdicts, not just counts).
+    * The corpus has no url column, so the query derives a deterministic
+    * one from (source, doc_id) — scheme case, `www.`/`cdn.` labels,
+    * default ports, trailing slashes, query strings, and fragments all
+    * cycle by doc_id residues, so every canonicalization rule fires on
+    * real rows; path = doc_id % 50 plants refetch collisions for the
+    * url-canonical dedup; src3/src7 domains are blocklisted (the
+    * subdomain suffix rule catches their `cdn.` variants). Runs through
+    * [[graft.ext.Curation.annotate]] — the integrated stage, not the
+    * bare functions. */
+  def x14UrlStage(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 3 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+      when(id % 2 === 0, lit("www.")).otherwise(lit("")),
+      when(id % 13 === 0, lit("cdn.")).otherwise(lit("")),
+      col("source"), lit(".example.org"),
+      when(id % 5 === 0,
+        when(id % 3 === 0, lit(":80")).otherwise(lit(":443"))).otherwise(lit("")),
+      lit("/doc/"), (id % 50).cast("string"),
+      when(id % 4 === 0, lit("/")).otherwise(lit("")),
+      when(id % 11 === 0, lit("?page=2")).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit("#sec"), id.cast("string")))
+        .otherwise(lit("")))
+    val docs = documents(s, d).withColumn("url", url)
+    val emptyBench = docs.filter(id < 0)
+      .select(id.as("bench_id"), col("text"))
+    graft.ext.Curation.annotate(docs, emptyBench,
+        graft.ext.Curation.Config(urlCol = Some("url"),
+          blockedDomains = Seq("src3.example.org", "src7.example.org")))
+      .select(col("doc_id"), col("url"),
+        graft.ext.Url.canonicalize(col("url")).as("curl"),
+        graft.ext.Url.domain(col("url")).as("dom"),
+        col("is_url_ok"), col("is_url_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")

@@ -67,6 +67,7 @@ object SparkEntry {
     "x3_repetition" -> (Queries.x3Repetition _),
     "x3_gopher_rules" -> (Queries.x3GopherRules _),
     "x13_quality_bands" -> (Queries.x13QualityBands _),
+    "x14_url_stage" -> (Queries.x14UrlStage _),
     "x4_zscore_flags" -> (Queries.x4ZscoreFlags _),
     "s1_windowed_checks" -> (Queries.s1WindowedChecks _),
     "s2_stream_dedup" -> (Queries.s2StreamDedup _),

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** X10 — the end-to-end corpus-curation pipeline, composing the engine's
   * operators the way a training-data run actually chains them:
   *
-  *   raw → exact dedup → fuzzy dedup (optional) → benchmark
-  *   decontamination → PII redaction → quality filter (token band) →
-  *   stratified sampling → sequence packing
+  *   raw → url filter + url dedup (optional) → exact dedup → fuzzy
+  *   dedup (optional) → benchmark decontamination → PII redaction →
+  *   quality filter (token band) → stratified sampling → sequence
+  *   packing
   *
   * Design: ANNOTATE, don't filter. [[annotate]] marks every document
   * with per-stage verdict flags, so the funnel audit — how many
@@ -41,6 +42,16 @@ object Curation {
       qualityHi: Long = 1500L,
       qualityLo: Long = 800L,
       qualityMinBand: String = "medium",
+      // Optional URL stage (runs FIRST — crawl pipelines filter and
+      // dedup by URL before any text operator): when `urlCol` is set,
+      // `is_url_ok` flags documents whose canonical domain is not on
+      // `blockedDomains` (suffix rule, [[Url.isBlocked]]) and
+      // `is_url_canonical` flags the lowest-key document per CANONICAL
+      // URL ([[Url.canonicalize]] — refetches of the same page dedup
+      // even when ads/timestamps changed the text). Without `urlCol`
+      // both flags are constant-true no-ops.
+      urlCol: Option[String] = None,
+      blockedDomains: Seq[String] = Nil,
       // Column names, matching the sibling operators' parameters — a
       // corpus with e.g. content/id/language columns works unrenamed.
       textCol: String = "text",
@@ -48,6 +59,8 @@ object Curation {
       strataCol: String = "lang") {
     require(Set("medium", "high")(qualityMinBand),
       s"qualityMinBand ($qualityMinBand) must be 'medium' or 'high'")
+    require(urlCol.isDefined || blockedDomains.isEmpty,
+      "blockedDomains without urlCol would silently never block")
   }
 
   /** Every document with its stage verdicts:
@@ -121,10 +134,34 @@ object Curation {
     // Shared definition with Packing: the funnel's n_tokens/n_sequences
     // cross-check against packSequences depends on identical counting.
     val nTok: Column = TextAnalysis.tokenCount(col(cfg.textCol))
+    // URL stage flags (constant-true without a urlCol). The canonical-URL
+    // dedup mirrors the text-keyed keeper aggregate below — same
+    // min-key-wins rule, same <=> null grouping in the join — but
+    // documents WITHOUT a URL are each their own canonical (null means
+    // "no URL", not "the same URL"), unlike null TEXT which normalizes
+    // to a real empty-string key.
+    val withUrl = cfg.urlCol match {
+      case Some(u) =>
+        val urlKeepers = docs
+          .groupBy(Url.canonicalize(col(u)).as("__kurl"))
+          .agg(min(col(cfg.keyCol)).as("__url_keep"))
+        docs
+          .withColumn("__curl", Url.canonicalize(col(u)))
+          // <=> like the text-norm join: an equi-join would silently
+          // DROP null-URL documents from the corpus.
+          .join(urlKeepers, col("__curl") <=> col("__kurl"))
+          .withColumn("is_url_canonical",
+            col(u).isNull || col(cfg.keyCol) === col("__url_keep"))
+          .drop("__curl", "__kurl", "__url_keep")
+          .withColumn("is_url_ok", !Url.isBlocked(col(u), cfg.blockedDomains))
+      case None =>
+        docs.withColumn("is_url_canonical", lit(true))
+          .withColumn("is_url_ok", lit(true))
+    }
     // __norm stays alive through the history stage: the fingerprint is
     // md5 of this exact value, so recomputing the normalization regex
     // per row for the index join would double the flag pass's CPU.
-    val flagged0 = docs.withColumn("__norm", Dedup.normText(col(cfg.textCol)))
+    val flagged0 = withUrl.withColumn("__norm", Dedup.normText(col(cfg.textCol)))
       .join(keepers, col("__norm") <=> col("__knorm"))
       .withColumn("is_canonical", col(cfg.keyCol) === col("__keep_id"))
       .drop("__knorm", "__keep_id")
@@ -176,7 +213,8 @@ object Curation {
   }
 
   private def survives: Column =
-    col("is_canonical") && col("is_unseen") && col("is_fuzzy_canonical") &&
+    col("is_url_ok") && col("is_url_canonical") &&
+      col("is_canonical") && col("is_unseen") && col("is_fuzzy_canonical") &&
       !col("is_contaminated") && col("is_quality") && col("is_sampled")
 
   /** The curated corpus: redacted text, survivors only. */
@@ -186,7 +224,8 @@ object Curation {
              historyFp: Option[DataFrame] = None): DataFrame =
     annotate(docs, benchmark, cfg, fuzzyPairs, historyFp)
       .filter(survives)
-      .drop("is_canonical", "is_unseen", "is_fuzzy_canonical",
+      .drop("is_url_ok", "is_url_canonical",
+        "is_canonical", "is_unseen", "is_fuzzy_canonical",
         "is_contaminated", "is_quality", "is_sampled")
 
   /** One-row funnel audit: documents AND tokens surviving after each
@@ -208,7 +247,10 @@ object Curation {
              cfg: Config = Config(),
              fuzzyPairs: Option[DataFrame] = None,
              historyFp: Option[DataFrame] = None): DataFrame = {
-    val dedup = col("is_canonical")
+    // URL stage first (no-op without cfg.urlCol: `n_after_url = n_raw`):
+    // domain blocklist and url-canonical dedup gate everything text-keyed.
+    val url = col("is_url_ok") && col("is_url_canonical")
+    val dedup = url && col("is_canonical")
     // History (X1h) sits between exact dedup and fuzzy: a no-op without
     // an index (`n_after_history = n_after_dedup`); with one,
     // dedup && unseen is exactly Dedup.exactDedupAgainst's survivor set.
@@ -221,6 +263,7 @@ object Curation {
       coalesce(sum(when(stage, col("n_tok"))), lit(0L)).as(name)
     annotate(docs, benchmark, cfg, fuzzyPairs, historyFp).agg(
         count(lit(1)).as("n_raw"),
+        count(when(url, lit(1))).as("n_after_url"),
         count(when(dedup, lit(1))).as("n_after_dedup"),
         count(when(hist, lit(1))).as("n_after_history"),
         count(when(fuzzy, lit(1))).as("n_after_fuzzy"),
@@ -228,6 +271,7 @@ object Curation {
         count(when(qual, lit(1))).as("n_after_quality"),
         count(when(samp, lit(1))).as("n_after_sample"),
         coalesce(sum(col("n_tok")), lit(0L)).as("tokens_raw"),
+        toks(url, "tokens_after_url"),
         toks(dedup, "tokens_after_dedup"),
         toks(hist, "tokens_after_history"),
         toks(fuzzy, "tokens_after_fuzzy"),

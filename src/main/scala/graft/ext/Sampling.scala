@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *
   * The hash splits the key into a 31-bit low lane and a 32-bit high
   * lane, runs each through multiply → xor-shift (Knuth's golden-ratio
-  * prime / a sub-2²⁹ prime) before a combining multiply and a final
-  * xor-shift. Two properties are load-bearing:
+  * prime / a sub-2²⁹ prime), lifts the high-lane mix to the upper bits
+  * with a second multiply, and xor-combines before a final xor-shift.
+  * Three properties are load-bearing:
   *
   *  - EVERY intermediate stays positive and below 2⁶³ for ANY
   *    non-negative 63-bit key: the low lane masks to 31 bits before its
@@ -27,13 +28,18 @@ import org.apache.spark.sql.functions._
   *    both products are < 2⁶³. (The r5 single-multiply form overflowed
   *    — loudly, ANSI throw — for keys above ~3.4×10⁹, a real ceiling at
   *    100 TB where 64-bit hash-derived doc ids are the norm.)
+  *  - the low lane is INJECTIVE end to end (no 31-bit re-mask after its
+  *    multiply; see [[hash64]]), so keys within the same 2³¹-aligned id
+  *    block — dense sequential ids, the common corpus shape — never
+  *    collide, and the full output is ~2⁶²-valued, not 2³¹-valued as an
+  *    earlier masked-lane form silently was (ADVICE r6).
   *  - the xor-shifts are non-affine: a PURE multiplicative hash maps
   *    arithmetic progressions of keys to arithmetic progressions of
   *    buckets, so a STRIDED key set (interleaved shards, every-Nth-id
   *    sources — exactly how per-source ids land in real corpora)
   *    clusters into a narrow bucket band and a requested 58% rate can
-  *    keep 94% or 0% (measured, r5). Each half passes through two
-  *    multiplies and two xor-shifts, so both low- and high-half strides
+  *    keep 94% or 0% (measured, r5). Both lane strides pass through a
+  *    multiply and xor-shift folds, so low- and high-half strides
   *    decorrelate; deciles over strided keys are uniform to ±5% at both
   *    ends of the key range (SamplingSpec re-proves this at ~2⁶²).
   *
@@ -112,19 +118,35 @@ object Sampling {
     *   h1 = ((k0 + sLo) & 2147483647) * 2654435761
     *   g1 = xor(h1, h1 >> 31) & 2147483647
     *   h2 = (k1 + sHi) * 486187739
+    *   g1 = xor(h1, h1 >> 31)                     -- NO mask: bijection
+    *   h2 = (k1 + sHi) * 486187739
     *   g2 = xor(h2, h2 >> 31) & 2147483647
-    *   h3 = xor(g1, g2) * 2654435761
+    *   h3 = xor(g1, g2 * 2654435761)
     *   hash64 = xor(h3, h3 >> 29)
-    * }}} */
+    * }}}
+    * The low lane stays INJECTIVE end to end: h1 = m·Knuth is exact
+    * integer arithmetic (no mod), the xor-shift is a bijection, and the
+    * combine xors in the high lane as a constant for fixed k1 — so two
+    * keys in the same 2³¹-aligned id block NEVER collide. An earlier
+    * form masked g1 back to 31 bits before combining, which funneled
+    * every same-block key set — dense sequential ids, the NORM for
+    * per-source corpora — through a 2³¹-value bottleneck: at 10⁹ dense
+    * docs that is ~0.5 expected occupants per hash value, i.e. hundreds
+    * of millions of [[Mixing.trainingOrder]] tie pairs, not "rare". With
+    * the unmasked lane, residual collisions need differing k1 AND a
+    * g2-compression or xor coincidence (~2⁻⁶² per pair). Bounds: h1 ≤
+    * (2³¹−1)·Knuth ≈ 5.70×10¹⁸ < 2⁶³, g2·Knuth the same, xor never
+    * exceeds its operands' bit width, so every intermediate stays
+    * positive and below 2⁶³. */
   def hash64(key: Column, seed: Long): Column = {
     val (sLo, sHi) = seedLanes(seed)
     val k0 = key.bitwiseAND(lit(Mask31))
     val k1 = shiftright(key, 31)
     val h1 = (k0 + lit(sLo)).bitwiseAND(lit(Mask31)) * lit(Knuth)
-    val g1 = h1.bitwiseXOR(shiftright(h1, 31)).bitwiseAND(lit(Mask31))
+    val g1 = h1.bitwiseXOR(shiftright(h1, 31))
     val h2 = (k1 + lit(sHi)) * lit(HighPrime)
     val g2 = h2.bitwiseXOR(shiftright(h2, 31)).bitwiseAND(lit(Mask31))
-    val h3 = g1.bitwiseXOR(g2) * lit(Knuth)
+    val h3 = g1.bitwiseXOR(g2 * lit(Knuth))
     h3.bitwiseXOR(shiftright(h3, 29))
   }
 

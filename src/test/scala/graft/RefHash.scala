@@ -17,10 +17,10 @@ object RefHash {
     val k0 = key & 0x7FFFFFFFL
     val k1 = key >>> 31 // upper 32 bits, whole — no fold, no 2^62 family
     val h1 = ((k0 + sLo) & 0x7FFFFFFFL) * 2654435761L
-    val g1 = (h1 ^ (h1 >>> 31)) & 0x7FFFFFFFL
+    val g1 = h1 ^ (h1 >>> 31) // unmasked: low lane stays injective
     val h2 = (k1 + sHi) * 486187739L
     val g2 = (h2 ^ (h2 >>> 31)) & 0x7FFFFFFFL
-    val h3 = (g1 ^ g2) * 2654435761L
+    val h3 = g1 ^ (g2 * 2654435761L)
     h3 ^ (h3 >>> 29)
   }
 

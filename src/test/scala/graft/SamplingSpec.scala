@@ -121,6 +121,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("hash64 output width is ~2^62, not 2^31 (no birthday collisions at 200k keys)") {
+    // ADVICE r6: the earlier combine xor'd the two 31-bit lane mixes
+    // BEFORE the final multiply, so the whole hash took at most 2^31
+    // distinct values — 200k keys would produce ~9 expected birthday
+    // collisions and, at multi-billion docs, many small doc_id-ordered
+    // tie groups in trainingOrder. The injective combine (g1*Knuth + g2,
+    // Knuth > 2^31 >= g2) restores ~2^62 values: expected collisions
+    // here are ~1e-8, so ANY collision fails. Mixed key shapes — dense,
+    // strided, and high-range — at two seeds.
+    for (seed <- Seq(7L, 42L)) {
+      val keys = (0L until 100000L) ++
+        (0L until 50000L).map(i => (1L << 40) + i * 104729L) ++
+        (0L until 50000L).map(i => (1L << 61) + i * 7919L)
+      val hashes = keys.map(k => RefHash.hash64(k, seed))
+      assert(hashes.distinct.size == keys.size,
+        s"seed $seed: ${keys.size - hashes.distinct.size} collisions in ${keys.size} keys")
+    }
+  }
+
   test("strided keys near 2^62 still sample near the configured rate") {
     // The xor-mix uniformity argument re-proven at the top of the key
     // range: high-magnitude ids with a coarse stride (the shape of
