@@ -775,6 +775,32 @@ object Queries {
     graft.stream.StreamingDedup.dedupSummary(corpus, "ts")
   }
 
+  /** S3 — streaming NEAR-dup drop against a frozen MinHash signature
+    * index, batch-replayed (same code path as the live stream — no
+    * isStreaming branch). History = docs < 300's signatures; the shard
+    * replays docs ≥ 300 plus exact copies of docs 0-9 re-keyed +10000 —
+    * planted cross-shard near-dups (estimated Jaccard 1.0) that MUST
+    * drop, while genuinely new content survives. Same (n=4, bands=8)
+    * family as x1_minhash_pairs. Rows-only check (xxhash64 signature
+    * family is engine-specific); drop-set parity with
+    * `minhashPairsAgainst` and live-stream execution are pinned by
+    * StreamingDedupSpec. */
+  def s3StreamNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val history = docs.filter(col("doc_id") < 300)
+    val shard = docs.filter(col("doc_id") >= 300)
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    // The per-band anti joins scan the index once per band; in
+    // production it is a SAVED parquet (column-pruned scans). A derived
+    // frame would recompute the signature aggregate per band —
+    // materialize once to mirror the persisted-index contract.
+    val historySigs = Dedup.minhashSignatures(history, n = 4).localCheckpoint(true)
+    graft.stream.StreamingDedup.minhashDropStreamAgainst(
+        shard, historySigs, n = 4, bands = 8, minSim = 0.7)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** X5a — multimodal payload integrity per kind (synthetic media built
     * deterministically over documents: text bytes as the opaque payload). */
   def x5MediaIntegrity(s: SparkSession, d: String): DataFrame =

@@ -71,6 +71,7 @@ object SparkEntry {
     "x4_zscore_flags" -> (Queries.x4ZscoreFlags _),
     "s1_windowed_checks" -> (Queries.s1WindowedChecks _),
     "s2_stream_dedup" -> (Queries.s2StreamDedup _),
+    "s3_stream_neardup" -> (Queries.s3StreamNeardup _),
     "x5_media_integrity" -> (Queries.x5MediaIntegrity _),
     "x5_media_features" -> (Queries.x5MediaFeatures _),
     "x5_frame_sample" -> (Queries.x5FrameSample _),

@@ -105,10 +105,111 @@ object NGramStats {
   }
 }
 
+/** Native per-row MinHash signature of a token array: distinct word
+  * n-grams → 64-bit gram hash → for each of `numHashes` salted hash
+  * functions, the minimum over grams. One JIT'd traversal.
+  *
+  * This is the expression form of [[graft.ext.Dedup.minhashSignatures]]
+  * (which aggregates over exploded shingles — the right shape when a
+  * batch pipeline banks on the partial-agg scan it already pays). The
+  * expression form exists because a STREAMING micro-batch must compute
+  * signatures with NO aggregation (stateless, no watermark machinery),
+  * and the HOF formulation of the same computation —
+  * `transform(array_distinct(ngrams…), xxhash64)` under `numHashes`
+  * `array_min(transform(…))` folds — is interpreted per lambda element
+  * and measured ~4 s alone on the sf0.1 batch replay.
+  *
+  * Hash parity is a CONTRACT, not a convenience (signatures are
+  * persisted and joined across builds — StreamingDedupSpec pins it):
+  *  - gram hash = `xxhash64(gram)` = `XxHash64Function.hash(utf8, 42)`;
+  *  - component i = `xxhash64(gramHash, seed, i)` = the 42-seeded fold
+  *    `hashInt(i, hashLong(seed, hashLong(gramHash, 42)))` — children
+  *    in declaration order, exactly what Spark's `xxhash64(h, lit(seed),
+  *    lit(i))` evaluates.
+  * Grams deduplicate by STRING value (the `array_distinct` of
+  * [[graft.ext.Dedup.wordShingles]]); min is order-independent, so a
+  * hash set suffices. Null when the document has fewer than `n`
+  * tokens — matching the aggregate form, where such docs have no row. */
+case class MinHashSig(child: Expression, n: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 && numHashes >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: n ($n) and numHashes ($numHashes) must be >= 1")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // Null even for non-null input (documents shorter than n tokens).
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashSig.compute(v.asInstanceOf[ArrayData], n, numHashes, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHashSig.compute($c, $n, $numHashes, ${seed}L);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** The signature array, or null when fewer than `n` tokens. Per
+    * distinct gram: 2 hashLong + `numHashes` hashInt calls — the same
+    * hash count the aggregate form pays, without boxing or lambdas. */
+  def compute(toks: ArrayData, n: Int, numHashes: Int, seed: Long): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.{XXH64, XxHash64Function}
+    val m = toks.numElements()
+    if (m < n) return null
+    val total = m - n + 1
+    val seen = new java.util.HashSet[UTF8String](total * 2)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < total) {
+      var j = 0
+      while (j < n) {
+        parts(j) =
+          if (toks.isNullAt(i + j)) UTF8String.EMPTY_UTF8
+          else toks.getUTF8String(i + j)
+        j += 1
+      }
+      val gram = UTF8String.concatWs(Space, parts: _*)
+      if (seen.add(gram)) {
+        val gh = XxHash64Function.hash(gram, StringType, 42L)
+        val h2 = XXH64.hashLong(seed, XXH64.hashLong(gh, 42L))
+        var k = 0
+        while (k < numHashes) {
+          val v = XXH64.hashInt(k, h2)
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
 /** Column-API entry points for the text expressions. */
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def ngramStats(toks: Column, n: Int): Column =
     column(NGramStats(expression(toks), n))
+
+  def minhashSig(toks: Column, n: Int, numHashes: Int, seed: Long): Column =
+    column(MinHashSig(expression(toks), n, numHashes, seed))
 }

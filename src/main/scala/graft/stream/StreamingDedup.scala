@@ -84,6 +84,68 @@ object StreamingDedup {
         .join(historyFp.select(col("fp").as("__fp")), Seq("__fp"), "left_anti"),
       tsCol, watermarkDelay)
 
+  /** Streaming NEAR-dup drop against a frozen history SIGNATURE index —
+    * the MinHash half of the nightly-streaming story
+    * ([[exactDedupStreamAgainst]] catches byte-identical refetches; this
+    * catches documents whose ads/timestamps changed). `historySigs` is
+    * the persisted [[graft.ext.Dedup.minhashSignatures]] parquet
+    * (keyCol, sig), built with the SAME (n, numHashes, bands, seed) —
+    * the band layout cannot diverge by construction, because the
+    * per-band join keys below and the index builder's banding share
+    * [[graft.ext.Dedup.bandBucket]], one definition. Same refresh
+    * caveat as [[exactDedupStreamAgainst]]: the static frame pins its
+    * file listing at query start.
+    *
+    * Shape — built for a stream, correct in batch replay (same code
+    * path, no `isStreaming` branch):
+    *  - signatures are computed PER ROW ([[graft.ext.Dedup
+    *    .minhashSigFromToks]] — the native codegen'd expression form;
+    *    no aggregation, so no watermark or state enters); a doc with
+    *    fewer than `n` words has a null signature and always survives
+    *    (the batch path gives such docs no pair either);
+    *  - the ∃-band match is a FOLD of `bands` stream-static LEFT ANTI
+    *    joins, one per band: each join's stream-side key
+    *    `bandBucket(sig, b)` is a pure-left expression, so every join
+    *    is hash-joinable (equi-extractable) — a single join against an
+    *    exploded band index would need a mixed-side bucket expression
+    *    and degrade to a nested-loop; anti joins never multiply rows,
+    *    and chaining them is exactly "survives iff NO band matches";
+    *  - each anti join carries the verify predicate
+    *    (`sigAgreement ≥ minSim` — the SAME rounded estimate
+    *    [[graft.ext.Dedup.minhashPairsAgainst]] filters on) as its
+    *    non-equi condition, so a bucket collision alone never drops a
+    *    document.
+    *
+    * Cost note: the static index is scanned once per band per
+    * micro-batch (column-pruned: sig + one derived bucket). A
+    * production deployment should `persist()` the `historySigs` frame
+    * (or let Spark broadcast it when it fits) — the scans are the
+    * price of keeping the stream side stateless.
+    *
+    * Drop-set parity with `minhashPairsAgainst(shard, historySigs,
+    * …).select("doc_id_new").distinct()` on the same frames is pinned
+    * by StreamingDedupSpec. */
+  def minhashDropStreamAgainst(stream: DataFrame, historySigs: DataFrame,
+                               textCol: String = "text", n: Int = 3,
+                               numHashes: Int = 64, bands: Int = 16,
+                               minSim: Double = 0.8, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val withSig = stream
+      .withColumn("__toks", split(Dedup.normText(col(textCol)), "\\s+"))
+      .withColumn("__sig", Dedup.minhashSigFromToks(col("__toks"), n, numHashes, seed))
+      .drop("__toks")
+    val survivors = (0 until bands).foldLeft(withSig) { (acc, b) =>
+      val hb = historySigs.select(col("sig").as("__hsig"),
+        Dedup.bandBucket(col("sig"), b, numHashes, bands).as("__hbucket"))
+      acc.join(hb,
+        Dedup.bandBucket(col("__sig"), b, numHashes, bands) === col("__hbucket") &&
+          Dedup.sigAgreement(col("__sig"), col("__hsig"), numHashes) >= minSim,
+        "left_anti")
+    }
+    survivors.drop("__sig")
+  }
+
   /** Deterministic dedup summary of a (replayed) stream: input rows,
     * surviving unique rows, duplicates dropped. After the dedup each key
     * has multiplicity exactly 1, so the counts are order-independent even

@@ -126,6 +126,86 @@ class StreamingDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("per-row minhash signature equals the aggregate batch form") {
+    // One definition would be ideal; two forms exist (aggregate = batch
+    // partial-agg scan, native expression = stateless streaming) — this
+    // pins that the hash composition never diverges.
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val batch = Dedup.minhashSignatures(docs, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val perRow = docs
+      .withColumn("__toks", split(Dedup.normText(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        Dedup.minhashSigFromToks(col("__toks"), n = 4).as("sig"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    // Docs absent from the batch frame (no shingles) must be null per-row.
+    perRow.foreach { case (id, sig) =>
+      assert(batch.get(id).orNull == sig, s"doc $id")
+    }
+    assert(batch.keySet.subsetOf(perRow.keySet))
+  }
+
+  test("streaming near-dup drop set equals minhashPairsAgainst's on batch replay") {
+    val docs = Tables.documents(spark, sfDir)
+    val history = docs.filter(col("doc_id") < 300)
+    val shard = docs.filter(col("doc_id") >= 300)
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    val historySigs = Dedup.minhashSignatures(history, n = 4)
+    val survivors = StreamingDedup.minhashDropStreamAgainst(
+        shard, historySigs, n = 4, bands = 8, minSim = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropSet = Dedup.minhashPairsAgainst(shard, historySigs,
+        n = 4, bands = 8, minSim = 0.7)
+      .select("doc_id_new").collect().map(_.getLong(0)).toSet
+    val all = shard.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == all -- dropSet)
+    // The planted history copies (docs 0-9 re-keyed) must all be in the
+    // drop set — est_jaccard 1.0 against their originals.
+    (10000L until 10010L).foreach(id => assert(dropSet.contains(id), s"plant $id"))
+  }
+
+  test("live stream: near-dups of history drop per micro-batch, new docs survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // History docs are long enough for 3-gram shingles; the probe batch
+    // sends one lightly-edited near-dup (drops), one novel doc
+    // (survives), and one too-short doc (null signature — survives).
+    val history = df(Seq(
+        org.apache.spark.sql.Row(1L,
+          "the quick brown fox jumps over the lazy dog again and again today")),
+      "doc_id BIGINT, text STRING")
+    val historySigs = Dedup.minhashSignatures(history, n = 3)
+    val input = MemoryStream[(Timestamp, String)]
+    val stream = input.toDF().toDF("ts", "text")
+    val out = mutable.Buffer[String]()
+    val query = StreamingDedup
+      .minhashDropStreamAgainst(stream, historySigs, n = 3, minSim = 0.7)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized { out ++= b.collect().map(_.getAs[String]("text")); () }
+      }
+      .option("checkpointLocation", Files.tmp("graft-sneardup-ckpt"))
+      .start()
+    try {
+      input.addData(
+        (ts(0), "The  QUICK brown fox jumps over the lazy dog again and again today"),
+        (ts(1), "completely different content about spark structured streaming joins"),
+        (ts(2), "too short"))
+      query.processAllAvailable()
+      assert(out.toSet == Set(
+        "completely different content about spark structured streaming joins",
+        "too short"))
+      // Second micro-batch: another history near-dup still drops (the
+      // static index is horizon-free by construction — no state involved).
+      input.addData((ts(40),
+        "the quick brown fox jumps over the lazy dog again and again TODAY"))
+      query.processAllAvailable()
+      assert(out.size == 2)
+    } finally query.stop()
+  }
+
   test("history-index dedup batch replay equals the batch incremental path") {
     val docs = Tables.documents(spark, sfDir)
     val history = docs.filter(col("doc_id") < 300)
