@@ -643,17 +643,79 @@ object Oracles {
       // to the longest gram (mc first, then max length among grams at
       // mc). The plant CASE replicates the Spark side's
       // structural-duplication fixtures.
-      raw"""WITH pl AS (
+      {
+      // Duplicate-5..10-gram machinery, generated per size: the gram
+      // list (1-based adjacency like bg/tg/qg), and dup char mass =
+      // total mass − mass of count-1 grams (≡ Σ over repeated grams of
+      // count·len — the same mass reading the engine's NGramStats
+      // returns).
+      val gramLists = (5 to 10).map { k =>
+        val cat = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+        s"""         CASE WHEN len(toks) >= $k THEN list_transform(range(1, len(toks) - ${k - 2}),
+           |                i -> $cat)
+           |              ELSE CAST([] AS VARCHAR[]) END AS g$k""".stripMargin
+      }.mkString(",\n")
+      val dupMasses = (5 to 10).map { k =>
+        s"""         CAST(coalesce(list_sum(list_transform(g$k, x -> length(x))), 0) AS BIGINT)
+           |           - CAST(coalesce(list_sum(list_transform(
+           |               list_filter(list_distinct(g$k),
+           |                 u -> len(list_filter(g$k, x -> x = u)) = 1),
+           |               u -> length(u))), 0) AS BIGINT) AS dup$k""".stripMargin
+      }.mkString(",\n")
+      // Published thresholds 0.15/0.14/0.13/0.12/0.11/0.10 in integer
+      // cross-multiplied form (numerator multiplier, denominator
+      // multiplier per size).
+      val thr = Map(5 -> (20, 3), 6 -> (50, 7), 7 -> (100, 13),
+        8 -> (25, 3), 9 -> (100, 11), 10 -> (10, 1))
+      val dupFlags = (5 to 10).map { k =>
+        val (a, b) = thr(k)
+        s"         $a * dup$k > $b * n_chars AS dup_${k}gram_heavy"
+      }.mkString(",\n")
+      val dupCounts = (5 to 10).map { k =>
+        s"       count(CASE WHEN dup_${k}gram_heavy THEN 1 END) AS n_dup_${k}gram_heavy"
+      }.mkString(",\n")
+      val dupNotPass = (5 to 10).map(k => s"NOT dup_${k}gram_heavy").mkString(" AND ")
+      // Per-language preset dispatch, interpolated from the SAME Scala
+      // catalog the query runs under (config data — stopword lists and
+      // fixtures share one definition like jaKoFixtures; the RULE logic
+      // below stays an independent SQL restatement). Script classes use
+      // RE2 \x{…} escapes for the same BMP ranges the presets carry as
+      // literal characters.
+      val fixtureValues = Queries.gopherCjkFixtures
+        .map { case (id, l, t) => s"(CAST($id AS BIGINT), '$l', '$t')" }
+        .mkString(", ")
+      val stopCase = "CASE lang " +
+        graft.ext.TextAnalysis.gopherPresets.toSeq.sortBy(_._1).map {
+          case (l, p) =>
+            s"WHEN '$l' THEN [${p.stopwords.map(w => s"'$w'").mkString(", ")}]"
+        }.mkString(" ") + " ELSE ['a', 'the', 'and', 'of'] END"
+      val symCase = raw"""CASE lang
+        |           WHEN 'zh' THEN length(t) - length(regexp_replace(t,
+        |             '[^\x{4e00}-\x{9fff}0-9\s]', '', 'g'))
+        |           WHEN 'ja' THEN length(t) - length(regexp_replace(t,
+        |             '[^\x{4e00}-\x{9fff}\x{3040}-\x{30ff}0-9\s]', '', 'g'))
+        |           WHEN 'ko' THEN length(t) - length(regexp_replace(t,
+        |             '[^\x{ac00}-\x{d7a3}0-9\s]', '', 'g'))
+        |           ELSE length(t) - length(regexp_replace(t,
+        |             '[^A-Za-z0-9\s]', '', 'g')) END""".stripMargin
+      raw"""WITH uni AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES $fixtureValues) v(doc_id, lang, text)),
+        |pl AS (
         |  SELECT lang,
         |         CASE WHEN doc_id % 13 = 0 THEN text ||
         |                e'\nrepeat line\nrepeat line\nrepeat line\n\nsame para\n\nsame para'
         |              WHEN doc_id % 29 = 0 THEN text ||
         |                repeat(' badger badger', length(text) // 10 + 5)
         |              ELSE text END AS text
-        |  FROM documents),
+        |  FROM uni),
         |d AS (
         |  SELECT lang, coalesce(text, '') AS t,
-        |         string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+        |         CASE WHEN lang IN ('zh', 'ja', 'ko')
+        |              THEN regexp_extract_all(coalesce(text, ''), '\S')
+        |              ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+        |         END AS toks
         |  FROM pl),
         |g AS (
         |  SELECT lang, t, toks,
@@ -667,6 +729,7 @@ object Oracles {
         |                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
         |                       || ' ' || toks[i + 3])
         |              ELSE CAST([] AS VARCHAR[]) END AS qg,
+        |$gramLists,
         |         list_filter(string_split_regex(t, '\n'),
         |                     l -> length(l) > 0) AS lns,
         |         list_filter(string_split_regex(t, '\n{2,}'),
@@ -683,13 +746,15 @@ object Oracles {
         |  FROM g),
         |m AS (
         |  SELECT lang,
-        |         CASE WHEN len(trim(t)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+        |         CASE WHEN lang IN ('zh', 'ja', 'ko') THEN len(toks)
+        |              WHEN len(trim(t)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+        |         CASE WHEN lang IN ('zh', 'ja', 'ko') THEN 1 ELSE 3 END AS min_mtl,
         |         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
         |              AS BIGINT) AS sum_tok_len,
         |         length(t) AS n_chars,
-        |         length(t) - length(regexp_replace(t, '[^A-Za-z0-9\s]', '', 'g'))
+        |         $symCase
         |           AS n_symbols,
-        |         len(list_filter(['a', 'the', 'and', 'of'],
+        |         len(list_filter($stopCase,
         |                         s -> list_contains(toks, s))) AS stop_hits,
         |         len(bg) AS n_bigrams,
         |         len(bg) - len(list_distinct(bg)) AS dup_bigrams,
@@ -714,14 +779,15 @@ object Oracles {
         |         CAST(mc4 AS BIGINT) * coalesce(list_max(list_transform(
         |           list_filter(list_distinct(qg),
         |             u -> len(list_filter(qg, x -> x = u)) = mc4),
-        |           u -> length(u))), 0) AS c4
+        |           u -> length(u))), 0) AS c4,
+        |$dupMasses
         |  FROM gm),
         |f AS (
         |  SELECT lang,
         |         n_tokens < 50 AS too_short,
         |         n_tokens > 100000 AS too_long,
-        |         NOT (3 * n_tokens <= sum_tok_len AND sum_tok_len <= 10 * n_tokens)
-        |           AS bad_tok_len,
+        |         NOT (min_mtl * n_tokens <= sum_tok_len
+        |              AND sum_tok_len <= 10 * n_tokens) AS bad_tok_len,
         |         10 * n_symbols > n_chars AS symbol_heavy,
         |         stop_hits < 2 AS low_stopword,
         |         n_bigrams > 0 AND 5 * dup_bigrams >= n_bigrams AS repetitive,
@@ -731,7 +797,8 @@ object Oracles {
         |         5 * dup_para_chars > n_chars AS dup_para_chars_heavy,
         |         5 * c2 > n_chars AS top_2gram_heavy,
         |         50 * c3 > 9 * n_chars AS top_3gram_heavy,
-        |         25 * c4 > 4 * n_chars AS top_4gram_heavy
+        |         25 * c4 > 4 * n_chars AS top_4gram_heavy,
+        |$dupFlags
         |  FROM m)
         |SELECT lang, count(*) AS n_docs,
         |       count(CASE WHEN too_short THEN 1 END) AS n_too_short,
@@ -747,14 +814,17 @@ object Oracles {
         |       count(CASE WHEN top_2gram_heavy THEN 1 END) AS n_top_2gram_heavy,
         |       count(CASE WHEN top_3gram_heavy THEN 1 END) AS n_top_3gram_heavy,
         |       count(CASE WHEN top_4gram_heavy THEN 1 END) AS n_top_4gram_heavy,
+        |$dupCounts,
         |       count(CASE WHEN NOT too_short AND NOT too_long AND NOT bad_tok_len
         |                   AND NOT symbol_heavy AND NOT low_stopword
         |                   AND NOT repetitive AND NOT dup_line_heavy
         |                   AND NOT dup_para_heavy AND NOT dup_line_chars_heavy
         |                   AND NOT dup_para_chars_heavy AND NOT top_2gram_heavy
         |                   AND NOT top_3gram_heavy AND NOT top_4gram_heavy
+        |                   AND $dupNotPass
         |                   THEN 1 END) AS n_pass
-        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
+        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin
+      },
 
     "x3_fingerprints" ->
       """SELECT source, count(*) AS n_docs,

@@ -650,7 +650,10 @@ object Queries {
     * ' badger badger' run sized to its own length — replicated verbatim
     * in the oracle (the x7_pii_scan pattern). */
   def x3GopherRules(s: SparkSession, d: String): DataFrame = {
-    val planted = documents(s, d).withColumn("text",
+    import s.implicits._
+    val base = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(gopherCjkFixtures.toDF("doc_id", "lang", "text"))
+    val planted = base.withColumn("text",
       when(pmod(col("doc_id"), lit(13)) === 0,
         concat(col("text"),
           lit("\nrepeat line\nrepeat line\nrepeat line\n\nsame para\n\nsame para")))
@@ -658,8 +661,33 @@ object Queries {
           concat(col("text"),
             expr("repeat(' badger badger', length(text) div 10 + 5)")))
         .otherwise(col("text")))
-    TextAnalysis.gopherSummary(planted)
+    TextAnalysis.gopherSummaryByLang(planted)
   }
+
+  /** CJK fixtures for [[x3GopherRules]]' per-language presets — defined
+    * ONCE and interpolated into the oracle's VALUES rows (the
+    * [[jaKoFixtures]] discipline; all BMP, so Spark's UTF-16 length ==
+    * DuckDB's codepoint length). Negative ids keep them clear of the
+    * %13/%29 structural plants in BOTH engines (pmod ≠ 0, and DuckDB's
+    * sign-of-dividend % ≠ 0). The zh/ja/ko PASS rows are ≥ 50
+    * punctuation-free script characters with ≥ 2 distinct particle
+    * stopwords — under the shipped presets (character tokens, script
+    * symbol classes) they clear every rule, which is the whole point:
+    * `pass` is reachable outside Latin text. The fourth row is
+    * symbol-heavy zh (ASCII noise under a Han-only keep class) and
+    * must fail. */
+  val gopherCjkFixtures: Seq[(Long, String, String)] = Seq(
+    (-1L, "zh",
+      "这是一个关于数据质量引擎的测试文档我们在这里检查语言规则是否" +
+        "能够正确通过其中包含了许多不同的汉字内容数据处理流程十分重要"),
+    (-2L, "ja",
+      "これはデータ品質エンジンのための試験文書でありさまざまな内容が" +
+        "含まれています私たちはここで言語の規則を確認します"),
+    (-3L, "zh",
+      "这是一个测试文档文字内容!!!???***###$$$%%%@@@&&&((((()))))!!!???***###"),
+    (-4L, "ko",
+      "이것은한국어데이터품질엔진의시험문서입니다여기서우리는언어규칙이" +
+        "올바르게통과하는지확인합니다내용은다양하고반복이없습니다"))
 
   /** X3d — whitespace + BPE-ish token counting per language. */
   def x3TokenCounts(s: SparkSession, d: String): DataFrame =

@@ -123,8 +123,14 @@ object TextAnalysis {
     * bigrams), duplicate-line and duplicate-paragraph fractions (by
     * count AND by character mass — boilerplate headers are many short
     * lines, a duplicated body is few huge ones; the published table
-    * carries both), and the top-2/3/4-gram character-share family —
-    * plus the conjunction `pass`.
+    * carries both), the top-2/3/4-gram character-share family, and the
+    * duplicate-5..10-gram character-share family (thresholds
+    * 0.15/0.14/0.13/0.12/0.11/0.10; numerator = char MASS of repeated
+    * grams, count·len over every occurrence — the paper dedups
+    * overlapping spans, which needs positional bookkeeping for a
+    * reject heuristic; the mass reading is ≥ the span reading and
+    * monotone in the same repetition, see
+    * [[graft.functions.NGramStats]]) — plus the conjunction `pass`.
     *
     * Engine-exactness by construction: every threshold is evaluated in
     * CROSS-MULTIPLIED INTEGER form (`3·n ≤ Σlen ≤ 10·n` instead of
@@ -156,26 +162,152 @@ object TextAnalysis {
                   minStopwordHits: Int = 2,
                   symbolClass: String = "[^A-Za-z0-9\\s]"): DataFrame = {
     val t = col(textCol)
-    val toks = col("__toks")
     val stopArr = array(stopwords.map(lit): _*)
+    gopherCore(docs, textCol,
+      toksRaw = tokens(t),
+      nTokens = tokenCount(t),
+      stopHits = size(filter(stopArr,
+        s => array_contains(col("__toks"), s))).cast("long"),
+      nSymbols = (coalesce(length(t), lit(0)) -
+        coalesce(length(regexp_replace(t, symbolClass, "")), lit(0))).cast("long"),
+      minTokens = lit(minTokens), maxTokens = lit(maxTokens),
+      minMeanTokLen = lit(minMeanTokLen), maxMeanTokLen = lit(maxMeanTokLen),
+      minStopwordHits = lit(minStopwordHits.toLong))
+  }
+
+  /** Per-language Gopher parameterization — what makes `pass`
+    * MEANINGFUL outside English/ASCII (the default `gopherFlags`
+    * stopwords/symbolClass make every non-Latin document structurally
+    * fail, documented under SCOPE above).
+    *
+    *  - `stopwords`: the language's high-frequency function words
+    *    (public knowledge — the [[langProfiles]] lists for the Latin
+    *    languages; single-character particles for zh/ja/ko, which is
+    *    what token-equality can match under character tokenization).
+    *  - `symbolClass`: regex class of characters COUNTED AS SYMBOLS —
+    *    the negation of the language's script ranges (the same BMP
+    *    ranges [[languageIdFromTokens]] gates on) + digits/whitespace.
+    *    Written with literal range characters, not `\uXXXX` escapes,
+    *    so the same string compiles in Java regex AND RE2 (the oracle).
+    *  - `charTokens`: zh/ja/ko text has no word delimiters, so the
+    *    TOKEN becomes the CHARACTER (`\S` extraction) — the standard
+    *    CJK adaptation. Every downstream rule then reads naturally:
+    *    n_tokens = character count (the 50-minimum is a sane CJK doc
+    *    length), n-gram rules become character-n-gram rules (the
+    *    standard CJK repetition signal), and single-char stopwords hit
+    *    by token equality. Mean token length is pinned at 1, so the
+    *    preset sets `minMeanTokLen = 1` (the rule is vacuous — word
+    *    length is not a CJK signal).
+    * Unlisted languages fall back to the English defaults. */
+  final case class GopherPreset(
+      stopwords: Seq[String],
+      symbolClass: String = "[^A-Za-z0-9\\s]",
+      charTokens: Boolean = false,
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      minMeanTokLen: Long = 3L, maxMeanTokLen: Long = 10L,
+      minStopwordHits: Int = 2)
+
+  /** Shipped presets for en/es/fr/de/zh/ja/ko. Latin stopword lists are
+    * [[langProfiles]] — ONE definition with language-ID, so the two
+    * operators cannot disagree about what counts as a function word.
+    * Script ranges: Han U+4E00–U+9FFF, kana U+3040–U+30FF, hangul
+    * syllables U+AC00–U+D7A3 — the [[languageIdFromTokens]] gates. */
+  // lazy: langProfiles is declared later in this object (kept next to
+  // the language-ID code it primarily serves); a strict val here would
+  // read it as null during object init.
+  lazy val gopherPresets: Map[String, GopherPreset] = Map(
+    "en" -> GopherPreset(langProfiles("en")),
+    "es" -> GopherPreset(langProfiles("es")),
+    "fr" -> GopherPreset(langProfiles("fr")),
+    "de" -> GopherPreset(langProfiles("de")),
+    "zh" -> GopherPreset(
+      Seq("的", "了", "是", "在", "和", "有", "这", "我"),
+      symbolClass = "[^一-鿿0-9\\s]",
+      charTokens = true, minMeanTokLen = 1L),
+    "ja" -> GopherPreset(
+      Seq("の", "に", "は", "を", "が", "と", "で", "も"),
+      symbolClass = "[^一-鿿぀-ヿ0-9\\s]",
+      charTokens = true, minMeanTokLen = 1L),
+    "ko" -> GopherPreset(
+      Seq("이", "가", "은", "는", "의", "에", "을", "를"),
+      symbolClass = "[^가-힣0-9\\s]",
+      charTokens = true, minMeanTokLen = 1L))
+
+  /** [[gopherFlags]] with per-language parameters dispatched on
+    * `langCol` — ONE scan, ONE rule chain ([[gopherCore]] is shared, so
+    * the per-language and fixed-parameter paths cannot diverge): every
+    * language-dependent input becomes a `when` chain, and `when` only
+    * evaluates the taken branch per row, so a corpus pays one
+    * tokenization and one symbol-class regex per document regardless
+    * of how many presets ship. Languages not in `presets` use
+    * `default`. */
+  def gopherFlagsByLang(docs: DataFrame,
+                        presets: Map[String, GopherPreset] = gopherPresets,
+                        langCol: String = "lang", textCol: String = "text",
+                        default: GopherPreset = GopherPreset(
+                          Seq("a", "the", "and", "of"))): DataFrame = {
+    val t = col(textCol)
+    val ps = presets.toSeq.sortBy(_._1) // deterministic chain order
+    def sel(f: GopherPreset => Column): Column =
+      ps.foldLeft(f(default)) { case (acc, (lang, p)) =>
+        when(col(langCol) === lang, f(p)).otherwise(acc)
+      }
+    gopherCore(docs, textCol,
+      toksRaw = sel(p =>
+        if (p.charTokens) regexp_extract_all(t, lit("\\S"), lit(0)) else tokens(t)),
+      // Char mode: size of the (coalesced) token array — regexp_extract_all
+      // of blank text is [], so no blank-guard needed; ws mode keeps the
+      // tokenCount definition shared with Packing.
+      nTokens = sel(p =>
+        if (p.charTokens) size(col("__toks")).cast("long") else tokenCount(t)),
+      stopHits = sel(p => size(filter(array(p.stopwords.map(lit): _*),
+        s => array_contains(col("__toks"), s))).cast("long")),
+      nSymbols = sel(p => (coalesce(length(t), lit(0)) -
+        coalesce(length(regexp_replace(t, p.symbolClass, "")), lit(0)))
+        .cast("long")),
+      minTokens = sel(p => lit(p.minTokens)),
+      maxTokens = sel(p => lit(p.maxTokens)),
+      minMeanTokLen = sel(p => lit(p.minMeanTokLen)),
+      maxMeanTokLen = sel(p => lit(p.maxMeanTokLen)),
+      minStopwordHits = sel(p => lit(p.minStopwordHits.toLong)))
+  }
+
+  /** The ONE rule chain under both [[gopherFlags]] and
+    * [[gopherFlagsByLang]]: callers supply the tokenization, the
+    * stopword-hit and symbol counts (expressions over the materialized
+    * `__toks` / text), and the thresholds as Columns (literals or
+    * per-language `when` chains — same plan shape either way). */
+  private def gopherCore(docs: DataFrame, textCol: String,
+                         toksRaw: Column, nTokens: Column,
+                         stopHits: Column, nSymbols: Column,
+                         minTokens: Column, maxTokens: Column,
+                         minMeanTokLen: Column, maxMeanTokLen: Column,
+                         minStopwordHits: Column): DataFrame = {
+    val t = col(textCol)
+    val toks = col("__toks")
     docs
       // coalesce: tokens(null) is a null array, which would null-poison
       // every flag; a null doc must flag as too_short, not as unknown.
-      .withColumn("__toks", coalesce(tokens(t), array().cast("array<string>")))
-      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("__toks", coalesce(toksRaw, array().cast("array<string>")))
+      .withColumn("n_tokens", nTokens)
       .withColumn("sum_tok_len",
         aggregate(toks, lit(0L), (acc, x) => acc + length(x)))
       .withColumn("n_chars", coalesce(length(t), lit(0)).cast("long"))
-      .withColumn("n_symbols",
-        (coalesce(length(t), lit(0)) -
-          coalesce(length(regexp_replace(t, symbolClass, "")), lit(0)))
-          .cast("long"))
-      .withColumn("stop_hits",
-        size(filter(stopArr, s => array_contains(toks, s))).cast("long"))
-      // One native census per gram size: [n_grams, distinct, top-chars].
+      .withColumn("n_symbols", nSymbols)
+      .withColumn("stop_hits", stopHits)
+      // One native census per gram size: [n_grams, distinct, top-chars,
+      // dup-chars]. Sizes 2-4 feed the top-share rules, 5-10 the
+      // dup-share rules — 9 single-traversal censuses per row, still one
+      // map-only pass over the corpus.
       .withColumn("__g2", graft.functions.TextFunctions.ngramStats(toks, 2))
       .withColumn("__g3", graft.functions.TextFunctions.ngramStats(toks, 3))
       .withColumn("__g4", graft.functions.TextFunctions.ngramStats(toks, 4))
+      .withColumn("__g5", graft.functions.TextFunctions.ngramStats(toks, 5))
+      .withColumn("__g6", graft.functions.TextFunctions.ngramStats(toks, 6))
+      .withColumn("__g7", graft.functions.TextFunctions.ngramStats(toks, 7))
+      .withColumn("__g8", graft.functions.TextFunctions.ngramStats(toks, 8))
+      .withColumn("__g9", graft.functions.TextFunctions.ngramStats(toks, 9))
+      .withColumn("__g10", graft.functions.TextFunctions.ngramStats(toks, 10))
       .withColumn("n_bigrams", element_at(col("__g2"), 1))
       .withColumn("dup_bigrams",
         element_at(col("__g2"), 1) - element_at(col("__g2"), 2))
@@ -209,11 +341,17 @@ object TextAnalysis {
       .withColumn("top_2gram_chars", element_at(col("__g2"), 3))
       .withColumn("top_3gram_chars", element_at(col("__g3"), 3))
       .withColumn("top_4gram_chars", element_at(col("__g4"), 3))
+      .withColumn("dup_5gram_chars", element_at(col("__g5"), 4))
+      .withColumn("dup_6gram_chars", element_at(col("__g6"), 4))
+      .withColumn("dup_7gram_chars", element_at(col("__g7"), 4))
+      .withColumn("dup_8gram_chars", element_at(col("__g8"), 4))
+      .withColumn("dup_9gram_chars", element_at(col("__g9"), 4))
+      .withColumn("dup_10gram_chars", element_at(col("__g10"), 4))
       .withColumn("too_short", col("n_tokens") < minTokens)
       .withColumn("too_long", col("n_tokens") > maxTokens)
       .withColumn("bad_tok_len",
-        !(lit(minMeanTokLen) * col("n_tokens") <= col("sum_tok_len") &&
-          col("sum_tok_len") <= lit(maxMeanTokLen) * col("n_tokens")))
+        !(minMeanTokLen * col("n_tokens") <= col("sum_tok_len") &&
+          col("sum_tok_len") <= maxMeanTokLen * col("n_tokens")))
       .withColumn("symbol_heavy", lit(10L) * col("n_symbols") > col("n_chars"))
       .withColumn("low_stopword", col("stop_hits") < minStopwordHits)
       .withColumn("repetitive",
@@ -235,22 +373,50 @@ object TextAnalysis {
         lit(50L) * col("top_3gram_chars") > lit(9L) * col("n_chars"))
       .withColumn("top_4gram_heavy",
         lit(25L) * col("top_4gram_chars") > lit(4L) * col("n_chars"))
+      // Duplicate-n-gram char-share rules, published thresholds in
+      // integer form: 0.15 = 3/20, 0.14 = 7/50, 0.13 = 13/100,
+      // 0.12 = 3/25, 0.11 = 11/100, 0.10 = 1/10.
+      .withColumn("dup_5gram_heavy",
+        lit(20L) * col("dup_5gram_chars") > lit(3L) * col("n_chars"))
+      .withColumn("dup_6gram_heavy",
+        lit(50L) * col("dup_6gram_chars") > lit(7L) * col("n_chars"))
+      .withColumn("dup_7gram_heavy",
+        lit(100L) * col("dup_7gram_chars") > lit(13L) * col("n_chars"))
+      .withColumn("dup_8gram_heavy",
+        lit(25L) * col("dup_8gram_chars") > lit(3L) * col("n_chars"))
+      .withColumn("dup_9gram_heavy",
+        lit(100L) * col("dup_9gram_chars") > lit(11L) * col("n_chars"))
+      .withColumn("dup_10gram_heavy",
+        lit(10L) * col("dup_10gram_chars") > col("n_chars"))
       .withColumn("pass",
         !col("too_short") && !col("too_long") && !col("bad_tok_len") &&
           !col("symbol_heavy") && !col("low_stopword") && !col("repetitive") &&
           !col("dup_line_heavy") && !col("dup_para_heavy") &&
           !col("dup_line_chars_heavy") && !col("dup_para_chars_heavy") &&
           !col("top_2gram_heavy") && !col("top_3gram_heavy") &&
-          !col("top_4gram_heavy"))
-      .drop("__toks", "__g2", "__g3", "__g4", "__lines", "__paras",
+          !col("top_4gram_heavy") &&
+          !col("dup_5gram_heavy") && !col("dup_6gram_heavy") &&
+          !col("dup_7gram_heavy") && !col("dup_8gram_heavy") &&
+          !col("dup_9gram_heavy") && !col("dup_10gram_heavy"))
+      .drop("__toks", "__g2", "__g3", "__g4", "__g5", "__g6", "__g7",
+        "__g8", "__g9", "__g10", "__lines", "__paras",
         "__dlines", "__dparas")
   }
 
   /** Per-language rule census over [[gopherFlags]] — the registered,
     * oracle-checked view: one partial-agg groupBy over the map-only
     * flag pass. */
-  def gopherSummary(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val f = gopherFlags(docs, textCol)
+  def gopherSummary(docs: DataFrame, textCol: String = "text"): DataFrame =
+    summarizeGopher(gopherFlags(docs, textCol))
+
+  /** The census over the PRESET-dispatched flags — same aggregate. */
+  def gopherSummaryByLang(docs: DataFrame,
+                          presets: Map[String, GopherPreset] = gopherPresets,
+                          langCol: String = "lang",
+                          textCol: String = "text"): DataFrame =
+    summarizeGopher(gopherFlagsByLang(docs, presets, langCol, textCol))
+
+  private def summarizeGopher(f: DataFrame): DataFrame = {
     def cnt(c: String) = count(when(col(c), lit(1))).as(s"n_$c")
     f.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -260,6 +426,9 @@ object TextAnalysis {
         cnt("dup_line_chars_heavy"), cnt("dup_para_chars_heavy"),
         cnt("top_2gram_heavy"), cnt("top_3gram_heavy"),
         cnt("top_4gram_heavy"),
+        cnt("dup_5gram_heavy"), cnt("dup_6gram_heavy"),
+        cnt("dup_7gram_heavy"), cnt("dup_8gram_heavy"),
+        cnt("dup_9gram_heavy"), cnt("dup_10gram_heavy"),
         cnt("pass"))
       .orderBy("lang")
   }

@@ -22,14 +22,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * all, O(total gram bytes) per row.
   *
   * Output: `array<long>` of
-  * `[n_grams, distinct_grams, top-gram coverage]`, where coverage is
-  * the published Gopher quantity: characters contained in the MOST
-  * FREQUENTLY occurring n-gram — `maxCount · numChars(gram)`, ties on
-  * count broken to the longest gram (deterministic, and the reading
-  * that catches the most boilerplate). NOT `max over grams of
-  * count·len`: that different quantity would reject a doc whose most
-  * common bigram is harmless just because one long phrase repeats
-  * twice. Gram = tokens joined by single spaces; `length` = codepoint
+  * `[n_grams, distinct_grams, top-gram coverage, dup-gram char mass]`:
+  *  - coverage is the published Gopher quantity: characters contained
+  *    in the MOST FREQUENTLY occurring n-gram — `maxCount ·
+  *    numChars(gram)`, ties on count broken to the longest gram
+  *    (deterministic, and the reading that catches the most
+  *    boilerplate). NOT `max over grams of count·len`: that different
+  *    quantity would reject a doc whose most common bigram is harmless
+  *    just because one long phrase repeats twice.
+  *  - dup-gram char mass = `Σ over grams occurring ≥ 2 times of
+  *    count · numChars(gram)` — the numerator of the Gopher duplicate
+  *    5–10-gram character-fraction rules. This is the CHAR-MASS reading
+  *    (every occurrence's characters count, including where
+  *    occurrences overlap in the text); the paper's phrasing dedups
+  *    overlapping spans, which needs positional span-union bookkeeping
+  *    for a quantity that is a reject-threshold heuristic — the mass
+  *    reading is strictly ≥ the span reading, monotone in the same
+  *    repetition, and exact to replay. Documented at the rule site.
+  * Gram = tokens joined by single spaces; `length` = codepoint
   * count = `numChars` — the exact list formulation the DuckDB oracle
   * replays.
   *
@@ -65,16 +75,17 @@ object NGramStats {
 
   private val Space = UTF8String.fromString(" ")
 
-  /** [total, distinct, mostFrequentCount·itsLength] for the n-grams of
-    * `toks`. The running (bestCount, bestLen) pair is exact: every gram
-    * whose FINAL count equals the maximum passes through that value at
-    * its last occurrence — a strictly greater count resets bestLen (and
-    * clears any pollution from earlier lower ties), an equal count
-    * widens it — so bestLen ends as the longest gram among the most
-    * frequent. */
+  /** [total, distinct, mostFrequentCount·itsLength, dupGramCharMass]
+    * for the n-grams of `toks`. The running (bestCount, bestLen) pair
+    * is exact: every gram whose FINAL count equals the maximum passes
+    * through that value at its last occurrence — a strictly greater
+    * count resets bestLen (and clears any pollution from earlier lower
+    * ties), an equal count widens it — so bestLen ends as the longest
+    * gram among the most frequent. Dup char mass sums count·numChars
+    * over the final counts map (grams with count ≥ 2 only). */
   def compute(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()
-    if (m < n) return new GenericArrayData(Array(0L, 0L, 0L))
+    if (m < n) return new GenericArrayData(Array(0L, 0L, 0L, 0L))
     val total = m - n + 1
     val counts = new java.util.HashMap[UTF8String, java.lang.Long](total * 2)
     val parts = new Array[UTF8String](n)
@@ -100,8 +111,15 @@ object NGramStats {
       else if (c == bestCount && gram.numChars() > bestLen) bestLen = gram.numChars()
       i += 1
     }
+    var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.longValue()
+      if (c >= 2L) dupChars += c * e.getKey.numChars()
+    }
     new GenericArrayData(
-      Array(total.toLong, counts.size().toLong, bestCount * bestLen))
+      Array(total.toLong, counts.size().toLong, bestCount * bestLen, dupChars))
   }
 }
 

@@ -129,7 +129,12 @@ class PlanAuditSpec extends SparkSpec {
     "x1_jaccard_pairs", "x1_minhash_pairs", "x1_simhash_pairs", "x2_ivf_topk",
     "x1_dedup_groups", "x2_semdedup", "x10_curation_funnel",
     "v1_raw_gate", "v2_suite_summary", "g16_declarative_suite",
-    "v5_drift_check", "v6_checkpoint_run")
+    "v5_drift_check", "v6_checkpoint_run",
+    // localCheckpoints the derived history-signature index once,
+    // mirroring the persisted-parquet contract of the streaming path
+    // (the per-band anti joins would otherwise recompute the signature
+    // aggregate per band).
+    "s3_stream_neardup")
 
   test("constructing a registered query runs zero Spark jobs") {
     // Building a DataFrame must be free: an eager action inside a query

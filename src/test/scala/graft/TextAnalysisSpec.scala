@@ -195,6 +195,69 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.getAs[Long]("dup_line_chars") == 2L * longLine.length)
   }
 
+  test("gopher dup-ngram char-share rules: repeated long phrases trip 5..10-gram flags") {
+    // Doc 2 repeats a 12-token phrase 6 times inside otherwise-distinct
+    // filler: every window of sizes 5..10 inside the phrase recurs 6
+    // times, so the dup char mass dominates. Doc 1 (all-distinct
+    // tokens) has zero dup mass at every size.
+    val filler = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val phrase = (1 to 12).map(i => s"rep$i").mkString(" ")
+    val docs = df(Seq(
+      Row(1L, "en", "the a and of " + filler),
+      Row(2L, "en", "the a and of " + (1 to 6).map(i => s"$phrase fill$i").mkString(" "))),
+      "doc_id BIGINT, lang STRING, text STRING")
+    val f = graft.ext.TextAnalysis.gopherFlags(docs, minTokens = 5L)
+      .orderBy("doc_id").collect()
+    (5 to 10).foreach { k =>
+      assert(!f(0).getAs[Boolean](s"dup_${k}gram_heavy"), s"clean doc flagged $k")
+      assert(f(0).getAs[Long](s"dup_${k}gram_chars") == 0L, s"clean doc mass $k")
+      assert(f(1).getAs[Boolean](s"dup_${k}gram_heavy"), s"repeated doc not flagged $k")
+    }
+    assert(f(0).getAs[Boolean]("pass"))
+    assert(!f(1).getAs[Boolean]("pass"))
+    // Exact mass pin at one size: 8 distinct 5-gram windows inside the
+    // 12-token phrase recur exactly 6 times each (the windows crossing
+    // into fillN are unique), so mass = Σ 6·len(window).
+    val phraseToks = (1 to 12).map(i => s"rep$i")
+    val expected5 = (0 to 7).map { s =>
+      6L * phraseToks.slice(s, s + 5).mkString(" ").length
+    }.sum
+    assert(f(1).getAs[Long]("dup_5gram_chars") == expected5)
+  }
+
+  test("per-language presets: zh/ja/ko fixture docs PASS; symbol-heavy zh fails; en unchanged") {
+    import spark.implicits._
+    val fixtures = Queries.gopherCjkFixtures.toDF("doc_id", "lang", "text")
+      .withColumn("lang", col("lang"))
+    val f = graft.ext.TextAnalysis.gopherFlagsByLang(fixtures)
+      .orderBy(col("doc_id").desc).collect() // -1, -2, -3, -4
+    val byId = f.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(-1L).getAs[Boolean]("pass"), "zh fixture must pass under the zh preset")
+    assert(byId(-2L).getAs[Boolean]("pass"), "ja fixture must pass under the ja preset")
+    assert(byId(-4L).getAs[Boolean]("pass"), "ko fixture must pass under the ko preset")
+    assert(byId(-3L).getAs[Boolean]("symbol_heavy") && !byId(-3L).getAs[Boolean]("pass"),
+      "ASCII noise under a Han keep class must flag symbol_heavy")
+    // Character tokenization: n_tokens == count of non-whitespace chars.
+    val zhText = Queries.gopherCjkFixtures.head._3
+    assert(byId(-1L).getAs[Long]("n_tokens") == zhText.count(!_.isWhitespace))
+    // The same doc under the DEFAULT (English) rules is structurally
+    // unpassable — the documented SCOPE gap the presets close.
+    val defaulted = graft.ext.TextAnalysis.gopherFlags(fixtures).orderBy(col("doc_id").desc)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(defaulted(-1L).getAs[Boolean]("symbol_heavy"))
+    assert(defaulted(-1L).getAs[Boolean]("low_stopword"))
+    assert(!defaulted(-1L).getAs[Boolean]("pass"))
+    // An English doc gets identical verdicts from both paths (the en
+    // preset's wider stopword list can only help stop_hits; pin a doc
+    // where both clear the rule).
+    val en = df(Seq(Row(1L, "en",
+      "the a and of " + (1 to 46).map(i => s"word$i").mkString(" "))),
+      "doc_id BIGINT, lang STRING, text STRING")
+    val viaPreset = graft.ext.TextAnalysis.gopherFlagsByLang(en).head()
+    val viaDefault = graft.ext.TextAnalysis.gopherFlags(en).head()
+    assert(viaPreset.getAs[Boolean]("pass") == viaDefault.getAs[Boolean]("pass"))
+  }
+
   test("repetitionByLang: self-repeating docs score high, varied text zero, short docs drop") {
     import org.apache.spark.sql.Row
     val docs = df(Seq(

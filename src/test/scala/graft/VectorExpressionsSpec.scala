@@ -225,8 +225,8 @@ class VectorExpressionsSpec extends SparkSpec {
     import graft.functions.{NGramStats, TextFunctions}
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
-    def ref(toks: Seq[String], n: Int): (Long, Long, Long) = {
-      if (toks.size < n) (0L, 0L, 0L)
+    def ref(toks: Seq[String], n: Int): (Long, Long, Long, Long) = {
+      if (toks.size < n) (0L, 0L, 0L, 0L)
       else {
         val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
         val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
@@ -234,7 +234,9 @@ class VectorExpressionsSpec extends SparkSpec {
         // count ties broken to the longest gram.
         val mc = counts.values.max
         val len = counts.collect { case (g, c) if c == mc => g.length.toLong }.max
-        (grams.size.toLong, counts.size.toLong, mc * len)
+        // Dup char mass: count·len over grams occurring at least twice.
+        val dup = counts.collect { case (g, c) if c >= 2 => c * g.length }.sum
+        (grams.size.toLong, counts.size.toLong, mc * len, dup)
       }
     }
     val rnd = new scala.util.Random(7)
@@ -244,8 +246,8 @@ class VectorExpressionsSpec extends SparkSpec {
       val got = NGramStats(Literal.create(toks,
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)), n)
         .eval(null).asInstanceOf[ArrayData].toLongArray.toSeq
-      val (t, d, b) = ref(toks, n)
-      assert(got == Seq(t, d, b), s"trial $trial n=$n toks=$toks")
+      val (t, d, b, dup) = ref(toks, n)
+      assert(got == Seq(t, d, b, dup), s"trial $trial n=$n toks=$toks")
     }
     // And through a real plan (codegen path).
     val viaPlan = df(Seq(Row(1L, "go go go stop go go")),
@@ -254,8 +256,9 @@ class VectorExpressionsSpec extends SparkSpec {
         org.apache.spark.sql.functions.split(col("text"), " "), 2))
       .head().getSeq[Long](0)
     // bigrams: [go go, go go, go stop, stop go, go go] -> 5 total, 3 distinct,
-    // "go go" x3 covering 3*5=15 chars.
-    assert(viaPlan == Seq(5L, 3L, 15L))
+    // "go go" x3 covering 3*5=15 chars; dup mass = the same 15 ("go go"
+    // is the only repeated gram).
+    assert(viaPlan == Seq(5L, 3L, 15L, 15L))
     // A rare-but-long gram must NOT beat the most frequent one: "aa aa"
     // x2 (coverage 10) wins over the once-occurring 25-char phrase —
     // max-over-grams of count*len would report 25 and reject wrongly.
