@@ -1275,6 +1275,80 @@ object Oracles {
         |       round(sum(total - dist) * 1.0 / sum(total), 4) AS dup_frac
         |FROM per GROUP BY 1 ORDER BY lang""".stripMargin,
 
+    "x10_funnel_by_source" ->
+      // The per-source audit: x10's annotate replay minus the fuzzy
+      // stage (no pair frame in the registered config → the flag is
+      // constant true and after_fuzzy == after_history), grouped by
+      // source. Stage flags are corpus-global (the dedup window
+      // partitions on the normalized text across ALL sources); only
+      // the counting groups.
+      ("WITH " + gram4Ctes + ",\n" +
+        """bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8
+          |),""".stripMargin + "\n" +
+      raw"""ann AS (
+        |  SELECT doc_id, lang, source,
+        |         doc_id = min(doc_id) OVER (
+        |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |           AS is_canonical,
+        |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+        |         CASE WHEN len(trim(rtext)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(rtext), '\s+')) END AS n_tok,
+        |         ${bucketSql("doc_id")} AS b,
+        |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
+        |  FROM (SELECT doc_id, lang, source, text,
+        |               regexp_replace(regexp_replace(regexp_replace(text,
+        |                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+        |        FROM documents)
+        |), f AS (
+        |  SELECT source,
+        |         count(*) AS n_raw,
+        |         count(*) AS n_after_url,
+        |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
+        |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_history,
+        |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_fuzzy,
+        |         count(CASE WHEN is_canonical AND NOT is_contaminated THEN 1 END)
+        |           AS n_after_decontam,
+        |         count(CASE WHEN is_canonical AND NOT is_contaminated
+        |                         AND n_tok BETWEEN 25 AND 90 THEN 1 END)
+        |           AS n_after_quality,
+        |         count(CASE WHEN is_canonical AND NOT is_contaminated
+        |                         AND n_tok BETWEEN 25 AND 90 AND b < thr THEN 1 END)
+        |           AS n_after_sample,
+        |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
+        |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_after_url,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_history,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_fuzzy,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+        |                         AND n_tok BETWEEN 25 AND 90
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+        |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
+        |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
+        |  FROM ann GROUP BY source)
+        |SELECT source, n_raw, n_after_url, n_after_dedup, n_after_history,
+        |       n_after_fuzzy, n_after_decontam, n_after_quality,
+        |       n_after_sample, tokens_raw, tokens_after_url,
+        |       tokens_after_dedup, tokens_after_history, tokens_after_fuzzy,
+        |       tokens_after_decontam, tokens_after_quality, n_tokens,
+        |       CASE WHEN n_tokens = 0 THEN 0
+        |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
+        |FROM f ORDER BY source""".stripMargin),
+
     "x10_curation_funnel" ->
       // The annotate-don't-filter funnel replayed: dedup flag = min id
       // per normalized text; fuzzy flag = NOT a non-canonical member of

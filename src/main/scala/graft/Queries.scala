@@ -584,6 +584,22 @@ object Queries {
       rates = Map("en" -> 0.4), seqLen = 512L), fuzzyPairs = Some(pairs))
   }
 
+  /** X10b — the funnel audit grouped PER SOURCE (the recipe-debugging
+    * view: which source's budget each stage ate) — the same single
+    * aggregate as x10 with one more grouping key. Configured without
+    * the fuzzy stage (the pair graph is x10's expensive half and is
+    * already oracle-checked there); stage flags stay corpus-global,
+    * only the counting is per source. */
+  def x10FunnelBySource(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
+        minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L),
+      groupBy = Some("source"))
+  }
+
   /** X11 — key-skew profile: the heaviest join keys on the fact table
     * with their share of rows, the diagnostic that decides between AQE,
     * salting, and broadcast (ext/Skew). */

@@ -84,6 +84,7 @@ object SparkEntry {
     "x9_pack_sequences" -> (Queries.x9PackSequences _),
     "x9_pack_padded" -> (Queries.x9PackPadded _),
     "x10_curation_funnel" -> (Queries.x10CurationFunnel _),
+    "x10_funnel_by_source" -> (Queries.x10FunnelBySource _),
     "x11_skew_profile" -> (Queries.x11SkewProfile _),
     "x11_salted_join" -> (Queries.x11SaltedJoin _),
     "x12_token_mix" -> (Queries.x12TokenMix _),

@@ -188,23 +188,30 @@ object Curation {
           .drop("__fp", "__seen")
       case None => flagged1.withColumn("is_unseen", lit(true))
     }).drop("__norm")
-    val redacted = Pii.redact(flagged, textCol = cfg.textCol)
-      .withColumn("n_tok", nTok)
+    val redacted0 = Pii.redact(flagged, textCol = cfg.textCol)
     val tokenBand = col("n_tok").between(cfg.minTokens, cfg.maxTokens)
     val withQuality = cfg.qualityWeights match {
       case Some(w) =>
-        // Band of the REDACTED text (consistent with n_tok); tokens
-        // materialized once for the band's two HOF references.
+        // Band of the REDACTED text (consistent with n_tok). The token
+        // array materializes ONCE and feeds BOTH n_tok (via
+        // tokenCountFromToks — one definition with the ungated path's
+        // tokenCount) and the band's HOF references: the split regex
+        // runs once per row, the funnel's don't-recompute discipline
+        // (ADVICE r6).
         val bands = if (cfg.qualityMinBand == "high") Seq("high")
                     else Seq("high", "medium")
-        redacted
+        redacted0
           .withColumn("__qtoks", coalesce(TextAnalysis.tokens(col(cfg.textCol)),
             array().cast("array<string>")))
+          .withColumn("n_tok",
+            TextAnalysis.tokenCountFromToks(col(cfg.textCol), col("__qtoks")))
           .withColumn("is_quality", tokenBand &&
             QualityScore.bandFromToks(col(cfg.textCol), col("__qtoks"), w,
               cfg.qualityHi, cfg.qualityLo).isin(bands: _*))
           .drop("__qtoks")
-      case None => redacted.withColumn("is_quality", tokenBand)
+      case None =>
+        redacted0.withColumn("n_tok", nTok)
+          .withColumn("is_quality", tokenBand)
     }
     withQuality
       .withColumn("is_sampled",
@@ -246,7 +253,8 @@ object Curation {
   def funnel(docs: DataFrame, benchmark: DataFrame,
              cfg: Config = Config(),
              fuzzyPairs: Option[DataFrame] = None,
-             historyFp: Option[DataFrame] = None): DataFrame = {
+             historyFp: Option[DataFrame] = None,
+             groupBy: Option[String] = None): DataFrame = {
     // URL stage first (no-op without cfg.urlCol: `n_after_url = n_raw`):
     // domain blocklist and url-canonical dedup gate everything text-keyed.
     val url = col("is_url_ok") && col("is_url_canonical")
@@ -261,7 +269,17 @@ object Curation {
     val samp = qual && col("is_sampled")
     def toks(stage: Column, name: String) =
       coalesce(sum(when(stage, col("n_tok"))), lit(0L)).as(name)
-    annotate(docs, benchmark, cfg, fuzzyPairs, historyFp).agg(
+    val annotated = annotate(docs, benchmark, cfg, fuzzyPairs, historyFp)
+    // Optional audit dimension (source/lang): the SAME single aggregate
+    // with one more grouping key — which source's budget each stage ate,
+    // at zero extra scans. All stage FLAGS stay corpus-global (a dedup
+    // keeper is the min key across the whole corpus, not per group);
+    // only the counting is per group.
+    val grouped = groupBy match {
+      case Some(c) => annotated.groupBy(col(c))
+      case None => annotated.groupBy()
+    }
+    val out = grouped.agg(
         count(lit(1)).as("n_raw"),
         count(when(url, lit(1))).as("n_after_url"),
         count(when(dedup, lit(1))).as("n_after_dedup"),
@@ -281,5 +299,6 @@ object Curation {
       .withColumn("n_sequences",
         when(col("n_tokens") === 0, lit(0L))
           .otherwise(expr(s"(n_tokens - 1) div ${cfg.seqLen} + 1")))
+    groupBy.fold(out)(c => out.orderBy(c))
   }
 }

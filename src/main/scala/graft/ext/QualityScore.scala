@@ -92,11 +92,12 @@ object QualityScore {
       .when(num >= lit(lo) * ntok * nchar, lit("medium"))
       .otherwise(lit("low"))
 
-  /** Per-document integer features (`q_`-prefixed so a corpus's own
-    * n_chars/n_tokens-style metadata is never silently overwritten) +
-    * `score_num` + `band`, appended to the input columns. `hi`/`lo` are
-    * milli-unit score thresholds. Zero-token or zero-char documents
-    * band as `empty` (the score is undefined — 0/0). */
+  /** Per-document integer features + `q_score_num` + `q_band`, appended
+    * to the input columns — ALL `q_`-prefixed (ADVICE r6: a corpus's own
+    * n_chars/band-style metadata must never be silently overwritten; the
+    * prefix rationale applies to every appended column, not just the
+    * features). `hi`/`lo` are milli-unit score thresholds. Zero-token or
+    * zero-char documents band as `empty` (the score is undefined — 0/0). */
   def scored(docs: DataFrame, textCol: String = "text",
              w: Weights = Weights(), hi: Long = 1500L, lo: Long = 800L): DataFrame = {
     require(hi >= lo, s"hi ($hi) must be >= lo ($lo)")
@@ -108,11 +109,11 @@ object QualityScore {
       case (acc, (name, expr)) => acc.withColumn(name, expr)
     }
     withFeatures
-      .withColumn("score_num",
+      .withColumn("q_score_num",
         scoreNum(w, col("q_tokens"), col("q_chars"), col("q_stop_hits"),
           col("q_alpha_chars"), col("q_punct_chars"), col("q_sum_tok_len")))
-      .withColumn("band",
-        bandOf(col("score_num"), col("q_tokens"), col("q_chars"), hi, lo))
+      .withColumn("q_band",
+        bandOf(col("q_score_num"), col("q_tokens"), col("q_chars"), hi, lo))
       .drop("__toks")
   }
 
@@ -133,16 +134,99 @@ object QualityScore {
       f("q_tokens"), f("q_chars"), hi, lo)
   }
 
-  /** The registered, oracle-checked view: per-(lang, band) census with
-    * the token mass each band carries — what a recipe author reads to
-    * pick a quality cut. One partial-agg groupBy over the map-only
-    * scoring pass. */
+  /** The registered, oracle-checked view: per-(`groupCol`, band) census
+    * with the token mass each band carries — what a recipe author reads
+    * to pick a quality cut (`groupCol` defaults to `lang`; a per-source
+    * cut reads the same census grouped by `source`). One partial-agg
+    * groupBy over the map-only scoring pass. The output column is named
+    * `band` — a census FRAME has no corpus metadata to collide with,
+    * unlike [[scored]]'s appended columns. */
   def bandCensus(docs: DataFrame, textCol: String = "text",
                  w: Weights = Weights(), hi: Long = 1500L,
-                 lo: Long = 800L): DataFrame =
+                 lo: Long = 800L, groupCol: String = "lang"): DataFrame =
     scored(docs, textCol, w, hi, lo)
-      .groupBy(col("lang"), col("band"))
+      .groupBy(col(groupCol), col("q_band").as("band"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("q_tokens")).as("tokens"))
-      .orderBy("lang", "band")
+      .orderBy(groupCol, "band")
+
+  /** A learned scorer configuration as it ARRIVES in practice — a
+    * JSON/YAML file exported by whatever trained the linear model — so
+    * a new weight vector drops in without recompiling (the
+    * [[graft.suite.SuiteLoader]] authoring discipline). File shape:
+    * {{{
+    * { "weights": { "bias": 0, "stop": 2000, "alpha": 1000,
+    *                "punct": -1000, "mean_tok_len": 100 },
+    *   "stopwords": ["a", "the", "and", "of"],
+    *   "thresholds": { "hi": 1500, "lo": 800 } }
+    * }}}
+    * Absent weight fields default to 0 (NOT the English-centric toy
+    * defaults — a learned file that omits a term means the term's
+    * coefficient is zero); absent `stopwords` keeps the default list;
+    * `thresholds` is required. Ranges validate LOUDLY: milli-unit
+    * weights and thresholds are capped at ±10⁶ so the documented
+    * overflow bound (~10⁷ chars/doc before ANSI throws) survives any
+    * loaded vector. */
+  final case class ScorerConfig(weights: Weights, hi: Long, lo: Long)
+
+  /** Parse scorer-config text. `yaml = true` for YAML; default JSON. */
+  def parseConfig(text: String, yaml: Boolean = false): ScorerConfig = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+    val mapper =
+      if (yaml) new ObjectMapper(new YAMLFactory()) else new ObjectMapper()
+    val root = mapper.readTree(text)
+    val wn = root.path("weights")
+    def w(field: String): Long = {
+      val n = wn.path(field)
+      if (n.isMissingNode) 0L
+      else {
+        // isIntegralNumber too: canConvertToLong is a RANGE check and
+        // would silently truncate a float weight like 1.5.
+        require(n.isIntegralNumber && n.canConvertToLong,
+          s"scorer config: weights.$field must be an integer (milli-units), got '$n'")
+        n.asLong()
+      }
+    }
+    val tn = root.path("thresholds")
+    require(!tn.isMissingNode &&
+      tn.path("hi").isIntegralNumber && tn.path("hi").canConvertToLong &&
+      tn.path("lo").isIntegralNumber && tn.path("lo").canConvertToLong,
+      "scorer config: thresholds.hi and thresholds.lo (integer milli-units) are required")
+    val stopwords =
+      if (root.path("stopwords").isMissingNode) Weights().stopwords
+      else {
+        import scala.jdk.CollectionConverters._
+        val s = root.path("stopwords").elements().asScala.map(_.asText()).toSeq
+        require(s.nonEmpty && s.forall(_.nonEmpty),
+          "scorer config: stopwords must be non-empty strings")
+        s
+      }
+    val cfg = ScorerConfig(
+      Weights(bias = w("bias"), stop = w("stop"), alpha = w("alpha"),
+        punct = w("punct"), meanTokLen = w("mean_tok_len"),
+        stopwords = stopwords),
+      hi = tn.path("hi").asLong(), lo = tn.path("lo").asLong())
+    val bound = 1000000L
+    val named = Seq("bias" -> cfg.weights.bias, "stop" -> cfg.weights.stop,
+      "alpha" -> cfg.weights.alpha, "punct" -> cfg.weights.punct,
+      "mean_tok_len" -> cfg.weights.meanTokLen,
+      "thresholds.hi" -> cfg.hi, "thresholds.lo" -> cfg.lo)
+    named.foreach { case (name, v) =>
+      require(math.abs(v) <= bound,
+        s"scorer config: $name ($v) exceeds ±$bound milli-units — the " +
+          "overflow bound assumes coefficients of this scale")
+    }
+    require(cfg.hi >= cfg.lo,
+      s"scorer config: thresholds.hi (${cfg.hi}) must be >= lo (${cfg.lo})")
+    cfg
+  }
+
+  /** Load a scorer config from a file path (.yaml/.yml vs .json picks
+    * the format). */
+  def loadConfig(path: String): ScorerConfig = {
+    val yaml = path.endsWith(".yaml") || path.endsWith(".yml")
+    parseConfig(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)), yaml)
+  }
 }

@@ -18,9 +18,15 @@ object TextAnalysis {
     * so blank/null text must count 0 explicitly. The single definition
     * shared by sequence packing and the curation funnel — their
     * n_tokens/n_sequences cross-check depends on bit-identical counts. */
-  def tokenCount(c: Column): Column =
+  def tokenCount(c: Column): Column = tokenCountFromToks(c, tokens(c))
+
+  /** [[tokenCount]] over a MATERIALIZED token array — for callers that
+    * already carry `tokens(c)` projected (the curation funnel's
+    * classifier-gated path) and must not run the split regex twice per
+    * row. ONE definition: [[tokenCount]] delegates here. */
+  def tokenCountFromToks(c: Column, toks: Column): Column =
     when(c.isNull || length(trim(c)) === 0, lit(0L))
-      .otherwise(size(tokens(c)).cast("long"))
+      .otherwise(size(toks).cast("long"))
 
   /** (token, count) global frequency table, top `k` by count desc then
     * token asc — explode → partial-agg count → TakeOrdered(k). */

@@ -162,6 +162,49 @@ class CurationSpec extends SparkSpec {
     assert(f0.toSeq == f1.toSeq)
   }
 
+  test("funnel consumes a FILE-loaded scorer config identically to code-constructed") {
+    import graft.ext.QualityScore
+    val dir = java.nio.file.Paths.get(Files.tmp("graft-curation-cfg"))
+    val path = dir.resolve("scorer.yaml")
+    java.nio.file.Files.writeString(path,
+      """weights:
+        |  stop: 2000
+        |  alpha: 1000
+        |  punct: -1000
+        |  mean_tok_len: 100
+        |thresholds:
+        |  hi: 1450
+        |  lo: 1300""".stripMargin)
+    val sc = QualityScore.loadConfig(path.toString)
+    val viaFile = Curation.funnel(docs, bench, cfg.copy(
+      qualityWeights = Some(sc.weights),
+      qualityHi = sc.hi, qualityLo = sc.lo, qualityMinBand = "high")).head()
+    val viaCode = Curation.funnel(docs, bench, cfg.copy(
+      qualityWeights = Some(QualityScore.Weights()),
+      qualityHi = 1450L, qualityLo = 1300L, qualityMinBand = "high")).head()
+    assert(viaFile.toSeq == viaCode.toSeq)
+    // The gate actually bit (the file wasn't silently ignored).
+    val ungated = Curation.funnel(docs, bench, cfg).head()
+    assert(viaFile.getAs[Long]("n_after_quality") <
+      ungated.getAs[Long]("n_after_quality"))
+  }
+
+  test("per-source funnel rows sum to the global funnel (same flags, finer counting)") {
+    val global = Curation.funnel(docs, bench, cfg).head()
+    val bySource = Curation.funnel(docs, bench, cfg, groupBy = Some("source"))
+      .collect()
+    assert(bySource.length > 1, "fixture corpus should span several sources")
+    val numeric = global.schema.fieldNames.filter(_ != "n_sequences")
+    numeric.foreach { c =>
+      assert(bySource.map(_.getAs[Long](c)).sum == global.getAs[Long](c),
+        s"per-source $c must sum to the global row")
+    }
+    // n_sequences does NOT sum (per-group ceil ≥ global ceil) — pin the
+    // direction so nobody "fixes" it into an identity.
+    assert(bySource.map(_.getAs[Long]("n_sequences")).sum >=
+      global.getAs[Long]("n_sequences"))
+  }
+
   test("curate drops the benchmark docs themselves and each stage only removes") {
     val f = Curation.funnel(docs, bench, cfg).head()
     val surv = Curation.curate(docs, bench, cfg)

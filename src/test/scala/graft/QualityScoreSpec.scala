@@ -22,8 +22,8 @@ class QualityScoreSpec extends SparkSpec {
     assert(r.getAs[Long]("q_alpha_chars") == 11L)
     assert(r.getAs[Long]("q_punct_chars") == 1L)
     assert(r.getAs[Long]("q_sum_tok_len") == 12L)
-    assert(r.getAs[Long]("score_num") == 118000L)
-    assert(r.getAs[String]("band") == "high")
+    assert(r.getAs[Long]("q_score_num") == 118000L)
+    assert(r.getAs[String]("q_band") == "high")
   }
 
   test("band edges are >= on the cross-multiplied comparison") {
@@ -32,17 +32,17 @@ class QualityScoreSpec extends SparkSpec {
     // is exactly 1.0. A threshold exactly at the score must still band
     // high (>=, not >); one milli above must not.
     val docs = df(Seq(Row(1L, "x", "aa aa")), "doc_id BIGINT, lang STRING, text STRING")
-    assert(QualityScore.scored(docs).head().getAs[Long]("score_num") == 10000L)
+    assert(QualityScore.scored(docs).head().getAs[Long]("q_score_num") == 10000L)
     assert(QualityScore.scored(docs, hi = 1000L, lo = 0L)
-      .head().getAs[String]("band") == "high")
+      .head().getAs[String]("q_band") == "high")
     assert(QualityScore.scored(docs, hi = 1001L, lo = 0L)
-      .head().getAs[String]("band") == "medium")
+      .head().getAs[String]("q_band") == "medium")
   }
 
   test("null and blank docs band as empty; bad thresholds rejected") {
     val docs = df(Seq(Row(1L, "x", null), Row(2L, "x", "   "), Row(3L, "x", "")),
       "doc_id BIGINT, lang STRING, text STRING")
-    val bands = QualityScore.scored(docs).select("band")
+    val bands = QualityScore.scored(docs).select("q_band")
       .collect().map(_.getString(0)).toSet
     assert(bands == Set("empty"))
     intercept[IllegalArgumentException](
@@ -61,14 +61,14 @@ class QualityScoreSpec extends SparkSpec {
         stopwords = Seq("the", "of")), 1200L, 400L))
     configs.foreach { case (w, hi, lo) =>
       val viaScored = QualityScore.scored(d, w = w, hi = hi, lo = lo)
-        .select(col("doc_id"), col("band"))
+        .select(col("doc_id"), col("q_band"))
       val viaColumn = d
         .withColumn("__t", graft.ext.TextAnalysis.tokens(col("text")))
         .select(col("doc_id"),
           QualityScore.bandFromToks(col("text"), col("__t"), w, hi, lo)
             .as("band2"))
       val joined = viaScored.join(viaColumn, "doc_id")
-        .filter(col("band") =!= col("band2"))
+        .filter(col("q_band") =!= col("band2"))
       assert(joined.count() == 0L, s"band definitions diverged under $w")
     }
   }
@@ -91,10 +91,65 @@ class QualityScoreSpec extends SparkSpec {
     val ann = Curation.annotate(docs, bench, base)
       .filter(col("is_canonical") && !col("is_contaminated"))
     val expected = QualityScore.scored(ann, hi = 1450L, lo = 1300L)
-      .filter(col("n_tok").between(25, 90) && col("band") === "high")
+      .filter(col("n_tok").between(25, 90) && col("q_band") === "high")
       .count()
     assert(f1.getAs[Long]("n_after_quality") == expected)
     intercept[IllegalArgumentException](base.copy(qualityMinBand = "low"))
+  }
+
+  test("scorer config round-trips from JSON and YAML; ranges validate loudly") {
+    val json = """{ "weights": { "bias": 50, "stop": 900, "alpha": -200,
+                 |              "punct": 300, "mean_tok_len": 250 },
+                 |  "stopwords": ["the", "of"],
+                 |  "thresholds": { "hi": 1200, "lo": 400 } }""".stripMargin
+    val cfg = QualityScore.parseConfig(json)
+    assert(cfg == QualityScore.ScorerConfig(
+      QualityScore.Weights(bias = 50L, stop = 900L, alpha = -200L,
+        punct = 300L, meanTokLen = 250L, stopwords = Seq("the", "of")),
+      hi = 1200L, lo = 400L))
+    val yaml = """weights:
+                 |  stop: 2000
+                 |  alpha: 1000
+                 |thresholds:
+                 |  hi: 1500
+                 |  lo: 800""".stripMargin
+    val y = QualityScore.parseConfig(yaml, yaml = true)
+    // Omitted weights are ZERO (a learned file that omits a term means
+    // coefficient 0), omitted stopwords keep the default list.
+    assert(y.weights == QualityScore.Weights(bias = 0L, stop = 2000L,
+      alpha = 1000L, punct = 0L, meanTokLen = 0L))
+    // Loud failures: missing thresholds, oversized weights, hi < lo,
+    // non-integer weights.
+    intercept[IllegalArgumentException](
+      QualityScore.parseConfig("""{ "weights": { "stop": 1 } }"""))
+    intercept[IllegalArgumentException](QualityScore.parseConfig(
+      """{ "weights": { "stop": 2000000 }, "thresholds": { "hi": 1, "lo": 0 } }"""))
+    intercept[IllegalArgumentException](QualityScore.parseConfig(
+      """{ "thresholds": { "hi": 1, "lo": 2 } }"""))
+    intercept[IllegalArgumentException](QualityScore.parseConfig(
+      """{ "weights": { "stop": 1.5 }, "thresholds": { "hi": 1, "lo": 0 } }"""))
+    // File loading picks the format by extension.
+    val dir = java.nio.file.Paths.get(Files.tmp("graft-scorer-cfg"))
+    val jf = dir.resolve("w.json"); java.nio.file.Files.writeString(jf, json)
+    assert(QualityScore.loadConfig(jf.toString) == cfg)
+    // A loaded config scores identically to the same code-constructed
+    // one (the whole point: a learned vector drops in file-first).
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val viaFile = QualityScore.scored(docs, w = cfg.weights, hi = cfg.hi, lo = cfg.lo)
+      .select("doc_id", "q_band").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaCode = QualityScore.scored(docs,
+        w = QualityScore.Weights(50L, 900L, -200L, 300L, 250L, Seq("the", "of")),
+        hi = 1200L, lo = 400L)
+      .select("doc_id", "q_band").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaFile == viaCode)
+  }
+
+  test("bandCensus groups by any column") {
+    val bySource = QualityScore.bandCensus(Tables.documents(spark, sfDir),
+      hi = 1450L, lo = 1300L, groupCol = "source")
+    assert(bySource.columns.toSeq == Seq("source", "band", "n_docs", "tokens"))
+    assert(bySource.select(sum(col("n_docs"))).head().getLong(0) ==
+      Tables.documents(spark, sfDir).count())
   }
 
   test("bandCensus partitions the corpus and counts token mass") {
