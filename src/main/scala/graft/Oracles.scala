@@ -526,6 +526,58 @@ object Oracles {
         |                    '')) AS text_md5
         |FROM flagged GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    "x1_substring_dedup" ->
+      // Stride-1 overlapping 8-token windows over the normalized stream:
+      // a window repeated corpus-wide keeps only its first (doc_id, pos)
+      // occurrence; a TOKEN drops iff some covered (repeated, non-first)
+      // window contains it. The oracle keys the census on the window
+      // STRING where the engine keys on xxhash64 — identical absent
+      // 64-bit collisions (the jaccard precedent). DuckDB list lambdas
+      // are 1-indexed; the engine's 0-based coverage test shifts by one.
+      """WITH pl AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 17 = 0 THEN text ||
+        |                repeat(' off', doc_id % 3) ||
+        |                ' the shared boilerplate sentence that repeats across many documents verbatim exactly once'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |         string_split_regex(lower(trim(regexp_replace(coalesce(text, ''),
+        |           '\s+', ' ', 'g'))), '\s+') AS toks
+        |  FROM pl),
+        |w AS (
+        |  SELECT doc_id, unnest(range(0, greatest(len(toks) - 8 + 1, 0))) AS pos, toks
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id, pos,
+        |         array_to_string(list_slice(toks, pos + 1, pos + 8), ' ') AS win
+        |  FROM w),
+        |o AS (
+        |  SELECT doc_id, pos,
+        |         count(*) OVER (PARTITION BY win) AS cnt,
+        |         row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |  FROM h),
+        |cov AS (
+        |  SELECT doc_id, list_sort(list(pos)) AS starts
+        |  FROM o WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id),
+        |r AS (
+        |  SELECT d.doc_id, d.toks,
+        |         coalesce(cov.starts, []) AS starts
+        |  FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id),
+        |k AS (
+        |  SELECT doc_id, toks,
+        |         list_filter(toks, (x, i) ->
+        |           len(list_filter(starts, s -> s <= i - 1 AND i - 1 < s + 8)) = 0)
+        |           AS kept
+        |  FROM r)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(toks) - len(kept) AS BIGINT) AS n_dropped,
+        |       -- coalesce: array_to_string of a fully-dropped doc's empty
+        |       -- kept list is NULL; Spark's concat_ws is ''.
+        |       md5(coalesce(array_to_string(kept, ' '), '')) AS text_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     "x1_embed_neardup" ->
       """WITH corpus AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -419,6 +419,26 @@ object Queries {
         md5(col("text").cast("binary")).as("text_md5"))
       .orderBy("doc_id")
 
+  /** X1g2 — exact-SUBSTRING dedup (Lee et al. shape): every 17th doc
+    * gains the same 12-token phrase at an ALIGNMENT-BREAKING offset
+    * (0–2 'off' pad tokens by doc_id % 3), so fixed 8-token blocks hash
+    * it differently per doc and would miss it — the stride-1 window
+    * census must drop it everywhere except doc 0's copy. One row per
+    * document with the md5 of the rebuilt text: a single wrong
+    * keep/drop decision on either engine breaks the hash. */
+  def x1SubstringDedup(s: SparkSession, d: String): DataFrame = {
+    val planted = documents(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(17)) === 0,
+        concat(col("text"), expr("repeat(' off', doc_id % 3)"),
+          lit(" the shared boilerplate sentence that repeats across many" +
+            " documents verbatim exactly once")))
+        .otherwise(col("text")))
+    graft.ext.SpanDedup.dedupSubstrings(planted, width = 8, minCount = 2)
+      .select(col("doc_id"), col("n_tokens"), col("n_dropped"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** X1e — embedding-cosine near-duplicate pairs. The base corpus has no
     * pairs above 0.52, so five exact copies (vec_id + 100000) are planted
     * deterministically; identical vectors share every LSH band, so the

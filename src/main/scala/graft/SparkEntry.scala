@@ -53,6 +53,7 @@ object SparkEntry {
     "x1_simhash_pairs" -> (Queries.x1SimhashPairs _),
     "x1_dedup_groups" -> (Queries.x1DedupGroups _),
     "x1_span_dedup" -> (Queries.x1SpanDedup _),
+    "x1_substring_dedup" -> (Queries.x1SubstringDedup _),
     "x1_embed_neardup" -> (Queries.x1EmbedNearDup _),
     "x2_topk_cosine" -> (Queries.x2TopkCosine _),
     "x2_ann_topk" -> (Queries.x2AnnTopk _),

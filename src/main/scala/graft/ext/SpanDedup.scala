@@ -115,6 +115,73 @@ object SpanDedup {
         array_sort(collect_list(when(col("keep"), struct(col("pos"), col("span"))))),
         x => x("span"))).as("text"))
 
+  /** Exact-substring dedup (the Lee et al. 2022 "Deduplicating Training
+    * Data" shape, re-expressed for Spark): every repeated run of ≥
+    * `width` normalized tokens is removed at all but its FIRST corpus
+    * occurrence — detected by a census of OVERLAPPING, stride-1 token
+    * windows. This closes the gap of [[tokenSpans]]' fixed blocks: the
+    * same substring aligned differently in two documents (one extra
+    * leading token shifts every block boundary) hashes into different
+    * blocks and escapes block-mode dedup entirely, while at stride 1 a
+    * repeated run of L ≥ width tokens shares L−width+1 exact windows
+    * between its occurrences at ANY alignment. (Lee et al. detect the
+    * same thing single-node with suffix arrays; the stride-1 window
+    * census is the shuffle-native equivalent at a fixed minimum match
+    * length.)
+    *
+    * Keep/drop: per distinct window, the lexicographically smallest
+    * (keyCol, pos) occurrence is first ([[flagSpans]]' convention); a
+    * token is dropped iff some covered (= repeated, non-first) window
+    * contains it, so the earliest copy of a run survives intact and
+    * every later copy vanishes wholesale.
+    *
+    * Scale shape: ONE fixed-width census row per token (64-bit window
+    * hash + key + pos — the window text itself never shuffles; collision
+    * odds over a window vocabulary are ~|V|²/2⁶⁴, the [[Dedup
+    * .jaccardPairs]] trade); census + verdict join are the partial-agg
+    * shapes of [[flagSpans]]; coverage resolution is one per-document
+    * aggregate whose state is bounded by the document's covered-window
+    * count, and the kept-token filter is an index HOF bounded by doc
+    * length × covered windows. Spanization is evaluated twice (census
+    * side + rebuild side) — the same two-scan trade documented on the
+    * object. Output: (keyCol, n_tokens, n_dropped, text), text rebuilt
+    * from the surviving NORMALIZED tokens (span identity is normalized,
+    * like [[tokenSpans]]). Blank/null docs survive with empty text. */
+  def dedupSubstrings(docs: DataFrame, textCol: String = "text",
+                      keyCol: String = "doc_id", width: Int = 8,
+                      minCount: Int = 2): DataFrame = {
+    require(width >= 2, s"width ($width) must be >= 2 — width 1 would drop " +
+      "every repeated TOKEN, which is vocabulary removal, not dedup")
+    require(minCount >= 2, s"minCount ($minCount) must be >= 2")
+    val w = width
+    def toksed = docs.select(col(keyCol),
+      split(Dedup.normText(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
+    val windows = toksed
+      .select(col(keyCol), posexplode(
+        when(size(col("__toks")) >= w,
+          transform(sequence(lit(0), size(col("__toks")) - w),
+            i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(w))))))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "__h")))
+    val census = windows.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(keyCol), col("pos"))).as("__first"))
+    val covered = windows.join(census, "__h")
+      .filter(col("__cnt") >= minCount &&
+        !(col(keyCol) === col(s"__first.$keyCol") &&
+          col("pos") === col("__first.pos")))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    toksed.join(covered, Seq(keyCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__toks"),
+        (x, i) => !exists(col("__starts"), s0 => s0 <= i && i < s0 + w)))
+      .select(col(keyCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_dropped"),
+        concat_ws(" ", col("__kept")).as("text"))
+  }
+
   /** The composed operator over token-block spans (corpora without line
     * structure): spanize → flag → rebuild. */
   def dedupTokenSpans(docs: DataFrame, textCol: String = "text",

@@ -87,6 +87,51 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("substring dedup catches cross-boundary repeats that block mode misses") {
+    // The same 6-token phrase sits at offset 0 in doc 1 and offset 1 in
+    // doc 2 (one leading pad token): width-3 BLOCKS hash it as
+    // [one two three][four five six] vs [pad one two][three four five]…
+    // — no block repeats, block mode drops nothing. Stride-1 3-token
+    // windows share 4 exact windows at any alignment, so the substring
+    // mode drops doc 2's whole phrase and keeps doc 1's (first
+    // occurrence) intact.
+    val d = docs(
+      (1L, "one two three four five six tail1 end1 extra1"),
+      (2L, "pad one two three four five six tail2 end2"))
+    val block = SpanDedup.dedupTokenSpans(d, width = 3)
+    assert(block.agg(sum(col("n_dropped"))).head().getLong(0) == 0L,
+      "fixture must be invisible to block mode for the contrast to mean anything")
+    val sub = SpanDedup.dedupSubstrings(d, width = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dropped"), r.getAs[String]("text"))).toMap
+    assert(sub(1L) == (0L, "one two three four five six tail1 end1 extra1"),
+      "first occurrence keeps every token")
+    assert(sub(2L)._2 == "pad tail2 end2", s"got ${sub(2L)}")
+    assert(sub(2L)._1 == 6L)
+  }
+
+  test("substring dedup: sub-width repeats and within-doc repeats behave") {
+    // "alpha beta" (2 tokens < width 3) repeats across docs — below the
+    // minimum match length, untouched. Doc 3 repeats its own 3-token
+    // phrase internally: the second occurrence drops (min (doc, pos)
+    // wins WITHIN a document too).
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta zeta eta theta"),
+      (3L, "red green blue filler1 filler2 red green blue"))
+    val sub = SpanDedup.dedupSubstrings(d, width = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dropped"), r.getAs[String]("text"))).toMap
+    assert(sub(1L)._1 == 0L && sub(2L)._1 == 0L,
+      "sub-width repeats are below the match length")
+    assert(sub(3L) == (3L, "red green blue filler1 filler2"))
+    // Null text survives empty; width/minCount validate loudly.
+    val n = SpanDedup.dedupSubstrings(docs((9L, null)), width = 3).head()
+    assert(n.getAs[String]("text") == "")
+    intercept[IllegalArgumentException](SpanDedup.dedupSubstrings(d, width = 1))
+    intercept[IllegalArgumentException](SpanDedup.dedupSubstrings(d, minCount = 1))
+  }
+
   test("registered query drops the known duplicate blocks at sf0.001") {
     val out = Queries.x1SpanDedup(spark, sfDir)
     val agg = out.agg(sum("n_spans"), sum("n_dropped")).head()
