@@ -741,13 +741,16 @@ object Oracles {
           case (l, p) =>
             s"WHEN '$l' THEN [${p.stopwords.map(w => s"'$w'").mkString(", ")}]"
         }.mkString(" ") + " ELSE ['a', 'the', 'and', 'of'] END"
-      val symCase = raw"""CASE lang
-        |           WHEN 'zh' THEN length(t) - length(regexp_replace(t,
+      val symCase = raw"""CASE
+        |           WHEN lang = 'zh' THEN length(t) - length(regexp_replace(t,
         |             '[^\x{4e00}-\x{9fff}0-9\s]', '', 'g'))
-        |           WHEN 'ja' THEN length(t) - length(regexp_replace(t,
+        |           WHEN lang = 'ja' THEN length(t) - length(regexp_replace(t,
         |             '[^\x{4e00}-\x{9fff}\x{3040}-\x{30ff}0-9\s]', '', 'g'))
-        |           WHEN 'ko' THEN length(t) - length(regexp_replace(t,
+        |           WHEN lang = 'ko' THEN length(t) - length(regexp_replace(t,
         |             '[^\x{ac00}-\x{d7a3}0-9\s]', '', 'g'))
+        |           WHEN lang IN ('es', 'fr', 'de')
+        |             THEN length(t) - length(regexp_replace(t,
+        |               '[^A-Za-z\x{c0}-\x{d6}\x{d8}-\x{f6}\x{f8}-\x{ff}0-9\s]', '', 'g'))
         |           ELSE length(t) - length(regexp_replace(t,
         |             '[^A-Za-z0-9\s]', '', 'g')) END""".stripMargin
       raw"""WITH uni AS (
@@ -906,11 +909,13 @@ object Oracles {
         |  SELECT doc_id,
         |         (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END)
         |         || '://'
+        |         || (CASE WHEN doc_id % 23 = 0 THEN 'crawler@' ELSE '' END)
         |         || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
         |         || (CASE WHEN doc_id % 13 = 0 THEN 'cdn.' ELSE '' END)
         |         || source || '.example.org'
         |         || (CASE WHEN doc_id % 5 = 0 THEN
         |               (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+        |             WHEN doc_id % 19 = 0 THEN ':8080'
         |             ELSE '' END)
         |         || '/doc/' || (doc_id % 50)
         |         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
@@ -922,29 +927,32 @@ object Oracles {
         |  SELECT doc_id, url,
         |         lower(regexp_replace(t, '://.*', '')) AS scheme,
         |         regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-        |  FROM (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '') AS t
+        |  FROM (SELECT doc_id, url, regexp_replace(trim(url), '(?s)#.*', '') AS t
         |        FROM u)),
         |h AS (
         |  SELECT doc_id, url, scheme,
-        |         regexp_replace(lower(regexp_replace(rest, '[/?].*', '')),
-        |                        '^www\.', '') AS nowww,
+        |         regexp_replace(regexp_replace(
+        |             lower(regexp_replace(rest, '[/?].*', '')),
+        |             '^[^@/?]*@', ''),
+        |           '^www\.', '') AS nowww,
         |         regexp_replace(rest, '^[^/?]+', '') AS pathq
         |  FROM p),
         |c AS (
         |  SELECT doc_id, url,
-        |         scheme || '://' || dom
+        |         scheme || '://'
+        |         || (CASE WHEN scheme = 'http'
+        |                    THEN regexp_replace(nowww, ':80$', '')
+        |                  WHEN scheme = 'https'
+        |                    THEN regexp_replace(nowww, ':443$', '')
+        |                  ELSE nowww END)
         |         || regexp_replace(regexp_replace(pathq, '\?.*', ''), '/+$', '')
         |         || (CASE WHEN strpos(pathq, '?') > 0
         |                  THEN substr(pathq, strpos(pathq, '?')) ELSE '' END)
         |           AS curl,
-        |         dom
-        |  FROM (SELECT doc_id, url, scheme, pathq,
-        |               CASE WHEN scheme = 'http'
-        |                      THEN regexp_replace(nowww, ':80$', '')
-        |                    WHEN scheme = 'https'
-        |                      THEN regexp_replace(nowww, ':443$', '')
-        |                    ELSE nowww END AS dom
-        |        FROM h))
+        |         -- blocklist key: ANY port strips (a non-default port must
+        |         -- not bypass policy), unlike the canonical host above
+        |         regexp_replace(nowww, ':[0-9]+$', '') AS dom
+        |  FROM h)
         |SELECT doc_id, url, curl, dom,
         |       NOT (dom = 'src3.example.org' OR dom LIKE '%.src3.example.org'
         |            OR dom = 'src7.example.org' OR dom LIKE '%.src7.example.org')

@@ -758,11 +758,15 @@ object Queries {
     val id = col("doc_id")
     val url = concat(
       when(id % 3 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+      when(id % 23 === 0, lit("crawler@")).otherwise(lit("")),
       when(id % 2 === 0, lit("www.")).otherwise(lit("")),
       when(id % 13 === 0, lit("cdn.")).otherwise(lit("")),
       col("source"), lit(".example.org"),
+      // Default port when %5; NON-default :8080 when %19 (blocklist
+      // must still catch it — dom strips any port, curl keeps it).
       when(id % 5 === 0,
-        when(id % 3 === 0, lit(":80")).otherwise(lit(":443"))).otherwise(lit("")),
+        when(id % 3 === 0, lit(":80")).otherwise(lit(":443")))
+        .when(id % 19 === 0, lit(":8080")).otherwise(lit("")),
       lit("/doc/"), (id % 50).cast("string"),
       when(id % 4 === 0, lit("/")).otherwise(lit("")),
       when(id % 11 === 0, lit("?page=2")).otherwise(lit("")),

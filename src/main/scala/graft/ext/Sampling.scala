@@ -116,8 +116,6 @@ object Sampling {
     *   k0 = key & 2147483647
     *   k1 = key >> 31                             -- upper 32 bits, whole
     *   h1 = ((k0 + sLo) & 2147483647) * 2654435761
-    *   g1 = xor(h1, h1 >> 31) & 2147483647
-    *   h2 = (k1 + sHi) * 486187739
     *   g1 = xor(h1, h1 >> 31)                     -- NO mask: bijection
     *   h2 = (k1 + sHi) * 486187739
     *   g2 = xor(h2, h2 >> 31) & 2147483647

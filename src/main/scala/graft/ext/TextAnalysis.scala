@@ -171,7 +171,7 @@ object TextAnalysis {
     val stopArr = array(stopwords.map(lit): _*)
     gopherCore(docs, textCol,
       toksRaw = tokens(t),
-      nTokens = tokenCount(t),
+      nTokens = tokenCountFromToks(t, col("__toks")),
       stopHits = size(filter(stopArr,
         s => array_contains(col("__toks"), s))).cast("long"),
       nSymbols = (coalesce(length(t), lit(0)) -
@@ -221,11 +221,19 @@ object TextAnalysis {
   // lazy: langProfiles is declared later in this object (kept next to
   // the language-ID code it primarily serves); a strict val here would
   // read it as null during object init.
+  /** Symbol class for Latin-script languages WITH diacritics: the
+    * ASCII default would count é/ñ/ç/ü/ß as symbols, tripping
+    * `symbol_heavy` on perfectly normal es/fr/de text — the keep class
+    * adds the Latin-1 letter ranges (À-Ö, Ø-ö, ø-ÿ — U+00C0–U+00FF
+    * minus the × and ÷ operators, literal chars so Java regex and RE2
+    * read the same string). */
+  private val AccentedLatinSymbols = "[^A-Za-zÀ-ÖØ-öø-ÿ0-9\\s]"
+
   lazy val gopherPresets: Map[String, GopherPreset] = Map(
     "en" -> GopherPreset(langProfiles("en")),
-    "es" -> GopherPreset(langProfiles("es")),
-    "fr" -> GopherPreset(langProfiles("fr")),
-    "de" -> GopherPreset(langProfiles("de")),
+    "es" -> GopherPreset(langProfiles("es"), symbolClass = AccentedLatinSymbols),
+    "fr" -> GopherPreset(langProfiles("fr"), symbolClass = AccentedLatinSymbols),
+    "de" -> GopherPreset(langProfiles("de"), symbolClass = AccentedLatinSymbols),
     "zh" -> GopherPreset(
       Seq("的", "了", "是", "在", "和", "有", "这", "我"),
       symbolClass = "[^一-鿿0-9\\s]",
@@ -262,10 +270,12 @@ object TextAnalysis {
       toksRaw = sel(p =>
         if (p.charTokens) regexp_extract_all(t, lit("\\S"), lit(0)) else tokens(t)),
       // Char mode: size of the (coalesced) token array — regexp_extract_all
-      // of blank text is [], so no blank-guard needed; ws mode keeps the
-      // tokenCount definition shared with Packing.
+      // of blank text is [], so no blank-guard needed; ws mode reuses the
+      // MATERIALIZED __toks through tokenCountFromToks (same verdicts as
+      // Packing's tokenCount, without a second split per row).
       nTokens = sel(p =>
-        if (p.charTokens) size(col("__toks")).cast("long") else tokenCount(t)),
+        if (p.charTokens) size(col("__toks")).cast("long")
+        else tokenCountFromToks(t, col("__toks"))),
       stopHits = sel(p => size(filter(array(p.stopwords.map(lit): _*),
         s => array_contains(col("__toks"), s))).cast("long")),
       nSymbols = sel(p => (coalesce(length(t), lit(0)) -
@@ -413,18 +423,19 @@ object TextAnalysis {
     * oracle-checked view: one partial-agg groupBy over the map-only
     * flag pass. */
   def gopherSummary(docs: DataFrame, textCol: String = "text"): DataFrame =
-    summarizeGopher(gopherFlags(docs, textCol))
+    summarizeGopher(gopherFlags(docs, textCol), "lang")
 
-  /** The census over the PRESET-dispatched flags — same aggregate. */
+  /** The census over the PRESET-dispatched flags — same aggregate,
+    * grouped by the SAME column the presets dispatched on. */
   def gopherSummaryByLang(docs: DataFrame,
                           presets: Map[String, GopherPreset] = gopherPresets,
                           langCol: String = "lang",
                           textCol: String = "text"): DataFrame =
-    summarizeGopher(gopherFlagsByLang(docs, presets, langCol, textCol))
+    summarizeGopher(gopherFlagsByLang(docs, presets, langCol, textCol), langCol)
 
-  private def summarizeGopher(f: DataFrame): DataFrame = {
+  private def summarizeGopher(f: DataFrame, groupCol: String): DataFrame = {
     def cnt(c: String) = count(when(col(c), lit(1))).as(s"n_$c")
-    f.groupBy(col("lang"))
+    f.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         cnt("too_short"), cnt("too_long"), cnt("bad_tok_len"),
         cnt("symbol_heavy"), cnt("low_stopword"), cnt("repetitive"),
@@ -436,7 +447,7 @@ object TextAnalysis {
         cnt("dup_7gram_heavy"), cnt("dup_8gram_heavy"),
         cnt("dup_9gram_heavy"), cnt("dup_10gram_heavy"),
         cnt("pass"))
-      .orderBy("lang")
+      .orderBy(groupCol)
   }
 
   /** Document fingerprinting: md5 of the normalized text (exact-dup

@@ -126,10 +126,12 @@ class SamplingSpec extends SparkSpec {
     // BEFORE the final multiply, so the whole hash took at most 2^31
     // distinct values — 200k keys would produce ~9 expected birthday
     // collisions and, at multi-billion docs, many small doc_id-ordered
-    // tie groups in trainingOrder. The injective combine (g1*Knuth + g2,
-    // Knuth > 2^31 >= g2) restores ~2^62 values: expected collisions
-    // here are ~1e-8, so ANY collision fails. Mixed key shapes — dense,
-    // strided, and high-range — at two seeds.
+    // tie groups in trainingOrder. The fix keeps the LOW lane injective
+    // end to end (g1 unmasked; h3 = xor(g1, g2*Knuth) is a bijection of
+    // g1 for fixed k1), so same-block keys cannot collide AT ALL and
+    // cross-block collisions need an xor coincidence at ~2^-62 per pair:
+    // expected collisions here are ~1e-8, so ANY collision fails. Mixed
+    // key shapes — dense, strided, and high-range — at two seeds.
     for (seed <- Seq(7L, 42L)) {
       val keys = (0L until 100000L) ++
         (0L until 50000L).map(i => (1L << 40) + i * 104729L) ++

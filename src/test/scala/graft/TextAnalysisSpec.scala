@@ -256,6 +256,28 @@ class TextAnalysisSpec extends SparkSpec {
     val viaPreset = graft.ext.TextAnalysis.gopherFlagsByLang(en).head()
     val viaDefault = graft.ext.TextAnalysis.gopherFlags(en).head()
     assert(viaPreset.getAs[Boolean]("pass") == viaDefault.getAs[Boolean]("pass"))
+    // Accented Latin letters are NOT symbols under the es/fr/de presets:
+    // an ordinary accent-dense French sentence would trip symbol_heavy
+    // under the ASCII class (é/à/è counted as symbols) but not under fr.
+    // Accent-dense on purpose: 17 accented chars in ~60 — above the 10%
+    // symbol threshold under ASCII, zero symbols under the fr class.
+    val fr = df(Seq(Row(2L, "fr",
+      "le été général réalité déjà très élève ça référé même créé")),
+      "doc_id BIGINT, lang STRING, text STRING")
+    val frRow = graft.ext.TextAnalysis.gopherFlagsByLang(fr).head()
+    assert(!frRow.getAs[Boolean]("symbol_heavy"),
+      s"accented letters counted as symbols: n_symbols=${frRow.getAs[Long]("n_symbols")}")
+    assert(graft.ext.TextAnalysis.gopherFlags(fr).head().getAs[Boolean]("symbol_heavy"),
+      "contrast: the ASCII default must trip on the same text")
+  }
+
+  test("gopherSummaryByLang groups by the dispatch column, whatever its name") {
+    import spark.implicits._
+    val renamed = Queries.gopherCjkFixtures.toDF("doc_id", "language", "text")
+    val s = graft.ext.TextAnalysis.gopherSummaryByLang(renamed, langCol = "language")
+      .collect()
+    assert(s.map(_.getAs[String]("language")).sorted.toSeq == Seq("ja", "ko", "zh"))
+    assert(s.map(_.getAs[Long]("n_pass")).sum == 3L) // the three PASS fixtures
   }
 
   test("repetitionByLang: self-repeating docs score high, varied text zero, short docs drop") {

@@ -38,6 +38,12 @@ class UrlSpec extends SparkSpec {
       Seq("http://example.com/Dir?x=Y"))
     // Schemeless: trimmed + fragment-stripped, otherwise untouched.
     assert(canon("example.com/A#f") == Seq("example.com/A"))
+    // Userinfo is not part of the host (and must not split the dedup key).
+    assert(canon("https://user:pw@example.com/a") == Seq("https://example.com/a"))
+    assert(canon("https://crawler@WWW.Example.com/a") == Seq("https://example.com/a"))
+    // A newline-bearing fragment strips WHOLLY (dotall '.'), keeping the
+    // pattern single-match for oracle portability.
+    assert(canon("https://example.com/a#f\ng") == Seq("https://example.com/a"))
   }
 
   test("canonicalize and domain are null-safe") {
@@ -62,6 +68,9 @@ class UrlSpec extends SparkSpec {
       "https://a.b.bad.org/x" -> true,    // deep subdomain
       "https://notbad.org/x" -> false,    // suffix rule, NOT substring
       "https://bad.org.evil.com/x" -> false, // domain is evil.com
+      "https://bad.org:8080/x" -> true,   // a non-default port is no bypass
+      "https://anything@bad.org/x" -> true, // nor is userinfo
+      "https://u:p@cdn.bad.org:9443/x" -> true, // nor both at once
       "no-scheme-bad.org" -> false)       // schemeless: no host to match
     val d = df(rows.map(r => Row(r._1)), "u STRING")
     val got = d.select(col("u"), Url.isBlocked(col("u"), Seq("bad.org")).as("b"))
