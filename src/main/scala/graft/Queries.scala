@@ -813,6 +813,20 @@ object Queries {
     * see. Same operators, same parameters, `materialize = false`; used by
     * [[Explain]] and the plan-audit spec, never by Verify/Bench. */
   def planOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s3_stream_neardup" -> ((s, d) => {
+      // Un-checkpointed history index, so the dump shows the signature
+      // aggregate feeding the per-band anti joins instead of a
+      // checkpoint scan.
+      val docs = documents(s, d)
+      val history = docs.filter(col("doc_id") < 300)
+      val shard = docs.filter(col("doc_id") >= 300)
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      graft.stream.StreamingDedup.minhashDropStreamAgainst(
+          shard, Dedup.minhashSignatures(history, n = 4),
+          n = 4, bands = 8, minSim = 0.7)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "x1_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(documents(s, d), n = 4, minSim = 0.8, materialize = false)),
     "x1_minhash_pairs" -> ((s, d) =>

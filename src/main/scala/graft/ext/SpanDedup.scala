@@ -156,12 +156,14 @@ object SpanDedup {
     val w = width
     def toksed = docs.select(col(keyCol),
       split(Dedup.normText(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
+    // Native census input ([[graft.functions.NGramHashes]] — hash
+    // parity with `xxhash64(concat_ws(" ", slice(toks, i+1, w)))` by
+    // construction): one JIT'd traversal instead of three interpreted
+    // lambdas allocating a window string per token.
     val windows = toksed
       .select(col(keyCol), posexplode(
-        when(size(col("__toks")) >= w,
-          transform(sequence(lit(0), size(col("__toks")) - w),
-            i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(w))))))
-          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "__h")))
+        graft.functions.TextFunctions.ngramHashes(col("__toks"), w))
+        .as(Seq("pos", "__h")))
     val census = windows.groupBy(col("__h"))
       .agg(count(lit(1)).as("__cnt"),
         min(struct(col(keyCol), col("pos"))).as("__first"))

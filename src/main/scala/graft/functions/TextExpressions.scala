@@ -221,6 +221,70 @@ object MinHashSig {
   }
 }
 
+/** Native per-window hash array: `xxhash64` of every stride-1 n-token
+  * window of a token array, in window order — the census input of
+  * [[graft.ext.SpanDedup.dedupSubstrings]] as ONE JIT'd traversal.
+  *
+  * The HOF form it replaces — `transform(sequence(0, n−w),
+  * i => xxhash64(concat_ws(" ", slice(toks, i+1, w))))` — allocates a
+  * window string per token through three interpreted lambdas; here the
+  * same `UTF8String.concatWs` + `XxHash64Function.hash(utf8, 42)`
+  * composition (hash parity with `xxhash64(string)` by construction)
+  * runs in a tight loop. Empty array when fewer than `n` tokens. Null
+  * tokens hash as empty strings (callers pass `split` output, which
+  * never contains nulls). */
+case class NGramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: n ($n) must be >= 1")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    NGramHashes.compute(v.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "ngram_hashes"
+}
+
+object NGramHashes {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val total = m - n + 1
+    val out = new Array[Long](total)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < total) {
+      var j = 0
+      while (j < n) {
+        parts(j) =
+          if (toks.isNullAt(i + j)) UTF8String.EMPTY_UTF8
+          else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = XxHash64Function.hash(
+        UTF8String.concatWs(Space, parts: _*), StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-API entry points for the text expressions. */
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -230,4 +294,7 @@ object TextFunctions {
 
   def minhashSig(toks: Column, n: Int, numHashes: Int, seed: Long): Column =
     column(MinHashSig(expression(toks), n, numHashes, seed))
+
+  def ngramHashes(toks: Column, n: Int): Column =
+    column(NGramHashes(expression(toks), n))
 }
