@@ -827,6 +827,27 @@ object Queries {
           n = 4, bands = 8, minSim = 0.7)
         .select("doc_id").orderBy("doc_id")
     }),
+    "s4_stream_simhash" -> ((s, d) => {
+      val docs = documents(s, d)
+      val history = docs.filter(col("doc_id") < 300)
+      val shard = docs.filter(col("doc_id") >= 300)
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      graft.stream.StreamingDedup.simhashDropStreamAgainst(
+          shard, Dedup.simhashSignatures(history, n = 4),
+          n = 4, maxHamming = 6)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "x15_lm_ppl" -> ((s, d) => {
+      // Un-materialized model, so the dump shows the count aggregates
+      // feeding the scoring joins instead of checkpoint scans.
+      val docs = documents(s, d)
+      val model = graft.ext.NgramLm.train(docs.filter(col("doc_id") < 300))
+      graft.ext.NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
+        .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro",
+          "lm_ppl", "lm_band")
+        .orderBy("doc_id")
+    }),
     "x1_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(documents(s, d), n = 4, minSim = 0.8, materialize = false)),
     "x1_minhash_pairs" -> ((s, d) =>
@@ -881,6 +902,40 @@ object Queries {
     graft.stream.StreamingDedup.minhashDropStreamAgainst(
         shard, historySigs, n = 4, bands = 8, minSim = 0.7)
       .select("doc_id").orderBy("doc_id")
+  }
+
+  /** S4 — the SimHash half of the streaming near-dup story, batch
+    * replayed like S3: docs ≥ 300 plus re-keyed copies of docs 0-9
+    * against the frozen simhash index of docs < 300; planted copies
+    * (Hamming 0) must drop. Same (n=4, maxHamming=6) family as
+    * x1_simhash_pairs. Rows-only; parity pinned in
+    * StreamingDedupSpec. */
+  def s4StreamSimhash(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val history = docs.filter(col("doc_id") < 300)
+    val shard = docs.filter(col("doc_id") >= 300)
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    val historySigs = Dedup.simhashSignatures(history, n = 4).localCheckpoint(true)
+    graft.stream.StreamingDedup.simhashDropStreamAgainst(
+        shard, historySigs, n = 4, maxHamming = 6)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** X15 — bigram-LM perplexity scoring (the CCNet gate): model trained
+    * on docs < 300 (the "trusted reference"), docs ≥ 300 scored against
+    * it. Integer micro-nat sums make every hash-compared column exact
+    * arithmetic; `lm_ppl` is derived from the integers and rounded at
+    * 3 dp. Oracle replays the counts, the stupid-backoff CASE, and the
+    * cross-multiplied band cut in SQL. */
+  def x15LmPpl(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val model = graft.ext.NgramLm.train(docs.filter(col("doc_id") < 300))
+      .materialize()
+    graft.ext.NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
+      .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro",
+        "lm_ppl", "lm_band")
+      .orderBy("doc_id")
   }
 
   /** X5a — multimodal payload integrity per kind (synthetic media built

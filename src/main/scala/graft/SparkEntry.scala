@@ -73,6 +73,7 @@ object SparkEntry {
     "s1_windowed_checks" -> (Queries.s1WindowedChecks _),
     "s2_stream_dedup" -> (Queries.s2StreamDedup _),
     "s3_stream_neardup" -> (Queries.s3StreamNeardup _),
+    "s4_stream_simhash" -> (Queries.s4StreamSimhash _),
     "x5_media_integrity" -> (Queries.x5MediaIntegrity _),
     "x5_media_features" -> (Queries.x5MediaFeatures _),
     "x5_frame_sample" -> (Queries.x5FrameSample _),
@@ -90,7 +91,8 @@ object SparkEntry {
     "x11_salted_join" -> (Queries.x11SaltedJoin _),
     "x12_token_mix" -> (Queries.x12TokenMix _),
     "x12_training_order" -> (Queries.x12TrainingOrder _),
-    "x12_temperature_mix" -> (Queries.x12TemperatureMix _)
+    "x12_temperature_mix" -> (Queries.x12TemperatureMix _),
+    "x15_lm_ppl" -> (Queries.x15LmPpl _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

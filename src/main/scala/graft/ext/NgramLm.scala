@@ -1,0 +1,174 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X15 — bigram language-model perplexity scoring: the CCNet-style
+  * "how close is this document to a trusted reference corpus" gate
+  * (public pipelines score crawl text against a Wikipedia-trained
+  * KenLM and keep the low-perplexity head; the engine's job is the
+  * train/score/band plumbing at corpus scale — the reference corpus is
+  * a parameter).
+  *
+  * The model is STUPID BACKOFF over word bigrams (Brants et al. 2007 —
+  * no discounting, a fixed backoff factor, the standard web-scale
+  * choice because training is two pure counting aggregates):
+  *
+  *   p(w2 | w1) = c(w1 w2) / c(w1)                    if c(w1 w2) > 0
+  *              = 0.4 * (c(w2) + 1) / (total + V)     otherwise
+  *
+  * (+1/+V Laplace mass so out-of-vocabulary words score finitely).
+  *
+  * Float discipline (the x4 z-score / Gopher cross-multiply house
+  * rule, adapted — a sum of logs cannot be decimal-exact): each gram's
+  * log-probability is rounded ONCE to integer MICRO-NATS,
+  * `round(1e6 * ln p)`, and everything downstream — the per-document
+  * sum, the band cut — is exact 64-bit integer arithmetic, so
+  * aggregation order can never perturb a hash. |ln p| < 40 for any
+  * count model, so a document needs > 2^63/4e7 ≈ 2×10¹¹ grams to
+  * overflow — unreachable (ANSI mode throws loudly anyway). The band
+  * cut is an integer cross-multiply: head iff
+  * `sum_micro >= headMicro * n_grams` (thresholds are per-gram
+  * micro-nats; ppl 100 ≈ -4 605 170). The reported `lm_ppl` is derived
+  * FROM the integer sum (`exp(-sum/1e6/n)`, rounded to 3 dp) — display
+  * only, never compared.
+  *
+  * 100 TB shape: training is two `groupBy.count` passes over the
+  * (bounded, trusted) reference corpus — partial-agg, map-side
+  * combine. Scoring pre-aggregates the probe side per
+  * `(doc, w1, w2)` BEFORE touching the model, so a hot bigram ("of
+  * the") contributes one row per document, not one per occurrence —
+  * the join-key skew cap — then equi-joins the three count tables
+  * (one row per key on the build side; Spark auto-broadcasts when the
+  * model is small, sort-merge when it is not) and reduces back to one
+  * row per document. The totals frame is one row, joined by a
+  * broadcast cross join (the Mixing discipline — no driver collect).
+  */
+object NgramLm {
+
+  /** ln(0.4) in micro-nats — the stupid-backoff factor, rounded once
+    * HERE so the Scala plan and any SQL replay share the exact integer
+    * (one definition; -916291 = round(1e6 * ln 0.4)). */
+  val BackoffMicro: Long = -916291L
+
+  /** A trained model: pure count frames, each persistable as parquet
+    * and re-loadable — the incremental-dedup history-index discipline
+    * ([[Dedup.fingerprints]]) applied to LM counts. */
+  final case class Model(
+      bigrams: DataFrame,  // (w1, w2, c2: Long) — one row per seen bigram
+      unigrams: DataFrame, // (w, c1: Long) — one row per seen word
+      totals: DataFrame) { // ONE row: (total_toks: Long, vocab: Long)
+
+    /** Pin the count frames ([[org.apache.spark.sql.Dataset.localCheckpoint]]) —
+      * the persisted-index contract of the streaming dedup paths
+      * ([[graft.Queries.s3StreamNeardup]]): in production the model is
+      * SAVED parquet read back once; a derived frame would re-run the
+      * reference-corpus tokenize+aggregate for every join build that
+      * consumes it ([[scored]] consumes the unigram table twice). */
+    def materialize(): Model = Model(
+      bigrams.localCheckpoint(true),
+      unigrams.localCheckpoint(true),
+      totals.localCheckpoint(true))
+  }
+
+  /** Train bigram + unigram counts from a reference corpus. Documents
+    * with fewer than 2 tokens contribute unigrams but no bigrams;
+    * blank/null documents contribute nothing. */
+  def train(ref: DataFrame, textCol: String = "text"): Model = {
+    val toked = ref
+      .select(split(Dedup.normText(col(textCol)), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) > 0 && col("__toks")(0) =!= "")
+    val unigrams = toked
+      .select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bigrams = toked
+      .select(explode(bigramStructs(col("__toks"))).as("g"))
+      .select(col("g.w1"), col("g.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val totals = unigrams.agg(
+      sum(col("c1")).as("total_toks"),
+      count(lit(1)).as("vocab"))
+    Model(bigrams, unigrams, totals)
+  }
+
+  /** Adjacent-pair structs of a MATERIALIZED token array — kept as a
+    * struct (not [[Dedup.ngrams]]' joined string) because scoring keys
+    * the model join on the two words separately. `arrays_zip` over two
+    * shifted slices, NOT `transform(sequence(...), i -> struct(...))`:
+    * HOF lambdas evaluate interpreted, and the lambda form measured
+    * ~7× slower end-to-end on the registered query (slice/arrays_zip
+    * stay inside whole-stage codegen). */
+  private def bigramStructs(toks: org.apache.spark.sql.Column) =
+    when(size(toks) >= 2,
+      arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("w1"),
+        slice(toks, lit(2), size(toks) - 1).as("w2")))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** Score documents against a trained model. Appends (all
+    * `lm_`-prefixed — the [[QualityScore.scored]] collision rule):
+    *
+    *   - `lm_grams`      bigrams in the document (0 for < 2 tokens)
+    *   - `lm_hits`       grams found in the model's bigram table
+    *   - `lm_logp_micro` Σ gram log-probabilities, integer micro-nats
+    *   - `lm_ppl`        exp(-avg), 3 dp — null when `lm_grams` = 0
+    *   - `lm_band`       head / middle / tail / empty
+    *
+    * Thresholds are per-gram micro-nats (avg log-prob cuts):
+    * `headMicro` = -4 605 170 ≈ ppl 100, `tailMicro` = -6 907 755 ≈
+    * ppl 1000 by default. */
+  def scored(docs: DataFrame, model: Model, textCol: String = "text",
+             keyCol: String = "doc_id",
+             headMicro: Long = -4605170L,
+             tailMicro: Long = -6907755L): DataFrame = {
+    require(headMicro >= tailMicro,
+      s"headMicro ($headMicro) must be >= tailMicro ($tailMicro)")
+    // Per-(doc, gram) multiplicity first: the skew cap — one probe row
+    // per distinct gram per document, however often it repeats.
+    val probe = docs
+      .select(col(keyCol).as("__k"),
+        explode(bigramStructs(split(Dedup.normText(col(textCol)), "\\s+")))
+          .as("g"))
+      .select(col("__k"), col("g.w1"), col("g.w2"))
+      .groupBy("__k", "w1", "w2").agg(count(lit(1)).as("m"))
+    val joined = probe
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.unigrams.select(col("w").as("w1"), col("c1")),
+        Seq("w1"), "left")
+      .join(model.unigrams.select(col("w").as("w2"), col("c1").as("cu2")),
+        Seq("w2"), "left")
+      .join(broadcast(model.totals))
+    // ONE rounding per gram; exact integers after this point. The
+    // backoff's ln(0.4 * p) splits into BackoffMicro + round(1e6 ln p):
+    // two integer constants added — replayable exactly, and the split
+    // keeps every rounded term a pure function of model counts.
+    val gramMicro = when(col("c2").isNotNull,
+        round(lit(1e6) * log(col("c2").cast("double") / col("c1"))).cast("long"))
+      .otherwise(lit(BackoffMicro) +
+        round(lit(1e6) * log(
+          (coalesce(col("cu2"), lit(0L)) + lit(1L)).cast("double") /
+            (col("total_toks") + col("vocab")))).cast("long"))
+    val perDoc = joined
+      .groupBy(col("__k"))
+      .agg(sum(col("m")).as("lm_grams"),
+        sum(when(col("c2").isNotNull, col("m")).otherwise(lit(0L)))
+          .as("lm_hits"),
+        sum(col("m") * gramMicro).as("lm_logp_micro"))
+    docs
+      .join(perDoc.withColumnRenamed("__k", keyCol), Seq(keyCol), "left")
+      .withColumn("lm_grams", coalesce(col("lm_grams"), lit(0L)))
+      .withColumn("lm_hits", coalesce(col("lm_hits"), lit(0L)))
+      .withColumn("lm_logp_micro", coalesce(col("lm_logp_micro"), lit(0L)))
+      .withColumn("lm_ppl",
+        when(col("lm_grams") > 0,
+          round(exp(-col("lm_logp_micro").cast("double") / lit(1e6) /
+            col("lm_grams")), 3)))
+      .withColumn("lm_band",
+        when(col("lm_grams") === 0, lit("empty"))
+          .when(col("lm_logp_micro") >= lit(headMicro) * col("lm_grams"),
+            lit("head"))
+          .when(col("lm_logp_micro") >= lit(tailMicro) * col("lm_grams"),
+            lit("middle"))
+          .otherwise(lit("tail")))
+  }
+}

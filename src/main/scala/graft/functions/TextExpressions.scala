@@ -221,6 +221,90 @@ object MinHashSig {
   }
 }
 
+/** Native per-row 64-bit SimHash of a token array: per-bit majority
+  * vote over the xxhash64 values of the DISTINCT word n-grams — the
+  * expression form of [[graft.ext.Dedup.simhashSignatures]] (which
+  * aggregates over exploded shingles), existing for the same reason as
+  * [[MinHashSig]]: a streaming micro-batch must compute signatures with
+  * no aggregation. Hash parity is the persisted-index contract
+  * (gram hash = `xxhash64(gram)`, distinct by STRING value, vote +1
+  * for a set bit and −1 otherwise, bit set iff the vote is strictly
+  * positive — pinned by StreamingDedupSpec against the aggregate
+  * form). Null when the document has fewer than `n` tokens. */
+case class SimHashSig(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: n ($n) must be >= 1")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  // Null even for non-null input (documents shorter than n tokens).
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    SimHashSig.compute(v.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long sh$$ = graft.functions.SimHashSig.compute($c, $n);
+      ${ev.isNull} = sh$$ == null;
+      ${ev.value} = ${ev.isNull} ? 0L : sh$$.longValue();
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_sig"
+}
+
+object SimHashSig {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Boxed so "no signature" (fewer than n tokens) is representable. */
+  def compute(toks: ArrayData, n: Int): java.lang.Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val m = toks.numElements()
+    if (m < n) return null
+    val total = m - n + 1
+    val seen = new java.util.HashSet[UTF8String](total * 2)
+    val votes = new Array[Int](64)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < total) {
+      var j = 0
+      while (j < n) {
+        parts(j) =
+          if (toks.isNullAt(i + j)) UTF8String.EMPTY_UTF8
+          else toks.getUTF8String(i + j)
+        j += 1
+      }
+      val gram = UTF8String.concatWs(Space, parts: _*)
+      if (seen.add(gram)) {
+        val h = XxHash64Function.hash(gram, StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
 /** Native per-window hash array: `xxhash64` of every stride-1 n-token
   * window of a token array, in window order — the census input of
   * [[graft.ext.SpanDedup.dedupSubstrings]] as ONE JIT'd traversal.
@@ -297,4 +381,7 @@ object TextFunctions {
 
   def ngramHashes(toks: Column, n: Int): Column =
     column(NGramHashes(expression(toks), n))
+
+  def simhashSig(toks: Column, n: Int): Column =
+    column(SimHashSig(expression(toks), n))
 }

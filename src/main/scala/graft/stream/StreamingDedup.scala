@@ -146,6 +146,39 @@ object StreamingDedup {
     survivors.drop("__sig")
   }
 
+  /** The SimHash analog of [[minhashDropStreamAgainst]] — same
+    * stream-static per-band anti-join fold, over the persisted
+    * [[graft.ext.Dedup.simhashSignatures]] parquet (keyCol, simhash)
+    * built with the SAME (n, maxHamming). Band layout shared through
+    * [[graft.ext.Dedup.simhashBandBucket]] (one definition with the
+    * batch pigeonhole banding); per-row signatures via the native
+    * [[graft.functions.SimHashSig]] (no aggregation, no state); each
+    * of the `maxHamming + 1` anti joins keys on a pure-left bucket
+    * expression and carries the exact Hamming verify
+    * (`bit_count(xor) ≤ maxHamming` — [[graft.ext.Dedup
+    * .simhashPairsAgainst]]'s filter) as its non-equi condition.
+    * Documents with fewer than `n` words have a null signature and
+    * always survive. Drop-set parity with `simhashPairsAgainst` is
+    * pinned by StreamingDedupSpec. */
+  def simhashDropStreamAgainst(stream: DataFrame, historySigs: DataFrame,
+                               textCol: String = "text", n: Int = 3,
+                               maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val withSig = stream
+      .withColumn("__toks", split(Dedup.normText(col(textCol)), "\\s+"))
+      .withColumn("__sh", Dedup.simhashSigFromToks(col("__toks"), n))
+      .drop("__toks")
+    val survivors = (0 to maxHamming).foldLeft(withSig) { (acc, b) =>
+      val hb = historySigs.select(col("simhash").as("__hsh"),
+        Dedup.simhashBandBucket(col("simhash"), b, maxHamming).as("__hbucket"))
+      acc.join(hb,
+        Dedup.simhashBandBucket(col("__sh"), b, maxHamming) === col("__hbucket") &&
+          bit_count(col("__sh").bitwiseXOR(col("__hsh"))) <= maxHamming,
+        "left_anti")
+    }
+    survivors.drop("__sh")
+  }
+
   /** Deterministic dedup summary of a (replayed) stream: input rows,
     * surviving unique rows, duplicates dropped. After the dedup each key
     * has multiplicity exactly 1, so the counts are order-independent even

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.NgramLm
+
+class NgramLmSpec extends SparkSpec {
+
+  private def refModel = NgramLm.train(df(Seq(
+      Row(1L, "a b a b c")),
+    "doc_id BIGINT, text STRING"))
+
+  test("hand-computed counts: unigrams, bigrams, totals") {
+    val m = refModel
+    val uni = m.unigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    val big = m.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(big == Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("b", "c") -> 1L))
+    val t = m.totals.collect().head
+    assert(t.getLong(0) == 5L && t.getLong(1) == 3L)
+  }
+
+  test("hand-computed micro-nats: seen ratio, backoff, short/empty docs") {
+    val docs = df(Seq(
+        Row(10L, "a b c"),   // (a,b): ln(2/2)=0; (b,c): round(1e6 ln(1/2)) = -693147
+        Row(11L, "z q"),     // backoff, OOV w2: -916291 + round(1e6 ln(1/8)) = -2995733
+        Row(12L, "hello"),   // 1 token: no grams
+        Row(13L, null),      // null text: no grams
+        Row(14L, "z c")),    // backoff, in-vocab w2: -916291 + round(1e6 ln(2/8))
+      "doc_id BIGINT, text STRING")
+    val out = NgramLm.scored(docs, refModel)
+      .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro", "lm_band")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // Default head cut is ppl 100 (-4 605 170/gram) — all scored docs
+    // here sit above it; threshold ordering is pinned separately below.
+    assert(out(10L) == ((2L, 2L, -693147L, "head")))
+    assert(out(11L) == ((1L, 0L, -2995733L, "head")))
+    assert(out(12L) == ((0L, 0L, 0L, "empty")))
+    assert(out(13L) == ((0L, 0L, 0L, "empty")))
+    // ln(0.4 * (1+1)/(5+3)) split: -916291 + round(1e6·ln 0.25)
+    assert(out(14L) == ((1L, 0L, -916291L - 1386294L, "head")))
+  }
+
+  test("ppl derives from the integer sum; bands order by thresholds") {
+    val docs = df(Seq(Row(10L, "a b c")), "doc_id BIGINT, text STRING")
+    val r = NgramLm.scored(docs, refModel,
+        headMicro = -300000L, tailMicro = -400000L)
+      .select("lm_ppl", "lm_band").collect().head
+    // avg = -693147/2e6 nats → ppl = exp(0.3465735) = 1.414; the sum
+    // (-693147) misses the head cut (-600000) but clears the tail cut
+    // (-800000) — the cross-multiply orders bands correctly.
+    assert(r.getDouble(0) == 1.414)
+    assert(r.getString(1) == "middle")
+  }
+
+  test("reference-distribution text outscores shuffled-alphabet garbage") {
+    val docs = Tables.documents(spark, sfDir)
+    val model = NgramLm.train(docs.filter(col("doc_id") < 300))
+    val probe = docs.filter(col("doc_id") >= 300)
+      .unionByName(docs.filter(col("doc_id") < 3)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", translate(col("text"),
+          "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba")))
+    val out = NgramLm.scored(probe, model)
+      .select(col("doc_id"),
+        (col("lm_logp_micro").cast("double") / col("lm_grams")).as("avg"))
+      .filter(col("lm_grams") > 0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (garbage, real) = out.partition(_._1 >= 10000L)
+    assert(garbage.nonEmpty && real.nonEmpty)
+    // Every letter-shuffled doc scores below the mean real doc: its
+    // grams can only hit via backoff, never the bigram table.
+    val realMean = real.values.sum / real.size
+    garbage.values.foreach(g => assert(g < realMean))
+  }
+
+  test("in-reference text lands every gram in the bigram table") {
+    val docs = Tables.documents(spark, sfDir)
+    val model = NgramLm.train(docs.filter(col("doc_id") < 300))
+    val replant = docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 20000)
+    val out = NgramLm.scored(replant, model)
+      .select("lm_grams", "lm_hits").collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(out.exists(_.getLong(0) > 0))
+  }
+}

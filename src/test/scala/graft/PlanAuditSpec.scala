@@ -42,7 +42,10 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed =
     Set("g3_in_set", "x2_topk_cosine", "x2_quant_topk", "x1_embed_neardup",
       "x2_semdedup", "s2_stream_dedup", "x11_skew_profile",
-      "x12_temperature_mix")
+      "x12_temperature_mix",
+      // ONE-ROW (total_toks, vocab) totals broadcast-cross-joined onto
+      // the per-gram probe — the x12 weight-sum shape.
+      "x15_lm_ppl")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -130,11 +133,15 @@ class PlanAuditSpec extends SparkSpec {
     "x1_dedup_groups", "x2_semdedup", "x10_curation_funnel",
     "v1_raw_gate", "v2_suite_summary", "g16_declarative_suite",
     "v5_drift_check", "v6_checkpoint_run",
-    // localCheckpoints the derived history-signature index once,
+    // localCheckpoint the derived history-signature index once,
     // mirroring the persisted-parquet contract of the streaming path
     // (the per-band anti joins would otherwise recompute the signature
     // aggregate per band).
-    "s3_stream_neardup")
+    "s3_stream_neardup", "s4_stream_simhash",
+    // localCheckpoints the trained LM count frames (persisted-model
+    // contract — scoring would otherwise re-run the reference-corpus
+    // aggregation once per join build).
+    "x15_lm_ppl")
 
   test("constructing a registered query runs zero Spark jobs") {
     // Building a DataFrame must be free: an eager action inside a query

@@ -206,6 +206,80 @@ class StreamingDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("per-row simhash equals the aggregate batch form") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val batch = Dedup.simhashSignatures(docs, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perRow = docs
+      .withColumn("__toks", split(Dedup.normText(col("text")), "\\s+"))
+      .select(col("doc_id"), Dedup.simhashSigFromToks(col("__toks"), n = 4).as("sh"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    perRow.foreach { case (id, sig) =>
+      assert(batch.get(id) == sig, s"doc $id")
+    }
+    assert(batch.keySet.subsetOf(perRow.keySet))
+  }
+
+  test("streaming simhash drop set equals simhashPairsAgainst's on batch replay") {
+    val docs = Tables.documents(spark, sfDir)
+    val history = docs.filter(col("doc_id") < 300)
+    val shard = docs.filter(col("doc_id") >= 300)
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    val historySigs = Dedup.simhashSignatures(history, n = 4)
+    val survivors = StreamingDedup.simhashDropStreamAgainst(
+        shard, historySigs, n = 4, maxHamming = 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropSet = Dedup.simhashPairsAgainst(shard, historySigs,
+        n = 4, maxHamming = 6)
+      .select("doc_id_new").collect().map(_.getLong(0)).toSet
+    val all = shard.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == all -- dropSet)
+    (10000L until 10010L).foreach(id => assert(dropSet.contains(id), s"plant $id"))
+  }
+
+  test("live stream: simhash near-dups of history drop per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // A normalization-equivalent copy has the identical token array,
+    // hence Hamming 0 — drops deterministically; a novel doc's 64-bit
+    // signature sits ~32 bits away — survives; a doc shorter than n
+    // tokens has a null signature — survives.
+    val history = df(Seq(
+        org.apache.spark.sql.Row(1L,
+          "the quick brown fox jumps over the lazy dog again and again today")),
+      "doc_id BIGINT, text STRING")
+    val historySigs = Dedup.simhashSignatures(history, n = 3)
+    val input = MemoryStream[(Timestamp, String)]
+    val stream = input.toDF().toDF("ts", "text")
+    val out = mutable.Buffer[String]()
+    val query = StreamingDedup
+      .simhashDropStreamAgainst(stream, historySigs, n = 3, maxHamming = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized { out ++= b.collect().map(_.getAs[String]("text")); () }
+      }
+      .option("checkpointLocation", Files.tmp("graft-ssimhash-ckpt"))
+      .start()
+    try {
+      input.addData(
+        (ts(0), "The  QUICK brown fox jumps over the lazy dog again and again today"),
+        (ts(1), "completely different content about spark structured streaming joins"),
+        (ts(2), "too short"))
+      query.processAllAvailable()
+      assert(out.toSet == Set(
+        "completely different content about spark structured streaming joins",
+        "too short"))
+      // Second micro-batch: the static index is horizon-free — a later
+      // normalization-equivalent copy still drops with no state.
+      input.addData((ts(40),
+        "the quick brown fox jumps over the lazy dog AGAIN and again today"))
+      query.processAllAvailable()
+      assert(out.size == 2)
+    } finally query.stop()
+  }
+
   test("history-index dedup batch replay equals the batch incremental path") {
     val docs = Tables.documents(spark, sfDir)
     val history = docs.filter(col("doc_id") < 300)
