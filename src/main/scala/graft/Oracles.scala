@@ -211,6 +211,38 @@ object Oracles {
       |  UNION
       |  SELECT e.dst, r.lbl FROM cedges e JOIN creach r ON e.src = r.id)""".stripMargin
 
+  /** The cross-shard plant replayed: history = docs < 300 (as a norm
+    * set), shard = docs >= 300 plus re-keyed copies of docs < 10
+    * (+10000) and docs < 5 (+20000). Intra-shard keep = min doc_id per
+    * norm; history drop via NOT EXISTS on norm equality — the
+    * null-safe analog of Spark's left_anti on the md5 fingerprint (md5
+    * is injective up to collision, so norm equality = fp equality).
+    * ONE definition bound to BOTH x1_incremental_dedup and
+    * x1_bloom_dedup: the Bloom-gated path claims result-identity with
+    * the plain anti join, so they must hash against the same replay. */
+  private val incrementalDedupSql: String =
+    """WITH hist AS (
+      |  SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |  FROM documents WHERE doc_id < 300),
+      |shard AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 5),
+      |s AS (
+      |  SELECT doc_id,
+      |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |  FROM shard),
+      |intra AS (
+      |  SELECT doc_id, norm,
+      |         min(doc_id) OVER (PARTITION BY norm) AS keep_id
+      |  FROM s)
+      |SELECT doc_id FROM intra i
+      |WHERE doc_id = keep_id
+      |  AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.norm = i.norm)
+      |ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "d1_count" -> "SELECT count(*) AS cnt FROM lineitem",
 
@@ -445,35 +477,12 @@ object Oracles {
         |           ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
-    "x1_incremental_dedup" ->
-      // The cross-shard plant replayed: history = docs < 300 (as a norm
-      // set), shard = docs >= 300 plus re-keyed copies of docs < 10
-      // (+10000) and docs < 5 (+20000). Intra-shard keep = min doc_id
-      // per norm; history drop via NOT EXISTS on norm equality — the
-      // null-safe analog of Spark's left_anti on the md5 fingerprint
-      // (md5 is injective up to collision, so norm equality = fp
-      // equality).
-      """WITH hist AS (
-        |  SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
-        |  FROM documents WHERE doc_id < 300),
-        |shard AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
-        |  UNION ALL
-        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10
-        |  UNION ALL
-        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 5),
-        |s AS (
-        |  SELECT doc_id,
-        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
-        |  FROM shard),
-        |intra AS (
-        |  SELECT doc_id, norm,
-        |         min(doc_id) OVER (PARTITION BY norm) AS keep_id
-        |  FROM s)
-        |SELECT doc_id FROM intra i
-        |WHERE doc_id = keep_id
-        |  AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.norm = i.norm)
-        |ORDER BY doc_id""".stripMargin,
+    "x1_incremental_dedup" -> incrementalDedupSql,
+
+    // The Bloom-gated variant must be RESULT-IDENTICAL to the plain
+    // anti join for any sketch (no false negatives; positives exactly
+    // verified) — same oracle, same hash, by construction.
+    "x1_bloom_dedup" -> incrementalDedupSql,
 
     // NOTE on the shared-CTE entries: the blocks are concatenated (never
     // interpolated into a string that later runs .stripMargin — the SQL

@@ -370,6 +370,28 @@ object Queries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** X1a+bloom — the same cross-shard plant as [[x1IncrementalDedup]]
+    * through [[Dedup.exactDedupAgainstBloom]]: bloom-negative survivors
+    * bypass the history anti join map-side, positives verify exactly.
+    * Hash-matches the SAME NOT-EXISTS oracle — the sketch is
+    * result-invisible by construction (no false negatives; positives
+    * verified). Sized small (fpp 0.05) so false positives actually
+    * occur and the verify path is exercised, not vacuous. */
+  def x1BloomDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val history = docs.filter(col("doc_id") < 300)
+    val shard = docs.filter(col("doc_id") >= 300)
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 10000))
+      .unionByName(docs.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 20000))
+    val historyFp = Dedup.fingerprints(history).localCheckpoint(true)
+    val bloom = graft.ext.BloomIndex.build(historyFp,
+      expectedItems = 1000L, fpp = 0.05)
+    Dedup.exactDedupAgainstBloom(shard, historyFp, bloom)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** X1b — exact n-gram Jaccard near-dup pairs via shingle inverted
     * index (testdata has planted near-duplicates at sim ≥ 0.97).
     * n=4: the corpus draws from a ~31-word vocabulary, so 3-gram document
@@ -836,6 +858,23 @@ object Queries {
       graft.stream.StreamingDedup.simhashDropStreamAgainst(
           shard, Dedup.simhashSignatures(history, n = 4),
           n = 4, maxHamming = 6)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "x1_bloom_dedup" -> ((s, d) => {
+      // Driver-built sketch (no Spark job) and un-checkpointed history,
+      // so the dump shows the fingerprint derivation feeding the probe
+      // filter + anti join + union shape.
+      val docs = documents(s, d)
+      val history = docs.filter(col("doc_id") < 300)
+      val shard = docs.filter(col("doc_id") >= 300)
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 10000))
+        .unionByName(docs.filter(col("doc_id") < 5)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter.create(1000L, 0.05).writeTo(out)
+      Dedup.exactDedupAgainstBloom(shard, Dedup.fingerprints(history),
+          out.toByteArray)
         .select("doc_id").orderBy("doc_id")
     }),
     "x15_lm_ppl" -> ((s, d) => {

@@ -48,6 +48,7 @@ object SparkEntry {
     "p5_etl_diamond" -> (Queries.p5EtlDiamond _),
     "x1_exact_dedup" -> (Queries.x1ExactDedup _),
     "x1_incremental_dedup" -> (Queries.x1IncrementalDedup _),
+    "x1_bloom_dedup" -> (Queries.x1BloomDedup _),
     "x1_jaccard_pairs" -> (Queries.x1JaccardPairs _),
     "x1_minhash_pairs" -> (Queries.x1MinhashPairs _),
     "x1_simhash_pairs" -> (Queries.x1SimhashPairs _),

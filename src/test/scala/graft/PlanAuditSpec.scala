@@ -141,7 +141,10 @@ class PlanAuditSpec extends SparkSpec {
     // localCheckpoints the trained LM count frames (persisted-model
     // contract — scoring would otherwise re-run the reference-corpus
     // aggregation once per join build).
-    "x15_lm_ppl")
+    "x15_lm_ppl",
+    // Builds the Bloom sketch — an aggregate action by nature (the
+    // probe literal needs the bytes); production ships saved bytes.
+    "x1_bloom_dedup")
 
   test("constructing a registered query runs zero Spark jobs") {
     // Building a DataFrame must be free: an eager action inside a query
