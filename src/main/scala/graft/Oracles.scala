@@ -243,6 +243,79 @@ object Oracles {
       |  AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.norm = i.norm)
       |ORDER BY doc_id""".stripMargin
 
+  /** The DSIR weight pipeline ([[graft.ext.Dsir]]) replayed: md5-prefix
+    * bucket hash, unigram+bigram censuses of target (docs < 300) and raw
+    * (docs ≥ 300), the JM-smoothed per-bucket log-ratio rounded ONCE to
+    * integer micro-nats, per-doc sums. ONE definition shared by
+    * x16_dsir_weights and x16_dsir_select — a smoothing or hashing
+    * change cannot desynchronize them. The λ factor and the
+    * pre-computed uniform floor (1−λ)/B interpolate from the Scala
+    * constants, so both engines evaluate the IDENTICAL doubles in the
+    * identical association. */
+  private val dsirWeightCtes: String = {
+    val lam = graft.ext.Dsir.DefaultLambda
+    val unif = (1.0 - lam) / graft.ext.Dsir.DefaultBuckets
+    s"""norm AS (
+       |  SELECT doc_id,
+       |         lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS t
+       |  FROM documents),
+       |ttoks AS (
+       |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
+       |         generate_subscripts(string_split(t, ' '), 1) AS ord
+       |  FROM norm WHERE doc_id < 300 AND t <> ''),
+       |tgrams AS (
+       |  SELECT tok AS g FROM ttoks
+       |  UNION ALL
+       |  SELECT w1 || ' ' || w2 FROM (
+       |    SELECT tok AS w1,
+       |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+       |    FROM ttoks) WHERE w2 IS NOT NULL),
+       |tc AS (
+       |  SELECT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 10000 AS bucket,
+       |         count(*) AS ct
+       |  FROM tgrams GROUP BY 1),
+       |rtoks AS (
+       |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
+       |         generate_subscripts(string_split(t, ' '), 1) AS ord
+       |  FROM norm WHERE doc_id >= 300 AND t <> ''),
+       |rgrams AS (
+       |  SELECT doc_id, tok AS g FROM rtoks
+       |  UNION ALL
+       |  SELECT doc_id, w1 || ' ' || w2 FROM (
+       |    SELECT doc_id, tok AS w1,
+       |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+       |    FROM rtoks) WHERE w2 IS NOT NULL),
+       |probe AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 10000 AS bucket,
+       |         count(*) AS m
+       |  FROM rgrams GROUP BY 1, 2),
+       |rc AS (SELECT bucket, CAST(sum(m) AS BIGINT) AS cr FROM probe GROUP BY 1),
+       |tot AS (
+       |  SELECT (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc) AS nt,
+       |         (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rc) AS nr),
+       |gm AS (
+       |  SELECT p.doc_id, p.m,
+       |         CAST(round(1000000 * ln(
+       |           ($lam * (CAST(coalesce(tc.ct, 0) AS DOUBLE) / greatest(t.nt, 1)) + $unif)
+       |           / ($lam * (CAST(coalesce(rc.cr, 0) AS DOUBLE) / greatest(t.nr, 1)) + $unif)
+       |         )) AS BIGINT) AS micro
+       |  FROM probe p
+       |  LEFT JOIN tc USING (bucket)
+       |  LEFT JOIN rc USING (bucket)
+       |  CROSS JOIN tot t),
+       |per AS (
+       |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS dsir_grams,
+       |         CAST(sum(m * micro) AS BIGINT) AS dsir_logw_micro
+       |  FROM gm GROUP BY 1),
+       |w AS (
+       |  SELECT d.doc_id,
+       |         coalesce(dsir_grams, 0) AS dsir_grams,
+       |         coalesce(dsir_logw_micro, 0) AS dsir_logw_micro
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id >= 300) d
+       |  LEFT JOIN per USING (doc_id))""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "d1_count" -> "SELECT count(*) AS cnt FROM lineitem",
 
@@ -1010,6 +1083,29 @@ object Oracles {
         |SELECT lang, band, count(*) AS n_docs,
         |       CAST(sum(ntok) AS BIGINT) AS tokens
         |FROM b GROUP BY 1, 2 ORDER BY lang, band""".stripMargin,
+
+    "x16_dsir_weights" ->
+      ("WITH " + dsirWeightCtes + "\n" +
+        """SELECT doc_id, dsir_grams, dsir_logw_micro,
+          |       round(CAST(dsir_logw_micro AS DOUBLE) / 1000000, 3) AS dsir_logw
+          |FROM w ORDER BY doc_id""".stripMargin),
+
+    "x16_dsir_select" ->
+      // The Gumbel draw replayed: hash64 → (h + 0.5)/2⁶³ uniform →
+      // round(1e6·(−ln(−ln u))) integer perturbation → top-100 by the
+      // perturbed key (ties by doc_id) → re-sorted on doc_id.
+      ("WITH " + dsirWeightCtes + ",\n" +
+        s"""sel AS (
+           |  SELECT doc_id, dsir_logw_micro,
+           |         dsir_logw_micro + CAST(round(-1000000 * ln(-ln(
+           |           (CAST(${hash64Sql("doc_id", 42L ^ graft.ext.Sampling.GumbelSalt)}
+           |              AS DOUBLE) + 0.5) / 9223372036854775808.0)))
+           |           AS BIGINT) AS dsir_key_micro
+           |  FROM w),
+           |top AS (
+           |  SELECT * FROM sel ORDER BY dsir_key_micro DESC, doc_id LIMIT 100)
+           |SELECT doc_id, dsir_logw_micro, dsir_key_micro
+           |FROM top ORDER BY doc_id""".stripMargin),
 
     "x15_lm_ppl" ->
       // Stupid-backoff bigram LM replayed: counts from docs < 300, each

@@ -887,6 +887,24 @@ object Queries {
           "lm_ppl", "lm_band")
         .orderBy("doc_id")
     }),
+    "x16_dsir_weights" -> ((s, d) => {
+      // Un-materialized model: the dump shows the two bucket censuses
+      // feeding the probe join instead of checkpoint scans.
+      val docs = documents(s, d)
+      val raw = docs.filter(col("doc_id") >= 300)
+      val model = graft.ext.Dsir.fit(docs.filter(col("doc_id") < 300), raw)
+      graft.ext.Dsir.weighted(raw, model)
+        .select("doc_id", "dsir_grams", "dsir_logw_micro", "dsir_logw")
+        .orderBy("doc_id")
+    }),
+    "x16_dsir_select" -> ((s, d) => {
+      val docs = documents(s, d)
+      val raw = docs.filter(col("doc_id") >= 300)
+      val model = graft.ext.Dsir.fit(docs.filter(col("doc_id") < 300), raw)
+      graft.ext.Dsir.resample(raw, model, k = 100, seed = 42L)
+        .select("doc_id", "dsir_logw_micro", "dsir_key_micro")
+        .orderBy("doc_id")
+    }),
     "x1_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(documents(s, d), n = 4, minSim = 0.8, materialize = false)),
     "x1_minhash_pairs" -> ((s, d) =>
@@ -974,6 +992,37 @@ object Queries {
     graft.ext.NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
       .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro",
         "lm_ppl", "lm_band")
+      .orderBy("doc_id")
+  }
+
+  /** X16 — DSIR importance weights: model fit with docs < 300 as the
+    * target ("what we want more of") and docs ≥ 300 as raw, raw docs
+    * scored. Integer micro-nat sums keep every hash-compared column
+    * exact; `dsir_logw` derives from the integers at 3 dp. The oracle
+    * replays the md5-prefix bucket hash, both censuses, the JM-smoothed
+    * log-ratio (same double association, pre-computed uniform-floor
+    * literal), and the per-doc sum in SQL. */
+  def x16DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val raw = docs.filter(col("doc_id") >= 300)
+    val model = graft.ext.Dsir.fit(docs.filter(col("doc_id") < 300), raw)
+      .materialize()
+    graft.ext.Dsir.weighted(raw, model)
+      .select("doc_id", "dsir_grams", "dsir_logw_micro", "dsir_logw")
+      .orderBy("doc_id")
+  }
+
+  /** X16 — Gumbel top-k importance resampling (k = 100, seed = 42):
+    * weight-proportional sampling without replacement via the
+    * deterministic engine-hash Gumbel draw, so the oracle replays the
+    * draw itself (hash64 → uniform → perturbed integer key → top-k). */
+  def x16DsirSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val raw = docs.filter(col("doc_id") >= 300)
+    val model = graft.ext.Dsir.fit(docs.filter(col("doc_id") < 300), raw)
+      .materialize()
+    graft.ext.Dsir.resample(raw, model, k = 100, seed = 42L)
+      .select("doc_id", "dsir_logw_micro", "dsir_key_micro")
       .orderBy("doc_id")
   }
 

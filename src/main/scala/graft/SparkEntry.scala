@@ -93,7 +93,9 @@ object SparkEntry {
     "x12_token_mix" -> (Queries.x12TokenMix _),
     "x12_training_order" -> (Queries.x12TrainingOrder _),
     "x12_temperature_mix" -> (Queries.x12TemperatureMix _),
-    "x15_lm_ppl" -> (Queries.x15LmPpl _)
+    "x15_lm_ppl" -> (Queries.x15LmPpl _),
+    "x16_dsir_weights" -> (Queries.x16DsirWeights _),
+    "x16_dsir_select" -> (Queries.x16DsirSelect _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

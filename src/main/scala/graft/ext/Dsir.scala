@@ -1,0 +1,210 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X16 — DSIR data selection: importance resampling over hashed n-gram
+  * features (Xie et al. 2023, "Data Selection for Language Models via
+  * Importance Resampling"). Given a small TARGET corpus (the
+  * distribution you want more of — curated text, a domain, a language
+  * register) and a large RAW corpus, every raw document gets an
+  * importance weight — how much more target-like than raw-like its
+  * n-gram profile is — and selection keeps a weighted subsample, so
+  * the kept set approximates the target distribution while drawing
+  * from raw-scale volume.
+  *
+  * The feature space is the paper's: unigrams + bigrams hashed into
+  * `buckets` counting buckets (default 10⁴). Both corpus distributions
+  * are bag-of-buckets, Jelinek-Mercer-smoothed toward uniform —
+  * `p(b) = λ·c_b/n + (1−λ)/B` — and a document's log-weight is
+  *
+  *   log w(d) = Σ_grams  ln p_target(b(gram)) − ln p_raw(b(gram))
+  *
+  * JM (not +1 Laplace) is load-bearing, not taste: with additive
+  * smoothing the unseen-bucket mass is 1/(n+B), so any gram unseen in
+  * BOTH corpora scores ln((n_raw+B)/(n_target+B)) — POSITIVE whenever
+  * raw outweighs target, i.e. alien vocabulary would read as
+  * "target-like" purely because the target corpus is the smaller one.
+  * Under the mixture, a bucket empty on both sides scores exactly 0:
+  * absence of evidence is neutral.
+  *
+  * Float discipline (the [[NgramLm]] house rule — a sum of logs cannot
+  * be decimal-exact): each BUCKET's log-ratio is rounded ONCE to
+  * integer micro-nats, and the per-document sum, the top-k cut, and
+  * the Gumbel perturbation are exact 64-bit integer arithmetic from
+  * then on. |ln ratio| ≤ ln(λB/(1−λ) + 1) ≈ 11.4 at the defaults, so
+  * overflow needs > 2⁶³/1.2e7 ≈ 10¹² grams in one document —
+  * unreachable (ANSI throws loudly anyway).
+  *
+  * The bucket hash must replay in plain SQL (the oracle contract), so
+  * it is NOT xxhash64: bucket = the first 15 hex chars of md5(gram)
+  * parsed as an integer (60 bits, always positive), mod `buckets` —
+  * DuckDB's `md5()` emits the same hex ([[TextAnalysis
+  * .fingerprintSummary]] precedent) and `CAST('0x…' AS BIGINT)` parses
+  * it.
+  *
+  * 100 TB shape:
+  *  - fitting is two `groupBy(bucket).count` passes (partial-agg,
+  *    map-side combine); the model is ≤ `buckets` rows + a one-row
+  *    totals frame — broadcast-sized BY CONSTRUCTION, independent of
+  *    corpus size, persistable as parquet (the [[NgramLm.Model]] /
+  *    fingerprint-index contract);
+  *  - weighting pre-aggregates the probe per (doc, bucket) BEFORE the
+  *    model join — a document's join fan-out is min(its grams,
+  *    `buckets`), and a hot bucket contributes one row per document,
+  *    not one per occurrence (the join-key skew cap);
+  *  - selection is top-k by an integer sort key —
+  *    TakeOrderedAndProject (per-partition heads, one merge), never a
+  *    full global sort.
+  */
+object Dsir {
+
+  /** Default feature-space width — the paper's 10⁴ hashed buckets. */
+  val DefaultBuckets = 10000
+
+  /** Default JM mixing weight: 90% evidence, 10% uniform floor. */
+  val DefaultLambda = 0.9
+
+  /** Gram → bucket in [0, buckets): integer-parsed md5-hex prefix, the
+    * SQL-replayable string hash (see object doc). One definition for
+    * the fit side and the probe side — they cannot diverge. */
+  private[graft] def gramBucket(gram: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(gram), 1, 15), 16, 10).cast("long"), lit(buckets))
+
+  /** Exploded (docKey, gram) rows: unigrams plus space-joined bigrams
+    * of the normalized tokens — [[NgramLm.bigramStructs]]' codegen'd
+    * shifted-slice zip, shared (one definition), with the join to a
+    * string AFTER the explode so the lambda-free path stays inside
+    * whole-stage codegen. Two map-only scans of the input (unigram +
+    * bigram legs), the [[SpanDedup]] two-scan trade. */
+  private def gramRows(docs: DataFrame, textCol: String,
+                       keyCol: String): DataFrame = {
+    val toked = docs.select(col(keyCol),
+        split(Dedup.normText(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) > 0 && col("__toks")(0) =!= "")
+    val uni = toked.select(col(keyCol), explode(col("__toks")).as("g"))
+    val big = toked
+      .select(col(keyCol), explode(NgramLm.bigramStructs(col("__toks"))).as("gs"))
+      .select(col(keyCol), concat(col("gs.w1"), lit(" "), col("gs.w2")).as("g"))
+    uni.unionByName(big)
+  }
+
+  /** A fitted importance model: per-bucket target/raw counts (only
+    * buckets observed in either corpus — absent buckets reconstruct
+    * from the totals row at scoring time) and the one-row totals.
+    * Both persistable as parquet and re-loadable. */
+  final case class Model(
+      bucketCounts: DataFrame, // (bucket, ct: Long, cr: Long)
+      totals: DataFrame,       // ONE row: (nt: Long, nr: Long)
+      buckets: Int) {
+
+    /** Pin the count frames — the persisted-model contract of
+      * [[NgramLm.Model.materialize]]: in production the model is saved
+      * parquet read back once; derived frames would re-run both corpus
+      * censuses for every consumer. */
+    def materialize(): Model =
+      Model(bucketCounts.localCheckpoint(true), totals.localCheckpoint(true),
+        buckets)
+  }
+
+  /** Fit bucket distributions from a target and a raw corpus. Blank /
+    * null documents contribute nothing (a document with no tokens has
+    * no n-gram profile). */
+  def fit(target: DataFrame, raw: DataFrame, textCol: String = "text",
+          keyCol: String = "doc_id", buckets: Int = DefaultBuckets): Model = {
+    require(buckets >= 2, s"buckets ($buckets) must be >= 2")
+    def census(corpus: DataFrame, as: String) =
+      gramRows(corpus, textCol, keyCol)
+        .groupBy(gramBucket(col("g"), buckets).as("bucket"))
+        .agg(count(lit(1)).as(as))
+    val bc = census(target, "ct")
+      .join(census(raw, "cr"), Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = bc.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    Model(bc, totals, buckets)
+  }
+
+  /** Score documents against a fitted model. Appends (all
+    * `dsir_`-prefixed — the [[QualityScore.scored]] collision rule):
+    *
+    *   - `dsir_grams`       grams in the document (0 for blank/null)
+    *   - `dsir_logw_micro`  Σ bucket log-ratios, integer micro-nats
+    *   - `dsir_logw`        micro / 1e6 at 3 dp — display only, never
+    *                        compared
+    *
+    * Each gram's bucket contributes
+    * `round(1e6 · ln(p_t(b) / p_r(b)))` with the JM-smoothed
+    * `p(b) = λ·c_b/max(n,1) + (1−λ)/B` (empty-corpus guard → pure
+    * uniform) — ONE rounding per bucket, exact integers after; the
+    * double association — λ times the division, plus the PRE-COMPUTED
+    * `(1−λ)/B` literal — is mirrored verbatim in the SQL replay.
+    * Zero-gram documents weigh 0: neutral, selection ranks them by
+    * tiebreak alone. */
+  def weighted(docs: DataFrame, model: Model, textCol: String = "text",
+               keyCol: String = "doc_id",
+               lambda: Double = DefaultLambda): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda ($lambda) must be in (0, 1)")
+    val probe = gramRows(docs, textCol, keyCol)
+      .groupBy(col(keyCol).as("__k"),
+        gramBucket(col("g"), model.buckets).as("bucket"))
+      .agg(count(lit(1)).as("m"))
+    val b = model.buckets
+    val unif = (1.0 - lambda) / b
+    def p(c: Column, n: Column) =
+      lit(lambda) * (coalesce(c, lit(0L)).cast("double") / greatest(n, lit(1L))) +
+        lit(unif)
+    val micro = round(lit(1e6) * log(
+      p(col("ct"), col("nt")) / p(col("cr"), col("nr")))).cast("long")
+    val perDoc = probe
+      .join(model.bucketCounts, Seq("bucket"), "left")
+      .join(broadcast(model.totals))
+      .groupBy(col("__k"))
+      .agg(sum(col("m")).as("dsir_grams"),
+        sum(col("m") * micro).as("dsir_logw_micro"))
+    docs
+      .join(perDoc.withColumnRenamed("__k", keyCol), Seq(keyCol), "left")
+      .withColumn("dsir_grams", coalesce(col("dsir_grams"), lit(0L)))
+      .withColumn("dsir_logw_micro", coalesce(col("dsir_logw_micro"), lit(0L)))
+      .withColumn("dsir_logw",
+        round(col("dsir_logw_micro").cast("double") / lit(1e6), 3))
+  }
+
+  /** Deterministic head: the k highest-weight documents, ties broken
+    * by key — the "hard selection" lane (the paper's ablation;
+    * cheapest, but over-concentrates on the mode of the target). */
+  def selectTopK(docs: DataFrame, model: Model, k: Int,
+                 textCol: String = "text", keyCol: String = "doc_id",
+                 lambda: Double = DefaultLambda): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    weighted(docs, model, textCol, keyCol, lambda)
+      .orderBy(col("dsir_logw_micro").desc, col(keyCol)).limit(k)
+  }
+
+  /** Gumbel top-k importance resampling — the paper's selection rule:
+    * taking the k largest `log w(d) + Gumbel(0,1)` draws is exactly a
+    * weight-proportional sample WITHOUT replacement (the Gumbel-max
+    * trick), and the noise keeps the sample distribution-matching
+    * instead of mode-seeking. The Gumbel draw is DETERMINISTIC: its
+    * uniform is [[Sampling.hash64]] of the document key (seed salted
+    * with [[Sampling.GumbelSalt]] — the per-purpose decorrelation
+    * discipline), mapped into (0,1) by `(h + 0.5) / 2⁶³`, so the same
+    * (corpus, seed) always selects the same documents, the engine can
+    * replay the draw, and reruns are audit-identical. The perturbed
+    * key is rounded to the SAME micro-nat grid as the weight and added
+    * as an integer (`dsir_key_micro`) — the sort key stays exact
+    * arithmetic. |gumbel| ≤ −ln(−ln(2⁻⁶⁴)) ≈ 44, so the perturbation
+    * is bounded ±4.5e7 micro-nats. */
+  def resample(docs: DataFrame, model: Model, k: Int, seed: Long,
+               textCol: String = "text", keyCol: String = "doc_id",
+               lambda: Double = DefaultLambda): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val u = (Sampling.hash64(col(keyCol), seed ^ Sampling.GumbelSalt)
+      .cast("double") + lit(0.5)) / lit(9.223372036854775808e18)
+    val gumbelMicro = round(lit(1e6) * -log(-log(u))).cast("long")
+    weighted(docs, model, textCol, keyCol, lambda)
+      .withColumn("dsir_key_micro", col("dsir_logw_micro") + gumbelMicro)
+      .orderBy(col("dsir_key_micro").desc, col(keyCol)).limit(k)
+  }
+}

@@ -98,7 +98,7 @@ object NgramLm {
     * HOF lambdas evaluate interpreted, and the lambda form measured
     * ~7× slower end-to-end on the registered query (slice/arrays_zip
     * stay inside whole-stage codegen). */
-  private def bigramStructs(toks: org.apache.spark.sql.Column) =
+  private[ext] def bigramStructs(toks: org.apache.spark.sql.Column) =
     when(size(toks) >= 2,
       arrays_zip(
         slice(toks, lit(1), size(toks) - 1).as("w1"),

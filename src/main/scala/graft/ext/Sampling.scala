@@ -81,6 +81,7 @@ object Sampling {
   val SplitSalt = 0x53504C49L   // "SPLI"
   val MixSalt = 0x4D495853L     // "MIXS"
   val OrderSalt = 0x4F524452L   // "ORDR"
+  val GumbelSalt = 0x47554D42L  // "GUMB" — [[Dsir.resample]]'s draw
 
   /** Per-lane 31-bit seed material from the FULL 64-bit seed: a
     * splitmix64-style finalizer runs Scala-side (the result is a plan

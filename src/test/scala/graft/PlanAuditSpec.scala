@@ -45,7 +45,10 @@ class PlanAuditSpec extends SparkSpec {
       "x12_temperature_mix",
       // ONE-ROW (total_toks, vocab) totals broadcast-cross-joined onto
       // the per-gram probe — the x12 weight-sum shape.
-      "x15_lm_ppl")
+      "x15_lm_ppl",
+      // Same shape: the ONE-ROW (nt, nr) model totals cross the
+      // per-(doc, bucket) probe.
+      "x16_dsir_weights", "x16_dsir_select")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -144,7 +147,10 @@ class PlanAuditSpec extends SparkSpec {
     "x15_lm_ppl",
     // Builds the Bloom sketch — an aggregate action by nature (the
     // probe literal needs the bytes); production ships saved bytes.
-    "x1_bloom_dedup")
+    "x1_bloom_dedup",
+    // localCheckpoint the fitted DSIR bucket model (persisted-model
+    // contract, as x15).
+    "x16_dsir_weights", "x16_dsir_select")
 
   test("constructing a registered query runs zero Spark jobs") {
     // Building a DataFrame must be free: an eager action inside a query
