@@ -67,6 +67,27 @@ class BloomIndexSpec extends SparkSpec {
     assert(gated == plain)
   }
 
+  test("the two lanes share ONE dedup shuffle at runtime (AQE ReusedExchange)") {
+    val (shard, historyFp) = shardAndHistory
+    val bloom = BloomIndex.build(historyFp, expectedItems = 1000L, fpp = 0.05)
+    val out = Dedup.exactDedupAgainstBloom(shard, historyFp, bloom)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // The static plan carries two copies of the intra-shard dedup
+    // aggregate (one per bloom branch); the FINAL adaptive plan must
+    // materialize the exchange once and re-read it — otherwise the
+    // gated path would shuffle the shard twice and be strictly worse
+    // than the plain anti join at scale.
+    assert(plan.contains("ReusedExchange"),
+      "bloom branches did not reuse the dedup exchange:\n" + plan.take(2000))
+    // Constraint propagation must carry the probe onto the history
+    // build side: the anti join's hash relation holds only
+    // bloom-positive history keys.
+    val buildSide = plan.split("BroadcastExchange", 2)(1)
+    assert(buildSide.contains("might_contain"),
+      "history build side lost the propagated bloom predicate")
+  }
+
   test("null-text rows survive both lanes (anti-join null semantics)") {
     val docs = df(Seq(
         org.apache.spark.sql.Row(1L, "alpha beta gamma"),
