@@ -888,20 +888,23 @@ object Queries {
         .orderBy("doc_id")
     }),
     "x16_dsir_weights" -> ((s, d) => {
-      // Un-materialized model: the dump shows the two bucket censuses
-      // feeding the probe join instead of checkpoint scans.
+      // Un-materialized probe/model: the dump shows the target census
+      // and the probe's bucket marginal feeding the joins instead of
+      // checkpoint scans.
       val docs = documents(s, d)
-      val raw = docs.filter(col("doc_id") >= 300)
-      val model = graft.ext.Dsir.fit(docs.filter(col("doc_id") < 300), raw)
-      graft.ext.Dsir.weighted(raw, model)
+      val (_, scored) = graft.ext.Dsir.fitScored(
+        docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 300),
+        materialize = false)
+      scored
         .select("doc_id", "dsir_grams", "dsir_logw_micro", "dsir_logw")
         .orderBy("doc_id")
     }),
     "x16_dsir_select" -> ((s, d) => {
       val docs = documents(s, d)
-      val raw = docs.filter(col("doc_id") >= 300)
-      val model = graft.ext.Dsir.fit(docs.filter(col("doc_id") < 300), raw)
-      graft.ext.Dsir.resample(raw, model, k = 100, seed = 42L)
+      val (_, scored) = graft.ext.Dsir.fitScored(
+        docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 300),
+        materialize = false)
+      graft.ext.Dsir.resampleFrom(scored, k = 100, seed = 42L)
         .select("doc_id", "dsir_logw_micro", "dsir_key_micro")
         .orderBy("doc_id")
     }),
@@ -1004,10 +1007,9 @@ object Queries {
     * literal), and the per-doc sum in SQL. */
   def x16DsirWeights(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val raw = docs.filter(col("doc_id") >= 300)
-    val model = graft.ext.Dsir.fit(docs.filter(col("doc_id") < 300), raw)
-      .materialize()
-    graft.ext.Dsir.weighted(raw, model)
+    val (_, scored) = graft.ext.Dsir.fitScored(
+      docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 300))
+    scored
       .select("doc_id", "dsir_grams", "dsir_logw_micro", "dsir_logw")
       .orderBy("doc_id")
   }
@@ -1018,10 +1020,9 @@ object Queries {
     * draw itself (hash64 → uniform → perturbed integer key → top-k). */
   def x16DsirSelect(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val raw = docs.filter(col("doc_id") >= 300)
-    val model = graft.ext.Dsir.fit(docs.filter(col("doc_id") < 300), raw)
-      .materialize()
-    graft.ext.Dsir.resample(raw, model, k = 100, seed = 42L)
+    val (_, scored) = graft.ext.Dsir.fitScored(
+      docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 300))
+    graft.ext.Dsir.resampleFrom(scored, k = 100, seed = 42L)
       .select("doc_id", "dsir_logw_micro", "dsir_key_micro")
       .orderBy("doc_id")
   }

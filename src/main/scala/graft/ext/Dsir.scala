@@ -107,23 +107,65 @@ object Dsir {
         buckets)
   }
 
-  /** Fit bucket distributions from a target and a raw corpus. Blank /
-    * null documents contribute nothing (a document with no tokens has
-    * no n-gram profile). */
-  def fit(target: DataFrame, raw: DataFrame, textCol: String = "text",
-          keyCol: String = "doc_id", buckets: Int = DefaultBuckets): Model = {
-    require(buckets >= 2, s"buckets ($buckets) must be >= 2")
-    def census(corpus: DataFrame, as: String) =
-      gramRows(corpus, textCol, keyCol)
-        .groupBy(gramBucket(col("g"), buckets).as("bucket"))
-        .agg(count(lit(1)).as(as))
-    val bc = census(target, "ct")
-      .join(census(raw, "cr"), Seq("bucket"), "full")
+  /** Corpus-wide bucket census: (bucket, `as`) counts. */
+  private def censusOf(corpus: DataFrame, textCol: String, keyCol: String,
+                       buckets: Int, as: String): DataFrame =
+    gramRows(corpus, textCol, keyCol)
+      .groupBy(gramBucket(col("g"), buckets).as("bucket"))
+      .agg(count(lit(1)).as(as))
+
+  /** Per-(doc, bucket) gram multiplicities — the skew-capped probe
+    * every scoring path joins against the model. ONE definition; the
+    * raw-side census is its bucket marginal ([[fitScored]]). */
+  private def probeOf(docs: DataFrame, textCol: String, keyCol: String,
+                      buckets: Int): DataFrame =
+    gramRows(docs, textCol, keyCol)
+      .groupBy(col(keyCol).as("__k"), gramBucket(col("g"), buckets).as("bucket"))
+      .agg(count(lit(1)).as("m"))
+
+  private def modelFrom(targetCensus: DataFrame, rawCensus: DataFrame,
+                        buckets: Int): Model = {
+    val bc = targetCensus.join(rawCensus, Seq("bucket"), "full")
       .select(col("bucket"),
         coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
     val totals = bc.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     Model(bc, totals, buckets)
+  }
+
+  /** Fit bucket distributions from a target and a raw corpus. Blank /
+    * null documents contribute nothing (a document with no tokens has
+    * no n-gram profile). When the corpus to SCORE is the raw corpus
+    * itself — the standard deployment — use [[fitScored]], which
+    * gram-hashes raw once instead of twice. */
+  def fit(target: DataFrame, raw: DataFrame, textCol: String = "text",
+          keyCol: String = "doc_id", buckets: Int = DefaultBuckets): Model = {
+    require(buckets >= 2, s"buckets ($buckets) must be >= 2")
+    modelFrom(
+      censusOf(target, textCol, keyCol, buckets, "ct"),
+      censusOf(raw, textCol, keyCol, buckets, "cr"), buckets)
+  }
+
+  /** Fit on raw AND score raw in one gram pass — the standard DSIR
+    * deployment (q is estimated on the very corpus being selected
+    * from). The raw census is the probe's bucket marginal
+    * (Σ per-doc multiplicities = the gram census — the oracle derives
+    * it the same way), so raw text is tokenized and md5-bucketed ONCE;
+    * with `materialize` the probe is pinned (compact: ≤ min(grams, B)
+    * rows per doc) and the model checkpoint follows the
+    * [[Model.materialize]] contract. Returns (model, scored raw). */
+  def fitScored(target: DataFrame, raw: DataFrame,
+                textCol: String = "text", keyCol: String = "doc_id",
+                buckets: Int = DefaultBuckets, lambda: Double = DefaultLambda,
+                materialize: Boolean = true): (Model, DataFrame) = {
+    require(buckets >= 2, s"buckets ($buckets) must be >= 2")
+    val probe0 = probeOf(raw, textCol, keyCol, buckets)
+    val probe = if (materialize) probe0.localCheckpoint(true) else probe0
+    val rc = probe.groupBy(col("bucket")).agg(sum(col("m")).as("cr"))
+    val m0 = modelFrom(censusOf(target, textCol, keyCol, buckets, "ct"), rc,
+      buckets)
+    val model = if (materialize) m0.materialize() else m0
+    (model, weightedFromProbe(raw, probe, model, keyCol, lambda))
   }
 
   /** Score documents against a fitted model. Appends (all
@@ -144,12 +186,14 @@ object Dsir {
     * tiebreak alone. */
   def weighted(docs: DataFrame, model: Model, textCol: String = "text",
                keyCol: String = "doc_id",
-               lambda: Double = DefaultLambda): DataFrame = {
+               lambda: Double = DefaultLambda): DataFrame =
+    weightedFromProbe(docs,
+      probeOf(docs, textCol, keyCol, model.buckets), model, keyCol, lambda)
+
+  private def weightedFromProbe(docs: DataFrame, probe: DataFrame,
+                                model: Model, keyCol: String,
+                                lambda: Double): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda ($lambda) must be in (0, 1)")
-    val probe = gramRows(docs, textCol, keyCol)
-      .groupBy(col(keyCol).as("__k"),
-        gramBucket(col("g"), model.buckets).as("bucket"))
-      .agg(count(lit(1)).as("m"))
     val b = model.buckets
     val unif = (1.0 - lambda) / b
     def p(c: Column, n: Column) =
@@ -198,12 +242,20 @@ object Dsir {
     * is bounded ±4.5e7 micro-nats. */
   def resample(docs: DataFrame, model: Model, k: Int, seed: Long,
                textCol: String = "text", keyCol: String = "doc_id",
-               lambda: Double = DefaultLambda): DataFrame = {
+               lambda: Double = DefaultLambda): DataFrame =
+    resampleFrom(weighted(docs, model, textCol, keyCol, lambda), k, seed,
+      keyCol)
+
+  /** The Gumbel top-k over an ALREADY-WEIGHTED frame (any frame with a
+    * `dsir_logw_micro` column — [[weighted]] or [[fitScored]] output),
+    * so the one-pass pipeline composes without re-scoring. */
+  def resampleFrom(weightedDocs: DataFrame, k: Int, seed: Long,
+                   keyCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     val u = (Sampling.hash64(col(keyCol), seed ^ Sampling.GumbelSalt)
       .cast("double") + lit(0.5)) / lit(9.223372036854775808e18)
     val gumbelMicro = round(lit(1e6) * -log(-log(u))).cast("long")
-    weighted(docs, model, textCol, keyCol, lambda)
+    weightedDocs
       .withColumn("dsir_key_micro", col("dsir_logw_micro") + gumbelMicro)
       .orderBy(col("dsir_key_micro").desc, col(keyCol)).limit(k)
   }

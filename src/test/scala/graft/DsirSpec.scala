@@ -168,6 +168,27 @@ class DsirSpec extends SparkSpec {
     assert(sel(7L) == a, "same seed must redraw the same sample")
   }
 
+  test("fitScored equals fit + weighted, model included (one-pass identity)") {
+    val docs = Tables.documents(spark, sfDir)
+    val target = docs.filter(col("doc_id") < 100)
+    val raw = docs.filter(col("doc_id") >= 100)
+    val plain = Dsir.weighted(raw, Dsir.fit(target, raw))
+      .select("doc_id", "dsir_grams", "dsir_logw_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (model, scored) = Dsir.fitScored(target, raw)
+    val onePass = scored
+      .select("doc_id", "dsir_grams", "dsir_logw_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(onePass == plain)
+    // the probe-marginal raw census equals the direct gram census
+    val direct = Dsir.fit(target, raw).bucketCounts
+      .select("bucket", "cr").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val marginal = model.bucketCounts.select("bucket", "cr").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(marginal == direct)
+  }
+
   test("zero-gram documents weigh 0 and remain selectable by the draw") {
     val m = Dsir.fit(docsDf(1L -> "alpha beta"), docsDf(2L -> "gamma delta"),
       buckets = 50)
