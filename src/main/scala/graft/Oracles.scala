@@ -250,11 +250,20 @@ object Oracles {
     * x16_dsir_weights and x16_dsir_select — a smoothing or hashing
     * change cannot desynchronize them. The λ factor and the
     * pre-computed uniform floor (1−λ)/B interpolate from the Scala
-    * constants, so both engines evaluate the IDENTICAL doubles in the
-    * identical association. */
+    * constants (as does the bucket modulus), so both engines evaluate
+    * the IDENTICAL doubles in the identical association.
+    *
+    * Residual cross-engine risk (here and x15): `ln` is the one
+    * non-IEEE-exact op in any oracle — the JVM's and DuckDB's libm may
+    * differ by ~1 ulp, which flips a micro-nat integer only if the
+    * pre-round value sits within that ulp of a .5 boundary.
+    * MicroNatSlackSpec measures that slack over the verify corpus and
+    * pins it at ≥1e-6 (~250 ulps), so the hash compare is robust to
+    * any faithfully-rounding libm pair. */
   private val dsirWeightCtes: String = {
     val lam = graft.ext.Dsir.DefaultLambda
-    val unif = (1.0 - lam) / graft.ext.Dsir.DefaultBuckets
+    val nb = graft.ext.Dsir.DefaultBuckets
+    val unif = (1.0 - lam) / nb
     s"""norm AS (
        |  SELECT doc_id,
        |         lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS t
@@ -271,7 +280,7 @@ object Oracles {
        |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
        |    FROM ttoks) WHERE w2 IS NOT NULL),
        |tc AS (
-       |  SELECT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 10000 AS bucket,
+       |  SELECT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % $nb AS bucket,
        |         count(*) AS ct
        |  FROM tgrams GROUP BY 1),
        |rtoks AS (
@@ -287,7 +296,7 @@ object Oracles {
        |    FROM rtoks) WHERE w2 IS NOT NULL),
        |probe AS (
        |  SELECT doc_id,
-       |         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 10000 AS bucket,
+       |         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % $nb AS bucket,
        |         count(*) AS m
        |  FROM rgrams GROUP BY 1, 2),
        |rc AS (SELECT bucket, CAST(sum(m) AS BIGINT) AS cr FROM probe GROUP BY 1),
@@ -1110,14 +1119,15 @@ object Oracles {
     "x15_lm_ppl" ->
       // Stupid-backoff bigram LM replayed: counts from docs < 300, each
       // gram's log-prob rounded ONCE to integer micro-nats
-      // (round(1e6·ln p); backoff ln 0.4 pre-rounded to -916291 and
-      // ADDED as an integer — the split the Scala side documents), so
-      // the per-doc sum and the cross-multiplied band cut are exact
-      // integer arithmetic. lm_ppl re-derives from the integer sum and
-      // rounds at 3 dp.
-      """WITH norm AS (
+      // (round(1e6·ln p); backoff ln 0.4 pre-rounded and ADDED as an
+      // integer — the split the Scala side documents), so the per-doc
+      // sum and the cross-multiplied band cut are exact integer
+      // arithmetic. The backoff and band-cut integers interpolate from
+      // NgramLm (one definition — they cannot drift from the engine).
+      // lm_ppl re-derives from the integer sum and rounds at 3 dp.
+      s"""WITH norm AS (
         |  SELECT doc_id,
-        |         lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
+        |         lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS t
         |  FROM documents),
         |rtoks AS (
         |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
@@ -1144,7 +1154,7 @@ object Oracles {
         |  SELECT p.doc_id, p.m, b.c2,
         |         CASE WHEN b.c2 IS NOT NULL THEN
         |           CAST(round(1000000 * ln(CAST(b.c2 AS DOUBLE) / u1.c1)) AS BIGINT)
-        |         ELSE -916291 + CAST(round(1000000 * ln(
+        |         ELSE ${graft.ext.NgramLm.BackoffMicro} + CAST(round(1000000 * ln(
         |           CAST(coalesce(u2.c1, 0) + 1 AS DOUBLE)
         |             / (t.total_toks + t.vocab))) AS BIGINT)
         |         END AS micro
@@ -1167,8 +1177,8 @@ object Oracles {
         |            THEN round(exp(-CAST(lm_logp_micro AS DOUBLE) / 1000000
         |                           / lm_grams), 3) END AS lm_ppl,
         |       CASE WHEN coalesce(lm_grams, 0) = 0 THEN 'empty'
-        |            WHEN lm_logp_micro >= -4605170 * lm_grams THEN 'head'
-        |            WHEN lm_logp_micro >= -6907755 * lm_grams THEN 'middle'
+        |            WHEN lm_logp_micro >= ${graft.ext.NgramLm.HeadMicro} * lm_grams THEN 'head'
+        |            WHEN lm_logp_micro >= ${graft.ext.NgramLm.TailMicro} * lm_grams THEN 'middle'
         |            ELSE 'tail' END AS lm_band
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 300) d
         |LEFT JOIN per USING (doc_id)

@@ -350,22 +350,35 @@ object Queries {
     Dedup.exactDedup(documents(s, d))
       .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
 
-  /** X1h — incremental (cross-shard) exact dedup, the nightly-pipeline
-    * shape: today's shard dedups within itself, then against the frozen
-    * fingerprint index of prior shards (keep-history). History = docs
-    * 0–299; shard = docs 300+ plus planted cross-shard duplicates
-    * (docs 0–9 re-keyed +10000 — new ids, history text) and planted
+  /** The cross-shard test plant every incremental/streaming dedup
+    * query shares: history = docs 0–299; shard = docs 300+ plus
+    * planted cross-shard duplicates (docs 0–9 re-keyed +10000 — new
+    * ids, history text) and, with `withSecondCopy`, planted
     * intra-shard duplicates of those (docs 0–4 re-keyed +20000, which
-    * must lose the intra-shard min-key race AND match history). Output =
-    * surviving shard doc_ids; every plant must be absent. */
-  def x1IncrementalDedup(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    * must lose the intra-shard min-key race AND match history). ONE
+    * definition: the +10000/+20000 legs are exactly what the shared
+    * incremental-dedup oracle replays, so a drifted private copy would
+    * silently diverge a rows-only query from its parity spec. */
+  private def plantedShard(docs: DataFrame, withSecondCopy: Boolean)
+      : (DataFrame, DataFrame) = {
     val history = docs.filter(col("doc_id") < 300)
-    val shard = docs.filter(col("doc_id") >= 300)
+    val base = docs.filter(col("doc_id") >= 300)
       .unionByName(docs.filter(col("doc_id") < 10)
         .withColumn("doc_id", col("doc_id") + 10000))
-      .unionByName(docs.filter(col("doc_id") < 5)
+    val shard =
+      if (withSecondCopy) base.unionByName(docs.filter(col("doc_id") < 5)
         .withColumn("doc_id", col("doc_id") + 20000))
+      else base
+    (history, shard)
+  }
+
+  /** X1h — incremental (cross-shard) exact dedup, the nightly-pipeline
+    * shape: today's shard dedups within itself, then against the frozen
+    * fingerprint index of prior shards (keep-history). Plant per
+    * [[plantedShard]]; output = surviving shard doc_ids; every plant
+    * must be absent. */
+  def x1IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val (history, shard) = plantedShard(documents(s, d), withSecondCopy = true)
     Dedup.exactDedupAgainst(shard, Dedup.fingerprints(history))
       .select("doc_id").orderBy("doc_id")
   }
@@ -378,13 +391,7 @@ object Queries {
     * verified). Sized small (fpp 0.05) so false positives actually
     * occur and the verify path is exercised, not vacuous. */
   def x1BloomDedup(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val history = docs.filter(col("doc_id") < 300)
-    val shard = docs.filter(col("doc_id") >= 300)
-      .unionByName(docs.filter(col("doc_id") < 10)
-        .withColumn("doc_id", col("doc_id") + 10000))
-      .unionByName(docs.filter(col("doc_id") < 5)
-        .withColumn("doc_id", col("doc_id") + 20000))
+    val (history, shard) = plantedShard(documents(s, d), withSecondCopy = true)
     val historyFp = Dedup.fingerprints(history).localCheckpoint(true)
     val bloom = graft.ext.BloomIndex.build(historyFp,
       expectedItems = 1000L, fpp = 0.05)
@@ -839,22 +846,16 @@ object Queries {
       // Un-checkpointed history index, so the dump shows the signature
       // aggregate feeding the per-band anti joins instead of a
       // checkpoint scan.
-      val docs = documents(s, d)
-      val history = docs.filter(col("doc_id") < 300)
-      val shard = docs.filter(col("doc_id") >= 300)
-        .unionByName(docs.filter(col("doc_id") < 10)
-          .withColumn("doc_id", col("doc_id") + 10000))
+      val (history, shard) =
+        plantedShard(documents(s, d), withSecondCopy = false)
       graft.stream.StreamingDedup.minhashDropStreamAgainst(
           shard, Dedup.minhashSignatures(history, n = 4),
           n = 4, bands = 8, minSim = 0.7)
         .select("doc_id").orderBy("doc_id")
     }),
     "s4_stream_simhash" -> ((s, d) => {
-      val docs = documents(s, d)
-      val history = docs.filter(col("doc_id") < 300)
-      val shard = docs.filter(col("doc_id") >= 300)
-        .unionByName(docs.filter(col("doc_id") < 10)
-          .withColumn("doc_id", col("doc_id") + 10000))
+      val (history, shard) =
+        plantedShard(documents(s, d), withSecondCopy = false)
       graft.stream.StreamingDedup.simhashDropStreamAgainst(
           shard, Dedup.simhashSignatures(history, n = 4),
           n = 4, maxHamming = 6)
@@ -864,13 +865,8 @@ object Queries {
       // Driver-built sketch (no Spark job) and un-checkpointed history,
       // so the dump shows the fingerprint derivation feeding the probe
       // filter + anti join + union shape.
-      val docs = documents(s, d)
-      val history = docs.filter(col("doc_id") < 300)
-      val shard = docs.filter(col("doc_id") >= 300)
-        .unionByName(docs.filter(col("doc_id") < 10)
-          .withColumn("doc_id", col("doc_id") + 10000))
-        .unionByName(docs.filter(col("doc_id") < 5)
-          .withColumn("doc_id", col("doc_id") + 20000))
+      val (history, shard) =
+        plantedShard(documents(s, d), withSecondCopy = true)
       val out = new java.io.ByteArrayOutputStream()
       org.apache.spark.util.sketch.BloomFilter.create(1000L, 0.05).writeTo(out)
       Dedup.exactDedupAgainstBloom(shard, Dedup.fingerprints(history),
@@ -949,11 +945,8 @@ object Queries {
     * `minhashPairsAgainst` and live-stream execution are pinned by
     * StreamingDedupSpec. */
   def s3StreamNeardup(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val history = docs.filter(col("doc_id") < 300)
-    val shard = docs.filter(col("doc_id") >= 300)
-      .unionByName(docs.filter(col("doc_id") < 10)
-        .withColumn("doc_id", col("doc_id") + 10000))
+    val (history, shard) =
+      plantedShard(documents(s, d), withSecondCopy = false)
     // The per-band anti joins scan the index once per band; in
     // production it is a SAVED parquet (column-pruned scans). A derived
     // frame would recompute the signature aggregate per band —
@@ -971,11 +964,8 @@ object Queries {
     * x1_simhash_pairs. Rows-only; parity pinned in
     * StreamingDedupSpec. */
   def s4StreamSimhash(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val history = docs.filter(col("doc_id") < 300)
-    val shard = docs.filter(col("doc_id") >= 300)
-      .unionByName(docs.filter(col("doc_id") < 10)
-        .withColumn("doc_id", col("doc_id") + 10000))
+    val (history, shard) =
+      plantedShard(documents(s, d), withSecondCopy = false)
     val historySigs = Dedup.simhashSignatures(history, n = 4).localCheckpoint(true)
     graft.stream.StreamingDedup.simhashDropStreamAgainst(
         shard, historySigs, n = 4, maxHamming = 6)

@@ -52,7 +52,15 @@ object BloomIndex {
             expectedItems: Long = 1000000L, fpp: Double = 0.01): Array[Byte] = {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, "fpp in (0, 1)")
-    val numBits = BloomFilter.create(expectedItems, fpp).bitSize()
+    // Closed-form optimal size (the sketch's own -n·ln p / ln²2,
+    // rounded up to whole 64-bit words as its BitArray does) — NOT
+    // `BloomFilter.create(...).bitSize()`, which would materialize the
+    // full bit array on the driver (~1.2 GB at 10⁹ keys / 1% fpp) just
+    // to read its length.
+    val rawBits =
+      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    require(rawBits > 0, s"degenerate sketch ($expectedItems items @ $fpp)")
+    val numBits = ((rawBits + 63) / 64) * 64
     val agg = new BloomFilterAggregate(
       expression(xxhash64(col(keyCol))),
       Literal(expectedItems), Literal(numBits), 0, 0)

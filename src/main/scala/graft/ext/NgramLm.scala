@@ -51,6 +51,13 @@ object NgramLm {
     * (one definition; -916291 = round(1e6 * ln 0.4)). */
   val BackoffMicro: Long = -916291L
 
+  /** Default band cuts, per-gram micro-nats (avg log-prob): head ≈
+    * ppl 100 (-1e6·ln 100), tail ≈ ppl 1000 (-1e6·ln 1000). Named so
+    * the [[scored]] defaults and any SQL replay share the exact
+    * integers (the [[BackoffMicro]] one-definition rule). */
+  val HeadMicro: Long = -4605170L
+  val TailMicro: Long = -6907755L
+
   /** A trained model: pure count frames, each persistable as parquet
     * and re-loadable — the incremental-dedup history-index discipline
     * ([[Dedup.fingerprints]]) applied to LM counts. */
@@ -115,12 +122,11 @@ object NgramLm {
     *   - `lm_band`       head / middle / tail / empty
     *
     * Thresholds are per-gram micro-nats (avg log-prob cuts):
-    * `headMicro` = -4 605 170 ≈ ppl 100, `tailMicro` = -6 907 755 ≈
-    * ppl 1000 by default. */
+    * [[HeadMicro]] ≈ ppl 100, [[TailMicro]] ≈ ppl 1000 by default. */
   def scored(docs: DataFrame, model: Model, textCol: String = "text",
              keyCol: String = "doc_id",
-             headMicro: Long = -4605170L,
-             tailMicro: Long = -6907755L): DataFrame = {
+             headMicro: Long = HeadMicro,
+             tailMicro: Long = TailMicro): DataFrame = {
     require(headMicro >= tailMicro,
       s"headMicro ($headMicro) must be >= tailMicro ($tailMicro)")
     // Per-(doc, gram) multiplicity first: the skew cap — one probe row

@@ -249,12 +249,17 @@ case class SimHashSig(child: Expression, n: Int) extends UnaryExpression {
   override def nullSafeEval(v: Any): Any =
     SimHashSig.compute(v.asInstanceOf[ArrayData], n)
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName: two signatures in one projection (e.g. two shingle
+    // widths) must not declare the same Java local — a collision is a
+    // Janino failure and a silent whole-stage fallback to interpreted.
+    val sh = ctx.freshName("sh")
     nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.Long sh$$ = graft.functions.SimHashSig.compute($c, $n);
-      ${ev.isNull} = sh$$ == null;
-      ${ev.value} = ${ev.isNull} ? 0L : sh$$.longValue();
+      java.lang.Long $sh = graft.functions.SimHashSig.compute($c, $n);
+      ${ev.isNull} = $sh == null;
+      ${ev.value} = ${ev.isNull} ? 0L : $sh.longValue();
     """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

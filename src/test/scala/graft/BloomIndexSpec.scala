@@ -83,6 +83,11 @@ class BloomIndexSpec extends SparkSpec {
     // Constraint propagation must carry the probe onto the history
     // build side: the anti join's hash relation holds only
     // bloom-positive history keys.
+    // Diagnose a missing broadcast join distinctly from a lost
+    // predicate — split(...)(1) on a broadcast-free plan would be an
+    // uninformative ArrayIndexOutOfBounds.
+    assert(plan.contains("BroadcastExchange"),
+      "history anti join was not planned as broadcast:\n" + plan.take(2000))
     val buildSide = plan.split("BroadcastExchange", 2)(1)
     assert(buildSide.contains("might_contain"),
       "history build side lost the propagated bloom predicate")

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Dsir, NgramLm, Sampling}
+
+/** Libm-drift audit for the x15/x16 oracle comparisons.
+  *
+  * Their micro-nat columns are `round(1e6·ln(...))`, computed
+  * INDEPENDENTLY by the JVM (Spark) and by DuckDB's libm. `ln` is not
+  * IEEE-correctly-rounded, so the two engines may legally differ by
+  * ~1 ulp — harmless UNLESS a pre-round value sits within that ulp of
+  * a .5 rounding boundary, where the rounded integers would differ by
+  * 1 and the driver's hash compare would flake (platform/libm-version
+  * dependent). No formula that needs `ln` can meet the engine-replay
+  * invariant ("plain integer math or IEEE-exact ops") exactly; the
+  * one-rounding design shrinks the exposure to a single round per
+  * gram, and this spec closes the loop by MEASURING the boundary
+  * slack of every such value over the verify corpus (sf0.01, the SF
+  * the driver's oracle gate runs at) and pinning it at ≥ 1e-6 — a
+  * couple hundred ulps of headroom (1 ulp of 1e6·ln here is ~4e-9).
+  * A green verify is then robust to ANY faithfully-rounding libm
+  * pair, not just the pair on this machine; and if the testdata ever
+  * regenerates such that a value lands near a boundary, this fails
+  * loudly instead of the oracle flaking silently on some platform.
+  *
+  * The value re-derivations below deliberately mirror the ORACLE SQL
+  * (`Oracles.dsirWeightCtes` / `x15_lm_ppl`) — the oracle's inputs are
+  * the thing whose slack matters.
+  */
+class MicroNatSlackSpec extends SparkSpec {
+
+  /** The SF the driver's verify/oracle gate runs at. */
+  private val oracleSf = "/root/testdata/sf0.01"
+
+  /** ≈250 ulps of 1e6·ln at its largest magnitude here (~2e7). */
+  private val MinSlack = 1e-6
+
+  /** Minimum distance of `v` from the nearest round-half boundary. */
+  private def minSlack(values: DataFrame): Double = {
+    val frac = col("v") - floor(col("v"))
+    val out = values.filter(col("v").isNotNull)
+      .agg(min(abs(frac - lit(0.5)))).head
+    assert(!out.isNullAt(0), "no values to audit — fixture broke")
+    out.getDouble(0)
+  }
+
+  private def docs: DataFrame = Tables.documents(spark, oracleSf)
+
+  test("x15 per-gram log-probs sit >=1e-6 from rounding boundaries") {
+    val model = NgramLm.train(docs.filter(col("doc_id") < 300))
+    val toks = docs.filter(col("doc_id") >= 300)
+      .select(col("doc_id"),
+        posexplode(split(Dedup.normText(coalesce(col("text"), lit(""))),
+          "\\s+")))
+      .toDF("doc_id", "ord", "tok")
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy("doc_id").orderBy("ord")
+    val probe = toks.withColumn("w2", lead(col("tok"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("tok").as("w1"), col("w2")).distinct()
+    val g = probe
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.unigrams.select(col("w").as("w1"), col("c1").as("c1w1")),
+        Seq("w1"), "left")
+      .join(model.unigrams.select(col("w").as("w2"), col("c1").as("c1w2")),
+        Seq("w2"), "left")
+      .crossJoin(model.totals)
+    // The oracle's g CTE: hit = ln(c2/c1[w1]); backoff = ln of the
+    // +1-smoothed unigram (BackoffMicro adds as an exact integer and
+    // cannot move a boundary).
+    val v = when(col("c2").isNotNull,
+        lit(1e6) * log(col("c2").cast("double") / col("c1w1")))
+      .otherwise(lit(1e6) * log(
+        (coalesce(col("c1w2"), lit(0L)) + lit(1)).cast("double")
+          / (col("total_toks") + col("vocab"))))
+    val s = minSlack(g.select(v.as("v")))
+    assert(s >= MinSlack, f"x15 gram slack $s%.3e < $MinSlack%.0e")
+  }
+
+  test("x15 ppl 3-dp display sits >=1e-6 from rounding boundaries") {
+    val model = NgramLm.train(docs.filter(col("doc_id") < 300))
+    val scored = NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
+      .filter(col("lm_grams") > 0)
+    // round(x, 3) boundaries are .5 boundaries of 1000·x; the exp() is
+    // the other libm call the ppl column makes in both engines.
+    val v = exp(-col("lm_logp_micro").cast("double") / lit(1e6)
+      / col("lm_grams")) * lit(1000)
+    val s = minSlack(scored.select(v.as("v")))
+    assert(s >= MinSlack, f"x15 ppl slack $s%.3e < $MinSlack%.0e")
+  }
+
+  test("x16 per-bucket log-ratios sit >=1e-6 from rounding boundaries") {
+    val m = Dsir.fit(docs.filter(col("doc_id") < 300),
+      docs.filter(col("doc_id") >= 300))
+    val lam = Dsir.DefaultLambda
+    val unif = (1.0 - lam) / Dsir.DefaultBuckets
+    def p(c: Column, n: Column) =
+      lit(lam) * (c.cast("double") / greatest(n, lit(1L))) + lit(unif)
+    // The oracle's gm CTE over every observed bucket (a superset of
+    // the buckets any probe joins: unobserved-in-both buckets score an
+    // exact 0 and never round).
+    val v = lit(1e6) * log(p(col("ct"), col("nt")) / p(col("cr"), col("nr")))
+    val s = minSlack(m.bucketCounts.crossJoin(m.totals).select(v.as("v")))
+    assert(s >= MinSlack, f"x16 bucket slack $s%.3e < $MinSlack%.0e")
+  }
+
+  test("x16 gumbel keys sit >=1e-6 from rounding boundaries") {
+    val u = (Sampling.hash64(col("doc_id"), 42L ^ Sampling.GumbelSalt)
+      .cast("double") + lit(0.5)) / lit(9.223372036854775808e18)
+    val v = lit(-1e6) * log(-log(u))
+    val s = minSlack(docs.filter(col("doc_id") >= 300).select(v.as("v")))
+    assert(s >= MinSlack, f"x16 gumbel slack $s%.3e < $MinSlack%.0e")
+  }
+
+  test("3-dp micro displays cannot tie (no |micro| = 500 mod 1000)") {
+    // dsir_logw = round(micro/1e6, 3) ties exactly when micro ends in
+    // ±500; the tie-break then depends on each engine's decimal
+    // rounding path rather than on ln at all. Integer check — exact.
+    val (_, scored) = Dsir.fitScored(docs.filter(col("doc_id") < 300),
+      docs.filter(col("doc_id") >= 300), materialize = false)
+    val ties = scored
+      .filter(pmod(abs(col("dsir_logw_micro")), lit(1000L)) === 500L)
+      .count()
+    assert(ties == 0L, s"$ties dsir micro values tie at the 3-dp boundary")
+  }
+}
