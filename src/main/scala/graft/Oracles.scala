@@ -243,6 +243,30 @@ object Oracles {
       |  AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.norm = i.norm)
       |ORDER BY doc_id""".stripMargin
 
+  /** X17 soft dedup replayed INDEPENDENTLY: a window census (count per
+    * normalized text — SQL windows and GROUP BY both put nulls in one
+    * partition, matching Spark's groupBy-null semantics) instead of
+    * the engine's aggregate + null-safe join, and the weight as
+    * floor(10⁶/n) over the same exact-by-margin division (see
+    * [[graft.ext.Dedup.softDedupWeights]]). Same planted universe as
+    * [[incrementalDedupSql]] (+10000/+20000 re-keys). */
+  private val softDedupSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 5),
+      |n AS (
+      |  SELECT doc_id,
+      |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |  FROM all_docs)
+      |SELECT doc_id,
+      |       count(*) OVER (PARTITION BY norm) AS soft_dup_count,
+      |       CAST(floor(1000000.0 / count(*) OVER (PARTITION BY norm))
+      |            AS BIGINT) AS soft_weight_ppm
+      |FROM n ORDER BY doc_id""".stripMargin
+
   /** The DSIR weight pipeline ([[graft.ext.Dsir]]) replayed: md5-prefix
     * bucket hash, unigram+bigram censuses of target (docs < 300) and raw
     * (docs ≥ 300), the JM-smoothed per-bucket log-ratio rounded ONCE to
@@ -565,6 +589,7 @@ object Oracles {
     // anti join for any sketch (no false negatives; positives exactly
     // verified) — same oracle, same hash, by construction.
     "x1_bloom_dedup" -> incrementalDedupSql,
+    "x17_soft_dedup" -> softDedupSql,
 
     // NOTE on the shared-CTE entries: the blocks are concatenated (never
     // interpolated into a string that later runs .stripMargin — the SQL

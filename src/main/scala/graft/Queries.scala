@@ -399,6 +399,19 @@ object Queries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** X17 — soft dedup: every copy kept, duplicate families down-
+    * weighted to ~one document of sampling mass
+    * ([[graft.ext.Dedup.softDedupWeights]]). The [[plantedShard]]
+    * union gives known family sizes (3 for docs 0–4, 2 for docs 5–9,
+    * plus whatever the corpus itself repeats); the oracle re-derives
+    * the census and the floor(10⁶/n) weight independently. */
+  def x17SoftDedup(s: SparkSession, d: String): DataFrame = {
+    val (history, shard) = plantedShard(documents(s, d), withSecondCopy = true)
+    graft.ext.Dedup.softDedupWeights(history.unionByName(shard))
+      .select("doc_id", "soft_dup_count", "soft_weight_ppm")
+      .orderBy("doc_id")
+  }
+
   /** X1b — exact n-gram Jaccard near-dup pairs via shingle inverted
     * index (testdata has planted near-duplicates at sim ≥ 0.97).
     * n=4: the corpus draws from a ~31-word vocabulary, so 3-gram document

@@ -49,6 +49,7 @@ object SparkEntry {
     "x1_exact_dedup" -> (Queries.x1ExactDedup _),
     "x1_incremental_dedup" -> (Queries.x1IncrementalDedup _),
     "x1_bloom_dedup" -> (Queries.x1BloomDedup _),
+    "x17_soft_dedup" -> (Queries.x17SoftDedup _),
     "x1_jaccard_pairs" -> (Queries.x1JaccardPairs _),
     "x1_minhash_pairs" -> (Queries.x1MinhashPairs _),
     "x1_simhash_pairs" -> (Queries.x1SimhashPairs _),

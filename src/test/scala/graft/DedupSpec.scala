@@ -23,6 +23,46 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 4L)) // 2 and 5 collapse into 1
   }
 
+  test("softDedupWeights: family sizes, floor weights, norm equivalence") {
+    val out = Dedup.softDedupWeights(docs)
+      .select("doc_id", "soft_dup_count", "soft_weight_ppm")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out.size == 5, "every copy is KEPT — soft dedup drops nothing")
+    assert(out(1L) == ((3L, 333333L))) // 1, 2 (norm-equal), 5
+    assert(out(2L) == ((3L, 333333L)))
+    assert(out(5L) == ((3L, 333333L)))
+    assert(out(3L) == ((1L, 1000000L)))
+    assert(out(4L) == ((1L, 1000000L)))
+  }
+
+  test("softDedupWeights: null texts form ONE family (exactDedup classes)") {
+    val withNulls = df(Seq(
+        Row(1L, "alpha"), Row(2L, null), Row(3L, null), Row(4L, null)),
+      "doc_id BIGINT, text STRING")
+    val out = Dedup.softDedupWeights(withNulls)
+      .select("doc_id", "soft_dup_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // parity: the family count equals what hard dedup would keep
+    assert(Dedup.exactDedup(withNulls).count() == 2L)
+  }
+
+  test("softDedupWeights: family mass lands in (1e6 - n, 1e6]") {
+    val mass = Dedup.softDedupWeights(docs)
+      .groupBy("soft_dup_count").agg(
+        org.apache.spark.sql.functions.sum("soft_weight_ppm").as("m"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .collect()
+    mass.foreach { r =>
+      val (n, m, rows) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val families = rows / n
+      assert(m > families * (1000000L - n) && m <= families * 1000000L,
+        s"family mass $m out of bounds for n=$n over $families families")
+    }
+  }
+
   test("wordShingles emits distinct consecutive n-grams") {
     val grams = Dedup.wordShingles(docs.filter("doc_id = 1"), n = 3)
       .collect().map(_.getString(1)).toSet
