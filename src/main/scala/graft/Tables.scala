@@ -28,13 +28,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and floor-divide to
-    * microseconds — identical to DuckDB's TIMESTAMP_NS → TIMESTAMP cast, so
-    * oracle comparisons on derived timestamps agree. */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** `events.parquet` has shipped with two encodings of `ts` across driver
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * only accepts as raw long via `spark.sql.legacy.parquet.nanosAsLong` —
+    * set in [[Sessions.builder]]) and plain TIMESTAMP(MICROS). Branch on the
+    * loaded dataType so both read to the same micro-precision TimestampType:
+    * long nanos floor-divide to micros (identical to DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP cast), native timestamps pass through. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long: convert to micro timestamps
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case TimestampNTZType => // normalize to session-TZ TimestampType
+        raw.withColumn("ts", raw("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet encoding $other — expected " +
+            "long (nanos), timestamp, or timestamp_ntz; testdata contract drifted")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

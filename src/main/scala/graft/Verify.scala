@@ -20,6 +20,9 @@ object Verify {
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = Sessions.local(cpus)
+    // Fail loudly (and name the table) if the driver regenerated testdata
+    // with a drifted schema — better one clear error than N query errors.
+    TablesContract.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

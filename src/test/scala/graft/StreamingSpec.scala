@@ -71,8 +71,16 @@ class StreamingSpec extends SparkSpec {
     val inDir = Files.tmp("graft-stream-in")
     JF.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$inDir/batch0.parquet"))
     val schema = Tables.load(spark, sfDir, "events").schema
-    val raw = spark.readStream.schema(schema).parquet(inDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsType = schema("ts").dataType
+    // Same schema-adaptive normalization as Tables.events: legacy
+    // long-nanos floor-divides to micros; native timestamp encodings
+    // (incl. TIMESTAMP_NTZ, which Spark infers for tz-less parquet)
+    // cast through to session-TZ TimestampType for the watermark.
+    val rawIn = spark.readStream.schema(schema).parquet(inDir)
+    val raw =
+      if (tsType == org.apache.spark.sql.types.LongType)
+        rawIn.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else rawIn.withColumn("ts", col("ts").cast("timestamp"))
 
     val counts = mutable.Buffer[Long]()
     val ckpt = Files.tmp("graft-stream-file-ckpt")
@@ -82,12 +90,16 @@ class StreamingSpec extends SparkSpec {
     }.option("checkpointLocation", ckpt).start()
     try {
       query.processAllAvailable()
-      // Closer file: one event far in the future (nanos epoch, matching
-      // the on-disk long-backed ts the legacy conf reads).
+      // Closer file: one event far in the future, written in the SAME
+      // ts encoding as the driver's file so the readStream schema holds.
+      val closerTs =
+        if (tsType == org.apache.spark.sql.types.LongType)
+          lit(4102444800L * 1000000000L) // 2100-01-01 in nanos
+        else to_timestamp(lit("2100-01-01 00:00:00")).cast(tsType)
       val scratch = Files.tmp("graft-closer")
       spark.range(1).select(
         lit(999999L).as("event_id"),
-        lit(4102444800L * 1000000000L).as("ts"), // 2100-01-01 in nanos
+        closerTs.as("ts"),
         lit(0L).as("user_id"), lit("closer").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
         .coalesce(1).write.mode("overwrite").parquet(scratch)
