@@ -168,14 +168,16 @@ object Oracles {
     * shingle-width change cannot desynchronize the oracles that
     * cross-check each other. */
 
-  /** Normalized distinct 4-gram shingles per document → `grams`. */
-  private val gram4Ctes: String =
-    """norm AS (
-      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-      |  FROM documents
+  /** Normalized distinct 4-gram shingles per document → `grams`, from an
+    * arbitrary source relation (default: the raw documents table; the
+    * soft-funnel oracle feeds its planted union through the same body). */
+  private def gram4CtesFrom(src: String): String =
+    s"""norm AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      |  FROM $src
       |), toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
-      |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
+      |  SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok,
+      |         generate_subscripts(string_split_regex(t, '\\s+'), 1) AS ord
       |  FROM norm
       |), grams AS (
       |  SELECT DISTINCT doc_id,
@@ -184,6 +186,8 @@ object Oracles {
       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
       |  QUALIFY lead(tok, 3) OVER w IS NOT NULL
       |)""".stripMargin
+
+  private val gram4Ctes: String = gram4CtesFrom("documents")
 
   /** Exact-Jaccard pairs over `grams` → `jpair` (scored) and `jp`
     * (thresholded at 0.8, the registered queries' minSim). */
@@ -210,6 +214,41 @@ object Oracles {
       |  SELECT src, src FROM cedges
       |  UNION
       |  SELECT e.dst, r.lbl FROM cedges e JOIN creach r ON e.src = r.id)""".stripMargin
+
+  /** The uniquified corpus replayed (see Queries.uniquifiedDocs): each
+    * doc's text rebuilt as greatest(4, n_tok) repetitions of a
+    * doc_id-unique token — so text equality below IS the detection
+    * predicate (distinct docs share no shingles; copies are identical).
+    * `trim(repeat(...))` mirrors the Spark expression token-for-token. */
+  private val uniquifiedCte: String =
+    raw"""WITH unt AS (
+      |  SELECT doc_id,
+      |         CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |         trim(repeat('d' || CAST(doc_id AS VARCHAR) || 'x ',
+      |                     greatest(4, nt))) AS utext
+      |  FROM unt),
+      |""".stripMargin
+
+  /** history/shard split over `u` — the s3/s4 planted-stream structure
+    * (copies of docs 0–9 re-keyed +10000 must drop against history). */
+  private val plantedShardCte: String =
+    """history AS (SELECT doc_id, utext FROM u WHERE doc_id < 300),
+      |shard AS (
+      |  SELECT doc_id, utext FROM u WHERE doc_id >= 300
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, utext FROM u WHERE doc_id < 10)""".stripMargin
+
+  /** corpus-with-planted-pairs over `u` — the x1 planted-pair structure
+    * (copies of docs 0–4 re-keyed +20000 pair with their source). */
+  private val plantedPairCte: String =
+    """corpus AS (
+      |  SELECT doc_id, utext FROM u
+      |  UNION ALL
+      |  SELECT doc_id + 20000 AS doc_id, utext FROM u WHERE doc_id < 5)""".stripMargin
 
   /** The cross-shard plant replayed: history = docs < 300 (as a norm
     * set), shard = docs >= 300 plus re-keyed copies of docs < 10
@@ -584,6 +623,40 @@ object Oracles {
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "x1_incremental_dedup" -> incrementalDedupSql,
+
+    // Planted-copy variants of the randomized-family paths: the corpus
+    // is rewritten so distinct docs share ZERO shingles (detection
+    // impossible) and planted copies are byte-identical (detection
+    // certain, est. Jaccard exactly 1.0 / Hamming exactly 0) — the
+    // survivor/pair set is hash-family-invariant and replayed here from
+    // the planted structure (see Queries.uniquifiedDocs).
+    "s3_planted_neardup" ->
+      (uniquifiedCte + plantedShardCte + "\n" +
+        """SELECT s.doc_id FROM shard s
+          |WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.utext = s.utext)
+          |ORDER BY doc_id""".stripMargin),
+
+    "s4_planted_simhash" ->
+      (uniquifiedCte + plantedShardCte + "\n" +
+        """SELECT s.doc_id FROM shard s
+          |WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.utext = s.utext)
+          |ORDER BY doc_id""".stripMargin),
+
+    "x1_minhash_planted" ->
+      (uniquifiedCte + plantedPairCte + "\n" +
+        """SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+          |       CAST(1.0 AS DOUBLE) AS est_jaccard
+          |FROM corpus x JOIN corpus y
+          |  ON x.utext = y.utext AND x.doc_id < y.doc_id
+          |ORDER BY doc_id_a, doc_id_b""".stripMargin),
+
+    "x1_simhash_planted" ->
+      (uniquifiedCte + plantedPairCte + "\n" +
+        """SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+          |       CAST(0 AS INTEGER) AS hamming
+          |FROM corpus x JOIN corpus y
+          |  ON x.utext = y.utext AND x.doc_id < y.doc_id
+          |ORDER BY doc_id_a, doc_id_b""".stripMargin),
 
     // The Bloom-gated variant must be RESULT-IDENTICAL to the plain
     // anti join for any sketch (no false negatives; positives exactly
@@ -1387,6 +1460,146 @@ object Oracles {
         |       CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
         |FROM rates r LEFT JOIN kept k USING (source)
         |ORDER BY source""".stripMargin,
+
+    "x12_weighted_mix" ->
+      // Weight-aware mixing replayed end-to-end: the soft-dedup census
+      // (window count over the normalized text, floor(10⁶/n) ppm — same
+      // planted-shard union as x17_soft_dedup), the micro-token supply
+      // census sum(nt·wppm), the threshold floor(least(1, target·10⁶ /
+      // utokens_in)·10⁴ + 0.5), and the all-integer keep predicate
+      // bucket·10⁶ < thr·wppm. Sums cast to BIGINT (DuckDB widens to
+      // HUGEINT) to match Spark's DECIMAL(38,0)→long audit columns.
+      raw"""WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, source FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text, source FROM documents WHERE doc_id < 5),
+        |w AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS nt,
+        |         CAST(floor(1000000.0 / count(*) OVER (PARTITION BY
+        |              lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+        |              AS BIGINT) AS wppm
+        |  FROM all_docs),
+        |tot AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(nt * wppm) AS BIGINT) AS utokens_in
+        |  FROM w GROUP BY 1),
+        |rates AS (
+        |  SELECT source, n_docs, utokens_in,
+        |         CAST(CASE source WHEN 'src0' THEN 1500 WHEN 'src1' THEN 900
+        |                          WHEN 'src2' THEN 600 ELSE 0 END AS BIGINT)
+        |           AS target_tokens,
+        |         CASE WHEN utokens_in = 0 THEN 0
+        |              ELSE CAST(floor(least(1.0,
+        |                CAST(CASE source WHEN 'src0' THEN 1500 WHEN 'src1' THEN 900
+        |                                 WHEN 'src2' THEN 600 ELSE 0 END AS BIGINT)
+        |                * 1000000.0 / utokens_in) * 10000 + 0.5) AS BIGINT) END AS thr
+        |  FROM tot),
+        |kept AS (
+        |  SELECT t.source, count(*) AS docs_kept,
+        |         CAST(sum(t.nt * t.wppm) AS BIGINT) AS utokens_kept
+        |  FROM w t JOIN rates r USING (source)
+        |  WHERE ${bucketSql("t.doc_id", 42L ^ graft.ext.Sampling.MixSalt)}
+        |          * 1000000 < r.thr * t.wppm
+        |  GROUP BY 1)
+        |SELECT r.source, r.n_docs, r.utokens_in, r.target_tokens,
+        |       CAST(coalesce(k.docs_kept, 0) AS BIGINT) AS docs_kept,
+        |       CAST(coalesce(k.utokens_kept, 0) AS BIGINT) AS utokens_kept
+        |FROM rates r LEFT JOIN kept k USING (source)
+        |ORDER BY source""".stripMargin,
+
+    "x10_soft_funnel" ->
+      // The SOFT-dedup funnel replayed over the planted union: no stage
+      // drops documents for exact duplication; instead each doc carries
+      // wppm = floor(10⁶ / family size) and the tokens_weighted_* sums
+      // show the effective (deduplicated) mass per stage. No fuzzy
+      // stage; no url/history stage (both no-ops → copied columns).
+      ("WITH all_docs AS (\n" +
+        """  SELECT doc_id, text, lang FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id < 10
+          |  UNION ALL
+          |  SELECT doc_id + 20000, text, lang FROM documents WHERE doc_id < 5),
+          |""".stripMargin +
+        gram4CtesFrom("all_docs") + ",\n" +
+        raw"""bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8
+          |),
+          |ann AS (
+          |  SELECT doc_id, lang,
+          |         CAST(floor(1000000.0 / count(*) OVER (
+          |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+          |           AS BIGINT) AS wppm,
+          |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+          |         CASE WHEN len(trim(rtext)) = 0 THEN 0
+          |              ELSE len(string_split_regex(trim(rtext), '\s+')) END AS n_tok,
+          |         ${bucketSql("doc_id")} AS b,
+          |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
+          |  FROM (SELECT doc_id, lang, text,
+          |               regexp_replace(regexp_replace(regexp_replace(text,
+          |                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          |                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+          |        FROM all_docs)
+          |), f AS (
+          |  SELECT count(*) AS n_raw,
+          |         count(CASE WHEN NOT is_contaminated THEN 1 END) AS n_after_decontam,
+          |         count(CASE WHEN NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 THEN 1 END)
+          |           AS n_after_quality,
+          |         count(CASE WHEN NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 AND b < thr THEN 1 END)
+          |           AS n_after_sample,
+          |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
+          |         COALESCE(CAST(sum(CASE WHEN NOT is_contaminated
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
+          |         COALESCE(CAST(sum(CASE WHEN NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
+          |         COALESCE(CAST(sum(CASE WHEN NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
+          |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens,
+          |         COALESCE(CAST(sum(n_tok * wppm) AS BIGINT), 0)
+          |           AS tokens_weighted_raw,
+          |         COALESCE(CAST(sum(CASE WHEN NOT is_contaminated
+          |                    THEN n_tok * wppm END) AS BIGINT), 0)
+          |           AS tokens_weighted_after_decontam,
+          |         COALESCE(CAST(sum(CASE WHEN NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90
+          |                    THEN n_tok * wppm END) AS BIGINT), 0)
+          |           AS tokens_weighted_after_quality,
+          |         COALESCE(CAST(sum(CASE WHEN NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
+          |                    THEN n_tok * wppm END) AS BIGINT), 0)
+          |           AS tokens_weighted_sampled
+          |  FROM ann)
+          |SELECT n_raw, n_raw AS n_after_url, n_raw AS n_after_dedup,
+          |       n_raw AS n_after_history, n_raw AS n_after_fuzzy,
+          |       n_after_decontam, n_after_quality, n_after_sample,
+          |       tokens_raw, tokens_raw AS tokens_after_url,
+          |       tokens_raw AS tokens_after_dedup,
+          |       tokens_raw AS tokens_after_history,
+          |       tokens_raw AS tokens_after_fuzzy,
+          |       tokens_after_decontam, tokens_after_quality, n_tokens,
+          |       tokens_weighted_raw,
+          |       tokens_weighted_raw AS tokens_weighted_after_url,
+          |       tokens_weighted_raw AS tokens_weighted_after_dedup,
+          |       tokens_weighted_raw AS tokens_weighted_after_history,
+          |       tokens_weighted_raw AS tokens_weighted_after_fuzzy,
+          |       tokens_weighted_after_decontam, tokens_weighted_after_quality,
+          |       tokens_weighted_sampled,
+          |       CASE WHEN n_tokens = 0 THEN 0
+          |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
+          |FROM f""".stripMargin),
 
     "x12_temperature_mix" ->
       // Temperature-0.5 targets replayed exactly: sqrt is IEEE-754

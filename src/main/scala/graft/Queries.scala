@@ -359,7 +359,7 @@ object Queries {
     * definition: the +10000/+20000 legs are exactly what the shared
     * incremental-dedup oracle replays, so a drifted private copy would
     * silently diverge a rows-only query from its parity spec. */
-  private def plantedShard(docs: DataFrame, withSecondCopy: Boolean)
+  private[graft] def plantedShard(docs: DataFrame, withSecondCopy: Boolean)
       : (DataFrame, DataFrame) = {
     val history = docs.filter(col("doc_id") < 300)
     val base = docs.filter(col("doc_id") >= 300)
@@ -370,6 +370,90 @@ object Queries {
         .withColumn("doc_id", col("doc_id") + 20000))
       else base
     (history, shard)
+  }
+
+  /** Deterministic corpus for the planted-copy oracle variants of the
+    * randomized-family dedup paths (the [[x1EmbedNeardup]] trick,
+    * generalized): every document's text is rewritten to
+    * `greatest(4, n_tok)` repetitions of a token unique to its doc_id,
+    * so (a) any two DISTINCT documents share zero 4-gram shingles — no
+    * hash family at any band layout can ever make them candidates
+    * (MinHash collision probability equals Jaccard = 0; SimHash
+    * signatures are independent 64-bit patterns, P(Hamming ≤ 6) ≈
+    * 5·10⁻¹²) — while (b) planted re-keyed copies stay byte-identical
+    * to their source — identical signatures, detected by EVERY family
+    * with estimated Jaccard exactly 1.0 / Hamming exactly 0. Detection
+    * is therefore hash-family-invariant, and a DuckDB oracle replays
+    * the exact survivor/pair set from the planted structure alone.
+    * Shingle-count structure (n_tok) still derives from the real
+    * table, so corpus size and per-doc shingle mass track the data. */
+  private def uniquifiedDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("__nt", TextAnalysis.tokenCount(col("text")))
+      .select(col("doc_id"), col("source"),
+        expr("trim(repeat(concat('d', cast(doc_id as string), 'x '), " +
+          "cast(greatest(4, __nt) as int)))").as("text"))
+
+  /** S3-planted — [[s3StreamNeardup]]'s operator with a fully
+    * deterministic plant: history = uniquified docs < 300's MinHash
+    * index; shard = uniquified docs ≥ 300 (all-new — zero shared
+    * shingles with history) plus re-keyed byte-identical copies of
+    * docs 0–9 (est. Jaccard 1.0 — drop at any band layout). The DuckDB
+    * NOT-EXISTS oracle replays the survivor set exactly; the
+    * general-background behavior stays covered by the rows-only
+    * [[s3StreamNeardup]]. */
+  def s3PlantedNeardup(s: SparkSession, d: String): DataFrame = {
+    val u = uniquifiedDocs(s, d)
+    val history = u.filter(col("doc_id") < 300)
+    val shard = u.filter(col("doc_id") >= 300)
+      .unionByName(u.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    val historySigs = Dedup.minhashSignatures(history, n = 4).localCheckpoint(true)
+    graft.stream.StreamingDedup.minhashDropStreamAgainst(
+        shard, historySigs, n = 4, bands = 8, minSim = 0.7)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** S4-planted — the SimHash analog of [[s3PlantedNeardup]]: same
+    * uniquified plant through [[graft.stream.StreamingDedup
+    * .simhashDropStreamAgainst]]; copies drop at Hamming 0, background
+    * survives (independent 64-bit signatures). Same NOT-EXISTS
+    * oracle shape. */
+  def s4PlantedSimhash(s: SparkSession, d: String): DataFrame = {
+    val u = uniquifiedDocs(s, d)
+    val history = u.filter(col("doc_id") < 300)
+    val shard = u.filter(col("doc_id") >= 300)
+      .unionByName(u.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    val historySigs = Dedup.simhashSignatures(history, n = 4).localCheckpoint(true)
+    graft.stream.StreamingDedup.simhashDropStreamAgainst(
+        shard, historySigs, n = 4, maxHamming = 6)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** X1c-planted — [[x1MinhashPairs]]'s operator over the uniquified
+    * corpus plus byte-identical copies of docs 0–4 re-keyed +20000:
+    * the pair set is exactly {(i, i+20000) | i < 5} at est_jaccard
+    * 1.0 for ANY hash family (identical signatures agree on all 64
+    * rows; distinct docs share no shingles so no background candidate
+    * ever forms). The oracle replays it as a self-join on rebuilt
+    * text equality. */
+  def x1MinhashPlanted(s: SparkSession, d: String): DataFrame = {
+    val u = uniquifiedDocs(s, d)
+    val corpus = u.unionByName(u.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 20000))
+    Dedup.minhashPairs(corpus, n = 4, bands = 8, minSim = 0.7)
+  }
+
+  /** X1d-planted — the SimHash pair analog: planted copies collide at
+    * Hamming exactly 0; background signatures are independent 64-bit
+    * patterns (no shared shingles), so the banded join yields no
+    * candidate and the pair set is deterministic. */
+  def x1SimhashPlanted(s: SparkSession, d: String): DataFrame = {
+    val u = uniquifiedDocs(s, d)
+    val corpus = u.unionByName(u.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 20000))
+    Dedup.simhashPairs(corpus, n = 4, maxHamming = 6)
   }
 
   /** X1h — incremental (cross-shard) exact dedup, the nightly-pipeline
@@ -662,6 +746,24 @@ object Queries {
       groupBy = Some("source"))
   }
 
+  /** X10c — the funnel in SOFT-dedup mode (X17 composed into X10): the
+    * planted duplicate families (same union as [[x17SoftDedup]]) all
+    * SURVIVE the dedup stage, carrying `soft_weight_ppm`; the audit's
+    * `tokens_weighted_after_*` columns show each family contributing
+    * ~one document of effective mass while the doc counts stay
+    * unreduced. No fuzzy stage: exact copies are Jaccard-1.0 pairs, so
+    * a pair-graph stage would re-drop the very copies soft mode
+    * exists to keep. */
+  def x10SoftFunnel(s: SparkSession, d: String): DataFrame = {
+    val (history, shard) = plantedShard(documents(s, d), withSecondCopy = true)
+    val docs = history.unionByName(shard)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
+      minTokens = 25L, maxTokens = 90L,
+      rates = Map("en" -> 0.4), seqLen = 512L, softDedup = true))
+  }
+
   /** X11 — key-skew profile: the heaviest join keys on the fact table
     * with their share of rows, the diagnostic that decides between AQE,
     * salting, and broadcast (ext/Skew). */
@@ -709,6 +811,21 @@ object Queries {
   def x12TemperatureMix(s: SparkSession, d: String): DataFrame =
     graft.ext.Mixing.temperatureSummary(documents(s, d),
       alpha = 0.5, totalTokens = 10000L)
+
+  /** X12d — weight-aware mixing: the [[x17SoftDedup]] weights CONSUMED
+    * by the supply census and survivor selection
+    * ([[graft.ext.Mixing.weightedMixSummary]]). The planted duplicate
+    * families (3 copies of docs 0–4, 2 of docs 5–9) carry ~one
+    * document's micro-token mass each through the recipe — the audit's
+    * `utokens_in` is the deduplicated effective supply, and the oracle
+    * replays census, threshold, and the integer keep predicate. */
+  def x12WeightedMix(s: SparkSession, d: String): DataFrame = {
+    val (history, shard) = plantedShard(documents(s, d), withSecondCopy = true)
+    val weighted = Dedup.softDedupWeights(history.unionByName(shard))
+    graft.ext.Mixing.weightedMixSummary(weighted,
+      weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+      totalTokens = 3000L)
+  }
 
   /** X3a — global token frequency top-20. */
   def x3TopTokens(s: SparkSession, d: String): DataFrame =
@@ -873,6 +990,42 @@ object Queries {
           shard, Dedup.simhashSignatures(history, n = 4),
           n = 4, maxHamming = 6)
         .select("doc_id").orderBy("doc_id")
+    }),
+    "s3_planted_neardup" -> ((s, d) => {
+      val u = uniquifiedDocs(s, d)
+      val history = u.filter(col("doc_id") < 300)
+      val shard = u.filter(col("doc_id") >= 300)
+        .unionByName(u.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      graft.stream.StreamingDedup.minhashDropStreamAgainst(
+          shard, Dedup.minhashSignatures(history, n = 4),
+          n = 4, bands = 8, minSim = 0.7)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "s4_planted_simhash" -> ((s, d) => {
+      val u = uniquifiedDocs(s, d)
+      val history = u.filter(col("doc_id") < 300)
+      val shard = u.filter(col("doc_id") >= 300)
+        .unionByName(u.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      graft.stream.StreamingDedup.simhashDropStreamAgainst(
+          shard, Dedup.simhashSignatures(history, n = 4),
+          n = 4, maxHamming = 6)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "x1_minhash_planted" -> ((s, d) => {
+      val u = uniquifiedDocs(s, d)
+      val corpus = u.unionByName(u.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 20000))
+      Dedup.minhashPairs(corpus, n = 4, bands = 8, minSim = 0.7,
+        materialize = false)
+    }),
+    "x1_simhash_planted" -> ((s, d) => {
+      val u = uniquifiedDocs(s, d)
+      val corpus = u.unionByName(u.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 20000))
+      Dedup.simhashPairs(corpus, n = 4, maxHamming = 6,
+        materialize = false)
     }),
     "x1_bloom_dedup" -> ((s, d) => {
       // Driver-built sketch (no Spark job) and un-checkpointed history,

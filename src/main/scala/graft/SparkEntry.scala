@@ -52,7 +52,9 @@ object SparkEntry {
     "x17_soft_dedup" -> (Queries.x17SoftDedup _),
     "x1_jaccard_pairs" -> (Queries.x1JaccardPairs _),
     "x1_minhash_pairs" -> (Queries.x1MinhashPairs _),
+    "x1_minhash_planted" -> (Queries.x1MinhashPlanted _),
     "x1_simhash_pairs" -> (Queries.x1SimhashPairs _),
+    "x1_simhash_planted" -> (Queries.x1SimhashPlanted _),
     "x1_dedup_groups" -> (Queries.x1DedupGroups _),
     "x1_span_dedup" -> (Queries.x1SpanDedup _),
     "x1_substring_dedup" -> (Queries.x1SubstringDedup _),
@@ -75,7 +77,9 @@ object SparkEntry {
     "s1_windowed_checks" -> (Queries.s1WindowedChecks _),
     "s2_stream_dedup" -> (Queries.s2StreamDedup _),
     "s3_stream_neardup" -> (Queries.s3StreamNeardup _),
+    "s3_planted_neardup" -> (Queries.s3PlantedNeardup _),
     "s4_stream_simhash" -> (Queries.s4StreamSimhash _),
+    "s4_planted_simhash" -> (Queries.s4PlantedSimhash _),
     "x5_media_integrity" -> (Queries.x5MediaIntegrity _),
     "x5_media_features" -> (Queries.x5MediaFeatures _),
     "x5_frame_sample" -> (Queries.x5FrameSample _),
@@ -94,6 +98,8 @@ object SparkEntry {
     "x12_token_mix" -> (Queries.x12TokenMix _),
     "x12_training_order" -> (Queries.x12TrainingOrder _),
     "x12_temperature_mix" -> (Queries.x12TemperatureMix _),
+    "x12_weighted_mix" -> (Queries.x12WeightedMix _),
+    "x10_soft_funnel" -> (Queries.x10SoftFunnel _),
     "x15_lm_ppl" -> (Queries.x15LmPpl _),
     "x16_dsir_weights" -> (Queries.x16DsirWeights _),
     "x16_dsir_select" -> (Queries.x16DsirSelect _)

@@ -52,6 +52,16 @@ object Curation {
       // both flags are constant-true no-ops.
       urlCol: Option[String] = None,
       blockedDomains: Seq[String] = Nil,
+      // Optional X17 soft-dedup mode: the exact-dedup stage stops
+      // FILTERING — every copy survives, annotated with
+      // `soft_dup_count` / `soft_weight_ppm` (floor(10⁶/n), the
+      // [[Dedup.softDedupWeights]] weight, derived from the SAME keeper
+      // aggregate at zero extra scans) — and the funnel audit gains
+      // `tokens_weighted_after_*` columns (micro-tokens: Σ n_tok·w_ppm)
+      // showing the EFFECTIVE mass each stage passes, where a duplicate
+      // family carries ~one document. Downstream, [[Mixing
+      // .weightedMixToBudget]] consumes the weight column directly.
+      softDedup: Boolean = false,
       // Column names, matching the sibling operators' parameters — a
       // corpus with e.g. content/id/language columns works unrenamed.
       textCol: String = "text",
@@ -109,7 +119,8 @@ object Curation {
     // <=> groups them like the oracle's window-partition formulation does.
     val keepers = docs
       .groupBy(Dedup.normText(col(cfg.textCol)).as("__knorm"))
-      .agg(min(col(cfg.keyCol)).as("__keep_id"))
+      .agg(min(col(cfg.keyCol)).as("__keep_id"),
+        count(lit(1)).as("__fam_n"))
     val contaminated = Dedup
       .contaminationPairs(docs, benchmark, textCol = cfg.textCol,
         corpusKey = cfg.keyCol, n = cfg.contaminationNGram,
@@ -161,10 +172,18 @@ object Curation {
     // __norm stays alive through the history stage: the fingerprint is
     // md5 of this exact value, so recomputing the normalization regex
     // per row for the index join would double the flag pass's CPU.
-    val flagged0 = withUrl.withColumn("__norm", Dedup.normText(col(cfg.textCol)))
+    val joined0 = withUrl.withColumn("__norm", Dedup.normText(col(cfg.textCol)))
       .join(keepers, col("__norm") <=> col("__knorm"))
       .withColumn("is_canonical", col(cfg.keyCol) === col("__keep_id"))
-      .drop("__knorm", "__keep_id")
+    // Soft mode: the family size rides the SAME keeper aggregate, so the
+    // weight columns cost zero extra scans ([[Dedup.softDedupWeights]]'
+    // floor(10⁶/n) — exact integer, see its Scaladoc).
+    val flagged0 = (if (cfg.softDedup)
+        joined0.withColumn("soft_dup_count", col("__fam_n"))
+          .withColumn("soft_weight_ppm",
+            floor(lit(1000000.0) / col("__fam_n")).cast("long"))
+      else joined0)
+      .drop("__knorm", "__keep_id", "__fam_n")
       .join(contaminated, Seq(cfg.keyCol), "left")
       .withColumn("is_contaminated", coalesce(col("__cont"), lit(false)))
       .drop("__cont")
@@ -219,18 +238,24 @@ object Curation {
           Sampling.keepThreshold(cfg.strataCol, cfg.rates, cfg.defaultRate))
   }
 
-  private def survives: Column =
-    col("is_url_ok") && col("is_url_canonical") &&
-      col("is_canonical") && col("is_unseen") && col("is_fuzzy_canonical") &&
+  private def survives(cfg: Config): Column = {
+    val hard = col("is_url_ok") && col("is_url_canonical") &&
+      col("is_unseen") && col("is_fuzzy_canonical") &&
       !col("is_contaminated") && col("is_quality") && col("is_sampled")
+    // Soft mode keeps every exact copy — the weight column carries the
+    // family's mass instead of the filter (SoftDedup, He et al. 2024).
+    if (cfg.softDedup) hard else hard && col("is_canonical")
+  }
 
-  /** The curated corpus: redacted text, survivors only. */
+  /** The curated corpus: redacted text, survivors only. In soft-dedup
+    * mode the output keeps `soft_dup_count`/`soft_weight_ppm` for the
+    * weighted sampler ([[Mixing.weightedMixToBudget]]). */
   def curate(docs: DataFrame, benchmark: DataFrame,
              cfg: Config = Config(),
              fuzzyPairs: Option[DataFrame] = None,
              historyFp: Option[DataFrame] = None): DataFrame =
     annotate(docs, benchmark, cfg, fuzzyPairs, historyFp)
-      .filter(survives)
+      .filter(survives(cfg))
       .drop("is_url_ok", "is_url_canonical",
         "is_canonical", "is_unseen", "is_fuzzy_canonical",
         "is_contaminated", "is_quality", "is_sampled")
@@ -258,7 +283,9 @@ object Curation {
     // URL stage first (no-op without cfg.urlCol: `n_after_url = n_raw`):
     // domain blocklist and url-canonical dedup gate everything text-keyed.
     val url = col("is_url_ok") && col("is_url_canonical")
-    val dedup = url && col("is_canonical")
+    // Soft mode: the dedup stage removes NOTHING (n_after_dedup =
+    // n_after_url); the mass reduction shows up in the weighted columns.
+    val dedup = if (cfg.softDedup) url else url && col("is_canonical")
     // History (X1h) sits between exact dedup and fuzzy: a no-op without
     // an index (`n_after_history = n_after_dedup`); with one,
     // dedup && unseen is exactly Dedup.exactDedupAgainst's survivor set.
@@ -279,8 +306,28 @@ object Curation {
       case Some(c) => annotated.groupBy(col(c))
       case None => annotated.groupBy()
     }
-    val out = grouped.agg(
-        count(lit(1)).as("n_raw"),
+    // Soft-dedup audit: per-stage EFFECTIVE mass in micro-tokens
+    // (Σ n_tok · soft_weight_ppm over the stage's survivors) — a
+    // duplicate family counts ~one document regardless of copies. The
+    // DECIMAL(38,0) sum mirrors [[Mixing.weightedSourceTotals]]'
+    // overflow posture; output casts to long.
+    def wtoks(stage: Column, name: String) =
+      coalesce(sum(when(stage,
+          (col("n_tok") * col("soft_weight_ppm"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .cast("long"), lit(0L)).as(name)
+    val weightedCols =
+      if (!cfg.softDedup) Nil
+      else Seq(
+        wtoks(lit(true), "tokens_weighted_raw"),
+        wtoks(url, "tokens_weighted_after_url"),
+        wtoks(dedup, "tokens_weighted_after_dedup"),
+        wtoks(hist, "tokens_weighted_after_history"),
+        wtoks(fuzzy, "tokens_weighted_after_fuzzy"),
+        wtoks(decon, "tokens_weighted_after_decontam"),
+        wtoks(qual, "tokens_weighted_after_quality"),
+        wtoks(samp, "tokens_weighted_sampled"))
+    val aggCols = Seq(
         count(when(url, lit(1))).as("n_after_url"),
         count(when(dedup, lit(1))).as("n_after_dedup"),
         count(when(hist, lit(1))).as("n_after_history"),
@@ -295,7 +342,8 @@ object Curation {
         toks(fuzzy, "tokens_after_fuzzy"),
         toks(decon, "tokens_after_decontam"),
         toks(qual, "tokens_after_quality"),
-        toks(samp, "n_tokens"))
+        toks(samp, "n_tokens")) ++ weightedCols
+    val out = grouped.agg(count(lit(1)).as("n_raw"), aggCols: _*)
       .withColumn("n_sequences",
         when(col("n_tokens") === 0, lit(0L))
           .otherwise(expr(s"(n_tokens - 1) div ${cfg.seqLen} + 1")))

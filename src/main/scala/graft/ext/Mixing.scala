@@ -193,6 +193,111 @@ object Mixing {
       .orderBy("source")
   }
 
+  // ------------------------------------------- weight-aware mixing (X12d)
+
+  /** Weighted per-source supply census: (source, n_docs, utokens_in)
+    * where `utokens_in = Σ n_tok · weight_ppm` is the source's supply in
+    * MICRO-tokens. This is the consumer of [[Dedup.softDedupWeights]]'
+    * `soft_weight_ppm` (X17): a duplicate family of n copies at
+    * floor(10⁶/n) ppm each contributes ~one document's mass to the
+    * census, so the keep rate is derived against the DEDUPLICATED
+    * effective supply, not the raw copy count.
+    *
+    * All arithmetic is integer: the per-doc product n_tok·w_ppm is exact
+    * in long (≤ ~10¹⁰), and the census sum rides DECIMAL(38,0) so a
+    * 100 TB source (10¹³ raw tokens → 10¹⁹ micro-tokens) cannot wrap a
+    * long before the aggregate finishes. Same partial-agg single-shuffle
+    * shape as [[sourceTotals]]. */
+  def weightedSourceTotals(docs: DataFrame, textCol: String = "text",
+                           srcCol: String = "source",
+                           weightCol: String = "soft_weight_ppm"): DataFrame =
+    docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((tokenCount(col(textCol)).cast("long") * col(weightCol))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("utokens_in"))
+
+  /** Weighted rate frame: targets stay in TOKENS (the recipe's unit);
+    * the threshold compares target·10⁶ against the micro-token supply.
+    * The multiply runs in DOUBLE in both engines, left-associated —
+    * exact while target < 2⁵³/10⁶, i.e. any plausible budget. */
+  private def weightedRateFrame(docs: DataFrame, textCol: String,
+                                srcCol: String, weightCol: String,
+                                weights: Map[String, Double],
+                                totalTokens: Long): DataFrame = {
+    require(totalTokens > 0, s"totalTokens ($totalTokens) must be positive")
+    require(weights.values.forall(w => w >= 0.0), "weights must be >= 0")
+    require(weights.values.sum <= 1.0 + 1e-9,
+      s"weights sum to ${weights.values.sum} — shares of totalTokens must sum to <= 1")
+    val target = weights.foldLeft(lit(0L): Column) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(math.round(w * totalTokens))).otherwise(acc)
+    }
+    weightedSourceTotals(docs, textCol, srcCol, weightCol)
+      .withColumn("target_tokens", target)
+      .withColumn("keep_threshold",
+        when(col("utokens_in") === 0, lit(0L)).otherwise(
+          floor(least(lit(1.0),
+            col("target_tokens").cast("double") * lit(1000000.0)
+              / col("utokens_in").cast("double")) * 10000 + lit(0.5))
+            .cast("long")))
+  }
+
+  /** Weighted survivor selection: each doc keeps with probability
+    * (keep_threshold/10⁴)·(weight_ppm/10⁶), decided as the EXACT integer
+    * comparison `bucket·10⁶ < threshold·weight_ppm` (≤ 10¹⁰ — no float
+    * anywhere, so the DuckDB oracle replays the selection bit-for-bit).
+    * At weight 10⁶ this degenerates to the unweighted [[mixToBudget]]
+    * predicate. A soft-dedup family of n copies each at ~10⁶/n ppm thus
+    * keeps rate·(1/n) of each copy — in expectation, one document's
+    * worth of the family survives per unit rate, the SoftDedup paper's
+    * composition. */
+  private def weightedKeep(keyCol: String, weightCol: String,
+                           seed: Long): Column =
+    Sampling.bucket(col(keyCol), seed ^ Sampling.MixSalt) * lit(1000000L) <
+      col("keep_threshold") * col(weightCol)
+
+  /** The weight-aware mixed corpus: input columns, filtered to weighted
+    * survivors. Same zero-corpus-shuffle shape as [[mixToBudget]] (one
+    * census aggregate + one broadcast join). */
+  def weightedMixToBudget(docs: DataFrame, textCol: String = "text",
+                          keyCol: String = "doc_id", srcCol: String = "source",
+                          weightCol: String = "soft_weight_ppm",
+                          weights: Map[String, Double], totalTokens: Long,
+                          seed: Long = 42L): DataFrame = {
+    val rates = weightedRateFrame(docs, textCol, srcCol, weightCol, weights, totalTokens)
+    docs.join(broadcast(
+        rates.select(col("source").as(srcCol), col("keep_threshold"))), srcCol)
+      .filter(weightedKeep(keyCol, weightCol, seed))
+      .select(docs.columns.toIndexedSeq.map(col): _*)
+  }
+
+  /** Weighted recipe audit: (source, n_docs, utokens_in, target_tokens,
+    * docs_kept, utokens_kept) — supply and achieved mass in micro-tokens,
+    * so "a duplicate family carries ~one doc of mass" is readable
+    * directly from the audit. */
+  def weightedMixSummary(docs: DataFrame, textCol: String = "text",
+                         keyCol: String = "doc_id", srcCol: String = "source",
+                         weightCol: String = "soft_weight_ppm",
+                         weights: Map[String, Double], totalTokens: Long,
+                         seed: Long = 42L): DataFrame = {
+    val rates = weightedRateFrame(docs, textCol, srcCol, weightCol, weights, totalTokens)
+    val kept = docs.join(broadcast(
+        rates.select(col("source").as(srcCol), col("keep_threshold"))), srcCol)
+      .filter(weightedKeep(keyCol, weightCol, seed))
+      .groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("docs_kept"),
+        sum((tokenCount(col(textCol)).cast("long") * col(weightCol))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("utokens_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        col("utokens_in").cast("long").as("utokens_in"),
+        col("target_tokens"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("utokens_kept").cast("long"), lit(0L)).as("utokens_kept"))
+      .orderBy("source")
+  }
+
   /** Deterministic global training order: documents reordered by a keyed
     * hash (shuffle-the-corpus-once, the step between mixing and
     * [[Packing]]). The sort key is the FULL-WIDTH engine-replayable mix

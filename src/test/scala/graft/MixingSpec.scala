@@ -154,6 +154,84 @@ class MixingSpec extends SparkSpec {
     assert(a.getAs[Long]("tokens_in") == 0L && a.getAs[Long]("docs_kept") == 0L)
   }
 
+  test("weighted mix at weight 10^6 degenerates to the unweighted mix") {
+    val d = docs((1L to 200L).map(i => (i, "a", s"tok$i word$i")): _*)
+    val w = Map("a" -> 1.0)
+    val full = d.withColumn("soft_weight_ppm", lit(1000000L))
+    val weighted = Mixing.weightedMixToBudget(full, weights = w, totalTokens = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val plain = Mixing.mixToBudget(d, weights = w, totalTokens = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(weighted == plain && weighted.nonEmpty)
+  }
+
+  test("soft-dedup weighted census matches exact-dedup survivors' mass") {
+    // A family of n copies at floor(1e6/n) ppm carries the SAME
+    // micro-token mass (within n ppm quantization per family) as the one
+    // exact-dedup survivor at weight 1e6 — the SoftDedup composition.
+    val base = (1L to 30L).map(i => (i, s"src${i % 3}", s"uniq$i text body $i"))
+    // 3 extra copies of docs 1-4, each carrying its ORIGINAL's source —
+    // a family split across sources would (correctly) split its mass.
+    val dups = (1L to 12L).map { i =>
+      val j = i % 4 + 1
+      (1000L + i, s"src${j % 3}", s"uniq$j text body $j")
+    }
+    val d = docs(base ++ dups: _*)
+    val soft = graft.ext.Dedup.softDedupWeights(d)
+    val softCensus = Mixing.weightedSourceTotals(soft).orderBy("source")
+      .collect().map(r => r.getString(0) -> r.getDecimal(2).longValue()).toMap
+    val hardCensus = Mixing.weightedSourceTotals(
+        graft.ext.Dedup.exactDedup(d).withColumn("soft_weight_ppm", lit(1000000L)))
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> r.getDecimal(2).longValue()).toMap
+    assert(softCensus.keySet == hardCensus.keySet)
+    softCensus.foreach { case (src, m) =>
+      val h = hardCensus(src)
+      assert(math.abs(m - h) <= h / 1000 + 100,
+        s"$src: soft mass $m vs hard mass $h — families must carry ~one doc")
+    }
+  }
+
+  test("weighted mix survivors replay the integer keep predicate") {
+    val d = docs((1L to 50L).map(i => (i, "a", "w1 w2 w3 w4")): _*)
+    val weighted = d.withColumn("soft_weight_ppm",
+      when(col("doc_id") <= 25L, lit(500000L)).otherwise(lit(1000000L)))
+    // supply = 25*4*5e5 + 25*4*1e6 = 1.5e8 utok; target 75 tok = 7.5e7 utok
+    // -> thr = 5000. Keep iff bucket*1e6 < 5000*wppm.
+    val kept = Mixing.weightedMixToBudget(weighted,
+        weights = Map("a" -> 1.0), totalTokens = 75L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = (1L to 50L).filter { id =>
+      val w = if (id <= 25L) 500000L else 1000000L
+      refBucket(id) * 1000000L < 5000L * w
+    }.toSet
+    assert(kept == expected)
+    // Down-weighted docs keep at ~half the rate of full-weight docs.
+    assert(kept.count(_ <= 25L) < kept.count(_ > 25L))
+  }
+
+  test("x12_weighted_mix audit: duplicate families carry ~one doc of mass") {
+    val raw = Tables.documents(spark, sfDir)
+    val out = Queries.x12WeightedMix(spark, sfDir).collect()
+    assert(out.length == raw.select("source").distinct().count())
+    // The raw census counts planted copies at full weight; the weighted
+    // census must sit strictly below it for sources holding plants, and
+    // within quantization of the exact-dedup survivors' mass overall.
+    val (h0, s0) = Queries.plantedShard(raw, withSecondCopy = true)
+    val hard = Mixing.weightedSourceTotals(
+        graft.ext.Dedup.exactDedup(h0.unionByName(s0))
+          .withColumn("soft_weight_ppm", lit(1000000L)))
+      .collect().map(r => r.getString(0) -> r.getDecimal(2).longValue()).toMap
+    out.foreach { r =>
+      val (src, utok) = (r.getString(0), r.getLong(2))
+      val h = hard(src)
+      assert(math.abs(utok - h) <= h / 1000 + 100,
+        s"$src: weighted supply $utok vs dedup mass $h")
+      assert(r.getAs[Long]("docs_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("utokens_kept") <= utok)
+    }
+  }
+
   test("blank and null text count 0 tokens in the supply census") {
     val d = df(Seq(Row(1L, "a", "x y"), Row(2L, "a", "   "), Row(3L, "a", null)),
       "doc_id BIGINT, source STRING, text STRING")

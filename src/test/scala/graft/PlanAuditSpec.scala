@@ -141,6 +141,10 @@ class PlanAuditSpec extends SparkSpec {
     // (the per-band anti joins would otherwise recompute the signature
     // aggregate per band).
     "s3_stream_neardup", "s4_stream_simhash",
+    // the planted-oracle variants share those eager shapes (checkpointed
+    // history index / materialized pair signatures)
+    "s3_planted_neardup", "s4_planted_simhash",
+    "x1_minhash_planted", "x1_simhash_planted",
     // localCheckpoints the trained LM count frames (persisted-model
     // contract — scoring would otherwise re-run the reference-corpus
     // aggregation once per join build).
