@@ -2007,6 +2007,25 @@ object Oracles {
         |       CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars * 10 AS BIGINT) END AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    "x5_png_decode" ->
+      // The real-codec round trip replayed WITHOUT a codec: payloads are
+      // JDK-encoded PNGs of the per-scanline formula r=(id+y)%256,
+      // g=(2id+y)%256, b=(3id+y)%256 at w=32+id%64, h=32+id%32; PNG is
+      // lossless, so the decoded dims + integer channel sums equal the
+      // closed-form replay below exactly.
+      """WITH img AS (
+        |  SELECT doc_id, CAST(32 + doc_id % 64 AS INTEGER) AS w,
+        |         CAST(32 + doc_id % 32 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |scan AS (
+        |  SELECT doc_id, w, h, unnest(range(0, CAST(h AS BIGINT))) AS y FROM img)
+        |SELECT doc_id AS media_id, w AS png_w, h AS png_h,
+        |       CAST(sum(w * ((doc_id + y) % 256)) AS BIGINT) AS sum_r,
+        |       CAST(sum(w * ((2 * doc_id + y) % 256)) AS BIGINT) AS sum_g,
+        |       CAST(sum(w * ((3 * doc_id + y) % 256)) AS BIGINT) AS sum_b
+        |FROM scan GROUP BY doc_id, w, h
+        |ORDER BY media_id""".stripMargin,
+
     "x5_media_features" ->
       // The byte-window pseudo-decode replayed from the document text
       // (payload = its UTF-8 bytes; testdata is pure ASCII so character

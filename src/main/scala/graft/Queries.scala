@@ -764,6 +764,17 @@ object Queries {
       rates = Map("en" -> 0.4), seqLen = 512L, softDedup = true))
   }
 
+  /** X5b-real — PNG pixel decode through the in-JDK codec
+    * ([[graft.ext.Multimodal.decodePngs]]): payloads are REAL compressed
+    * PNGs (JDK encoder, per-scanline channel formula), decoding reads
+    * dimensions + integer channel sums back out of the bitstream, and
+    * the oracle replays the sums in closed form — PNG losslessness is
+    * what makes a codec-free DuckDB oracle possible. */
+  def x5PngDecode(s: SparkSession, d: String): DataFrame =
+    graft.ext.Multimodal.decodePngs(
+      graft.ext.Multimodal.pngMediaFromDocuments(documents(s, d)))
+      .orderBy("media_id")
+
   /** X11 — key-skew profile: the heaviest join keys on the fact table
     * with their share of rows, the diagnostic that decides between AQE,
     * salting, and broadcast (ext/Skew). */

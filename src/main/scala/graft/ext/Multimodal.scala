@@ -198,6 +198,107 @@ object Multimodal {
         when(pmod(id, lit(3)) === 2, durationMs).as("duration_ms")).as("meta"))
   }
 
+  // ------------------------------------------- real PNG codec path (X5b)
+
+  /** True when the JVM ships a PNG ImageIO plugin. In-JDK (javax.imageio
+    * is part of java.desktop) so effectively always true here — but
+    * PROBED, not assumed, per the codec swap-point contract: a headless
+    * stripped runtime without the plugin degrades to the byte-window
+    * stub instead of throwing. */
+  lazy val pngSupported: Boolean =
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").hasNext
+
+  /** Deterministic REAL PNG: a TYPE_INT_RGB image whose channels vary
+    * per scanline — r=(id+y)%256, g=(2id+y)%256, b=(3id+y)%256 — pushed
+    * through the JDK's PNG encoder. Unlike [[syntheticMediaWithHeaders]]
+    * this is a genuine compressed bitstream (signature, IHDR, zlib IDAT,
+    * IEND); PNG is lossless, so whatever a real decoder reads back is
+    * exactly the formula — which is what makes a DuckDB oracle possible
+    * without a codec: the expected pixel sums are closed-form. */
+  def pngPayload(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val rgb = ((((id + y) % 256).toInt) << 16) |
+        ((((2 * id + y) % 256).toInt) << 8) | (((3 * id + y) % 256).toInt)
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real-PNG media table: one row per image-kind document (the same
+    * doc_id % 3 == 0 lane and width/height formulas as
+    * [[syntheticMediaWithHeaders]]), payload = [[pngPayload]]. Encoding
+    * runs partition-local (the codec batch shape — encoder state per
+    * partition, not per row). */
+  def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (32 + id % 64).toInt
+          val h = (32 + id % 32).toInt
+          Row(id, pngPayload(id, w, h))
+        }
+      }(encoder)
+  }
+
+  /** One decoded image: dimensions and per-channel pixel sums read back
+    * OUT OF the compressed bitstream (integer sums, so the oracle
+    * comparison is exact — no float pooling ambiguity). Nulls for
+    * undecodable payloads or a plugin-less runtime: corrupt media is
+    * data, not a crash. */
+  final case class PngDecoded(
+      media_id: Long, png_w: Option[Int], png_h: Option[Int],
+      sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long])
+
+  private[graft] def decodePngOne(id: Long, b: Array[Byte]): PngDecoded = {
+    def none = PngDecoded(id, None, None, None, None, None)
+    if (!pngSupported || b == null) return none
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return none
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    PngDecoded(id, Some(w), Some(h), Some(sr), Some(sg), Some(sb))
+  }
+
+  /** X5b — REAL pixel decode over a (media_id, payload) frame: one
+    * narrow mapPartitions pass through the JDK PNG reader (per-partition
+    * codec setup point, same batch shape as [[extractFeatures]]). */
+  def decodePngs(media: DataFrame): DataFrame = {
+    val session = media.sparkSession
+    import session.implicits._
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map(r => decodePngOne(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+      .toDF()
+  }
+
   private def beInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
       ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)

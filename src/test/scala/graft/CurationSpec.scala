@@ -221,4 +221,31 @@ class CurationSpec extends SparkSpec {
     assert(tokStages == tokStages.sorted.reverse,
       s"token funnel not monotone: $tokStages")
   }
+
+  test("soft funnel ≡ hard funnel over exactDedup survivors in weighted mass") {
+    // The SoftDedup composition, end to end: up to (not incl.) sampling,
+    // every stage flag is text-derived, so all members of a duplicate
+    // family share it — the family's weighted mass (n members at
+    // floor(1e6/n) ppm) equals its exact-dedup survivor's full-weight
+    // mass within the ppm quantization (≤ n·n_tok micro-tokens per
+    // family). Sampling is the one stage keyed on doc_id, where the
+    // realized (not expected) selections legitimately diverge.
+    val (h0, s0) = Queries.plantedShard(docs, withSecondCopy = true)
+    val corpus = h0.unionByName(s0)
+    val soft = Curation.funnel(corpus, bench,
+      cfg.copy(softDedup = true)).head()
+    val hard = Curation.funnel(Dedup.exactDedup(corpus), bench, cfg).head()
+    for ((softCol, hardCol) <- Seq(
+        "tokens_weighted_raw" -> "tokens_raw",
+        "tokens_weighted_after_decontam" -> "tokens_after_decontam",
+        "tokens_weighted_after_quality" -> "tokens_after_quality")) {
+      val w = soft.getAs[Long](softCol)
+      val t = hard.getAs[Long](hardCol) * 1000000L
+      assert(math.abs(w - t) <= t / 1000 + 1000000L,
+        s"$softCol $w vs $hardCol×1e6 $t — duplicate families must carry ~one doc")
+    }
+    // Doc counts: soft mode removes nothing at the dedup stage.
+    assert(soft.getAs[Long]("n_after_dedup") == soft.getAs[Long]("n_raw"))
+    assert(hard.getAs[Long]("n_after_dedup") < soft.getAs[Long]("n_after_dedup"))
+  }
 }

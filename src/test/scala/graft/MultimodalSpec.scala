@@ -143,4 +143,22 @@ class MultimodalSpec extends SparkSpec {
     val big = parseOne(2L, mp4With(0, 90000L, 2268000000L))
     assert(big.duration_ms.contains(2268000000L * 1000L / 90000L))
   }
+
+  test("PNG codec round trip: encoded formula decodes to closed-form sums") {
+    assume(Multimodal.pngSupported, "JDK without a PNG ImageIO plugin")
+    val id = 7L
+    val (w, h) = (32 + (id % 64).toInt, 32 + (id % 32).toInt)
+    val bytes = Multimodal.pngPayload(id, w, h)
+    // Genuinely compressed bitstream, not a header stub.
+    assert(bytes.length > 8 && new String(bytes.slice(1, 4), "US-ASCII") == "PNG")
+    val d = Multimodal.decodePngOne(id, bytes)
+    def expect(mul: Long): Long =
+      (0 until h).map(y => w.toLong * ((mul * id + y) % 256)).sum
+    assert(d.png_w.contains(w) && d.png_h.contains(h))
+    assert(d.sum_r.contains(expect(1)) && d.sum_g.contains(expect(2)) &&
+      d.sum_b.contains(expect(3)))
+    // Corrupt payload is data, not a crash.
+    assert(Multimodal.decodePngOne(id, bytes.take(20)).png_w.isEmpty)
+    assert(Multimodal.decodePngOne(id, null).png_w.isEmpty)
+  }
 }
