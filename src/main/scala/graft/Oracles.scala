@@ -2007,6 +2007,34 @@ object Oracles {
         |       CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars * 10 AS BIGINT) END AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    "x18_sessionize" ->
+      // Gaps-and-islands replayed: strict > on the integer-second gap
+      // (DuckDB epoch() is fractional DOUBLE — floor to match Spark's
+      // unix_timestamp), session index = running count of starts per
+      // user in (ts, event_id) total order, value sum in DECIMAL.
+      """WITH a AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(CASE WHEN gap_s IS NULL OR gap_s > 43200
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS session_idx
+        |  FROM a)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       count(*) AS n_events,
+        |       min(ts) AS start_ts, max(ts) AS end_ts,
+        |       CAST(floor(epoch(max(ts))) AS BIGINT)
+        |         - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS total_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
     "x5_png_decode" ->
       // The real-codec round trip replayed WITHOUT a codec: payloads are
       // JDK-encoded PNGs of the per-scanline formula r=(id+y)%256,

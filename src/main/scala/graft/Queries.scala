@@ -775,6 +775,15 @@ object Queries {
       graft.ext.Multimodal.pngMediaFromDocuments(documents(s, d)))
       .orderBy("media_id")
 
+  /** X18 — event sessionization over the events table: 12-hour
+    * inactivity gap (the sf events stream has median inter-event gaps
+    * ~7 h per user, so real multi-session structure emerges). The
+    * oracle replays the gaps-and-islands window and the rollup; the
+    * decimal-accumulated value sum keeps the 2 dp round off float
+    * boundaries. */
+  def x18Sessionize(s: SparkSession, d: String): DataFrame =
+    graft.ext.Sessionize.summary(events(s, d), gapSeconds = 43200L)
+
   /** X11 — key-skew profile: the heaviest join keys on the fact table
     * with their share of rows, the diagnostic that decides between AQE,
     * salting, and broadcast (ext/Skew). */

@@ -101,6 +101,7 @@ object SparkEntry {
     "x12_weighted_mix" -> (Queries.x12WeightedMix _),
     "x10_soft_funnel" -> (Queries.x10SoftFunnel _),
     "x5_png_decode" -> (Queries.x5PngDecode _),
+    "x18_sessionize" -> (Queries.x18Sessionize _),
     "x15_lm_ppl" -> (Queries.x15LmPpl _),
     "x16_dsir_weights" -> (Queries.x16DsirWeights _),
     "x16_dsir_select" -> (Queries.x16DsirSelect _)
