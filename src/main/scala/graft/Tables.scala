@@ -15,9 +15,10 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // NOTE: sessions reading `events` need spark.sql.legacy.parquet.nanosAsLong
-  // (TIMESTAMP(NANOS) in the file) — set at session construction via
-  // [[Sessions.builder]], never mutated here.
+  // NOTE: sessions keep spark.sql.legacy.parquet.nanosAsLong set (via
+  // [[Sessions.builder]]) so LEGACY testdata generations that stored
+  // events.ts as TIMESTAMP(NANOS) still read (as long, normalized in
+  // [[events]]); current generations store timestamp[us] and ignore it.
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
