@@ -841,7 +841,12 @@ object Queries {
     * replays census, threshold, and the integer keep predicate. */
   def x12WeightedMix(s: SparkSession, d: String): DataFrame = {
     val (history, shard) = plantedShard(documents(s, d), withSecondCopy = true)
+    // The weight column is PERSISTED state in the nightly shape (X17
+    // writes it, X12d reads it) — pin the derivation once, like the
+    // s3/x15 saved-index contract: the summary's rates and achieved
+    // branches would otherwise each re-run the census join.
     val weighted = Dedup.softDedupWeights(history.unionByName(shard))
+      .localCheckpoint(true)
     graft.ext.Mixing.weightedMixSummary(weighted,
       weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
       totalTokens = 3000L)
@@ -1032,6 +1037,16 @@ object Queries {
           shard, Dedup.simhashSignatures(history, n = 4),
           n = 4, maxHamming = 6)
         .select("doc_id").orderBy("doc_id")
+    }),
+    "x12_weighted_mix" -> ((s, d) => {
+      // Un-checkpointed weight derivation, so the dump shows the census
+      // join feeding both audit branches instead of a checkpoint scan.
+      val (history, shard) =
+        plantedShard(documents(s, d), withSecondCopy = true)
+      graft.ext.Mixing.weightedMixSummary(
+        Dedup.softDedupWeights(history.unionByName(shard)),
+        weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        totalTokens = 3000L)
     }),
     "x1_minhash_planted" -> ((s, d) => {
       val u = uniquifiedDocs(s, d)

@@ -145,6 +145,8 @@ class PlanAuditSpec extends SparkSpec {
     // history index / materialized pair signatures)
     "s3_planted_neardup", "s4_planted_simhash",
     "x1_minhash_planted", "x1_simhash_planted",
+    // checkpoints the derived weight column (persisted-X17-state contract)
+    "x12_weighted_mix",
     // localCheckpoints the trained LM count frames (persisted-model
     // contract — scoring would otherwise re-run the reference-corpus
     // aggregation once per join build).
