@@ -2007,6 +2007,97 @@ object Oracles {
         |       CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars * 10 AS BIGINT) END AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    "x20_psi_drift" ->
+      // PSI replayed bin for bin: absolute epoch weeks (fractional
+      // DuckDB epoch floors identically through /604800), width-25
+      // value bins, +1 smoothing over the weeks × observed-(type,bin)
+      // grid, per-bin micro-nat rounding (products in DOUBLE), integer
+      // sums. ln agreement between engines is within the audited
+      // micro-nat slack (MicroNatSlackSpec discipline).
+      raw"""WITH c AS (
+        |  SELECT CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week,
+        |         event_type,
+        |         CAST(floor(value / 25.0) AS BIGINT) AS bin,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |bw AS (SELECT min(week) AS base_week FROM c),
+        |base AS (
+        |  SELECT event_type, bin, n AS nb FROM c, bw WHERE week = base_week),
+        |grid AS (
+        |  SELECT w.week, tb.event_type, tb.bin
+        |  FROM (SELECT DISTINCT week FROM c) w
+        |  CROSS JOIN (SELECT DISTINCT event_type, bin FROM c) tb),
+        |sm AS (
+        |  SELECT g.week, g.event_type, g.bin,
+        |         coalesce(c.n, 0) AS n_raw,
+        |         coalesce(c.n, 0) + 1 AS a,
+        |         coalesce(b.nb, 0) + 1 AS b
+        |  FROM grid g
+        |  LEFT JOIN c ON c.week = g.week AND c.event_type = g.event_type
+        |             AND c.bin = g.bin
+        |  LEFT JOIN base b ON b.event_type = g.event_type AND b.bin = g.bin),
+        |tot AS (
+        |  SELECT week, event_type, sum(a) AS ta, sum(b) AS tb
+        |  FROM sm GROUP BY 1, 2),
+        |pb AS (
+        |  SELECT s.week, s.event_type, s.n_raw,
+        |         CAST(round((CAST(s.a AS DOUBLE) / t.ta
+        |                       - CAST(s.b AS DOUBLE) / t.tb)
+        |           * ln((CAST(s.a AS DOUBLE) * t.tb)
+        |                  / (CAST(s.b AS DOUBLE) * t.ta))
+        |           * 1000000.0) AS BIGINT) AS contrib_micro
+        |  FROM sm s JOIN tot t USING (week, event_type))
+        |SELECT week, event_type,
+        |       CAST(sum(n_raw) AS BIGINT) AS n_events,
+        |       CAST(sum(contrib_micro) AS BIGINT) AS psi_micro,
+        |       round(sum(contrib_micro) / 1000000.0, 4) AS psi
+        |FROM pb GROUP BY week, event_type
+        |ORDER BY week, event_type""".stripMargin,
+
+    "x19_text_clean" ->
+      // The cleaning chain replayed step for step: script/style element
+      // removal (explicit alternation — RE2 has no backreferences),
+      // tag→space strip, single-pass entity replaces (&amp; LAST so
+      // &amp;amp; stays a displayed "&amp;" — both engines' replace is
+      // single-pass left-to-right), whitespace collapse. had_markup =
+      // cleaned IS DISTINCT FROM the dirty input; md5 over UTF-8 bytes
+      // matches Spark's md5(cast binary).
+      raw"""WITH dirty AS (
+        |  SELECT doc_id,
+        |         CASE
+        |           WHEN doc_id % 5 = 0 THEN
+        |             '<p class="d' || CAST(doc_id AS VARCHAR) || '">'
+        |               || coalesce(text, '')
+        |               || '</p> <script type="text/javascript">var x = 1 < 2;</script>'
+        |           WHEN doc_id % 5 = 1 THEN
+        |             'A &amp;amp; B &lt;tag&gt; <BR>' || coalesce(text, '')
+        |           WHEN doc_id % 5 = 2 THEN
+        |             coalesce(text, '')
+        |               || '&nbsp;&quot;q&quot;&#39;s <style>p{color:red}</style>'
+        |           ELSE text END AS t
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, t, regexp_replace(t,
+        |         '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>',
+        |         ' ', 'g') AS s FROM dirty),
+        |c2 AS (SELECT doc_id, t, regexp_replace(s, '(?s)<[^>]*>', ' ', 'g') AS s
+        |       FROM c1),
+        |c3 AS (SELECT doc_id, t,
+        |         replace(replace(replace(replace(replace(replace(s,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&apos;', ''''), '&#39;', ''''), '&nbsp;', ' ') AS s
+        |       FROM c2),
+        |c4 AS (SELECT doc_id, t,
+        |         trim(regexp_replace(replace(s, '&amp;', '&'), '\s+', ' ', 'g'))
+        |           AS clean
+        |       FROM c3)
+        |SELECT doc_id,
+        |       clean IS DISTINCT FROM t AS had_markup,
+        |       CASE WHEN clean IS NULL OR len(trim(clean)) = 0 THEN 0
+        |            ELSE len(string_split_regex(trim(clean), '\s+')) END
+        |         AS n_tok_clean,
+        |       md5(coalesce(clean, '')) AS clean_md5
+        |FROM c4 ORDER BY doc_id""".stripMargin,
+
     "x18_sessionize" ->
       // Gaps-and-islands replayed: strict > on the integer-second gap
       // (DuckDB epoch() is fractional DOUBLE — floor to match Spark's

@@ -775,6 +775,40 @@ object Queries {
       graft.ext.Multimodal.pngMediaFromDocuments(documents(s, d)))
       .orderBy("media_id")
 
+  /** X19 — stage-0 text cleaning over deterministically "dirtied"
+    * documents: three planted markup lanes (element wrap + script
+    * payload, double-escaped entities + bare tag, trailing entities +
+    * style block) exercise every rule; the oracle rebuilds the SAME
+    * dirty input and replays the whole regex/replace chain at the
+    * string level (md5 of the cleaned text — one wrong byte anywhere
+    * breaks the hash). */
+  def x19TextClean(s: SparkSession, d: String): DataFrame = {
+    val lane = pmod(col("doc_id"), lit(5))
+    val safe = coalesce(col("text"), lit(""))
+    val dirty = documents(s, d).withColumn("text",
+      when(lane === 0,
+        concat(lit("<p class=\"d"), col("doc_id").cast("string"), lit("\">"),
+          safe,
+          lit("</p> <script type=\"text/javascript\">var x = 1 < 2;</script>")))
+      .when(lane === 1,
+        concat(lit("A &amp;amp; B &lt;tag&gt; <BR>"), safe))
+      .when(lane === 2,
+        concat(safe, lit("&nbsp;&quot;q&quot;&#39;s <style>p{color:red}</style>")))
+      .otherwise(col("text")))
+    graft.ext.TextClean.clean(dirty)
+      .select(col("doc_id"), col("had_markup"), col("n_tok_clean"),
+        md5(coalesce(col("clean_text"), lit("")).cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** X20 — weekly PSI drift of the events value distribution per event
+    * type vs the earliest week ([[graft.ext.PsiDrift.psiByWeek]]). The
+    * oracle replays bins, +1 smoothing over the union grid, and the
+    * per-bin micro-nat rounding; integer sums keep aggregation order
+    * out of the hash. */
+  def x20PsiDrift(s: SparkSession, d: String): DataFrame =
+    graft.ext.PsiDrift.psiByWeek(events(s, d))
+
   /** X18 — event sessionization over the events table: 12-hour
     * inactivity gap (the sf events stream has median inter-event gaps
     * ~7 h per user, so real multi-session structure emerges). The

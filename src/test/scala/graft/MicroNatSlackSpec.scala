@@ -115,6 +115,45 @@ class MicroNatSlackSpec extends SparkSpec {
     assert(s >= MinSlack, f"x16 gumbel slack $s%.3e < $MinSlack%.0e")
   }
 
+  test("x20 per-bin PSI contributions sit >=1e-6 from rounding boundaries") {
+    // Mirrors the oracle's sm/tot CTEs: width-25 bins, +1 smoothing over
+    // the weeks × observed-(type,bin) grid, contributions in micro-nats.
+    val ev = Tables.events(spark, oracleSf)
+    val counts = ev.select(
+        floor(unix_timestamp(col("ts")) / lit(604800L)).cast("long").as("week"),
+        col("event_type"),
+        floor(col("value") / lit(25.0)).cast("long").as("bin"))
+      .groupBy("week", "event_type", "bin").agg(count(lit(1)).as("n"))
+    val base = counts
+      .join(counts.agg(min(col("week")).as("bw")), col("week") === col("bw"))
+      .select(col("event_type"), col("bin"), col("n").as("nb"))
+    val sm = counts.select("week").distinct()
+      .crossJoin(counts.select("event_type", "bin").distinct())
+      .join(counts, Seq("week", "event_type", "bin"), "left")
+      .join(base, Seq("event_type", "bin"), "left")
+      .withColumn("a", coalesce(col("n"), lit(0L)) + 1)
+      .withColumn("b", coalesce(col("nb"), lit(0L)) + 1)
+    val tot = sm.groupBy("week", "event_type")
+      .agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    val diff = col("a").cast("double") / col("ta") -
+      col("b").cast("double") / col("tb")
+    val v = diff * log((col("a").cast("double") * col("tb")) /
+      (col("b").cast("double") * col("ta"))) * lit(1e6)
+    // ln(1) = 0 exactly in every libm — identical-count bins contribute
+    // a boundary-free exact 0 and are excluded from the slack scan.
+    val s = minSlack(sm.join(tot, Seq("week", "event_type"))
+      .filter(col("a") * col("tb") =!= col("b") * col("ta"))
+      .select(v.as("v")))
+    assert(s >= MinSlack, f"x20 psi bin slack $s%.3e < $MinSlack%.0e")
+  }
+
+  test("x20 4-dp psi display cannot tie (no |psi_micro| = 50 mod 100)") {
+    val ties = graft.ext.PsiDrift.psiByWeek(Tables.events(spark, oracleSf))
+      .filter(pmod(abs(col("psi_micro")), lit(100L)) === 50L)
+      .count()
+    assert(ties == 0L, s"$ties psi_micro values tie at the 4-dp boundary")
+  }
+
   test("3-dp micro displays cannot tie (no |micro| = 500 mod 1000)") {
     // dsir_logw = round(micro/1e6, 3) ties exactly when micro ends in
     // ±500; the tie-break then depends on each engine's decimal
