@@ -1072,6 +1072,10 @@ object Queries {
           n = 4, maxHamming = 6)
         .select("doc_id").orderBy("doc_id")
     }),
+    "x20_psi_drift" -> ((s, d) =>
+      // Un-materialized census, so the dump shows the (week,type,bin)
+      // aggregate feeding the grid/baseline/totals arithmetic.
+      graft.ext.PsiDrift.psiByWeek(events(s, d), materialize = false)),
     "x12_weighted_mix" -> ((s, d) => {
       // Un-checkpointed weight derivation, so the dump shows the census
       // join feeding both audit branches instead of a checkpoint scan.

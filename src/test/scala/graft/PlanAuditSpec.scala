@@ -48,7 +48,11 @@ class PlanAuditSpec extends SparkSpec {
       "x15_lm_ppl",
       // Same shape: the ONE-ROW (nt, nr) model totals cross the
       // per-(doc, bucket) probe.
-      "x16_dsir_weights", "x16_dsir_select")
+      "x16_dsir_weights", "x16_dsir_select",
+      // The weeks × observed-(type,bin) smoothing grid: a deliberate
+      // cross of two frames derived from the checkpointed census —
+      // both |weeks| / |types|·|bins| sized at ANY corpus size.
+      "x20_psi_drift")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -147,6 +151,8 @@ class PlanAuditSpec extends SparkSpec {
     "x1_minhash_planted", "x1_simhash_planted",
     // checkpoints the derived weight column (persisted-X17-state contract)
     "x12_weighted_mix",
+    // checkpoints the (week,type,bin) census consumed by five branches
+    "x20_psi_drift",
     // localCheckpoints the trained LM count frames (persisted-model
     // contract — scoring would otherwise re-run the reference-corpus
     // aggregation once per join build).
