@@ -250,6 +250,45 @@ object Oracles {
       |  UNION ALL
       |  SELECT doc_id + 20000 AS doc_id, utext FROM u WHERE doc_id < 5)""".stripMargin
 
+  /** The deterministically-dirtied documents (Queries.dirtiedDocs
+    * mirrored token-for-token) → `dirty(doc_id, lang, t)`. ONE
+    * definition bound to BOTH x19_text_clean and x10_clean_funnel. */
+  private val dirtyCte: String =
+    raw"""dirty AS (
+      |  SELECT doc_id, lang,
+      |         CASE
+      |           WHEN doc_id % 5 = 0 THEN
+      |             '<p class="d' || CAST(doc_id AS VARCHAR) || '">'
+      |               || coalesce(text, '')
+      |               || '</p> <script type="text/javascript">var x = 1 < 2;</script>'
+      |           WHEN doc_id % 5 = 1 THEN
+      |             'A &amp;amp; B &lt;tag&gt; <BR>' || coalesce(text, '')
+      |           WHEN doc_id % 5 = 2 THEN
+      |             coalesce(text, '')
+      |               || '&nbsp;&quot;q&quot;&#39;s <style>p{color:red}</style>'
+      |           ELSE text END AS t
+      |  FROM documents)""".stripMargin
+
+  /** The TextClean chain over `dirty` → `c4(doc_id, lang, t, clean)`:
+    * script/style element removal (explicit alternation — RE2 has no
+    * backreferences), tag→space strip, single-pass entity replaces
+    * (&amp; LAST), whitespace collapse. Shared like [[dirtyCte]]. */
+  private val cleanCtes: String =
+    raw"""c1 AS (SELECT doc_id, lang, t, regexp_replace(t,
+      |         '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>',
+      |         ' ', 'g') AS s FROM dirty),
+      |c2 AS (SELECT doc_id, lang, t, regexp_replace(s, '(?s)<[^>]*>', ' ', 'g') AS s
+      |       FROM c1),
+      |c3 AS (SELECT doc_id, lang, t,
+      |         replace(replace(replace(replace(replace(replace(s,
+      |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |           '&apos;', ''''), '&#39;', ''''), '&nbsp;', ' ') AS s
+      |       FROM c2),
+      |c4 AS (SELECT doc_id, lang, t,
+      |         trim(regexp_replace(replace(s, '&amp;', '&'), '\s+', ' ', 'g'))
+      |           AS clean
+      |       FROM c3)""".stripMargin
+
   /** The cross-shard plant replayed: history = docs < 300 (as a norm
     * set), shard = docs >= 300 plus re-keyed copies of docs < 10
     * (+10000) and docs < 5 (+20000). Intra-shard keep = min doc_id per
@@ -2055,48 +2094,101 @@ object Oracles {
         |ORDER BY week, event_type""".stripMargin,
 
     "x19_text_clean" ->
-      // The cleaning chain replayed step for step: script/style element
-      // removal (explicit alternation — RE2 has no backreferences),
-      // tag→space strip, single-pass entity replaces (&amp; LAST so
-      // &amp;amp; stays a displayed "&amp;" — both engines' replace is
-      // single-pass left-to-right), whitespace collapse. had_markup =
-      // cleaned IS DISTINCT FROM the dirty input; md5 over UTF-8 bytes
-      // matches Spark's md5(cast binary).
-      raw"""WITH dirty AS (
-        |  SELECT doc_id,
-        |         CASE
-        |           WHEN doc_id % 5 = 0 THEN
-        |             '<p class="d' || CAST(doc_id AS VARCHAR) || '">'
-        |               || coalesce(text, '')
-        |               || '</p> <script type="text/javascript">var x = 1 < 2;</script>'
-        |           WHEN doc_id % 5 = 1 THEN
-        |             'A &amp;amp; B &lt;tag&gt; <BR>' || coalesce(text, '')
-        |           WHEN doc_id % 5 = 2 THEN
-        |             coalesce(text, '')
-        |               || '&nbsp;&quot;q&quot;&#39;s <style>p{color:red}</style>'
-        |           ELSE text END AS t
-        |  FROM documents),
-        |c1 AS (SELECT doc_id, t, regexp_replace(t,
-        |         '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>',
-        |         ' ', 'g') AS s FROM dirty),
-        |c2 AS (SELECT doc_id, t, regexp_replace(s, '(?s)<[^>]*>', ' ', 'g') AS s
-        |       FROM c1),
-        |c3 AS (SELECT doc_id, t,
-        |         replace(replace(replace(replace(replace(replace(s,
-        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |           '&apos;', ''''), '&#39;', ''''), '&nbsp;', ' ') AS s
-        |       FROM c2),
-        |c4 AS (SELECT doc_id, t,
-        |         trim(regexp_replace(replace(s, '&amp;', '&'), '\s+', ' ', 'g'))
-        |           AS clean
-        |       FROM c3)
-        |SELECT doc_id,
-        |       clean IS DISTINCT FROM t AS had_markup,
-        |       CASE WHEN clean IS NULL OR len(trim(clean)) = 0 THEN 0
-        |            ELSE len(string_split_regex(trim(clean), '\s+')) END
-        |         AS n_tok_clean,
-        |       md5(coalesce(clean, '')) AS clean_md5
-        |FROM c4 ORDER BY doc_id""".stripMargin,
+      // The cleaning chain replayed step for step (shared dirtyCte +
+      // cleanCtes — see their Scaladoc for the &amp;-last single-pass
+      // discipline). had_markup = cleaned IS DISTINCT FROM the dirty
+      // input; md5 over UTF-8 bytes matches Spark's md5(cast binary).
+      ("WITH " + dirtyCte + ",\n" + cleanCtes + "\n" +
+        raw"""SELECT doc_id,
+          |       clean IS DISTINCT FROM t AS had_markup,
+          |       CASE WHEN clean IS NULL OR len(trim(clean)) = 0 THEN 0
+          |            ELSE len(string_split_regex(trim(clean), '\s+')) END
+          |         AS n_tok_clean,
+          |       md5(coalesce(clean, '')) AS clean_md5
+          |FROM c4 ORDER BY doc_id""".stripMargin),
+
+    "x10_clean_funnel" ->
+      // X19 composed into X10: the funnel replayed over the CLEANED
+      // dirtied corpus — dedup norms, contamination shingles (corpus
+      // grams from the cleaned text vs bench grams from the RAW docs
+      // 0-2), PII redaction, token band, and sampling all downstream
+      // of the clean chain. No url/history/fuzzy stages (no-ops).
+      ("WITH " + dirtyCte + ",\n" + cleanCtes + ",\n" +
+        "cc AS (SELECT doc_id, lang, clean AS text FROM c4),\n" +
+        gram4CtesFrom("cc") + ",\n" +
+        raw"""bnorm AS (
+          |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+          |  FROM documents WHERE doc_id < 3),
+          |btoks AS (
+          |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
+          |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
+          |  FROM bnorm),
+          |bgrams AS (
+          |  SELECT DISTINCT doc_id AS bench_id,
+          |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+          |             || ' ' || lead(tok, 3) OVER w AS gram
+          |  FROM btoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+          |  QUALIFY lead(tok, 3) OVER w IS NOT NULL),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bgrams GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bgrams b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8),
+          |ann AS (
+          |  SELECT doc_id, lang,
+          |         doc_id = min(doc_id) OVER (
+          |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+          |           AS is_canonical,
+          |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+          |         CASE WHEN len(trim(rtext)) = 0 THEN 0
+          |              ELSE len(string_split_regex(trim(rtext), '\s+')) END AS n_tok,
+          |         ${bucketSql("doc_id")} AS b,
+          |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
+          |  FROM (SELECT doc_id, lang, text,
+          |               regexp_replace(regexp_replace(regexp_replace(text,
+          |                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          |                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+          |        FROM cc)
+          |), f AS (
+          |  SELECT count(*) AS n_raw,
+          |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
+          |         count(CASE WHEN is_canonical
+          |                         AND NOT is_contaminated THEN 1 END)
+          |           AS n_after_decontam,
+          |         count(CASE WHEN is_canonical AND NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 THEN 1 END)
+          |           AS n_after_quality,
+          |         count(CASE WHEN is_canonical AND NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 AND b < thr THEN 1 END)
+          |           AS n_after_sample,
+          |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical
+          |                         AND NOT is_contaminated
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
+          |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
+          |  FROM ann)
+          |SELECT n_raw, n_raw AS n_after_url, n_after_dedup,
+          |       n_after_dedup AS n_after_history,
+          |       n_after_dedup AS n_after_fuzzy,
+          |       n_after_decontam, n_after_quality, n_after_sample,
+          |       tokens_raw, tokens_raw AS tokens_after_url,
+          |       tokens_after_dedup,
+          |       tokens_after_dedup AS tokens_after_history,
+          |       tokens_after_dedup AS tokens_after_fuzzy,
+          |       tokens_after_decontam, tokens_after_quality, n_tokens,
+          |       CASE WHEN n_tokens = 0 THEN 0
+          |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
+          |FROM f""".stripMargin),
 
     "x18_sessionize" ->
       // Gaps-and-islands replayed: strict > on the integer-second gap

@@ -782,10 +782,13 @@ object Queries {
     * dirty input and replays the whole regex/replace chain at the
     * string level (md5 of the cleaned text — one wrong byte anywhere
     * breaks the hash). */
-  def x19TextClean(s: SparkSession, d: String): DataFrame = {
+  /** Deterministically "dirtied" documents — ONE construction shared by
+    * [[x19TextClean]] and [[x10CleanFunnel]] (and mirrored verbatim by
+    * their oracles' shared CTE), so the two can never drift apart. */
+  private def dirtiedDocs(s: SparkSession, d: String): DataFrame = {
     val lane = pmod(col("doc_id"), lit(5))
     val safe = coalesce(col("text"), lit(""))
-    val dirty = documents(s, d).withColumn("text",
+    documents(s, d).withColumn("text",
       when(lane === 0,
         concat(lit("<p class=\"d"), col("doc_id").cast("string"), lit("\">"),
           safe,
@@ -795,10 +798,31 @@ object Queries {
       .when(lane === 2,
         concat(safe, lit("&nbsp;&quot;q&quot;&#39;s <style>p{color:red}</style>")))
       .otherwise(col("text")))
-    graft.ext.TextClean.clean(dirty)
+  }
+
+  def x19TextClean(s: SparkSession, d: String): DataFrame = {
+    graft.ext.TextClean.clean(dirtiedDocs(s, d))
       .select(col("doc_id"), col("had_markup"), col("n_tok_clean"),
         md5(coalesce(col("clean_text"), lit("")).cast("binary")).as("clean_md5"))
       .orderBy("doc_id")
+  }
+
+  /** X10d — the funnel with CLEANING FIRST (X19 composed into X10):
+    * the deterministically-dirtied corpus ([[dirtiedDocs]]) flows
+    * through `cleanFirst = true`, so dedup norms, contamination
+    * shingles, redaction, and quality all see the CLEANED text —
+    * markup-only lanes still dedup against their plain twins, and
+    * benchmark quotes wrapped in markup still flag. Benchmark = the
+    * RAW (clean) docs 0–2, the realistic direction: benchmarks are
+    * clean, the crawl is not. */
+  def x10CleanFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    graft.ext.Curation.funnel(dirtiedDocs(s, d), bench,
+      graft.ext.Curation.Config(
+        minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L, cleanFirst = true))
   }
 
   /** X20 — weekly PSI drift of the events value distribution per event

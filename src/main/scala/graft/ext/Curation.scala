@@ -62,6 +62,13 @@ object Curation {
       // family carries ~one document. Downstream, [[Mixing
       // .weightedMixToBudget]] consumes the weight column directly.
       softDedup: Boolean = false,
+      // Optional X19 stage: when true, the text column is rewritten
+      // through [[TextClean.cleanText]] BEFORE any text-keyed stage —
+      // dedup norms, contamination shingles, PII redaction, token
+      // counts, and quality all see the cleaned text (markup-wrapped
+      // duplicates dedup together; benchmark quotes inside markup
+      // still flag). The crawl-pipeline ordering: clean → url → dedup.
+      cleanFirst: Boolean = false,
       // Column names, matching the sibling operators' parameters — a
       // corpus with e.g. content/id/language columns works unrenamed.
       textCol: String = "text",
@@ -110,10 +117,15 @@ object Curation {
     * exact-dup anchor was historical); pipelines wanting the looser
     * sequential semantics should feed `fuzzyPairs` detected on the
     * history-surviving subset instead. */
-  def annotate(docs: DataFrame, benchmark: DataFrame,
+  def annotate(docs0: DataFrame, benchmark: DataFrame,
                cfg: Config = Config(),
                fuzzyPairs: Option[DataFrame] = None,
                historyFp: Option[DataFrame] = None): DataFrame = {
+    // X19 first (see Config.cleanFirst): one map-only rewrite, then
+    // every stage below operates on the cleaned text unchanged.
+    val docs = if (cfg.cleanFirst)
+      docs0.withColumn(cfg.textCol, TextClean.cleanText(col(cfg.textCol)))
+    else docs0
     // Null-safe join key: an inner join on a nullable norm would silently
     // DROP null-text documents from the audit (NULL = NULL is false);
     // <=> groups them like the oracle's window-partition formulation does.

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Curation, Dedup, Packing, Pii, Sampling}
@@ -220,6 +221,35 @@ class CurationSpec extends SparkSpec {
       "tokens_after_quality", "n_tokens").map(f.getAs[Long])
     assert(tokStages == tokStages.sorted.reverse,
       s"token funnel not monotone: $tokStages")
+  }
+
+  test("cleanFirst: markup-wrapped duplicates dedup; bench quotes still flag") {
+    // One plain doc, one markup-wrapped twin (same text once cleaned),
+    // one doc quoting the benchmark inside markup, one unrelated doc
+    // with enough distinct tokens not to contain the benchmark.
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 30).map(i => s"q$i").mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val d = df(Seq(
+      Row(1L, "en", body),
+      Row(2L, "en", s"<div><p>$body</p></div><script>x()</script>"),
+      Row(3L, "en", s"<b>$quote</b>"),
+      Row(4L, "en", other)),
+      "doc_id BIGINT, lang STRING, text STRING")
+    val bench = df(Seq(Row(100L, quote)), "bench_id BIGINT, text STRING")
+    val cfg = Curation.Config(minTokens = 1L, cleanFirst = true)
+    val ann = Curation.annotate(d, bench, cfg).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // The wrapped twin deduped against its plain original (min id wins).
+    assert(ann(1L).getAs[Boolean]("is_canonical"))
+    assert(!ann(2L).getAs[Boolean]("is_canonical"))
+    // The markup-wrapped benchmark quote still flags after cleaning.
+    assert(ann(3L).getAs[Boolean]("is_contaminated"))
+    assert(!ann(4L).getAs[Boolean]("is_contaminated"))
+    // Without cleanFirst the twin is NOT a duplicate (markup differs).
+    val raw = Curation.annotate(d, bench, cfg.copy(cleanFirst = false))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(raw(2L).getAs[Boolean]("is_canonical"))
   }
 
   test("soft funnel ≡ hard funnel over exactDedup survivors in weighted mass") {
