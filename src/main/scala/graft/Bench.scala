@@ -98,13 +98,16 @@ object Bench {
     // samples elsewhere.
     def procStatSnapshot(): Option[(Long, Long, Long)] =
       try {
-        val cpuLine = scala.io.Source.fromFile("/proc/stat").getLines()
-          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        val cpuLine = java.nio.file.Files.readString(
+            java.nio.file.Paths.get("/proc/stat"))
+          .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
         val total = cpuLine.sum
         val idle  = cpuLine(3) + (if (cpuLine.length > 4) cpuLine(4) else 0L) // idle+iowait
-        val self  = scala.io.Source.fromFile("/proc/self/stat").mkString
-          .split("\\)\\s+").last.split("\\s+") // after comm ")": field 1 = state
-        val selfJiffies = self(11).toLong + self(12).toLong // utime, stime
+        // After the comm field's closing paren: index 11/12 = utime/stime.
+        val self  = java.nio.file.Files.readString(
+            java.nio.file.Paths.get("/proc/self/stat"))
+          .split("\\)\\s+").last.split("\\s+")
+        val selfJiffies = self(11).toLong + self(12).toLong
         Some((total, total - idle, selfJiffies))
       } catch { case _: Throwable => None }
     val statStart = procStatSnapshot()

@@ -31,7 +31,13 @@ import org.apache.spark.sql.functions._
   */
 object PsiDrift {
 
-  /** `materialize` pins the census once (it is consumed by FIVE derived
+  /** NULL values fall out of the smoothing grid (a null bin matches no
+    * equi-join key — identically in Spark and the SQL replay), so PSI
+    * and `n_events` cover non-null values only; callers wanting a
+    * missing-value bucket should pre-coalesce the value column to a
+    * sentinel.
+    *
+    * `materialize` pins the census once (it is consumed by FIVE derived
     * frames — baseline slice, grid×2, smoothing join, totals — which
     * would otherwise each re-scan the events table; the census is
     * |weeks|·|types|·|bins| rows at ANY corpus size, so pinning is
