@@ -250,6 +250,38 @@ object Oracles {
       |  UNION ALL
       |  SELECT doc_id + 20000 AS doc_id, utext FROM u WHERE doc_id < 5)""".stripMargin
 
+  /** Gaps-and-islands sessionization replayed: strict > on the
+    * integer-second gap (DuckDB epoch() is fractional DOUBLE — floor to
+    * match Spark's unix_timestamp), session index = running count of
+    * starts per user in (ts, event_id) total order, value sum in
+    * DECIMAL. ONE definition bound to BOTH x18_sessionize (the window
+    * formulation) and s5_stream_sessions (the flatMapGroupsWithState
+    * fold, batch-replayed) — the two engines' session sets must be
+    * identical. */
+  private val sessionizeSql: String =
+    """WITH a AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CAST(floor(epoch(ts)) AS BIGINT)
+      |           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |         sum(CASE WHEN gap_s IS NULL OR gap_s > 43200
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           AS session_idx
+      |  FROM a)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |       count(*) AS n_events,
+      |       min(ts) AS start_ts, max(ts) AS end_ts,
+      |       CAST(floor(epoch(max(ts))) AS BIGINT)
+      |         - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
+      |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |         AS total_value
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   /** The deterministically-dirtied documents (Queries.dirtiedDocs
     * mirrored token-for-token) → `dirty(doc_id, lang, t)`. ONE
     * definition bound to BOTH x19_text_clean and x10_clean_funnel. */
@@ -2190,33 +2222,12 @@ object Oracles {
           |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
           |FROM f""".stripMargin),
 
-    "x18_sessionize" ->
-      // Gaps-and-islands replayed: strict > on the integer-second gap
-      // (DuckDB epoch() is fractional DOUBLE — floor to match Spark's
-      // unix_timestamp), session index = running count of starts per
-      // user in (ts, event_id) total order, value sum in DECIMAL.
-      """WITH a AS (
-        |  SELECT user_id, ts, event_id, value,
-        |         CAST(floor(epoch(ts)) AS BIGINT)
-        |           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id, ts, value,
-        |         sum(CASE WHEN gap_s IS NULL OR gap_s > 43200
-        |                  THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |           AS session_idx
-        |  FROM a)
-        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-        |       count(*) AS n_events,
-        |       min(ts) AS start_ts, max(ts) AS end_ts,
-        |       CAST(floor(epoch(max(ts))) AS BIGINT)
-        |         - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
-        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
-        |         AS total_value
-        |FROM s GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin,
+    "x18_sessionize" -> sessionizeSql,
+
+    // The STREAMING fold (flatMapGroupsWithState, batch-replayed) must
+    // produce the identical session set — ONE oracle bound to both, so
+    // the two formulations can never drift.
+    "s5_stream_sessions" -> sessionizeSql,
 
     "x5_png_decode" ->
       // The real-codec round trip replayed WITHOUT a codec: payloads are

@@ -833,6 +833,18 @@ object Queries {
   def x20PsiDrift(s: SparkSession, d: String): DataFrame =
     graft.ext.PsiDrift.psiByWeek(events(s, d))
 
+  /** S5 — streaming sessionization, batch-replayed through the SAME
+    * `flatMapGroupsWithState` fold as the live stream
+    * ([[graft.stream.StreamingSessionize.sessionSummaries]]): every
+    * session closes on complete data, so the result must hash-match
+    * the SAME window-formulation oracle as [[x18Sessionize]] — custom
+    * streaming state proven against batch SQL. Live micro-batch
+    * emission (inline gap close + watermark-timeout close) is pinned
+    * in StreamingSessionizeSpec. */
+  def s5StreamSessions(s: SparkSession, d: String): DataFrame =
+    graft.stream.StreamingSessionize.sessionSummaries(
+      events(s, d), gapSeconds = 43200L)
+
   /** X18 — event sessionization over the events table: 12-hour
     * inactivity gap (the sf events stream has median inter-event gaps
     * ~7 h per user, so real multi-session structure emerges). The
