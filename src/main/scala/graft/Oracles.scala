@@ -2222,6 +2222,21 @@ object Oracles {
           |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
           |FROM f""".stripMargin),
 
+    "x21_asof_join" ->
+      // DuckDB's NATIVE ASOF LEFT JOIN replays the union+window
+      // formulation: greatest right ts <= left ts per user, right side
+      // deduped per (user, ts) by max event_id, unmatched rows null.
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       p.event_id AS ref_event_id, p.value AS ref_value
+        |FROM events e
+        |ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
     "x18_sessionize" -> sessionizeSql,
 
     // The STREAMING fold (flatMapGroupsWithState, batch-replayed) must

@@ -825,6 +825,28 @@ object Queries {
         rates = Map("en" -> 0.4), seqLen = 512L, cleanFirst = true))
   }
 
+  /** X21 — AS-OF join: each event annotated with the user's latest
+    * 'purchase' event at-or-before it ([[graft.ext.AsofJoin]] — the
+    * point-in-time-correct feature lookup). Right side deduped
+    * deterministically per (user, ts) by max event_id; DuckDB's native
+    * ASOF LEFT JOIN replays the exact semantics. */
+  def x21AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = graft.ext.AsofJoin.dedupRight(
+      ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value"),
+      keyCol = "user_id", timeCol = "ts", tieCol = "event_id")
+    graft.ext.AsofJoin.asofJoin(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        keyCol = "user_id", leftTime = "ts", rightTime = "ts",
+        rightCols = Seq("event_id", "value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id").as("ref_event_id"),
+        col("asof_value").as("ref_value"))
+      .orderBy("event_id")
+  }
+
   /** X20 — weekly PSI drift of the events value distribution per event
     * type vs the earliest week ([[graft.ext.PsiDrift.psiByWeek]]). The
     * oracle replays bins, +1 smoothing over the union grid, and the

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X21 — AS-OF join: attach to each left row the right row with the
+  * same key and the greatest right-time at-or-before the left row's
+  * time — the temporal-alignment primitive (feature lookups "as of"
+  * an event, point-in-time-correct joins for training data) that
+  * Spark's Dataset API lacks (pandas-on-Spark has merge_asof; SQL
+  * engines grew ASOF JOIN — DuckDB's is the oracle here).
+  *
+  * Spark-first implementation — NOT a range-join explosion: union the
+  * two sides with a side marker, ONE shuffle on the key, and a
+  * within-partition sort by (time, marker); `last(_, ignoreNulls)`
+  * over the running window carries the most recent right-side values
+  * onto each left row. Cost = one shuffle + one sort of |L| + |R|,
+  * the same order as a groupBy over the union — no per-row range
+  * probe, no cartesian corner. At equal times the right row sorts
+  * FIRST (marker 0 < 1), so "at-or-before" includes the simultaneous
+  * row, matching ASOF's `left.t >= right.t` convention.
+  *
+  * Determinism contract: the right side must be unique per
+  * (key, time) — callers pick the winner explicitly (e.g. max-id via
+  * [[dedupRight]]) instead of inheriting engine-dependent tie luck.
+  * Left rows with no eligible right row keep null right columns
+  * (LEFT ASOF semantics).
+  */
+object AsofJoin {
+
+  /** Deterministic right-side dedup: one row per (key, time), keeping
+    * the row with the greatest `tieCol` — partial-agg `max_by`, the
+    * same min/max-by discipline as exact dedup (no window sort). */
+  def dedupRight(right: DataFrame, keyCol: String, timeCol: String,
+                 tieCol: String): DataFrame = {
+    val cols = right.columns
+    right.groupBy(col(keyCol), col(timeCol))
+      .agg(max_by(struct(cols.toIndexedSeq.map(col): _*), col(tieCol)).as("__r"))
+      .select(cols.toIndexedSeq.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /** The as-of join. `rightCols` are emitted as `prefix + name`;
+    * the left frame's columns pass through unchanged. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               keyCol: String, leftTime: String, rightTime: String,
+               rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    require(rightCols.nonEmpty, "rightCols must name at least one column")
+    val leftCols = left.columns.toIndexedSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r0 = right.select(
+      (Seq(col(keyCol), col(rightTime).as("__t"), lit(0).as("__side")) ++
+        rightCols.map(c => col(c).as(s"__r_$c"))).toIndexedSeq: _*)
+    // Align schemas: left gains null right-value columns, right gains
+    // null left columns (unionByName fills by name).
+    val lAligned = rightCols.foldLeft(l) { (d, c) =>
+      d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val rAligned = leftCols.filterNot(_ == keyCol).foldLeft(r0) { (d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = lAligned.unionByName(rAligned)
+    // ONE keyed shuffle + sort; the running last(ignoreNulls) is the
+    // as-of carry. Equal times: right (__side 0) precedes left. The
+    // carry is ONE struct — per-column carries would skip a chosen
+    // row's legitimately-NULL field back to an older non-null value,
+    // silently mixing two right rows.
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rStruct = when(col("__side") === 0,
+      struct(rightCols.map(c => col(s"__r_$c").as(c)).toIndexedSeq: _*))
+    val carried = unioned
+      .withColumn("__rrow", last(rStruct, ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        rightCols.map(c => col(s"__rrow.$c").as(s"$prefix$c"))).toIndexedSeq: _*)
+  }
+}

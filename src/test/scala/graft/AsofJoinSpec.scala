@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.AsofJoin
+
+class AsofJoinSpec extends SparkSpec {
+
+  private def sec(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  private def left(rows: (Long, Long, Long)*) = // (id, user, t)
+    df(rows.map { case (id, u, t) => Row(id, u, sec(t)) },
+      "event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+
+  private def right(rows: (Long, Long, Long, java.lang.Double)*) =
+    df(rows.map { case (id, u, t, v) => Row(u, sec(t), id, v) },
+      "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE")
+
+  test("greatest at-or-before wins; earlier-than-all rows get nulls") {
+    val l = left((1L, 7L, 50L), (2L, 7L, 100L), (3L, 7L, 250L))
+    val r = right((10L, 7L, 100L, 1.0), (11L, 7L, 200L, 2.0))
+    val out = AsofJoin.asofJoin(l, r, "user_id", "ts", "ts",
+        Seq("event_id", "value"))
+      .orderBy("event_id").collect()
+    // t=50: before all -> nulls; t=100: simultaneous row included;
+    // t=250: latest (t=200) wins over t=100.
+    assert(out(0).isNullAt(3))
+    assert(out(1).getAs[Long]("asof_event_id") == 10L)
+    assert(out(2).getAs[Long]("asof_event_id") == 11L)
+    assert(out(2).getAs[Double]("asof_value") == 2.0)
+  }
+
+  test("keys never cross; a chosen row's null field stays null") {
+    val l = left((1L, 7L, 300L), (2L, 8L, 300L))
+    // user 7's latest row carries a NULL value — the per-row struct
+    // carry must NOT reach back to the older non-null 5.0.
+    val r = right((10L, 7L, 100L, 5.0), (11L, 7L, 200L, null),
+      (12L, 9L, 100L, 9.0))
+    val out = AsofJoin.asofJoin(l, r, "user_id", "ts", "ts",
+        Seq("event_id", "value"))
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Long]("asof_event_id") == 11L)
+    assert(out(0).isNullAt(4), "null field of the chosen row must survive")
+    assert(out(1).isNullAt(3), "user 8 must not see user 9's rows")
+  }
+
+  test("dedupRight keeps the max-tie row per (key, time)") {
+    val r = right((10L, 7L, 100L, 1.0), (12L, 7L, 100L, 3.0),
+      (11L, 7L, 200L, 2.0))
+    val d = AsofJoin.dedupRight(r, "user_id", "ts", "event_id")
+      .orderBy("ts").collect()
+    assert(d.length == 2 && d(0).getAs[Long]("event_id") == 12L)
+  }
+
+  test("registered x21 is partitioning-invariant and matches a window replay") {
+    val a = Queries.x21AsofJoin(spark, sfDir).collect()
+    assert(a.length == Tables.events(spark, sfDir).count())
+    // Independent formulation: per-user sort, running last purchase.
+    val ev = Tables.events(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("__side"), col("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val u = ev.select(col("event_id"), col("user_id"), col("ts"),
+        lit(1).as("__side"), lit(null).cast("bigint").as("pid"),
+        lit(null).cast("double").as("pv"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("__side"),
+          col("event_id").as("pid"), col("value").as("pv")))
+    val replay = u
+      .withColumn("__r", last(when(col("__side") === 0,
+        struct(col("pid"), col("pv"))), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("__r.pid").as("ref_event_id"), col("__r.pv").as("ref_value"))
+      .orderBy("event_id").collect()
+    assert(a.map(_.toSeq).toSeq == replay.toSeq.map(_.toSeq))
+  }
+}
