@@ -2237,6 +2237,18 @@ object Oracles {
         |ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
 
+    "x22_range_join" ->
+      // The bin-bucketed equi join replayed as the plain BETWEEN join
+      // over the SAME session derivation (sessionizeSql as a subquery)
+      // — bucketing must be result-invisible.
+      ("""SELECT e.event_id, e.user_id, s.session_idx
+        |FROM events e JOIN (
+        |""".stripMargin +
+        sessionizeSql + "\n" +
+        """) s ON e.user_id = s.user_id
+          |     AND e.ts >= s.start_ts AND e.ts <= s.end_ts
+          |ORDER BY e.event_id, s.session_idx""".stripMargin),
+
     "x18_sessionize" -> sessionizeSql,
 
     // The STREAMING fold (flatMapGroupsWithState, batch-replayed) must

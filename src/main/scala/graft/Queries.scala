@@ -847,6 +847,24 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** X22 — range join: every event matched back to its containing
+    * session interval ([[graft.ext.RangeJoin]] over [[x18Sessionize]]'s
+    * sessions — a self-consistency pair: sessions partition each user's
+    * timeline, so every event lands in exactly one interval). Bin width
+    * 1 day ≈ the sf session durations. Oracle = the plain BETWEEN join
+    * over the same session derivation. */
+  def x22RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val sessions = graft.ext.Sessionize.summary(ev, gapSeconds = 43200L)
+      .select("user_id", "session_idx", "start_ts", "end_ts")
+    graft.ext.RangeJoin.rangeJoin(
+        ev.select("event_id", "user_id", "ts"), sessions,
+        keyCol = "user_id", leftTime = "ts",
+        rightStart = "start_ts", rightEnd = "end_ts")
+      .select("event_id", "user_id", "session_idx")
+      .orderBy("event_id", "session_idx")
+  }
+
   /** X20 — weekly PSI drift of the events value distribution per event
     * type vs the earliest week ([[graft.ext.PsiDrift.psiByWeek]]). The
     * oracle replays bins, +1 smoothing over the union grid, and the
