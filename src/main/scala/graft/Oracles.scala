@@ -2222,6 +2222,35 @@ object Oracles {
           |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
           |FROM f""".stripMargin),
 
+    "x23_chunk_docs" ->
+      // Chunk layout replayed: 32-token windows, stride 24, count =
+      // (n-33) // 24 + 2 above one chunk (non-negative numerator — the
+      // Spark side guards the same way because `div` truncates while
+      // `//` floors on negatives), 1-based inclusive list_slice, md5 of
+      // the space-joined window.
+      raw"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |         CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |         CASE WHEN n <= 32 THEN 1 ELSE (n - 33) // 24 + 2 END AS nchunks
+        |  FROM t WHERE n > 0),
+        |e AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, CAST(nchunks AS BIGINT))) AS chunk_idx
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id, chunk_idx,
+        |         list_slice(toks, CAST(chunk_idx * 24 + 1 AS BIGINT),
+        |                    CAST(chunk_idx * 24 + 32 AS BIGINT)) AS chunk
+        |  FROM e)
+        |SELECT doc_id, chunk_idx,
+        |       CAST(len(chunk) AS BIGINT) AS n_tok_chunk,
+        |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "x21_asof_join" ->
       // DuckDB's NATIVE ASOF LEFT JOIN replays the union+window
       // formulation: greatest right ts <= left ts per user, right side

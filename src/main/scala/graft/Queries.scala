@@ -825,6 +825,15 @@ object Queries {
         rates = Map("en" -> 0.4), seqLen = 512L, cleanFirst = true))
   }
 
+  /** X23 — context-window chunking over the documents table: 32-token
+    * windows advancing by 24 (8-token overlap — small windows so the
+    * sf docs genuinely multi-chunk). The oracle re-derives chunk
+    * count, the token slices, and the md5 of every chunk text. */
+  def x23ChunkDocs(s: SparkSession, d: String): DataFrame =
+    graft.ext.Chunking.chunkTokens(documents(s, d),
+        chunkTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx")
+
   /** X21 — AS-OF join: each event annotated with the user's latest
     * 'purchase' event at-or-before it ([[graft.ext.AsofJoin]] — the
     * point-in-time-correct feature lookup). Right side deduped

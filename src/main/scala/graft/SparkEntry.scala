@@ -108,6 +108,7 @@ object SparkEntry {
     "s5_stream_sessions" -> (Queries.s5StreamSessions _),
     "x21_asof_join" -> (Queries.x21AsofJoin _),
     "x22_range_join" -> (Queries.x22RangeJoin _),
+    "x23_chunk_docs" -> (Queries.x23ChunkDocs _),
     "x15_lm_ppl" -> (Queries.x15LmPpl _),
     "x16_dsir_weights" -> (Queries.x16DsirWeights _),
     "x16_dsir_select" -> (Queries.x16DsirSelect _)
