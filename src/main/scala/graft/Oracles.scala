@@ -2251,6 +2251,32 @@ object Oracles {
         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    "x24_tfidf_terms" ->
+      // TF-IDF replayed: per-(doc,term) tf, term df census, ONE
+      // micro-nat rounding on ln(N/df) (slack-audited), integer score
+      // tf·idf_micro, rank by (score desc, term asc), top 3.
+      raw"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         tf.tf * CAST(round(ln(n.n * 1.0 / dfc.df) * 1000000.0)
+        |                      AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfc USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, score_micro,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score_micro DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score_micro
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
     "x21_asof_join" ->
       // DuckDB's NATIVE ASOF LEFT JOIN replays the union+window
       // formulation: greatest right ts <= left ts per user, right side

@@ -834,6 +834,14 @@ object Queries {
         chunkTokens = 32, overlap = 8)
       .orderBy("doc_id", "chunk_idx")
 
+  /** X24 — TF-IDF top-3 keywords per document: the integer score
+    * tf·round(10⁶·ln(N/df)) ranks deterministically (ties by term);
+    * the oracle replays tf, the df census, the one micro-nat rounding,
+    * and the ranked cut. */
+  def x24TfidfTerms(s: SparkSession, d: String): DataFrame =
+    graft.ext.TfIdf.topTerms(documents(s, d), k = 3)
+      .orderBy("doc_id", "rank")
+
   /** X21 — AS-OF join: each event annotated with the user's latest
     * 'purchase' event at-or-before it ([[graft.ext.AsofJoin]] — the
     * point-in-time-correct feature lookup). Right side deduped

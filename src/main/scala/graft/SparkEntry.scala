@@ -109,6 +109,7 @@ object SparkEntry {
     "x21_asof_join" -> (Queries.x21AsofJoin _),
     "x22_range_join" -> (Queries.x22RangeJoin _),
     "x23_chunk_docs" -> (Queries.x23ChunkDocs _),
+    "x24_tfidf_terms" -> (Queries.x24TfidfTerms _),
     "x15_lm_ppl" -> (Queries.x15LmPpl _),
     "x16_dsir_weights" -> (Queries.x16DsirWeights _),
     "x16_dsir_select" -> (Queries.x16DsirSelect _)

@@ -147,6 +147,23 @@ class MicroNatSlackSpec extends SparkSpec {
     assert(s >= MinSlack, f"x20 psi bin slack $s%.3e < $MinSlack%.0e")
   }
 
+  test("x24 idf micro-nats sit >=1e-6 from rounding boundaries") {
+    // Mirrors the oracle's dfc/n CTEs: one ln per distinct df value
+    // (ln(N/N) = 0 is exact in every libm and excluded like x20's
+    // identical-count bins).
+    val d = docs
+    val tf = d.select(col("doc_id"),
+        explode(graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val v = log(lit(d.count().toDouble) / col("df")) * lit(1e6)
+    val s = minSlack(dfc.select("df").distinct()
+      .filter(col("df") =!= d.count())
+      .select(v.as("v")))
+    assert(s >= MinSlack, f"x24 idf slack $s%.3e < $MinSlack%.0e")
+  }
+
   test("x20 4-dp psi display cannot tie (no |psi_micro| = 50 mod 100)") {
     val ties = graft.ext.PsiDrift.psiByWeek(Tables.events(spark, oracleSf))
       .filter(pmod(abs(col("psi_micro")), lit(100L)) === 50L)

@@ -52,7 +52,10 @@ class PlanAuditSpec extends SparkSpec {
       // The weeks × observed-(type,bin) smoothing grid: a deliberate
       // cross of two frames derived from the checkpointed census —
       // both |weeks| / |types|·|bins| sized at ANY corpus size.
-      "x20_psi_drift")
+      "x20_psi_drift",
+      // The ONE-ROW corpus-size N cross onto the (doc, term) tf frame
+      // — the x15/x16 totals shape again.
+      "x24_tfidf_terms")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
