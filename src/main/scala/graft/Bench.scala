@@ -179,12 +179,14 @@ object Bench {
     val inflated = otherLoad > 0.25
     // Field order is load-bearing: the driver records only a truncated
     // TAIL of stdout (BENCH_r07 shows the wall map and "value" falling off
-    // the front, leaving an unlabeled cpu_sec map that reads as wall).
-    // Metadata and cpu_sec go first; the labeled wall map and a trailing
-    // "total_wall" go LAST so the tail alone carries the headline number
-    // and an unambiguous per-query wall map.
+    // the front, leaving an unlabeled cpu_sec map that reads as wall;
+    // BENCH_r08's tail then lost the front-loaded health fields). Bulky
+    // maps go first; the tail carries, in order: the labeled wall map,
+    // "total_wall", and the four small run-health fields (errors, flaky,
+    // other_cpu_load, load_inflated — VERDICT r8 #3) so a truncated tail
+    // alone proves the run was clean.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"other_cpu_load":${num(otherLoad)},"other_cpu_load_sampled":${num(sampledLoad)},"other_cpu_load_procstat":${num(wholeRunLoad)},"wall_vs_cpu":${num(wallVsCpu)},"load_inflated":$inflated,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","cpu_sec":$cpuQs,"queries":$qs,"total_wall":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"other_cpu_load_sampled":${num(sampledLoad)},"other_cpu_load_procstat":${num(wholeRunLoad)},"wall_vs_cpu":${num(wallVsCpu)},"sf":"$sfDir","cpu_sec":$cpuQs,"queries":$qs,"total_wall":$total,"errors":$errJson,"flaky":$flakyJson,"other_cpu_load":${num(otherLoad)},"load_inflated":$inflated}"""
 
     // Write the JSON unconditionally to a default file — the driver can
     // pick it up even when its stdout parse fails (see Scaladoc). Focused

@@ -207,8 +207,12 @@ class StreamingDedupSpec extends SparkSpec {
   }
 
   test("per-row simhash equals the aggregate batch form") {
+    // simhashSignatures now RIDES the per-row expression, so the
+    // independent side of this parity pin is the 64-sum-aggregate
+    // derivation (simhashSignaturesAgg) — two implementations sharing
+    // only the tokenizer.
     val docs = Tables.documents(spark, sfDir).limit(100)
-    val batch = Dedup.simhashSignatures(docs, n = 4)
+    val batch = Dedup.simhashSignaturesAgg(docs, n = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val perRow = docs
       .withColumn("__toks", split(Dedup.normText(col("text")), "\\s+"))
