@@ -50,9 +50,18 @@ object AsofJoin {
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-    val r0 = right.select(
-      (Seq(col(keyCol), col(rightTime).as("__t"), lit(0).as("__side")) ++
-        rightCols.map(c => col(c).as(s"__r_$c"))).toIndexedSeq: _*)
+    // NULL key/time right rows can never match under SQL ASOF semantics
+    // (`l.key = r.key AND l.t >= r.t` is never true on NULL), but
+    // Window.partitionBy groups NULL keys and sorts NULL times first —
+    // left NULL-key rows would silently carry them. Drop them here so
+    // the window replay pins LEFT-ASOF SQL semantics exactly; left rows
+    // with NULL key/time still pass through with null right columns
+    // (their partition holds no __side=0 row / the carry starts null).
+    val r0 = right
+      .filter(col(keyCol).isNotNull && col(rightTime).isNotNull)
+      .select(
+        (Seq(col(keyCol), col(rightTime).as("__t"), lit(0).as("__side")) ++
+          rightCols.map(c => col(c).as(s"__r_$c"))).toIndexedSeq: _*)
     // Align schemas: left gains null right-value columns, right gains
     // null left columns (unionByName fills by name).
     val lAligned = rightCols.foldLeft(l) { (d, c) =>

@@ -33,10 +33,16 @@ object RangeJoin {
     require(binSeconds > 0, s"binSeconds ($binSeconds) must be positive")
     val lb = left.withColumn("__bin",
       floor(unix_timestamp(col(leftTime)) / lit(binSeconds)).cast("long"))
-    val rb = right.withColumn("__bin",
-      explode(sequence(
-        floor(unix_timestamp(col(rightStart)) / lit(binSeconds)).cast("long"),
-        floor(unix_timestamp(col(rightEnd)) / lit(binSeconds)).cast("long"))))
+    // An inverted interval (end < start) matches nothing under BETWEEN,
+    // but sequence(start, stop) THROWS on a descending range — one
+    // malformed right row must drop, not crash the job. Filter before
+    // the explode (same integer-second comparison the residual uses).
+    val rb = right
+      .filter(unix_timestamp(col(rightStart)) <= unix_timestamp(col(rightEnd)))
+      .withColumn("__bin",
+        explode(sequence(
+          floor(unix_timestamp(col(rightStart)) / lit(binSeconds)).cast("long"),
+          floor(unix_timestamp(col(rightEnd)) / lit(binSeconds)).cast("long"))))
     lb.join(rb, Seq(keyCol, "__bin"))
       .filter(col(leftTime) >= col(rightStart) &&
         col(leftTime) <= col(rightEnd))

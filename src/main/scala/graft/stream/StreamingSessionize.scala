@@ -176,8 +176,15 @@ object StreamingSessionize {
             open match {
               case Some(o) =>
                 state.update(o)
+                // Timeout horizon must match the batch fold's gap rule,
+                // which is strict-> on FLOOR-SECOND deltas: an event
+                // anywhere in second floorSec(last)+gap is still
+                // in-session, so the session may only time out once the
+                // watermark clears the END of that second — raw
+                // last_ms + gap_ms would fire up to a second early and
+                // split a sub-second boundary event into a new session.
                 state.setTimeoutTimestamp(
-                  Math.floorDiv(o.lastUs, 1000L) + gapSeconds * 1000L)
+                  (Math.floorDiv(o.lastUs, 1000000L) + gapSeconds + 1) * 1000L)
               case None => ()
             }
             closed.iterator

@@ -47,6 +47,30 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(1).isNullAt(3), "user 8 must not see user 9's rows")
   }
 
+  test("NULL key/time rows pin LEFT-ASOF SQL semantics (ADVICE r8)") {
+    // SQL ASOF (`l.key = r.key AND l.t >= r.t`) never matches NULLs,
+    // but Window.partitionBy groups NULL keys and sorts NULL times
+    // first — without the right-side filter, a null-key left row would
+    // silently carry a null-key right row's values.
+    val l = df(Seq(Row(1L, null, sec(300L)), Row(2L, 7L, null),
+        Row(3L, 7L, sec(300L))),
+      "event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+    val r = df(Seq(Row(null, sec(100L), 10L, 1.0), Row(7L, null, 11L, 2.0),
+        Row(7L, sec(100L), 12L, 3.0)),
+      "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE")
+    val out = AsofJoin.asofJoin(l, r, "user_id", "ts", "ts",
+        Seq("event_id", "value"))
+      .orderBy("event_id").collect()
+    // Null-key left row: no match (never the null-key right row).
+    assert(out(0).isNullAt(3), "null-key left row must carry nulls")
+    // Null-time left row: no at-or-before row exists for it.
+    assert(out(1).isNullAt(3), "null-time left row must carry nulls")
+    // Normal row: matches the real (7, t=100) row — the null-time
+    // right row (which sorts FIRST ascending) must have been dropped,
+    // not carried.
+    assert(out(2).getAs[Long]("asof_event_id") == 12L)
+  }
+
   test("dedupRight keeps the max-tie row per (key, time)") {
     val r = right((10L, 7L, 100L, 1.0), (12L, 7L, 100L, 3.0),
       (11L, 7L, 200L, 2.0))

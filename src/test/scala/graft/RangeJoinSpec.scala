@@ -30,6 +30,19 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set((1L, 1L), (2L, 1L)))
   }
 
+  test("inverted intervals drop instead of crashing (ADVICE r8)") {
+    // BETWEEN matches nothing on end < start, but sequence() THROWS on
+    // a descending range — one malformed right row must not kill the
+    // job. The well-formed interval still matches.
+    val out = RangeJoin.rangeJoin(
+        l((1L, 7L, 150L)),
+        r((7L, 1L, 100L, 200L), (7L, 2L, 500L, 400L)),
+        "user_id", "ts", "start_ts", "end_ts", binSeconds = 50L)
+      .select("event_id", "session_idx").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(out == Set((1L, 1L)))
+  }
+
   test("intervals spanning many bins still match; overlaps multiply") {
     val out = RangeJoin.rangeJoin(
         l((1L, 7L, 500L)),
