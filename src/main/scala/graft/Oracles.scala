@@ -919,6 +919,80 @@ object Oracles {
         |              AS BIGINT) AS rank
         |  FROM s) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // Planted ANN/IVF twins: queries are byte-identical copies of corpus
+    // vectors 0-9 re-keyed past max(vec_id), so the true top-1 (the
+    // source vector at cosine exactly 1.0) survives ANY hyperplane
+    // family / centroid seed and a brute-force replay is a real oracle.
+    "x2_ann_planted" ->
+      """WITH q AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS query_id,
+        |                  CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, cand_id,
+        |         round(list_inner_product(qv, cv) /
+        |               sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)), 6) AS sim
+        |  FROM q JOIN c ON cand_id <> query_id)
+        |SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+        |  SELECT query_id, cand_id AS neighbor_id, round(sim, 4) AS cosine_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+        |              AS BIGINT) AS rank
+        |  FROM s) WHERE rank = 1 ORDER BY query_id""".stripMargin,
+
+    // Same planted fixture probed through the SAVED LSH band index
+    // (saveBands → annTopKAgainst): byte-identical vectors reproduce
+    // the saved signatures, so the same brute-force rank-1 replay holds.
+    "x2_ann_against" ->
+      """WITH q AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS query_id,
+        |                  CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, cand_id,
+        |         round(list_inner_product(qv, cv) /
+        |               sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)), 6) AS sim
+        |  FROM q JOIN c ON cand_id <> query_id)
+        |SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+        |  SELECT query_id, cand_id AS neighbor_id, round(sim, 4) AS cosine_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+        |              AS BIGINT) AS rank
+        |  FROM s) WHERE rank = 1 ORDER BY query_id""".stripMargin,
+
+    // Same planted fixture probed through the SAVED index
+    // (save → load → topKAgainst): byte-identical vectors make rank-1
+    // invariant to the round trip, so the same brute-force replay holds.
+    "x2_ivf_against" ->
+      """WITH q AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS query_id,
+        |                  CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, cand_id,
+        |         round(list_inner_product(qv, cv) /
+        |               sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)), 6) AS sim
+        |  FROM q JOIN c ON cand_id <> query_id)
+        |SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+        |  SELECT query_id, cand_id AS neighbor_id, round(sim, 4) AS cosine_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+        |              AS BIGINT) AS rank
+        |  FROM s) WHERE rank = 1 ORDER BY query_id""".stripMargin,
+
+    "x2_ivf_planted" ->
+      """WITH q AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS query_id,
+        |                  CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, cand_id,
+        |         round(list_inner_product(qv, cv) /
+        |               sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)), 6) AS sim
+        |  FROM q JOIN c ON cand_id <> query_id)
+        |SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+        |  SELECT query_id, cand_id AS neighbor_id, round(sim, 4) AS cosine_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+        |              AS BIGINT) AS rank
+        |  FROM s) WHERE rank = 1 ORDER BY query_id""".stripMargin,
+
     "x3_top_tokens" ->
       """SELECT tok AS token, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
@@ -1987,6 +2061,124 @@ object Oracles {
         |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
         |FROM f""".stripMargin),
 
+    "x10_ppl_funnel" ->
+      // The ppl-gated funnel (CCNet recipe) replayed end-to-end: the x10
+      // stages (no fuzzy pairs, no URL/history — those legs are no-ops
+      // here) plus the full x15 LM arithmetic — training counts from RAW
+      // docs < 300 (the shared `norm` CTE), probe grams from the
+      // REDACTED text of EVERY document (what the engine's quality gate
+      // scores), quality = token band AND lm_band = 'head'.
+      ("WITH " + gram4Ctes + ",\n" +
+        raw"""bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8),
+          |rdoc AS (
+          |  SELECT doc_id, lang,
+          |         regexp_replace(regexp_replace(regexp_replace(text,
+          |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+          |  FROM documents),
+          |rtoks AS (
+          |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
+          |         generate_subscripts(string_split(t, ' '), 1) AS ord
+          |  FROM norm WHERE doc_id < 300 AND t <> ''),
+          |uni AS (SELECT tok AS w, count(*) AS c1 FROM rtoks GROUP BY 1),
+          |big AS (
+          |  SELECT w1, w2, count(*) AS c2 FROM (
+          |    SELECT tok AS w1,
+          |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+          |    FROM rtoks) WHERE w2 IS NOT NULL GROUP BY 1, 2),
+          |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS total_toks,
+          |               count(*) AS vocab FROM uni),
+          |rnorm AS (
+          |  SELECT doc_id,
+          |         lower(trim(regexp_replace(rtext, '\s+', ' ', 'g'))) AS t
+          |  FROM rdoc),
+          |ptoks AS (
+          |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
+          |         generate_subscripts(string_split(t, ' '), 1) AS ord
+          |  FROM rnorm WHERE t <> ''),
+          |probe AS (
+          |  SELECT doc_id, w1, w2, count(*) AS m FROM (
+          |    SELECT doc_id, tok AS w1,
+          |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+          |    FROM ptoks) WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+          |g AS (
+          |  SELECT p.doc_id, p.m, b.c2,
+          |         CASE WHEN b.c2 IS NOT NULL THEN
+          |           CAST(round(1000000 * ln(CAST(b.c2 AS DOUBLE) / u1.c1)) AS BIGINT)
+          |         ELSE ${graft.ext.NgramLm.BackoffMicro} + CAST(round(1000000 * ln(
+          |           CAST(coalesce(u2.c1, 0) + 1 AS DOUBLE)
+          |             / (t.total_toks + t.vocab))) AS BIGINT)
+          |         END AS micro
+          |  FROM probe p
+          |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+          |  LEFT JOIN uni u1 ON p.w1 = u1.w
+          |  LEFT JOIN uni u2 ON p.w2 = u2.w
+          |  CROSS JOIN tot t),
+          |per AS (
+          |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS lm_grams,
+          |         CAST(sum(m * micro) AS BIGINT) AS lm_logp_micro
+          |  FROM g GROUP BY 1),
+          |ann AS (
+          |  SELECT doc_id, r.lang,
+          |         doc_id = min(doc_id) OVER (PARTITION BY n.t) AS is_canonical,
+          |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+          |         CASE WHEN len(trim(r.rtext)) = 0 THEN 0
+          |              ELSE len(string_split_regex(trim(r.rtext), '\s+')) END AS n_tok,
+          |         coalesce(p.lm_grams, 0) > 0
+          |           AND p.lm_logp_micro >= ${graft.ext.NgramLm.HeadMicro} * p.lm_grams
+          |           AS is_head,
+          |         ${bucketSql("doc_id")} AS b,
+          |         CASE r.lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
+          |  FROM rdoc r JOIN norm n USING (doc_id) LEFT JOIN per p USING (doc_id)
+          |), f AS (
+          |  SELECT count(*) AS n_raw,
+          |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
+          |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_history,
+          |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_fuzzy,
+          |         count(CASE WHEN is_canonical AND NOT is_contaminated THEN 1 END)
+          |           AS n_after_decontam,
+          |         count(CASE WHEN is_canonical AND NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 AND is_head THEN 1 END)
+          |           AS n_after_quality,
+          |         count(CASE WHEN is_canonical AND NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 AND is_head
+          |                         AND b < thr THEN 1 END)
+          |           AS n_after_sample,
+          |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_history,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_fuzzy,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 AND is_head
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 AND is_head AND b < thr
+          |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
+          |  FROM ann)
+          |SELECT n_raw, n_raw AS n_after_url,
+          |       n_after_dedup, n_after_history, n_after_fuzzy,
+          |       n_after_decontam, n_after_quality, n_after_sample,
+          |       tokens_raw, tokens_raw AS tokens_after_url,
+          |       tokens_after_dedup, tokens_after_history,
+          |       tokens_after_fuzzy, tokens_after_decontam,
+          |       tokens_after_quality, n_tokens,
+          |       CASE WHEN n_tokens = 0 THEN 0
+          |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
+          |FROM f""".stripMargin),
+
     "x9_pack_sequences" ->
       // The two-level prefix sum degenerates to ONE ordered window
       // single-node: start = exclusive cumsum of token counts in doc_id
@@ -2328,6 +2520,23 @@ object Oracles {
         |       CAST(sum(w * ((2 * doc_id + y) % 256)) AS BIGINT) AS sum_g,
         |       CAST(sum(w * ((3 * doc_id + y) % 256)) AS BIGINT) AS sum_b
         |FROM scan GROUP BY doc_id, w, h
+        |ORDER BY media_id""".stripMargin,
+
+    "x5_wav_decode" ->
+      // The real-codec WAV round trip replayed WITHOUT a codec: payloads
+      // are JDK-encoded 16-bit PCM mono WAVs of sample formula
+      // s(t) = ((id*31 + 7t) % 2003) - 1001 with n = 256 + id % 256
+      // samples at rate 8000 + (id % 4)*4000; PCM is lossless, so the
+      // decoded rate/count/integer sum equal this closed form exactly.
+      """WITH aud AS (
+        |  SELECT doc_id, CAST(256 + doc_id % 256 AS BIGINT) AS n,
+        |         CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS rate
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |samp AS (
+        |  SELECT doc_id, n, rate, unnest(range(0, n)) AS t FROM aud)
+        |SELECT doc_id AS media_id, rate AS sample_rate, n AS n_samples,
+        |       CAST(sum((doc_id * 31 + 7 * t) % 2003 - 1001) AS BIGINT) AS sum_samples
+        |FROM samp GROUP BY doc_id, rate, n
         |ORDER BY media_id""".stripMargin,
 
     "x5_media_features" ->

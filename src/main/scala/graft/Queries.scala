@@ -514,9 +514,13 @@ object Queries {
   def x1MinhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashPairs(documents(s, d), n = 4, bands = 8, minSim = 0.7)
 
-  /** X1d — SimHash Hamming-banded near-dup pairs (rows-only check). */
+  /** X1d — SimHash Hamming-banded near-dup pairs (rows-only check).
+    * The bucket cap IS engaged here (VERDICT r8 #1): on this low-entropy
+    * corpus the uncapped band join approaches all-pairs, and planted
+    * recall under caps far tighter than 64 is pinned by DedupSpec. */
   def x1SimhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(documents(s, d), n = 4, maxHamming = 6)
+    Dedup.simhashPairs(documents(s, d), n = 4, maxHamming = 6,
+      maxBucketSize = Some(64))
 
   /** X1f — fuzzy-dedup resolution: the X1b pair set resolved to keep/drop
     * decisions via connected components (min-label propagation) and
@@ -611,10 +615,37 @@ object Queries {
   }
 
   /** X2b — LSH-bucketed approximate top-k (rows-only check; recall vs
-    * X2a asserted in the test suite). */
+    * X2a asserted in the test suite; the planted twin below is the
+    * oracle-checked lane). */
   def x2AnnTopk(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** Query vectors byte-identical to corpus vectors 0-9, re-keyed past
+    * the corpus id range — the planted fixture shared by the ANN and IVF
+    * oracle twins. */
+  private def plantedQueryVecs(emb: DataFrame): DataFrame = {
+    val offset = emb.agg((max(col("vec_id")) + 1).as("__offset"))
+    emb.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(offset))
+      .select((col("vec_id") + col("__offset")).as("vec_id"),
+        col("embedding"), col("label"))
+  }
+
+  /** X2b-planted — [[x2AnnTopk]]'s operator with byte-identical planted
+    * query vectors: an identical vector produces the identical sign
+    * signature under ANY hyperplane family (always a candidate, in every
+    * band), and its cosine is exactly 1.0 — far above the base corpus's
+    * pairwise maximum (~0.52) — so the rank-1 row (source vector,
+    * sim 1.0) is hash-family-invariant and a brute-force DuckDB replay
+    * is a true oracle. Ranks 2+ remain family-specific, so only rank 1
+    * is emitted (the [[x1MinhashPlanted]] trick applied to X2b). */
+  def x2AnnPlanted(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.annTopK(emb, plantedQueryVecs(emb), k = 5)
+      .filter(col("rank") === 1)
+      .orderBy("query_id")
   }
 
   /** X2c — IVF (k-means coarse quantizer) approximate top-k (rows-only
@@ -626,6 +657,67 @@ object Queries {
       .topK(model, emb, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3)
       .localCheckpoint(true) // materialize, then release the index cache
     model.release()
+    out
+  }
+
+  /** X2c-planted — [[x2IvfTopk]]'s operator over the planted queries:
+    * the coarse quantizer is a pure function of the vector, so a
+    * byte-identical query scores the k centroids identically to its
+    * source and always probes the source's inverted list — the source
+    * is a candidate under ANY centroid seed/iteration count, and at
+    * cosine exactly 1.0 it is the rank-1 row. Same brute-force oracle
+    * as [[x2AnnPlanted]]. */
+  def x2IvfPlanted(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val model = graft.ext.IvfIndex.build(emb, k = 8, iters = 2)
+    val out = graft.ext.IvfIndex
+      .topK(model, emb, plantedQueryVecs(emb), k = 5, nProbe = 3)
+      .filter(col("rank") === 1)
+      .orderBy("query_id")
+      .localCheckpoint(true) // materialize, then release the index cache
+    model.release()
+    out
+  }
+
+  /** X2b-against — the persisted-LSH-index probe ([[graft.ext.Similarity
+    * .saveBands]] → [[graft.ext.Similarity.annTopKAgainst]]): the band
+    * index is built and SAVED once (signatures + the hyperplane params
+    * row), then today's planted queries band under the SAVED params and
+    * probe it — byte-identical vectors reproduce the saved signatures
+    * under any persisted family, so rank-1 is round-trip-invariant at
+    * cosine exactly 1.0. Same brute-force oracle as [[x2AnnPlanted]];
+    * save→probe vs fresh-annTopK parity pinned in SimilaritySpec. */
+  def x2AnnAgainst(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_index").toString
+    graft.ext.Similarity.saveBands(emb, dir)
+    graft.ext.Similarity
+      .annTopKAgainst(s, dir, emb, plantedQueryVecs(emb), k = 5)
+      .filter(col("rank") === 1)
+      .orderBy("query_id")
+      .localCheckpoint(true) // materialize before the temp index ages out
+  }
+
+  /** X2c-against — the persisted-index ANN probe ([[graft.ext.IvfIndex
+    * .save]] → [[graft.ext.IvfIndex.topKAgainst]]): the index is built
+    * ONCE, saved to parquet, and today's queries probe the LOADED index
+    * — no Lloyd's pass over the historical corpus at query time (the
+    * X1h `…Against` contract for similarity search). Queries are the
+    * planted byte-identical vectors, so rank-1 is centroid-seed- and
+    * serialization-invariant at cosine exactly 1.0 — same brute-force
+    * oracle as [[x2IvfPlanted]]; save→load→probe vs fresh-build parity
+    * is pinned by SkewIvfSpec. */
+  def x2IvfAgainst(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val model = graft.ext.IvfIndex.build(emb, k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    graft.ext.IvfIndex.save(model, dir)
+    model.release()
+    val out = graft.ext.IvfIndex
+      .topKAgainst(s, dir, emb, plantedQueryVecs(emb), k = 5, nProbe = 3)
+      .filter(col("rank") === 1)
+      .orderBy("query_id")
+      .localCheckpoint(true) // materialize before the temp index ages out
     out
   }
 
@@ -764,6 +856,24 @@ object Queries {
       rates = Map("en" -> 0.4), seqLen = 512L, softDedup = true))
   }
 
+  /** X10-ppl — the funnel with the X15 perplexity gate (the CCNet
+    * recipe): `is_quality` additionally requires the bigram-LM band of
+    * the redacted text — under a model trained on docs < 300, the same
+    * reference split as [[x15LmPpl]] — to clear `pplBands`. The oracle
+    * replays the whole composition: redaction, token band, the LM
+    * count/backoff/micro-nat arithmetic, band cut, sampling, packing. */
+  def x10PplFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val model = graft.ext.NgramLm
+      .train(docs.filter(col("doc_id") < 300)).materialize()
+    graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
+      minTokens = 25L, maxTokens = 90L,
+      rates = Map("en" -> 0.4), seqLen = 512L,
+      pplModel = Some(model), pplBands = Seq("head")))
+  }
+
   /** X5b-real — PNG pixel decode through the in-JDK codec
     * ([[graft.ext.Multimodal.decodePngs]]): payloads are REAL compressed
     * PNGs (JDK encoder, per-scanline channel formula), decoding reads
@@ -773,6 +883,16 @@ object Queries {
   def x5PngDecode(s: SparkSession, d: String): DataFrame =
     graft.ext.Multimodal.decodePngs(
       graft.ext.Multimodal.pngMediaFromDocuments(documents(s, d)))
+      .orderBy("media_id")
+
+  /** X5b-wav — the REAL WAV round trip: JDK-encoded 16-bit PCM payloads
+    * of the closed-form sample formula, decoded back through
+    * javax.sound.sampled; PCM is lossless, so the integer sample sums
+    * equal the oracle's SQL replay exactly (the [[x5PngDecode]] pattern
+    * on the audio lane). */
+  def x5WavDecode(s: SparkSession, d: String): DataFrame =
+    graft.ext.Multimodal.decodeWavs(
+      graft.ext.Multimodal.wavMediaFromDocuments(documents(s, d)))
       .orderBy("media_id")
 
   /** X19 — stage-0 text cleaning over deterministically "dirtied"
@@ -1205,6 +1325,18 @@ object Queries {
           out.toByteArray)
         .select("doc_id").orderBy("doc_id")
     }),
+    "x10_ppl_funnel" -> ((s, d) => {
+      // Un-materialized LM model (the x15 planOnly discipline): the dump
+      // shows the count aggregates feeding the funnel's scoring joins.
+      val docs = documents(s, d)
+      val bench = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val model = graft.ext.NgramLm.train(docs.filter(col("doc_id") < 300))
+      graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
+        minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L,
+        pplModel = Some(model), pplBands = Seq("head")))
+    }),
     "x15_lm_ppl" -> ((s, d) => {
       // Un-materialized model, so the dump shows the count aggregates
       // feeding the scoring joins instead of checkpoint scans.
@@ -1243,7 +1375,7 @@ object Queries {
         materialize = false)),
     "x1_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(documents(s, d), n = 4, maxHamming = 6,
-        materialize = false)),
+        maxBucketSize = Some(64), materialize = false)),
     "x2_ivf_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       val model = graft.ext.IvfIndex.build(emb, k = 8, iters = 2)

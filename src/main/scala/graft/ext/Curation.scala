@@ -42,6 +42,15 @@ object Curation {
       qualityHi: Long = 1500L,
       qualityLo: Long = 800L,
       qualityMinBand: String = "medium",
+      // Optional X15 perplexity gate (the CCNet recipe: score the corpus
+      // against a trusted reference LM and keep the fluent head): when
+      // set, `is_quality` additionally requires [[NgramLm.scored]]'s
+      // band of the (cleaned, redacted) text — the same text every
+      // other quality signal sees — to be in `pplBands`. `lm_band`
+      // stays on the annotated frame for the audit; the integer
+      // internals (grams/hits/logp/ppl) drop.
+      pplModel: Option[NgramLm.Model] = None,
+      pplBands: Seq[String] = Seq("head", "middle"),
       // Optional URL stage (runs FIRST — crawl pipelines filter and
       // dedup by URL before any text operator): when `urlCol` is set,
       // `is_url_ok` flags documents whose canonical domain is not on
@@ -76,6 +85,9 @@ object Curation {
       strataCol: String = "lang") {
     require(Set("medium", "high")(qualityMinBand),
       s"qualityMinBand ($qualityMinBand) must be 'medium' or 'high'")
+    require(pplBands.nonEmpty &&
+      pplBands.toSet.subsetOf(Set("head", "middle", "tail", "empty")),
+      s"pplBands ($pplBands) must be non-empty bands from head/middle/tail/empty")
     require(urlCol.isDefined || blockedDomains.isEmpty,
       "blockedDomains without urlCol would silently never block")
   }
@@ -244,7 +256,19 @@ object Curation {
         redacted0.withColumn("n_tok", nTok)
           .withColumn("is_quality", tokenBand)
     }
-    withQuality
+    // X15 gate: ONE more corpus pass (the probe-gram aggregate) + the
+    // broadcast-able model joins — the CCNet cost, paid only when a
+    // model is supplied. Scored on the redacted frame, so the LM sees
+    // exactly what the token band sees.
+    val withPpl = cfg.pplModel match {
+      case Some(m) =>
+        NgramLm.scored(withQuality, m, cfg.textCol, cfg.keyCol)
+          .withColumn("is_quality",
+            col("is_quality") && col("lm_band").isin(cfg.pplBands: _*))
+          .drop("lm_grams", "lm_hits", "lm_logp_micro", "lm_ppl")
+      case None => withQuality
+    }
+    withPpl
       .withColumn("is_sampled",
         Sampling.bucket(col(cfg.keyCol), cfg.seed) <
           Sampling.keepThreshold(cfg.strataCol, cfg.rates, cfg.defaultRate))

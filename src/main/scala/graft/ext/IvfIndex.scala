@@ -78,6 +78,55 @@ object IvfIndex {
     Model(centroids, assignments)
   }
 
+  // ------------------------------------------------ persisted index (X2c')
+
+  /** Persist the index to parquet — the [[NgramLm.Model.materialize]] /
+    * [[Dedup.fingerprints]] saved-index discipline applied to ANN: the
+    * nightly pipeline builds the index ONCE, and every later shard of
+    * query embeddings probes it without re-running Lloyd's iterations
+    * over the historical corpus. Layout: `centroids` = (cluster, pos, v)
+    * exploded rows (k×dim — tiny), `assignments` = (idCol, cluster)
+    * inverted lists (one row per indexed vector). */
+  def save(model: Model, dir: String, idCol: String = "vec_id"): Unit = {
+    val spark = model.assignments.sparkSession
+    import spark.implicits._
+    val rows = for {
+      (c, cid) <- model.centroids.zipWithIndex
+      (v, pos) <- c.zipWithIndex
+    } yield (cid, pos, v)
+    rows.toSeq.toDF("cluster", "pos", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    model.assignments.write.mode("overwrite").parquet(s"$dir/assignments")
+  }
+
+  /** Load a saved index. Only the k×dim centroid matrix reaches the
+    * driver (the same bounded fetch as [[build]]); the inverted lists
+    * stay a distributed frame backed by the saved parquet. */
+  def load(spark: SparkSession, dir: String): Model = {
+    val cRows = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    require(cRows.nonEmpty, s"empty centroid index at $dir/centroids")
+    val k = cRows.map(_._1).max + 1
+    val dim = cRows.map(_._2).max + 1
+    val centroids = Array.ofDim[Double](k, dim)
+    cRows.foreach { case (c, p, v) => centroids(c)(p) = v }
+    Model(centroids, spark.read.parquet(s"$dir/assignments"))
+  }
+
+  /** Probe TODAY's query embeddings against YESTERDAY's saved index —
+    * the production ANN shape at 100 TB ([[Dedup.minhashPairsAgainst]]'s
+    * contract for similarity search): quantizer and inverted lists come
+    * from the persisted index, `history` supplies the candidate vectors
+    * for the exact re-rank (the same saved corpus the index was built
+    * over), and nothing about the historical corpus is recomputed.
+    * Exact-equality with a fresh in-memory build is pinned by
+    * SkewIvfSpec. */
+  def topKAgainst(spark: SparkSession, indexDir: String,
+                  history: DataFrame, queries: DataFrame, k: Int,
+                  nProbe: Int = 2, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    topK(load(spark, indexDir), history, queries, k, nProbe, idCol, vecCol)
+
   /** Probe: per query, candidates from the `nProbe` nearest inverted
     * lists, exact cosine re-rank, top-k via the bounded aggregator.
     *

@@ -14,12 +14,14 @@ import org.apache.spark.sql.types._
   * mapPartitions batch shape, feature-vector output feeding the X2
   * similarity operators, frame-sampling explode.
   *
-  * ONLY the codec is stubbed: this environment ships no image/audio
-  * libraries, so [[decodeStub]] derives deterministic pseudo-features
-  * (byte-window means) from the payload bytes. Swapping in a real
-  * decoder changes one function — the operator shapes (one pass,
-  * partition-local batches, no shuffle before the per-item map) are what
-  * this module pins down.
+  * Codec status: PNG ([[decodePngs]]) and WAV ([[decodeWavs]]) are REAL
+  * in-JDK round trips (javax.imageio / javax.sound.sampled — both part
+  * of java.desktop, no external libraries); MP4 pixel decode is the one
+  * remaining stub ([[decodeStub]] derives deterministic byte-window
+  * pseudo-features), since no video codec ships with the JDK. Swapping
+  * in a real decoder changes one function — the operator shapes (one
+  * pass, partition-local batches, no shuffle before the per-item map)
+  * are what this module pins down.
   */
 object Multimodal {
 
@@ -295,6 +297,113 @@ object Multimodal {
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map(r => decodePngOne(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+      .toDF()
+  }
+
+  // ------------------------------------------- real WAV codec path (X5b)
+
+  /** True when the JVM ships a WAVE file writer/reader. In-JDK
+    * (javax.sound.sampled is part of java.desktop, headless-safe for
+    * file I/O) so effectively always true here — but PROBED, not
+    * assumed, same contract as [[pngSupported]]. */
+  lazy val wavSupported: Boolean =
+    javax.sound.sampled.AudioSystem.getAudioFileTypes
+      .contains(javax.sound.sampled.AudioFileFormat.Type.WAVE)
+
+  /** Deterministic REAL WAV: 16-bit signed PCM mono at `sampleRate`,
+    * sample t = ((id·31 + 7t) mod 2003) − 1001 (integers in ±1001, well
+    * inside 16-bit), pushed through the JDK's WAVE encoder. PCM is
+    * lossless, so whatever a real decoder reads back is exactly the
+    * formula — the expected sample sums are closed-form, which is what
+    * makes a DuckDB oracle possible without shipping a codec. */
+  def wavPayload(id: Long, n: Int, sampleRate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = (((id * 31L + 7L * t) % 2003L) - 1001L).toInt
+      pcm(2 * t) = (s & 0xFF).toByte          // little endian
+      pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real-WAV media table: one row per audio-kind document (the same
+    * doc_id % 3 == 1 lane as [[syntheticMediaWithHeaders]]),
+    * n = 256 + id % 256 samples at rate 8000 + (id % 4)·4000 Hz,
+    * payload = [[wavPayload]]. Encoding runs partition-local (the codec
+    * batch shape), mirroring [[pngMediaFromDocuments]]. */
+  def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (256 + id % 256).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          Row(id, wavPayload(id, n, rate))
+        }
+      }(encoder)
+  }
+
+  /** One decoded audio clip: format fields and the integer sum of all
+    * samples read back OUT OF the container bytes (exact arithmetic —
+    * no float resampling ambiguity). Nulls for undecodable payloads,
+    * non-16-bit-PCM encodings, or a plugin-less runtime: corrupt media
+    * is data, not a crash. */
+  final case class WavDecoded(
+      media_id: Long, sample_rate: Option[Int], n_samples: Option[Long],
+      sum_samples: Option[Long])
+
+  private[graft] def decodeWavOne(id: Long, b: Array[Byte]): WavDecoded = {
+    def none = WavDecoded(id, None, None, None)
+    if (!wavSupported || b == null) return none
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (ais == null) return none
+    val fmt = ais.getFormat
+    // Only the layout we can sum exactly: 16-bit signed PCM mono LE.
+    if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+      fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian)
+      return none
+    val bytes = ais.readAllBytes()
+    var (sum, i) = (0L, 0)
+    while (i + 1 < bytes.length) {
+      sum += ((bytes(i) & 0xFF) | (bytes(i + 1).toInt << 8)).toShort.toLong
+      i += 2
+    }
+    WavDecoded(id, Some(fmt.getSampleRate.toInt),
+      Some(bytes.length / 2L), Some(sum))
+  }
+
+  /** X5b — REAL sample decode over a (media_id, payload) frame: one
+    * narrow mapPartitions pass through the JDK WAVE reader (same batch
+    * shape as [[decodePngs]]). */
+  def decodeWavs(media: DataFrame): DataFrame = {
+    val session = media.sparkSession
+    import session.implicits._
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map(r => decodeWavOne(r.getLong(0), r.getAs[Array[Byte]](1)))
       }
       .toDF()
   }

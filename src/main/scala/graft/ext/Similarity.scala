@@ -168,6 +168,58 @@ object Similarity {
       .transform(ranked)
   }
 
+  // --------------------------------------------- persisted LSH index (X2b')
+
+  /** Persist the LSH side of the index: the banded corpus signatures
+    * (id, band, bucket) plus a ONE-ROW params frame (dim, numBits,
+    * bands, seed) — the probe side re-derives its bands FROM the saved
+    * params, so today's shard can never slice signatures differently
+    * from yesterday's index (the [[graft.ext.Dedup.simhashPairsAgainst]]
+    * band-layout contract, persisted). */
+  def saveBands(corpus: DataFrame, dir: String,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                dim: Int = 64, numBits: Int = 64, bands: Int = 8,
+                seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    lshBands(corpus, idCol, vecCol, dim, numBits, bands, seed)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    Seq((dim, numBits, bands, seed)).toDF("dim", "num_bits", "bands", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** ANN probe of TODAY's queries against YESTERDAY's saved band index:
+    * candidates come from cross-side (band, bucket) equality — shard ×
+    * index, never all-pairs — and the exact re-rank reads candidate
+    * vectors from `history` (the saved corpus the index was built
+    * over). Nothing about the historical corpus re-hashes at query
+    * time. Parity with a fresh [[annTopK]] is pinned by SimilaritySpec. */
+  def annTopKAgainst(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     history: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     maxBucketSize: Option[Int] = None): DataFrame = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    val (dim, numBits, bands, seed) =
+      (p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3))
+    val cB = Dedup.capLshBuckets(spark.read.parquet(s"$dir/bands"),
+      maxBucketSize)
+    val qB = lshBands(queries, idCol, vecCol, dim, numBits, bands, seed)
+    val cands = cB.as("c").join(qB.as("q"),
+        col("c.band") === col("q.band") && col("c.bucket") === col("q.bucket") &&
+          col("c.id") =!= col("q.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("cand_id"))
+      .distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = history.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    val topk = udaf(new TopKAggregator(k))
+    cands.join(broadcast(q), "query_id").join(c, "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("sim"))
+      .groupBy("query_id")
+      .agg(topk(col("cand_id"), col("sim")).as("topk"))
+      .transform(ranked)
+  }
+
   /** X1e — embedding-cosine near-duplicate pairs: same LSH banding on one
     * corpus, self-join within buckets, exact-cosine verify, `minSim` gate.
     * `maxBucketSize` bounds the per-bucket self-join ([[Dedup.capLshBuckets]]).

@@ -50,6 +50,48 @@ class CurationSpec extends SparkSpec {
       quality.agg(sum("n_tok")).head().getLong(0))
   }
 
+  test("ppl gate: is_quality equals token band AND NgramLm.scored's band (CCNet recipe)") {
+    // The gate must agree with the standalone X15 scorer run on the SAME
+    // (redacted) text — one definition, pinned here against drift.
+    val model = graft.ext.NgramLm.train(docs.filter(col("doc_id") < 300))
+    val pplCfg = cfg.copy(pplModel = Some(model), pplBands = Seq("head"))
+    val ann = Curation.annotate(docs, bench, pplCfg)
+      .select("doc_id", "n_tok", "is_quality", "lm_band")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getString(3))).toMap
+    val standalone = graft.ext.NgramLm.scored(Pii.redact(docs), model)
+      .select("doc_id", "lm_band")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ann.nonEmpty && ann.keySet == standalone.keySet)
+    ann.foreach { case (id, (nTok, isQ, band)) =>
+      assert(band == standalone(id), s"doc $id: funnel band $band != scorer ${standalone(id)}")
+      assert(isQ == ((25L <= nTok && nTok <= 90L) && band == "head"), s"doc $id")
+    }
+    // The gate must actually exclude someone the token band admits
+    // (otherwise this spec proves a no-op): a planted 30-token gibberish
+    // doc backs off on every bigram → tail band → dropped at quality,
+    // while in-band corpus docs (the model's own distribution) pass.
+    val gib = (1 to 30).map(i => s"zzqx$i").mkString(" ")
+    val planted = docs.withColumn("text",
+      when(col("doc_id") === 49, lit(gib)).otherwise(col("text")))
+    val pAnn = Curation.annotate(planted, bench, pplCfg)
+      .select("doc_id", "n_tok", "is_quality", "lm_band")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getString(3))).toMap
+    val (gTok, gQ, gBand) = pAnn(49L)
+    assert(gTok == 30L && gBand == "tail" && !gQ,
+      s"gibberish doc: n_tok=$gTok band=$gBand is_quality=$gQ")
+    assert(pAnn.exists { case (id, (nTok, isQ, _)) =>
+      id != 49L && 25L <= nTok && nTok <= 90L && isQ })
+    // And the funnel's quality count equals the independent composition
+    // (quality stage counts docs passing ALL prior stages too).
+    val f = Curation.funnel(docs, bench, pplCfg).head()
+    val full = Curation.annotate(docs, bench, pplCfg)
+      .filter(col("is_canonical") && col("is_fuzzy_canonical") &&
+        !col("is_contaminated") && col("is_quality")).count()
+    assert(f.getAs[Long]("n_after_quality") == full)
+  }
+
   test("funnel n_sequences equals what packSequences actually produces on survivors") {
     val f = Curation.funnel(docs, bench, cfg).head()
     val survivors = Curation.curate(docs, bench, cfg)

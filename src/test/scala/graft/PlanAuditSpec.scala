@@ -46,6 +46,12 @@ class PlanAuditSpec extends SparkSpec {
       // ONE-ROW (total_toks, vocab) totals broadcast-cross-joined onto
       // the per-gram probe — the x12 weight-sum shape.
       "x15_lm_ppl",
+      // The ppl-gated funnel inherits x15's one-row totals cross.
+      "x10_ppl_funnel",
+      // The ONE-ROW max(vec_id)+1 offset cross that re-keys the planted
+      // query vectors — x2_semdedup's shape (the ivf planted/against
+      // variants share it but register checkpointed outputs).
+      "x2_ann_planted",
       // Same shape: the ONE-ROW (nt, nr) model totals cross the
       // per-(doc, bucket) probe.
       "x16_dsir_weights", "x16_dsir_select",
@@ -165,7 +171,11 @@ class PlanAuditSpec extends SparkSpec {
     "x1_bloom_dedup",
     // localCheckpoint the fitted DSIR bucket model (persisted-model
     // contract, as x15).
-    "x16_dsir_weights", "x16_dsir_select")
+    "x16_dsir_weights", "x16_dsir_select",
+    // x2_ivf_topk's eager index build (+ checkpointed rank-1 output /
+    // parquet save+load round trip for the against variants), and the
+    // ppl funnel localCheckpoints its trained LM counts like x15.
+    "x2_ivf_planted", "x2_ivf_against", "x2_ann_against", "x10_ppl_funnel")
 
   test("constructing a registered query runs zero Spark jobs") {
     // Building a DataFrame must be free: an eager action inside a query

@@ -95,6 +95,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("saved band index probes identically to fresh annTopK (saveBands → annTopKAgainst)") {
+    // The persisted-ANN nightly shape: bands + hyperplane params saved
+    // once, later shards probe the stored signatures. Exact equality
+    // with the in-memory path pins the parquet round trip AND that the
+    // probe side re-derives its bands from the SAVED params.
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter("vec_id < 5")
+    val fresh = Similarity.annTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val dir = java.nio.file.Files.createTempDirectory("lsh_save").toString
+    Similarity.saveBands(emb, dir)
+    val against = Similarity.annTopKAgainst(spark, dir, emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fresh.nonEmpty && against.toSeq == fresh.toSeq)
+  }
+
   test("nearDupPairs surfaces planted high-cosine pairs only") {
     val r1 = new scala.util.Random(11)
     val r3 = new scala.util.Random(99)

@@ -106,4 +106,27 @@ class SkewIvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(unpinned.toSeq == brute.toSeq)
   }
+
+  test("saved index probes identically to the fresh build (save → load → topKAgainst)") {
+    // The production ANN shape: the index is built once and persisted;
+    // later shards probe the LOADED index. Exact result equality with
+    // the in-memory model pins both the parquet round trip (centroid
+    // matrix bit-for-bit, inverted lists row-for-row) and the probe
+    // path's independence from how the model frame was produced.
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.build(emb, k = 4, iters = 2)
+    val queries = emb.filter("vec_id < 5")
+    val fresh = IvfIndex.topK(model, emb, queries, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_save").toString
+    IvfIndex.save(model, dir)
+    model.release()
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.length == 4 &&
+      loaded.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq,
+      "centroid matrix did not survive the parquet round trip")
+    val against = IvfIndex.topKAgainst(spark, dir, emb, queries, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(against.toSeq == fresh.toSeq)
+  }
 }
