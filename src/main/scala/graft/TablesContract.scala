@@ -38,6 +38,44 @@ object TablesContract {
   /** Encodings [[Tables.events]] knows how to normalize. */
   val acceptedEventsTs: Set[DataType] = Set(LongType, TimestampType, TimestampNTZType)
 
+  /** Row-count census of the driver testdata as of round 9 (BASELINE.md
+    * records the same table with file md5s). Round 7's regeneration kept
+    * counts but changed `documents` CONTENT — the simhash/span bench
+    * deltas were the only tell; this census makes count drift mechanical.
+    * Used by [[rowDrift]], which WARNS instead of throwing: a count change
+    * alone breaks no query (the DuckDB oracle replays the same files), so
+    * failing the whole Verify run over it would turn a benign regen into
+    * a zeroed round. The loud lane is TablesContractSpec's assertion. */
+  val expectedRows: Map[String, Map[String, Long]] = Map(
+    "sf0.001" -> Map("region" -> 5L, "nation" -> 25L, "customer" -> 150L,
+      "supplier" -> 10L, "part" -> 200L, "orders" -> 1500L,
+      "lineitem" -> 6000L, "events" -> 1000L, "documents" -> 500L,
+      "embeddings" -> 500L),
+    "sf0.01" -> Map("region" -> 5L, "nation" -> 25L, "customer" -> 1500L,
+      "supplier" -> 100L, "part" -> 2000L, "orders" -> 15000L,
+      "lineitem" -> 60000L, "events" -> 10000L, "documents" -> 500L,
+      "embeddings" -> 500L),
+    "sf0.1" -> Map("region" -> 5L, "nation" -> 25L, "customer" -> 15000L,
+      "supplier" -> 1000L, "part" -> 20000L, "orders" -> 150000L,
+      "lineitem" -> 600000L, "events" -> 100000L, "documents" -> 5000L,
+      "embeddings" -> 2000L))
+
+  /** Non-throwing row-count drift report: one line per table whose count
+    * differs from [[expectedRows]], empty when everything matches or the
+    * sf dir isn't in the census. Verify prints these to stderr so a
+    * regenerated corpus is visible in the round log. */
+  def rowDrift(spark: SparkSession, sfDir: String): Seq[String] = {
+    val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
+    expectedRows.get(sfName).toSeq.flatMap { expected =>
+      expected.toSeq.sorted.flatMap { case (table, want) =>
+        val got = Tables.load(spark, sfDir, table).count()
+        if (got == want) None
+        else Some(s"$table rows drifted: $want (r9 census) -> $got — testdata " +
+          "regenerated; update TablesContract.expectedRows + BASELINE.md census")
+      }
+    }
+  }
+
   /** Throws IllegalStateException on first contract violation; returns the
     * per-table column counts on success (useful as a smoke signal). */
   def check(spark: SparkSession, sfDir: String): Map[String, Int] =

@@ -23,6 +23,10 @@ object Verify {
     // Fail loudly (and name the table) if the driver regenerated testdata
     // with a drifted schema — better one clear error than N query errors.
     TablesContract.check(spark, sfDir)
+    // Row-count drift is a WARNING, not a failure: counts changing breaks
+    // no oracle compare, but the round log should show a regen happened.
+    TablesContract.rowDrift(spark, sfDir)
+      .foreach(w => System.err.println(s"[contract] WARN $w"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

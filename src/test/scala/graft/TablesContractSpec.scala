@@ -14,6 +14,34 @@ class TablesContractSpec extends SparkSpec {
     assert(counts.keySet == TablesContract.expectedColumns.keySet)
   }
 
+  test("row counts at every scale factor match the r9 census") {
+    // The LOUD lane for testdata regeneration (Verify itself only warns —
+    // count drift breaks no oracle compare). If this fails the driver
+    // regenerated the corpus: update TablesContract.expectedRows and the
+    // BASELINE.md census, and treat cross-round bench deltas on
+    // text-derived queries (simhash, span dedup) as corpus shift.
+    for (sf <- TablesContract.expectedRows.keys.toSeq.sorted) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(dir).isDirectory) {
+        val drift = TablesContract.rowDrift(spark, dir)
+        assert(drift.isEmpty, s"$sf: ${drift.mkString("; ")}")
+      }
+    }
+  }
+
+  test("rowDrift reports a drifted count with the table named") {
+    val tmp = java.nio.file.Files.createTempDirectory("rowdrift").toString +
+      "/sf0.001"
+    // A fake sf0.001 with the wrong region row count (and only region —
+    // rowDrift must report the first table it checks without needing
+    // the rest; alphabetically 'customer' comes first, so copy the rest).
+    for (t <- TablesContract.expectedRows("sf0.001").keys)
+      Tables.load(spark, sfDir, t).limit(if (t == "region") 3 else 100000)
+        .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    val drift = TablesContract.rowDrift(spark, tmp)
+    assert(drift.exists(_.startsWith("region rows drifted")), drift.mkString("; "))
+  }
+
   test("events loader normalizes ts to TimestampType regardless of encoding") {
     val ev = Tables.events(spark, sfDir)
     assert(ev.schema("ts").dataType == TimestampType)
