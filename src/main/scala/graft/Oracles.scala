@@ -713,6 +713,29 @@ object Oracles {
           |WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.utext = s.utext)
           |ORDER BY doc_id""".stripMargin),
 
+    // Streaming embedding near-dup drop: fully replayable (no planted
+    // twin needed) because identical vectors collide in every band
+    // under ANY hyperplane family and verify at cosine exactly 1.0,
+    // while the base corpus's pairwise maximum sits far below the 0.95
+    // gate — the engine's drop set IS the NOT-EXISTS cosine predicate.
+    "s6_stream_anndrop" ->
+      """WITH hist AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |shard AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 300
+        |  UNION ALL
+        |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 10)
+        |SELECT s.vec_id FROM shard s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM hist h
+        |  WHERE round(list_inner_product(s.v, h.v) /
+        |              sqrt(list_inner_product(s.v, s.v)
+        |                   * list_inner_product(h.v, h.v)), 4) >= 0.95)
+        |ORDER BY vec_id""".stripMargin,
+
     "x1_minhash_planted" ->
       (uniquifiedCte + plantedPairCte + "\n" +
         """SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,

@@ -1263,6 +1263,21 @@ object Queries {
           n = 4, maxHamming = 6)
         .select("doc_id").orderBy("doc_id")
     }),
+    "s6_stream_anndrop" -> ((s, d) => {
+      // Un-checkpointed band index, so the dump shows the signature
+      // banding feeding the per-band anti joins.
+      val emb = embeddings(s, d)
+      val history = emb.filter(col("vec_id") < 300)
+      val shard = emb.filter(col("vec_id") >= 300)
+        .unionByName(emb.filter(col("vec_id") < 10)
+          .withColumn("vec_id", col("vec_id") + 10000))
+      graft.stream.StreamingDedup.embedDropStreamAgainst(
+          shard,
+          graft.ext.Similarity.lshBands(history, "vec_id", "embedding",
+            dim = 64, numBits = 64, bands = 8, seed = 42L),
+          history, minSim = 0.95)
+        .select("vec_id").orderBy("vec_id")
+    }),
     "s3_planted_neardup" -> ((s, d) => {
       val u = uniquifiedDocs(s, d)
       val history = u.filter(col("doc_id") < 300)
@@ -1434,6 +1449,30 @@ object Queries {
     graft.stream.StreamingDedup.simhashDropStreamAgainst(
         shard, historySigs, n = 4, maxHamming = 6)
       .select("doc_id").orderBy("doc_id")
+  }
+
+  /** S6 — streaming EMBEDDING near-dup drop, batch replayed like S3/S4:
+    * vectors ≥ 300 plus re-keyed byte-identical copies of vectors 0-9
+    * against the frozen LSH band index of vectors < 300. FULLY
+    * oracle-checked (not planted-twin-only): identical vectors collide
+    * in every band under ANY hyperplane family and verify at cosine
+    * exactly 1.0, while the base corpus's pairwise maximum (~0.52) sits
+    * far below minSim = 0.95 — so the drop set is exactly the NOT-EXISTS
+    * cosine replay, independent of the hash family. Live-stream
+    * micro-batch parity pinned in StreamingDedupSpec. */
+  def s6StreamAnnDrop(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val history = emb.filter(col("vec_id") < 300)
+    val shard = emb.filter(col("vec_id") >= 300)
+      .unionByName(emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 10000))
+    val historyBands = graft.ext.Similarity
+      .lshBands(history, "vec_id", "embedding", dim = 64, numBits = 64,
+        bands = 8, seed = 42L)
+      .localCheckpoint(true) // the persisted-index contract (saveBands)
+    graft.stream.StreamingDedup.embedDropStreamAgainst(
+        shard, historyBands, history, minSim = 0.95)
+      .select("vec_id").orderBy("vec_id")
   }
 
   /** X15 — bigram-LM perplexity scoring (the CCNet gate): model trained

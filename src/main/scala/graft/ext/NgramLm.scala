@@ -78,6 +78,26 @@ object NgramLm {
       totals.localCheckpoint(true))
   }
 
+  /** Persist a trained model to parquet — the [[graft.ext.IvfIndex
+    * .save]] discipline for LM counts: the nightly pipeline trains on
+    * the trusted reference ONCE and every later scoring run loads the
+    * counts without re-tokenizing the reference corpus. */
+  def save(model: Model, dir: String): Unit = {
+    model.bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
+    model.unigrams.write.mode("overwrite").parquet(s"$dir/unigrams")
+    model.totals.coalesce(1).write.mode("overwrite").parquet(s"$dir/totals")
+  }
+
+  /** Load a saved model. The count frames stay distributed (backed by
+    * the saved parquet — nothing reaches the driver); scoring joins
+    * read them directly. Score parity with the freshly-trained model is
+    * pinned by NgramLmSpec. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model =
+    Model(
+      spark.read.parquet(s"$dir/bigrams"),
+      spark.read.parquet(s"$dir/unigrams"),
+      spark.read.parquet(s"$dir/totals"))
+
   /** Train bigram + unigram counts from a reference corpus. Documents
     * with fewer than 2 tokens contribute unigrams but no bigrams;
     * blank/null documents contribute nothing. */

@@ -179,6 +179,47 @@ object StreamingDedup {
     survivors.drop("__sh")
   }
 
+  /** The EMBEDDING analog of the per-band drop streams — streaming
+    * near-duplicate drop against a persisted LSH band index
+    * ([[graft.ext.Similarity.lshBands]] output / `saveBands` parquet):
+    * each arriving vector computes its band signature PER ROW (one
+    * native [[graft.functions.SignBandSignature]] node — no
+    * aggregation, no state), and the ∃-band match is the same fold of
+    * stream-static LEFT ANTI joins, one per band, each keyed on the
+    * pure-left `sig[b]` bucket (hash-joinable) and carrying the EXACT
+    * cosine verify (`round(cos, 4) ≥ minSim` — [[graft.ext.Similarity
+    * .nearDupPairs]]'s filter) as its non-equi condition, so a bucket
+    * collision alone never drops a vector. `historyVecs` supplies the
+    * candidate vectors for the verify — the saved corpus the index was
+    * built over; rows with null embeddings always survive (null
+    * signature, null cosine — the batch path gives them no pair
+    * either). The (dim, numBits, bands, seed) params MUST be the saved
+    * index's (the `saveBands` params row). */
+  def embedDropStreamAgainst(stream: DataFrame, historyBands: DataFrame,
+                             historyVecs: DataFrame, minSim: Double = 0.95,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             dim: Int = 64, numBits: Int = 64,
+                             bands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(numBits % bands == 0,
+      s"numBits ($numBits) must be divisible by bands ($bands)")
+    val planes = graft.ext.Similarity.hyperplanes(dim, numBits, seed)
+    val withSig = stream.withColumn("__sig",
+      graft.functions.VectorFunctions.signBands(col(vecCol), planes, bands))
+    val survivors = (0 until bands).foldLeft(withSig) { (acc, b) =>
+      val hb = historyBands.filter(col("band") === b)
+        .select(col("id").as("__hid"), col("bucket").as("__hbucket"))
+        .join(historyVecs.select(col(idCol).as("__hid"),
+          col(vecCol).as("__hvec")), "__hid")
+      acc.join(hb,
+        col("__sig").getItem(b) === col("__hbucket") &&
+          round(graft.ext.Similarity.cosine(col(vecCol), col("__hvec")), 4)
+            >= minSim,
+        "left_anti")
+    }
+    survivors.drop("__sig")
+  }
+
   /** Deterministic dedup summary of a (replayed) stream: input rows,
     * surviving unique rows, duplicates dropped. After the dedup each key
     * has multiplicity exactly 1, so the counts are order-independent even

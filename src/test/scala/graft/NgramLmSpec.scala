@@ -77,6 +77,24 @@ class NgramLmSpec extends SparkSpec {
     garbage.values.foreach(g => assert(g < realMean))
   }
 
+  test("saved model scores identically to the fresh one (save → load → scored)") {
+    // The persisted-LM nightly shape: counts trained once, saved to
+    // parquet, loaded back for scoring — every integer column must be
+    // bit-identical to the in-memory model's output.
+    val docs = Tables.documents(spark, sfDir)
+    val model = NgramLm.train(docs.filter(col("doc_id") < 300))
+    val probe = docs.filter(col("doc_id") >= 300)
+    def scores(m: NgramLm.Model) = NgramLm.scored(probe, m)
+      .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val fresh = scores(model)
+    val dir = java.nio.file.Files.createTempDirectory("lm_save").toString
+    NgramLm.save(model, dir)
+    val loaded = scores(NgramLm.load(spark, dir))
+    assert(fresh.nonEmpty && loaded == fresh)
+  }
+
   test("in-reference text lands every gram in the bigram table") {
     val docs = Tables.documents(spark, sfDir)
     val model = NgramLm.train(docs.filter(col("doc_id") < 300))

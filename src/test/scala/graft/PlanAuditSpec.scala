@@ -153,7 +153,7 @@ class PlanAuditSpec extends SparkSpec {
     // mirroring the persisted-parquet contract of the streaming path
     // (the per-band anti joins would otherwise recompute the signature
     // aggregate per band).
-    "s3_stream_neardup", "s4_stream_simhash",
+    "s3_stream_neardup", "s4_stream_simhash", "s6_stream_anndrop",
     // the planted-oracle variants share those eager shapes (checkpointed
     // history index / materialized pair signatures)
     "s3_planted_neardup", "s4_planted_simhash",

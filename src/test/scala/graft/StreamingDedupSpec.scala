@@ -284,6 +284,65 @@ class StreamingDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("live stream: embedding near-dups of the saved band index drop per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val history = emb.filter(col("vec_id") < 100)
+    val historyBands = graft.ext.Similarity.lshBands(
+      history, "vec_id", "embedding", dim = 64, numBits = 64,
+      bands = 8, seed = 42L)
+    // Planted copy of a history vector (cosine exactly 1.0 — drops under
+    // any hyperplane family) vs a non-history vector (base corpus max
+    // pairwise cosine far below 0.95 — survives).
+    val copyVec = emb.filter(col("vec_id") === 3L)
+      .select("embedding").head().getSeq[Float](0)
+    val novelVec = emb.filter(col("vec_id") === 400L)
+      .select("embedding").head().getSeq[Float](0)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val out = mutable.Buffer[Long]()
+    val query = StreamingDedup
+      .embedDropStreamAgainst(stream, historyBands, history, minSim = 0.95)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized { out ++= b.collect().map(_.getAs[Long]("vec_id")); () }
+      }
+      .option("checkpointLocation", Files.tmp("graft-sann-ckpt"))
+      .start()
+    try {
+      input.addData((9001L, copyVec), (9002L, novelVec))
+      query.processAllAvailable()
+      assert(out.toSet == Set(9002L), s"got ${out.toSet}")
+      // Second micro-batch: static index is horizon-free — a later copy
+      // still drops with no state.
+      input.addData((9003L, copyVec))
+      query.processAllAvailable()
+      assert(out.size == 1)
+    } finally query.stop()
+  }
+
+  test("streaming ann drop set equals the brute-force cosine predicate on batch replay") {
+    // The s6 oracle's premise, pinned engine-side: on this corpus the
+    // only >= 0.95 pairs are identical vectors, which collide in every
+    // band — so the LSH-gated drop equals the exhaustive NOT-EXISTS.
+    val emb = Tables.embeddings(spark, sfDir)
+    val survivors = Queries.s6StreamAnnDrop(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val history = emb.filter(col("vec_id") < 300)
+      .select(col("vec_id").as("hid"), col("embedding").as("hvec"))
+    val shard = emb.filter(col("vec_id") >= 300)
+      .unionByName(emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 10000))
+    val brute = shard.join(history,
+        round(graft.ext.Similarity.cosine(col("embedding"), col("hvec")), 4)
+          >= 0.95, "left_anti")
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(survivors == brute)
+    (10000L until 10010L).foreach(id =>
+      assert(!survivors.contains(id), s"plant $id must drop"))
+  }
+
   test("history-index dedup batch replay equals the batch incremental path") {
     val docs = Tables.documents(spark, sfDir)
     val history = docs.filter(col("doc_id") < 300)
