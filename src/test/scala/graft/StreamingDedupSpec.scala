@@ -127,11 +127,13 @@ class StreamingDedupSpec extends SparkSpec {
   }
 
   test("per-row minhash signature equals the aggregate batch form") {
-    // One definition would be ideal; two forms exist (aggregate = batch
-    // partial-agg scan, native expression = stateless streaming) — this
-    // pins that the hash composition never diverges.
+    // minhashSignatures now RIDES the per-row expression, so the
+    // independent side of this parity pin is the min-aggregate
+    // derivation (minhashSignaturesAgg) — two implementations sharing
+    // only the tokenizer; this pins that the hash composition never
+    // diverges.
     val docs = Tables.documents(spark, sfDir).limit(100)
-    val batch = Dedup.minhashSignatures(docs, n = 4)
+    val batch = Dedup.minhashSignaturesAgg(docs, n = 4)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val perRow = docs
       .withColumn("__toks", split(Dedup.normText(col("text")), "\\s+"))
