@@ -101,6 +101,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: as-of join matches a per-row argmax reference on random timelines") {
+    // Random left/right timelines over few keys (collisions guaranteed):
+    // the union+window formulation must equal the naive per-left-row
+    // "greatest right time at-or-before, same key" model, including
+    // no-match lefts (nulls) and simultaneous rows (>= convention).
+    val timelineGen = for {
+      nl <- Gen.choose(1, 20)
+      nr <- Gen.choose(0, 20)
+      lefts <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 40L)))
+      rights <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 40L)))
+    } yield (lefts, rights)
+    samples(timelineGen, 6).foreach { case (lefts, rights) =>
+      val l = df(lefts.zipWithIndex.map { case ((k, t), i) =>
+        Row(i.toLong, k, new java.sql.Timestamp(t * 1000L))
+      }, "event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+      val r0 = df(rights.zipWithIndex.map { case ((k, t), i) =>
+        Row(k, new java.sql.Timestamp(t * 1000L), 100L + i, (100 + i).toDouble)
+      }, "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE")
+      val r = graft.ext.AsofJoin.dedupRight(r0, "user_id", "ts", "event_id")
+      // Reference model over the SAME deduped right side.
+      val rRows = r.collect().map(x =>
+        (x.getLong(0), x.getTimestamp(1).getTime, x.getLong(2)))
+      val expected = lefts.zipWithIndex.map { case ((k, t), i) =>
+        val eligible = rRows.filter(x => x._1 == k && x._2 <= t * 1000L)
+        i.toLong -> (if (eligible.isEmpty) None
+                     else Some(eligible.maxBy(_._2)._3))
+      }.toMap
+      val out = graft.ext.AsofJoin
+        .asofJoin(l, r, "user_id", "ts", "ts", Seq("event_id", "value"))
+        .collect().map(x => x.getLong(0) ->
+          (if (x.isNullAt(3)) None else Some(x.getLong(3)))).toMap
+      assert(out == expected)
+    }
+  }
+
+  test("property: chunking tiles every random document with the exact overlap") {
+    val chunkGen = for {
+      n <- Gen.choose(1, 120)
+      chunk <- Gen.choose(2, 20)
+      overlap <- Gen.choose(0, chunk - 1)
+    } yield (n, chunk, overlap)
+    samples(chunkGen, 8).foreach { case (n, chunk, overlap) =>
+      val toks = (0 until n).map(i => s"w$i")
+      val data = df(Seq(Row(1L, toks.mkString(" "))), "doc_id BIGINT, text STRING")
+      val out = graft.ext.Chunking
+        .chunkTokens(data, chunkTokens = chunk, overlap = overlap)
+        .orderBy("chunk_idx")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      val stride = chunk - overlap
+      val expChunks = if (n <= chunk) 1 else (n - chunk - 1) / stride + 2
+      assert(out.length == expChunks, s"n=$n chunk=$chunk overlap=$overlap")
+      out.foreach { case (idx, size, md5hex) =>
+        val slice = toks.slice((idx * stride).toInt,
+          math.min((idx * stride).toInt + chunk, n))
+        assert(size == slice.length.toLong)
+        val exp = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(md5hex == exp, s"chunk $idx content drifted")
+      }
+      // Coverage: chunk starts tile [0, n) — the last chunk reaches n.
+      assert((out.last._1 * stride + out.last._2) == n.toLong)
+    }
+  }
+
   test("property: span dedup matches an independent reference model on random corpora") {
     // Random low-vocabulary corpora (heavy block collisions by design),
     // checked occurrence-for-occurrence against a sequential model of the
