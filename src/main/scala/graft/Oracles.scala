@@ -2354,6 +2354,38 @@ object Oracles {
           |       md5(coalesce(clean, '')) AS clean_md5
           |FROM c4 ORDER BY doc_id""".stripMargin),
 
+    "x19_line_dedup" ->
+      // The within-doc line-dedup rewrite replayed at the string level:
+      // first occurrence per exact line wins, order preserved
+      // (row_number over the line ordinal, string_agg back in ordinal
+      // order), counts from the -1-limit split (trailing empties
+      // survive on both engines), md5 over the rewritten bytes.
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         coalesce(text, '') || chr(10) || 'boiler' || chr(10)
+        |           || 'keep ' || CAST(doc_id AS VARCHAR) || chr(10)
+        |           || 'boiler' || chr(10) || 'boiler' AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+        |         generate_subscripts(string_split(t, chr(10)), 1) AS ord
+        |  FROM d),
+        |firsts AS (
+        |  SELECT doc_id, line, ord,
+        |         row_number() OVER (PARTITION BY doc_id, line ORDER BY ord) AS rn
+        |  FROM lines),
+        |deduped AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS out,
+        |         CAST(count(*) AS BIGINT) AS n_lines_out
+        |  FROM firsts WHERE rn = 1 GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_in
+        |        FROM lines GROUP BY doc_id)
+        |SELECT doc_id, n_lines_in, n_lines_out,
+        |       n_lines_in <> n_lines_out AS had_dup_lines,
+        |       md5(coalesce(out, '')) AS dedup_md5
+        |FROM d JOIN cnt USING (doc_id) JOIN deduped USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "x10_clean_funnel" ->
       // X19 composed into X10: the funnel replayed over the CLEANED
       // dirtied corpus — dedup norms, contamination shingles (corpus

@@ -945,6 +945,26 @@ object Queries {
         rates = Map("en" -> 0.4), seqLen = 512L, cleanFirst = true))
   }
 
+  /** X19b — within-document duplicate-line removal (C4 boilerplate
+    * strip): every document gains a deterministic repeated-boiler
+    * footer (three copies of one line around a doc-unique keeper), the
+    * engine's native [[graft.functions.DedupLines]] rewrite keeps first
+    * occurrences in order, and the oracle replays the whole rewrite at
+    * the string level (md5 of the deduped text — one wrong byte
+    * anywhere breaks the hash; first-occurrence ORDER is part of the
+    * contract, not just the surviving line set). */
+  def x19LineDedup(s: SparkSession, d: String): DataFrame = {
+    val planted = documents(s, d).withColumn("text",
+      concat(coalesce(col("text"), lit("")),
+        lit("\nboiler\nkeep "), col("doc_id").cast("string"),
+        lit("\nboiler\nboiler")))
+    graft.ext.TextClean.dedupLinesAudit(planted)
+      .select(col("doc_id"), col("n_lines_in"), col("n_lines_out"),
+        col("had_dup_lines"),
+        md5(col("line_deduped").cast("binary")).as("dedup_md5"))
+      .orderBy("doc_id")
+  }
+
   /** X23 — context-window chunking over the documents table: 32-token
     * windows advancing by 24 (8-token overlap — small windows so the
     * sf docs genuinely multi-chunk). The oracle re-derives chunk

@@ -52,4 +52,28 @@ object TextClean {
       .withColumn("clean_text", cleanText(col(textCol)))
       .withColumn("had_markup", !(col("clean_text") <=> col(textCol)))
       .withColumn("n_tok_clean", TextAnalysis.tokenCount(col("clean_text")))
+
+  /** Within-document duplicate-line removal (the C4 "dedup lines in a
+    * page" boilerplate strip) — keep the FIRST occurrence of each
+    * exact line, preserve order: the native codegen'd
+    * [[graft.functions.DedupLines]] expression (one traversal per row;
+    * an `aggregate` HOF accumulator would run interpreted and
+    * O(lines²)). Line identity is exact bytes — run [[cleanText]]
+    * first if markup/entity noise should not block a match. Map-only,
+    * zero shuffles; contrast [[graft.ext.SpanDedup]], which dedups
+    * spans ACROSS the corpus. */
+  def dedupLines(text: Column): Column =
+    graft.functions.TextFunctions.dedupLines(text)
+
+  /** Line-dedup audit columns: `line_deduped` (the rewritten text),
+    * `n_lines_in`/`n_lines_out` (trailing empties count — the `-1`
+    * split limit, matching SQL string_split), `had_dup_lines`. */
+  def dedupLinesAudit(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("line_deduped", dedupLines(col(textCol)))
+      .withColumn("n_lines_in",
+        size(split(col(textCol), "\n", -1)).cast("long"))
+      .withColumn("n_lines_out",
+        size(split(col("line_deduped"), "\n", -1)).cast("long"))
+      .withColumn("had_dup_lines", col("n_lines_in") =!= col("n_lines_out"))
 }

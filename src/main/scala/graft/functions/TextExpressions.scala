@@ -374,6 +374,59 @@ object NGramHashes {
   }
 }
 
+/** Within-document duplicate-line removal (the C4 "dedup lines in a
+  * page" boilerplate strip): keep the FIRST occurrence of each exact
+  * line, preserve order, rejoin with '\n' — ONE traversal per row over
+  * the line bytes (split on the byte, LinkedHashSet membership — no
+  * regex, no interpreted HOF accumulator, which would be O(lines²)
+  * `array_contains` per row). Line identity is the EXACT byte content
+  * (no trim/case-fold): normalization is X19's `cleanText`'s job and
+  * runs before this in the pipeline. Null in → null out; a text with
+  * no '\n' is returned unchanged. */
+case class DedupLines(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any =
+    DedupLines.compute(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DedupLines.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "dedup_lines"
+}
+
+object DedupLines {
+
+  private val Newline = UTF8String.fromString("\n")
+
+  def compute(text: UTF8String): UTF8String = {
+    // split with limit -1: trailing empty lines survive, matching the
+    // SQL string_split / regexp replay exactly.
+    val lines = text.split(Newline, -1)
+    val seen = new java.util.LinkedHashSet[UTF8String](lines.length * 2)
+    var i = 0
+    while (i < lines.length) { seen.add(lines(i)); i += 1 }
+    if (seen.size == lines.length) text // no dups — zero-copy passthrough
+    else {
+      val kept = new Array[UTF8String](seen.size)
+      seen.toArray(kept)
+      UTF8String.concatWs(Newline, kept: _*)
+    }
+  }
+}
+
 /** Column-API entry points for the text expressions. */
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -389,4 +442,7 @@ object TextFunctions {
 
   def simhashSig(toks: Column, n: Int): Column =
     column(SimHashSig(expression(toks), n))
+
+  def dedupLines(text: Column): Column =
+    column(DedupLines(expression(text)))
 }

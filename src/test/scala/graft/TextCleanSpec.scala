@@ -46,6 +46,30 @@ class TextCleanSpec extends SparkSpec {
     assert(r.getAs[Long]("n_tok_clean") == 0L)
   }
 
+  test("dedupLines keeps first occurrences in order; exact-byte identity") {
+    def run(s: String): org.apache.spark.sql.Row =
+      TextClean.dedupLinesAudit(
+        df(Seq(Row(1L, s)), "doc_id BIGINT, text STRING")).first()
+    val r = run("a\nb\na\nc\nb\na")
+    assert(r.getAs[String]("line_deduped") == "a\nb\nc")
+    assert(r.getAs[Long]("n_lines_in") == 6L &&
+      r.getAs[Long]("n_lines_out") == 3L &&
+      r.getAs[Boolean]("had_dup_lines"))
+    // No newline: unchanged, not flagged.
+    val one = run("just one line")
+    assert(one.getAs[String]("line_deduped") == "just one line" &&
+      !one.getAs[Boolean]("had_dup_lines"))
+    // Exact bytes: case/trim variants are DIFFERENT lines (cleanText's
+    // job runs before this one).
+    assert(run("a\nA\na ").getAs[String]("line_deduped") == "a\nA\na ")
+    // Trailing/interior empty lines dedup like any other line.
+    assert(run("a\n\nb\n\n").getAs[String]("line_deduped") == "a\n\nb")
+    // Null in, null out.
+    val n = TextClean.dedupLinesAudit(
+      df(Seq(Row(1L, null)), "doc_id BIGINT, text STRING")).first()
+    assert(n.getAs[String]("line_deduped") == null)
+  }
+
   test("registered x19 lanes: planted markup flags, clean lane may not") {
     val out = Queries.x19TextClean(spark, sfDir).collect()
     assert(out.length == Tables.documents(spark, sfDir).count())
