@@ -80,6 +80,37 @@ class MicroNatSlackSpec extends SparkSpec {
     assert(s >= MinSlack, f"x15 gram slack $s%.3e < $MinSlack%.0e")
   }
 
+  test("x10 ppl-funnel gram log-probs sit >=1e-6 from rounding boundaries") {
+    // The funnel scores EVERY document's (redacted) text against the
+    // docs<300 model — a strict superset of the x15 probe set (which
+    // scores only docs >= 300), so its oracle needs its own audit.
+    val model = NgramLm.train(docs.filter(col("doc_id") < 300))
+    val toks = graft.ext.Pii.redact(docs)
+      .select(col("doc_id"),
+        posexplode(split(Dedup.normText(coalesce(col("text"), lit(""))),
+          "\\s+")))
+      .toDF("doc_id", "ord", "tok")
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy("doc_id").orderBy("ord")
+    val probe = toks.withColumn("w2", lead(col("tok"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("tok").as("w1"), col("w2")).distinct()
+    val g = probe
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.unigrams.select(col("w").as("w1"), col("c1").as("c1w1")),
+        Seq("w1"), "left")
+      .join(model.unigrams.select(col("w").as("w2"), col("c1").as("c1w2")),
+        Seq("w2"), "left")
+      .crossJoin(model.totals)
+    val v = when(col("c2").isNotNull,
+        lit(1e6) * log(col("c2").cast("double") / col("c1w1")))
+      .otherwise(lit(1e6) * log(
+        (coalesce(col("c1w2"), lit(0L)) + lit(1)).cast("double")
+          / (col("total_toks") + col("vocab"))))
+    val s = minSlack(g.select(v.as("v")))
+    assert(s >= MinSlack, f"x10 ppl-funnel gram slack $s%.3e < $MinSlack%.0e")
+  }
+
   test("x15 ppl 3-dp display sits >=1e-6 from rounding boundaries") {
     val model = NgramLm.train(docs.filter(col("doc_id") < 300))
     val scored = NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
