@@ -2084,6 +2084,102 @@ object Oracles {
         |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
         |FROM f""".stripMargin),
 
+    "x10_dsir_funnel" ->
+      // The funnel with the X16 Gumbel top-100 replacing the hash
+      // sampler: DSIR weights + the deterministic Gumbel draw replayed
+      // from dsirWeightCtes (x16_dsir_select's exact CTEs), the
+      // contamination grams inlined under c-prefixed names (dsir's CTE
+      // set already owns `norm`), dedup key from the NON-coalesced
+      // norm (nulls group together like the engine's <=> join, apart
+      // from empty strings), quality = token band of the redacted
+      // text, sampling = membership in the top-100.
+      ("WITH " + dsirWeightCtes + ",\n" +
+        s"""sel AS (
+           |  SELECT doc_id,
+           |         dsir_logw_micro + CAST(round(-1000000 * ln(-ln(
+           |           (CAST(${hash64Sql("doc_id", 42L ^ graft.ext.Sampling.GumbelSalt)}
+           |              AS DOUBLE) + 0.5) / 9223372036854775808.0)))
+           |           AS BIGINT) AS dsir_key_micro
+           |  FROM w),
+           |top AS (
+           |  SELECT doc_id FROM sel ORDER BY dsir_key_micro DESC, doc_id LIMIT 100),
+           |""".stripMargin +
+        raw"""ctoks AS (
+          |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
+          |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
+          |  FROM norm),
+          |cgrams AS (
+          |  SELECT DISTINCT doc_id,
+          |         tok || ' ' || lead(tok, 1) OVER cw || ' ' || lead(tok, 2) OVER cw
+          |             || ' ' || lead(tok, 3) OVER cw AS gram
+          |  FROM ctoks WINDOW cw AS (PARTITION BY doc_id ORDER BY ord)
+          |  QUALIFY lead(tok, 3) OVER cw IS NOT NULL),
+          |bench AS (SELECT doc_id AS bench_id, gram FROM cgrams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM cgrams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8),
+          |knorm AS (
+          |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS kt
+          |  FROM documents),
+          |rdoc AS (
+          |  SELECT doc_id,
+          |         regexp_replace(regexp_replace(regexp_replace(text,
+          |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+          |  FROM documents),
+          |ann AS (
+          |  SELECT doc_id,
+          |         doc_id = min(doc_id) OVER (PARTITION BY k.kt) AS is_canonical,
+          |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+          |         CASE WHEN len(trim(r.rtext)) = 0 THEN 0
+          |              ELSE len(string_split_regex(trim(r.rtext), '\s+')) END AS n_tok,
+          |         doc_id IN (SELECT doc_id FROM top) AS in_sel
+          |  FROM rdoc r JOIN knorm k USING (doc_id)
+          |), f AS (
+          |  SELECT count(*) AS n_raw,
+          |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
+          |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_history,
+          |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_fuzzy,
+          |         count(CASE WHEN is_canonical AND NOT is_contaminated THEN 1 END)
+          |           AS n_after_decontam,
+          |         count(CASE WHEN is_canonical AND NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 THEN 1 END)
+          |           AS n_after_quality,
+          |         count(CASE WHEN is_canonical AND NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 AND in_sel THEN 1 END)
+          |           AS n_after_sample,
+          |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_history,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_fuzzy,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90
+          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
+          |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+          |                         AND n_tok BETWEEN 25 AND 90 AND in_sel
+          |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
+          |  FROM ann)
+          |SELECT n_raw, n_raw AS n_after_url,
+          |       n_after_dedup, n_after_history, n_after_fuzzy,
+          |       n_after_decontam, n_after_quality, n_after_sample,
+          |       tokens_raw, tokens_raw AS tokens_after_url,
+          |       tokens_after_dedup, tokens_after_history,
+          |       tokens_after_fuzzy, tokens_after_decontam,
+          |       tokens_after_quality, n_tokens,
+          |       CASE WHEN n_tokens = 0 THEN 0
+          |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
+          |FROM f""".stripMargin),
+
     "x10_ppl_funnel" ->
       // The ppl-gated funnel (CCNet recipe) replayed end-to-end: the x10
       // stages (no fuzzy pairs, no URL/history — those legs are no-ops

@@ -132,7 +132,8 @@ object Curation {
   def annotate(docs0: DataFrame, benchmark: DataFrame,
                cfg: Config = Config(),
                fuzzyPairs: Option[DataFrame] = None,
-               historyFp: Option[DataFrame] = None): DataFrame = {
+               historyFp: Option[DataFrame] = None,
+               selection: Option[DataFrame] = None): DataFrame = {
     // X19 first (see Config.cleanFirst): one map-only rewrite, then
     // every stage below operates on the cleaned text unchanged.
     val docs = if (cfg.cleanFirst)
@@ -268,10 +269,26 @@ object Curation {
           .drop("lm_grams", "lm_hits", "lm_logp_micro", "lm_ppl")
       case None => withQuality
     }
-    withPpl
-      .withColumn("is_sampled",
-        Sampling.bucket(col(cfg.keyCol), cfg.seed) <
-          Sampling.keepThreshold(cfg.strataCol, cfg.rates, cfg.defaultRate))
+    // Sampling stage: by default the keyed-hash stratified sampler;
+    // with `selection`, an EXTERNAL selector's key set replaces it —
+    // the plug point for weight-proportional resampling (X16 DSIR
+    // Gumbel top-k), active-learning picks, or human labels.
+    // `rates`/`defaultRate` are ignored in that mode. The selection
+    // frame is bounded by the selector's k, so the flag join
+    // broadcasts; membership is a flag column like every other stage
+    // (annotate-don't-filter holds).
+    selection match {
+      case Some(sel) =>
+        val s = sel.select(col(cfg.keyCol)).distinct()
+          .withColumn("__sel", lit(true))
+        withPpl.join(s, Seq(cfg.keyCol), "left")
+          .withColumn("is_sampled", coalesce(col("__sel"), lit(false)))
+          .drop("__sel")
+      case None =>
+        withPpl.withColumn("is_sampled",
+          Sampling.bucket(col(cfg.keyCol), cfg.seed) <
+            Sampling.keepThreshold(cfg.strataCol, cfg.rates, cfg.defaultRate))
+    }
   }
 
   private def survives(cfg: Config): Column = {
@@ -289,8 +306,9 @@ object Curation {
   def curate(docs: DataFrame, benchmark: DataFrame,
              cfg: Config = Config(),
              fuzzyPairs: Option[DataFrame] = None,
-             historyFp: Option[DataFrame] = None): DataFrame =
-    annotate(docs, benchmark, cfg, fuzzyPairs, historyFp)
+             historyFp: Option[DataFrame] = None,
+             selection: Option[DataFrame] = None): DataFrame =
+    annotate(docs, benchmark, cfg, fuzzyPairs, historyFp, selection)
       .filter(survives(cfg))
       .drop("is_url_ok", "is_url_canonical",
         "is_canonical", "is_unseen", "is_fuzzy_canonical",
@@ -315,7 +333,8 @@ object Curation {
              cfg: Config = Config(),
              fuzzyPairs: Option[DataFrame] = None,
              historyFp: Option[DataFrame] = None,
-             groupBy: Option[String] = None): DataFrame = {
+             groupBy: Option[String] = None,
+             selection: Option[DataFrame] = None): DataFrame = {
     // URL stage first (no-op without cfg.urlCol: `n_after_url = n_raw`):
     // domain blocklist and url-canonical dedup gate everything text-keyed.
     val url = col("is_url_ok") && col("is_url_canonical")
@@ -332,7 +351,8 @@ object Curation {
     val samp = qual && col("is_sampled")
     def toks(stage: Column, name: String) =
       coalesce(sum(when(stage, col("n_tok"))), lit(0L)).as(name)
-    val annotated = annotate(docs, benchmark, cfg, fuzzyPairs, historyFp)
+    val annotated =
+      annotate(docs, benchmark, cfg, fuzzyPairs, historyFp, selection)
     // Optional audit dimension (source/lang): the SAME single aggregate
     // with one more grouping key — which source's budget each stage ate,
     // at zero extra scans. All stage FLAGS stay corpus-global (a dedup

@@ -92,6 +92,36 @@ class CurationSpec extends SparkSpec {
     assert(f.getAs[Long]("n_after_quality") == full)
   }
 
+  test("external selection replaces the hash sampler; membership is the flag") {
+    // A hand-picked key set (every 3rd doc) stands in for any selector
+    // (DSIR top-k, labels): is_sampled must equal membership exactly,
+    // and the funnel's sample stage must equal the independent
+    // composition of the prior stages with the membership filter.
+    val sel = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+    val ann = Curation.annotate(docs, bench, cfg, selection = Some(sel))
+      .select("doc_id", "is_sampled")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    ann.foreach { case (id, s) => assert(s == (id % 3 == 0), s"doc $id") }
+    val f = Curation.funnel(docs, bench, cfg, selection = Some(sel)).head()
+    val expected = Curation.annotate(docs, bench, cfg, selection = Some(sel))
+      .filter(col("is_canonical") && !col("is_contaminated") &&
+        col("is_quality") && col("is_sampled")).count()
+    assert(f.getAs[Long]("n_after_sample") == expected)
+    // The registered DSIR funnel: its selection is exactly the X16 draw.
+    val fd = Queries.x10DsirFunnel(spark, sfDir).head()
+    val (_, scored) = graft.ext.Dsir.fitScored(
+      docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 300))
+    val top = graft.ext.Dsir.resampleFrom(scored, k = 100, seed = 42L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cfg2 = Curation.Config(minTokens = 25L, maxTokens = 90L, seqLen = 512L)
+    val expDsir = Curation.annotate(docs, bench, cfg2)
+      .filter(col("is_canonical") && !col("is_contaminated") &&
+        col("is_quality"))
+      .select("doc_id").collect().map(_.getLong(0)).count(top)
+    assert(fd.getAs[Long]("n_after_sample") == expDsir.toLong)
+    assert(fd.getAs[Long]("n_after_sample") <= 100L)
+  }
+
   test("funnel n_sequences equals what packSequences actually produces on survivors") {
     val f = Curation.funnel(docs, bench, cfg).head()
     val survivors = Curation.curate(docs, bench, cfg)

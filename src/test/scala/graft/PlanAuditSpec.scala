@@ -46,8 +46,9 @@ class PlanAuditSpec extends SparkSpec {
       // ONE-ROW (total_toks, vocab) totals broadcast-cross-joined onto
       // the per-gram probe — the x12 weight-sum shape.
       "x15_lm_ppl",
-      // The ppl-gated funnel inherits x15's one-row totals cross.
-      "x10_ppl_funnel",
+      // The ppl-gated funnel inherits x15's one-row totals cross; the
+      // dsir-selected funnel inherits x16's.
+      "x10_ppl_funnel", "x10_dsir_funnel",
       // The ONE-ROW max(vec_id)+1 offset cross that re-keys the planted
       // query vectors — x2_semdedup's shape (the ivf planted/against
       // variants share it but register checkpointed outputs).
@@ -175,7 +176,9 @@ class PlanAuditSpec extends SparkSpec {
     // x2_ivf_topk's eager index build (+ checkpointed rank-1 output /
     // parquet save+load round trip for the against variants), and the
     // ppl funnel localCheckpoints its trained LM counts like x15.
-    "x2_ivf_planted", "x2_ivf_against", "x2_ann_against", "x10_ppl_funnel")
+    "x2_ivf_planted", "x2_ivf_against", "x2_ann_against", "x10_ppl_funnel",
+    // fits + checkpoints the DSIR bucket model feeding its selection
+    "x10_dsir_funnel")
 
   test("constructing a registered query runs zero Spark jobs") {
     // Building a DataFrame must be free: an eager action inside a query
