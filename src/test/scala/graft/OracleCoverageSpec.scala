@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The correctness gate's coverage contract, pinned.
+  *
+  * Every registered query either carries a DuckDB oracle (the driver
+  * hash-compares it) or appears in the DECLARED rows-only allowlist —
+  * the randomized LSH/ANN families whose outputs are hash-family- or
+  * seed-specific, each of which has an oracle-checked planted twin.
+  * A new query added without an oracle would otherwise silently
+  * downgrade to the driver's weak rows>0 check; this spec makes that
+  * a loud, reviewed decision instead. */
+class OracleCoverageSpec extends AnyFunSuite {
+
+  /** Rows-only by design — randomized-family outputs. Twins in
+    * parentheses are the oracle-checked planted/deterministic lanes. */
+  private val declaredRowsOnly = Set(
+    "x1_minhash_pairs",   // (x1_minhash_planted)
+    "x1_simhash_pairs",   // (x1_simhash_planted)
+    "x2_ann_topk",        // (x2_ann_planted, x2_ann_against)
+    "x2_ivf_topk",        // (x2_ivf_planted, x2_ivf_against)
+    "s3_stream_neardup",  // (s3_planted_neardup)
+    "s4_stream_simhash")  // (s4_planted_simhash)
+
+  test("every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL for unregistered: $orphans")
+  }
+
+  test("every registered query is oracle-checked or declared rows-only") {
+    val uncovered = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- declaredRowsOnly
+    assert(uncovered.isEmpty,
+      s"queries without an oracle NOR a rows-only declaration: $uncovered — " +
+        "add Oracles.sql entries (or, for a randomized family, add them " +
+        "here WITH an oracle-checked planted twin)")
+  }
+
+  test("the rows-only allowlist is not stale") {
+    val stale = declaredRowsOnly.filter(SparkEntry.oracleSql.contains)
+    assert(stale.isEmpty, s"declared rows-only but has an oracle: $stale")
+    val gone = declaredRowsOnly -- SparkEntry.queries.keySet
+    assert(gone.isEmpty, s"declared rows-only but not registered: $gone")
+    // Each rows-only family's planted twin must exist and be
+    // oracle-checked — the r8/r9 discipline that made the randomized
+    // lanes verifiable.
+    val twins = Map(
+      "x1_minhash_pairs" -> "x1_minhash_planted",
+      "x1_simhash_pairs" -> "x1_simhash_planted",
+      "x2_ann_topk" -> "x2_ann_planted",
+      "x2_ivf_topk" -> "x2_ivf_planted",
+      "s3_stream_neardup" -> "s3_planted_neardup",
+      "s4_stream_simhash" -> "s4_planted_simhash")
+    declaredRowsOnly.foreach { q =>
+      val t = twins(q)
+      assert(SparkEntry.queries.contains(t) && SparkEntry.oracleSql.contains(t),
+        s"$q lacks an oracle-checked planted twin ($t)")
+    }
+  }
+}
