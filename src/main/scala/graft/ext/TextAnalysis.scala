@@ -311,22 +311,16 @@ object TextAnalysis {
       .withColumn("n_chars", coalesce(length(t), lit(0)).cast("long"))
       .withColumn("n_symbols", nSymbols)
       .withColumn("stop_hits", stopHits)
-      // One native census per gram size: [n_grams, distinct, top-chars,
-      // dup-chars]. Sizes 2-4 feed the top-share rules, 5-10 the
-      // dup-share rules — 9 single-traversal censuses per row, still one
-      // map-only pass over the corpus.
-      .withColumn("__g2", graft.functions.TextFunctions.ngramStats(toks, 2))
-      .withColumn("__g3", graft.functions.TextFunctions.ngramStats(toks, 3))
-      .withColumn("__g4", graft.functions.TextFunctions.ngramStats(toks, 4))
-      .withColumn("__g5", graft.functions.TextFunctions.ngramStats(toks, 5))
-      .withColumn("__g6", graft.functions.TextFunctions.ngramStats(toks, 6))
-      .withColumn("__g7", graft.functions.TextFunctions.ngramStats(toks, 7))
-      .withColumn("__g8", graft.functions.TextFunctions.ngramStats(toks, 8))
-      .withColumn("__g9", graft.functions.TextFunctions.ngramStats(toks, 9))
-      .withColumn("__g10", graft.functions.TextFunctions.ngramStats(toks, 10))
-      .withColumn("n_bigrams", element_at(col("__g2"), 1))
-      .withColumn("dup_bigrams",
-        element_at(col("__g2"), 1) - element_at(col("__g2"), 2))
+      // ONE fused native census for every gram size 2..10 (sizes 2-4
+      // feed the top-share rules, 5-10 the dup-share rules): a single
+      // traversal builds the space-joined doc bytes once and reads each
+      // size's [n_grams, distinct, top-chars, dup-chars] quadruple out
+      // of the flat array — VERDICT r9 top-next (the nine separate
+      // per-size censuses were the #1 bench cost). Index arithmetic is
+      // localized in gIdx; still one map-only pass over the corpus.
+      .withColumn("__gm", graft.functions.TextFunctions.ngramStatsMulti(toks, 2, 10))
+      .withColumn("n_bigrams", gIdx(2, 1))
+      .withColumn("dup_bigrams", gIdx(2, 1) - gIdx(2, 2))
       // Lines: non-empty elements of the '\n' split. Paragraphs: blank-
       // line-separated blocks ('\n{2,}' split) that are non-blank after
       // trim. Null text yields empty arrays via the coalesce below.
@@ -354,15 +348,15 @@ object TextAnalysis {
       .withColumn("dup_para_chars",
         aggregate(col("__paras"), lit(0L), (acc, x) => acc + length(x)) -
           aggregate(col("__dparas"), lit(0L), (acc, x) => acc + length(x)))
-      .withColumn("top_2gram_chars", element_at(col("__g2"), 3))
-      .withColumn("top_3gram_chars", element_at(col("__g3"), 3))
-      .withColumn("top_4gram_chars", element_at(col("__g4"), 3))
-      .withColumn("dup_5gram_chars", element_at(col("__g5"), 4))
-      .withColumn("dup_6gram_chars", element_at(col("__g6"), 4))
-      .withColumn("dup_7gram_chars", element_at(col("__g7"), 4))
-      .withColumn("dup_8gram_chars", element_at(col("__g8"), 4))
-      .withColumn("dup_9gram_chars", element_at(col("__g9"), 4))
-      .withColumn("dup_10gram_chars", element_at(col("__g10"), 4))
+      .withColumn("top_2gram_chars", gIdx(2, 3))
+      .withColumn("top_3gram_chars", gIdx(3, 3))
+      .withColumn("top_4gram_chars", gIdx(4, 3))
+      .withColumn("dup_5gram_chars", gIdx(5, 4))
+      .withColumn("dup_6gram_chars", gIdx(6, 4))
+      .withColumn("dup_7gram_chars", gIdx(7, 4))
+      .withColumn("dup_8gram_chars", gIdx(8, 4))
+      .withColumn("dup_9gram_chars", gIdx(9, 4))
+      .withColumn("dup_10gram_chars", gIdx(10, 4))
       .withColumn("too_short", col("n_tokens") < minTokens)
       .withColumn("too_long", col("n_tokens") > maxTokens)
       .withColumn("bad_tok_len",
@@ -414,10 +408,14 @@ object TextAnalysis {
           !col("dup_5gram_heavy") && !col("dup_6gram_heavy") &&
           !col("dup_7gram_heavy") && !col("dup_8gram_heavy") &&
           !col("dup_9gram_heavy") && !col("dup_10gram_heavy"))
-      .drop("__toks", "__g2", "__g3", "__g4", "__g5", "__g6", "__g7",
-        "__g8", "__g9", "__g10", "__lines", "__paras",
-        "__dlines", "__dparas")
+      .drop("__toks", "__gm", "__lines", "__paras", "__dlines", "__dparas")
   }
+
+  /** 1-based `element_at` index into the fused `__gm` census for gram
+    * size `n` (2..10), `field` 1..4 = [n_grams, distinct, top-gram
+    * chars, dup-gram char mass] — the NGramStatsMulti flat layout. */
+  private def gIdx(n: Int, field: Int): Column =
+    element_at(col("__gm"), 4 * (n - 2) + field)
 
   /** Per-language rule census over [[gopherFlags]] — the registered,
     * oracle-checked view: one partial-agg groupBy over the map-only
