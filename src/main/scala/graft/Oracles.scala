@@ -1365,6 +1365,15 @@ object Oracles {
           |       round(CAST(dsir_logw_micro AS DOUBLE) / 1000000, 3) AS dsir_logw
           |FROM w ORDER BY doc_id""".stripMargin),
 
+    // The persisted-model probe scores IDENTICALLY to the fresh fit
+    // (integer micro-nat weights; save→load parity pinned by DsirSpec),
+    // so the loaded-model query replays the SAME weight derivation.
+    "x16_dsir_against" ->
+      ("WITH " + dsirWeightCtes + "\n" +
+        """SELECT doc_id, dsir_grams, dsir_logw_micro,
+          |       round(CAST(dsir_logw_micro AS DOUBLE) / 1000000, 3) AS dsir_logw
+          |FROM w ORDER BY doc_id""".stripMargin),
+
     "x16_dsir_select" ->
       // The Gumbel draw replayed: hash64 → (h + 0.5)/2⁶³ uniform →
       // round(1e6·(−ln(−ln u))) integer perturbation → top-100 by the

@@ -189,6 +189,31 @@ class DsirSpec extends SparkSpec {
     assert(marginal == direct)
   }
 
+  test("save -> load -> weighted is bit-parity with the fresh fit") {
+    val docs = Tables.documents(spark, sfDir)
+    val target = docs.filter(col("doc_id") < 100)
+    val raw = docs.filter(col("doc_id") >= 100)
+    val fresh = Dsir.fit(target, raw)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    Dsir.save(fresh, dir)
+    val loaded = Dsir.load(spark, dir)
+    assert(loaded.buckets == fresh.buckets)
+    def scores(m: Dsir.Model) = Dsir.weighted(raw, m)
+      .select("doc_id", "dsir_grams", "dsir_logw_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(scores(loaded) == scores(fresh))
+    // The saved layout is read BY NAME: a reordered re-save must still
+    // load correctly (ADVICE r9 — positional reads misread silently).
+    val spark2 = spark
+    val reordered = spark2.read.parquet(s"$dir/bucket_counts")
+      .select("cr", "ct", "bucket")
+    reordered.write.mode("overwrite").parquet(s"$dir/bucket_counts_r")
+    val bc = spark2.read.parquet(s"$dir/bucket_counts_r")
+      .select("bucket", "ct", "cr")
+    val viaReordered = Dsir.Model(bc, loaded.totals, loaded.buckets)
+    assert(scores(viaReordered) == scores(fresh))
+  }
+
   test("zero-gram documents weigh 0 and remain selectable by the draw") {
     val m = Dsir.fit(docsDf(1L -> "alpha beta"), docsDf(2L -> "gamma delta"),
       buckets = 50)

@@ -54,8 +54,10 @@ class PlanAuditSpec extends SparkSpec {
       // variants share it but register checkpointed outputs).
       "x2_ann_planted",
       // Same shape: the ONE-ROW (nt, nr) model totals cross the
-      // per-(doc, bucket) probe.
-      "x16_dsir_weights", "x16_dsir_select",
+      // per-(doc, bucket) probe (the against variant reads the totals
+      // row from the SAVED parquet instead of the fresh fit — same
+      // one-row cross).
+      "x16_dsir_weights", "x16_dsir_select", "x16_dsir_against",
       // The weeks × observed-(type,bin) smoothing grid: a deliberate
       // cross of two frames derived from the checkpointed census —
       // both |weeks| / |types|·|bins| sized at ANY corpus size.
@@ -171,8 +173,10 @@ class PlanAuditSpec extends SparkSpec {
     // probe literal needs the bytes); production ships saved bytes.
     "x1_bloom_dedup",
     // localCheckpoint the fitted DSIR bucket model (persisted-model
-    // contract, as x15).
-    "x16_dsir_weights", "x16_dsir_select",
+    // contract, as x15); the against variant fits + SAVES the model on
+    // first construction (per-JVM persisted-index dir) and reads the
+    // params row back at load.
+    "x16_dsir_weights", "x16_dsir_select", "x16_dsir_against",
     // x2_ivf_topk's eager index build (+ checkpointed rank-1 output /
     // parquet save+load round trip for the against variants), and the
     // ppl funnel localCheckpoints its trained LM counts like x15.
