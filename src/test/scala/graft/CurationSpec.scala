@@ -324,6 +324,85 @@ class CurationSpec extends SparkSpec {
     assert(raw(2L).getAs[Boolean]("is_canonical"))
   }
 
+  test("dedupLinesFirst composes the standalone line strip before cleaning") {
+    // Boiler footer repeated three times; line dedup keeps one copy
+    // BEFORE cleaning collapses newlines, so the annotated n_tok sees
+    // exactly one extra 'boiler' token — the manual standalone
+    // composition (dedupLines then cleanText) must agree bit-for-bit
+    // with the funnel's rewrite.
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = df(Seq(
+      Row(1L, "en", s"<p>$body</p>\nboiler\nboiler\nboiler"),
+      Row(2L, "en", s"$body\nboiler\nboiler\nboiler"),
+      Row(3L, "en", null)),
+      "doc_id BIGINT, lang STRING, text STRING")
+    val bench = df(Seq.empty[Row], "bench_id BIGINT, text STRING")
+    val cfg = Curation.Config(minTokens = 1L,
+      cleanFirst = true, dedupLinesFirst = true)
+    val ann = Curation.annotate(d, bench, cfg)
+      .select("doc_id", "text", "n_tok", "is_canonical").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // Manual composition over the same rows (line dedup FIRST).
+    val manual = d
+      .withColumn("text", graft.ext.TextClean.cleanText(
+        graft.ext.TextClean.dedupLines(col("text"))))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 2L).foreach { id =>
+      assert(ann(id).getString(1) == manual(id),
+        s"funnel rewrite of doc $id diverges from the standalone composition")
+      assert(ann(id).getLong(2) == 31L) // body + ONE surviving boiler
+    }
+    // The two docs normalize to the SAME text after both rewrites, so
+    // they form one dedup family (min id 1 wins); null text stays in
+    // the audit.
+    assert(ann(1L).getAs[Boolean]("is_canonical"))
+    assert(!ann(2L).getAs[Boolean]("is_canonical"))
+    assert(ann.contains(3L))
+  }
+
+  test("write: partitioned layout round-trips row-for-row in training order") {
+    val curated = Curation.curate(docs, bench,
+      Curation.Config(minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L))
+    val dir = java.nio.file.Files.createTempDirectory("curated_out").toString
+    Curation.write(curated, dir)
+    val back = spark.read.parquet(dir)
+    // Row-level parity: every surviving row came back byte-identical
+    // (text md5 + n_tok + key), and split/shuffle_key replay the
+    // documented derivations.
+    val expect = curated
+      .withColumn("split", Sampling.assignSplit(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .withColumn("shuffle_key",
+        Sampling.hash64(col("doc_id"), 42L ^ Sampling.OrderSalt))
+      .select(col("doc_id"), md5(col("text")).as("h"), col("n_tok"),
+        col("split"), col("shuffle_key"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val got = back
+      .select(col("doc_id"), md5(col("text")).as("h"), col("n_tok"),
+        col("split"), col("shuffle_key"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, r) =>
+      assert(r.toSeq == expect(id).toSeq, s"doc $id drifted in the round trip")
+    }
+    // Deterministic layout: ONE file per (split, source) directory,
+    // rows inside each file sorted by (shuffle_key, doc_id).
+    val files = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .flatMap(s => s.listFiles.filter(_.isDirectory))
+      .map(p => p -> p.listFiles.filter(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty)
+    files.foreach { case (p, fs) =>
+      assert(fs.length == 1, s"$p holds ${fs.length} files, expected 1")
+      val rows = spark.read.parquet(fs.head.toString)
+        .select("shuffle_key", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.sortBy(identity).sameElements(rows),
+        s"rows in $p are not in training order")
+    }
+  }
+
   test("soft funnel ≡ hard funnel over exactDedup survivors in weighted mass") {
     // The SoftDedup composition, end to end: up to (not incl.) sampling,
     // every stage flag is text-derived, so all members of a duplicate

@@ -182,7 +182,10 @@ class PlanAuditSpec extends SparkSpec {
     // ppl funnel localCheckpoints its trained LM counts like x15.
     "x2_ivf_planted", "x2_ivf_against", "x2_ann_against", "x10_ppl_funnel",
     // fits + checkpoints the DSIR bucket model feeding its selection
-    "x10_dsir_funnel")
+    "x10_dsir_funnel",
+    // the writer IS the operator: curate -> partitioned parquet write
+    // at construction, the registered plan is the read-back census
+    "x10_write_verify")
 
   test("constructing a registered query runs zero Spark jobs") {
     // Building a DataFrame must be free: an eager action inside a query
