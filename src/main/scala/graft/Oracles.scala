@@ -1491,6 +1491,84 @@ object Oracles {
         |LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "x15_lm_ppl3" ->
+      // The trigram stupid-backoff replay: same counts-from-docs<300 /
+      // probe-from-docs>=300 shape as x15_lm_ppl one order up, with the
+      // TWO-level backoff CASE — trigram hit over its (w1,w2) context
+      // count, else BackoffMicro + bigram(w2,w3) over c(w2), else
+      // 2·BackoffMicro + the Laplace unigram of w3. Each level adds the
+      // pre-rounded integer constant; exactly one ln is rounded per arm.
+      s"""WITH norm AS (
+        |  SELECT doc_id,
+        |         lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |rtoks AS (
+        |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
+        |         generate_subscripts(string_split(t, ' '), 1) AS ord
+        |  FROM norm WHERE doc_id < 300 AND t <> ''),
+        |uni AS (SELECT tok AS w, count(*) AS c1 FROM rtoks GROUP BY 1),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM (
+        |    SELECT tok AS w1,
+        |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        |    FROM rtoks) WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |tri AS (
+        |  SELECT w1, w2, w3, count(*) AS c3 FROM (
+        |    SELECT tok AS w1,
+        |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2,
+        |           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS w3
+        |    FROM rtoks) WHERE w3 IS NOT NULL GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS total_toks,
+        |               count(*) AS vocab FROM uni),
+        |ptoks AS (
+        |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
+        |         generate_subscripts(string_split(t, ' '), 1) AS ord
+        |  FROM norm WHERE doc_id >= 300 AND t <> ''),
+        |probe AS (
+        |  SELECT doc_id, w1, w2, w3, count(*) AS m FROM (
+        |    SELECT doc_id, tok AS w1,
+        |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2,
+        |           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS w3
+        |    FROM ptoks) WHERE w3 IS NOT NULL GROUP BY 1, 2, 3, 4),
+        |g AS (
+        |  SELECT p.doc_id, p.m, t3.c3,
+        |         CASE WHEN t3.c3 IS NOT NULL THEN
+        |           CAST(round(1000000 * ln(CAST(t3.c3 AS DOUBLE) / bc.c2)) AS BIGINT)
+        |         WHEN bb.c2 IS NOT NULL THEN
+        |           ${graft.ext.NgramLm.BackoffMicro} + CAST(round(1000000 * ln(
+        |             CAST(bb.c2 AS DOUBLE) / u2.c1)) AS BIGINT)
+        |         ELSE ${2L * graft.ext.NgramLm.BackoffMicro} + CAST(round(1000000 * ln(
+        |           CAST(coalesce(u3.c1, 0) + 1 AS DOUBLE)
+        |             / (t.total_toks + t.vocab))) AS BIGINT)
+        |         END AS micro
+        |  FROM probe p
+        |  LEFT JOIN tri t3 ON p.w1 = t3.w1 AND p.w2 = t3.w2 AND p.w3 = t3.w3
+        |  LEFT JOIN big bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
+        |  LEFT JOIN big bb ON p.w2 = bb.w1 AND p.w3 = bb.w2
+        |  LEFT JOIN uni u2 ON p.w2 = u2.w
+        |  LEFT JOIN uni u3 ON p.w3 = u3.w
+        |  CROSS JOIN tot t),
+        |per AS (
+        |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS lm_grams,
+        |         CAST(sum(CASE WHEN c3 IS NOT NULL THEN m ELSE 0 END) AS BIGINT)
+        |           AS lm_hits,
+        |         CAST(sum(m * micro) AS BIGINT) AS lm_logp_micro
+        |  FROM g GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(lm_grams, 0) AS lm_grams,
+        |       coalesce(lm_hits, 0) AS lm_hits,
+        |       coalesce(lm_logp_micro, 0) AS lm_logp_micro,
+        |       CASE WHEN coalesce(lm_grams, 0) > 0
+        |            THEN round(exp(-CAST(lm_logp_micro AS DOUBLE) / 1000000
+        |                           / lm_grams), 3) END AS lm_ppl,
+        |       CASE WHEN coalesce(lm_grams, 0) = 0 THEN 'empty'
+        |            WHEN lm_logp_micro >= ${graft.ext.NgramLm.HeadMicro} * lm_grams THEN 'head'
+        |            WHEN lm_logp_micro >= ${graft.ext.NgramLm.TailMicro} * lm_grams THEN 'middle'
+        |            ELSE 'tail' END AS lm_band
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 300) d
+        |LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "x4_zscore_flags" ->
       """WITH stats AS (
         |  SELECT event_type,

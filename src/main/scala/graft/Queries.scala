@@ -1476,6 +1476,16 @@ object Queries {
           "lm_ppl", "lm_band")
         .orderBy("doc_id")
     }),
+    "x15_lm_ppl3" -> ((s, d) => {
+      // Un-materialized order-3 model (the x15 planOnly discipline).
+      val docs = documents(s, d)
+      val model = graft.ext.NgramLm.train(docs.filter(col("doc_id") < 300),
+        order = 3)
+      graft.ext.NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
+        .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro",
+          "lm_ppl", "lm_band")
+        .orderBy("doc_id")
+    }),
     "x16_dsir_weights" -> ((s, d) => {
       // Un-materialized probe/model: the dump shows the target census
       // and the probe's bucket marginal feeding the joins instead of
@@ -1599,6 +1609,23 @@ object Queries {
     val docs = documents(s, d)
     val model = graft.ext.NgramLm.train(docs.filter(col("doc_id") < 300))
       .materialize()
+    graft.ext.NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
+      .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro",
+        "lm_ppl", "lm_band")
+      .orderBy("doc_id")
+  }
+
+  /** X15b — TRIGRAM stupid-backoff perplexity (the CCNet-grade
+    * higher-order gate): same reference split, `order = 3`, so scoring
+    * runs the two-level backoff CASE — trigram hit, else 0.4·bigram,
+    * else 0.4²·Laplace unigram. The oracle replays the trigram census
+    * and both backoff levels with the same pre-rounded integer
+    * constants ([[graft.ext.NgramLm.BackoffMicro]] per level, added —
+    * never ln 0.16 rounded as a product). */
+  def x15LmPpl3(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val model = graft.ext.NgramLm
+      .train(docs.filter(col("doc_id") < 300), order = 3).materialize()
     graft.ext.NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
       .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro",
         "lm_ppl", "lm_band")

@@ -60,11 +60,15 @@ object NgramLm {
 
   /** A trained model: pure count frames, each persistable as parquet
     * and re-loadable — the incremental-dedup history-index discipline
-    * ([[Dedup.fingerprints]]) applied to LM counts. */
+    * ([[Dedup.fingerprints]]) applied to LM counts. `trigrams` present
+    * iff the model was trained at order 3 (the CCNet-style filter's
+    * real LM is higher-order; [[scored]] dispatches on it, so a
+    * pipeline swaps orders by retraining — no call-site change). */
   final case class Model(
       bigrams: DataFrame,  // (w1, w2, c2: Long) — one row per seen bigram
       unigrams: DataFrame, // (w, c1: Long) — one row per seen word
-      totals: DataFrame) { // ONE row: (total_toks: Long, vocab: Long)
+      totals: DataFrame,   // ONE row: (total_toks: Long, vocab: Long)
+      trigrams: Option[DataFrame] = None) { // (w1, w2, w3, c3: Long)
 
     /** Pin the count frames ([[org.apache.spark.sql.Dataset.localCheckpoint]]) —
       * the persisted-index contract of the streaming dedup paths
@@ -75,7 +79,8 @@ object NgramLm {
     def materialize(): Model = Model(
       bigrams.localCheckpoint(true),
       unigrams.localCheckpoint(true),
-      totals.localCheckpoint(true))
+      totals.localCheckpoint(true),
+      trigrams.map(_.localCheckpoint(true)))
   }
 
   /** Persist a trained model to parquet — the [[graft.ext.IvfIndex
@@ -86,22 +91,34 @@ object NgramLm {
     model.bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
     model.unigrams.write.mode("overwrite").parquet(s"$dir/unigrams")
     model.totals.coalesce(1).write.mode("overwrite").parquet(s"$dir/totals")
+    model.trigrams.foreach(
+      _.write.mode("overwrite").parquet(s"$dir/trigrams"))
   }
 
   /** Load a saved model. The count frames stay distributed (backed by
     * the saved parquet — nothing reaches the driver); scoring joins
-    * read them directly. Score parity with the freshly-trained model is
-    * pinned by NgramLmSpec. */
+    * read them directly. A `trigrams/` directory marks an order-3
+    * model — the save layout carries the order, so load cannot
+    * silently downgrade a trigram model to bigram scoring. Score
+    * parity with the freshly-trained model is pinned by NgramLmSpec. */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model =
     Model(
       spark.read.parquet(s"$dir/bigrams"),
       spark.read.parquet(s"$dir/unigrams"),
-      spark.read.parquet(s"$dir/totals"))
+      spark.read.parquet(s"$dir/totals"),
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$dir/trigrams")))
+        Some(spark.read.parquet(s"$dir/trigrams"))
+      else None)
 
-  /** Train bigram + unigram counts from a reference corpus. Documents
-    * with fewer than 2 tokens contribute unigrams but no bigrams;
-    * blank/null documents contribute nothing. */
-  def train(ref: DataFrame, textCol: String = "text"): Model = {
+  /** Train n-gram counts from a reference corpus at `order` 2 (the
+    * default bigram model) or 3 (adds the trigram census — one more
+    * partial-agg counting pass, same map-side-combine shape).
+    * Documents with fewer than n tokens contribute the lower-order
+    * counts only; blank/null documents contribute nothing. */
+  def train(ref: DataFrame, textCol: String = "text",
+            order: Int = 2): Model = {
+    require(order == 2 || order == 3, s"order ($order) must be 2 or 3")
     val toked = ref
       .select(split(Dedup.normText(col(textCol)), "\\s+").as("__toks"))
       .filter(size(col("__toks")) > 0 && col("__toks")(0) =!= "")
@@ -115,7 +132,13 @@ object NgramLm {
     val totals = unigrams.agg(
       sum(col("c1")).as("total_toks"),
       count(lit(1)).as("vocab"))
-    Model(bigrams, unigrams, totals)
+    val trigrams =
+      if (order < 3) None
+      else Some(toked
+        .select(explode(trigramStructs(col("__toks"))).as("g"))
+        .select(col("g.w1"), col("g.w2"), col("g.w3"))
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
+    Model(bigrams, unigrams, totals, trigrams)
   }
 
   /** Adjacent-pair structs of a MATERIALIZED token array — kept as a
@@ -131,6 +154,16 @@ object NgramLm {
         slice(toks, lit(1), size(toks) - 1).as("w1"),
         slice(toks, lit(2), size(toks) - 1).as("w2")))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** Adjacent-triple structs — [[bigramStructs]]' shifted-slice zip at
+    * width 3 (same codegen rationale). */
+  private[ext] def trigramStructs(toks: org.apache.spark.sql.Column) =
+    when(size(toks) >= 3,
+      arrays_zip(
+        slice(toks, lit(1), size(toks) - 2).as("w1"),
+        slice(toks, lit(2), size(toks) - 2).as("w2"),
+        slice(toks, lit(3), size(toks) - 2).as("w3")))
+      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
 
   /** Score documents against a trained model. Appends (all
     * `lm_`-prefixed — the [[QualityScore.scored]] collision rule):
@@ -149,6 +182,8 @@ object NgramLm {
              tailMicro: Long = TailMicro): DataFrame = {
     require(headMicro >= tailMicro,
       s"headMicro ($headMicro) must be >= tailMicro ($tailMicro)")
+    if (model.trigrams.isDefined)
+      return scored3(docs, model, textCol, keyCol, headMicro, tailMicro)
     // Per-(doc, gram) multiplicity first: the skew cap — one probe row
     // per distinct gram per document, however often it repeats.
     val probe = docs
@@ -180,6 +215,72 @@ object NgramLm {
         sum(when(col("c2").isNotNull, col("m")).otherwise(lit(0L)))
           .as("lm_hits"),
         sum(col("m") * gramMicro).as("lm_logp_micro"))
+    assemble(docs, perDoc, keyCol, headMicro, tailMicro)
+  }
+
+  /** Trigram stupid backoff — the [[scored]] shape one order up
+    * (CCNet's published filter is a higher-order KenLM; same counting
+    * / backoff / micro-nat discipline, VERDICT r9 next #5):
+    *
+    *   p(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)            if c3 > 0
+    *                 = 0.4 · c(w2 w3) / c(w2)            elif c(w2 w3) > 0
+    *                 = 0.4² · (c(w3) + 1) / (total + V)  otherwise
+    *
+    * TWO-level backoff: each CASE arm is [[BackoffMicro]] per level
+    * ADDED as an integer plus ONE rounded log — the 0.4² arm is
+    * `2·BackoffMicro`, the documented two-integer-constants split
+    * (NOT round(1e6·ln 0.16), which would round the product instead
+    * of the factors — the oracle replays the same association).
+    * Denominators in the hit arms are non-null by construction: a
+    * seen trigram implies its (w1,w2) bigram was counted, a seen
+    * backoff bigram implies w2 was. The probe pre-aggregates per
+    * (doc, w1, w2, w3) — the same hot-gram skew cap — and the model
+    * joins add ONE extra equi-join versus the bigram path. */
+  private def scored3(docs: DataFrame, model: Model, textCol: String,
+                      keyCol: String, headMicro: Long,
+                      tailMicro: Long): DataFrame = {
+    val probe = docs
+      .select(col(keyCol).as("__k"),
+        explode(trigramStructs(split(Dedup.normText(col(textCol)), "\\s+")))
+          .as("g"))
+      .select(col("__k"), col("g.w1"), col("g.w2"), col("g.w3"))
+      .groupBy("__k", "w1", "w2", "w3").agg(count(lit(1)).as("m"))
+    val joined = probe
+      .join(model.trigrams.get, Seq("w1", "w2", "w3"), "left")
+      .join(model.bigrams.select(col("w1"), col("w2"), col("c2").as("cb_ctx")),
+        Seq("w1", "w2"), "left")
+      .join(model.bigrams.select(col("w1").as("w2"), col("w2").as("w3"),
+          col("c2").as("cb_back")),
+        Seq("w2", "w3"), "left")
+      .join(model.unigrams.select(col("w").as("w2"), col("c1").as("cu2")),
+        Seq("w2"), "left")
+      .join(model.unigrams.select(col("w").as("w3"), col("c1").as("cu3")),
+        Seq("w3"), "left")
+      .join(broadcast(model.totals))
+    val gramMicro = when(col("c3").isNotNull,
+        round(lit(1e6) * log(col("c3").cast("double") / col("cb_ctx")))
+          .cast("long"))
+      .when(col("cb_back").isNotNull, lit(BackoffMicro) +
+        round(lit(1e6) * log(col("cb_back").cast("double") / col("cu2")))
+          .cast("long"))
+      .otherwise(lit(2L * BackoffMicro) +
+        round(lit(1e6) * log(
+          (coalesce(col("cu3"), lit(0L)) + lit(1L)).cast("double") /
+            (col("total_toks") + col("vocab")))).cast("long"))
+    val perDoc = joined
+      .groupBy(col("__k"))
+      .agg(sum(col("m")).as("lm_grams"),
+        sum(when(col("c3").isNotNull, col("m")).otherwise(lit(0L)))
+          .as("lm_hits"),
+        sum(col("m") * gramMicro).as("lm_logp_micro"))
+    assemble(docs, perDoc, keyCol, headMicro, tailMicro)
+  }
+
+  /** The shared per-document reassembly: left-join the probe aggregate
+    * back (zero-gram docs coalesce to 0/empty), derive display `lm_ppl`
+    * FROM the integer sum, band by integer cross-multiply. */
+  private def assemble(docs: DataFrame, perDoc: DataFrame, keyCol: String,
+                       headMicro: Long, tailMicro: Long): DataFrame =
     docs
       .join(perDoc.withColumnRenamed("__k", keyCol), Seq(keyCol), "left")
       .withColumn("lm_grams", coalesce(col("lm_grams"), lit(0L)))
@@ -196,5 +297,4 @@ object NgramLm {
           .when(col("lm_logp_micro") >= lit(tailMicro) * col("lm_grams"),
             lit("middle"))
           .otherwise(lit("tail")))
-  }
 }

@@ -92,6 +92,25 @@ class CurationSpec extends SparkSpec {
     assert(f.getAs[Long]("n_after_quality") == full)
   }
 
+  test("ppl gate accepts an order-3 model (trigram scored dispatch, no call-site change)") {
+    val m3 = graft.ext.NgramLm.train(docs.filter(col("doc_id") < 300),
+      order = 3)
+    val ann = Curation.annotate(docs, bench,
+        cfg.copy(pplModel = Some(m3), pplBands = Seq("head")))
+      .select("doc_id", "n_tok", "is_quality", "lm_band")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getString(3))).toMap
+    val standalone = graft.ext.NgramLm.scored(Pii.redact(docs), m3)
+      .select("doc_id", "lm_band")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ann.nonEmpty && ann.keySet == standalone.keySet)
+    ann.foreach { case (id, (nTok, isQ, band)) =>
+      assert(band == standalone(id),
+        s"doc $id: funnel band $band != trigram scorer ${standalone(id)}")
+      assert(isQ == ((25L <= nTok && nTok <= 90L) && band == "head"), s"doc $id")
+    }
+  }
+
   test("external selection replaces the hash sampler; membership is the flag") {
     // A hand-picked key set (every 3rd doc) stands in for any selector
     // (DSIR top-k, labels): is_sampled must equal membership exactly,

@@ -44,6 +44,62 @@ class NgramLmSpec extends SparkSpec {
     assert(out(14L) == ((1L, 0L, -916291L - 1386294L, "head")))
   }
 
+  private def refModel3 = NgramLm.train(df(Seq(
+      Row(1L, "a b a b c")),
+    "doc_id BIGINT, text STRING"), order = 3)
+
+  test("trigram counts: census of the adjacent triples") {
+    val tri = refModel3.trigrams.get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(tri == Map(("a", "b", "a") -> 1L, ("b", "a", "b") -> 1L,
+      ("a", "b", "c") -> 1L))
+    // The lower-order tables are the SAME censuses as the bigram model.
+    assert(refModel3.unigrams.collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("trigram micro-nats: hit, one-level backoff, two-level backoff") {
+    val docs = df(Seq(
+        Row(10L, "a b a"),   // c3(a,b,a)=1 / c2(a,b)=2 -> round(1e6 ln .5)
+        Row(11L, "b a b c"), // (b,a,b): ln(1/1)=0; (a,b,c): ln(1/2)
+        Row(12L, "z a b"),   // unseen tri, bigram (a,b)=2 / c(a)... c(w2=a)=2
+        Row(13L, "z q c"),   // both unseen: 2·Backoff + ln((1+1)/(5+3))
+        Row(14L, "a b"),     // 2 tokens: no trigrams
+        Row(15L, null)),
+      "doc_id BIGINT, text STRING")
+    val out = NgramLm.scored(docs, refModel3)
+      .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro", "lm_band")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(10L) == ((1L, 1L, -693147L, "head")))
+    assert(out(11L) == ((2L, 2L, -693147L, "head")))
+    // -916291 + round(1e6·ln(c2(a,b)/c1(a))) = -916291 + ln(2/2) = -916291
+    assert(out(12L) == ((1L, 0L, -916291L, "head")))
+    // 2·(-916291) + round(1e6·ln((1+1)/(5+3))) = -1832582 - 1386294
+    assert(out(13L) == ((1L, 0L, -3218876L, "head")))
+    assert(out(14L) == ((0L, 0L, 0L, "empty")))
+    assert(out(15L) == ((0L, 0L, 0L, "empty")))
+  }
+
+  test("order-3 save -> load -> scored is bit-parity; order survives the layout") {
+    val docs = Tables.documents(spark, sfDir)
+    val m3 = NgramLm.train(docs.filter(col("doc_id") < 100), order = 3)
+    val dir = java.nio.file.Files.createTempDirectory("lm3_model").toString
+    NgramLm.save(m3, dir)
+    val loaded = NgramLm.load(spark, dir)
+    assert(loaded.trigrams.isDefined, "trigrams/ dir must mark an order-3 model")
+    def scores(m: NgramLm.Model) =
+      NgramLm.scored(docs.filter(col("doc_id") >= 100), m)
+        .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(scores(loaded) == scores(m3))
+    // A bigram save must load back WITHOUT trigrams (no silent upgrade).
+    val dir2 = java.nio.file.Files.createTempDirectory("lm2_model").toString
+    NgramLm.save(NgramLm.train(docs.filter(col("doc_id") < 100)), dir2)
+    assert(NgramLm.load(spark, dir2).trigrams.isEmpty)
+  }
+
   test("ppl derives from the integer sum; bands order by thresholds") {
     val docs = df(Seq(Row(10L, "a b c")), "doc_id BIGINT, text STRING")
     val r = NgramLm.scored(docs, refModel,
