@@ -101,9 +101,13 @@ object IvfIndex {
 
   /** Load a saved index. Only the k×dim centroid matrix reaches the
     * driver (the same bounded fetch as [[build]]); the inverted lists
-    * stay a distributed frame backed by the saved parquet. */
+    * stay a distributed frame backed by the saved parquet. Columns are
+    * selected BY NAME (ADVICE r9: a positional read would silently
+    * misread a reordered or widened save layout — a rename/drop must
+    * fail loudly at load time). */
   def load(spark: SparkSession, dir: String): Model = {
     val cRows = spark.read.parquet(s"$dir/centroids")
+      .select("cluster", "pos", "v")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     require(cRows.nonEmpty, s"empty centroid index at $dir/centroids")
     val k = cRows.map(_._1).max + 1

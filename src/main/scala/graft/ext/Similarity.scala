@@ -198,7 +198,10 @@ object Similarity {
                      history: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      maxBucketSize: Option[Int] = None): DataFrame = {
-    val p = spark.read.parquet(s"$dir/params").head()
+    // Params read BY NAME (ADVICE r9): a reordered or widened params
+    // row must fail loudly at probe time, not band under garbage.
+    val p = spark.read.parquet(s"$dir/params")
+      .select("dim", "num_bits", "bands", "seed").head()
     val (dim, numBits, bands, seed) =
       (p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3))
     val cB = Dedup.capLshBuckets(spark.read.parquet(s"$dir/bands"),

@@ -86,4 +86,60 @@ class StreamingSessionizeSpec extends SparkSpec {
         s"expected session numbering to resume after a timeout emit: $s3")
     } finally query.stop()
   }
+
+  test("sub-second boundary event stays in-session (timeout horizon regression)") {
+    // ADVICE r9: the timeout horizon is (floorSec(last) + gap + 1) s —
+    // the gap rule compares FLOOR-SECOND deltas, so an event anywhere
+    // in second floorSec(last)+gap is still in-session and the open
+    // session may only time out once the watermark clears the END of
+    // that second. The pre-fix horizon (last_ms + gap_ms) fires up to
+    // a second early: with last = 100.0 s and gap = 60, a watermark at
+    // 160.5 s would close the session before the 160.9 s event arrives
+    // and split it. This pins the fixed behavior against the batch
+    // fold (floor(160.9) - floor(100.0) = 60 <= 60 -> same session).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = (m: Long) => new Timestamp(m)
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val stream = input.toDF().toDF("event_id", "ts", "user_id", "value")
+    val out = mutable.Buffer[Row]()
+    val query = StreamingSessionize
+      .sessionStream(stream, gapSeconds = 60L, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized { out ++= b.collect(); () }
+      }
+      .option("checkpointLocation", Files.tmp("graft-sess-ckpt-subsec"))
+      .start()
+    try {
+      input.addData((1L, ms(100000L), 7L, 1.0)) // last = 100.0 s
+      query.processAllAvailable()
+      // Watermark to 160.5 s — INSIDE the boundary second. The session
+      // must NOT time out (horizon is 161.0 s).
+      input.addData((2L, ms(160500L), 8L, 0.5))
+      query.processAllAvailable()
+      assert(out.synchronized(out.toList).forall(_.getLong(0) != 7L),
+        "session of user 7 timed out inside the boundary second")
+      // The boundary event: floor(160.9) - floor(100.0) = 60 <= gap.
+      input.addData((3L, ms(160900L), 7L, 2.0))
+      query.processAllAvailable()
+      // Close everything via far-future watermark pushes.
+      input.addData((4L, ms(999000000L), 8L, 0.5))
+      query.processAllAvailable()
+      input.addData((5L, ms(999001000L), 8L, 0.5))
+      query.processAllAvailable()
+      val u7 = out.synchronized(out.toList).filter(_.getLong(0) == 7L)
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(u7 == List((1L, 2L)),
+        s"expected ONE 2-event session for user 7, got $u7")
+      // And the batch fold agrees on the same data.
+      val batch = StreamingSessionize.sessionSummaries(
+        Seq((1L, ms(100000L), 7L, 1.0), (3L, ms(160900L), 7L, 2.0))
+          .toDF("event_id", "ts", "user_id", "value"), 60L)
+        .filter(col("user_id") === 7L)
+        .select("session_idx", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList
+      assert(batch == List((1L, 2L)))
+    } finally query.stop()
+  }
 }
