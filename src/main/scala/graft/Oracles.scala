@@ -426,6 +426,75 @@ object Oracles {
     * MicroNatSlackSpec measures that slack over the verify corpus and
     * pins it at ≥1e-6 (~250 ulps), so the hash compare is robust to
     * any faithfully-rounding libm pair. */
+  /** The bigram stupid-backoff replay — ONE definition bound to BOTH
+    * x15_lm_ppl (fresh train) and x15_lm_against (saved-model probe):
+    * counts from docs < 300, each gram's log-prob rounded ONCE to
+    * integer micro-nats (round(1e6·ln p); backoff ln 0.4 pre-rounded
+    * and ADDED as an integer — the split the Scala side documents), so
+    * the per-doc sum and the cross-multiplied band cut are exact
+    * integer arithmetic. The backoff and band-cut integers interpolate
+    * from NgramLm (one definition — they cannot drift from the
+    * engine). lm_ppl re-derives from the integer sum at 3 dp. */
+  private val lmPplSql: String =
+    s"""WITH norm AS (
+      |  SELECT doc_id,
+      |         lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS t
+      |  FROM documents),
+      |rtoks AS (
+      |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
+      |         generate_subscripts(string_split(t, ' '), 1) AS ord
+      |  FROM norm WHERE doc_id < 300 AND t <> ''),
+      |uni AS (SELECT tok AS w, count(*) AS c1 FROM rtoks GROUP BY 1),
+      |big AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM (
+      |    SELECT tok AS w1,
+      |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      |    FROM rtoks) WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS total_toks,
+      |               count(*) AS vocab FROM uni),
+      |ptoks AS (
+      |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
+      |         generate_subscripts(string_split(t, ' '), 1) AS ord
+      |  FROM norm WHERE doc_id >= 300 AND t <> ''),
+      |probe AS (
+      |  SELECT doc_id, w1, w2, count(*) AS m FROM (
+      |    SELECT doc_id, tok AS w1,
+      |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      |    FROM ptoks) WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT p.doc_id, p.m, b.c2,
+      |         CASE WHEN b.c2 IS NOT NULL THEN
+      |           CAST(round(1000000 * ln(CAST(b.c2 AS DOUBLE) / u1.c1)) AS BIGINT)
+      |         ELSE ${graft.ext.NgramLm.BackoffMicro} + CAST(round(1000000 * ln(
+      |           CAST(coalesce(u2.c1, 0) + 1 AS DOUBLE)
+      |             / (t.total_toks + t.vocab))) AS BIGINT)
+      |         END AS micro
+      |  FROM probe p
+      |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+      |  LEFT JOIN uni u1 ON p.w1 = u1.w
+      |  LEFT JOIN uni u2 ON p.w2 = u2.w
+      |  CROSS JOIN tot t),
+      |per AS (
+      |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS lm_grams,
+      |         CAST(sum(CASE WHEN c2 IS NOT NULL THEN m ELSE 0 END) AS BIGINT)
+      |           AS lm_hits,
+      |         CAST(sum(m * micro) AS BIGINT) AS lm_logp_micro
+      |  FROM g GROUP BY 1)
+      |SELECT d.doc_id,
+      |       coalesce(lm_grams, 0) AS lm_grams,
+      |       coalesce(lm_hits, 0) AS lm_hits,
+      |       coalesce(lm_logp_micro, 0) AS lm_logp_micro,
+      |       CASE WHEN coalesce(lm_grams, 0) > 0
+      |            THEN round(exp(-CAST(lm_logp_micro AS DOUBLE) / 1000000
+      |                           / lm_grams), 3) END AS lm_ppl,
+      |       CASE WHEN coalesce(lm_grams, 0) = 0 THEN 'empty'
+      |            WHEN lm_logp_micro >= ${graft.ext.NgramLm.HeadMicro} * lm_grams THEN 'head'
+      |            WHEN lm_logp_micro >= ${graft.ext.NgramLm.TailMicro} * lm_grams THEN 'middle'
+      |            ELSE 'tail' END AS lm_band
+      |FROM (SELECT doc_id FROM documents WHERE doc_id >= 300) d
+      |LEFT JOIN per USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   private val dsirWeightCtes: String = {
     val lam = graft.ext.Dsir.DefaultLambda
     val nb = graft.ext.Dsir.DefaultBuckets
@@ -1423,73 +1492,12 @@ object Oracles {
            |SELECT doc_id, dsir_logw_micro, dsir_key_micro
            |FROM top ORDER BY doc_id""".stripMargin),
 
-    "x15_lm_ppl" ->
-      // Stupid-backoff bigram LM replayed: counts from docs < 300, each
-      // gram's log-prob rounded ONCE to integer micro-nats
-      // (round(1e6·ln p); backoff ln 0.4 pre-rounded and ADDED as an
-      // integer — the split the Scala side documents), so the per-doc
-      // sum and the cross-multiplied band cut are exact integer
-      // arithmetic. The backoff and band-cut integers interpolate from
-      // NgramLm (one definition — they cannot drift from the engine).
-      // lm_ppl re-derives from the integer sum and rounds at 3 dp.
-      s"""WITH norm AS (
-        |  SELECT doc_id,
-        |         lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS t
-        |  FROM documents),
-        |rtoks AS (
-        |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
-        |         generate_subscripts(string_split(t, ' '), 1) AS ord
-        |  FROM norm WHERE doc_id < 300 AND t <> ''),
-        |uni AS (SELECT tok AS w, count(*) AS c1 FROM rtoks GROUP BY 1),
-        |big AS (
-        |  SELECT w1, w2, count(*) AS c2 FROM (
-        |    SELECT tok AS w1,
-        |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
-        |    FROM rtoks) WHERE w2 IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS total_toks,
-        |               count(*) AS vocab FROM uni),
-        |ptoks AS (
-        |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
-        |         generate_subscripts(string_split(t, ' '), 1) AS ord
-        |  FROM norm WHERE doc_id >= 300 AND t <> ''),
-        |probe AS (
-        |  SELECT doc_id, w1, w2, count(*) AS m FROM (
-        |    SELECT doc_id, tok AS w1,
-        |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
-        |    FROM ptoks) WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
-        |g AS (
-        |  SELECT p.doc_id, p.m, b.c2,
-        |         CASE WHEN b.c2 IS NOT NULL THEN
-        |           CAST(round(1000000 * ln(CAST(b.c2 AS DOUBLE) / u1.c1)) AS BIGINT)
-        |         ELSE ${graft.ext.NgramLm.BackoffMicro} + CAST(round(1000000 * ln(
-        |           CAST(coalesce(u2.c1, 0) + 1 AS DOUBLE)
-        |             / (t.total_toks + t.vocab))) AS BIGINT)
-        |         END AS micro
-        |  FROM probe p
-        |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
-        |  LEFT JOIN uni u1 ON p.w1 = u1.w
-        |  LEFT JOIN uni u2 ON p.w2 = u2.w
-        |  CROSS JOIN tot t),
-        |per AS (
-        |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS lm_grams,
-        |         CAST(sum(CASE WHEN c2 IS NOT NULL THEN m ELSE 0 END) AS BIGINT)
-        |           AS lm_hits,
-        |         CAST(sum(m * micro) AS BIGINT) AS lm_logp_micro
-        |  FROM g GROUP BY 1)
-        |SELECT d.doc_id,
-        |       coalesce(lm_grams, 0) AS lm_grams,
-        |       coalesce(lm_hits, 0) AS lm_hits,
-        |       coalesce(lm_logp_micro, 0) AS lm_logp_micro,
-        |       CASE WHEN coalesce(lm_grams, 0) > 0
-        |            THEN round(exp(-CAST(lm_logp_micro AS DOUBLE) / 1000000
-        |                           / lm_grams), 3) END AS lm_ppl,
-        |       CASE WHEN coalesce(lm_grams, 0) = 0 THEN 'empty'
-        |            WHEN lm_logp_micro >= ${graft.ext.NgramLm.HeadMicro} * lm_grams THEN 'head'
-        |            WHEN lm_logp_micro >= ${graft.ext.NgramLm.TailMicro} * lm_grams THEN 'middle'
-        |            ELSE 'tail' END AS lm_band
-        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 300) d
-        |LEFT JOIN per USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "x15_lm_ppl" -> lmPplSql,
+
+    // The persisted-model probe scores IDENTICALLY to the fresh train
+    // (integer micro-nats; save→load parity pinned by NgramLmSpec), so
+    // the loaded-model query replays the SAME bigram derivation.
+    "x15_lm_against" -> lmPplSql,
 
     "x15_lm_ppl3" ->
       // The trigram stupid-backoff replay: same counts-from-docs<300 /

@@ -1615,6 +1615,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X15-against — the persisted-LM probe ([[graft.ext.NgramLm.save]]
+    * → load → scored): the bigram model is trained and SAVED once per
+    * JVM (the [[dsirModelDir]] discipline), then every run scores the
+    * corpus against the LOADED counts — no reference-corpus
+    * re-tokenization at query time. Scoring is integer micro-nat
+    * arithmetic, so the loaded-model scores hash-match the SAME
+    * oracle SQL as [[x15LmPpl]]; save→load→scored bit-parity is also
+    * pinned by NgramLmSpec. */
+  def x15LmPplAgainst(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = persistedIndexDir("lm_model", d) { dir =>
+      graft.ext.NgramLm.save(
+        graft.ext.NgramLm.train(docs.filter(col("doc_id") < 300)), dir)
+    }
+    val model = graft.ext.NgramLm.load(s, dir)
+    graft.ext.NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
+      .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro",
+        "lm_ppl", "lm_band")
+      .orderBy("doc_id")
+  }
+
   /** X15b — TRIGRAM stupid-backoff perplexity (the CCNet-grade
     * higher-order gate): same reference split, `order = 3`, so scoring
     * runs the two-level backoff CASE — trigram hit, else 0.4·bigram,

@@ -45,7 +45,7 @@ class PlanAuditSpec extends SparkSpec {
       "x12_temperature_mix",
       // ONE-ROW (total_toks, vocab) totals broadcast-cross-joined onto
       // the per-gram probe — the x12 weight-sum shape.
-      "x15_lm_ppl", "x15_lm_ppl3",
+      "x15_lm_ppl", "x15_lm_ppl3", "x15_lm_against",
       // The ppl-gated funnel inherits x15's one-row totals cross; the
       // dsir-selected funnel inherits x16's.
       "x10_ppl_funnel", "x10_dsir_funnel",
@@ -167,8 +167,9 @@ class PlanAuditSpec extends SparkSpec {
     "x20_psi_drift",
     // localCheckpoints the trained LM count frames (persisted-model
     // contract — scoring would otherwise re-run the reference-corpus
-    // aggregation once per join build).
-    "x15_lm_ppl", "x15_lm_ppl3",
+    // aggregation once per join build); the against variant trains +
+    // SAVES once per JVM and probes the loaded parquet.
+    "x15_lm_ppl", "x15_lm_ppl3", "x15_lm_against",
     // Builds the Bloom sketch — an aggregate action by nature (the
     // probe literal needs the bytes); production ships saved bytes.
     "x1_bloom_dedup",
