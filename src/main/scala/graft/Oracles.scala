@@ -426,6 +426,121 @@ object Oracles {
     * MicroNatSlackSpec measures that slack over the verify corpus and
     * pins it at ≥1e-6 (~250 ulps), so the hash compare is robust to
     * any faithfully-rounding libm pair. */
+  /** Per-document Gopher rule replay under the DEFAULT English preset
+    * (stopwords a/the/and/of, ASCII symbol class, 50..100000 tokens,
+    * mean token length 3..10, ≥2 stopword hits) — from `gsrc(doc_id,
+    * t)` (text pre-coalesced to '') to `gpass(doc_id, gpass)`. The
+    * rule formulations mirror the x3_gopher_rules oracle's list
+    * machinery (adjacency-built gram lists, count-tie-to-longest
+    * top-gram coverage, dup char mass = total − count-1 mass), reduced
+    * to the single-preset per-doc verdict the x10 gopher funnel joins
+    * on. All CTE names are g-prefixed — the funnel oracle surrounds
+    * this with norm/rdoc/contam CTEs of its own. */
+  private def gopherPassCtes: String = {
+    val gramLists = (5 to 10).map { k =>
+      val cat = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+      s"""         CASE WHEN len(toks) >= $k THEN list_transform(range(1, len(toks) - ${k - 2}),
+         |                i -> $cat)
+         |              ELSE CAST([] AS VARCHAR[]) END AS g$k""".stripMargin
+    }.mkString(",\n")
+    val dupMasses = (5 to 10).map { k =>
+      s"""         CAST(coalesce(list_sum(list_transform(g$k, x -> length(x))), 0) AS BIGINT)
+         |           - CAST(coalesce(list_sum(list_transform(
+         |               list_filter(list_distinct(g$k),
+         |                 u -> len(list_filter(g$k, x -> x = u)) = 1),
+         |               u -> length(u))), 0) AS BIGINT) AS dup$k""".stripMargin
+    }.mkString(",\n")
+    val thr = Map(5 -> (20, 3), 6 -> (50, 7), 7 -> (100, 13),
+      8 -> (25, 3), 9 -> (100, 11), 10 -> (10, 1))
+    val dupNotHeavy = (5 to 10).map { k =>
+      val (a, b) = thr(k)
+      s"NOT ($a * dup$k > $b * n_chars)"
+    }.mkString("\n               AND ")
+    raw"""gd AS (
+      |  SELECT doc_id, t,
+      |         string_split_regex(trim(t), '\s+') AS toks
+      |  FROM gsrc),
+      |gg AS (
+      |  SELECT doc_id, t, toks,
+      |         CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+      |                i -> toks[i] || ' ' || toks[i + 1])
+      |              ELSE CAST([] AS VARCHAR[]) END AS bg,
+      |         CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+      |              ELSE CAST([] AS VARCHAR[]) END AS tg,
+      |         CASE WHEN len(toks) >= 4 THEN list_transform(range(1, len(toks) - 2),
+      |                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+      |                       || ' ' || toks[i + 3])
+      |              ELSE CAST([] AS VARCHAR[]) END AS qg,
+      |$gramLists,
+      |         list_filter(string_split_regex(t, '\n'),
+      |                     l -> length(l) > 0) AS lns,
+      |         list_filter(string_split_regex(t, '\n{2,}'),
+      |                     q -> length(trim(q)) > 0) AS paras
+      |  FROM gd),
+      |ggm AS (
+      |  SELECT *,
+      |         coalesce(list_max(list_transform(list_distinct(bg),
+      |           u -> len(list_filter(bg, x -> x = u)))), 0) AS mc2,
+      |         coalesce(list_max(list_transform(list_distinct(tg),
+      |           u -> len(list_filter(tg, x -> x = u)))), 0) AS mc3,
+      |         coalesce(list_max(list_transform(list_distinct(qg),
+      |           u -> len(list_filter(qg, x -> x = u)))), 0) AS mc4
+      |  FROM gg),
+      |gm AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(trim(t)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+      |         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+      |              AS BIGINT) AS sum_tok_len,
+      |         length(t) AS n_chars,
+      |         length(t) - length(regexp_replace(t, '[^A-Za-z0-9\s]', '', 'g'))
+      |           AS n_symbols,
+      |         len(list_filter(['a', 'the', 'and', 'of'],
+      |                         s -> list_contains(toks, s))) AS stop_hits,
+      |         len(bg) AS n_bigrams,
+      |         len(bg) - len(list_distinct(bg)) AS dup_bigrams,
+      |         len(lns) AS n_lines,
+      |         len(lns) - len(list_distinct(lns)) AS dup_lines,
+      |         len(paras) AS n_paras,
+      |         len(paras) - len(list_distinct(paras)) AS dup_paras,
+      |         CAST(coalesce(list_sum(list_transform(lns, l -> length(l))), 0) AS BIGINT)
+      |           - CAST(coalesce(list_sum(list_transform(list_distinct(lns),
+      |               l -> length(l))), 0) AS BIGINT) AS dup_line_chars,
+      |         CAST(coalesce(list_sum(list_transform(paras, q -> length(q))), 0) AS BIGINT)
+      |           - CAST(coalesce(list_sum(list_transform(list_distinct(paras),
+      |               q -> length(q))), 0) AS BIGINT) AS dup_para_chars,
+      |         CAST(mc2 AS BIGINT) * coalesce(list_max(list_transform(
+      |           list_filter(list_distinct(bg),
+      |             u -> len(list_filter(bg, x -> x = u)) = mc2),
+      |           u -> length(u))), 0) AS c2,
+      |         CAST(mc3 AS BIGINT) * coalesce(list_max(list_transform(
+      |           list_filter(list_distinct(tg),
+      |             u -> len(list_filter(tg, x -> x = u)) = mc3),
+      |           u -> length(u))), 0) AS c3,
+      |         CAST(mc4 AS BIGINT) * coalesce(list_max(list_transform(
+      |           list_filter(list_distinct(qg),
+      |             u -> len(list_filter(qg, x -> x = u)) = mc4),
+      |           u -> length(u))), 0) AS c4,
+      |$dupMasses
+      |  FROM ggm),
+      |gpass AS (
+      |  SELECT doc_id,
+      |         (n_tokens >= 50 AND n_tokens <= 100000
+      |          AND 3 * n_tokens <= sum_tok_len AND sum_tok_len <= 10 * n_tokens
+      |          AND NOT (10 * n_symbols > n_chars)
+      |          AND stop_hits >= 2
+      |          AND NOT (n_bigrams > 0 AND 5 * dup_bigrams >= n_bigrams)
+      |          AND NOT (10 * dup_lines > 3 * n_lines)
+      |          AND NOT (10 * dup_paras > 3 * n_paras)
+      |          AND NOT (5 * dup_line_chars > n_chars)
+      |          AND NOT (5 * dup_para_chars > n_chars)
+      |          AND NOT (5 * c2 > n_chars)
+      |          AND NOT (50 * c3 > 9 * n_chars)
+      |          AND NOT (25 * c4 > 4 * n_chars)
+      |          AND $dupNotHeavy) AS gpass
+      |  FROM gm)""".stripMargin
+  }
+
   /** The bigram stupid-backoff replay — ONE definition bound to BOTH
     * x15_lm_ppl (fresh train) and x15_lm_against (saved-model probe):
     * counts from docs < 300, each gram's log-prob rounded ONCE to
@@ -2744,6 +2859,78 @@ object Oracles {
            |WHERE is_canonical AND NOT is_contaminated
            |  AND n_tok BETWEEN 25 AND 90 AND b < thr
            |GROUP BY 1, 2 ORDER BY split, source""".stripMargin),
+
+    "x10_gopher_funnel" ->
+      // X3g composed into X10: the funnel census with the FULL Gopher
+      // rule conjunction as the quality stage, every rule replayed per
+      // document over the REDACTED text (gopherPassCtes), the other
+      // stages the standard replay (min-key canonical per norm,
+      // 4-gram contamination vs bench docs 0-2, en-0.4 keyed-hash
+      // sample). Config.minTokens = 1, so quality = n_tok >= 1 AND the
+      // Gopher verdict — the stage isolates the rule bundle.
+      ("WITH " + gram4Ctes + ",\n" +
+        raw"""bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8),
+          |rdoc AS (
+          |  SELECT doc_id, lang,
+          |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS kt,
+          |         regexp_replace(regexp_replace(regexp_replace(text,
+          |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+          |  FROM documents),
+          |gsrc AS (SELECT doc_id, coalesce(rtext, '') AS t FROM rdoc),
+          |""".stripMargin + gopherPassCtes + ",\n" +
+        s"""ann AS (
+           |  SELECT r.doc_id,
+           |         r.doc_id = min(r.doc_id) OVER (PARTITION BY r.kt) AS is_canonical,
+           |         r.doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+           |         CASE WHEN len(trim(r.rtext)) = 0 THEN 0
+           |              ELSE len(string_split_regex(trim(r.rtext), '\\s+')) END AS n_tok,
+           |         p.gpass,
+           |         ${bucketSql("r.doc_id")} AS b,
+           |         CASE r.lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
+           |  FROM rdoc r JOIN gpass p ON r.doc_id = p.doc_id
+           |), f AS (
+           |  SELECT count(*) AS n_raw,
+           |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
+           |         count(CASE WHEN is_canonical AND NOT is_contaminated THEN 1 END)
+           |           AS n_after_decontam,
+           |         count(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND n_tok >= 1 AND gpass THEN 1 END)
+           |           AS n_after_quality,
+           |         count(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND n_tok >= 1 AND gpass AND b < thr THEN 1 END)
+           |           AS n_after_sample,
+           |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical
+           |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+           |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND n_tok >= 1 AND gpass
+           |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND n_tok >= 1 AND gpass AND b < thr
+           |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
+           |  FROM ann)
+           |SELECT n_raw, n_raw AS n_after_url,
+           |       n_after_dedup, n_after_dedup AS n_after_history,
+           |       n_after_dedup AS n_after_fuzzy,
+           |       n_after_decontam, n_after_quality, n_after_sample,
+           |       tokens_raw, tokens_raw AS tokens_after_url,
+           |       tokens_after_dedup, tokens_after_dedup AS tokens_after_history,
+           |       tokens_after_dedup AS tokens_after_fuzzy,
+           |       tokens_after_decontam, tokens_after_quality, n_tokens,
+           |       CASE WHEN n_tokens = 0 THEN 0
+           |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
+           |FROM f""".stripMargin),
 
     "x23_chunk_docs" ->
       // Chunk layout replayed: 32-token windows, stride 24, count =

@@ -886,8 +886,10 @@ object Queries {
     val docs = documents(s, d)
     val bench = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("bench_id"), col("text"))
-    val model = graft.ext.NgramLm
-      .train(docs.filter(col("doc_id") < 300)).materialize()
+    // Gate on the PERSISTED reference LM (trained + saved once per
+    // JVM, shared with x15_lm_against — the x10_dsir_funnel pattern):
+    // the funnel run pays load + probe, never the reference re-train.
+    val model = graft.ext.NgramLm.load(s, lmModelDir(s, d))
     graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
       minTokens = 25L, maxTokens = 90L,
       rates = Map("en" -> 0.4), seqLen = 512L,
@@ -999,6 +1001,26 @@ object Queries {
         minTokens = 25L, maxTokens = 90L,
         rates = Map("en" -> 0.4), seqLen = 512L,
         cleanFirst = true, dedupLinesFirst = true))
+  }
+
+  /** X10f — the funnel with the GOPHER RULE BUNDLE as the quality
+    * stage (the MassiveText recipe: the published structural rules ARE
+    * the quality filter; X3g composed into X10 the way X13/X15/X16/X19
+    * already are): `Config.gopherPreset` gates `is_quality` on the
+    * full rule conjunction evaluated over the redacted text — token
+    * range, mean token length, symbol share, stopword floor, duplicate
+    * bigrams/lines/paragraphs by count AND char mass, top-2/3/4-gram
+    * coverage, duplicate-5..10-gram char share. `Config.minTokens` is
+    * left at 1 so the quality stage isolates the Gopher verdict; the
+    * oracle replays every rule per document plus the funnel census. */
+  def x10GopherFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
+      rates = Map("en" -> 0.4), seqLen = 512L,
+      gopherPreset = Some(graft.ext.TextAnalysis.GopherPreset(
+        Seq("a", "the", "and", "of")))))
   }
 
   /** X10e — the curated-corpus WRITER with read-back verification
@@ -1623,13 +1645,20 @@ object Queries {
     * arithmetic, so the loaded-model scores hash-match the SAME
     * oracle SQL as [[x15LmPpl]]; save→load→scored bit-parity is also
     * pinned by NgramLmSpec. */
+  /** The trained-and-saved bigram LM for the standard registration
+    * split (reference = docs < 300) — trained ONCE per JVM per dataset
+    * via [[persistedIndexDir]], probed by [[x15LmPplAgainst]] and
+    * consumed by [[x10PplFunnel]] (the [[dsirModelDir]] pattern). */
+  private def lmModelDir(s: SparkSession, d: String): String =
+    persistedIndexDir("lm_model", d) { dir =>
+      graft.ext.NgramLm.save(
+        graft.ext.NgramLm.train(documents(s, d).filter(col("doc_id") < 300)),
+        dir)
+    }
+
   def x15LmPplAgainst(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val dir = persistedIndexDir("lm_model", d) { dir =>
-      graft.ext.NgramLm.save(
-        graft.ext.NgramLm.train(docs.filter(col("doc_id") < 300)), dir)
-    }
-    val model = graft.ext.NgramLm.load(s, dir)
+    val model = graft.ext.NgramLm.load(s, lmModelDir(s, d))
     graft.ext.NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
       .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro",
         "lm_ppl", "lm_band")

@@ -51,6 +51,14 @@ object Curation {
       // internals (grams/hits/logp/ppl) drop.
       pplModel: Option[NgramLm.Model] = None,
       pplBands: Seq[String] = Seq("head", "middle"),
+      // Optional X3g Gopher gate (the MassiveText recipe: the published
+      // structural rule bundle IS the quality filter stage): when set,
+      // `is_quality` additionally requires [[TextAnalysis.gopherFlags]]'
+      // `pass` under this preset, evaluated on the (cleaned, redacted)
+      // text like every other quality signal. The ~40 metric columns
+      // the rule pass computes are dropped after the gate — only the
+      // `gopher_pass` flag stays on the annotated frame for the audit.
+      gopherPreset: Option[TextAnalysis.GopherPreset] = None,
       // Optional URL stage (runs FIRST — crawl pipelines filter and
       // dedup by URL before any text operator): when `urlCol` is set,
       // `is_url_ok` flags documents whose canonical domain is not on
@@ -282,6 +290,26 @@ object Curation {
           .drop("lm_grams", "lm_hits", "lm_logp_micro", "lm_ppl")
       case None => withQuality
     }
+    // X3g gate: ONE more map-only per-row pass (the fused n-gram
+    // census), no shuffle. Metric-column hygiene: gopherCore OVERWRITES
+    // any input column sharing a metric name (the documents table
+    // carries `n_chars`), so colliding corpus columns are stashed
+    // around the pass and restored after — the gate must not corrupt
+    // corpus metadata it didn't compute.
+    val withGopher = cfg.gopherPreset match {
+      case Some(p) =>
+        val gopherCols = TextAnalysis.gopherAddedColumns
+        val colliding = withPpl.columns.filter(gopherCols.contains).toSeq
+        val stashed = colliding.foldLeft(withPpl)(
+          (f, c) => f.withColumnRenamed(c, s"__keep_$c"))
+        val pruned = TextAnalysis.gopherFlags(stashed, cfg.textCol, p)
+          .withColumn("gopher_pass", col("pass"))
+          .withColumn("is_quality", col("is_quality") && col("pass"))
+          .drop(gopherCols: _*)
+        colliding.foldLeft(pruned)(
+          (f, c) => f.withColumnRenamed(s"__keep_$c", c))
+      case None => withPpl
+    }
     // Sampling stage: by default the keyed-hash stratified sampler;
     // with `selection`, an EXTERNAL selector's key set replaces it —
     // the plug point for weight-proportional resampling (X16 DSIR
@@ -294,11 +322,11 @@ object Curation {
       case Some(sel) =>
         val s = sel.select(col(cfg.keyCol)).distinct()
           .withColumn("__sel", lit(true))
-        withPpl.join(s, Seq(cfg.keyCol), "left")
+        withGopher.join(s, Seq(cfg.keyCol), "left")
           .withColumn("is_sampled", coalesce(col("__sel"), lit(false)))
           .drop("__sel")
       case None =>
-        withPpl.withColumn("is_sampled",
+        withGopher.withColumn("is_sampled",
           Sampling.bucket(col(cfg.keyCol), cfg.seed) <
             Sampling.keepThreshold(cfg.strataCol, cfg.rates, cfg.defaultRate))
     }

@@ -417,6 +417,51 @@ object TextAnalysis {
   private def gIdx(n: Int, field: Int): Column =
     element_at(col("__gm"), 4 * (n - 2) + field)
 
+  /** [[gopherFlags]] under ONE [[GopherPreset]] (charTokens honored —
+    * the single-preset form of [[gopherFlagsByLang]]'s dispatch, for
+    * callers gating a known-language corpus, e.g. the X10 funnel's
+    * `Config.gopherPreset`). Same shared [[gopherCore]] rule chain. */
+  def gopherFlags(docs: DataFrame, textCol: String,
+                  preset: GopherPreset): DataFrame = {
+    val t = col(textCol)
+    gopherCore(docs, textCol,
+      toksRaw =
+        if (preset.charTokens) regexp_extract_all(t, lit("\\S"), lit(0))
+        else tokens(t),
+      nTokens =
+        if (preset.charTokens) size(col("__toks")).cast("long")
+        else tokenCountFromToks(t, col("__toks")),
+      stopHits = size(filter(array(preset.stopwords.map(lit): _*),
+        s => array_contains(col("__toks"), s))).cast("long"),
+      nSymbols = (coalesce(length(t), lit(0)) -
+        coalesce(length(regexp_replace(t, preset.symbolClass, "")), lit(0)))
+        .cast("long"),
+      minTokens = lit(preset.minTokens), maxTokens = lit(preset.maxTokens),
+      minMeanTokLen = lit(preset.minMeanTokLen),
+      maxMeanTokLen = lit(preset.maxMeanTokLen),
+      minStopwordHits = lit(preset.minStopwordHits.toLong))
+  }
+
+  /** Every column [[gopherCore]] APPENDS (or overwrites) on its input —
+    * the restore contract for callers that gate on `pass` and must
+    * return the frame unchanged otherwise (the funnel's stash/drop
+    * dance in [[graft.ext.Curation.annotate]]). Kept in the chain's
+    * order; TextAnalysisSpec pins it against the actual output diff so
+    * a new metric column cannot silently leak through a consumer. */
+  val gopherAddedColumns: Seq[String] = Seq(
+    "n_tokens", "sum_tok_len", "n_chars", "n_symbols", "stop_hits",
+    "n_bigrams", "dup_bigrams", "n_lines", "dup_lines", "n_paras",
+    "dup_paras", "dup_line_chars", "dup_para_chars",
+    "top_2gram_chars", "top_3gram_chars", "top_4gram_chars",
+    "dup_5gram_chars", "dup_6gram_chars", "dup_7gram_chars",
+    "dup_8gram_chars", "dup_9gram_chars", "dup_10gram_chars",
+    "too_short", "too_long", "bad_tok_len", "symbol_heavy",
+    "low_stopword", "repetitive", "dup_line_heavy", "dup_para_heavy",
+    "dup_line_chars_heavy", "dup_para_chars_heavy",
+    "top_2gram_heavy", "top_3gram_heavy", "top_4gram_heavy",
+    "dup_5gram_heavy", "dup_6gram_heavy", "dup_7gram_heavy",
+    "dup_8gram_heavy", "dup_9gram_heavy", "dup_10gram_heavy", "pass")
+
   /** Per-language rule census over [[gopherFlags]] — the registered,
     * oracle-checked view: one partial-agg groupBy over the map-only
     * flag pass. */

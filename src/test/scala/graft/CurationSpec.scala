@@ -343,6 +343,41 @@ class CurationSpec extends SparkSpec {
     assert(raw(2L).getAs[Boolean]("is_canonical"))
   }
 
+  test("gopher gate: is_quality equals token band AND the standalone pass flag") {
+    val preset = graft.ext.TextAnalysis.GopherPreset(
+      Seq("a", "the", "and", "of"))
+    val gCfg = Curation.Config(rates = Map("en" -> 0.4),
+      gopherPreset = Some(preset))
+    val ann = Curation.annotate(docs, bench, gCfg)
+      .select("doc_id", "n_tok", "is_quality", "gopher_pass", "n_chars")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getLong(4))).toMap
+    // Parity with the standalone operator on the SAME (redacted) text.
+    val standalone = graft.ext.TextAnalysis
+      .gopherFlags(Pii.redact(docs), "text", preset)
+      .select("doc_id", "pass")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(ann.nonEmpty && ann.keySet == standalone.keySet)
+    ann.foreach { case (id, (nTok, isQ, gp, _)) =>
+      assert(gp == standalone(id), s"doc $id: funnel $gp != standalone")
+      assert(isQ == (nTok >= 1L && gp), s"doc $id")
+    }
+    // The gate excludes someone and admits someone (not a no-op).
+    assert(ann.values.exists(!_._3) && ann.values.exists(_._3))
+    // Column hygiene: the corpus n_chars column (which the gopher
+    // metric pass would overwrite) survives with its ORIGINAL values,
+    // and none of the ~40 metric columns leak through.
+    val orig = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ann.foreach { case (id, (_, _, _, nChars)) =>
+      assert(nChars == orig(id), s"doc $id: corpus n_chars corrupted")
+    }
+    val leaked = Curation.annotate(docs, bench, gCfg).columns
+      .filter(graft.ext.TextAnalysis.gopherAddedColumns.contains)
+      .filterNot(_ == "n_chars") // the restored corpus column
+    assert(leaked.isEmpty, s"gopher metric columns leaked: ${leaked.toSeq}")
+  }
+
   test("dedupLinesFirst composes the standalone line strip before cleaning") {
     // Boiler footer repeated three times; line dedup keeps one copy
     // BEFORE cleaning collapses newlines, so the annotated n_tok sees

@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   * shares one vocabulary, so language behavior is pinned here). */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("gopherAddedColumns is exactly what gopherFlags appends") {
+    // The restore contract consumers rely on (Curation's stash/drop):
+    // a new metric column added to gopherCore without updating the
+    // list would leak through the funnel's annotated frame.
+    val d = df(Seq(org.apache.spark.sql.Row(1L, "the quick brown fox")),
+      "doc_id BIGINT, text STRING")
+    val added = graft.ext.TextAnalysis.gopherFlags(d, "text").columns
+      .filterNot(d.columns.contains)
+    assert(added.toSeq == graft.ext.TextAnalysis.gopherAddedColumns)
+  }
+
   test("docQuality computes hand-checked metrics") {
     val docs = df(Seq(Row(1L, "the cat sat, on a mat!")), "doc_id BIGINT, text STRING")
     val r = TextAnalysis.docQuality(docs).head()
