@@ -31,6 +31,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: fused multi-size n-gram census equals per-size NGramStats") {
+    // Random token arrays over a small alphabet (forcing gram
+    // collisions) with multibyte and empty tokens mixed in — the fused
+    // path's byte-view + prefix-sum arithmetic must agree with the
+    // per-size census on every quadruple of every size.
+    import org.apache.spark.sql.functions.col
+    val tokGen: Gen[List[String]] = Gen.choose(0, 25).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "bb", "ccc", "日本", "é", "", "x😀")))
+    val rows = samples(tokGen, 40)
+    val d = df(rows.map(ts => Row(ts)), "toks ARRAY<STRING>")
+    val multi = graft.functions.TextFunctions
+      .ngramStatsMulti(col("toks"), 2, 10).as("m")
+    val singles = (2 to 10).map(n =>
+      graft.functions.TextFunctions.ngramStats(col("toks"), n).as(s"g$n"))
+    d.select(multi +: singles: _*).collect().foreach { r =>
+      val m = r.getSeq[Long](0)
+      (2 to 10).zipWithIndex.foreach { case (n, i) =>
+        assert(m.slice(4 * i, 4 * i + 4) == r.getSeq[Long](1 + i),
+          s"size $n diverged")
+      }
+    }
+  }
+
   test("property: check verdicts are invariant under row permutation") {
     samples(valueGen, 5).foreach { values =>
       val shuffled = new scala.util.Random(7).shuffle(values)
