@@ -436,7 +436,18 @@ object Oracles {
     * to the single-preset per-doc verdict the x10 gopher funnel joins
     * on. All CTE names are g-prefixed — the funnel oracle surrounds
     * this with norm/rdoc/contam CTEs of its own. */
-  private def gopherPassCtes: String = {
+  private def gopherPassCtes: String = gopherPassCtesImpl(byLang = false)
+
+  /** [[gopherPassCtes]] with the per-language preset dispatch replayed
+    * per document (`gsrc` must also carry `lang`): language-cased
+    * tokenization (zh/ja/ko character tokens), stop lists and script
+    * symbol classes interpolated from the SAME Scala preset catalog
+    * the engine dispatches on (config data — the rule logic stays an
+    * independent SQL restatement), and the CJK mean-token-length
+    * floor of 1. */
+  private def gopherPassByLangCtes: String = gopherPassCtesImpl(byLang = true)
+
+  private def gopherPassCtesImpl(byLang: Boolean): String = {
     val gramLists = (5 to 10).map { k =>
       val cat = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
       s"""         CASE WHEN len(toks) >= $k THEN list_transform(range(1, len(toks) - ${k - 2}),
@@ -456,12 +467,52 @@ object Oracles {
       val (a, b) = thr(k)
       s"NOT ($a * dup$k > $b * n_chars)"
     }.mkString("\n               AND ")
+    // Language-dispatched pieces (byLang mode): tokenization, token
+    // count, mean-token-length floor, stop list, and symbol class —
+    // the x3_gopher_rules oracle's dispatch, per document.
+    val langCol = if (byLang) "lang," else ""
+    val toksExpr =
+      if (byLang)
+        raw"""CASE WHEN lang IN ('zh', 'ja', 'ko')
+          |              THEN regexp_extract_all(t, '\S')
+          |              ELSE string_split_regex(trim(t), '\s+') END""".stripMargin
+      else raw"string_split_regex(trim(t), '\s+')"
+    val nTokensExpr =
+      if (byLang)
+        """CASE WHEN lang IN ('zh', 'ja', 'ko') THEN len(toks)
+          |              WHEN len(trim(t)) = 0 THEN 0 ELSE len(toks) END""".stripMargin
+      else "CASE WHEN len(trim(t)) = 0 THEN 0 ELSE len(toks) END"
+    val minMtlExpr =
+      if (byLang) "CASE WHEN lang IN ('zh', 'ja', 'ko') THEN 1 ELSE 3 END"
+      else "3"
+    val stopExpr =
+      if (byLang) "CASE lang " +
+        graft.ext.TextAnalysis.gopherPresets.toSeq.sortBy(_._1).map {
+          case (l, p) =>
+            s"WHEN '$l' THEN [${p.stopwords.map(w => s"'$w'").mkString(", ")}]"
+        }.mkString(" ") + " ELSE ['a', 'the', 'and', 'of'] END"
+      else "['a', 'the', 'and', 'of']"
+    val symExpr =
+      if (byLang)
+        raw"""CASE
+          |           WHEN lang = 'zh' THEN length(t) - length(regexp_replace(t,
+          |             '[^\x{4e00}-\x{9fff}0-9\s]', '', 'g'))
+          |           WHEN lang = 'ja' THEN length(t) - length(regexp_replace(t,
+          |             '[^\x{4e00}-\x{9fff}\x{3040}-\x{30ff}0-9\s]', '', 'g'))
+          |           WHEN lang = 'ko' THEN length(t) - length(regexp_replace(t,
+          |             '[^\x{ac00}-\x{d7a3}0-9\s]', '', 'g'))
+          |           WHEN lang IN ('es', 'fr', 'de')
+          |             THEN length(t) - length(regexp_replace(t,
+          |               '[^A-Za-z\x{c0}-\x{d6}\x{d8}-\x{f6}\x{f8}-\x{ff}0-9\s]', '', 'g'))
+          |           ELSE length(t) - length(regexp_replace(t,
+          |             '[^A-Za-z0-9\s]', '', 'g')) END""".stripMargin
+      else raw"length(t) - length(regexp_replace(t, '[^A-Za-z0-9\s]', '', 'g'))"
     raw"""gd AS (
-      |  SELECT doc_id, t,
-      |         string_split_regex(trim(t), '\s+') AS toks
+      |  SELECT doc_id, $langCol t,
+      |         $toksExpr AS toks
       |  FROM gsrc),
       |gg AS (
-      |  SELECT doc_id, t, toks,
+      |  SELECT doc_id, $langCol t, toks,
       |         CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
       |                i -> toks[i] || ' ' || toks[i + 1])
       |              ELSE CAST([] AS VARCHAR[]) END AS bg,
@@ -489,13 +540,14 @@ object Oracles {
       |  FROM gg),
       |gm AS (
       |  SELECT doc_id,
-      |         CASE WHEN len(trim(t)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+      |         $nTokensExpr AS n_tokens,
+      |         $minMtlExpr AS min_mtl,
       |         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
       |              AS BIGINT) AS sum_tok_len,
       |         length(t) AS n_chars,
-      |         length(t) - length(regexp_replace(t, '[^A-Za-z0-9\s]', '', 'g'))
+      |         $symExpr
       |           AS n_symbols,
-      |         len(list_filter(['a', 'the', 'and', 'of'],
+      |         len(list_filter($stopExpr,
       |                         s -> list_contains(toks, s))) AS stop_hits,
       |         len(bg) AS n_bigrams,
       |         len(bg) - len(list_distinct(bg)) AS dup_bigrams,
@@ -526,7 +578,7 @@ object Oracles {
       |gpass AS (
       |  SELECT doc_id,
       |         (n_tokens >= 50 AND n_tokens <= 100000
-      |          AND 3 * n_tokens <= sum_tok_len AND sum_tok_len <= 10 * n_tokens
+      |          AND min_mtl * n_tokens <= sum_tok_len AND sum_tok_len <= 10 * n_tokens
       |          AND NOT (10 * n_symbols > n_chars)
       |          AND stop_hits >= 2
       |          AND NOT (n_bigrams > 0 AND 5 * dup_bigrams >= n_bigrams)
@@ -2887,6 +2939,76 @@ object Oracles {
           |  FROM documents),
           |gsrc AS (SELECT doc_id, coalesce(rtext, '') AS t FROM rdoc),
           |""".stripMargin + gopherPassCtes + ",\n" +
+        s"""ann AS (
+           |  SELECT r.doc_id,
+           |         r.doc_id = min(r.doc_id) OVER (PARTITION BY r.kt) AS is_canonical,
+           |         r.doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+           |         CASE WHEN len(trim(r.rtext)) = 0 THEN 0
+           |              ELSE len(string_split_regex(trim(r.rtext), '\\s+')) END AS n_tok,
+           |         p.gpass,
+           |         ${bucketSql("r.doc_id")} AS b,
+           |         CASE r.lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
+           |  FROM rdoc r JOIN gpass p ON r.doc_id = p.doc_id
+           |), f AS (
+           |  SELECT count(*) AS n_raw,
+           |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
+           |         count(CASE WHEN is_canonical AND NOT is_contaminated THEN 1 END)
+           |           AS n_after_decontam,
+           |         count(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND n_tok >= 1 AND gpass THEN 1 END)
+           |           AS n_after_quality,
+           |         count(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND n_tok >= 1 AND gpass AND b < thr THEN 1 END)
+           |           AS n_after_sample,
+           |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical
+           |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+           |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND n_tok >= 1 AND gpass
+           |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND n_tok >= 1 AND gpass AND b < thr
+           |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
+           |  FROM ann)
+           |SELECT n_raw, n_raw AS n_after_url,
+           |       n_after_dedup, n_after_dedup AS n_after_history,
+           |       n_after_dedup AS n_after_fuzzy,
+           |       n_after_decontam, n_after_quality, n_after_sample,
+           |       tokens_raw, tokens_raw AS tokens_after_url,
+           |       tokens_after_dedup, tokens_after_dedup AS tokens_after_history,
+           |       tokens_after_dedup AS tokens_after_fuzzy,
+           |       tokens_after_decontam, tokens_after_quality, n_tokens,
+           |       CASE WHEN n_tokens = 0 THEN 0
+           |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
+           |FROM f""".stripMargin),
+
+    "x10_gopher_bylang" ->
+      // The Gopher funnel gate DISPATCHED PER LANGUAGE: identical
+      // funnel replay to x10_gopher_funnel, with the per-doc rule CTEs
+      // swapping in the language-cased tokenization / stop lists /
+      // script symbol classes / CJK mean-token floor (the shipped
+      // preset catalog, interpolated — config data, rules restated).
+      ("WITH " + gram4Ctes + ",\n" +
+        raw"""bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8),
+          |rdoc AS (
+          |  SELECT doc_id, lang,
+          |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS kt,
+          |         regexp_replace(regexp_replace(regexp_replace(text,
+          |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+          |  FROM documents),
+          |gsrc AS (SELECT doc_id, lang, coalesce(rtext, '') AS t FROM rdoc),
+          |""".stripMargin + gopherPassByLangCtes + ",\n" +
         s"""ann AS (
            |  SELECT r.doc_id,
            |         r.doc_id = min(r.doc_id) OVER (PARTITION BY r.kt) AS is_canonical,

@@ -1023,6 +1023,24 @@ object Queries {
         Seq("a", "the", "and", "of")))))
   }
 
+  /** X10f-bylang — the Gopher-gated funnel DISPATCHED PER LANGUAGE
+    * (the multi-lingual corpus shape): every document is judged under
+    * its own language's shipped preset ([[graft.ext.TextAnalysis
+    * .gopherPresets]] — stopwords, symbol class, CJK character
+    * tokenization, mean-token-length floor), unlisted languages under
+    * the English defaults — ONE scan, one `when`-chain dispatch, the
+    * same fused census. The oracle replays the dispatch per document:
+    * language-cased tokenization, stop lists, script symbol classes,
+    * and every rule. */
+  def x10GopherByLang(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
+      rates = Map("en" -> 0.4), seqLen = 512L,
+      gopherPresets = Some(graft.ext.TextAnalysis.gopherPresets)))
+  }
+
   /** X10e — the curated-corpus WRITER with read-back verification
     * (VERDICT r9 missing #2: the funnel previously ended at pack with
     * no deliverable): [[graft.ext.Curation.curate]]'s survivors are

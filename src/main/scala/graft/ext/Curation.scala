@@ -59,6 +59,14 @@ object Curation {
       // the rule pass computes are dropped after the gate — only the
       // `gopher_pass` flag stays on the annotated frame for the audit.
       gopherPreset: Option[TextAnalysis.GopherPreset] = None,
+      // The by-language form of the same gate ([[TextAnalysis
+      // .gopherFlagsByLang]] dispatched on `strataCol`): the
+      // multi-lingual-corpus shape — each document is judged under its
+      // OWN language's stopwords / symbol class / tokenization
+      // (zh/ja/ko switch to character tokens), unlisted languages
+      // under the English defaults. Mutually exclusive with
+      // `gopherPreset`.
+      gopherPresets: Option[Map[String, TextAnalysis.GopherPreset]] = None,
       // Optional URL stage (runs FIRST — crawl pipelines filter and
       // dedup by URL before any text operator): when `urlCol` is set,
       // `is_url_ok` flags documents whose canonical domain is not on
@@ -106,6 +114,9 @@ object Curation {
       s"pplBands ($pplBands) must be non-empty bands from head/middle/tail/empty")
     require(urlCol.isDefined || blockedDomains.isEmpty,
       "blockedDomains without urlCol would silently never block")
+    require(gopherPreset.isEmpty || gopherPresets.isEmpty,
+      "gopherPreset and gopherPresets are mutually exclusive — pick the " +
+        "single-preset or the by-language gate")
   }
 
   /** Every document with its stage verdicts:
@@ -296,13 +307,20 @@ object Curation {
     // carries `n_chars`), so colliding corpus columns are stashed
     // around the pass and restored after — the gate must not corrupt
     // corpus metadata it didn't compute.
-    val withGopher = cfg.gopherPreset match {
-      case Some(p) =>
+    val gopherFlagger: Option[DataFrame => DataFrame] =
+      cfg.gopherPreset.map(p =>
+          (f: DataFrame) => TextAnalysis.gopherFlags(f, cfg.textCol, p))
+        .orElse(cfg.gopherPresets.map(ps => (f: DataFrame) =>
+          TextAnalysis.gopherFlagsByLang(f, ps, cfg.strataCol, cfg.textCol)))
+    val withGopher = gopherFlagger match {
+      case Some(flag) =>
         val gopherCols = TextAnalysis.gopherAddedColumns
+        // strataCol must survive the stash for the by-lang dispatch
+        // (it never collides with a metric name — `lang` is not one).
         val colliding = withPpl.columns.filter(gopherCols.contains).toSeq
         val stashed = colliding.foldLeft(withPpl)(
           (f, c) => f.withColumnRenamed(c, s"__keep_$c"))
-        val pruned = TextAnalysis.gopherFlags(stashed, cfg.textCol, p)
+        val pruned = flag(stashed)
           .withColumn("gopher_pass", col("pass"))
           .withColumn("is_quality", col("is_quality") && col("pass"))
           .drop(gopherCols: _*)

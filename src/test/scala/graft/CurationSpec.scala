@@ -378,6 +378,36 @@ class CurationSpec extends SparkSpec {
     assert(leaked.isEmpty, s"gopher metric columns leaked: ${leaked.toSeq}")
   }
 
+  test("by-lang gopher gate dispatches the shipped presets per document") {
+    val gCfg = Curation.Config(rates = Map("en" -> 0.4),
+      gopherPresets = Some(graft.ext.TextAnalysis.gopherPresets))
+    val ann = Curation.annotate(docs, bench, gCfg)
+      .select("doc_id", "gopher_pass")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val standalone = graft.ext.TextAnalysis
+      .gopherFlagsByLang(Pii.redact(docs))
+      .select("doc_id", "pass")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(ann.nonEmpty && ann == standalone)
+    // The dispatch must DIFFER from the English-only gate somewhere
+    // (otherwise the by-lang lane proves nothing on this corpus): a
+    // non-en document whose verdict flips under its own preset.
+    val english = Curation.annotate(docs, bench, Curation.Config(
+        rates = Map("en" -> 0.4),
+        gopherPreset = Some(graft.ext.TextAnalysis.GopherPreset(
+          Seq("a", "the", "and", "of")))))
+      .select("doc_id", "gopher_pass")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(ann.exists { case (id, p) => english(id) != p },
+      "by-lang dispatch never diverged from the English-only gate")
+    // The two gate forms are mutually exclusive.
+    intercept[IllegalArgumentException] {
+      Curation.Config(
+        gopherPreset = Some(graft.ext.TextAnalysis.GopherPreset(Seq("a"))),
+        gopherPresets = Some(graft.ext.TextAnalysis.gopherPresets))
+    }
+  }
+
   test("dedupLinesFirst composes the standalone line strip before cleaning") {
     // Boiler footer repeated three times; line dedup keeps one copy
     // BEFORE cleaning collapses newlines, so the annotated n_tok sees
