@@ -2617,6 +2617,39 @@ object Oracles {
         |       n_tok
         |FROM spans ORDER BY doc_id, seq_id""".stripMargin,
 
+    "x9_materialize" ->
+      // The pack layout replayed (same CTEs as x9_pack_sequences) and
+      // then MATERIALIZED: each span slices its 1-based-inclusive
+      // token range, sequences reassemble by string_agg in doc_id
+      // order (chunks internally space-joined, chunks joined by one
+      // space — the exact flatten-join string), md5 per sequence.
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split_regex(trim(text), '\s+') AS toks,
+        |         CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |                   ELSE len(string_split_regex(trim(text), '\s+')) END
+        |              AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n_tok,
+        |         COALESCE(CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start
+        |  FROM t WHERE n_tok > 0),
+        |spans AS (
+        |  SELECT doc_id, toks, n_tok, start,
+        |         unnest(range(start // 512, (start + n_tok - 1) // 512 + 1)) AS seq_id
+        |  FROM c),
+        |sl AS (
+        |  SELECT seq_id, doc_id, e - b AS ntk,
+        |         array_to_string(list_slice(toks, b + 1, e), ' ') AS chunk
+        |  FROM (SELECT seq_id, doc_id, toks,
+        |               greatest(seq_id * 512, start) - start AS b,
+        |               least((seq_id + 1) * 512, start + n_tok) - start AS e
+        |        FROM spans))
+        |SELECT seq_id, CAST(sum(ntk) AS BIGINT) AS seq_tok,
+        |       md5(string_agg(chunk, ' ' ORDER BY doc_id)) AS seq_md5
+        |FROM sl GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
     "x9_pack_padded" ->
       // Pad-to-boundary variant: the advance summed by the window is the
       // token count ceil-rounded to whole 512-token sequences, so every

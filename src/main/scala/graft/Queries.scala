@@ -821,6 +821,19 @@ object Queries {
     graft.ext.Packing.packSequences(documents(s, d),
       seqLen = 512L, blockSize = 1000L, respectDocBoundaries = true)
 
+  /** X9c — MATERIALIZED packed sequences (the training artifact, not
+    * just the span layout): every non-final 512-token sequence is
+    * exactly full, documents reassemble in key order, and the oracle
+    * replays the whole composition — pack offsets, per-span token
+    * slices, ordered reassembly — down to the md5 of each sequence's
+    * space-joined text (one wrong token anywhere breaks the hash). */
+  def x9Materialize(s: SparkSession, d: String): DataFrame =
+    graft.ext.Packing.materializeSequences(documents(s, d),
+        seqLen = 512L, blockSize = 1000L)
+      .select(col("seq_id"), col("seq_tok"),
+        md5(col("seq_text").cast("binary")).as("seq_md5"))
+      .orderBy("seq_id")
+
   /** X3f — within-document bigram repetition per language (Gopher-style
     * quality rule). */
   def x3Repetition(s: SparkSession, d: String): DataFrame =

@@ -107,6 +107,44 @@ object Packing {
       .orderBy(col(keyCol), col("seq_id"))
   }
 
+  /** X9c — MATERIALIZE the packed sequences: the training artifact
+    * itself, not just the span layout. [[packSequences]]' (doc, seq)
+    * span assignments join back to the tokenized documents, each span
+    * slices its token range, and sequences reassemble in document
+    * order — output `(seq_id, seq_tok, seq_text)`, one row per
+    * sequence, tokens space-joined (every non-final sequence carries
+    * exactly `seqLen` tokens in split mode).
+    *
+    * 100 TB shape: the join shuffles on the document key (both sides
+    * co-keyed), the reassembly shuffles on `seq_id`; per-group state
+    * is bounded BY CONSTRUCTION — a sequence holds ≤ `seqLen` tokens
+    * however many documents contribute — so the `collect_list` is a
+    * bounded buffer, not unbounded driver-style state. Chunks sort by
+    * the struct's leading key field (deterministic reassembly under
+    * any shuffle order). */
+  def materializeSequences(docs: DataFrame, textCol: String = "text",
+                           keyCol: String = "doc_id", seqLen: Long = 2048L,
+                           blockSize: Long = 100000L,
+                           fanout: Long = 10000L,
+                           respectDocBoundaries: Boolean = false): DataFrame = {
+    val spans = packSequences(docs, textCol, keyCol, seqLen, blockSize,
+      fanout, respectDocBoundaries)
+    val toked = docs
+      .select(col(keyCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    spans
+      .join(toked, Seq(keyCol))
+      .withColumn("__chunk", slice(col("__toks"),
+        (col("begin_tok") + 1).cast("int"),
+        (col("end_tok") - col("begin_tok")).cast("int")))
+      .groupBy("seq_id")
+      .agg(
+        sum(col("end_tok") - col("begin_tok")).as("seq_tok"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col(keyCol).as("k"),
+            col("__chunk").as("c")))),
+          s => s.getField("c"))), " ").as("seq_text"))
+  }
+
   /** Packing efficiency audit: sequences produced, tokens packed, spans
     * emitted, documents split across a boundary, and the overall fill
     * ratio `n_tokens / (n_sequences · seqLen)` — concat-and-chunk fills

@@ -39,6 +39,36 @@ class PackingSpec extends SparkSpec {
     assert(fills.filter(col("seq_id") < lastSeq && col("fill") =!= 512L).count() == 0)
   }
 
+  test("materialized sequences reassemble the exact global token stream") {
+    val docs = Tables.documents(spark, sfDir)
+    val seqs = Packing.materializeSequences(docs, seqLen = 512L,
+        blockSize = 100L)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(seqs.nonEmpty)
+    // Every non-final sequence is exactly full; seq_tok matches the
+    // materialized text's own token count.
+    seqs.dropRight(1).foreach { case (id, n, _) =>
+      assert(n == 512L, s"seq $id holds $n tokens")
+    }
+    seqs.foreach { case (id, n, text) =>
+      assert(text.split(" ").length.toLong == n, s"seq $id text/count drift")
+    }
+    // Concatenating the sequences in order reproduces the exact global
+    // token stream (documents in key order, every token, no joins or
+    // boundary bytes lost).
+    import org.apache.spark.sql.functions._
+    val stream = docs.filter(length(trim(col("text"))) > 0)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[String]("text").trim.split("\\s+").mkString(" "))
+      .mkString(" ")
+    assert(seqs.map(_._3).mkString(" ") == stream)
+    // Count agrees with the span-level audit.
+    val summary = Packing.packingSummary(docs, seqLen = 512L,
+      blockSize = 100L).collect().head
+    assert(seqs.length.toLong == summary.getAs[Long]("n_sequences"))
+  }
+
   test("output is invariant to physical partitioning, block size, AND fanout") {
     val docs = Tables.documents(spark, sfDir)
     def run(parts: Int, block: Long, fanout: Long = 10000L) =
