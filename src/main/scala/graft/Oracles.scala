@@ -3087,6 +3087,77 @@ object Oracles {
            |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
            |FROM f""".stripMargin),
 
+    "x10_write_packed" ->
+      // The terminal artifact replayed end-to-end: curation survivors
+      // (the x10_write_verify machinery), the salted 80/10/10 split
+      // bands, then each split's OWN pack — the prefix-sum window
+      // PARTITIONED BY split — sliced, reassembled in doc order, and
+      // fingerprinted per sequence (md5-prefix mod 1e9, summed per
+      // split). The engine aggregates the same census from the shards
+      // it wrote and re-read.
+      ("WITH " + gram4Ctes + ",\n" +
+        raw"""bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8),
+          |rdoc AS (
+          |  SELECT doc_id, lang,
+          |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS kt,
+          |         regexp_replace(regexp_replace(regexp_replace(text,
+          |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+          |  FROM documents),
+          |""".stripMargin +
+        s"""ann AS (
+           |  SELECT doc_id, rtext,
+           |         doc_id = min(doc_id) OVER (PARTITION BY kt) AS is_canonical,
+           |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+           |         CASE WHEN len(trim(rtext)) = 0 THEN 0
+           |              ELSE len(string_split_regex(trim(rtext), '\\s+')) END AS n_tok,
+           |         ${bucketSql("doc_id")} AS bkt,
+           |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr,
+           |         CASE WHEN ${bucketSql("doc_id", 42L ^ graft.ext.Sampling.SplitSalt)} < 8000 THEN 'train'
+           |              WHEN ${bucketSql("doc_id", 42L ^ graft.ext.Sampling.SplitSalt)} < 9000 THEN 'val'
+           |              ELSE 'test' END AS split
+           |  FROM rdoc),
+           |""".stripMargin +
+        raw"""surv AS (
+          |  SELECT doc_id, split,
+          |         string_split_regex(trim(rtext), '\s+') AS toks, n_tok
+          |  FROM ann
+          |  WHERE is_canonical AND NOT is_contaminated
+          |    AND n_tok BETWEEN 25 AND 90 AND bkt < thr),
+          |pc AS (
+          |  SELECT doc_id, split, toks, n_tok,
+          |         COALESCE(CAST(sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start
+          |  FROM surv),
+          |pspans AS (
+          |  SELECT doc_id, split, toks, n_tok, start,
+          |         unnest(range(start // 512, (start + n_tok - 1) // 512 + 1)) AS seq_id
+          |  FROM pc),
+          |psl AS (
+          |  SELECT split, seq_id, doc_id, e - b2 AS ntk,
+          |         array_to_string(list_slice(toks, b2 + 1, e), ' ') AS chunk
+          |  FROM (SELECT split, seq_id, doc_id, toks,
+          |               greatest(seq_id * 512, start) - start AS b2,
+          |               least((seq_id + 1) * 512, start + n_tok) - start AS e
+          |        FROM pspans)),
+          |pseq AS (
+          |  SELECT split, seq_id, CAST(sum(ntk) AS BIGINT) AS seq_tok,
+          |         string_agg(chunk, ' ' ORDER BY doc_id) AS seq_text
+          |  FROM psl GROUP BY 1, 2)
+          |SELECT split, count(*) AS n_seqs,
+          |       CAST(sum(seq_tok) AS BIGINT) AS n_tokens,
+          |       CAST(sum(CAST(('0x' || substr(md5(seq_text), 1, 15)) AS BIGINT)
+          |            % 1000000000) AS BIGINT) AS seq_fp_sum
+          |FROM pseq GROUP BY 1 ORDER BY split""".stripMargin),
+
     "x23_chunk_docs" ->
       // Chunk layout replayed: 32-token windows, stride 24, count =
       // (n-33) // 24 + 2 above one chunk (non-negative numerator — the

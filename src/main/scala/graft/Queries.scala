@@ -834,6 +834,34 @@ object Queries {
         md5(col("seq_text").cast("binary")).as("seq_md5"))
       .orderBy("seq_id")
 
+  /** X10g — the TERMINAL pipeline artifact with read-back verification:
+    * curate → split (BEFORE packing — no sequence may mix splits) →
+    * per-split pack + materialize → split-partitioned shards →
+    * re-read → per-split census (sequence count, token mass, summed
+    * md5-prefix fingerprint of every sequence's text mod 10⁹). The
+    * oracle independently replays the curation survivors, the salted
+    * split bands, each split's pack offsets (the window PARTITIONED by
+    * split), the token slices, and the ordered reassembly — a hash
+    * match proves the whole chain, write and read included. */
+  def x10WritePacked(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val curated = graft.ext.Curation.curate(docs, bench,
+      graft.ext.Curation.Config(minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L))
+    val dir = persistedIndexDir("packed_out", d)(_ => ())
+    graft.ext.Curation.writePacked(curated, dir,
+      seqLen = 512L, blockSize = 1000L)
+    s.read.parquet(dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("seq_tok")).as("n_tokens"),
+        sum(pmod(conv(substring(md5(col("seq_text")), 1, 15), 16, 10)
+          .cast("long"), lit(1000000000L))).as("seq_fp_sum"))
+      .orderBy("split")
+  }
+
   /** X3f — within-document bigram repetition per language (Gopher-style
     * quality rule). */
   def x3Repetition(s: SparkSession, d: String): DataFrame =

@@ -416,6 +416,43 @@ object Curation {
         col("shuffle_key"), col(keyCol))
       .write.mode("overwrite").partitionBy("split", sourceCol).parquet(dir)
 
+  /** Write the PACKED corpus — the pipeline's terminal artifact
+    * (curate → split → pack → materialize → shards), composing
+    * [[write]]'s deliverable discipline with [[Packing
+    * .materializeSequences]]:
+    *
+    *  - split assignment happens BEFORE packing (a sequence must never
+    *    mix documents from two splits — train/val leakage through a
+    *    shared sequence is unrecoverable downstream), so each split
+    *    packs its OWN global token stream;
+    *  - each split's sequences materialize independently and write as
+    *    split-partitioned parquet, one file per split directory, rows
+    *    in `seq_id` order (the sort leads with the partition column —
+    *    the [[write]] rule).
+    *
+    * 100 TB shape: per split, the packing prefix sum + one key-join +
+    * one seq_id shuffle (all bounded as documented on the composed
+    * operators); the final write is one hash shuffle on `split`. */
+  def writePacked(curated: DataFrame, dir: String,
+                  splits: Seq[(String, Double)] =
+                    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                  seed: Long = 42L, textCol: String = "text",
+                  keyCol: String = "doc_id", seqLen: Long = 2048L,
+                  blockSize: Long = 100000L, fanout: Long = 10000L): Unit = {
+    val withSplit = curated.withColumn("split",
+      Sampling.assignSplit(col(keyCol), splits, seed = seed))
+    splits.map(_._1).map { nm =>
+        Packing.materializeSequences(
+            withSplit.filter(col("split") === nm),
+            textCol, keyCol, seqLen, blockSize, fanout)
+          .withColumn("split", lit(nm))
+      }
+      .reduce(_.unionByName(_))
+      .repartition(col("split"))
+      .sortWithinPartitions(col("split"), col("seq_id"))
+      .write.mode("overwrite").partitionBy("split").parquet(dir)
+  }
+
   /** One-row funnel audit: documents AND tokens surviving after each
     * stage, plus the survivor token total and the fixed-length sequence
     * count it packs into (`⌈n_tokens / seqLen⌉` — what

@@ -487,6 +487,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("writePacked: per-split sequences round-trip and never mix splits") {
+    import graft.ext.{Packing, Sampling}
+    val curated = Curation.curate(docs, bench,
+      Curation.Config(minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L))
+    val dir = java.nio.file.Files.createTempDirectory("packed_out").toString
+    Curation.writePacked(curated, dir, seqLen = 512L, blockSize = 100L)
+    val back = spark.read.parquet(dir)
+      .select("split", "seq_id", "seq_tok", "seq_text").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    assert(back.nonEmpty)
+    // Each split's shards equal materializeSequences run on that
+    // split's documents alone — split BEFORE pack, bit-for-bit.
+    val withSplit = curated.withColumn("split",
+      Sampling.assignSplit(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val expect = Seq("train", "val", "test").flatMap { nm =>
+      Packing.materializeSequences(
+          withSplit.filter(col("split") === nm), seqLen = 512L,
+          blockSize = 100L)
+        .collect().map(r => (nm, r.getLong(0)) -> (r.getLong(1), r.getString(2)))
+    }.toMap
+    assert(back == expect)
+    // Every split got at least one sequence, and every non-final one
+    // per split is exactly full (the per-split global stream packs
+    // independently).
+    Seq("train", "val", "test").foreach { nm =>
+      val seqs = back.collect { case ((s, id), (n, _)) if s == nm => id -> n }
+        .toSeq.sortBy(_._1)
+      assert(seqs.nonEmpty, s"split $nm wrote no sequences")
+      seqs.dropRight(1).foreach { case (id, n) =>
+        assert(n == 512L, s"split $nm seq $id holds $n tokens")
+      }
+    }
+  }
+
   test("soft funnel ≡ hard funnel over exactDedup survivors in weighted mass") {
     // The SoftDedup composition, end to end: up to (not incl.) sampling,
     // every stage flag is text-derived, so all members of a duplicate

@@ -186,7 +186,7 @@ class PlanAuditSpec extends SparkSpec {
     "x10_dsir_funnel",
     // the writer IS the operator: curate -> partitioned parquet write
     // at construction, the registered plan is the read-back census
-    "x10_write_verify")
+    "x10_write_verify", "x10_write_packed")
 
   test("constructing a registered query runs zero Spark jobs") {
     // Building a DataFrame must be free: an eager action inside a query
