@@ -438,9 +438,20 @@ object Curation {
                     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
                   seed: Long = 42L, textCol: String = "text",
                   keyCol: String = "doc_id", seqLen: Long = 2048L,
-                  blockSize: Long = 100000L, fanout: Long = 10000L): Unit = {
-    val withSplit = curated.withColumn("split",
-      Sampling.assignSplit(col(keyCol), splits, seed = seed))
+                  blockSize: Long = 100000L, fanout: Long = 10000L,
+                  materialize: Boolean = true): Unit = {
+    val withSplit0 = curated
+      .select(col(keyCol), col(textCol))
+      .withColumn("split",
+        Sampling.assignSplit(col(keyCol), splits, seed = seed))
+    // Pin the curated survivors BEFORE the per-split fan-out: each
+    // split's pack consumes the frame several times (token census,
+    // prefix-sum levels, the slice join), and 3 splits × that would
+    // re-run the entire curation lineage (contamination pass included)
+    // ~10× per write. Production materializes the curated corpus
+    // anyway ([[write]]); the checkpoint is that contract in-session.
+    val withSplit =
+      if (materialize) withSplit0.localCheckpoint(true) else withSplit0
     splits.map(_._1).map { nm =>
         Packing.materializeSequences(
             withSplit.filter(col("split") === nm),
