@@ -784,6 +784,52 @@ object Oracles {
         |GROUP BY 1, 2
         |ORDER BY region_name, nation_name""".stripMargin,
 
+    // SCD-2 snapshot merge replay: same plants, branch-by-branch unions.
+    // IS DISTINCT FROM mirrors the engine's null-safe change test (a
+    // null acctbal +50 stays null → unchanged in BOTH engines).
+    "t4_scd2_snapshot" ->
+      """WITH hist_closed AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal - 100 AS c_acctbal,
+        |         DATE '2025-06-01' AS valid_from,
+        |         DATE '2026-01-01' AS valid_to, FALSE AS is_current
+        |  FROM customer WHERE c_custkey % 50 = 0
+        |), open_rows AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |), upd AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 50
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 10 <> 0)
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey <= 5
+        |), open_judged AS (
+        |  SELECT o.c_custkey, o.c_mktsegment, o.c_acctbal,
+        |         (u.c_custkey IS NOT NULL AND
+        |          (o.c_mktsegment IS DISTINCT FROM u.c_mktsegment OR
+        |           o.c_acctbal   IS DISTINCT FROM u.c_acctbal)) AS chg
+        |  FROM open_rows o LEFT JOIN upd u ON o.c_custkey = u.c_custkey
+        |)
+        |SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to,
+        |       is_current
+        |FROM (
+        |  SELECT * FROM hist_closed
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |         DATE '2026-01-01' AS valid_from,
+        |         CASE WHEN chg THEN DATE '2026-02-01' END AS valid_to,
+        |         NOT chg AS is_current
+        |  FROM open_judged
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+        |         DATE '2026-02-01', CAST(NULL AS DATE), TRUE
+        |  FROM upd u LEFT JOIN open_rows o ON u.c_custkey = o.c_custkey
+        |  WHERE o.c_custkey IS NULL
+        |     OR o.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+        |     OR o.c_acctbal   IS DISTINCT FROM u.c_acctbal
+        |) ORDER BY c_custkey, valid_from""".stripMargin,
+
     "g1_row_counts" -> {
       val unions = graft.Tables.all.map(t =>
         s"SELECT '$t' AS table_name, count(*) AS cnt FROM $t")
@@ -960,6 +1006,26 @@ object Oracles {
         |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
         |           ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Keeper-policy exact dedup: max raw length then min doc_id,
+    // replayed as a DESC/ASC window over the planted-padded corpus.
+    // coalesce(length,-1) mirrors the Spark side's null-quality floor
+    // (any value below every real length is equivalent ordering).
+    "x1_dedup_keepbest" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, source, n_chars, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, lang, source,
+        |         CAST(length('  ' || text || '  ') AS BIGINT),
+        |         '  ' || text || '  '
+        |  FROM documents WHERE doc_id < 10
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (
+        |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |           ORDER BY coalesce(length(text), -1) DESC, doc_id) AS rn
+        |  FROM corpus) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "x1_incremental_dedup" -> incrementalDedupSql,
 

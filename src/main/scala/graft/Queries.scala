@@ -102,6 +102,40 @@ object Queries {
       lineitem(s, d), orders(s, d), customer(s, d), nation(s, d), region(s, d))
       .orderBy("region_name", "nation_name")
 
+  /** T4 — SCD-2 snapshot merge ([[graft.etl.Scd2]]): dimension history
+    * under a mutating source. The plant exercises every branch: closed
+    * prior versions for custkey%50==0 (pass-through untouched), a
+    * snapshot where %10==0 changed acctbal (+50 → close at ts + new
+    * open version), %7==0-and-not-%10==0 keys absent (stay open —
+    * hard deletes ignored), everything else unchanged (stay open), and
+    * five brand-new keys (+100000 → plain inserts). Ordered on
+    * (custkey, valid_from) — unique by construction: a key has at most
+    * one version per effective date. */
+  def t4Scd2Snapshot(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d)
+    val d1 = to_date(lit("2026-01-01"))
+    val d2 = to_date(lit("2026-02-01"))
+    val open = cust.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal"), d1.as("valid_from"),
+      lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    val closedPlant = cust.filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal") - 100).as("c_acctbal"),
+        to_date(lit("2025-06-01")).as("valid_from"),
+        d1.as("valid_to"), lit(false).as("is_current"))
+    val updates = cust
+      .filter(!(col("c_custkey") % 7 === 0 && !(col("c_custkey") % 10 === 0)))
+      .withColumn("c_acctbal", when(col("c_custkey") % 10 === 0,
+        col("c_acctbal") + 50).otherwise(col("c_acctbal")))
+      .unionByName(cust.filter(col("c_custkey") <= 5)
+        .withColumn("c_custkey", col("c_custkey") + 100000))
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    graft.etl.Scd2.snapshot(closedPlant.unionByName(open), updates,
+        keys = Seq("c_custkey"), tracked = Seq("c_mktsegment", "c_acctbal"),
+        ts = d2)
+      .orderBy("c_custkey", "valid_from")
+  }
+
   // ---------------------------------------------------------------- G-series
   // Great Expectations vocabulary (SURVEY.md §2.6) — each compiled to Spark
   // aggregations; value checks follow ANSI ternary null semantics.
@@ -349,6 +383,26 @@ object Queries {
   def x1ExactDedup(s: SparkSession, d: String): DataFrame =
     Dedup.exactDedup(documents(s, d))
       .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+  /** X1a-best — keeper-policy exact dedup: keep the LONGEST raw copy
+    * per duplicate family (quality = `length(text)`), ties to min
+    * doc_id. The plant makes the policy observable: docs 0–9 re-keyed
+    * +10000 with whitespace padding normalize into their originals'
+    * families but carry MORE raw characters, so keep-best must pick the
+    * padded +10000 copy everywhere min-key dedup would keep the
+    * original — a survivor set provably different from
+    * [[x1ExactDedup]]'s. Null-text plants stay null (concat
+    * null-propagates in both engines) and lose on the coalesced quality
+    * floor's min-key tie-break. */
+  def x1DedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val padded = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(lit("  "), col("text"), lit("  ")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    Dedup.exactDedupKeepBest(docs.unionByName(padded), length(col("text")))
+      .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+  }
 
   /** The cross-shard test plant every incremental/streaming dedup
     * query shares: history = docs 0–299; shard = docs 300+ plus

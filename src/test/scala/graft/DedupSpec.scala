@@ -23,6 +23,24 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 4L)) // 2 and 5 collapse into 1
   }
 
+  test("exactDedupKeepBest: max quality wins, ties to min key, null floor") {
+    import org.apache.spark.sql.functions.{col, length}
+    val corpus = df(Seq(
+      Row(1L, "the quick brown fox"),
+      Row(2L, "  The   quick BROWN fox "), // norm-equal to 1, raw-LONGER
+      Row(3L, "the quick brown fox"),      // norm-equal to 1, same length as 1
+      Row(4L, "unrelated"),
+      Row(5L, null), Row(6L, null)),       // null family: both floor quality
+      "doc_id BIGINT, text STRING")
+    val kept = Dedup.exactDedupKeepBest(corpus, length(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // family {1,2,3}: 2 is raw-longest; null family {5,6}: tie -> min key 5
+    assert(kept == Seq(2L, 4L, 5L))
+    // contrast: min-key policy keeps 1, not 2
+    assert(Dedup.exactDedup(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L, 5L))
+  }
+
   test("softDedupWeights: family sizes, floor weights, norm equivalence") {
     val out = Dedup.softDedupWeights(docs)
       .select("doc_id", "soft_dup_count", "soft_weight_ppm")
