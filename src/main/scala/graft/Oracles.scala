@@ -215,6 +215,91 @@ object Oracles {
       |  UNION
       |  SELECT e.dst, r.lbl FROM cedges e JOIN creach r ON e.src = r.id)""".stripMargin
 
+  /** The curation-funnel stage replay parameterized on the corpus
+    * relation (`src` — raw `documents`, or a planted-union CTE supplied
+    * through `prefix`) and the exact-dedup keeper window (`canonicalSql`,
+    * the complete `is_canonical` select item) — ONE body shared by
+    * x10_curation_funnel and x10_keepbest_funnel, so the stage replay
+    * can never drift between keeper policies. */
+  private def curationFunnelSql(prefix: String, src: String,
+                                canonicalSql: String): String =
+    "WITH RECURSIVE " + prefix + gram4CtesFrom(src) + ",\n" +
+        """bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8
+          |),""".stripMargin + "\n" +
+        jaccardPairCtes + ",\n" + componentCtes + ",\n" +
+      raw"""fdrop AS (SELECT id FROM creach GROUP BY id HAVING min(lbl) <> id),
+        |ann AS (
+        |  SELECT doc_id, lang,
+        |         ${canonicalSql}
+        |         doc_id NOT IN (SELECT id FROM fdrop) AS is_fuzzy,
+        |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+        |         CASE WHEN len(trim(rtext)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(rtext), '\s+')) END AS n_tok,
+        |         ${bucketSql("doc_id")} AS b,
+        |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
+        |  FROM (SELECT doc_id, lang, text,
+        |               regexp_replace(regexp_replace(regexp_replace(text,
+        |                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+        |        FROM ${src})
+        |), f AS (
+        |  SELECT count(*) AS n_raw,
+        |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
+        |         -- no history index in the registered funnel: the X1h
+        |         -- stage is a no-op, so history == dedup on both sides
+        |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_history,
+        |         count(CASE WHEN is_canonical AND is_fuzzy THEN 1 END)
+        |           AS n_after_fuzzy,
+        |         count(CASE WHEN is_canonical AND is_fuzzy
+        |                         AND NOT is_contaminated THEN 1 END)
+        |           AS n_after_decontam,
+        |         count(CASE WHEN is_canonical AND is_fuzzy AND NOT is_contaminated
+        |                         AND n_tok BETWEEN 25 AND 90 THEN 1 END)
+        |           AS n_after_quality,
+        |         count(CASE WHEN is_canonical AND is_fuzzy AND NOT is_contaminated
+        |                         AND n_tok BETWEEN 25 AND 90 AND b < thr THEN 1 END)
+        |           AS n_after_sample,
+        |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_history,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_fuzzy,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
+        |                         AND NOT is_contaminated
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
+        |                         AND NOT is_contaminated
+        |                         AND n_tok BETWEEN 25 AND 90
+        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
+        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
+        |                         AND NOT is_contaminated
+        |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
+        |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
+        |  FROM ann)
+        |SELECT n_raw,
+        |       -- no urlCol in the registered funnel: the URL stage is a
+        |       -- no-op, so after_url == raw on both sides
+        |       n_raw AS n_after_url,
+        |       n_after_dedup, n_after_history, n_after_fuzzy,
+        |       n_after_decontam, n_after_quality, n_after_sample,
+        |       tokens_raw, tokens_raw AS tokens_after_url,
+        |       tokens_after_dedup, tokens_after_history,
+        |       tokens_after_fuzzy, tokens_after_decontam,
+        |       tokens_after_quality, n_tokens,
+        |       CASE WHEN n_tokens = 0 THEN 0
+        |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
+        |FROM f""".stripMargin
+
   /** The uniquified corpus replayed (see Queries.uniquifiedDocs): each
     * doc's text rebuilt as greatest(4, n_tok) repetitions of a
     * doc_id-unique token — so text equality below IS the detection
@@ -2365,84 +2450,30 @@ object Oracles {
       // whitespace tokens of the PII-REDACTED text in [25, 90]; sampling
       // = the x6 hash bucket with en→0.4; sequences = ceil(survivor
       // tokens / 512).
-      ("WITH RECURSIVE " + gram4Ctes + ",\n" +
-        """bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
-          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
-          |contam AS (
-          |  SELECT DISTINCT doc_id FROM (
-          |    SELECT g.doc_id, b.bench_id, count(*) AS i
-          |    FROM grams g JOIN bench b ON g.gram = b.gram
-          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
-          |  WHERE round(i * 1.0 / n, 4) >= 0.8
-          |),""".stripMargin + "\n" +
-        jaccardPairCtes + ",\n" + componentCtes + ",\n" +
-      raw"""fdrop AS (SELECT id FROM creach GROUP BY id HAVING min(lbl) <> id),
-        |ann AS (
-        |  SELECT doc_id, lang,
-        |         doc_id = min(doc_id) OVER (
-        |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-        |           AS is_canonical,
-        |         doc_id NOT IN (SELECT id FROM fdrop) AS is_fuzzy,
-        |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
-        |         CASE WHEN len(trim(rtext)) = 0 THEN 0
-        |              ELSE len(string_split_regex(trim(rtext), '\s+')) END AS n_tok,
-        |         ${bucketSql("doc_id")} AS b,
-        |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
-        |  FROM (SELECT doc_id, lang, text,
-        |               regexp_replace(regexp_replace(regexp_replace(text,
-        |                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-        |                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
-        |        FROM documents)
-        |), f AS (
-        |  SELECT count(*) AS n_raw,
-        |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
-        |         -- no history index in the registered funnel: the X1h
-        |         -- stage is a no-op, so history == dedup on both sides
-        |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_history,
-        |         count(CASE WHEN is_canonical AND is_fuzzy THEN 1 END)
-        |           AS n_after_fuzzy,
-        |         count(CASE WHEN is_canonical AND is_fuzzy
-        |                         AND NOT is_contaminated THEN 1 END)
-        |           AS n_after_decontam,
-        |         count(CASE WHEN is_canonical AND is_fuzzy AND NOT is_contaminated
-        |                         AND n_tok BETWEEN 25 AND 90 THEN 1 END)
-        |           AS n_after_quality,
-        |         count(CASE WHEN is_canonical AND is_fuzzy AND NOT is_contaminated
-        |                         AND n_tok BETWEEN 25 AND 90 AND b < thr THEN 1 END)
-        |           AS n_after_sample,
-        |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
-        |         COALESCE(CAST(sum(CASE WHEN is_canonical
-        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
-        |         COALESCE(CAST(sum(CASE WHEN is_canonical
-        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_history,
-        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
-        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_fuzzy,
-        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
-        |                         AND NOT is_contaminated
-        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
-        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
-        |                         AND NOT is_contaminated
-        |                         AND n_tok BETWEEN 25 AND 90
-        |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
-        |         COALESCE(CAST(sum(CASE WHEN is_canonical AND is_fuzzy
-        |                         AND NOT is_contaminated
-        |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
-        |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
-        |  FROM ann)
-        |SELECT n_raw,
-        |       -- no urlCol in the registered funnel: the URL stage is a
-        |       -- no-op, so after_url == raw on both sides
-        |       n_raw AS n_after_url,
-        |       n_after_dedup, n_after_history, n_after_fuzzy,
-        |       n_after_decontam, n_after_quality, n_after_sample,
-        |       tokens_raw, tokens_raw AS tokens_after_url,
-        |       tokens_after_dedup, tokens_after_history,
-        |       tokens_after_fuzzy, tokens_after_decontam,
-        |       tokens_after_quality, n_tokens,
-        |       CASE WHEN n_tokens = 0 THEN 0
-        |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
-        |FROM f""".stripMargin),
+      curationFunnelSql("", "documents",
+        raw"""doc_id = min(doc_id) OVER (
+             |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             |           AS is_canonical,""".stripMargin),
+
+    "x10_keepbest_funnel" ->
+      // The same funnel replay over the padded keeper plant
+      // (x1_dedup_keepbest's corpus) with the dedup flag switched to
+      // the raw-longest keeper window. The fuzzy component resolution
+      // stays min-label — a planted family's dedup canonical (+10000)
+      // is never its component min, so those families survive dedup
+      // but not fuzzy, the census signature only this policy produces.
+      curationFunnelSql(
+        """corpus AS (
+          |  SELECT doc_id, lang, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000, lang, '  ' || text || '  '
+          |  FROM documents WHERE doc_id < 10
+          |),
+          |""".stripMargin, "corpus",
+        raw"""doc_id = first_value(doc_id) OVER (
+             |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+             |           ORDER BY coalesce(length(text), -1) DESC, doc_id)
+             |           AS is_canonical,""".stripMargin),
 
     "x10_dsir_funnel" ->
       // The funnel with the X16 Gumbel top-100 replacing the hash

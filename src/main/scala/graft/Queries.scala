@@ -394,15 +394,23 @@ object Queries {
     * [[x1ExactDedup]]'s. Null-text plants stay null (concat
     * null-propagates in both engines) and lose on the coalesced quality
     * floor's min-key tie-break. */
-  def x1DedupKeepBest(s: SparkSession, d: String): DataFrame = {
+  /** The keeper-policy test plant — ONE definition shared by
+    * [[x1DedupKeepBest]] and [[x10KeepbestFunnel]] (and mirrored by
+    * both oracles): docs 0–9 re-keyed +10000 with whitespace padding,
+    * so each plant normalizes into its original's family while
+    * carrying MORE raw characters — the raw-longest keeper must pick
+    * it wherever min-key would keep the original. */
+  private def paddedDocs(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val padded = docs.filter(col("doc_id") < 10)
+    docs.unionByName(docs.filter(col("doc_id") < 10)
       .withColumn("doc_id", col("doc_id") + 10000)
       .withColumn("text", concat(lit("  "), col("text"), lit("  ")))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-    Dedup.exactDedupKeepBest(docs.unionByName(padded), length(col("text")))
-      .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+      .withColumn("n_chars", length(col("text")).cast("long")))
   }
+
+  def x1DedupKeepBest(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedupKeepBest(paddedDocs(s, d), length(col("text")))
+      .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
 
   /** The cross-shard test plant every incremental/streaming dedup
     * query shares: history = docs 0–299; shard = docs 300+ plus
@@ -935,6 +943,29 @@ object Queries {
     graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
       minTokens = 25L, maxTokens = 90L,
       rates = Map("en" -> 0.4), seqLen = 512L), fuzzyPairs = Some(pairs))
+  }
+
+  /** X10-keepbest — the funnel with the X1a-best keeper policy
+    * composed in ([[graft.ext.Curation.Config.keeperQuality]]): the
+    * exact-dedup stage keeps the raw-LONGEST family member over the
+    * [[paddedDocs]] plant, so every planted family's canonical is the
+    * +10000 copy. The divergence is observable in the audit through
+    * the designed flag independence: the fuzzy stage still resolves
+    * components to their min id, so a plant that wins the dedup stage
+    * loses the fuzzy one — those families contribute to
+    * `n_after_dedup` but not `n_after_fuzzy`, a census a min-key
+    * funnel run could never produce. The oracle replays the DESC/ASC
+    * keeper window inside the full funnel SQL over the same plant. */
+  def x10KeepbestFunnel(s: SparkSession, d: String): DataFrame = {
+    val corpus = paddedDocs(s, d)
+    val bench = corpus.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val pairs = graft.ext.Dedup.jaccardPairs(corpus, n = 4, minSim = 0.8)
+    graft.ext.Curation.funnel(corpus, bench, graft.ext.Curation.Config(
+        minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L,
+        keeperQuality = Some(length(col("text")))),
+      fuzzyPairs = Some(pairs))
   }
 
   /** X10b — the funnel audit grouped PER SOURCE (the recipe-debugging

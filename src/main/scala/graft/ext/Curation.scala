@@ -87,6 +87,17 @@ object Curation {
       // family carries ~one document. Downstream, [[Mixing
       // .weightedMixToBudget]] consumes the weight column directly.
       softDedup: Boolean = false,
+      // Optional X1a-best keeper policy: when set, the exact-dedup
+      // stage keeps the family member maximizing this numeric
+      // expression (ties to min key) instead of the min-key copy —
+      // [[Dedup.exactDedupKeepBest]]'s rule riding the SAME keeper
+      // aggregate (zero extra scans). Evaluated on the post-clean text
+      // when cleanFirst/dedupLinesFirst rewrite it. NOTE the designed
+      // flag independence: the fuzzy stage's component resolution stays
+      // min-label, so a quality-keeper that is not its fuzzy
+      // component's min id can lose at the fuzzy stage — annotate,
+      // don't filter, means each stage's verdict is its own.
+      keeperQuality: Option[Column] = None,
       // Optional X19 stage: when true, the text column is rewritten
       // through [[TextClean.cleanText]] BEFORE any text-keyed stage —
       // dedup norms, contamination shingles, PII redaction, token
@@ -176,7 +187,14 @@ object Curation {
     // <=> groups them like the oracle's window-partition formulation does.
     val keepers = docs
       .groupBy(Dedup.normText(col(cfg.textCol)).as("__knorm"))
-      .agg(min(col(cfg.keyCol)).as("__keep_id"),
+      .agg(cfg.keeperQuality match {
+          // Keeper policy (max quality, min-key ties) — the
+          // exactDedupKeepBest ordering as the same partial aggregate.
+          case Some(q) => max_by(col(cfg.keyCol),
+            struct(coalesce(q.cast("double"), lit(Double.MinValue)),
+              (-col(cfg.keyCol)))).as("__keep_id")
+          case None => min(col(cfg.keyCol)).as("__keep_id")
+        },
         count(lit(1)).as("__fam_n"))
     val contaminated = Dedup
       .contaminationPairs(docs, benchmark, textCol = cfg.textCol,

@@ -16,6 +16,27 @@ class CurationSpec extends SparkSpec {
   private def bench = docs.filter(col("doc_id") < 3)
     .select(col("doc_id").as("bench_id"), col("text"))
 
+  test("keeperQuality: funnel canonicals equal standalone exactDedupKeepBest") {
+    // Padded plant: re-keyed copies that normalize into their originals'
+    // families but carry more raw chars (Queries.paddedDocs' shape).
+    val corpus = docs.unionByName(docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(lit("  "), col("text"), lit("  ")))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    val kbCfg = cfg.copy(keeperQuality = Some(length(col("text"))))
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val funnelKeepers = ids(Curation.annotate(corpus, bench, kbCfg)
+      .filter(col("is_canonical")))
+    assert(funnelKeepers ==
+      ids(Dedup.exactDedupKeepBest(corpus, length(col("text")))))
+    // …and provably diverges from the default min-key keeper: every
+    // planted family's canonical is the padded +10000 copy.
+    val minKeyKeepers = ids(Curation.annotate(corpus, bench, cfg)
+      .filter(col("is_canonical")))
+    assert((funnelKeepers -- minKeyKeepers).count(_ >= 10000L) == 10)
+  }
+
   test("funnel counts equal the independently-filtered stages") {
     val f = Curation.funnel(docs, bench, cfg).head()
 

@@ -150,6 +150,9 @@ class PlanAuditSpec extends SparkSpec {
   private val eagerAtConstruction = Set(
     "x1_jaccard_pairs", "x1_minhash_pairs", "x1_simhash_pairs", "x2_ivf_topk",
     "x1_dedup_groups", "x2_semdedup", "x10_curation_funnel",
+    // same eager shape as x10_curation_funnel (jaccard pair pinning +
+    // guarded fuzzy-drop broadcast), keeper window aside
+    "x10_keepbest_funnel",
     "v1_raw_gate", "v2_suite_summary", "g16_declarative_suite",
     "v5_drift_check", "v6_checkpoint_run",
     // localCheckpoint the derived history-signature index once,
