@@ -45,6 +45,24 @@ class Scd2Spec extends SparkSpec {
       (9L, "Z", 99.0, d2, null, true))) // new key inserts open
   }
 
+  test("snapshot chains: successive snapshots build the full version history") {
+    val d2b = Date.valueOf("2026-03-01")
+    val upd = (bal: Double) => df(Seq(Row(1L, "A", bal)),
+      "k BIGINT, seg STRING, bal DOUBLE")
+    val h1 = Scd2.snapshot(
+      df(Seq(Row(1L, "A", 10.0, d0, null, true)), histSchema),
+      upd(20.0), Seq("k"), Seq("seg", "bal"), to_date(lit("2026-01-01")))
+    val h2 = Scd2.snapshot(h1, upd(30.0),
+      Seq("k"), Seq("seg", "bal"), to_date(lit("2026-03-01")))
+    val rows = h2.collect().map(r => (r.getLong(0), r.get(2),
+      r.getDate(3), r.get(4), r.getBoolean(5)))
+      .sortBy(_._3.toString).toSeq
+    assert(rows == Seq(
+      (1L, 10.0, d0, d1, false),
+      (1L, 20.0, d1, d2b, false),
+      (1L, 30.0, d2b, null, true)))
+  }
+
   test("snapshot is idempotent: re-applying the same update snapshot is a no-op") {
     val hist = Seq(
       Row(1L, "A", 10.0, d0, d1, false),
