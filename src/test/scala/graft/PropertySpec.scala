@@ -294,4 +294,34 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: keep-best dedup matches a reference model, any partitioning") {
+    // Random corpora with heavy norm collisions (tiny text alphabet,
+    // whitespace/case variants) and null quality rows: the one-aggregate
+    // max_by(struct(quality, -key)) must pick exactly the plain-JVM
+    // "max quality then min key" survivor per family, on 1 partition or
+    // 7 — the partial-agg combine order can never leak into the result.
+    import org.apache.spark.sql.functions.{col, length}
+    import graft.ext.Dedup
+    val rowGen: Gen[List[(Long, String)]] = Gen.choose(1, 20).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(
+        "a b", " a  b ", "A B", "c", "  c", null, "dd ee", "DD  EE "))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))
+    samples(rowGen, 10).foreach { rows =>
+      val norm = (t: String) => Option(t)
+        .map(_.replaceAll("\\s+", " ").trim.toLowerCase).orNull
+      val expect = rows.groupBy(r => norm(r._2)).values.map(fam =>
+        fam.minBy { case (id, t) =>
+          // null quality sorts LAST (the engine's coalesced floor)
+          (Option(t).map(s => -s.length.toLong).getOrElse(Long.MaxValue), id)
+        }._1).toSet
+      Seq(1, 7).foreach { parts =>
+        val d = df(rows.map { case (id, t) => Row(id, t) },
+          "doc_id BIGINT, text STRING").repartition(parts)
+        val got = Dedup.exactDedupKeepBest(d, length(col("text")))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(got == expect, s"parts=$parts rows=$rows")
+      }
+    }
+  }
 }
