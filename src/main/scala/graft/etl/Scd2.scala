@@ -37,10 +37,24 @@ object Scd2 {
   /** `history` columns: keys ++ tracked ++ (valid_from, valid_to,
     * is_current); `updates` columns: keys ++ tracked (extra columns
     * ignored). `ts` must be the valid_from/valid_to type (date or
-    * timestamp). Output schema = history's, same column order. */
+    * timestamp). Output schema = history's, same column order.
+    *
+    * PRECONDITIONS (ADVICE r10): `keys` and `tracked` must be
+    * non-empty (the change test is a reduce over `tracked`; an empty
+    * list is a contract error, caught loudly here, not an empty
+    * reduce). Business keys must be UNIQUE in `updates` and in the
+    * open history slice — dbt snapshots hard-error on duplicate keys;
+    * this operator does not scan for them (a distributed uniqueness
+    * check would cost a full shuffle per merge — run it as a G7/G8
+    * unique check upstream where the suite already owns that pass),
+    * and duplicate keys on either side fan out the full-outer join,
+    * emitting duplicate close/insert versions. */
   def snapshot(history: DataFrame, updates: DataFrame,
                keys: Seq[String], tracked: Seq[String],
                ts: Column): DataFrame = {
+    require(keys.nonEmpty, "SCD-2 snapshot requires at least one key column")
+    require(tracked.nonEmpty,
+      "SCD-2 snapshot requires at least one tracked column")
     val outCols = keys ++ tracked ++ Seq("valid_from", "valid_to", "is_current")
     val closed = history.filter(!col("is_current"))
       .select(outCols.map(col): _*)

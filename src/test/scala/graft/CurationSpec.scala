@@ -545,6 +545,100 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("write: content and order are invariant across numShards ∈ {1, 4}") {
+    val curated = Curation.curate(docs, bench,
+      Curation.Config(minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L))
+    val dir1 = java.nio.file.Files.createTempDirectory("cur_s1").toString
+    val dir4 = java.nio.file.Files.createTempDirectory("cur_s4").toString
+    Curation.write(curated, dir1)
+    Curation.write(curated, dir4, numShards = 4)
+    def census(dir: String) = spark.read.parquet(dir)
+      .select(col("doc_id"), md5(col("text")).as("h"), col("n_tok"),
+        col("split"), col("source"), col("shuffle_key"))
+      .collect().map(_.toSeq).toSet
+    // Identical rows modulo the shard column — sharding never gains,
+    // loses, or mutates a row.
+    assert(census(dir1) == census(dir4))
+    // Sharded layout: every leaf dir is shard=k under (split, source),
+    // one file each, and the shard value replays shardOf(shuffle_key).
+    val leaves = new java.io.File(dir4).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles.filter(_.isDirectory))
+      .flatMap(_.listFiles.filter(_.isDirectory))
+    assert(leaves.nonEmpty)
+    assert(leaves.forall(_.getName.startsWith("shard=")))
+    leaves.foreach { p =>
+      assert(p.listFiles.count(_.getName.endsWith(".parquet")) == 1,
+        s"$p is not a single-file shard")
+    }
+    val back4 = spark.read.parquet(dir4)
+    assert(back4.filter(col("shard") =!=
+      Curation.shardOf(col("shuffle_key"), 4)).count() == 0,
+      "shard dirs must replay the deterministic range band")
+    // Order preservation: the range bands are monotonic in shuffle_key,
+    // so per (split, source) the shard-ordered concatenation replays
+    // the single-file global training order.
+    val grouped = back4
+      .select("split", "source", "shard", "shuffle_key", "doc_id").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+    grouped.foreach { case (g, rows) =>
+      val byShard = rows.sortBy(r => (r.getInt(2), r.getLong(3), r.getLong(4)))
+        .map(r => (r.getLong(3), r.getLong(4)))
+      assert(byShard.sortBy(identity).sameElements(byShard),
+        s"group $g: shard-ordered read is not the global training order")
+    }
+  }
+
+  test("writePacked: content is invariant across numShards ∈ {1, 4}") {
+    val curated = Curation.curate(docs, bench,
+      Curation.Config(minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L))
+    val dir1 = java.nio.file.Files.createTempDirectory("pak_s1").toString
+    val dir4 = java.nio.file.Files.createTempDirectory("pak_s4").toString
+    Curation.writePacked(curated, dir1, seqLen = 512L, blockSize = 100L)
+    Curation.writePacked(curated, dir4, seqLen = 512L, blockSize = 100L,
+      numShards = 4)
+    def census(dir: String) = spark.read.parquet(dir)
+      .select("split", "seq_id", "seq_tok", "seq_text")
+      .collect().map(_.toSeq).toSet
+    assert(census(dir1) == census(dir4))
+    // shard = seq_id mod 4 (the documented stride interleave), one
+    // file per (split, shard) leaf, rows seq_id-sorted inside each.
+    val back4 = spark.read.parquet(dir4)
+    assert(back4.filter(col("shard") =!= pmod(col("seq_id"), lit(4L))).count() == 0)
+    val leaves = new java.io.File(dir4).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles.filter(_.isDirectory))
+    assert(leaves.nonEmpty && leaves.forall(_.getName.startsWith("shard=")))
+    leaves.foreach { p =>
+      val fs = p.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(fs.length == 1, s"$p holds ${fs.length} files, expected 1")
+      val ids = spark.read.parquet(fs.head.toString)
+        .select("seq_id").collect().map(_.getLong(0))
+      assert(ids.sorted.sameElements(ids), s"rows in $p not seq_id-sorted")
+    }
+  }
+
+  test("write: overwrite leaves no stale split directories behind") {
+    // Bench reps reuse one per-JVM target dir; if the split set shrinks
+    // between runs, parquet overwrite must wipe the whole root (static
+    // partition-overwrite semantics), not leave dead split=… dirs that
+    // a read-back would silently union in (ADVICE/VERDICT r10 next #6).
+    val curated = Curation.curate(docs, bench,
+      Curation.Config(minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L))
+    val dir = java.nio.file.Files.createTempDirectory("cur_stale").toString
+    Curation.write(curated, dir)
+    val before = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(before.contains("split=train") && before.size > 1)
+    Curation.write(curated, dir, splits = Seq("train" -> 1.0), numShards = 2)
+    val after = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(after == Set("split=train"),
+      s"stale split dirs survived the overwrite: $after")
+    assert(spark.read.parquet(dir).filter(col("split") =!= "train").count() == 0)
+  }
+
   test("soft funnel ≡ hard funnel over exactDedup survivors in weighted mass") {
     // The SoftDedup composition, end to end: up to (not incl.) sampling,
     // every stage flag is text-derived, so all members of a duplicate

@@ -41,6 +41,41 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("exactDedupKeepBest orders quality on the NATIVE type past 2^53") {
+    import org.apache.spark.sql.functions.col
+    // Two BIGINT qualities above 2^53 differing by 1: a double-cast
+    // ordering would see them equal and fall to the min-key tie-break
+    // (keeping 1); the native ordering must keep the larger (2).
+    val corpus = df(Seq(
+        Row(1L, "same text", 9007199254740992L),
+        Row(2L, "same text", 9007199254740993L)),
+      "doc_id BIGINT, text STRING, q BIGINT")
+    val kept = Dedup.exactDedupKeepBest(corpus, col("q"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L), "2^53-adjacent BIGINT qualities must compare exactly")
+  }
+
+  test("exactDedupKeepBestAgainst: merit wins intra-shard, history wins always") {
+    import org.apache.spark.sql.functions.{col, length}
+    val history = df(Seq(Row(100L, "alpha beta gamma")),
+      "doc_id BIGINT, text STRING")
+    val shard = df(Seq(
+        Row(1L, "delta epsilon"),
+        Row(2L, "  delta   EPSILON  "),        // norm-equal to 1, raw-longer → wins
+        Row(3L, "  alpha beta GAMMA   padded"),// unrelated survivor
+        Row(4L, " alpha  beta gamma "),        // higher quality than history copy…
+        Row(5L, null)),                        // null fp → anti join keeps
+      "doc_id BIGINT, text STRING")
+    val kept = Dedup.exactDedupKeepBestAgainst(
+        shard, Dedup.fingerprints(history), length(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // 2 beats 1 on merit; 4 wins its (singleton) family but drops vs
+    // history UNCONDITIONALLY despite more raw characters; 3 is a
+    // different norm (extra token) and survives; null-text 5 survives
+    // (null fingerprint matches nothing — the X1h contract).
+    assert(kept == Seq(2L, 3L, 5L))
+  }
+
   test("softDedupWeights: family sizes, floor weights, norm equivalence") {
     val out = Dedup.softDedupWeights(docs)
       .select("doc_id", "soft_dup_count", "soft_weight_ppm")

@@ -92,4 +92,19 @@ class Scd2Spec extends SparkSpec {
       (2L, "B", null, d1, d2, false),
       (2L, "B", 5.0, d2, null, true)))
   }
+
+  test("snapshot rejects empty key/tracked lists loudly (ADVICE r10)") {
+    import org.apache.spark.sql.functions.{lit, to_date}
+    val hist = df(Seq(Row(1L, "A", 1.0, d1, null, true)),
+      "k BIGINT, seg STRING, bal DOUBLE, valid_from DATE, valid_to DATE, " +
+        "is_current BOOLEAN")
+    val upd = df(Seq(Row(1L, "A", 1.0)), "k BIGINT, seg STRING, bal DOUBLE")
+    val ts = to_date(lit("2026-02-01"))
+    // Pre-fix, empty tracked threw an opaque UnsupportedOperationException
+    // from reduce on empty Seq; empty keys built a degenerate join.
+    assertThrows[IllegalArgumentException](
+      Scd2.snapshot(hist, upd, Seq("k"), Seq.empty, ts))
+    assertThrows[IllegalArgumentException](
+      Scd2.snapshot(hist, upd, Seq.empty, Seq("seg", "bal"), ts))
+  }
 }
