@@ -747,6 +747,99 @@ object Oracles {
       |LEFT JOIN per USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** The order-n stupid-backoff replay, generated for any n — the
+    * x15_lm_ppl / x15_lm_ppl3 shape generalized exactly as the engine's
+    * `NgramLm.scoredN` generalizes the scorers: per order-k census one
+    * lead() CTE, per backoff level one hit join (order k on the LAST k
+    * probe words) + one context join (order k−1 minus the final word),
+    * each CASE arm `(n−k)·BackoffMicro` ADDED as an integer plus ONE
+    * rounded ln — never the 0.4-power folded into the rounding. */
+  private def lmPplSqlN(n: Int): String = {
+    val b = graft.ext.NgramLm.BackoffMicro
+    def ws(from: Int, to: Int) = (from to to).map(i => s"w$i")
+    def leads(k: Int) = (2 to k).map(j =>
+      s"lead(tok, ${j - 1}) OVER (PARTITION BY doc_id ORDER BY ord) AS w$j")
+      .mkString(",\n         ")
+    def gramCte(k: Int) =
+      s"""g$k AS (
+         |  SELECT ${ws(1, k).mkString(", ")}, count(*) AS c$k FROM (
+         |    SELECT tok AS w1,
+         |         ${leads(k)}
+         |    FROM rtoks) WHERE w$k IS NOT NULL
+         |  GROUP BY ${(1 to k).mkString(", ")})""".stripMargin
+    val hitJoins = (n to 2 by -1).flatMap { k =>
+      val off = n - k
+      val hit = s"LEFT JOIN g$k h$k ON " +
+        (1 to k).map(i => s"p.w${i + off} = h$k.w$i").mkString(" AND ")
+      val ctx =
+        if (k - 1 == 1) s"LEFT JOIN uni x$k ON p.w${n - 1} = x$k.w"
+        else s"LEFT JOIN g${k - 1} x$k ON " +
+          (1 to k - 1).map(i => s"p.w${i + off} = x$k.w$i").mkString(" AND ")
+      Seq(hit, ctx)
+    }.mkString("\n  ")
+    val arms = (n to 2 by -1).map { k =>
+      val ctxCnt = if (k - 1 == 1) s"x$k.c1" else s"x$k.c${k - 1}"
+      val pre = if (k == n) "" else s"${(n - k).toLong * b} + "
+      s"""WHEN h$k.c$k IS NOT NULL THEN
+         |           ${pre}CAST(round(1000000 * ln(
+         |             CAST(h$k.c$k AS DOUBLE) / $ctxCnt)) AS BIGINT)"""
+        .stripMargin
+    }.mkString("\n         ")
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |         lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS t
+       |  FROM documents),
+       |rtoks AS (
+       |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
+       |         generate_subscripts(string_split(t, ' '), 1) AS ord
+       |  FROM norm WHERE doc_id < 300 AND t <> ''),
+       |uni AS (SELECT tok AS w, count(*) AS c1 FROM rtoks GROUP BY 1),
+       |${(2 to n).map(gramCte).mkString(",\n")},
+       |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS total_toks,
+       |               count(*) AS vocab FROM uni),
+       |ptoks AS (
+       |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok,
+       |         generate_subscripts(string_split(t, ' '), 1) AS ord
+       |  FROM norm WHERE doc_id >= 300 AND t <> ''),
+       |probe AS (
+       |  SELECT doc_id, ${ws(1, n).mkString(", ")}, count(*) AS m FROM (
+       |    SELECT doc_id, tok AS w1,
+       |         ${leads(n)}
+       |    FROM ptoks) WHERE w$n IS NOT NULL
+       |  GROUP BY ${(1 to n + 1).mkString(", ")}),
+       |g AS (
+       |  SELECT p.doc_id, p.m, h$n.c$n,
+       |         CASE $arms
+       |         ELSE ${(n - 1).toLong * b} + CAST(round(1000000 * ln(
+       |           CAST(coalesce(cu.c1, 0) + 1 AS DOUBLE)
+       |             / (t.total_toks + t.vocab))) AS BIGINT)
+       |         END AS micro
+       |  FROM probe p
+       |  $hitJoins
+       |  LEFT JOIN uni cu ON p.w$n = cu.w
+       |  CROSS JOIN tot t),
+       |per AS (
+       |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS lm_grams,
+       |         CAST(sum(CASE WHEN c$n IS NOT NULL THEN m ELSE 0 END) AS BIGINT)
+       |           AS lm_hits,
+       |         CAST(sum(m * micro) AS BIGINT) AS lm_logp_micro
+       |  FROM g GROUP BY 1)
+       |SELECT d.doc_id,
+       |       coalesce(lm_grams, 0) AS lm_grams,
+       |       coalesce(lm_hits, 0) AS lm_hits,
+       |       coalesce(lm_logp_micro, 0) AS lm_logp_micro,
+       |       CASE WHEN coalesce(lm_grams, 0) > 0
+       |            THEN round(exp(-CAST(lm_logp_micro AS DOUBLE) / 1000000
+       |                           / lm_grams), 3) END AS lm_ppl,
+       |       CASE WHEN coalesce(lm_grams, 0) = 0 THEN 'empty'
+       |            WHEN lm_logp_micro >= ${graft.ext.NgramLm.HeadMicro} * lm_grams THEN 'head'
+       |            WHEN lm_logp_micro >= ${graft.ext.NgramLm.TailMicro} * lm_grams THEN 'middle'
+       |            ELSE 'tail' END AS lm_band
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= 300) d
+       |LEFT JOIN per USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val dsirWeightCtes: String = {
     val lam = graft.ext.Dsir.DefaultLambda
     val nb = graft.ext.Dsir.DefaultBuckets
@@ -887,7 +980,9 @@ object Oracles {
         |  FROM customer
         |  WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 10 <> 0)
         |  UNION ALL
-        |  SELECT c_custkey + 100000, c_mktsegment, c_acctbal
+        |  SELECT c_custkey + (SELECT (CAST(floor(max(c_custkey) / 100000.0)
+        |                              AS BIGINT) + 1) * 100000 FROM customer),
+        |         c_mktsegment, c_acctbal
         |  FROM customer WHERE c_custkey <= 5
         |), open_judged AS (
         |  SELECT o.c_custkey, o.c_mktsegment, o.c_acctbal,
@@ -1113,6 +1208,41 @@ object Oracles {
         |  FROM corpus) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "x1_incremental_dedup" -> incrementalDedupSql,
+
+    // Keeper-policy incremental dedup: the intra-shard keeper is the
+    // DESC/ASC window (max raw length, ties min doc_id; coalesce(-1)
+    // mirrors the null-quality floor), the history drop is the same
+    // NOT-EXISTS-on-norm as x1_incremental_dedup — UNCONDITIONAL, so
+    // the higher-quality +30000 plants of docs < 10 drop despite
+    // winning their intra-shard family, while the +10000 padded
+    // plants of docs 300–309 (absent from history) replace their
+    // in-shard originals.
+    "x1_keepbest_against" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents WHERE doc_id < 300),
+        |shard AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 10000, '  ' || text || '  '
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 310
+        |  UNION ALL
+        |  SELECT doc_id + 30000, '  ' || text || '  '
+        |  FROM documents WHERE doc_id < 10),
+        |s AS (
+        |  SELECT doc_id, text,
+        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM shard),
+        |keep AS (
+        |  SELECT doc_id, norm,
+        |         row_number() OVER (
+        |           PARTITION BY norm
+        |           ORDER BY coalesce(length(text), -1) DESC, doc_id) AS rn
+        |  FROM s)
+        |SELECT doc_id FROM keep k
+        |WHERE rn = 1
+        |  AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.norm = k.norm)
+        |ORDER BY doc_id""".stripMargin,
 
     // Planted-copy variants of the randomized-family paths: the corpus
     // is rewritten so distinct docs share ZERO shingles (detection
@@ -1816,6 +1946,10 @@ object Oracles {
     // (integer micro-nats; save→load parity pinned by NgramLmSpec), so
     // the loaded-model query replays the SAME bigram derivation.
     "x15_lm_against" -> lmPplSql,
+
+    // The 5-gram KenLM shape (VERDICT r10 next #5): the generated
+    // order-n replay with all four backoff levels.
+    "x15_lm_ppl5" -> lmPplSqlN(5),
 
     "x15_lm_ppl3" ->
       // The trigram stupid-backoff replay: same counts-from-docs<300 /

@@ -1,9 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** X15 — bigram language-model perplexity scoring: the CCNet-style
+/** X15 — n-gram language-model perplexity scoring: the CCNet-style
   * "how close is this document to a trusted reference corpus" gate
   * (public pipelines score crawl text against a Wikipedia-trained
   * KenLM and keep the low-perplexity head; the engine's job is the
@@ -61,14 +61,37 @@ object NgramLm {
   /** A trained model: pure count frames, each persistable as parquet
     * and re-loadable — the incremental-dedup history-index discipline
     * ([[Dedup.fingerprints]]) applied to LM counts. `trigrams` present
-    * iff the model was trained at order 3 (the CCNet-style filter's
-    * real LM is higher-order; [[scored]] dispatches on it, so a
-    * pipeline swaps orders by retraining — no call-site change). */
+    * iff the model was trained at order ≥ 3; `higher` carries the
+    * order-4+ censuses in sequence (`higher(i)` = order 4+i, columns
+    * `w1..w(4+i), c(4+i)`) — the 5-gram KenLM shape of the published
+    * CCNet filter (VERDICT r10 next #5). [[scored]] dispatches on
+    * [[Model.order]], so a pipeline swaps orders by retraining — no
+    * call-site change. */
   final case class Model(
       bigrams: DataFrame,  // (w1, w2, c2: Long) — one row per seen bigram
       unigrams: DataFrame, // (w, c1: Long) — one row per seen word
       totals: DataFrame,   // ONE row: (total_toks: Long, vocab: Long)
-      trigrams: Option[DataFrame] = None) { // (w1, w2, w3, c3: Long)
+      trigrams: Option[DataFrame] = None, // (w1, w2, w3, c3: Long)
+      higher: Seq[DataFrame] = Nil) {     // orders 4+: (w1..wk, ck: Long)
+
+    require(higher.isEmpty || trigrams.isDefined,
+      "order-4+ counts require the trigram census (contiguous orders)")
+
+    /** The trained n-gram order — what [[scored]] dispatches on. */
+    def order: Int =
+      if (higher.nonEmpty) 3 + higher.size
+      else if (trigrams.isDefined) 3
+      else 2
+
+    /** The order-`k` count frame normalized to `(w1..wk, ck)` — ONE
+      * accessor shared by training layout, save/load, and the scoring
+      * joins, so the column-name contract lives in one place. */
+    private[ext] def countsFor(k: Int): DataFrame = k match {
+      case 1 => unigrams.select(col("w").as("w1"), col("c1"))
+      case 2 => bigrams
+      case 3 => trigrams.get
+      case k => higher(k - 4)
+    }
 
     /** Pin the count frames ([[org.apache.spark.sql.Dataset.localCheckpoint]]) —
       * the persisted-index contract of the streaming dedup paths
@@ -80,7 +103,8 @@ object NgramLm {
       bigrams.localCheckpoint(true),
       unigrams.localCheckpoint(true),
       totals.localCheckpoint(true),
-      trigrams.map(_.localCheckpoint(true)))
+      trigrams.map(_.localCheckpoint(true)),
+      higher.map(_.localCheckpoint(true)))
   }
 
   /** Persist a trained model to parquet — the [[graft.ext.IvfIndex
@@ -93,52 +117,61 @@ object NgramLm {
     model.totals.coalesce(1).write.mode("overwrite").parquet(s"$dir/totals")
     model.trigrams.foreach(
       _.write.mode("overwrite").parquet(s"$dir/trigrams"))
+    model.higher.zipWithIndex.foreach { case (g, i) =>
+      g.write.mode("overwrite").parquet(s"$dir/grams${i + 4}")
+    }
   }
 
   /** Load a saved model. The count frames stay distributed (backed by
     * the saved parquet — nothing reaches the driver); scoring joins
-    * read them directly. A `trigrams/` directory marks an order-3
-    * model — the save layout carries the order, so load cannot
-    * silently downgrade a trigram model to bigram scoring. Score
-    * parity with the freshly-trained model is pinned by NgramLmSpec. */
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model =
+    * read them directly. A `trigrams/` directory marks order ≥ 3, and
+    * `grams4/`, `grams5/`, … mark the higher orders (read until the
+    * first missing dir — contiguity by construction of [[save]]) —
+    * the save layout carries the order, so load cannot silently
+    * downgrade a model to lower-order scoring. Score parity with the
+    * freshly-trained model is pinned by NgramLmSpec. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    def dirAt(name: String): Boolean = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$dir/$name"))
+    val higher = Iterator.from(4)
+      .takeWhile(k => dirAt(s"grams$k"))
+      .map(k => spark.read.parquet(s"$dir/grams$k"))
+      .toSeq
     Model(
       spark.read.parquet(s"$dir/bigrams"),
       spark.read.parquet(s"$dir/unigrams"),
       spark.read.parquet(s"$dir/totals"),
-      if (java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(s"$dir/trigrams")))
-        Some(spark.read.parquet(s"$dir/trigrams"))
-      else None)
+      if (dirAt("trigrams")) Some(spark.read.parquet(s"$dir/trigrams"))
+      else None,
+      higher)
+  }
 
-  /** Train n-gram counts from a reference corpus at `order` 2 (the
-    * default bigram model) or 3 (adds the trigram census — one more
-    * partial-agg counting pass, same map-side-combine shape).
-    * Documents with fewer than n tokens contribute the lower-order
-    * counts only; blank/null documents contribute nothing. */
+  /** Train n-gram counts from a reference corpus at any `order` in
+    * [2, 7] — 2 is the default bigram model, 5 the published CCNet
+    * KenLM shape. Each order above 2 adds one more partial-agg
+    * counting pass, same map-side-combine shape. Documents with fewer
+    * than k tokens contribute the lower-order counts only; blank/null
+    * documents contribute nothing. */
   def train(ref: DataFrame, textCol: String = "text",
             order: Int = 2): Model = {
-    require(order == 2 || order == 3, s"order ($order) must be 2 or 3")
+    require(order >= 2 && order <= 7, s"order ($order) must be in [2, 7]")
     val toked = ref
       .select(split(Dedup.normText(col(textCol)), "\\s+").as("__toks"))
       .filter(size(col("__toks")) > 0 && col("__toks")(0) =!= "")
+    def census(k: Int): DataFrame = toked
+      .select(explode(gramStructs(col("__toks"), k)).as("g"))
+      .select((1 to k).map(i => col(s"g.w$i")): _*)
+      .groupBy(s"w1", (2 to k).map(i => s"w$i"): _*)
+      .agg(count(lit(1)).as(s"c$k"))
     val unigrams = toked
       .select(explode(col("__toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val bigrams = toked
-      .select(explode(bigramStructs(col("__toks"))).as("g"))
-      .select(col("g.w1"), col("g.w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val totals = unigrams.agg(
       sum(col("c1")).as("total_toks"),
       count(lit(1)).as("vocab"))
-    val trigrams =
-      if (order < 3) None
-      else Some(toked
-        .select(explode(trigramStructs(col("__toks"))).as("g"))
-        .select(col("g.w1"), col("g.w2"), col("g.w3"))
-        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
-    Model(bigrams, unigrams, totals, trigrams)
+    Model(census(2), unigrams, totals,
+      if (order >= 3) Some(census(3)) else None,
+      (4 to order).map(census))
   }
 
   /** Adjacent-pair structs of a MATERIALIZED token array — kept as a
@@ -149,21 +182,20 @@ object NgramLm {
     * ~7× slower end-to-end on the registered query (slice/arrays_zip
     * stay inside whole-stage codegen). */
   private[ext] def bigramStructs(toks: org.apache.spark.sql.Column) =
-    when(size(toks) >= 2,
-      arrays_zip(
-        slice(toks, lit(1), size(toks) - 1).as("w1"),
-        slice(toks, lit(2), size(toks) - 1).as("w2")))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    gramStructs(toks, 2)
 
-  /** Adjacent-triple structs — [[bigramStructs]]' shifted-slice zip at
-    * width 3 (same codegen rationale). */
-  private[ext] def trigramStructs(toks: org.apache.spark.sql.Column) =
-    when(size(toks) >= 3,
-      arrays_zip(
-        slice(toks, lit(1), size(toks) - 2).as("w1"),
-        slice(toks, lit(2), size(toks) - 2).as("w2"),
-        slice(toks, lit(3), size(toks) - 2).as("w3")))
-      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+  /** Adjacent n-tuple structs at any width — [[bigramStructs]]'
+    * shifted-slice `arrays_zip` generalized (same codegen rationale:
+    * slice/arrays_zip stay inside whole-stage codegen where a HOF
+    * lambda would evaluate interpreted). */
+  private[ext] def gramStructs(toks: org.apache.spark.sql.Column, n: Int) = {
+    val emptyType =
+      s"array<struct<${(1 to n).map(i => s"w$i:string").mkString(",")}>>"
+    when(size(toks) >= n,
+      arrays_zip((1 to n).map(i =>
+        slice(toks, lit(i), size(toks) - (n - 1)).as(s"w$i")): _*))
+      .otherwise(array().cast(emptyType))
+  }
 
   /** Score documents against a trained model. Appends (all
     * `lm_`-prefixed — the [[QualityScore.scored]] collision rule):
@@ -182,95 +214,74 @@ object NgramLm {
              tailMicro: Long = TailMicro): DataFrame = {
     require(headMicro >= tailMicro,
       s"headMicro ($headMicro) must be >= tailMicro ($tailMicro)")
-    if (model.trigrams.isDefined)
-      return scored3(docs, model, textCol, keyCol, headMicro, tailMicro)
-    // Per-(doc, gram) multiplicity first: the skew cap — one probe row
-    // per distinct gram per document, however often it repeats.
-    val probe = docs
-      .select(col(keyCol).as("__k"),
-        explode(bigramStructs(split(Dedup.normText(col(textCol)), "\\s+")))
-          .as("g"))
-      .select(col("__k"), col("g.w1"), col("g.w2"))
-      .groupBy("__k", "w1", "w2").agg(count(lit(1)).as("m"))
-    val joined = probe
-      .join(model.bigrams, Seq("w1", "w2"), "left")
-      .join(model.unigrams.select(col("w").as("w1"), col("c1")),
-        Seq("w1"), "left")
-      .join(model.unigrams.select(col("w").as("w2"), col("c1").as("cu2")),
-        Seq("w2"), "left")
-      .join(broadcast(model.totals))
-    // ONE rounding per gram; exact integers after this point. The
-    // backoff's ln(0.4 * p) splits into BackoffMicro + round(1e6 ln p):
-    // two integer constants added — replayable exactly, and the split
-    // keeps every rounded term a pure function of model counts.
-    val gramMicro = when(col("c2").isNotNull,
-        round(lit(1e6) * log(col("c2").cast("double") / col("c1"))).cast("long"))
-      .otherwise(lit(BackoffMicro) +
-        round(lit(1e6) * log(
-          (coalesce(col("cu2"), lit(0L)) + lit(1L)).cast("double") /
-            (col("total_toks") + col("vocab")))).cast("long"))
-    val perDoc = joined
-      .groupBy(col("__k"))
-      .agg(sum(col("m")).as("lm_grams"),
-        sum(when(col("c2").isNotNull, col("m")).otherwise(lit(0L)))
-          .as("lm_hits"),
-        sum(col("m") * gramMicro).as("lm_logp_micro"))
-    assemble(docs, perDoc, keyCol, headMicro, tailMicro)
+    scoredN(docs, model, model.order, textCol, keyCol, headMicro, tailMicro)
   }
 
-  /** Trigram stupid backoff — the [[scored]] shape one order up
-    * (CCNet's published filter is a higher-order KenLM; same counting
-    * / backoff / micro-nat discipline, VERDICT r9 next #5):
+  /** Order-n stupid backoff, the per-level recursion of Brants et al.
+    * written as ONE CASE chain (the VERDICT r10 #5 generalization —
+    * the bigram and trigram scorers are the n = 2 / n = 3 instances of
+    * this, byte-identically, pinned by the unchanged oracles):
     *
-    *   p(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)            if c3 > 0
-    *                 = 0.4 · c(w2 w3) / c(w2)            elif c(w2 w3) > 0
-    *                 = 0.4² · (c(w3) + 1) / (total + V)  otherwise
+    *   p(wn | w1..wn-1) = c(w1..wn) / c(w1..wn-1)      if cn > 0
+    *                    = 0.4 · p(wn | w2..wn-1)        otherwise
+    *   …down to…        = 0.4ⁿ⁻¹ · (c(wn)+1)/(total+V)  (Laplace)
     *
-    * TWO-level backoff: each CASE arm is [[BackoffMicro]] per level
-    * ADDED as an integer plus ONE rounded log — the 0.4² arm is
-    * `2·BackoffMicro`, the documented two-integer-constants split
-    * (NOT round(1e6·ln 0.16), which would round the product instead
-    * of the factors — the oracle replays the same association).
-    * Denominators in the hit arms are non-null by construction: a
-    * seen trigram implies its (w1,w2) bigram was counted, a seen
-    * backoff bigram implies w2 was. The probe pre-aggregates per
-    * (doc, w1, w2, w3) — the same hot-gram skew cap — and the model
-    * joins add ONE extra equi-join versus the bigram path. */
-  private def scored3(docs: DataFrame, model: Model, textCol: String,
-                      keyCol: String, headMicro: Long,
-                      tailMicro: Long): DataFrame = {
+    * Each arm is `(n−k)·`[[BackoffMicro]] ADDED as an integer plus ONE
+    * rounded log — never ln(0.4^j·p) rounded as a product — so every
+    * rounded term stays a pure function of model counts and any SQL
+    * replay associates identically. Hit-arm denominators are non-null
+    * by construction (a seen k-gram implies its (k−1)-gram context was
+    * counted). The probe pre-aggregates per (doc, w1..wn) — the
+    * hot-gram skew cap — and scoring joins 2(n−1)+1 count tables plus
+    * the broadcast totals: each is one equi-join against a bounded
+    * count frame (auto-broadcast when small, sort-merge when not). */
+  private def scoredN(docs: DataFrame, model: Model, n: Int,
+                      textCol: String, keyCol: String,
+                      headMicro: Long, tailMicro: Long): DataFrame = {
+    val ws = (1 to n).map(i => s"w$i")
     val probe = docs
       .select(col(keyCol).as("__k"),
-        explode(trigramStructs(split(Dedup.normText(col(textCol)), "\\s+")))
+        explode(gramStructs(split(Dedup.normText(col(textCol)), "\\s+"), n))
           .as("g"))
-      .select(col("__k"), col("g.w1"), col("g.w2"), col("g.w3"))
-      .groupBy("__k", "w1", "w2", "w3").agg(count(lit(1)).as("m"))
-    val joined = probe
-      .join(model.trigrams.get, Seq("w1", "w2", "w3"), "left")
-      .join(model.bigrams.select(col("w1"), col("w2"), col("c2").as("cb_ctx")),
-        Seq("w1", "w2"), "left")
-      .join(model.bigrams.select(col("w1").as("w2"), col("w2").as("w3"),
-          col("c2").as("cb_back")),
-        Seq("w2", "w3"), "left")
-      .join(model.unigrams.select(col("w").as("w2"), col("c1").as("cu2")),
-        Seq("w2"), "left")
-      .join(model.unigrams.select(col("w").as("w3"), col("c1").as("cu3")),
-        Seq("w3"), "left")
+      .select((col("__k") +: ws.map(w => col(s"g.$w"))): _*)
+      .groupBy("__k", ws: _*).agg(count(lit(1)).as("m"))
+    // Level-k hit table = order-k counts on the probe's LAST k words;
+    // its denominator = order-(k−1) counts on the same words minus the
+    // final one. Renames put each count under a unique name (__c/__x).
+    def renamed(k: Int, off: Int, cntAs: String): DataFrame =
+      model.countsFor(k).select(
+        ((1 to k).map(i => col(s"w$i").as(s"w${i + off}"))
+          :+ col(s"c$k").as(cntAs)): _*)
+    val joined0 = (n to 2 by -1).foldLeft(probe) { (acc, k) =>
+      val off = n - k
+      acc
+        .join(renamed(k, off, s"__c$k"),
+          (off + 1 to n).map(i => s"w$i"), "left")
+        .join(renamed(k - 1, off, s"__x$k"),
+          (off + 1 to n - 1).map(i => s"w$i"), "left")
+    }
+    val joined = joined0
+      .join(model.unigrams.select(col("w").as(s"w$n"), col("c1").as("__cu")),
+        Seq(s"w$n"), "left")
       .join(broadcast(model.totals))
-    val gramMicro = when(col("c3").isNotNull,
-        round(lit(1e6) * log(col("c3").cast("double") / col("cb_ctx")))
-          .cast("long"))
-      .when(col("cb_back").isNotNull, lit(BackoffMicro) +
-        round(lit(1e6) * log(col("cb_back").cast("double") / col("cu2")))
-          .cast("long"))
-      .otherwise(lit(2L * BackoffMicro) +
-        round(lit(1e6) * log(
-          (coalesce(col("cu3"), lit(0L)) + lit(1L)).cast("double") /
-            (col("total_toks") + col("vocab")))).cast("long"))
+    // ONE rounding per gram; exact integers after this point. The
+    // backoff's ln(0.4^j · p) splits into j·BackoffMicro +
+    // round(1e6 ln p): integer constants added — replayable exactly.
+    val laplace = lit((n - 1) * BackoffMicro) +
+      round(lit(1e6) * log(
+        (coalesce(col("__cu"), lit(0L)) + lit(1L)).cast("double") /
+          (col("total_toks") + col("vocab")))).cast("long")
+    val gramMicro = (2 to n).foldLeft(laplace: Column) { (lower, k) =>
+      val hit = round(lit(1e6) *
+        log(col(s"__c$k").cast("double") / col(s"__x$k"))).cast("long")
+      when(col(s"__c$k").isNotNull,
+        if (k == n) hit else lit((n - k) * BackoffMicro) + hit)
+        .otherwise(lower)
+    }
     val perDoc = joined
       .groupBy(col("__k"))
       .agg(sum(col("m")).as("lm_grams"),
-        sum(when(col("c3").isNotNull, col("m")).otherwise(lit(0L)))
+        sum(when(col(s"__c$n").isNotNull, col("m")).otherwise(lit(0L)))
           .as("lm_hits"),
         sum(col("m") * gramMicro).as("lm_logp_micro"))
     assemble(docs, perDoc, keyCol, headMicro, tailMicro)

@@ -100,6 +100,50 @@ class NgramLmSpec extends SparkSpec {
     assert(NgramLm.load(spark, dir2).trigrams.isEmpty)
   }
 
+  test("5-gram micro-nats: every backoff level of the four-level CASE") {
+    // Reference "a b c d e a b c d f": 5-gram census {abcde:1, bcdea:1,
+    // cdeab:1, deabc:1, eabcd:1, abcdf:1}; 4-gram c4(abcd)=2; etc.
+    val ref5 = NgramLm.train(df(Seq(Row(1L, "a b c d e a b c d f")),
+      "doc_id BIGINT, text STRING"), order = 5)
+    assert(ref5.order == 5)
+    val docs = df(Seq(
+        Row(10L, "a b c d e"),  // 5-gram hit: c5/c4 = 1/2 → round(1e6 ln .5)
+        Row(11L, "z b c d e"),  // unseen 5-gram, 4-gram (b c d e)=1/c3(bcd)=2
+                                //   → 1·B + round(1e6 ln .5)
+        Row(12L, "z y c d e"),  // 3-gram (c d e)=1 / c2(cd)=2 → 2·B + ln .5
+        Row(13L, "z y x d e"),  // 2-gram (d e)=1 / c1(d)=2 → 3·B + ln .5
+        Row(14L, "z y x w e"),  // full miss: 4·B + ln((c1(e)+1)/(10+6))
+        Row(15L, "a b c d")),   // 4 tokens: zero 5-grams
+      "doc_id BIGINT, text STRING")
+    val out = NgramLm.scored(docs, ref5)
+      .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro", "lm_band")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val b = NgramLm.BackoffMicro
+    val ln05 = -693147L // round(1e6 ln 0.5)
+    assert(out(10L) == ((1L, 1L, ln05, "head")))
+    assert(out(11L) == ((1L, 0L, b + ln05, "head")))
+    assert(out(12L) == ((1L, 0L, 2 * b + ln05, "head")))
+    assert(out(13L) == ((1L, 0L, 3 * b + ln05, "head")))
+    // 4·B + round(1e6·ln((1+1)/(10+6))) = 4·B + round(1e6·ln .125)
+    assert(out(14L) == ((1L, 0L, 4 * b - 2079442L, "middle")))
+    assert(out(15L) == ((0L, 0L, 0L, "empty")))
+  }
+
+  test("order-5 save -> load -> scored is bit-parity; grams4/5 mark the order") {
+    val docs = Tables.documents(spark, sfDir)
+    val m5 = NgramLm.train(docs.filter(col("doc_id") < 100), order = 5)
+    val dir = java.nio.file.Files.createTempDirectory("lm5_model").toString
+    NgramLm.save(m5, dir)
+    val loaded = NgramLm.load(spark, dir)
+    assert(loaded.order == 5, "grams4/ + grams5/ must mark an order-5 model")
+    def scores(m: NgramLm.Model) =
+      NgramLm.scored(docs.filter(col("doc_id") >= 100), m)
+        .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(scores(loaded) == scores(m5))
+  }
+
   test("ppl derives from the integer sum; bands order by thresholds") {
     val docs = df(Seq(Row(10L, "a b c")), "doc_id BIGINT, text STRING")
     val r = NgramLm.scored(docs, refModel,

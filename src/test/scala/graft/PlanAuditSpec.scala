@@ -45,7 +45,7 @@ class PlanAuditSpec extends SparkSpec {
       "x12_temperature_mix",
       // ONE-ROW (total_toks, vocab) totals broadcast-cross-joined onto
       // the per-gram probe — the x12 weight-sum shape.
-      "x15_lm_ppl", "x15_lm_ppl3", "x15_lm_against",
+      "x15_lm_ppl", "x15_lm_ppl3", "x15_lm_ppl5", "x15_lm_against",
       // The ppl-gated funnel inherits x15's one-row totals cross; the
       // dsir-selected funnel inherits x16's.
       "x10_ppl_funnel", "x10_dsir_funnel",
@@ -64,7 +64,11 @@ class PlanAuditSpec extends SparkSpec {
       "x20_psi_drift",
       // The ONE-ROW corpus-size N cross onto the (doc, term) tf frame
       // — the x15/x16 totals shape again.
-      "x24_tfidf_terms")
+      "x24_tfidf_terms",
+      // The ONE-ROW scale-safe re-key offset (floor(max(custkey)/1e5)+1)
+      // ·1e5 cross onto the five new-key plants (ADVICE r10 — a fixed
+      // +100000 collides at sf1).
+      "t4_scd2_snapshot")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -172,7 +176,7 @@ class PlanAuditSpec extends SparkSpec {
     // contract — scoring would otherwise re-run the reference-corpus
     // aggregation once per join build); the against variant trains +
     // SAVES once per JVM and probes the loaded parquet.
-    "x15_lm_ppl", "x15_lm_ppl3", "x15_lm_against",
+    "x15_lm_ppl", "x15_lm_ppl3", "x15_lm_ppl5", "x15_lm_against",
     // Builds the Bloom sketch — an aggregate action by nature (the
     // probe literal needs the bytes); production ships saved bytes.
     "x1_bloom_dedup",
