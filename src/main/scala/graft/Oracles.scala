@@ -747,6 +747,58 @@ object Oracles {
       |LEFT JOIN per USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** SCD-2 snapshot merge replay: same plants, branch-by-branch
+    * unions; IS DISTINCT FROM mirrors the engine's null-safe change
+    * test (a null acctbal +50 stays null → unchanged in BOTH engines).
+    * ONE definition bound to BOTH t4_scd2_snapshot and s7_stream_scd2:
+    * the streaming lane's key-partitioned micro-batch replay claims
+    * composition to the one-shot merge, so it must hash against the
+    * same replay (the x1_incremental/x1_bloom sharing rule). */
+  private val scd2SnapshotSql: String =
+      """WITH hist_closed AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal - 100 AS c_acctbal,
+        |         DATE '2025-06-01' AS valid_from,
+        |         DATE '2026-01-01' AS valid_to, FALSE AS is_current
+        |  FROM customer WHERE c_custkey % 50 = 0
+        |), open_rows AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |), upd AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 50
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 10 <> 0)
+        |  UNION ALL
+        |  SELECT c_custkey + (SELECT (CAST(floor(max(c_custkey) / 100000.0)
+        |                              AS BIGINT) + 1) * 100000 FROM customer),
+        |         c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey <= 5
+        |), open_judged AS (
+        |  SELECT o.c_custkey, o.c_mktsegment, o.c_acctbal,
+        |         (u.c_custkey IS NOT NULL AND
+        |          (o.c_mktsegment IS DISTINCT FROM u.c_mktsegment OR
+        |           o.c_acctbal   IS DISTINCT FROM u.c_acctbal)) AS chg
+        |  FROM open_rows o LEFT JOIN upd u ON o.c_custkey = u.c_custkey
+        |)
+        |SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to,
+        |       is_current
+        |FROM (
+        |  SELECT * FROM hist_closed
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |         DATE '2026-01-01' AS valid_from,
+        |         CASE WHEN chg THEN DATE '2026-02-01' END AS valid_to,
+        |         NOT chg AS is_current
+        |  FROM open_judged
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+        |         DATE '2026-02-01', CAST(NULL AS DATE), TRUE
+        |  FROM upd u LEFT JOIN open_rows o ON u.c_custkey = o.c_custkey
+        |  WHERE o.c_custkey IS NULL
+        |     OR o.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+        |     OR o.c_acctbal   IS DISTINCT FROM u.c_acctbal
+        |) ORDER BY c_custkey, valid_from""".stripMargin
+
   /** The order-n stupid-backoff replay, generated for any n — the
     * x15_lm_ppl / x15_lm_ppl3 shape generalized exactly as the engine's
     * `NgramLm.scoredN` generalizes the scorers: per order-k census one
@@ -962,53 +1014,9 @@ object Oracles {
         |GROUP BY 1, 2
         |ORDER BY region_name, nation_name""".stripMargin,
 
-    // SCD-2 snapshot merge replay: same plants, branch-by-branch unions.
-    // IS DISTINCT FROM mirrors the engine's null-safe change test (a
-    // null acctbal +50 stays null → unchanged in BOTH engines).
-    "t4_scd2_snapshot" ->
-      """WITH hist_closed AS (
-        |  SELECT c_custkey, c_mktsegment, c_acctbal - 100 AS c_acctbal,
-        |         DATE '2025-06-01' AS valid_from,
-        |         DATE '2026-01-01' AS valid_to, FALSE AS is_current
-        |  FROM customer WHERE c_custkey % 50 = 0
-        |), open_rows AS (
-        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
-        |), upd AS (
-        |  SELECT c_custkey, c_mktsegment,
-        |         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 50
-        |              ELSE c_acctbal END AS c_acctbal
-        |  FROM customer
-        |  WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 10 <> 0)
-        |  UNION ALL
-        |  SELECT c_custkey + (SELECT (CAST(floor(max(c_custkey) / 100000.0)
-        |                              AS BIGINT) + 1) * 100000 FROM customer),
-        |         c_mktsegment, c_acctbal
-        |  FROM customer WHERE c_custkey <= 5
-        |), open_judged AS (
-        |  SELECT o.c_custkey, o.c_mktsegment, o.c_acctbal,
-        |         (u.c_custkey IS NOT NULL AND
-        |          (o.c_mktsegment IS DISTINCT FROM u.c_mktsegment OR
-        |           o.c_acctbal   IS DISTINCT FROM u.c_acctbal)) AS chg
-        |  FROM open_rows o LEFT JOIN upd u ON o.c_custkey = u.c_custkey
-        |)
-        |SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to,
-        |       is_current
-        |FROM (
-        |  SELECT * FROM hist_closed
-        |  UNION ALL
-        |  SELECT c_custkey, c_mktsegment, c_acctbal,
-        |         DATE '2026-01-01' AS valid_from,
-        |         CASE WHEN chg THEN DATE '2026-02-01' END AS valid_to,
-        |         NOT chg AS is_current
-        |  FROM open_judged
-        |  UNION ALL
-        |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
-        |         DATE '2026-02-01', CAST(NULL AS DATE), TRUE
-        |  FROM upd u LEFT JOIN open_rows o ON u.c_custkey = o.c_custkey
-        |  WHERE o.c_custkey IS NULL
-        |     OR o.c_mktsegment IS DISTINCT FROM u.c_mktsegment
-        |     OR o.c_acctbal   IS DISTINCT FROM u.c_acctbal
-        |) ORDER BY c_custkey, valid_from""".stripMargin,
+    "t4_scd2_snapshot" -> scd2SnapshotSql,
+
+    "s7_stream_scd2" -> scd2SnapshotSql,
 
     "g1_row_counts" -> {
       val unions = graft.Tables.all.map(t =>

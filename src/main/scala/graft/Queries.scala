@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.Stages
 
@@ -118,7 +118,12 @@ object Queries {
     * sf1 where 150k customers would swallow a fixed +100000 re-key
     * into duplicate-key updates (ADVICE r10); the oracle replays the
     * same scalar subquery. */
-  def t4Scd2Snapshot(s: SparkSession, d: String): DataFrame = {
+  /** The shared T4/S7 SCD-2 plant — ONE definition, because the
+    * streaming lane's batch replay hash-checks against the SAME oracle
+    * (a drifted private copy would silently diverge the two): returns
+    * (history = closed plants + open slice, updates, effective ts). */
+  private def scd2Plant(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Column) = {
     val cust = customer(s, d)
     val off = cust.agg(
       ((floor(max(col("c_custkey")) / lit(100000.0)) + 1) * lit(100000L))
@@ -142,10 +147,37 @@ object Queries {
         .withColumn("c_custkey", (col("c_custkey") + col("__off")).cast("long"))
         .drop("__off"))
       .select("c_custkey", "c_mktsegment", "c_acctbal")
-    graft.etl.Scd2.snapshot(closedPlant.unionByName(open), updates,
+    (closedPlant.unionByName(open), updates, d2)
+  }
+
+  def t4Scd2Snapshot(s: SparkSession, d: String): DataFrame = {
+    val (history, updates, ts) = scd2Plant(s, d)
+    graft.etl.Scd2.snapshot(history, updates,
         keys = Seq("c_custkey"), tracked = Seq("c_mktsegment", "c_acctbal"),
-        ts = d2)
+        ts = ts)
       .orderBy("c_custkey", "valid_from")
+  }
+
+  /** S7 — STREAMING SCD-2 upsert, batch-replayed ([[graft.stream
+    * .StreamingScd2]], VERDICT r10 next #7): the T4 update snapshot
+    * arrives as THREE key-partitioned micro-batches (`custkey mod 3`),
+    * each driven through the foreachBatch engine path
+    * (`upsertBatch` — the exact code a live stream runs per trigger).
+    * Because [[graft.etl.Scd2.snapshot]] leaves keys absent from a
+    * batch untouched, the sequential merges at one effective ts
+    * compose to the one-shot T4 merge — so this hash-checks against
+    * the SAME oracle, proving the stream's per-batch semantics, and
+    * live MemoryStream parity is pinned by StreamingScd2Spec. */
+  def s7StreamScd2(s: SparkSession, d: String): DataFrame = {
+    val (history, updates, ts) = scd2Plant(s, d)
+    val state = new graft.stream.StreamingScd2.DimState(history)
+    (0L to 2L).foreach { b =>
+      graft.stream.StreamingScd2.upsertBatch(state,
+        updates.filter(pmod(col("c_custkey"), lit(3L)) === b),
+        keys = Seq("c_custkey"), tracked = Seq("c_mktsegment", "c_acctbal"),
+        ts = ts)
+    }
+    state.current.orderBy("c_custkey", "valid_from")
   }
 
   // ---------------------------------------------------------------- G-series

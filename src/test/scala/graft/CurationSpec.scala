@@ -213,6 +213,22 @@ class CurationSpec extends SparkSpec {
       f.getAs[Long]("n_after_sample"))
   }
 
+  test("keeper × history in the funnel ≡ exactDedupKeepBestAgainst (X1h-best inside X10)") {
+    // The keeper-policy analog of the nightly-shard shape: with BOTH
+    // Config.keeperQuality and a history index, the funnel's
+    // dedup ∧ unseen survivor count is exactly the standalone
+    // keeper-incremental operator's — merit picks the intra-shard
+    // canonical, history drops unconditionally.
+    val history = Dedup.fingerprints(docs.filter(col("doc_id") < 50))
+    val q = length(col("text"))
+    val f = Curation.funnel(docs, bench,
+      cfg.copy(keeperQuality = Some(q)), historyFp = Some(history)).head()
+    assert(f.getAs[Long]("n_after_history") ==
+      Dedup.exactDedupKeepBestAgainst(docs, history, q).count())
+    assert(f.getAs[Long]("n_after_history") < f.getAs[Long]("n_after_dedup"),
+      "the 50-doc history must visibly drop shard documents")
+  }
+
   test("history × fuzzy: near-dups of history-known canonicals drop transitively") {
     import graft.ext.DedupResolve
     // The planted near-dup clusters in the corpus: take one cluster,

@@ -67,8 +67,9 @@ class PlanAuditSpec extends SparkSpec {
       "x24_tfidf_terms",
       // The ONE-ROW scale-safe re-key offset (floor(max(custkey)/1e5)+1)
       // ·1e5 cross onto the five new-key plants (ADVICE r10 — a fixed
-      // +100000 collides at sf1).
-      "t4_scd2_snapshot")
+      // +100000 collides at sf1); the streaming lane replays the same
+      // plant through upsertBatch.
+      "t4_scd2_snapshot", "s7_stream_scd2")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -164,6 +165,9 @@ class PlanAuditSpec extends SparkSpec {
     // (the per-band anti joins would otherwise recompute the signature
     // aggregate per band).
     "s3_stream_neardup", "s4_stream_simhash", "s6_stream_anndrop",
+    // the streaming SCD-2 replay localCheckpoints the dimension state
+    // per micro-batch (the transactional-table stand-in)
+    "s7_stream_scd2",
     // the planted-oracle variants share those eager shapes (checkpointed
     // history index / materialized pair signatures)
     "s3_planted_neardup", "s4_planted_simhash",
