@@ -3184,6 +3184,57 @@ object Oracles {
            |  AND n_tok BETWEEN 25 AND 90 AND b < thr
            |GROUP BY 1, 2 ORDER BY split, source""".stripMargin),
 
+    "x10_layout_audit" ->
+      // The layout audit's expected state derived INDEPENDENTLY: the
+      // survivor census (same curation replay as x10_write_verify) and
+      // the occupied-leaf count with the 8-way shardOf range band
+      // replayed on the salted order key — and ZERO violations (the
+      // engine counts them from the parquet it re-read; the oracle
+      // pins the expectation).
+      ("WITH " + gram4Ctes + ",\n" +
+        raw"""bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8),
+          |rdoc AS (
+          |  SELECT doc_id, lang, source,
+          |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS kt,
+          |         regexp_replace(regexp_replace(regexp_replace(text,
+          |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+          |  FROM documents),
+          |""".stripMargin +
+        s"""ann AS (
+           |  SELECT doc_id, source,
+           |         doc_id = min(doc_id) OVER (PARTITION BY kt) AS is_canonical,
+           |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+           |         CASE WHEN len(trim(rtext)) = 0 THEN 0
+           |              ELSE len(string_split_regex(trim(rtext), '\\s+')) END AS n_tok,
+           |         ${bucketSql("doc_id")} AS b,
+           |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr,
+           |         CASE WHEN ${bucketSql("doc_id", 42L ^ graft.ext.Sampling.SplitSalt)} < 8000 THEN 'train'
+           |              WHEN ${bucketSql("doc_id", 42L ^ graft.ext.Sampling.SplitSalt)} < 9000 THEN 'val'
+           |              ELSE 'test' END AS split,
+           |         LEAST(7, GREATEST(0, CAST(floor(
+           |           (CAST(${hash64Sql("doc_id", 42L ^ graft.ext.Sampling.OrderSalt)}
+           |              AS DOUBLE) / 1.8446744073709552e19 + 0.5) * 8) AS BIGINT)))
+           |           AS shard
+           |  FROM rdoc)
+           |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(count(DISTINCT split || '/' || source || '/'
+           |                  || CAST(shard AS VARCHAR)) AS BIGINT) AS n_leaves,
+           |       CAST(0 AS BIGINT) AS bad_split,
+           |       CAST(0 AS BIGINT) AS bad_shuffle_key,
+           |       CAST(0 AS BIGINT) AS bad_shard
+           |FROM ann
+           |WHERE is_canonical AND NOT is_contaminated
+           |  AND n_tok BETWEEN 25 AND 90 AND b < thr""".stripMargin),
+
     "x10_gopher_funnel" ->
       // X3g composed into X10: the funnel census with the FULL Gopher
       // rule conjunction as the quality stage, every rule replayed per

@@ -1289,6 +1289,30 @@ object Queries {
       .orderBy("split", "source")
   }
 
+  /** X10f — reader-side LAYOUT AUDIT of the sharded curated corpus
+    * ([[graft.ext.Curation.auditLayout]]): the written artifact is
+    * re-read and every row's split band, salted order key, and shard
+    * band are re-derived and counted against what the directories and
+    * persisted columns claim — the consumer half of the writer's
+    * determinism contract, one distributed aggregate. The corpus is
+    * written ONCE per JVM (the persisted-index discipline — the write
+    * itself is x10_write_verify's measured operator, not this one's);
+    * the oracle independently derives the survivor census and the
+    * occupied-leaf count (split × source × 8 shard range bands) from
+    * the base tables and expects ZERO violations. */
+  def x10LayoutAudit(s: SparkSession, d: String): DataFrame = {
+    val dir = persistedIndexDir("layout_out", d) { dir =>
+      val docs = documents(s, d)
+      val bench = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val curated = graft.ext.Curation.curate(docs, bench,
+        graft.ext.Curation.Config(minTokens = 25L, maxTokens = 90L,
+          rates = Map("en" -> 0.4), seqLen = 512L))
+      graft.ext.Curation.write(curated, dir, numShards = 8)
+    }
+    graft.ext.Curation.auditLayout(s, dir, numShards = 8)
+  }
+
   /** X19b — within-document duplicate-line removal (C4 boilerplate
     * strip): every document gains a deterministic repeated-boiler
     * footer (three copies of one line around a doc-unique keeper), the

@@ -634,6 +634,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("auditLayout: zero violations on a correct layout, nonzero on drift") {
+    val curated = Curation.curate(docs, bench,
+      Curation.Config(minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L))
+    val dir = java.nio.file.Files.createTempDirectory("cur_audit").toString
+    Curation.write(curated, dir, numShards = 4)
+    val ok = Curation.auditLayout(spark, dir, numShards = 4).collect().head
+    assert(ok.getAs[Long]("n_rows") == curated.count())
+    assert(ok.getAs[Long]("bad_split") == 0L)
+    assert(ok.getAs[Long]("bad_shuffle_key") == 0L)
+    assert(ok.getAs[Long]("bad_shard") == 0L)
+    assert(ok.getAs[Long]("n_leaves") > 0L &&
+      ok.getAs[Long]("n_leaves") <= 3L * 5L * 4L)
+    // The audit DETECTS: auditing the 4-shard layout as if 8-way flags
+    // misfiled shards; a different seed flags split + order-key drift
+    // (the counts are real checks, not constants).
+    val wrongShards = Curation.auditLayout(spark, dir, numShards = 8)
+      .collect().head
+    assert(wrongShards.getAs[Long]("bad_shard") > 0L)
+    val wrongSeed = Curation.auditLayout(spark, dir, seed = 7L, numShards = 4)
+      .collect().head
+    assert(wrongSeed.getAs[Long]("bad_split") > 0L)
+    assert(wrongSeed.getAs[Long]("bad_shuffle_key") > 0L)
+  }
+
   test("write: overwrite leaves no stale split directories behind") {
     // Bench reps reuse one per-JVM target dir; if the split set shrinks
     // between runs, parquet overwrite must wipe the whole root (static

@@ -165,6 +165,9 @@ class PlanAuditSpec extends SparkSpec {
     // (the per-band anti joins would otherwise recompute the signature
     // aggregate per band).
     "s3_stream_neardup", "s4_stream_simhash", "s6_stream_anndrop",
+    // writes the audited corpus once per JVM at first construction
+    // (the persisted-index discipline)
+    "x10_layout_audit",
     // the streaming SCD-2 replay localCheckpoints the dimension state
     // per micro-batch (the transactional-table stand-in)
     "s7_stream_scd2",
