@@ -799,6 +799,37 @@ object Oracles {
         |     OR o.c_acctbal   IS DISTINCT FROM u.c_acctbal
         |) ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** Keeper-policy incremental dedup replay — ONE definition bound to
+    * BOTH x1_keepbest_against and x1_keepbest_bloom (the Bloom-gated
+    * path is result-identical by construction, the x1_bloom_dedup
+    * sharing rule). */
+  private val keepbestAgainstSql: String =
+      """WITH hist AS (
+        |  SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents WHERE doc_id < 300),
+        |shard AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 10000, '  ' || text || '  '
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 310
+        |  UNION ALL
+        |  SELECT doc_id + 30000, '  ' || text || '  '
+        |  FROM documents WHERE doc_id < 10),
+        |s AS (
+        |  SELECT doc_id, text,
+        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM shard),
+        |keep AS (
+        |  SELECT doc_id, norm,
+        |         row_number() OVER (
+        |           PARTITION BY norm
+        |           ORDER BY coalesce(length(text), -1) DESC, doc_id) AS rn
+        |  FROM s)
+        |SELECT doc_id FROM keep k
+        |WHERE rn = 1
+        |  AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.norm = k.norm)
+        |ORDER BY doc_id""".stripMargin
+
   /** The order-n stupid-backoff replay, generated for any n — the
     * x15_lm_ppl / x15_lm_ppl3 shape generalized exactly as the engine's
     * `NgramLm.scoredN` generalizes the scorers: per order-k census one
@@ -1225,32 +1256,11 @@ object Oracles {
     // winning their intra-shard family, while the +10000 padded
     // plants of docs 300–309 (absent from history) replace their
     // in-shard originals.
-    "x1_keepbest_against" ->
-      """WITH hist AS (
-        |  SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
-        |  FROM documents WHERE doc_id < 300),
-        |shard AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
-        |  UNION ALL
-        |  SELECT doc_id + 10000, '  ' || text || '  '
-        |  FROM documents WHERE doc_id >= 300 AND doc_id < 310
-        |  UNION ALL
-        |  SELECT doc_id + 30000, '  ' || text || '  '
-        |  FROM documents WHERE doc_id < 10),
-        |s AS (
-        |  SELECT doc_id, text,
-        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
-        |  FROM shard),
-        |keep AS (
-        |  SELECT doc_id, norm,
-        |         row_number() OVER (
-        |           PARTITION BY norm
-        |           ORDER BY coalesce(length(text), -1) DESC, doc_id) AS rn
-        |  FROM s)
-        |SELECT doc_id FROM keep k
-        |WHERE rn = 1
-        |  AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.norm = k.norm)
-        |ORDER BY doc_id""".stripMargin,
+    "x1_keepbest_against" -> keepbestAgainstSql,
+
+    // The Bloom-gated keeper lane claims result-identity with the plain
+    // anti join (no false negatives, positives verified) — same replay.
+    "x1_keepbest_bloom" -> keepbestAgainstSql,
 
     // Planted-copy variants of the randomized-family paths: the corpus
     // is rewritten so distinct docs share ZERO shingles (detection

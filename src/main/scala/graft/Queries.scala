@@ -608,6 +608,18 @@ object Queries {
     * unions, the DESC/ASC keeper window, and the NOT-EXISTS history
     * drop. */
   def x1KeepbestAgainst(s: SparkSession, d: String): DataFrame = {
+    val (history, shard) = keepbestPlant(s, d)
+    Dedup.exactDedupKeepBestAgainst(shard, Dedup.fingerprints(history),
+        length(col("text")))
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** The keeper-incremental plant — ONE definition shared by
+    * [[x1KeepbestAgainst]] and [[x1KeepbestBloom]] (both hash against
+    * the same oracle replay of these exact unions, so a drifted
+    * private copy would silently diverge them). */
+  private def keepbestPlant(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val docs = documents(s, d)
     def pad(df: DataFrame, off: Int): DataFrame = df
       .withColumn("doc_id", col("doc_id") + off)
@@ -618,7 +630,22 @@ object Queries {
       .unionByName(pad(
         docs.filter(col("doc_id") >= 300 && col("doc_id") < 310), 10000))
       .unionByName(pad(docs.filter(col("doc_id") < 10), 30000))
-    Dedup.exactDedupKeepBestAgainst(shard, Dedup.fingerprints(history),
+    (history, shard)
+  }
+
+  /** X1h-best+bloom — the keeper lane through the [[graft.ext.Dedup
+    * .exactDedupKeepBestAgainstBloom]] sketch gate: same plant as
+    * [[x1KeepbestAgainst]], hash-matched against the SAME oracle (the
+    * sketch is result-invisible — no false negatives, positives
+    * verified; the x1_bloom_dedup contract applied to the keeper
+    * policy). Sized small (fpp 0.05) so false positives occur and the
+    * verify path is exercised, not vacuous. */
+  def x1KeepbestBloom(s: SparkSession, d: String): DataFrame = {
+    val (history, shard) = keepbestPlant(s, d)
+    val historyFp = Dedup.fingerprints(history).localCheckpoint(true)
+    val bloom = graft.ext.BloomIndex.build(historyFp,
+      expectedItems = 1000L, fpp = 0.05)
+    Dedup.exactDedupKeepBestAgainstBloom(shard, historyFp, bloom,
         length(col("text")))
       .select("doc_id").orderBy("doc_id")
   }

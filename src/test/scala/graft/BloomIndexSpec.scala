@@ -40,6 +40,21 @@ class BloomIndexSpec extends SparkSpec {
     }
   }
 
+  test("bloom-gated KEEPER dedup equals its plain anti join, across sketch sizes") {
+    import org.apache.spark.sql.functions.{col, length}
+    val (shard, historyFp) = shardAndHistory
+    val q = length(col("text"))
+    val plain = Dedup.exactDedupKeepBestAgainst(shard, historyFp, q)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for ((n, fpp) <- Seq((1000L, 0.01), (10L, 0.5), (100000L, 0.001))) {
+      val bloom = BloomIndex.build(historyFp, expectedItems = n, fpp = fpp)
+      val gated = Dedup.exactDedupKeepBestAgainstBloom(shard, historyFp, bloom, q)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(gated == plain, s"keeper mismatch at n=$n fpp=$fpp")
+    }
+    assert(plain.nonEmpty, "fixture must leave keeper survivors")
+  }
+
   test("planted history copies drop; the pass-through lane actually prunes") {
     val (shard, historyFp) = shardAndHistory
     val bloom = BloomIndex.build(historyFp, expectedItems = 1000L, fpp = 0.01)

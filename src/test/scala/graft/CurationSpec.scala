@@ -132,6 +132,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ppl gate accepts an order-5 model (generic scoredN dispatch)") {
+    // The r11 arbitrary-order generalization through the funnel: same
+    // contract as the order-3 test — the gate's band must equal the
+    // standalone 5-gram scorer's on the redacted text, no call-site
+    // change anywhere in Curation.
+    val m5 = graft.ext.NgramLm.train(docs.filter(col("doc_id") < 300),
+      order = 5)
+    val ann = Curation.annotate(docs, bench,
+        cfg.copy(pplModel = Some(m5), pplBands = Seq("head")))
+      .select("doc_id", "is_quality", "lm_band")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2)))).toMap
+    val standalone = graft.ext.NgramLm.scored(Pii.redact(docs), m5)
+      .select("doc_id", "lm_band")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ann.nonEmpty && ann.keySet == standalone.keySet)
+    ann.foreach { case (id, (_, band)) =>
+      assert(band == standalone(id),
+        s"doc $id: funnel band $band != 5-gram scorer ${standalone(id)}")
+    }
+  }
+
   test("external selection replaces the hash sampler; membership is the flag") {
     // A hand-picked key set (every 3rd doc) stands in for any selector
     // (DSIR top-k, labels): is_sampled must equal membership exactly,
@@ -631,6 +653,31 @@ class CurationSpec extends SparkSpec {
       val ids = spark.read.parquet(fs.head.toString)
         .select("seq_id").collect().map(_.getLong(0))
       assert(ids.sorted.sameElements(ids), s"rows in $p not seq_id-sorted")
+    }
+  }
+
+  test("shardOf: bounded and monotonic over the full signed-long range") {
+    // The order-preservation claim of the sharded writer rests on two
+    // properties of the range band: value ∈ [0, n) for EVERY long
+    // (incl. the extremes, where +0.5 FP rounding can hit exactly 1.0
+    // before the clamp), and monotonicity in the key (so shard-ordered
+    // reads replay the global shuffle_key order).
+    val rnd = new scala.util.Random(42)
+    val keys = (Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      Long.MaxValue - 1, Long.MaxValue) ++
+      Seq.fill(500)(rnd.nextLong())).distinct.sorted
+    val kdf = df(keys.map(k => Row(k)), "k BIGINT")
+    for (n <- Seq(1, 2, 4, 7, 64)) {
+      val out = kdf.select(col("k"), Curation.shardOf(col("k"), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+      out.foreach { case (k, s) =>
+        assert(s >= 0 && s < n, s"shardOf($k, $n) = $s out of range")
+      }
+      val shards = out.map(_._2)
+      assert(shards.zip(shards.tail).forall { case (a, b) => a <= b },
+        s"shardOf not monotonic at n=$n")
+      if (n > 1) assert(shards.distinct.length > 1,
+        s"uniform hash keys must occupy multiple bands at n=$n")
     }
   }
 

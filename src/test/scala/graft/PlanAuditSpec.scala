@@ -186,7 +186,7 @@ class PlanAuditSpec extends SparkSpec {
     "x15_lm_ppl", "x15_lm_ppl3", "x15_lm_ppl5", "x15_lm_against",
     // Builds the Bloom sketch — an aggregate action by nature (the
     // probe literal needs the bytes); production ships saved bytes.
-    "x1_bloom_dedup",
+    "x1_bloom_dedup", "x1_keepbest_bloom",
     // localCheckpoint the fitted DSIR bucket model (persisted-model
     // contract, as x15); the against variant fits + SAVES the model on
     // first construction (per-JVM persisted-index dir) and reads the
