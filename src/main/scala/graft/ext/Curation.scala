@@ -403,10 +403,12 @@ object Curation {
     * rounding at band edges is deterministic (same bits → same band);
     * the clamp guards the one representable edge case (`key` at the
     * extremes after FP rounding). */
-  def shardOf(key: Column, numShards: Int): Column =
+  def shardOf(key: Column, numShards: Int): Column = {
+    require(numShards >= 1, s"numShards ($numShards) must be >= 1")
     greatest(lit(0), least(lit(numShards - 1),
       floor((key.cast("double") / lit(1.8446744073709552e19) + lit(0.5))
         * numShards).cast("int")))
+  }
 
   /** Write the curated corpus as the training run's actual deliverable
     * (VERDICT r9 missing #2 — the pipeline previously ended at pack
