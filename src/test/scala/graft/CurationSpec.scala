@@ -583,6 +583,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("writePacked survives an empty split (zero-width band)") {
+    // A production split set can leave a split empty (a 0.1% holdout
+    // at a small source); the per-split pack must tolerate packing
+    // ZERO documents — no job failure, no dir for the empty split,
+    // and the non-empty split's sequences identical to packing the
+    // whole corpus.
+    import graft.ext.Packing
+    val curated = Curation.curate(docs, bench,
+      Curation.Config(minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L))
+    val dir = java.nio.file.Files.createTempDirectory("pak_empty").toString
+    Curation.writePacked(curated, dir,
+      splits = Seq("all" -> 1.0, "never" -> 0.0),
+      seqLen = 512L, blockSize = 100L, numShards = 2)
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("split") === "never").count() == 0)
+    val got = back.select("seq_id", "seq_tok", "seq_text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val expect = Packing.materializeSequences(curated, seqLen = 512L,
+        blockSize = 100L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == expect)
+  }
+
   test("write: content and order are invariant across numShards ∈ {1, 4}") {
     val curated = Curation.curate(docs, bench,
       Curation.Config(minTokens = 25L, maxTokens = 90L,
