@@ -23,6 +23,18 @@ import graft.ext.Dedup
   *  - first arrival wins within the horizon; output rows keep the full
   *    input schema.
   *
+  * DESIGNED ABSENCE — no streaming KEEPER-policy dedup (the X1a-best
+  * [[graft.ext.Dedup.exactDedupKeepBest]] has no `…Stream` form): keep
+  * -best needs to RETRACT an already-emitted survivor when a better
+  * family member arrives later, and append-mode streaming cannot
+  * un-emit (an update-mode formulation would re-emit families
+  * per-trigger, pushing the retraction problem onto every downstream
+  * consumer). The sound pipeline shape is first-arrival streaming
+  * dedup at ingest (bounded state, this file) followed by the BATCH
+  * keeper pass over the landed shard before publication
+  * ([[graft.ext.Dedup.exactDedupKeepBestAgainst]] — the nightly
+  * contract), which is exactly what the X10 funnel composes.
+  *
   * The same transformation runs in batch (watermark is a no-op there and
   * the dedup degenerates to plain per-key dedup), which is what the
   * registered batch-replay query exercises against the DuckDB oracle.
