@@ -162,6 +162,20 @@ object Oracles {
   private def bucketSql(key: String, seed: Long = 42L): String =
     s"(${hash64Sql(key, seed)} % 10000)"
 
+  /** The [[graft.ext.Sampling.orderKey]] ORDER-grade finalizer over
+    * [[hash64Sql]]: the low 31 bits through a WRAPPED odd multiply to
+    * the high position (hash64's no-wrap low lane is order-preserving
+    * in the key — sorting dense ids by it is a shuffle in name only),
+    * hash bits 32..62 below. All intermediates < 2⁶³ (`a ≤ 2³¹−1` →
+    * `a·2³¹ + 2³¹−1 < 2⁶²`), exact in BIGINT. ONE definition for every
+    * oracle that replays a training-order key (x12, the layout audit) —
+    * lockstep with the Scala side like [[hash64Sql]]. */
+  private def orderKeySql(key: String, seed: Long): String = {
+    val h = hash64Sql(key, seed)
+    val a = s"((($h & 2147483647) * 2654435761) & 2147483647)"
+    s"($a * 2147483648 + (($h >> 32) & 2147483647))"
+  }
+
   /** Shared CTE blocks for the document-dedup family. ONE definition each
     * — x1_jaccard_pairs, x1_dedup_groups, x8_contamination, and
     * x10_curation_funnel interpolate these, so a threshold or
@@ -2409,9 +2423,9 @@ object Oracles {
 
     "x12_training_order" ->
       // The keyed-hash global order replayed (the shared FULL-WIDTH
-      // hash64, order-salted), doc_id tiebreak, first 50.
+      // ORDER-grade wrap-mix, order-salted), doc_id tiebreak, first 50.
       s"""SELECT doc_id,
-        |       ${hash64Sql("doc_id", 42L ^ graft.ext.Sampling.OrderSalt)} AS shuffle_key
+        |       ${orderKeySql("doc_id", 42L ^ graft.ext.Sampling.OrderSalt)} AS shuffle_key
         |FROM documents
         |ORDER BY shuffle_key, doc_id LIMIT 50""".stripMargin,
 
@@ -3230,7 +3244,7 @@ object Oracles {
            |         CASE WHEN ${bucketSql("doc_id", 42L ^ graft.ext.Sampling.SplitSalt)} < 8000 THEN 'train'
            |              WHEN ${bucketSql("doc_id", 42L ^ graft.ext.Sampling.SplitSalt)} < 9000 THEN 'val'
            |              ELSE 'test' END AS split,
-           |         (${hash64Sql("doc_id", 42L ^ graft.ext.Sampling.OrderSalt)} % 8)
+           |         (${orderKeySql("doc_id", 42L ^ graft.ext.Sampling.OrderSalt)} % 8)
            |           AS shard
            |  FROM rdoc)
            |SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -464,7 +464,7 @@ object Curation {
     val base = curated
       .withColumn("split", Sampling.assignSplit(col(keyCol), splits, seed = seed))
       .withColumn("shuffle_key",
-        Sampling.hash64(col(keyCol), seed ^ Sampling.OrderSalt))
+        Sampling.orderKey(col(keyCol), seed ^ Sampling.OrderSalt))
     val (sharded, layout) =
       if (numShards == 1) (base, Seq("split", sourceCol))
       else (base.withColumn("shard", shardOf(col("shuffle_key"), numShards)),
@@ -493,7 +493,7 @@ object Curation {
     *  - `bad_split` — rows whose `split` dir does not replay
     *    [[Sampling.assignSplit]] of their key;
     *  - `bad_shuffle_key` — rows whose persisted order key does not
-    *    replay [[Sampling.hash64]] (a corrupted or re-sorted file
+    *    replay [[Sampling.orderKey]] (a corrupted or re-sorted file
     *    shows up here: the key IS the training order);
     *  - `bad_shard` — rows filed under the wrong [[shardOf]] range
     *    band (0 when `numShards = 1`).
@@ -526,7 +526,7 @@ object Curation {
           Sampling.assignSplit(col(keyCol), splits, seed = seed),
         lit(1L)).otherwise(lit(0L))).as("bad_split"),
       sum(when(col("shuffle_key") =!=
-          Sampling.hash64(col(keyCol), seed ^ Sampling.OrderSalt),
+          Sampling.orderKey(col(keyCol), seed ^ Sampling.OrderSalt),
         lit(1L)).otherwise(lit(0L))).as("bad_shuffle_key"),
       badShard.as("bad_shard"))
   }

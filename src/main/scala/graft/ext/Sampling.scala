@@ -154,6 +154,45 @@ object Sampling {
   def bucket(key: Column, seed: Long): Column =
     pmod(hash64(key, seed), lit(Buckets))
 
+  /** ORDER-grade key: [[hash64]] plus a wrapped-multiply finalizer on
+    * the low 31 bits, for the one consumer family that sorts BY the
+    * hash value ([[Mixing.trainingOrder]], [[Curation.write]]'s
+    * `shuffle_key`) rather than thresholding or bucketing it.
+    *
+    * Why [[hash64]] alone cannot be a sort key: to keep every
+    * intermediate below 2⁶³ for exact SQL replay, its low lane is
+    * `m·Knuth` with NO modular wrap — injective (good for bucketing:
+    * pmod wraps it implicitly) but order-PRESERVING in m. Sorting a
+    * dense doc-id block by it, consecutive ids sit ~Knuth apart along
+    * an arithmetic progression and the xor-shift perturbations are the
+    * same magnitude, so the "shuffled" order keeps ~92% of adjacent id
+    * pairs adjacent (measured, 100k dense ids) — same-crawl,
+    * same-source documents stay glued together in every training batch,
+    * which is exactly what a corpus shuffle exists to break.
+    *
+    * The finalizer wraps: `lo·Knuth mod 2³¹` (odd multiplier →
+    * bijective on the lane, so no entropy lost) becomes the HIGH 31
+    * bits, with bits 32..62 of the hash below — adjacent ids land
+    * ~uniformly over the range (adjacency 2×10⁻⁵ measured, concordance
+    * with id order 0.50, pmod-uniform for [[graft.ext.Curation
+    * .shardOf]]). 62-bit valued; rare cross-block ties fall to the
+    * caller's id tiebreak. Every intermediate stays below 2⁶³
+    * (`a ≤ 2³¹−1` → `a·2³¹ + 2³¹−1 < 2⁶²`), so DuckDB replays it
+    * exactly:
+    * {{{
+    *   h  = hash64(key, seed)
+    *   lo = h & 2147483647
+    *   a  = (lo * 2654435761) & 2147483647   -- wrapped: breaks the
+    *   orderKey = a * 2147483648             --  no-wrap progression
+    *            + ((h >> 32) & 2147483647)
+    * }}} */
+  def orderKey(key: Column, seed: Long): Column = {
+    val h = hash64(key, seed)
+    val lo = h.bitwiseAND(lit(Mask31))
+    val a = (lo * lit(Knuth)).bitwiseAND(lit(Mask31))
+    a * lit(2147483648L) + shiftright(h, 32).bitwiseAND(lit(Mask31))
+  }
+
   /** The per-row bucket threshold for a rate map: a when-chain over the
     * strata, `defaultRate` otherwise. Rates quantize to 1/10000. */
   def keepThreshold(strataCol: String, rates: Map[String, Double],

@@ -518,7 +518,7 @@ class CurationSpec extends SparkSpec {
       .withColumn("split", Sampling.assignSplit(col("doc_id"),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
       .withColumn("shuffle_key",
-        Sampling.hash64(col("doc_id"), 42L ^ Sampling.OrderSalt))
+        Sampling.orderKey(col("doc_id"), 42L ^ Sampling.OrderSalt))
       .select(col("doc_id"), md5(col("text")).as("h"), col("n_tok"),
         col("split"), col("shuffle_key"))
       .collect().map(r => r.getLong(0) -> r).toMap
@@ -736,7 +736,7 @@ class CurationSpec extends SparkSpec {
           assert(s >= 0 && s < n, s"shardOf out of range at n=$n: $s"))
     }
     val dense = df((0L until 20000L).map(k => Row(k)), "k BIGINT")
-      .select(Sampling.hash64(col("k"), 42L ^ Sampling.OrderSalt).as("sk"))
+      .select(Sampling.orderKey(col("k"), 42L ^ Sampling.OrderSalt).as("sk"))
     for (n <- Seq(4, 8)) {
       val occ = dense.groupBy(Curation.shardOf(col("sk"), n).as("s"))
         .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -764,7 +764,7 @@ class CurationSpec extends SparkSpec {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
         col("source"),
         Curation.shardOf(
-          Sampling.hash64(col("doc_id"), 42L ^ Sampling.OrderSalt), 4).as("shard"))
+          Sampling.orderKey(col("doc_id"), 42L ^ Sampling.OrderSalt), 4).as("shard"))
       .distinct().count()
     assert(ok.getAs[Long]("n_leaves") == expectedLeaves)
     // The audit DETECTS: auditing the 4-shard layout as if 8-way flags

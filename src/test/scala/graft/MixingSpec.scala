@@ -81,8 +81,36 @@ class MixingSpec extends SparkSpec {
     // not the 10^4-valued bucket, whose tie groups would preserve long
     // id-order runs at scale.
     val manual = (1L to 100L).sortBy(id =>
-      (RefHash.hash64(id, 42L ^ Sampling.OrderSalt), id))
+      (RefHash.orderKey(id, 42L ^ Sampling.OrderSalt), id))
     assert(o1 == manual)
+  }
+
+  test("trainingOrder actually shuffles: dense-id adjacency is broken") {
+    // The defect the orderKey wrap-mix fixes: raw hash64's low lane is
+    // m*Knuth with NO modular wrap — order-preserving in the key — so
+    // sorting a dense id block by it kept ~92% of adjacent id pairs
+    // adjacent (same-crawl docs glued together in every training
+    // batch, a shuffle in name only). Pin both sides: the defect is
+    // real for raw hash64, and orderKey breaks it.
+    val n = 20000L
+    val seed = 42L ^ Sampling.OrderSalt
+    def adjacency(key: Long => Long): Double = {
+      val order = (0L until n).sortBy(id => (key(id), id))
+      order.iterator.zip(order.iterator.drop(1))
+        .count { case (a, b) => b == a + 1 }.toDouble / (n - 1)
+    }
+    assert(adjacency(RefHash.hash64(_, seed)) > 0.5,
+      "raw hash64 should exhibit the adjacency defect this test documents")
+    assert(adjacency(RefHash.orderKey(_, seed)) < 0.01,
+      "orderKey order must break dense-id adjacency")
+    // And the engine order IS the RefHash.orderKey order (parity at a
+    // size where run-preservation would be visible).
+    val d = docs((0L until 2000L).map(i => (i, "a", "t")): _*)
+    val engine = Mixing.trainingOrder(d).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val expected = (0L until 2000L).sortBy(id =>
+      (RefHash.orderKey(id, seed), id))
+    assert(engine == expected)
   }
 
   test("temperature alpha=0 gives uniform targets, alpha=1 proportional") {

@@ -25,4 +25,14 @@ object RefHash {
   }
 
   def bucket(key: Long, seed: Long): Long = hash64(key, seed) % 10000L
+
+  /** The [[graft.ext.Sampling.orderKey]] wrap-mix finalizer restated:
+    * low 31 bits through a WRAPPED odd multiply to the high position
+    * (breaking hash64's order-preserving no-wrap low lane), hash bits
+    * 32..62 below. */
+  def orderKey(key: Long, seed: Long): Long = {
+    val h = hash64(key, seed)
+    val a = ((h & 0x7FFFFFFFL) * 2654435761L) & 0x7FFFFFFFL
+    a * 2147483648L + ((h >>> 32) & 0x7FFFFFFFL)
+  }
 }

@@ -104,6 +104,16 @@ class SamplingSpec extends SparkSpec {
     keys.foreach(k => assert(got(k) == RefHash.hash64(k, 7L), s"key $k"))
     // Key bit 62 reaches the hash, not silently masked off.
     assert(RefHash.hash64(1L << 62, 7L) != RefHash.hash64(0L, 7L))
+    // And the ORDER-grade wrap-mix agrees with its restatement over the
+    // same key range, stays non-negative, and fits under 2^62 (so every
+    // oracle-side intermediate is exact BIGINT arithmetic).
+    val gotOrder = d.select(col("k"), Sampling.orderKey(col("k"), 7L).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      val ref = RefHash.orderKey(k, 7L)
+      assert(gotOrder(k) == ref, s"orderKey key $k")
+      assert(ref >= 0L && ref < (1L << 62), s"orderKey range key $k")
+    }
   }
 
   test("no seed-independent collision family across the 2^62 boundary") {
