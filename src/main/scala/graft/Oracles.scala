@@ -3072,6 +3072,46 @@ object Oracles {
         |FROM d JOIN cnt USING (doc_id) JOIN deduped USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "x19_xdoc_dedup" ->
+      // The CROSS-document boilerplate strip replayed end-to-end: the
+      // normalized-line census over DISTINCT (line, doc) pairs, the
+      // minDocFreq=3 threshold (the planted universal footer drops,
+      // the df=2 pair lines survive, natural df>=3 corpus repeats drop
+      // too), the order-preserving reassembly (string_agg in ordinal
+      // order), and the per-source census with the md5-prefix
+      // fingerprint sum over every rewritten text. Whitespace-only
+      // norms are exempt from the census (blank lines are structure).
+      raw"""WITH d AS (
+        |  SELECT doc_id, source,
+        |         coalesce(text, '') || chr(10) || 'subscribe to our newsletter'
+        |           || chr(10) || 'pair ' || CAST(doc_id // 2 AS VARCHAR) AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+        |         generate_subscripts(string_split(t, chr(10)), 1) AS ord
+        |  FROM d),
+        |n AS (
+        |  SELECT doc_id, line, ord,
+        |         lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS lnorm
+        |  FROM lines),
+        |heavy AS (
+        |  SELECT lnorm FROM (SELECT DISTINCT lnorm, doc_id FROM n WHERE lnorm <> '')
+        |  GROUP BY lnorm HAVING count(*) >= 3),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS xt,
+        |         count(*) AS n_out
+        |  FROM n WHERE lnorm NOT IN (SELECT lnorm FROM heavy)
+        |  GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n_in FROM lines GROUP BY doc_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(c.n_in - coalesce(r.n_out, 0)) AS BIGINT) AS boiler_dropped,
+        |       CAST(count(CASE WHEN c.n_in > coalesce(r.n_out, 0) THEN 1 END)
+        |         AS BIGINT) AS docs_hit,
+        |       CAST(sum(CAST(('0x' || substr(md5(coalesce(r.xt, '')), 1, 15))
+        |         AS BIGINT) % 1000000000) AS BIGINT) AS text_fp_sum
+        |FROM d LEFT JOIN rebuilt r USING (doc_id) JOIN cnt c USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
     "x10_clean_funnel" ->
       // X19 composed into X10: the funnel replayed over the
       // LINE-DEDUPED, CLEANED dirtied corpus — the planted three-copy

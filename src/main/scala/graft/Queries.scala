@@ -1360,6 +1360,32 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X19c — CROSS-document boilerplate-line removal (the CCNet
+    * shard-level dedup step): every document gains the SAME footer
+    * line (document frequency = corpus size — unambiguously over any
+    * threshold) plus a pair-shared line (`pair <doc_id/2>`, df = 2 —
+    * must SURVIVE at `minDocFreq = 3`, pinning the threshold
+    * boundary); naturally repeated corpus lines (the planted exact-dup
+    * families) drop too, and the oracle replays all of it: the line
+    * census over normalized lines, the threshold, the order-preserving
+    * reassembly, and a per-source census with an md5-prefix
+    * fingerprint sum over every rewritten text — one wrong byte in any
+    * document breaks the hash. */
+  def x19XdocDedup(s: SparkSession, d: String): DataFrame = {
+    val planted = documents(s, d).withColumn("text",
+      concat(coalesce(col("text"), lit("")),
+        lit("\nsubscribe to our newsletter\npair "),
+        (col("doc_id") / lit(2L)).cast("long").cast("string")))
+    graft.ext.TextClean.dedupLinesAcross(planted, minDocFreq = 3L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_boiler_dropped")).as("boiler_dropped"),
+        count(when(col("had_boilerplate"), lit(1))).as("docs_hit"),
+        sum(pmod(conv(substring(md5(col("text_xdedup")), 1, 15), 16, 10)
+          .cast("long"), lit(1000000000L))).as("text_fp_sum"))
+      .orderBy("source")
+  }
+
   /** X23 — context-window chunking over the documents table: 32-token
     * windows advancing by 24 (8-token overlap — small windows so the
     * sf docs genuinely multi-chunk). The oracle re-derives chunk

@@ -76,4 +76,92 @@ object TextClean {
       .withColumn("n_lines_out",
         size(split(col("line_deduped"), "\n", -1)).cast("long"))
       .withColumn("had_dup_lines", col("n_lines_in") =!= col("n_lines_out"))
+
+  /** Normalized line identity for the CROSS-document dedup: whitespace
+    * collapsed, trimmed, lowercased — the same norm discipline as the
+    * document-level `normText`, so "Subscribe  Now " and "subscribe
+    * now" are the same boilerplate. Whitespace-only lines normalize to
+    * `''` and are deliberately EXEMPT from frequency-dropping (blank
+    * lines are structure, not boilerplate — and they'd trivially
+    * exceed any threshold). */
+  def lineNorm(line: Column): Column =
+    lower(trim(regexp_replace(line, "\\s+", " ")))
+
+  /** The cross-document boilerplate census: normalized lines appearing
+    * in at least `minDocFreq` DISTINCT documents, with their document
+    * frequency — the drop set of [[dedupLinesAcross]], exposed for
+    * auditing what a threshold would remove before committing to it.
+    *
+    * 100 TB shape: one partial-agg shuffle — the distinct (norm, doc)
+    * projection combines map-side, the count is a second partial agg
+    * on the already-shuffled key — and the result after the threshold
+    * is the boilerplate TAIL, orders of magnitude smaller than the
+    * corpus. */
+  def boilerplateLines(docs: DataFrame, minDocFreq: Long,
+                       textCol: String = "text",
+                       keyCol: String = "doc_id"): DataFrame = {
+    require(minDocFreq >= 2L,
+      s"minDocFreq ($minDocFreq) must be >= 2 — at 1 every line drops")
+    docs.select(col(keyCol),
+        explode(split(coalesce(col(textCol), lit("")), "\n", -1)).as("line"))
+      .select(lineNorm(col("line")).as("line_norm"), col(keyCol))
+      .where(col("line_norm") =!= "")
+      .distinct()
+      .groupBy("line_norm")
+      .agg(count(lit(1)).as("line_df"))
+      .where(col("line_df") >= minDocFreq)
+  }
+
+  /** X19c — CROSS-document boilerplate-line removal (the CCNet
+    * shard-level dedup step, Wenzek et al. 2020: crawl boilerplate —
+    * cookie banners, nav menus, subscribe footers — is the SAME line
+    * on thousands of pages, invisible to within-doc dedup): every line
+    * whose normalized form appears in ≥ `minDocFreq` distinct
+    * documents is dropped from EVERY document, surviving lines rejoin
+    * in original order. Appended columns (corpus columns never
+    * overwritten): `text_xdedup` (the rewritten text — `''` if every
+    * line was boilerplate), `n_boiler_dropped`, `had_boilerplate`.
+    *
+    * Document frequency, not raw occurrence count, so a document
+    * repeating its own line many times (within-doc dedup's job —
+    * [[dedupLines]]) cannot push a private line over the global
+    * threshold. Line identity is [[lineNorm]]; whitespace-only lines
+    * are exempt (see there).
+    *
+    * 100 TB shape: the [[boilerplateLines]] census (one partial-agg
+    * shuffle; the thresholded drop set is the tiny boilerplate tail,
+    * so AQE broadcasts the anti join — the corpus line stream never
+    * shuffles for it), then ONE `keyCol` shuffle reassembling kept
+    * lines (per-group state = one document's lines, bounded by doc
+    * size) and ONE `keyCol` join back to the corpus (co-partitioned
+    * with the reassembly output). The explode itself is map-only and
+    * carries only (key, pos, line) — document metadata never rides
+    * the line stream. */
+  def dedupLinesAcross(docs: DataFrame, minDocFreq: Long,
+                       textCol: String = "text",
+                       keyCol: String = "doc_id"): DataFrame = {
+    val heavy = boilerplateLines(docs, minDocFreq, textCol, keyCol)
+      .select("line_norm")
+    val lines = docs.select(col(keyCol).as("__xd_key"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as(Seq("__pos", "__line")))
+      .withColumn("line_norm", lineNorm(col("__line")))
+    val rebuilt = lines.join(heavy, Seq("line_norm"), "left_anti")
+      .groupBy(col("__xd_key"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line")),
+          "\n").as("__xtext"),
+        count(lit(1)).as("__n_out"))
+    docs
+      .withColumn("__n_in",
+        size(split(coalesce(col(textCol), lit("")), "\n", -1)).cast("long"))
+      .join(rebuilt, col(keyCol) === col("__xd_key"), "left")
+      .withColumn("text_xdedup", coalesce(col("__xtext"), lit("")))
+      .withColumn("n_boiler_dropped",
+        col("__n_in") - coalesce(col("__n_out"), lit(0L)))
+      .withColumn("had_boilerplate", col("n_boiler_dropped") > 0L)
+      .drop("__xd_key", "__xtext", "__n_out", "__n_in")
+  }
 }

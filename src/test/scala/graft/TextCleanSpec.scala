@@ -77,4 +77,87 @@ class TextCleanSpec extends SparkSpec {
     val planted = out.filter(r => r.getLong(0) % 5 <= 2)
     assert(planted.nonEmpty && planted.forall(_.getAs[Boolean]("had_markup")))
   }
+
+  private def xdocRows(texts: (Long, String)*) = df(
+    texts.map { case (id, t) => Row(id, t) },
+    "doc_id BIGINT, text STRING")
+
+  private def xdocMap(d: org.apache.spark.sql.DataFrame, minDf: Long) =
+    TextClean.dedupLinesAcross(d, minDf)
+      .select("doc_id", "text_xdedup", "n_boiler_dropped", "had_boilerplate")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+
+  test("dedupLinesAcross drops cross-doc boilerplate, keeps order + rare lines") {
+    val d = xdocRows(
+      1L -> "intro one\nsubscribe now\nbody one",
+      2L -> "subscribe now\nbody two",
+      3L -> "body three\nsubscribe now",
+      4L -> "pair line\nbody four",
+      5L -> "body five\npair line")
+    val out = xdocMap(d, 3L)
+    // df=3 footer drops everywhere, in-order reassembly of the rest.
+    assert(out(1L) == (("intro one\nbody one", 1L, true)))
+    assert(out(2L) == (("body two", 1L, true)))
+    assert(out(3L) == (("body three", 1L, true)))
+    // df=2 survives at minDocFreq=3 — the threshold is a boundary, not
+    // a suggestion.
+    assert(out(4L) == (("pair line\nbody four", 0L, false)))
+    assert(out(5L) == (("body five\npair line", 0L, false)))
+    // ...and drops at minDocFreq=2.
+    val strict = xdocMap(d, 2L)
+    assert(strict(4L) == (("body four", 1L, true)))
+  }
+
+  test("dedupLinesAcross: doc frequency, not occurrences; norm identity; blanks exempt") {
+    val d = xdocRows(
+      // One doc repeating its own line 4x: df=1, must NOT drop (that is
+      // within-doc dedupLines' job).
+      1L -> "mine\nmine\nmine\nmine",
+      // Norm identity: case/spacing variants are the SAME boilerplate.
+      2L -> "Subscribe   NOW \nkeep two",
+      3L -> "subscribe now\nkeep three",
+      4L -> " SUBSCRIBE\tnow\nkeep four",
+      // Blank lines: df = every doc, but whitespace-only norms are
+      // exempt — structure survives.
+      5L -> "a\n\nb",
+      6L -> "c\n\nd",
+      7L -> "e\n\nf")
+    val out = xdocMap(d, 3L)
+    assert(out(1L) == (("mine\nmine\nmine\nmine", 0L, false)))
+    assert(out(2L) == (("keep two", 1L, true)))
+    assert(out(3L) == (("keep three", 1L, true)))
+    assert(out(4L) == (("keep four", 1L, true)))
+    assert(out(5L) == (("a\n\nb", 0L, false)))
+    // A doc losing EVERY line comes back as '' and is counted whole.
+    val all = xdocRows(
+      1L -> "gone", 2L -> "gone", 3L -> "gone", 4L -> "gone\nstays")
+    val wiped = xdocMap(all, 3L)
+    assert(wiped(1L) == (("", 1L, true)))
+    assert(wiped(4L) == (("stays", 1L, true)))
+    // Null text: no lines to drop, comes back as '' ('' split = one
+    // empty line, whose norm is exempt) — flagged false.
+    val n = xdocMap(xdocRows(1L -> null, 2L -> "x", 3L -> "y"), 3L)
+    assert(n(1L)._2 == 0L && !n(1L)._3)
+  }
+
+  test("dedupLinesAcross is partitioning-invariant and census-consistent") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .withColumn("text", concat(coalesce(col("text"), lit("")),
+        lit("\nglobal footer line")))
+    val a = TextClean.dedupLinesAcross(docs, 3L)
+      .select("doc_id", "text_xdedup", "n_boiler_dropped").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val b = TextClean.dedupLinesAcross(docs.repartition(13), 3L)
+      .select("doc_id", "text_xdedup", "n_boiler_dropped").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+    // The planted universal footer is in the census and every doc lost
+    // at least that one line.
+    val census = TextClean.boilerplateLines(docs, 3L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census("global footer line") == docs.count())
+    assert(a.forall(_._3 >= 1L))
+  }
 }
