@@ -1622,6 +1622,63 @@ object Oracles {
         |       round(CAST(sum(CAST(stopword_ratio AS DECIMAL(24,8))) AS DOUBLE) / count(stopword_ratio), 4) AS avg_stopword_ratio
         |FROM per_doc GROUP BY 1 ORDER BY lang""".stripMargin,
 
+    "x3_c4_rules" ->
+      // The C4 §2.2 recipe replayed at the string level: per line the
+      // whitespace-strip, terminal-punctuation tail, five-word floor,
+      // and "javascript" exclusion; per page the brace and blocked-
+      // phrase gates on the ORIGINAL text and the >=3-sentence floor
+      // counted over the RETAINED text; the ordered rewrite pinned by
+      // an md5-prefix fingerprint sum.
+      raw"""WITH d AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 7 = 0 THEN '{ brace page' || chr(10)
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 11 = 0
+        |              THEN 'Lorem Ipsum dolor sit amet.' || chr(10)
+        |              ELSE '' END ||
+        |         coalesce(text, '') || chr(10)
+        |           || 'this line has five good words.' || chr(10)
+        |           || 'no terminal punctuation here' || chr(10)
+        |           || 'tiny line.' || chr(10)
+        |           || 'this javascript line is long enough.' AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+        |         generate_subscripts(string_split(t, chr(10)), 1) AS ord
+        |  FROM d),
+        |k AS (
+        |  SELECT doc_id, line, ord,
+        |         regexp_replace(line, '^\s+|\s+$$', '', 'g') AS lt
+        |  FROM lines),
+        |kept AS (
+        |  SELECT doc_id, line, ord FROM k
+        |  WHERE regexp_matches(lt, '[.!?"”]$$')
+        |    AND len(string_split_regex(lt, '\s+')) >= 5
+        |    AND NOT contains(lower(lt), 'javascript')),
+        |reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS xt,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n_in FROM lines GROUP BY doc_id),
+        |fl AS (
+        |  SELECT d.doc_id, d.source, coalesce(r.xt, '') AS xt,
+        |         coalesce(r.n_kept, 0) AS n_kept, c.n_in,
+        |         len(regexp_extract_all(coalesce(r.xt, ''), '[.!?]'))
+        |           AS n_sent,
+        |         contains(d.t, '{') AS has_brace,
+        |         contains(lower(d.t), 'lorem ipsum') AS blocked
+        |  FROM d LEFT JOIN reb r USING (doc_id) JOIN cnt c USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(CASE WHEN NOT has_brace AND NOT blocked
+        |                        AND n_sent >= 3 THEN 1 END) AS BIGINT)
+        |         AS n_pass,
+        |       CAST(sum(n_in) AS BIGINT) AS lines_in,
+        |       CAST(sum(n_kept) AS BIGINT) AS lines_kept,
+        |       CAST(sum(n_sent) AS BIGINT) AS sentences,
+        |       CAST(sum(CAST(('0x' || substr(md5(xt), 1, 15)) AS BIGINT)
+        |         % 1000000000) AS BIGINT) AS c4_fp_sum
+        |FROM fl GROUP BY source ORDER BY source""".stripMargin,
+
     "x3_gopher_rules" ->
       // Every rule replayed in integer cross-multiplied form (3·n ≤ Σlen,
       // 10·symbols > chars, 5·dup ≥ bigrams, 10·dup > 3·lines,

@@ -1597,6 +1597,36 @@ object Queries {
       "이것은한국어데이터품질엔진의시험문서입니다여기서우리는언어규칙이" +
         "올바르게통과하는지확인합니다내용은다양하고반복이없습니다"))
 
+  /** X3h — the C4 cleaning heuristics end-to-end: every document gains
+    * a four-line footer exercising each line rule (a retained prose
+    * line, a no-terminal-punct drop, a short-line drop, a "javascript"
+    * drop), every 7th document a brace-page marker and every 11th a
+    * "Lorem Ipsum" phrase (case-insensitivity exercised), and the
+    * oracle replays the line retention, the ordered rewrite (md5-prefix
+    * fingerprint sum — one wrong byte in any page breaks it), the
+    * sentence census over the RETAINED text, and both page gates. */
+  def x3C4Rules(s: SparkSession, d: String): DataFrame = {
+    val planted = documents(s, d).withColumn("text",
+      concat(
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          lit("{ brace page\n")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11L)) === 0L,
+          lit("Lorem Ipsum dolor sit amet.\n")).otherwise(lit("")),
+        coalesce(col("text"), lit("")),
+        lit("\nthis line has five good words.\nno terminal punctuation here" +
+          "\ntiny line.\nthis javascript line is long enough.")))
+    graft.ext.C4.c4Flags(planted)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("c4_pass"), lit(1))).as("n_pass"),
+        sum(col("c4_lines_in")).as("lines_in"),
+        sum(col("c4_lines_kept")).as("lines_kept"),
+        sum(col("c4_sentences")).as("sentences"),
+        sum(pmod(conv(substring(md5(col("c4_text")), 1, 15), 16, 10)
+          .cast("long"), lit(1000000000L))).as("c4_fp_sum"))
+      .orderBy("source")
+  }
+
   /** X3d — whitespace + BPE-ish token counting per language. */
   def x3TokenCounts(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCountsByLang(documents(s, d))
