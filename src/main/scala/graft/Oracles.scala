@@ -229,6 +229,95 @@ object Oracles {
       |  UNION
       |  SELECT e.dst, r.lbl FROM cedges e JOIN creach r ON e.src = r.id)""".stripMargin
 
+  /** Benchmark 4-gram shingles and the containment CTE built from the
+    * RAW documents 0–2 (benchmarks are clean, the crawl is not)
+    * against whatever corpus `grams` CTE is in scope — ONE definition
+    * shared by the funnels that REWRITE the corpus text before
+    * shingling (x10_clean_funnel, x10_xdedup_funnel), so the bench
+    * direction can never drift between them. */
+  private val benchGramsRawCtes: String =
+    raw"""bnorm AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents WHERE doc_id < 3),
+      |btoks AS (
+      |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
+      |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
+      |  FROM bnorm),
+      |bgrams AS (
+      |  SELECT DISTINCT doc_id AS bench_id,
+      |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+      |             || ' ' || lead(tok, 3) OVER w AS gram
+      |  FROM btoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      |  QUALIFY lead(tok, 3) OVER w IS NOT NULL),
+      |bn AS (SELECT bench_id, count(*) AS n FROM bgrams GROUP BY 1),
+      |contam AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT g.doc_id, b.bench_id, count(*) AS i
+      |    FROM grams g JOIN bgrams b ON g.gram = b.gram
+      |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+      |  WHERE round(i * 1.0 / n, 4) >= 0.8)""".stripMargin
+
+  /** The no-fuzzy funnel body — annotate flags, stage census, final
+    * select with the url/history/fuzzy no-op aliases — over a REWRITTEN
+    * corpus relation `src` (must expose doc_id, lang, text), expecting
+    * `contam` in scope (from [[benchGramsRawCtes]]). ONE body shared by
+    * x10_clean_funnel and x10_xdedup_funnel, so the rewritten-corpus
+    * funnels can never drift from each other's stage replay. */
+  private def noFuzzyFunnelBody(src: String): String =
+    raw"""ann AS (
+      |  SELECT doc_id, lang,
+      |         doc_id = min(doc_id) OVER (
+      |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |           AS is_canonical,
+      |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+      |         CASE WHEN len(trim(rtext)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(rtext), '\s+')) END AS n_tok,
+      |         ${bucketSql("doc_id")} AS b,
+      |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
+      |  FROM (SELECT doc_id, lang, text,
+      |               regexp_replace(regexp_replace(regexp_replace(text,
+      |                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+      |                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+      |        FROM ${src})
+      |), f AS (
+      |  SELECT count(*) AS n_raw,
+      |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
+      |         count(CASE WHEN is_canonical
+      |                         AND NOT is_contaminated THEN 1 END)
+      |           AS n_after_decontam,
+      |         count(CASE WHEN is_canonical AND NOT is_contaminated
+      |                         AND n_tok BETWEEN 25 AND 90 THEN 1 END)
+      |           AS n_after_quality,
+      |         count(CASE WHEN is_canonical AND NOT is_contaminated
+      |                         AND n_tok BETWEEN 25 AND 90 AND b < thr THEN 1 END)
+      |           AS n_after_sample,
+      |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
+      |         COALESCE(CAST(sum(CASE WHEN is_canonical
+      |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
+      |         COALESCE(CAST(sum(CASE WHEN is_canonical
+      |                         AND NOT is_contaminated
+      |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
+      |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+      |                         AND n_tok BETWEEN 25 AND 90
+      |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
+      |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+      |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
+      |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
+      |  FROM ann)
+      |SELECT n_raw, n_raw AS n_after_url, n_after_dedup,
+      |       n_after_dedup AS n_after_history,
+      |       n_after_dedup AS n_after_fuzzy,
+      |       n_after_decontam, n_after_quality, n_after_sample,
+      |       tokens_raw, tokens_raw AS tokens_after_url,
+      |       tokens_after_dedup,
+      |       tokens_after_dedup AS tokens_after_history,
+      |       tokens_after_dedup AS tokens_after_fuzzy,
+      |       tokens_after_decontam, tokens_after_quality, n_tokens,
+      |       CASE WHEN n_tokens = 0 THEN 0
+      |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
+      |FROM f""".stripMargin
+
   /** The curation-funnel stage replay parameterized on the corpus
     * relation (`src` — raw `documents`, or a planted-union CTE supplied
     * through `prefix`) and the exact-dedup keeper window (`canonicalSql`,
@@ -3180,80 +3269,43 @@ object Oracles {
       ("WITH " + dirtyCteNamed("dirty0") + ",\n" + lineDedupCtes + ",\n" +
         cleanCtes + ",\n" +
         "cc AS (SELECT doc_id, lang, clean AS text FROM c4),\n" +
-        gram4CtesFrom("cc") + ",\n" +
-        raw"""bnorm AS (
-          |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-          |  FROM documents WHERE doc_id < 3),
-          |btoks AS (
-          |  SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok,
-          |         generate_subscripts(string_split_regex(t, '\s+'), 1) AS ord
-          |  FROM bnorm),
-          |bgrams AS (
-          |  SELECT DISTINCT doc_id AS bench_id,
-          |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
-          |             || ' ' || lead(tok, 3) OVER w AS gram
-          |  FROM btoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-          |  QUALIFY lead(tok, 3) OVER w IS NOT NULL),
-          |bn AS (SELECT bench_id, count(*) AS n FROM bgrams GROUP BY 1),
-          |contam AS (
-          |  SELECT DISTINCT doc_id FROM (
-          |    SELECT g.doc_id, b.bench_id, count(*) AS i
-          |    FROM grams g JOIN bgrams b ON g.gram = b.gram
-          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
-          |  WHERE round(i * 1.0 / n, 4) >= 0.8),
-          |ann AS (
-          |  SELECT doc_id, lang,
-          |         doc_id = min(doc_id) OVER (
-          |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-          |           AS is_canonical,
-          |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
-          |         CASE WHEN len(trim(rtext)) = 0 THEN 0
-          |              ELSE len(string_split_regex(trim(rtext), '\s+')) END AS n_tok,
-          |         ${bucketSql("doc_id")} AS b,
-          |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
-          |  FROM (SELECT doc_id, lang, text,
-          |               regexp_replace(regexp_replace(regexp_replace(text,
-          |                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          |                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-          |                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
-          |        FROM cc)
-          |), f AS (
-          |  SELECT count(*) AS n_raw,
-          |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
-          |         count(CASE WHEN is_canonical
-          |                         AND NOT is_contaminated THEN 1 END)
-          |           AS n_after_decontam,
-          |         count(CASE WHEN is_canonical AND NOT is_contaminated
-          |                         AND n_tok BETWEEN 25 AND 90 THEN 1 END)
-          |           AS n_after_quality,
-          |         count(CASE WHEN is_canonical AND NOT is_contaminated
-          |                         AND n_tok BETWEEN 25 AND 90 AND b < thr THEN 1 END)
-          |           AS n_after_sample,
-          |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
-          |         COALESCE(CAST(sum(CASE WHEN is_canonical
-          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
-          |         COALESCE(CAST(sum(CASE WHEN is_canonical
-          |                         AND NOT is_contaminated
-          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
-          |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
-          |                         AND n_tok BETWEEN 25 AND 90
-          |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
-          |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
-          |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
-          |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
-          |  FROM ann)
-          |SELECT n_raw, n_raw AS n_after_url, n_after_dedup,
-          |       n_after_dedup AS n_after_history,
-          |       n_after_dedup AS n_after_fuzzy,
-          |       n_after_decontam, n_after_quality, n_after_sample,
-          |       tokens_raw, tokens_raw AS tokens_after_url,
-          |       tokens_after_dedup,
-          |       tokens_after_dedup AS tokens_after_history,
-          |       tokens_after_dedup AS tokens_after_fuzzy,
-          |       tokens_after_decontam, tokens_after_quality, n_tokens,
-          |       CASE WHEN n_tokens = 0 THEN 0
-          |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
-          |FROM f""".stripMargin),
+        gram4CtesFrom("cc") + ",\n" + benchGramsRawCtes + ",\n" +
+        noFuzzyFunnelBody("cc")),
+
+    "x10_xdedup_funnel" ->
+      // X19c composed into X10 (the CCNet ordering — the shard-level
+      // line dedup is the FIRST text operation): the planted universal
+      // footer strips (its normalized line is in every document),
+      // single-line >=3-doc duplicate families collapse to the
+      // empty-text family, and the whole funnel census replays over
+      // the rewritten corpus. Bench grams from the RAW docs 0-2, the
+      // x10_clean_funnel direction. No url/history/fuzzy stages
+      // (no-ops).
+      (raw"""WITH pd AS (
+        |  SELECT doc_id, lang,
+        |         coalesce(text, '') || chr(10) || 'subscribe to our newsletter' AS t
+        |  FROM documents),
+        |xl AS (
+        |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+        |         generate_subscripts(string_split(t, chr(10)), 1) AS ord
+        |  FROM pd),
+        |xn AS (
+        |  SELECT doc_id, line, ord,
+        |         lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS lnorm
+        |  FROM xl),
+        |xheavy AS (
+        |  SELECT lnorm FROM (SELECT DISTINCT lnorm, doc_id FROM xn WHERE lnorm <> '')
+        |  GROUP BY lnorm HAVING count(*) >= 3),
+        |xreb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS xt
+        |  FROM xn WHERE lnorm NOT IN (SELECT lnorm FROM xheavy)
+        |  GROUP BY doc_id),
+        |xdocs AS (
+        |  SELECT p.doc_id, p.lang, coalesce(r.xt, '') AS text
+        |  FROM pd p LEFT JOIN xreb r USING (doc_id)),
+        |""".stripMargin +
+        gram4CtesFrom("xdocs") + ",\n" + benchGramsRawCtes + ",\n" +
+        noFuzzyFunnelBody("xdocs")),
 
     "x10_write_verify" ->
       // The written-corpus census derived INDEPENDENTLY from the base

@@ -1237,6 +1237,32 @@ object Queries {
         cleanFirst = true, dedupLinesFirst = true))
   }
 
+  /** X10x — the funnel with CROSS-document boilerplate stripping first
+    * (X19c composed into X10, the CCNet ordering: the shard-level line
+    * dedup is the first text operation): every document gains the SAME
+    * one-line footer, `Config.xdocMinDf = 3` strips every line shared
+    * by ≥ 3 documents — the footer vanishes before dedup norms,
+    * contamination shingles, redaction, or quality ever see it, and
+    * single-line duplicate families collapse to the empty-text family
+    * (their whole text IS a ≥3-doc line). Benchmark = the RAW docs
+    * 0–2 (benchmarks are clean, the crawl is not — the
+    * x10_clean_funnel direction). The oracle replays the line census,
+    * the threshold, the ordered rebuild, and the full funnel census
+    * over the rewritten corpus. */
+  def x10XdedupFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val planted = docs.withColumn("text",
+      concat(coalesce(col("text"), lit("")),
+        lit("\nsubscribe to our newsletter")))
+    graft.ext.Curation.funnel(planted, bench,
+      graft.ext.Curation.Config(
+        minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L,
+        xdocMinDf = Some(3L)))
+  }
+
   /** X10f — the funnel with the GOPHER RULE BUNDLE as the quality
     * stage (the MassiveText recipe: the published structural rules ARE
     * the quality filter; X3g composed into X10 the way X13/X15/X16/X19

@@ -113,6 +113,18 @@ object Curation {
       // cleaning would see one giant line — the C4 recipe strips
       // boilerplate lines on the raw page text first.
       dedupLinesFirst: Boolean = false,
+      // Optional X19c stage: when set, CROSS-document boilerplate
+      // lines (normalized form in >= this many distinct documents) are
+      // stripped FIRST — before even `dedupLinesFirst`, the CCNet
+      // ordering: the shard-level line dedup is the first text
+      // operation, so a universal footer never reaches the dedup
+      // norms, shingles, or quality signals as content. Unlike every
+      // other stage this one is corpus-global (the
+      // [[TextClean.dedupLinesAcross]] census + rebuild — see there
+      // for the 100 TB shape); `n_boiler_dropped`/`had_boilerplate`
+      // stay on the annotated frame for the audit, the rewritten text
+      // replaces `textCol`.
+      xdocMinDf: Option[Long] = None,
       // Column names, matching the sibling operators' parameters — a
       // corpus with e.g. content/id/language columns works unrenamed.
       textCol: String = "text",
@@ -172,13 +184,23 @@ object Curation {
                fuzzyPairs: Option[DataFrame] = None,
                historyFp: Option[DataFrame] = None,
                selection: Option[DataFrame] = None): DataFrame = {
-    // X19 first (see Config.dedupLinesFirst/cleanFirst): map-only
+    // X19c first of all (see Config.xdocMinDf): the corpus-global
+    // boilerplate-line strip — CCNet runs the shard-level line dedup
+    // before any other text operation.
+    val docs00 = cfg.xdocMinDf match {
+      case Some(minDf) =>
+        TextClean.dedupLinesAcross(docs0, minDf, cfg.textCol, cfg.keyCol)
+          .withColumn(cfg.textCol, col("text_xdedup"))
+          .drop("text_xdedup")
+      case None => docs0
+    }
+    // X19 next (see Config.dedupLinesFirst/cleanFirst): map-only
     // rewrites — line dedup BEFORE the clean pass (which destroys
     // newlines), then every stage below operates on the rewritten
     // text unchanged.
     val docs1 = if (cfg.dedupLinesFirst)
-      docs0.withColumn(cfg.textCol, TextClean.dedupLines(col(cfg.textCol)))
-    else docs0
+      docs00.withColumn(cfg.textCol, TextClean.dedupLines(col(cfg.textCol)))
+    else docs00
     val docs = if (cfg.cleanFirst)
       docs1.withColumn(cfg.textCol, TextClean.cleanText(col(cfg.textCol)))
     else docs1

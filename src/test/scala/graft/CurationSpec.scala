@@ -373,6 +373,35 @@ class CurationSpec extends SparkSpec {
       s"token funnel not monotone: $tokStages")
   }
 
+  test("xdocMinDf composes: parity with a pre-stripped corpus, strip observable") {
+    // The house composition contract: funnel(xdocMinDf) must equal the
+    // funnel run on a corpus already rewritten by the standalone
+    // dedupLinesAcross — and the strip must be OBSERVABLE vs the
+    // unstripped funnel (the planted universal footer's tokens vanish
+    // from tokens_raw).
+    import graft.ext.TextClean
+    val planted = docs.withColumn("text",
+      concat(coalesce(col("text"), lit("")), lit("\nuniversal footer line")))
+    val composed = Curation.funnel(planted, bench,
+      cfg.copy(xdocMinDf = Some(3L))).collect().head
+    val stripped = TextClean.dedupLinesAcross(planted, 3L)
+      .withColumn("text", col("text_xdedup"))
+      .drop("text_xdedup", "n_boiler_dropped", "had_boilerplate")
+    val standalone = Curation.funnel(stripped, bench, cfg).collect().head
+    assert(composed.toSeq == standalone.toSeq,
+      "composed funnel must equal the funnel over the standalone rewrite")
+    val unstripped = Curation.funnel(planted, bench, cfg).collect().head
+    assert(composed.getAs[Long]("tokens_raw") <
+      unstripped.getAs[Long]("tokens_raw"),
+      "the stripped footer must be visible in the raw token mass")
+    // The annotate frame keeps the boilerplate audit columns.
+    val ann = Curation.annotate(planted, bench, cfg.copy(xdocMinDf = Some(3L)))
+    assert(ann.columns.contains("n_boiler_dropped") &&
+      ann.columns.contains("had_boilerplate"))
+    assert(ann.filter(!col("had_boilerplate")).count() == 0L,
+      "every doc carried the planted universal footer")
+  }
+
   test("cleanFirst: markup-wrapped duplicates dedup; bench quotes still flag") {
     // One plain doc, one markup-wrapped twin (same text once cleaned),
     // one doc quoting the benchmark inside markup, one unrelated doc
