@@ -257,6 +257,33 @@ object Oracles {
       |    GROUP BY 1, 2) JOIN bn USING (bench_id)
       |  WHERE round(i * 1.0 / n, 4) >= 0.8)""".stripMargin
 
+  /** The C4 line-retention CTEs over a relation `src(doc_id, t)` —
+    * whitespace-strip (full-whitespace, Python `.strip()` semantics),
+    * terminal-punctuation tail, five-word floor, "javascript"
+    * exclusion, ordered rewrite. ONE definition shared by x3_c4_rules
+    * and x10_c4_funnel, so the line rules cannot drift between the
+    * standalone bundle and the funnel gate. Emits `c4l` (split lines
+    * with ordinals), `c4kept` (retained lines), `c4reb` (per-doc
+    * rewrite `xt` + `n_kept`). */
+  private def c4LineCtes(src: String): String =
+    raw"""c4l AS (
+      |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+      |         generate_subscripts(string_split(t, chr(10)), 1) AS ord
+      |  FROM ${src}),
+      |c4k AS (
+      |  SELECT doc_id, line, ord,
+      |         regexp_replace(line, '^\s+|\s+$$', '', 'g') AS lt
+      |  FROM c4l),
+      |c4kept AS (
+      |  SELECT doc_id, line, ord FROM c4k
+      |  WHERE regexp_matches(lt, '[.!?"”]$$')
+      |    AND len(string_split_regex(lt, '\s+')) >= 5
+      |    AND NOT contains(lower(lt), 'javascript')),
+      |c4reb AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS xt,
+      |         count(*) AS n_kept
+      |  FROM c4kept GROUP BY doc_id)""".stripMargin
+
   /** The no-fuzzy funnel body — annotate flags, stage census, final
     * select with the url/history/fuzzy no-op aliases — over a REWRITTEN
     * corpus relation `src` (must expose doc_id, lang, text), expecting
@@ -1718,7 +1745,7 @@ object Oracles {
       // phrase gates on the ORIGINAL text and the >=3-sentence floor
       // counted over the RETAINED text; the ordered rewrite pinned by
       // an md5-prefix fingerprint sum.
-      raw"""WITH d AS (
+      (raw"""WITH d AS (
         |  SELECT doc_id, source,
         |         CASE WHEN doc_id % 7 = 0 THEN '{ brace page' || chr(10)
         |              ELSE '' END ||
@@ -1731,24 +1758,8 @@ object Oracles {
         |           || 'tiny line.' || chr(10)
         |           || 'this javascript line is long enough.' AS t
         |  FROM documents),
-        |lines AS (
-        |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
-        |         generate_subscripts(string_split(t, chr(10)), 1) AS ord
-        |  FROM d),
-        |k AS (
-        |  SELECT doc_id, line, ord,
-        |         regexp_replace(line, '^\s+|\s+$$', '', 'g') AS lt
-        |  FROM lines),
-        |kept AS (
-        |  SELECT doc_id, line, ord FROM k
-        |  WHERE regexp_matches(lt, '[.!?"”]$$')
-        |    AND len(string_split_regex(lt, '\s+')) >= 5
-        |    AND NOT contains(lower(lt), 'javascript')),
-        |reb AS (
-        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS xt,
-        |         count(*) AS n_kept
-        |  FROM kept GROUP BY doc_id),
-        |cnt AS (SELECT doc_id, count(*) AS n_in FROM lines GROUP BY doc_id),
+        |""".stripMargin + c4LineCtes("d") + ",\n" +
+      raw"""cnt AS (SELECT doc_id, count(*) AS n_in FROM c4l GROUP BY doc_id),
         |fl AS (
         |  SELECT d.doc_id, d.source, coalesce(r.xt, '') AS xt,
         |         coalesce(r.n_kept, 0) AS n_kept, c.n_in,
@@ -1756,7 +1767,7 @@ object Oracles {
         |           AS n_sent,
         |         contains(d.t, '{') AS has_brace,
         |         contains(lower(d.t), 'lorem ipsum') AS blocked
-        |  FROM d LEFT JOIN reb r USING (doc_id) JOIN cnt c USING (doc_id))
+        |  FROM d LEFT JOIN c4reb r USING (doc_id) JOIN cnt c USING (doc_id))
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(CASE WHEN NOT has_brace AND NOT blocked
         |                        AND n_sent >= 3 THEN 1 END) AS BIGINT)
@@ -1766,7 +1777,7 @@ object Oracles {
         |       CAST(sum(n_sent) AS BIGINT) AS sentences,
         |       CAST(sum(CAST(('0x' || substr(md5(xt), 1, 15)) AS BIGINT)
         |         % 1000000000) AS BIGINT) AS c4_fp_sum
-        |FROM fl GROUP BY source ORDER BY source""".stripMargin,
+        |FROM fl GROUP BY source ORDER BY source""".stripMargin),
 
     "x3_gopher_rules" ->
       // Every rule replayed in integer cross-multiplied form (3·n ≤ Σlen,
@@ -3405,6 +3416,98 @@ object Oracles {
            |FROM ann
            |WHERE is_canonical AND NOT is_contaminated
            |  AND n_tok BETWEEN 25 AND 90 AND b < thr""".stripMargin),
+
+    "x10_c4_funnel" ->
+      // X3h composed into X10: the funnel census with the C4 bundle as
+      // the quality stage — the per-doc line retention through the
+      // SAME c4LineCtes as x3_c4_rules, the 3-retained-sentence floor,
+      // and both page gates over the REDACTED text; the other stages
+      // the standard replay (min-key canonical per norm, 4-gram
+      // contamination vs the planted docs 0-2, en-0.4 keyed-hash
+      // sample). minTokens = 1, so quality = n_tok >= 1 AND the C4
+      // verdict — the stage isolates the rule bundle.
+      ("WITH pd AS (\n" +
+        raw"""  SELECT doc_id, lang,
+          |         coalesce(text, '') ||
+          |         CASE WHEN doc_id % 2 = 0
+          |              THEN chr(10) || 'this is a good first sentence here.'
+          |                || chr(10) || 'this is a good second sentence here.'
+          |                || chr(10) || 'this is a good third sentence here.'
+          |              ELSE chr(10) || 'only one good sentence lives here.' END ||
+          |         CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'brace { line'
+          |              ELSE '' END AS text
+          |  FROM documents),
+          |""".stripMargin + gram4CtesFrom("pd") + ",\n" +
+        raw"""bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8),
+          |rdoc AS (
+          |  SELECT doc_id, lang,
+          |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS kt,
+          |         regexp_replace(regexp_replace(regexp_replace(text,
+          |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+          |  FROM pd),
+          |csrc AS (SELECT doc_id, coalesce(rtext, '') AS t FROM rdoc),
+          |""".stripMargin + c4LineCtes("csrc") + ",\n" +
+        raw"""cpass AS (
+          |  SELECT s.doc_id,
+          |         NOT contains(s.t, '{')
+          |         AND NOT contains(lower(s.t), 'lorem ipsum')
+          |         AND len(regexp_extract_all(coalesce(r.xt, ''), '[.!?]')) >= 3
+          |           AS cpass
+          |  FROM csrc s LEFT JOIN c4reb r USING (doc_id)),
+          |""".stripMargin +
+        s"""ann AS (
+           |  SELECT r.doc_id,
+           |         r.doc_id = min(r.doc_id) OVER (PARTITION BY r.kt) AS is_canonical,
+           |         r.doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+           |         CASE WHEN len(trim(r.rtext)) = 0 THEN 0
+           |              ELSE len(string_split_regex(trim(r.rtext), '\\s+')) END AS n_tok,
+           |         p.cpass,
+           |         ${bucketSql("r.doc_id")} AS b,
+           |         CASE r.lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
+           |  FROM rdoc r JOIN cpass p ON r.doc_id = p.doc_id
+           |), f AS (
+           |  SELECT count(*) AS n_raw,
+           |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
+           |         count(CASE WHEN is_canonical AND NOT is_contaminated THEN 1 END)
+           |           AS n_after_decontam,
+           |         count(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND n_tok >= 1 AND cpass THEN 1 END)
+           |           AS n_after_quality,
+           |         count(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND n_tok >= 1 AND cpass AND b < thr THEN 1 END)
+           |           AS n_after_sample,
+           |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical
+           |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+           |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND n_tok >= 1 AND cpass
+           |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND n_tok >= 1 AND cpass AND b < thr
+           |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
+           |  FROM ann)
+           |SELECT n_raw, n_raw AS n_after_url,
+           |       n_after_dedup, n_after_dedup AS n_after_history,
+           |       n_after_dedup AS n_after_fuzzy,
+           |       n_after_decontam, n_after_quality, n_after_sample,
+           |       tokens_raw, tokens_raw AS tokens_after_url,
+           |       tokens_after_dedup, tokens_after_dedup AS tokens_after_history,
+           |       tokens_after_dedup AS tokens_after_fuzzy,
+           |       tokens_after_decontam, tokens_after_quality, n_tokens,
+           |       CASE WHEN n_tokens = 0 THEN 0
+           |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
+           |FROM f""".stripMargin),
 
     "x10_gopher_funnel" ->
       // X3g composed into X10: the funnel census with the FULL Gopher

@@ -1263,7 +1263,35 @@ object Queries {
         xdocMinDf = Some(3L)))
   }
 
-  /** X10f — the funnel with the GOPHER RULE BUNDLE as the quality
+  /** X10h — the funnel with the C4 RULE BUNDLE as the quality stage
+    * (the third shipped rule bundle composed into X10 like X13/X15/
+    * X3g): the corpus text is punctuation-free word soup — every raw
+    * line fails C4's terminal-punctuation rule — so the plant supplies
+    * the prose: even docs gain three retained sentences (pass), odd
+    * docs one (fail the 3-sentence floor), and every 6th doc a brace
+    * line (a sentence-passing page that still fails the page gate —
+    * both gates observable in n_after_quality). minTokens stays 1 so
+    * the quality stage isolates the C4 verdict; the oracle replays the
+    * line retention, the sentence census, and both page gates per
+    * document through the SAME c4LineCtes the standalone bundle
+    * uses. */
+  def x10C4Funnel(s: SparkSession, d: String): DataFrame = {
+    val planted = documents(s, d).withColumn("text",
+      concat(coalesce(col("text"), lit("")),
+        when(pmod(col("doc_id"), lit(2L)) === 0L,
+          lit("\nthis is a good first sentence here." +
+            "\nthis is a good second sentence here." +
+            "\nthis is a good third sentence here."))
+          .otherwise(lit("\nonly one good sentence lives here.")),
+        when(pmod(col("doc_id"), lit(6L)) === 0L, lit("\nbrace { line"))
+          .otherwise(lit(""))))
+    val bench = planted.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    graft.ext.Curation.funnel(planted, bench, graft.ext.Curation.Config(
+      rates = Map("en" -> 0.4), seqLen = 512L, c4Gate = true))
+  }
+
+/** X10f — the funnel with the GOPHER RULE BUNDLE as the quality
     * stage (the MassiveText recipe: the published structural rules ARE
     * the quality filter; X3g composed into X10 the way X13/X15/X16/X19
     * already are): `Config.gopherPreset` gates `is_quality` on the

@@ -67,6 +67,16 @@ object Curation {
       // under the English defaults. Mutually exclusive with
       // `gopherPreset`.
       gopherPresets: Option[Map[String, TextAnalysis.GopherPreset]] = None,
+      // Optional X3h C4 gate (the third shipped rule bundle, composing
+      // like X13/X15/X3g): `is_quality` additionally requires
+      // [[C4.c4Flags]]' page verdict over the (cleaned, redacted) text
+      // — prose-shaped line retention, no brace, no blocked phrase,
+      // ≥3 retained sentences. Only the `c4_pass` flag stays on the
+      // annotated frame; the funnel's text is NOT rewritten (C4's line
+      // strip serves as a page-gate signal here — pipelines wanting
+      // the rewritten text run [[C4.c4Filter]] standalone).
+      c4Gate: Boolean = false,
+      c4BlockPhrases: Seq[String] = Seq("lorem ipsum"),
       // Optional URL stage (runs FIRST — crawl pipelines filter and
       // dedup by URL before any text operator): when `urlCol` is set,
       // `is_url_ok` flags documents whose canonical domain is not on
@@ -368,6 +378,16 @@ object Curation {
           (f, c) => f.withColumnRenamed(s"__keep_$c", c))
       case None => withPpl
     }
+    // X3h gate: one more map-only per-row pass (the line filter + page
+    // gates — every rule a per-row expression, no shuffle); only the
+    // `c4_pass` flag stays for the audit, the rewrite and counters
+    // drop (`c4_`-prefix hygiene — the corpus carries no c4_ columns).
+    val withC4 =
+      if (!cfg.c4Gate) withGopher
+      else C4.c4Flags(withGopher, cfg.textCol, cfg.c4BlockPhrases)
+        .withColumn("is_quality", col("is_quality") && col("c4_pass"))
+        .drop("c4_text", "c4_lines_in", "c4_lines_kept", "c4_sentences",
+          "c4_has_brace", "c4_blocked")
     // Sampling stage: by default the keyed-hash stratified sampler;
     // with `selection`, an EXTERNAL selector's key set replaces it —
     // the plug point for weight-proportional resampling (X16 DSIR
@@ -380,11 +400,11 @@ object Curation {
       case Some(sel) =>
         val s = sel.select(col(cfg.keyCol)).distinct()
           .withColumn("__sel", lit(true))
-        withGopher.join(s, Seq(cfg.keyCol), "left")
+        withC4.join(s, Seq(cfg.keyCol), "left")
           .withColumn("is_sampled", coalesce(col("__sel"), lit(false)))
           .drop("__sel")
       case None =>
-        withGopher.withColumn("is_sampled",
+        withC4.withColumn("is_sampled",
           Sampling.bucket(col(cfg.keyCol), cfg.seed) <
             Sampling.keepThreshold(cfg.strataCol, cfg.rates, cfg.defaultRate))
     }

@@ -373,6 +373,33 @@ class CurationSpec extends SparkSpec {
       s"token funnel not monotone: $tokStages")
   }
 
+  test("c4Gate composes: funnel flag equals the standalone bundle, gate conjoins") {
+    import graft.ext.C4
+    val planted = docs.withColumn("text",
+      concat(coalesce(col("text"), lit("")),
+        when(pmod(col("doc_id"), lit(2L)) === 0L,
+          lit("\nsentence one is right here now.\nsentence two is right here now." +
+            "\nsentence three is right here now."))
+          .otherwise(lit("\nonly one good sentence lives here."))))
+    val ann = Curation.annotate(planted, bench,
+      Curation.Config(c4Gate = true)).cache()
+    try {
+      // The annotated frame's text is the redacted text — the flag must
+      // equal the standalone bundle's verdict recomputed on exactly it.
+      val re = C4.c4Flags(ann.select(col("doc_id").as("rid"), col("text")))
+        .select(col("rid"), col("c4_pass").as("re_pass"))
+      assert(ann.join(re, col("doc_id") === col("rid"))
+        .filter(col("c4_pass") =!= col("re_pass")).count() == 0L)
+      // Both verdicts occur (even docs pass the 3-sentence floor, odd
+      // docs fail it) and the gate actually conjoins into is_quality.
+      assert(ann.filter(col("c4_pass")).count() > 0L)
+      assert(ann.filter(!col("c4_pass")).count() > 0L)
+      assert(ann.filter(col("is_quality") && !col("c4_pass")).count() == 0L)
+      // Hygiene: only the flag stays, no rewrite/counter columns.
+      assert(ann.columns.count(_.startsWith("c4_")) == 1)
+    } finally ann.unpersist()
+  }
+
   test("xdocMinDf composes: parity with a pre-stripped corpus, strip observable") {
     // The house composition contract: funnel(xdocMinDf) must equal the
     // funnel run on a corpus already rewritten by the standalone
