@@ -2650,6 +2650,19 @@ object Oracles {
         |            WHERE ${bucketSql("doc_id")} < 5000))
         |GROUP BY 1 ORDER BY split""".stripMargin,
 
+    "x6_top_per_stratum" ->
+      // The staged skew-safe top-N proven EXACT: the oracle selects
+      // with one plain window over the same TOTAL order (n_chars DESC,
+      // doc_id ASC — the unique key makes ties deterministic), so any
+      // row the two-stage plan picked differently breaks the hash.
+      """SELECT lang, rank_in_group, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_chars DESC, doc_id ASC) AS rank_in_group
+        |  FROM documents)
+        |WHERE rank_in_group <= 5
+        |ORDER BY lang, rank_in_group""".stripMargin,
+
     "x8_contamination" ->
       // Same shared 4-gram CTE as the x1_jaccard oracle; containment =
       // |grams(doc) ∩ grams(bench)| / |grams(bench)|, threshold on the

@@ -946,6 +946,18 @@ object Queries {
         Map.empty, defaultRate = 0.5),
       "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
+  /** X6b — exact top-5 documents per language by `n_chars`
+    * ([[graft.ext.TopK.topNPerGroup]] — the two-stage skew-safe plan;
+    * see its Scaladoc for why a bare global window is the terminal-
+    * writer bottleneck reborn in selection). The oracle replays the
+    * selection with a plain window over the same TOTAL order
+    * (score DESC, doc_id ASC), proving the staged plan exact. */
+  def x6TopPerStratum(s: SparkSession, d: String): DataFrame =
+    graft.ext.TopK.topNPerGroup(documents(s, d), "lang", "n_chars", n = 5)
+      .select(col("lang"), col("rank_in_group").cast("long").as("rank_in_group"),
+        col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rank_in_group")
+
   /** X7 — PII scan over the corpus. The testdata vocabulary contains no
     * PII, so synthetic contacts (email + phone + IP) are planted on every
     * 17th document — deterministically, replicated in the oracle — and
