@@ -3764,6 +3764,29 @@ object Oracles {
         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    "x25_corpus_diff" ->
+      // The snapshot diff replayed with direct TEXT comparison (the
+      // engine compares md5 fingerprints — equality of the hash must
+      // equal equality of the bytes), the same plant derivation, and
+      // the per-status key sums pinning WHICH docs carry each status.
+      """WITH old AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |newer AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN 'edited v2: ' || t ELSE t END AS t
+        |  FROM old WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, t FROM old WHERE doc_id < 20),
+        |d AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |         CASE WHEN o.doc_id IS NULL THEN 'added'
+        |              WHEN n.doc_id IS NULL THEN 'removed'
+        |              WHEN o.t = n.t THEN 'unchanged'
+        |              ELSE 'modified' END AS status
+        |  FROM old o FULL OUTER JOIN newer n ON o.doc_id = n.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS key_sum
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
+
     "x24_tfidf_terms" ->
       // TF-IDF replayed: per-(doc,term) tf, term df census, ONE
       // micro-nat rounding on ln(N/df) (slack-audited), integer score

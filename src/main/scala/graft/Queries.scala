@@ -1469,6 +1469,26 @@ object Queries {
     graft.ext.TfIdf.topTerms(documents(s, d), k = 3)
       .orderBy("doc_id", "rank")
 
+  /** X25 — corpus snapshot diff: the "new" snapshot removes every 17th
+    * document, rewrites every 13th (not also 17th — removal wins), and
+    * adds 20 re-keyed copies past the id range; every other document is
+    * byte-identical. All four statuses occur, and the census pins WHICH
+    * documents carry each status through the per-status key sum, not
+    * just how many. Null-text documents ride through as `unchanged`
+    * (the coalesce-to-'' fingerprint discipline). */
+  def x25CorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val old = documents(s, d)
+    val newer = old
+      .filter(pmod(col("doc_id"), lit(17L)) =!= 0L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(13L)) === 0L,
+          concat(lit("edited v2: "), coalesce(col("text"), lit(""))))
+          .otherwise(col("text")))
+      .unionByName(old.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    graft.ext.CorpusDiff.summary(old, newer)
+  }
+
   /** X21 — AS-OF join: each event annotated with the user's latest
     * 'purchase' event at-or-before it ([[graft.ext.AsofJoin]] — the
     * point-in-time-correct feature lookup). Right side deduped
