@@ -87,6 +87,14 @@ object TextClean {
   def lineNorm(line: Column): Column =
     lower(trim(regexp_replace(line, "\\s+", " ")))
 
+  /** The unit separator as a regex: quoted LITERALLY, so a paragraph
+    * separator like `"\n\n"` (the CCNet shard-dedup unit — Wenzek et
+    * al. 2020 deduplicate PARAGRAPHS, of which single-newline lines
+    * are the degenerate case) splits on the exact byte sequence, not
+    * on a regex interpretation of it. */
+  private def sepRegex(sep: String): String =
+    java.util.regex.Pattern.quote(sep)
+
   /** The cross-document boilerplate census: normalized lines appearing
     * in at least `minDocFreq` DISTINCT documents, with their document
     * frequency — the drop set of [[dedupLinesAcross]], exposed for
@@ -99,11 +107,13 @@ object TextClean {
     * corpus. */
   def boilerplateLines(docs: DataFrame, minDocFreq: Long,
                        textCol: String = "text",
-                       keyCol: String = "doc_id"): DataFrame = {
+                       keyCol: String = "doc_id",
+                       sep: String = "\n"): DataFrame = {
     require(minDocFreq >= 2L,
       s"minDocFreq ($minDocFreq) must be >= 2 — at 1 every line drops")
     docs.select(col(keyCol),
-        explode(split(coalesce(col(textCol), lit("")), "\n", -1)).as("line"))
+        explode(split(coalesce(col(textCol), lit("")), sepRegex(sep), -1))
+          .as("line"))
       .select(lineNorm(col("line")).as("line_norm"), col(keyCol))
       .where(col("line_norm") =!= "")
       .distinct()
@@ -126,7 +136,10 @@ object TextClean {
     * repeating its own line many times (within-doc dedup's job —
     * [[dedupLines]]) cannot push a private line over the global
     * threshold. Line identity is [[lineNorm]]; whitespace-only lines
-    * are exempt (see there).
+    * are exempt (see there). `sep` sets the dedup UNIT (quoted
+    * literally): the default `"\n"` dedups lines; `"\n\n"` dedups
+    * PARAGRAPHS — CCNet's actual unit, with interior single newlines
+    * preserved inside surviving paragraphs (pinned by test).
     *
     * 100 TB shape: the [[boilerplateLines]] census (one partial-agg
     * shuffle; the thresholded drop set is the tiny boilerplate tail,
@@ -139,11 +152,12 @@ object TextClean {
     * the line stream. */
   def dedupLinesAcross(docs: DataFrame, minDocFreq: Long,
                        textCol: String = "text",
-                       keyCol: String = "doc_id"): DataFrame = {
-    val heavy = boilerplateLines(docs, minDocFreq, textCol, keyCol)
+                       keyCol: String = "doc_id",
+                       sep: String = "\n"): DataFrame = {
+    val heavy = boilerplateLines(docs, minDocFreq, textCol, keyCol, sep)
       .select("line_norm")
     val lines = docs.select(col(keyCol).as("__xd_key"),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+        posexplode(split(coalesce(col(textCol), lit("")), sepRegex(sep), -1))
           .as(Seq("__pos", "__line")))
       .withColumn("line_norm", lineNorm(col("__line")))
     val rebuilt = lines.join(heavy, Seq("line_norm"), "left_anti")
@@ -152,11 +166,12 @@ object TextClean {
         array_join(
           transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
             x => x.getField("__line")),
-          "\n").as("__xtext"),
+          sep).as("__xtext"),
         count(lit(1)).as("__n_out"))
     docs
       .withColumn("__n_in",
-        size(split(coalesce(col(textCol), lit("")), "\n", -1)).cast("long"))
+        size(split(coalesce(col(textCol), lit("")), sepRegex(sep), -1))
+          .cast("long"))
       .join(rebuilt, col(keyCol) === col("__xd_key"), "left")
       .withColumn("text_xdedup", coalesce(col("__xtext"), lit("")))
       .withColumn("n_boiler_dropped",

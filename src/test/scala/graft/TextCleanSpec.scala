@@ -142,6 +142,28 @@ class TextCleanSpec extends SparkSpec {
     assert(n(1L)._2 == 0L && !n(1L)._3)
   }
 
+  test("dedupLinesAcross with a paragraph separator (the CCNet unit)") {
+    // sep = "\n\n": the multi-LINE paragraph is the dedup unit — the
+    // shared footer paragraph (which itself contains a newline) drops
+    // whole, and single newlines inside surviving paragraphs survive.
+    val d = xdocRows(
+      1L -> "para one keeps\nits inner line\n\nshared footer para\nsecond line",
+      2L -> "unique two\n\nshared footer para\nsecond line",
+      3L -> "unique three\n\nshared footer para\nsecond line")
+    val out = TextClean.dedupLinesAcross(d, 3L, sep = "\n\n")
+      .select("doc_id", "text_xdedup", "n_boiler_dropped").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("para one keeps\nits inner line", 1L)))
+    assert(out(2L) == (("unique two", 1L)))
+    // And the separator is LITERAL, not a regex: a "." separator must
+    // not split on every character.
+    val dotted = TextClean.dedupLinesAcross(
+      xdocRows(1L -> "a b.c d", 2L -> "x.c d", 3L -> "y.c d"), 3L, sep = ".")
+      .select("doc_id", "text_xdedup").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dotted(1L) == "a b")
+  }
+
   test("dedupLinesAcross is partitioning-invariant and census-consistent") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .withColumn("text", concat(coalesce(col("text"), lit("")),
