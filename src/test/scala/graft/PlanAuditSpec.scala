@@ -202,6 +202,27 @@ class PlanAuditSpec extends SparkSpec {
     // at construction, the registered plan is the read-back census
     "x10_write_verify", "x10_write_packed")
 
+  test("top-N per group never plans a single-partition global sort or window") {
+    // The operator exists to avoid the one-reducer-per-group shape; the
+    // plan must show BOTH window stages (per-(group, pid), then global
+    // over bounded candidates) and no SinglePartition exchange anywhere.
+    val nodes = allNodes(planOf("x6_top_per_stratum"))
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2,
+      s"expected the two staged windows, got ${windows.size}")
+    // Stage-1 window partitions by (group, partition id) — two
+    // expressions; stage-2 by the group alone.
+    assert(windows.map(_.partitionSpec.size).sorted == Seq(1, 2))
+    val singleParts = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(singleParts.isEmpty,
+      "top-N per group must not funnel through a single partition")
+  }
+
   test("constructing a registered query runs zero Spark jobs") {
     // Building a DataFrame must be free: an eager action inside a query
     // constructor (the old `.head()` offset derivation in x1_embed_neardup)

@@ -149,6 +149,12 @@ class SamplingSpec extends SparkSpec {
       val hashes = keys.map(k => RefHash.hash64(k, seed))
       assert(hashes.distinct.size == keys.size,
         s"seed $seed: ${keys.size - hashes.distinct.size} collisions in ${keys.size} keys")
+      // The ORDER-grade wrap-mix keeps the width: it drops only hash
+      // bit 31, so collisions need a ~2^-62 coincidence — expected
+      // ~1e-8 over these 200k keys, so ANY collision fails.
+      val orders = keys.map(k => RefHash.orderKey(k, seed))
+      assert(orders.distinct.size == keys.size,
+        s"seed $seed: orderKey collisions (width regressed)")
     }
   }
 
