@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Curation
+
+/** The capstone: the full training-data journey a real user runs,
+  * chained end to end under a config no single registered query uses —
+  * stacked text rewrites (cross-doc boilerplate strip + within-doc line
+  * dedup), the keeper policy, 4-way sharded corpus write, reader-side
+  * layout audit, then the PACKED artifact built from the RE-READ corpus
+  * (the write-then-read production discipline the writePacked Scaladoc
+  * prescribes), with token-mass conservation asserted across every
+  * stage boundary. */
+class PipelineE2ESpec extends SparkSpec {
+
+  test("curate → write(shards) → audit → re-read → writePacked composes") {
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val cfg = Curation.Config(minTokens = 5L, maxTokens = 200L,
+      rates = Map("en" -> 0.4), seqLen = 64L,
+      xdocMinDf = Some(3L), dedupLinesFirst = true,
+      keeperQuality = Some(length(col("text"))))
+    val curated = Curation.curate(docs, bench, cfg).cache()
+    try {
+      val nDocs = curated.count()
+      assert(nDocs > 0L, "the journey needs survivors")
+      val tokSum = curated.agg(sum("n_tok")).head.getLong(0)
+
+      // Terminal corpus artifact: 4-way sharded write + the reader-side
+      // audit must agree with what was written, row for row.
+      val dir = java.nio.file.Files.createTempDirectory("e2e_corpus").toString
+      Curation.write(curated, dir, numShards = 4)
+      val a = Curation.auditLayout(spark, dir, numShards = 4).collect().head
+      assert(a.getAs[Long]("n_rows") == nDocs)
+      assert(a.getAs[Long]("bad_split") == 0L &&
+        a.getAs[Long]("bad_shuffle_key") == 0L &&
+        a.getAs[Long]("bad_shard") == 0L)
+
+      // Token mass survives the write → read round trip exactly.
+      val back = spark.read.parquet(dir).cache()
+      try {
+        assert(back.agg(sum("n_tok")).head.getLong(0) == tokSum)
+        val bySplit = back.groupBy("split").agg(sum("n_tok").as("t"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(bySplit.contains("train"), s"train split empty: $bySplit")
+
+        // Packed artifact from the RE-READ corpus. writePacked
+        // re-derives the split with the same salted seed, so its splits
+        // must agree with the persisted ones — and per split, packing
+        // conserves the token mass and fills every non-final sequence
+        // exactly (n_seqs = ceil(tokens / seqLen)).
+        val dir2 = java.nio.file.Files.createTempDirectory("e2e_packed").toString
+        Curation.writePacked(back, dir2, seqLen = 64L, numShards = 2)
+        val seqs = spark.read.parquet(dir2)
+        val packBySplit = seqs.groupBy("split")
+          .agg(sum("seq_tok").as("t"), count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        assert(packBySplit.keySet == bySplit.keySet)
+        packBySplit.foreach { case (split, (t, n)) =>
+          assert(t == bySplit(split),
+            s"split $split: packed mass $t != corpus mass ${bySplit(split)}")
+          assert(n == (t + 63L) / 64L,
+            s"split $split: $n sequences for $t tokens at seqLen 64")
+        }
+        // The packed shard layout replays its pure derivation.
+        assert(seqs.filter(col("shard") =!=
+          pmod(col("seq_id"), lit(2L)).cast("int")).count() == 0L)
+      } finally back.unpersist()
+    } finally curated.unpersist()
+  }
+}
