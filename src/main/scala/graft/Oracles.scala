@@ -3430,6 +3430,15 @@ object Oracles {
            |WHERE is_canonical AND NOT is_contaminated
            |  AND n_tok BETWEEN 25 AND 90 AND b < thr""".stripMargin),
 
+    "x10_recipe_funnel" ->
+      // The recipe file encodes exactly the base config (25..90 token
+      // band, en-0.4 sample, 512 seq len), and the replay is assembled
+      // ENTIRELY from the shared parts — corpus grams, raw-bench
+      // contamination, the no-fuzzy funnel body — so the file-driven
+      // funnel binds to SQL that cannot drift from the other funnels.
+      ("WITH " + gram4Ctes + ",\n" + benchGramsRawCtes + ",\n" +
+        noFuzzyFunnelBody("documents")),
+
     "x10_c4_funnel" ->
       // X3h composed into X10: the funnel census with the C4 bundle as
       // the quality stage — the per-doc line retention through the

@@ -1275,6 +1275,24 @@ object Queries {
         xdocMinDf = Some(3L)))
   }
 
+  /** X10r — the funnel driven by a CHECKED-IN recipe file
+    * (`recipes/base_curation.json` → [[graft.ext.CurationRecipe]] →
+    * Config — the SuiteLoader/ScorerConfig authoring discipline: the
+    * recipe a training run used is a reviewed, diffable artifact, not
+    * code). Proves the file → Config → funnel loop end-to-end against
+    * the oracle. No fuzzy pair frame — recipes CONFIGURE; detector
+    * frames are pipeline arguments — so the fuzzy stage is the
+    * documented no-op, and the oracle is assembled from the existing
+    * shared parts (gram4Ctes + benchGramsRawCtes + noFuzzyFunnelBody),
+    * zero new SQL bodies to drift. */
+  def x10RecipeFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    graft.ext.Curation.funnel(docs, bench,
+      graft.ext.CurationRecipe.load("recipes/base_curation.json"))
+  }
+
   /** X10h — the funnel with the C4 RULE BUNDLE as the quality stage
     * (the third shipped rule bundle composed into X10 like X13/X15/
     * X3g): the corpus text is punctuation-free word soup — every raw

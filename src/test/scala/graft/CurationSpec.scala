@@ -373,6 +373,36 @@ class CurationSpec extends SparkSpec {
       s"token funnel not monotone: $tokStages")
   }
 
+  test("recipe file drives the funnel: inline parity, loud rejections, rich fields") {
+    import graft.ext.CurationRecipe
+    // The checked-in recipe is exactly the base config, and the funnel
+    // it drives is row-identical to the inline one.
+    val fromFile = Curation.funnel(docs, bench,
+      CurationRecipe.load("recipes/base_curation.json")).collect().head
+    val inline = Curation.funnel(docs, bench, cfg).collect().head
+    assert(fromFile.toSeq == inline.toSeq)
+    // A typo must not silently run the default recipe.
+    intercept[IllegalArgumentException](
+      CurationRecipe.parse("""{"min_token": 3}"""))
+    // Config's own guards fire on loaded values.
+    intercept[IllegalArgumentException](
+      CurationRecipe.parse("""{"quality_min_band": "max"}"""))
+    intercept[IllegalArgumentException](
+      CurationRecipe.parse("""{"gopher_preset": "xx"}"""))
+    intercept[IllegalArgumentException](
+      CurationRecipe.parse("""{"keeper_quality": "random()"}"""))
+    intercept[IllegalArgumentException](
+      CurationRecipe.parse("""{"min_tokens": 2.5}"""))
+    // YAML + the richer fields land where they should.
+    val y = CurationRecipe.parse(
+      "min_tokens: 3\nxdoc_min_df: 3\nc4_gate: true\n" +
+        "keeper_quality: text_length\ngopher_preset: en\n" +
+        "c4_block_phrases: [spam]\n", yaml = true)
+    assert(y.minTokens == 3L && y.xdocMinDf.contains(3L) && y.c4Gate &&
+      y.keeperQuality.isDefined && y.gopherPreset.isDefined &&
+      y.c4BlockPhrases == Seq("spam"))
+  }
+
   test("c4Gate composes: funnel flag equals the standalone bundle, gate conjoins") {
     import graft.ext.C4
     val planted = docs.withColumn("text",
