@@ -1639,6 +1639,40 @@ object Oracles {
         |              AS BIGINT) AS rank
         |  FROM s) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "x2_mrl_topk" ->
+      // BOTH stages replayed: candidate ranking on the 16-component
+      // prefix (6-dp rounded sim, id tiebreak — the engine's ranking
+      // discipline), top-20 candidates per query, then the exact
+      // full-dimension re-rank to top-5. Deterministic end to end —
+      // no hyperplanes, no centroids — so this is a true hash oracle,
+      // not a planted twin.
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s1 AS (
+        |  SELECT query_id, cand_id,
+        |         round(list_inner_product(qv[1:16], cv[1:16]) /
+        |               sqrt(list_inner_product(qv[1:16], qv[1:16])
+        |                    * list_inner_product(cv[1:16], cv[1:16])), 6) AS sim
+        |  FROM q JOIN c ON cand_id <> query_id),
+        |cand AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY sim DESC, cand_id) AS r
+        |    FROM s1) WHERE r <= 20),
+        |s2 AS (
+        |  SELECT query_id, cand_id,
+        |         round(list_inner_product(qv, cv) /
+        |               sqrt(list_inner_product(qv, qv)
+        |                    * list_inner_product(cv, cv)), 6) AS sim
+        |  FROM cand JOIN q USING (query_id) JOIN c USING (cand_id))
+        |SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+        |  SELECT query_id, cand_id AS neighbor_id, round(sim, 4) AS cosine_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+        |              AS BIGINT) AS rank
+        |  FROM s2) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // Planted ANN/IVF twins: queries are byte-identical copies of corpus
     // vectors 0-9 re-keyed past max(vec_id), so the true top-1 (the
     // source vector at cosine exactly 1.0) survives ANY hyperplane

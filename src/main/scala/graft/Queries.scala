@@ -781,6 +781,18 @@ object Queries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** X2f — Matryoshka two-stage retrieval: 16-of-64-dim candidate
+    * search (k·4 = 20 candidates), exact full-dim re-rank to k = 5.
+    * Deterministic end to end — the oracle replays BOTH stages (the
+    * truncated-prefix ranking and the full-dim re-rank), making this
+    * the hash-checked fast-retrieval lane next to the rows-only
+    * LSH/IVF ones. */
+  def x2MrlTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.mrlTopK(emb, emb.filter(col("vec_id") < 10),
+      k = 5, dims = 16, candMult = 4)
+  }
+
   /** X2b — LSH-bucketed approximate top-k (rows-only check; recall vs
     * X2a asserted in the test suite; the planted twin below is the
     * oracle-checked lane). */

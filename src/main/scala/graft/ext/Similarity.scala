@@ -107,6 +107,44 @@ object Similarity {
       .transform(ranked)
   }
 
+  /** X2f — Matryoshka two-stage retrieval (MRL, Kusupati et al. 2022:
+    * prefixes of a Matryoshka-trained embedding are themselves usable
+    * embeddings): candidate search on the first `dims` components,
+    * then exact FULL-dimension re-rank of the bounded candidate set
+    * (`k * candMult` per query). Unlike the LSH/IVF lanes this is
+    * deterministic end to end — no hyperplane or centroid randomness —
+    * so the whole two-stage pipeline hash-matches a SQL replay.
+    *
+    * 100 TB shape: stage 1 is [[bruteForceTopK]] over `dims / D` of
+    * the vector data (at 64-of-768 that is ~12× less dot-product
+    * compute; store the truncated prefix as its own column and column
+    * pruning makes it ~12× less IO too); stage 2 re-ranks only
+    * `|queries| · k · candMult` candidates — the bounded candidate
+    * frame broadcasts against ONE corpus scan, full-dim cosine on a
+    * frame whose size is independent of corpus size. Same output
+    * contract and rounding discipline as every X2 operator (6-dp sim
+    * ranking, id tiebreak, 4-dp reported). */
+  def mrlTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+              candMult: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && dims >= 1 && candMult >= 1,
+      s"k ($k), dims ($dims), candMult ($candMult) must be >= 1")
+    def trunc(df: DataFrame) =
+      df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+    val cand = bruteForceTopK(trunc(corpus), trunc(queries),
+        k * candMult, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    val topk = udaf(new TopKAggregator(k))
+    c.join(broadcast(cand.join(broadcast(q), Seq("query_id"))), Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("sim"))
+      .groupBy("query_id")
+      .agg(topk(col("cand_id"), col("sim")).as("topk"))
+      .transform(ranked)
+  }
+
   // ----------------------------------------------------------------- LSH ANN
 
   /** Deterministic random hyperplanes: `numBits` planes × `dim` components,

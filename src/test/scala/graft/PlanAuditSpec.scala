@@ -40,7 +40,11 @@ class PlanAuditSpec extends SparkSpec {
     * ONE-ROW weight-sum aggregate back onto the per-source census (the
     * replacement for the unpartitioned-window normalization). */
   private val bnljAllowed =
-    Set("g3_in_set", "x2_topk_cosine", "x2_quant_topk", "x1_embed_neardup",
+    // x2_mrl_topk's stage 1 IS bruteForceTopK on the truncated prefix —
+    // the same deliberate broadcast non-equi (cand_id != query_id) join
+    // as x2_topk_cosine; stage 2 is equi-joined.
+    Set("g3_in_set", "x2_topk_cosine", "x2_mrl_topk", "x2_quant_topk",
+      "x1_embed_neardup",
       "x2_semdedup", "s2_stream_dedup", "x11_skew_profile",
       "x12_temperature_mix",
       // ONE-ROW (total_toks, vocab) totals broadcast-cross-joined onto

@@ -38,6 +38,35 @@ class SimilaritySpec extends SparkSpec {
     assert(res(2) == (3L, 1L)) // rank 3: orthogonal beats antiparallel
   }
 
+  test("mrlTopK at full dims equals brute force; truncated stage bounds candidates") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    // Truncating to the FULL dimension with candidates >= corpus is the
+    // identity pipeline: stage 1 ranks on the whole vector and stage 2
+    // re-ranks the same similarities — must equal bruteForceTopK row
+    // for row.
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(_.toSeq)
+    val full = Similarity.mrlTopK(emb, queries, k = 5, dims = dim,
+        candMult = 1000).collect().map(_.toSeq)
+    assert(full.sameElements(exact))
+    // Truncated retrieval: exactly k ranked rows per query, ranks
+    // dense from 1, every neighbor real and non-self — and the result
+    // is partitioning-invariant (both stages are deterministic).
+    val a = Similarity.mrlTopK(emb, queries, k = 5, dims = 16).collect()
+    assert(a.length == 5 * 5)
+    a.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to 5L))
+      assert(rows.forall(_.getLong(2) != q))
+    }
+    val b = Similarity.mrlTopK(emb.repartition(13), queries, k = 5,
+      dims = 16).collect()
+    assert(a.map(_.toSeq).sortBy(_.toString)
+      .sameElements(b.map(_.toSeq).sortBy(_.toString)))
+  }
+
   test("TopKAggregator is deterministic under ties (ascending id)") {
     val dupSims = df(Seq(
       Row(0L, vec(1, 0, 0, 0)),
