@@ -3830,6 +3830,30 @@ object Oracles {
         |       CAST(sum(doc_id) AS BIGINT) AS key_sum
         |FROM d GROUP BY status ORDER BY status""".stripMargin,
 
+    "x26_budget_cut" ->
+      // The staged budget cut replayed as the NAIVE global-window plan
+      // the operator exists to avoid: one un-partitioned cumulative sum
+      // over the TOTAL order (n_chars DESC, doc_id ASC; explicit ROWS
+      // frame — RANGE would sum order-peers together), keep while the
+      // INCLUSIVE running total fits. Same whitespace-token definition
+      // as the x3 oracle (empty/null text → 0 tokens, kept if inside
+      // the prefix).
+      raw"""WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, toks,
+        |         sum(toks) OVER (ORDER BY n_chars DESC, doc_id ASC
+        |                         ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+        |       CAST(sum(toks) AS BIGINT) AS kept_tokens,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM c WHERE cum <= 12000
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "x24_tfidf_terms" ->
       // TF-IDF replayed: per-(doc,term) tf, term df census, ONE
       // micro-nat rounding on ln(N/df) (slack-audited), integer score

@@ -1519,6 +1519,27 @@ object Queries {
     graft.ext.CorpusDiff.summary(old, newer)
   }
 
+  /** X26 — quality-ordered exact token-budget cut ([[graft.ext.BudgetCut]]
+    * — the staged "best 12k tokens" selection: band census → driver walk
+    * → ordered window over ONE band). Quality = `n_chars`, the 12000
+    * budget lands the cut mid-corpus at sf0.01 (~44% of ~27k tokens kept)
+    * and in the top slice at sf0.1 (~4% of ~271k) — both exercise a real
+    * crossing. The oracle replays the cut as the NAIVE un-partitioned
+    * global window (`sum(toks) OVER (ORDER BY n_chars DESC, doc_id)`
+    * with an explicit ROWS frame) — the plan this operator exists to
+    * avoid — so any staged-vs-global divergence (a band boundary
+    * splitting a tie, an off-by-one at the crossing doc) breaks the
+    * hash. Output: per-source census of the kept set. */
+  def x26BudgetCut(s: SparkSession, d: String): DataFrame =
+    graft.ext.BudgetCut.cut(documents(s, d), qualityCol = "n_chars",
+        budget = 12000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum("tokens").as("kept_tokens"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("source")
+
   /** X21 — AS-OF join: each event annotated with the user's latest
     * 'purchase' event at-or-before it ([[graft.ext.AsofJoin]] — the
     * point-in-time-correct feature lookup). Right side deduped
@@ -1831,6 +1852,17 @@ object Queries {
     * see. Same operators, same parameters, `materialize = false`; used by
     * [[Explain]] and the plan-audit spec, never by Verify/Bench. */
   def planOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x26_budget_cut" -> ((s, d) => {
+      // Fixed (band, leftover) instead of the construction-time band
+      // census, so the dump shows the real phase-B shapes: the map-only
+      // full-keep filter, the ordered window over ONE band, the union.
+      graft.ext.BudgetCut.cutAtFixed(documents(s, d),
+          qualityCol = "n_chars", band = 20L, leftover = 1000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"), sum("tokens").as("kept_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("source")
+    }),
     "s3_stream_neardup" -> ((s, d) => {
       // Un-checkpointed history index, so the dump shows the signature
       // aggregate feeding the per-band anti joins instead of a

@@ -172,6 +172,10 @@ class PlanAuditSpec extends SparkSpec {
     // writes the audited corpus once per JVM at first construction
     // (the persisted-index discipline)
     "x10_layout_audit",
+    // the band census (one tiny partial-agg job) runs at construction
+    // to pick the cut band; the plan-audit shapes come from the
+    // planOnly fixed-cut variant
+    "x26_budget_cut",
     // the streaming SCD-2 replay localCheckpoints the dimension state
     // per micro-batch (the transactional-table stand-in)
     "s7_stream_scd2",
