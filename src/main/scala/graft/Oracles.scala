@@ -548,6 +548,45 @@ object Oracles {
       |  SELECT doc_id, lang, string_agg(line, chr(10) ORDER BY ord) AS t
       |  FROM pfirsts WHERE rn = 1 GROUP BY doc_id, lang)""".stripMargin
 
+  /** The (source, doc_id)-residue URL plant + host parse shared by the
+    * x14_url_stage and x14_domain_cap oracles — ONE definition,
+    * mirroring the ONE Spark-side [[graft.Queries]] plantedUrl.
+    * `h.nowww` = the lowercased, userinfo- and `www.`-stripped,
+    * port-BEARING host; `h.pathq` = the path+query remainder. */
+  private val urlPlantCtes: String =
+    """u AS (
+      |  SELECT doc_id,
+      |         (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END)
+      |         || '://'
+      |         || (CASE WHEN doc_id % 23 = 0 THEN 'crawler@' ELSE '' END)
+      |         || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+      |         || (CASE WHEN doc_id % 13 = 0 THEN 'cdn.' ELSE '' END)
+      |         || source || '.example.org'
+      |         || (CASE WHEN doc_id % 5 = 0 THEN
+      |               (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+      |             WHEN doc_id % 19 = 0 THEN ':8080'
+      |             ELSE '' END)
+      |         || '/doc/' || (doc_id % 50)
+      |         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |         || (CASE WHEN doc_id % 11 = 0 THEN '?page=2' ELSE '' END)
+      |         || (CASE WHEN doc_id % 7 = 0 THEN '#sec' || doc_id ELSE '' END)
+      |           AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, url,
+      |         lower(regexp_replace(t, '://.*', '')) AS scheme,
+      |         regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |  FROM (SELECT doc_id, url, regexp_replace(trim(url), '(?s)#.*', '') AS t
+      |        FROM u)),
+      |h AS (
+      |  SELECT doc_id, url, scheme,
+      |         regexp_replace(regexp_replace(
+      |             lower(regexp_replace(rest, '[/?].*', '')),
+      |             '^[^@/?]*@', ''),
+      |           '^www\.', '') AS nowww,
+      |         regexp_replace(rest, '^[^/?]+', '') AS pathq
+      |  FROM p)""".stripMargin
+
   /** The TextClean chain over `dirty` → `c4(doc_id, lang, t, clean)`:
     * script/style element removal (explicit alternation — RE2 has no
     * backreferences), tag→space strip, single-pass entity replaces
@@ -2034,39 +2073,8 @@ object Oracles {
       // www., strip the scheme's default port, strip trailing path
       // slashes, keep the query. Blocklist = src3/src7 with the
       // subdomain suffix rule; url-dedup = min doc_id per canonical.
-      """WITH u AS (
-        |  SELECT doc_id,
-        |         (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END)
-        |         || '://'
-        |         || (CASE WHEN doc_id % 23 = 0 THEN 'crawler@' ELSE '' END)
-        |         || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
-        |         || (CASE WHEN doc_id % 13 = 0 THEN 'cdn.' ELSE '' END)
-        |         || source || '.example.org'
-        |         || (CASE WHEN doc_id % 5 = 0 THEN
-        |               (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
-        |             WHEN doc_id % 19 = 0 THEN ':8080'
-        |             ELSE '' END)
-        |         || '/doc/' || (doc_id % 50)
-        |         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-        |         || (CASE WHEN doc_id % 11 = 0 THEN '?page=2' ELSE '' END)
-        |         || (CASE WHEN doc_id % 7 = 0 THEN '#sec' || doc_id ELSE '' END)
-        |           AS url
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, url,
-        |         lower(regexp_replace(t, '://.*', '')) AS scheme,
-        |         regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-        |  FROM (SELECT doc_id, url, regexp_replace(trim(url), '(?s)#.*', '') AS t
-        |        FROM u)),
-        |h AS (
-        |  SELECT doc_id, url, scheme,
-        |         regexp_replace(regexp_replace(
-        |             lower(regexp_replace(rest, '[/?].*', '')),
-        |             '^[^@/?]*@', ''),
-        |           '^www\.', '') AS nowww,
-        |         regexp_replace(rest, '^[^/?]+', '') AS pathq
-        |  FROM p),
-        |c AS (
+      ("WITH " + urlPlantCtes + ",\n" +
+      """c AS (
         |  SELECT doc_id, url,
         |         scheme || '://'
         |         || (CASE WHEN scheme = 'http'
@@ -2087,7 +2095,26 @@ object Oracles {
         |            OR dom = 'src7.example.org' OR dom LIKE '%.src7.example.org')
         |         AS is_url_ok,
         |       doc_id = min(doc_id) OVER (PARTITION BY curl) AS is_url_canonical
-        |FROM c ORDER BY doc_id""".stripMargin,
+        |FROM c ORDER BY doc_id""".stripMargin),
+
+    "x14_domain_cap" ->
+      // The per-domain cap replayed over the SAME shared URL-plant CTEs:
+      // dom = nowww with ANY port stripped (the blocklist key), cap = a
+      // plain window over the (n_chars DESC, doc_id ASC) total order —
+      // the naive plan the staged TopK must equal exactly.
+      ("WITH " + urlPlantCtes + ",\n" +
+      """dom AS (
+        |  SELECT doc_id, regexp_replace(nowww, ':[0-9]+$', '') AS dom
+        |  FROM h),
+        |r AS (
+        |  SELECT d.dom, doc.doc_id, doc.n_chars,
+        |         row_number() OVER (PARTITION BY d.dom
+        |           ORDER BY doc.n_chars DESC, doc.doc_id ASC)
+        |           AS rank_in_domain
+        |  FROM dom d JOIN documents doc USING (doc_id))
+        |SELECT dom, rank_in_domain, doc_id, n_chars FROM r
+        |WHERE rank_in_domain <= 3
+        |ORDER BY dom, rank_in_domain""".stripMargin),
 
     "x13_quality_bands" ->
       // The linear scorer replayed with zero float division: band

@@ -1782,20 +1782,18 @@ object Queries {
     // the census exercises both cut lines.
     graft.ext.QualityScore.bandCensus(documents(s, d), hi = 1450L, lo = 1300L)
 
-  /** X14 — the URL curation stage, oracle-checked at the STRING level
-    * (per-document canonical URL + domain + verdicts, not just counts).
-    * The corpus has no url column, so the query derives a deterministic
-    * one from (source, doc_id) — scheme case, `www.`/`cdn.` labels,
-    * default ports, trailing slashes, query strings, and fragments all
-    * cycle by doc_id residues, so every canonicalization rule fires on
-    * real rows; path = doc_id % 50 plants refetch collisions for the
-    * url-canonical dedup; src3/src7 domains are blocklisted (the
-    * subdomain suffix rule catches their `cdn.` variants). Runs through
-    * [[graft.ext.Curation.annotate]] — the integrated stage, not the
-    * bare functions. */
-  def x14UrlStage(s: SparkSession, d: String): DataFrame = {
+  /** The deterministic (source, doc_id)-residue URL plant shared by
+    * `x14_url_stage` and `x14_domain_cap` — ONE definition, mirrored
+    * by the ONE shared `u` CTE on the oracle side. The corpus has no
+    * url column, so this derives one from (source, doc_id): scheme
+    * case, `www.`/`cdn.` labels, default ports, trailing slashes,
+    * query strings, and fragments all cycle by doc_id residues, so
+    * every canonicalization rule fires on real rows; path =
+    * doc_id % 50 plants refetch collisions for the url-canonical
+    * dedup. */
+  private def plantedUrl: Column = {
     val id = col("doc_id")
-    val url = concat(
+    concat(
       when(id % 3 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
       when(id % 23 === 0, lit("crawler@")).otherwise(lit("")),
       when(id % 2 === 0, lit("www.")).otherwise(lit("")),
@@ -1811,7 +1809,16 @@ object Queries {
       when(id % 11 === 0, lit("?page=2")).otherwise(lit("")),
       when(id % 7 === 0, concat(lit("#sec"), id.cast("string")))
         .otherwise(lit("")))
-    val docs = documents(s, d).withColumn("url", url)
+  }
+  /** X14 — the URL curation stage, oracle-checked at the STRING level
+    * (per-document canonical URL + domain + verdicts, not just counts),
+    * over the [[plantedUrl]] corpus; src3/src7 domains are blocklisted
+    * (the subdomain suffix rule catches their `cdn.` variants). Runs
+    * through [[graft.ext.Curation.annotate]] — the integrated stage,
+    * not the bare functions. */
+  def x14UrlStage(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = documents(s, d).withColumn("url", plantedUrl)
     val emptyBench = docs.filter(id < 0)
       .select(id.as("bench_id"), col("text"))
     graft.ext.Curation.annotate(docs, emptyBench,
@@ -1823,6 +1830,27 @@ object Queries {
         col("is_url_ok"), col("is_url_canonical"))
       .orderBy("doc_id")
   }
+
+  /** X14b — per-domain document cap (the RefinedWeb recipe: no domain
+    * may dominate the corpus — keep the best N documents per
+    * registrable domain, drop the rest): [[graft.ext.Url.domain]] as
+    * the grouping key composed with [[graft.ext.TopK.topNPerGroup]]'s
+    * two-stage skew-safe selection, top 3 per domain by (n_chars DESC,
+    * doc_id ASC). The [[plantedUrl]] corpus yields plain + `cdn.`
+    * domain variants per source (dom keeps subdomains, strips
+    * `www.`/userinfo/any port), so the cap sees real multi-domain
+    * structure. The oracle rebuilds dom from the SAME shared `u` CTE
+    * via an independent regex restatement and replays the cap as a
+    * plain window over the (n_chars DESC, doc_id ASC) total order. */
+  def x14DomainCap(s: SparkSession, d: String): DataFrame =
+    graft.ext.TopK.topNPerGroup(
+        documents(s, d)
+          .withColumn("dom", graft.ext.Url.domain(plantedUrl)),
+        "dom", "n_chars", n = 3)
+      .select(col("dom"),
+        col("rank_in_group").cast("long").as("rank_in_domain"),
+        col("doc_id"), col("n_chars"))
+      .orderBy("dom", "rank_in_domain")
 
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =

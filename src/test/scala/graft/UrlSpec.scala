@@ -145,6 +145,23 @@ class UrlSpec extends SparkSpec {
       Curation.Config(blockedDomains = Seq("bad.org")))
   }
 
+  test("registered x14_domain_cap: <= 3 per domain, contiguous ranks, " +
+    "canonical domain keys") {
+    val out = Queries.x14DomainCap(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val doms = out.map(_.getString(0)).distinct
+    // The planted corpus yields plain + cdn. variants per source; the
+    // domain key is canonical: no scheme, no www., no port.
+    assert(doms.forall(d => d.endsWith(".example.org") &&
+      !d.startsWith("www.") && !d.contains(":") && !d.contains("/")))
+    assert(doms.exists(_.startsWith("cdn.")))
+    doms.foreach { dm =>
+      val ranks = out.filter(_.getString(0) == dm).map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length) && ranks.length <= 3,
+        s"domain $dm ranks ${ranks.toSeq}")
+    }
+  }
+
   test("funnel without urlCol: url stage is a no-op (after_url == raw)") {
     val rows = Seq(Row(1L, "a b", "en", null), Row(2L, "c d", "en", null))
     val f = Curation.funnel(
