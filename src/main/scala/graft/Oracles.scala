@@ -3857,6 +3857,42 @@ object Oracles {
         |       CAST(sum(doc_id) AS BIGINT) AS key_sum
         |FROM d GROUP BY status ORDER BY status""".stripMargin,
 
+    "x28_bucketed_join" ->
+      // The co-located bucketed join replayed as the PLAIN join — the
+      // storage layout must be result-invisible. DECIMAL accumulation
+      // + the sessionize round/cast discipline for the double price.
+      """SELECT c.c_mktsegment AS mktsegment,
+        |       count(*) AS n_orders,
+        |       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+        |            AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY mktsegment""".stripMargin,
+
+    "x27_score_percentile" ->
+      // The adaptive threshold replayed as the NAIVE plan the staged
+      // census+CDF operator avoids: cume_dist of every corpus row via
+      // a census-equivalent window pair (cum ≤-count and group total),
+      // all integer — (cum_le·10⁶) // tot is DuckDB floor division,
+      // identical to Spark's `div` for these non-negative operands.
+      // NULL scores sit outside the census (no rank among real
+      // scores): pctl_ppm NULL, is_kept FALSE.
+      """WITH c AS (
+        |  SELECT source, n_chars, count(*) AS n FROM documents
+        |  WHERE n_chars IS NOT NULL GROUP BY source, n_chars),
+        |g AS (
+        |  SELECT source, n_chars,
+        |         sum(n) OVER (PARTITION BY source ORDER BY n_chars) AS cum_le,
+        |         sum(n) OVER (PARTITION BY source) AS tot
+        |  FROM c)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |       CAST((g.cum_le * 1000000) // g.tot AS BIGINT) AS pctl_ppm,
+        |       coalesce((g.cum_le * 1000000) // g.tot >= 100000, FALSE)
+        |         AS is_kept
+        |FROM documents d
+        |LEFT JOIN g ON d.source = g.source AND d.n_chars = g.n_chars
+        |ORDER BY d.doc_id""".stripMargin,
+
     "x26_budget_cut" ->
       // The staged budget cut replayed as the NAIVE global-window plan
       // the operator exists to avoid: one un-partitioned cumulative sum

@@ -1852,6 +1852,66 @@ object Queries {
         col("doc_id"), col("n_chars"))
       .orderBy("dom", "rank_in_domain")
 
+  /** X27 — per-source adaptive quality threshold (the FineWeb recipe:
+    * cut-points are set per dump/source as a PERCENTILE of that
+    * group's own score distribution, not as a global constant):
+    * [[graft.ext.Calibrate.percentileGate]] over `n_chars` grouped by
+    * `source`, drop the bottom decile of every source. Row-level
+    * output — doc_id, its exact within-source cume_dist in ppm, and
+    * the keep verdict — so the oracle (the NAIVE `cume_dist` window
+    * the staged census+CDF plan avoids) pins every row's percentile,
+    * not just the survivor census. All arithmetic is integer
+    * (`(cum_le·10⁶) div total`), so engine and oracle must agree bit
+    * for bit. */
+  def x27ScorePercentile(s: SparkSession, d: String): DataFrame =
+    graft.ext.Calibrate.percentileGate(
+        documents(s, d).select("doc_id", "source", "n_chars"),
+        scoreCol = "n_chars", groupCol = "source", minPpm = 100000L)
+      .orderBy("doc_id")
+
+  /** Lazily-built per-JVM bucketed tables, keyed by (table, dataset) —
+    * the persisted-index discipline ([[persistedIndexDir]]): bucketing
+    * is a WRITE-ONCE layout investment (the whole point is amortizing
+    * the join shuffle across runs), so the first invocation writes the
+    * external bucketed table and every later one reads the catalog
+    * entry. */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bucketedTable(s: SparkSession, d: String, base: String,
+                            cols: Seq[String], bucketCol: String,
+                            numBuckets: Int): String =
+    bucketedTables.computeIfAbsent(s"$base @ $d", _ => {
+      val name = "graft_bkt_" + base + "_" +
+        java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      val dir = java.nio.file.Files.createTempDirectory(name).toString
+      graft.sources.Bucketed.writeBucketed(
+        Tables.load(s, d, base).select(cols.map(col): _*),
+        name, dir, bucketCol, numBuckets)
+      name
+    })
+
+  /** X28 — co-located join over bucketed tables ([[graft.sources
+    * .Bucketed]]): orders and customer are stored bucketed+sorted on
+    * their join key (8 buckets, written once per JVM — the layout
+    * investment a nightly fact-fact join amortizes), so the sort-merge
+    * join plans ZERO Exchange on either side (pinned in BucketedSpec).
+    * Result = revenue census per market segment, DECIMAL-accumulated
+    * (the d-series discipline); the oracle replays the plain join —
+    * the layout must be result-invisible. */
+  def x28BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val o = graft.sources.Bucketed.table(s, bucketedTable(s, d,
+      "orders", Seq("o_custkey", "o_totalprice"), "o_custkey", 8))
+    val c = graft.sources.Bucketed.table(s, bucketedTable(s, d,
+      "customer", Seq("c_custkey", "c_mktsegment"), "c_custkey", 8))
+    graft.sources.Bucketed
+      .colocatedJoin(o, c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+          2).as("revenue"))
+      .orderBy("mktsegment")
+  }
+
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")

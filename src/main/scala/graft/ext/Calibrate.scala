@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X27 — per-group EXACT score percentiles + the adaptive quality
+  * threshold built on them (the FineWeb recipe: filter cut-points are
+  * set per CommonCrawl dump as "drop the bottom p% of THAT dump", not
+  * as one global constant, because score distributions drift across
+  * dumps/sources — a fixed threshold that trims 10% of one crawl
+  * removes 40% of another).
+  *
+  * `scorePercentiles` appends `pctl_ppm` — the within-group cumulative
+  * fraction of rows with score ≤ this row's score, in parts-per-million
+  * (cume_dist semantics, floored to an exact integer) — and
+  * `percentileGate` turns it into the keep verdict
+  * `pctl_ppm ≥ minPpm` ("survive unless in the bottom decile of your
+  * own source").
+  *
+  * Scale shape — this is NOT the naive
+  * `cume_dist() OVER (PARTITION BY group ORDER BY score)`: that plan
+  * shuffles EVERY corpus row to its group's reducer and sorts it there
+  * — an 80-TB single-task sort for an 80%-of-corpus `en` stratum, the
+  * same skewed-window shape the staged [[TopK]] and the sharded writer
+  * exist to kill. Instead:
+  *
+  *  1. census: `groupBy(group, score).count()` — ONE aggregate with
+  *     map-side partial combine; rows collapse to (group, distinct
+  *     score) pairs per partition BEFORE the shuffle;
+  *  2. CDF: two windows over the CENSUS (cumulative ≤-count and group
+  *     total) — the window input is (groups × distinct scores), not
+  *     corpus rows. The caller's score is expected to be the house
+  *     integer band (a [[QualityScore]] score, a char/token count),
+  *     so this frame is tiny at any corpus size;
+  *  3. join back on (group, score) — broadcast by default (the CDF
+  *     frame is dim-sized); set `broadcastCdf = false` to fall back to
+  *     a hash join if a pathological score domain makes it large.
+  *
+  * Exactness: `pctl_ppm = (cum_le · 10⁶) div total` is all integer
+  * arithmetic — Spark's `div` and DuckDB's `//` truncate identically
+  * for the non-negative operands here, so the oracle replays the
+  * naive `cume_dist` window and must match the staged plan bit for
+  * bit.
+  *
+  * Nulls: rows with a NULL score are excluded from the census (they
+  * have no rank among real scores), come back with `pctl_ppm` NULL
+  * from the left join, and fail the gate (`coalesce(…, false)`) — an
+  * unscored document never survives an adaptive quality cut. A NULL
+  * group is a real stratum (null-safe join key), matching the house
+  * census discipline. */
+object Calibrate {
+
+  /** Appends `pctl_ppm` (within-`groupCol` cume_dist of `scoreCol`,
+    * parts-per-million, exact integer) to every input row. */
+  def scorePercentiles(docs: DataFrame, scoreCol: String,
+                       groupCol: String,
+                       broadcastCdf: Boolean = true): DataFrame = {
+    val census = docs
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val byGroup = Window.partitionBy(col("__g"))
+    val cdf = census
+      .withColumn("__cum",
+        sum(col("__n")).over(byGroup.orderBy(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__n")).over(byGroup))
+      .select(col("__g"), col("__s"),
+        expr("(__cum * 1000000) div __tot").as("pctl_ppm"))
+    val dim = if (broadcastCdf) broadcast(cdf) else cdf
+    docs.join(dim,
+        docs(groupCol) <=> dim("__g") && docs(scoreCol) === dim("__s"),
+        "left")
+      .drop("__g", "__s")
+  }
+
+  /** [[scorePercentiles]] + the keep verdict: `is_kept` ⇔ the row's
+    * score sits at or above the `minPpm` percentile of its own group
+    * (NULL score ⇒ false). `minPpm = 100000` is "drop the bottom
+    * decile of every source" — the FineWeb per-dump cut. */
+  def percentileGate(docs: DataFrame, scoreCol: String, groupCol: String,
+                     minPpm: Long, broadcastCdf: Boolean = true)
+      : DataFrame = {
+    require(minPpm >= 0L && minPpm <= 1000000L,
+      s"minPpm ($minPpm) must be in [0, 1000000]")
+    scorePercentiles(docs, scoreCol, groupCol, broadcastCdf)
+      .withColumn("is_kept",
+        coalesce(col("pctl_ppm") >= lit(minPpm), lit(false)))
+  }
+}

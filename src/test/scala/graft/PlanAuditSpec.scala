@@ -208,7 +208,10 @@ class PlanAuditSpec extends SparkSpec {
     "x10_dsir_funnel",
     // the writer IS the operator: curate -> partitioned parquet write
     // at construction, the registered plan is the read-back census
-    "x10_write_verify", "x10_write_packed")
+    "x10_write_verify", "x10_write_packed",
+    // writes the two bucketed tables once per JVM at first construction
+    // (the layout investment the co-located join amortizes)
+    "x28_bucketed_join")
 
   test("top-N per group never plans a single-partition global sort or window") {
     // The operator exists to avoid the one-reducer-per-group shape; the
