@@ -3869,6 +3869,23 @@ object Oracles {
         |GROUP BY c.c_mktsegment
         |ORDER BY mktsegment""".stripMargin,
 
+    "x29_jsonl_roundtrip" ->
+      // The JSONL round trip replayed from the ORIGINAL parquet: the
+      // engine censuses what it read back out of the JSON files, the
+      // oracle censuses what was there before the export — equality is
+      // the losslessness proof (the md5-prefix fp sum makes any single
+      // escaped-byte divergence visible). NULL text: md5(NULL) is NULL
+      // in both engines, so it drops from the fp sum and is pinned by
+      // the explicit null count instead.
+      """SELECT source, lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+        |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_null_text,
+        |       CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |            % 1000000000) AS BIGINT) AS text_fp_sum
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
     "x27_score_percentile" ->
       // The adaptive threshold replayed as the NAIVE plan the staged
       // census+CDF operator avoids: cume_dist of every corpus row via

@@ -1912,6 +1912,29 @@ object Queries {
       .orderBy("mktsegment")
   }
 
+  /** X29 — JSONL round trip ([[graft.sources.Jsonl]]): the corpus is
+    * exported as 4 sharded JSON-Lines files (written once per JVM —
+    * the x10-writer discipline), re-read under the EXPLICIT schema in
+    * FAILFAST mode, and censused per (source, lang) — doc count,
+    * char sum, null-text count, and the md5-prefix fingerprint sum of
+    * every text. The oracle derives the SAME census from the original
+    * parquet, so one byte changed by JSON escaping/unescaping anywhere
+    * in the corpus (embedded newlines, quotes, non-BMP chars) breaks
+    * the hash — the round trip must be lossless. */
+  def x29JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = persistedIndexDir("graft_jsonl", d)(dir =>
+      graft.sources.Jsonl.write(documents(s, d), dir, numShards = 4))
+    graft.sources.Jsonl.read(s, dir,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("char_sum"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+        sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"),
+          lit(1000000000L))).as("text_fp_sum"))
+      .orderBy("source", "lang")
+  }
+
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")

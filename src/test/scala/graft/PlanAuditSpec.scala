@@ -211,7 +211,10 @@ class PlanAuditSpec extends SparkSpec {
     "x10_write_verify", "x10_write_packed",
     // writes the two bucketed tables once per JVM at first construction
     // (the layout investment the co-located join amortizes)
-    "x28_bucketed_join")
+    "x28_bucketed_join",
+    // exports the JSONL shards once per JVM at first construction (the
+    // x10-writer discipline); the registered plan is the read-back census
+    "x29_jsonl_roundtrip")
 
   test("top-N per group never plans a single-partition global sort or window") {
     // The operator exists to avoid the one-reducer-per-group shape; the
