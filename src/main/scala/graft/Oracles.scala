@@ -3886,6 +3886,117 @@ object Oracles {
         |FROM documents GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
 
+    "x27_pctl_against" ->
+      // The persisted-cut gate replayed from scratch: the per-source
+      // cut is the smallest score whose integer cume_dist clears the
+      // 10th percentile, then the gate is one comparison per row
+      // (NULL score ⇒ FALSE — null never survives an adaptive cut).
+      // Null-safe stratum join, mirroring the engine's <=>.
+      """WITH c AS (
+        |  SELECT source, n_chars, count(*) AS n FROM documents
+        |  WHERE n_chars IS NOT NULL GROUP BY source, n_chars),
+        |g AS (
+        |  SELECT source, n_chars,
+        |         sum(n) OVER (PARTITION BY source ORDER BY n_chars) AS cum_le,
+        |         sum(n) OVER (PARTITION BY source) AS tot
+        |  FROM c),
+        |cut AS (
+        |  SELECT source, min(n_chars) AS cut_score FROM g
+        |  WHERE (cum_le * 1000000) // tot >= 100000 GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars, t.cut_score,
+        |       coalesce(d.n_chars >= t.cut_score, FALSE) AS is_kept
+        |FROM documents d
+        |LEFT JOIN cut t ON d.source IS NOT DISTINCT FROM t.source
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "x10_pctl_funnel" ->
+      // X27 composed into X10: the funnel census with the FITTED
+      // per-language token floor as the quality stage — the cut
+      // re-derived from scratch (integer cume_dist over the RAW-text
+      // token census, min passing count), the gate replayed per
+      // document over the REDACTED text's n_tok, the other stages the
+      // standard replay (min-key canonical per norm, 4-gram
+      // contamination vs bench docs 0-2, en-0.4 keyed-hash sample).
+      ("WITH " + gram4Ctes + ",\n" +
+        raw"""bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8),
+          |rdoc AS (
+          |  SELECT doc_id, lang,
+          |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS kt,
+          |         regexp_replace(regexp_replace(regexp_replace(text,
+          |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+          |  FROM documents),
+          |rawtok AS (
+          |  SELECT lang,
+          |         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+          |              ELSE len(string_split_regex(trim(text), '\s+')) END AS rt
+          |  FROM documents),
+          |tc AS (SELECT lang, rt, count(*) AS n FROM rawtok GROUP BY lang, rt),
+          |tg AS (
+          |  SELECT lang, rt,
+          |         sum(n) OVER (PARTITION BY lang ORDER BY rt) AS cum,
+          |         sum(n) OVER (PARTITION BY lang) AS tot
+          |  FROM tc),
+          |cut AS (
+          |  SELECT lang, min(rt) AS cs FROM tg
+          |  WHERE (cum * 1000000) // tot >= 100000 GROUP BY lang),
+          |""".stripMargin +
+        s"""ann AS (
+           |  SELECT r.doc_id,
+           |         r.doc_id = min(r.doc_id) OVER (PARTITION BY r.kt) AS is_canonical,
+           |         r.doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+           |         CASE WHEN len(trim(r.rtext)) = 0 THEN 0
+           |              ELSE len(string_split_regex(trim(r.rtext), '\\s+')) END AS n_tok,
+           |         c.cs,
+           |         ${bucketSql("r.doc_id")} AS b,
+           |         CASE r.lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
+           |  FROM rdoc r LEFT JOIN cut c ON r.lang IS NOT DISTINCT FROM c.lang
+           |), q AS (
+           |  SELECT *, n_tok >= 1 AND coalesce(n_tok >= cs, FALSE) AS qpass
+           |  FROM ann
+           |), f AS (
+           |  SELECT count(*) AS n_raw,
+           |         count(CASE WHEN is_canonical THEN 1 END) AS n_after_dedup,
+           |         count(CASE WHEN is_canonical AND NOT is_contaminated THEN 1 END)
+           |           AS n_after_decontam,
+           |         count(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND qpass THEN 1 END)
+           |           AS n_after_quality,
+           |         count(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND qpass AND b < thr THEN 1 END)
+           |           AS n_after_sample,
+           |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical
+           |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_dedup,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+           |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND qpass
+           |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
+           |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
+           |                         AND qpass AND b < thr
+           |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
+           |  FROM q)
+           |SELECT n_raw, n_raw AS n_after_url,
+           |       n_after_dedup, n_after_dedup AS n_after_history,
+           |       n_after_dedup AS n_after_fuzzy,
+           |       n_after_decontam, n_after_quality, n_after_sample,
+           |       tokens_raw, tokens_raw AS tokens_after_url,
+           |       tokens_after_dedup, tokens_after_dedup AS tokens_after_history,
+           |       tokens_after_dedup AS tokens_after_fuzzy,
+           |       tokens_after_decontam, tokens_after_quality, n_tokens,
+           |       CASE WHEN n_tokens = 0 THEN 0
+           |            ELSE (n_tokens - 1) // 512 + 1 END AS n_sequences
+           |FROM f""".stripMargin),
+
     "x27_score_percentile" ->
       // The adaptive threshold replayed as the NAIVE plan the staged
       // census+CDF operator avoids: cume_dist of every corpus row via

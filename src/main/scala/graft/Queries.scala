@@ -1935,6 +1935,56 @@ object Queries {
       .orderBy("source", "lang")
   }
 
+  /** X27b — the PERSISTED-threshold gate ([[graft.ext.Calibrate
+    * .thresholds]] → [[graft.ext.Calibrate.save]]/`load` →
+    * [[graft.ext.Calibrate.gateAgainst]]): the per-source cuts are fit
+    * and SAVED once (the X1h/X15/X16 fit-once contract), then the gate
+    * is a broadcast join + one comparison — map-only at serve time, no
+    * CDF recomputation over today's shard. Cut ⇔ percentile
+    * equivalence (score ≥ cut ⇔ pctl ≥ minPpm) is pinned in
+    * CalibrateSpec; the oracle derives the cuts independently and
+    * replays the comparison per row. */
+  def x27PctlAgainst(s: SparkSession, d: String): DataFrame = {
+    val dir = persistedIndexDir("calib_cuts", d) { dir =>
+      graft.ext.Calibrate.save(
+        graft.ext.Calibrate.thresholds(
+          documents(s, d).select("source", "n_chars"),
+          "n_chars", "source", minPpm = 100000L),
+        "n_chars", "source", 100000L, dir)
+    }
+    val (cuts, _) = graft.ext.Calibrate.load(s, dir)
+    graft.ext.Calibrate.gateAgainst(
+        documents(s, d).select("doc_id", "source", "n_chars"), cuts,
+        "n_chars", "source")
+      .orderBy("doc_id")
+  }
+
+  /** X10 × X27 — the funnel with the FITTED adaptive threshold as an
+    * additional quality signal (the FineWeb recipe composed into X10
+    * the way X13/X15/X3g/X3h are): per-language token-count floors are
+    * fit on the corpus's raw text at the 10th percentile, persisted,
+    * and loaded ([[graft.ext.Calibrate]]'s fit-once contract), then
+    * `Config.calibCuts` gates `is_quality` on `n_tok >= cut(lang)` —
+    * a broadcast join + one comparison inside the same annotate pass.
+    * The oracle re-derives the per-language cuts from scratch and
+    * replays the whole funnel census. */
+  def x10PctlFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val dir = persistedIndexDir("calib_ntok", d) { dir =>
+      graft.ext.Calibrate.save(
+        graft.ext.Calibrate.thresholds(
+          docs.select(col("lang"),
+            graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tok_raw")),
+          "n_tok_raw", "lang", 100000L),
+        "n_tok_raw", "lang", 100000L, dir)
+    }
+    val (cuts, _) = graft.ext.Calibrate.load(s, dir)
+    graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
+      rates = Map("en" -> 0.4), seqLen = 512L, calibCuts = Some(cuts)))
+  }
+
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")

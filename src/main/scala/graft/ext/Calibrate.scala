@@ -88,4 +88,73 @@ object Calibrate {
       .withColumn("is_kept",
         coalesce(col("pctl_ppm") >= lit(minPpm), lit(false)))
   }
+
+  /** The per-group CUT SCORES the gate above implies: for each group,
+    * the smallest score whose percentile clears `minPpm` — so
+    * `score >= cut_score` is EXACTLY `pctl_ppm >= minPpm` for every
+    * real score (both sides of the equivalence are monotone in the
+    * same total order; pinned by test). One tiny frame
+    * (group, cut_score), derived from the same census.
+    *
+    * This is the deployment artifact: fit the cuts on the reference
+    * corpus ONCE ([[save]]), then gating tomorrow's shard is a
+    * broadcast join + one comparison ([[gateAgainst]]) — map-only,
+    * zero corpus shuffles, no CDF recomputation — the X1h/X15/X16
+    * fit-once-probe-cheaply contract applied to quality thresholds. */
+  def thresholds(docs: DataFrame, scoreCol: String, groupCol: String,
+                 minPpm: Long): DataFrame = {
+    require(minPpm >= 0L && minPpm <= 1000000L,
+      s"minPpm ($minPpm) must be in [0, 1000000]")
+    val census = docs
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val byGroup = Window.partitionBy(col("grp"))
+    census
+      .withColumn("__cum",
+        sum(col("__n")).over(byGroup.orderBy(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__n")).over(byGroup))
+      .filter(expr("(__cum * 1000000) div __tot") >= lit(minPpm))
+      .groupBy(col("grp"))
+      .agg(min(col("__s")).as("cut_score"))
+  }
+
+  /** Persist fitted cuts as parquet: the thresholds frame plus a
+    * one-row params frame (minPpm + the fitted column names), so a
+    * probe can assert it loaded the model it expects. */
+  def save(cuts: DataFrame, scoreCol: String, groupCol: String,
+           minPpm: Long, dir: String): Unit = {
+    cuts.write.mode("overwrite").parquet(s"$dir/cuts")
+    val spark = cuts.sparkSession
+    import spark.implicits._
+    Seq((minPpm, scoreCol, groupCol))
+      .toDF("min_ppm", "score_col", "group_col")
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Load a saved cuts frame (columns read BY NAME — the r9 index
+    * discipline). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, Long) = {
+    val cuts = spark.read.parquet(s"$dir/cuts").select("grp", "cut_score")
+    val minPpm = spark.read.parquet(s"$dir/params")
+      .select("min_ppm").head().getLong(0)
+    (cuts, minPpm)
+  }
+
+  /** Serve-time gate against FITTED cuts: appends `cut_score` (the
+    * group's floor, NULL for groups the fit never saw) and `is_kept`
+    * (`score >= cut_score`; NULL score OR unknown group ⇒ false —
+    * an unscored document, or one from a stratum the reference corpus
+    * has no distribution for, never survives an adaptive cut by
+    * default). Map-only over the corpus: the cuts frame is
+    * |groups|-sized at any corpus scale, so the join broadcasts. */
+  def gateAgainst(docs: DataFrame, cuts: DataFrame, scoreCol: String,
+                  groupCol: String): DataFrame =
+    docs.join(broadcast(cuts.select(col("grp"), col("cut_score"))),
+        docs(groupCol) <=> col("grp"), "left")
+      .drop("grp")
+      .withColumn("is_kept",
+        coalesce(col(scoreCol) >= col("cut_score"), lit(false)))
 }

@@ -77,6 +77,17 @@ object Curation {
       // the rewritten text run [[C4.c4Filter]] standalone).
       c4Gate: Boolean = false,
       c4BlockPhrases: Seq[String] = Seq("lorem ipsum"),
+      // Optional X27 gate (the FineWeb adaptive-threshold recipe
+      // composed like X13/X15/X3g/X3h): a FITTED per-stratum score
+      // floor — a (grp, cut_score) frame from [[Calibrate.thresholds]]
+      // (typically [[Calibrate.load]]ed: fit on the reference corpus
+      // once, gate every shard cheaply) — `is_quality` additionally
+      // requires `n_tok >= cut_score` for the document's `strataCol`
+      // group. A stratum the fit never saw fails the gate (no
+      // distribution, no floor — safe-by-default); `calib_pass` stays
+      // on the annotated frame for the audit. Map-only: the cuts frame
+      // is |strata|-sized, the join broadcasts.
+      calibCuts: Option[DataFrame] = None,
       // Optional URL stage (runs FIRST — crawl pipelines filter and
       // dedup by URL before any text operator): when `urlCol` is set,
       // `is_url_ok` flags documents whose canonical domain is not on
@@ -388,6 +399,21 @@ object Curation {
         .withColumn("is_quality", col("is_quality") && col("c4_pass"))
         .drop("c4_text", "c4_lines_in", "c4_lines_kept", "c4_sentences",
           "c4_has_brace", "c4_blocked")
+    // X27 gate: a broadcast join on the stratum + one comparison —
+    // the fitted floor costs nothing at corpus scale (see Config
+    // .calibCuts). Null-safe on the stratum like every census join.
+    val withCalib = cfg.calibCuts match {
+      case Some(cuts) =>
+        withC4.join(
+            broadcast(cuts.select(col("grp").as("__cgrp"),
+              col("cut_score").as("__ccut"))),
+            col(cfg.strataCol) <=> col("__cgrp"), "left")
+          .withColumn("calib_pass",
+            coalesce(col("n_tok") >= col("__ccut"), lit(false)))
+          .withColumn("is_quality", col("is_quality") && col("calib_pass"))
+          .drop("__cgrp", "__ccut")
+      case None => withC4
+    }
     // Sampling stage: by default the keyed-hash stratified sampler;
     // with `selection`, an EXTERNAL selector's key set replaces it —
     // the plug point for weight-proportional resampling (X16 DSIR
@@ -400,11 +426,11 @@ object Curation {
       case Some(sel) =>
         val s = sel.select(col(cfg.keyCol)).distinct()
           .withColumn("__sel", lit(true))
-        withC4.join(s, Seq(cfg.keyCol), "left")
+        withCalib.join(s, Seq(cfg.keyCol), "left")
           .withColumn("is_sampled", coalesce(col("__sel"), lit(false)))
           .drop("__sel")
       case None =>
-        withC4.withColumn("is_sampled",
+        withCalib.withColumn("is_sampled",
           Sampling.bucket(col(cfg.keyCol), cfg.seed) <
             Sampling.keepThreshold(cfg.strataCol, cfg.rates, cfg.defaultRate))
     }

@@ -58,6 +58,101 @@ class CalibrateSpec extends SparkSpec {
       (4L, -1L, false)))
   }
 
+  test("fitted cuts ⇔ the percentile gate: identical survivor sets at " +
+       "every cut, save/load round-trips, unknown stratum fails") {
+    val data = (1L to 400L).map(i => Row("big", i, i % 10)) ++
+      Seq(Row("small", 1001L, 5L), Row("small", 1002L, 7L),
+        Row("small", 1003L, null))
+    val d = df(data, "g STRING, doc_id BIGINT, s BIGINT")
+    for (ppm <- Seq(0L, 100000L, 333333L, 500000L, 1000000L)) {
+      val direct = Calibrate.percentileGate(d, "s", "g", ppm)
+        .filter(col("is_kept")).select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      val cuts = Calibrate.thresholds(d, "s", "g", ppm)
+      val viaCuts = Calibrate.gateAgainst(d, cuts, "s", "g")
+        .filter(col("is_kept")).select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(viaCuts.sameElements(direct), s"minPpm=$ppm diverged")
+    }
+    // Save → load round trip, then gate a shard with a stratum the fit
+    // never saw: no distribution, no floor — it must fail the gate.
+    val dir = java.nio.file.Files.createTempDirectory("graft_calib").toString
+    Calibrate.save(Calibrate.thresholds(d, "s", "g", 100000L),
+      "s", "g", 100000L, dir)
+    val (loaded, ppm) = Calibrate.load(spark, dir)
+    assert(ppm == 100000L)
+    val shard = df(Seq(Row("big", 1L, 9L), Row("never_seen", 2L, 999L)),
+      "g STRING, doc_id BIGINT, s BIGINT")
+    val gated = Calibrate.gateAgainst(shard, loaded, "s", "g")
+      .select("doc_id", "is_kept").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+    assert(gated sameElements Array((1L, true), (2L, false)))
+  }
+
+  test("funnel calibCuts gate: is_quality equals the direct fitted-cut " +
+       "comparison on the funnel's own n_tok") {
+    import graft.ext.{Curation, TextAnalysis}
+    val docs = Tables.documents(spark, sfDir)
+    val cuts = Calibrate.thresholds(
+      docs.select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("nt")),
+      "nt", "lang", 100000L)
+    val bench = docs.filter(col("doc_id") < 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val ann = Curation.annotate(docs, bench,
+      Curation.Config(calibCuts = Some(cuts)))
+    val bad = ann.join(broadcast(cuts), col("lang") <=> col("grp"), "left")
+      .filter(col("is_quality") =!=
+        (col("n_tok") >= lit(1L) &&
+          coalesce(col("n_tok") >= col("cut_score"), lit(false))))
+    assert(bad.count() == 0, "funnel gate diverged from the direct cut")
+    // The gate actually bites: some documents fail purely on the cut.
+    assert(ann.filter(!col("calib_pass") && col("n_tok") >= 1L).count() > 0)
+  }
+
+  test("gateAgainst is streaming-compatible: micro-batched shard " +
+       "verdicts equal the batch gate (stream-static broadcast join, " +
+       "no state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fit = df((1L to 100L).map(i => Row("en", i, i % 10)) ++
+      (1L to 50L).map(i => Row("zh", 1000L + i, i % 5)),
+      "g STRING, doc_id BIGINT, s BIGINT")
+    val cuts = Calibrate.thresholds(fit, "s", "g", 300000L)
+      .localCheckpoint(true) // the persisted-model stand-in
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long)]
+    val stream = input.toDF().toDF("g", "doc_id", "s")
+    val out = scala.collection.mutable.Buffer[(Long, Boolean)]()
+    val query = Calibrate.gateAgainst(stream, cuts, "s", "g")
+      .select("doc_id", "is_kept")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r => (r.getLong(0), r.getBoolean(1))); () }
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-calib-ckpt").toString)
+      .start()
+    try {
+      input.addData(("en", 1L, 9L), ("en", 2L, 1L))
+      query.processAllAvailable()
+      input.addData(("zh", 3L, 4L), ("never_seen", 4L, 999L))
+      query.processAllAvailable()
+    } finally query.stop()
+    val batch = Calibrate.gateAgainst(
+        df(Seq(Row("en", 1L, 9L), Row("en", 2L, 1L), Row("zh", 3L, 4L),
+          Row("never_seen", 4L, 999L)), "g STRING, doc_id BIGINT, s BIGINT"),
+        cuts, "s", "g")
+      .select("doc_id", "is_kept").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+    assert(out.sortBy(_._1).toArray.sameElements(batch),
+      "stream and batch verdicts diverged")
+    // The fit actually cut: one en doc passes, one fails.
+    assert(batch.toMap == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false))
+  }
+
   test("registered x27_score_percentile: bottom decile dropped per " +
        "source, survivors' percentiles all above the cut") {
     val out = Queries.x27ScorePercentile(spark, sfDir)

@@ -214,7 +214,11 @@ class PlanAuditSpec extends SparkSpec {
     "x28_bucketed_join",
     // exports the JSONL shards once per JVM at first construction (the
     // x10-writer discipline); the registered plan is the read-back census
-    "x29_jsonl_roundtrip")
+    "x29_jsonl_roundtrip",
+    // fits + SAVES the per-stratum threshold cuts on first construction
+    // (the x16_dsir_against persisted-model discipline); the registered
+    // plan probes the loaded parquet
+    "x27_pctl_against", "x10_pctl_funnel")
 
   test("top-N per group never plans a single-partition global sort or window") {
     // The operator exists to avoid the one-reducer-per-group shape; the
