@@ -2158,6 +2158,75 @@ object Oracles {
         |       CAST(sum(ntok) AS BIGINT) AS tokens
         |FROM b GROUP BY 1, 2 ORDER BY lang, band""".stripMargin,
 
+    "x30_perceptron" ->
+      // Distributed TRAINING replayed bit-for-bit: the batch
+      // perceptron's three epochs as chained CTEs over the x13 integer
+      // feature definitions — per epoch, every misclassified document
+      // (y·(w·x) ≤ 0; w starts at 0, so epoch 1 misclassifies ALL)
+      // contributes y·x to ONE summed integer update. All-integer, so
+      // the weight trajectory is exact in any engine.
+      """WITH m AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |         CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS x4,
+        |         len(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+        |             x -> list_contains(['a','the','and','of','is','to','in','that'], x)))
+        |           AS x1,
+        |         length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g'))
+        |           AS x2,
+        |         length(coalesce(text, '')) -
+        |           length(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g'))
+        |           AS x3
+        |  FROM documents),
+        |e1 AS (
+        |  SELECT count(*) AS mis,
+        |         COALESCE(CAST(sum(y) AS BIGINT), 0) AS d0,
+        |         COALESCE(CAST(sum(y * x1) AS BIGINT), 0) AS d1,
+        |         COALESCE(CAST(sum(y * x2) AS BIGINT), 0) AS d2,
+        |         COALESCE(CAST(sum(y * x3) AS BIGINT), 0) AS d3,
+        |         COALESCE(CAST(sum(y * x4) AS BIGINT), 0) AS d4
+        |  FROM m WHERE y * 0 <= 0),
+        |w1 AS (SELECT mis, d0 AS a0, d1 AS a1, d2 AS a2, d3 AS a3, d4 AS a4
+        |       FROM e1),
+        |e2 AS (
+        |  SELECT count(*) AS mis,
+        |         COALESCE(CAST(sum(y) AS BIGINT), 0) AS d0,
+        |         COALESCE(CAST(sum(y * x1) AS BIGINT), 0) AS d1,
+        |         COALESCE(CAST(sum(y * x2) AS BIGINT), 0) AS d2,
+        |         COALESCE(CAST(sum(y * x3) AS BIGINT), 0) AS d3,
+        |         COALESCE(CAST(sum(y * x4) AS BIGINT), 0) AS d4
+        |  FROM m, w1
+        |  WHERE y * (a0 + a1 * x1 + a2 * x2 + a3 * x3 + a4 * x4) <= 0),
+        |w2 AS (SELECT e2.mis, w1.a0 + e2.d0 AS a0, w1.a1 + e2.d1 AS a1,
+        |              w1.a2 + e2.d2 AS a2, w1.a3 + e2.d3 AS a3,
+        |              w1.a4 + e2.d4 AS a4
+        |       FROM w1, e2),
+        |e3 AS (
+        |  SELECT count(*) AS mis,
+        |         COALESCE(CAST(sum(y) AS BIGINT), 0) AS d0,
+        |         COALESCE(CAST(sum(y * x1) AS BIGINT), 0) AS d1,
+        |         COALESCE(CAST(sum(y * x2) AS BIGINT), 0) AS d2,
+        |         COALESCE(CAST(sum(y * x3) AS BIGINT), 0) AS d3,
+        |         COALESCE(CAST(sum(y * x4) AS BIGINT), 0) AS d4
+        |  FROM m, w2
+        |  WHERE y * (a0 + a1 * x1 + a2 * x2 + a3 * x3 + a4 * x4) <= 0),
+        |w3 AS (SELECT e3.mis, w2.a0 + e3.d0 AS a0, w2.a1 + e3.d1 AS a1,
+        |              w2.a2 + e3.d2 AS a2, w2.a3 + e3.d3 AS a3,
+        |              w2.a4 + e3.d4 AS a4
+        |       FROM w2, e3)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |       CAST(mis AS BIGINT) AS n_misclassified,
+        |       CAST(a0 AS BIGINT) AS w_f_one,
+        |       CAST(a1 AS BIGINT) AS w_q_stop_hits,
+        |       CAST(a2 AS BIGINT) AS w_q_alpha_chars,
+        |       CAST(a3 AS BIGINT) AS w_q_punct_chars,
+        |       CAST(a4 AS BIGINT) AS w_q_tokens
+        |FROM (
+        |  SELECT 1 AS epoch, * FROM w1
+        |  UNION ALL SELECT 2 AS epoch, * FROM w2
+        |  UNION ALL SELECT 3 AS epoch, * FROM w3)
+        |ORDER BY epoch""".stripMargin,
+
     "x16_dsir_weights" ->
       ("WITH " + dsirWeightCtes + "\n" +
         """SELECT doc_id, dsir_grams, dsir_logw_micro,

@@ -1985,6 +1985,29 @@ object Queries {
       rates = Map("en" -> 0.4), seqLen = 512L, calibCuts = Some(cuts)))
   }
 
+  /** X30 — in-engine distributed classifier TRAINING ([[graft.ext
+    * .Perceptron]]): a batch perceptron learns to separate `en` from
+    * non-`en` documents over the X13 integer feature set (bias,
+    * stop-hits, alpha chars, punct chars, token count — the SAME
+    * [[graft.ext.QualityScore.scored]] definitions the x13 oracle
+    * already replays). Three epochs, each ONE corpus aggregate; the
+    * output is the per-epoch audit — misclassified count before each
+    * update and the full weight trajectory after it — and the oracle
+    * replays all three epochs as chained CTEs, bit for bit: training,
+    * not just scoring, is exactly reproducible. */
+  def x30Perceptron(s: SparkSession, d: String): DataFrame = {
+    val feats = graft.ext.QualityScore.scored(documents(s, d))
+      .withColumn("f_one", lit(1L))
+      .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+      .select("y", "f_one", "q_stop_hits", "q_alpha_chars",
+        "q_punct_chars", "q_tokens")
+    graft.ext.Perceptron.fit(feats,
+        Seq("f_one", "q_stop_hits", "q_alpha_chars", "q_punct_chars",
+          "q_tokens"),
+        "y", epochs = 3)
+      .orderBy("epoch")
+  }
+
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")

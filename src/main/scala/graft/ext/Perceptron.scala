@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** X30 — in-engine distributed training of a linear text classifier
+  * (the learned half of the X13 story: public pipelines gate documents
+  * on a fasttext-style linear scorer — X13 ships the scoring plumbing
+  * for a weight vector learned ELSEWHERE; this trains one AT CORPUS
+  * SCALE inside the engine, exactly reproducibly).
+  *
+  * The algorithm is the BATCH perceptron over integer features:
+  * per epoch, every misclassified document (margin `y·(w·x) ≤ 0`)
+  * contributes `y·x` to one summed weight update. Chosen over SGD /
+  * logistic regression deliberately:
+  *
+  *  - the epoch update is ONE corpus aggregate with map-side partial
+  *    combine — order- and partitioning-INVARIANT (an online/SGD pass
+  *    depends on row visit order, which a distributed shuffle does not
+  *    define);
+  *  - all arithmetic is INTEGER (features are counts, labels ±1,
+  *    weights sums of counts): no float summation order, no sigmoid —
+  *    the k-epoch weight trajectory replays bit-for-bit in the DuckDB
+  *    oracle as k chained CTEs, the house exactness discipline applied
+  *    to TRAINING, not just scoring.
+  *
+  * Scale shape: `epochs` corpus scans (one aggregate each — the
+  * IvfIndex Lloyd's-iterations posture; k is small and fixed), weights
+  * live on the driver between epochs as a k×dim trajectory (the
+  * bounded k·dim driver fetch, never corpus rows). Feature extraction
+  * re-runs per epoch; pipelines fitting many epochs should project the
+  * integer feature frame once and persist it (5 longs/row — ~40 bytes
+  * of parquet per document vs re-parsing text k times).
+  *
+  * Overflow, precisely: |w_i| after k epochs ≤ k·rows·max|x_i| and a
+  * margin is ≤ dim·max|w|·max|x| — with count features ≤ 10⁴ (the
+  * Gopher too_long cap bounds tokens/chars upstream) and 10¹¹ rows,
+  * margins stay under 2⁶³ through single-digit epochs; past that ANSI
+  * mode throws loudly rather than training on wrapped arithmetic.
+  *
+  * [[fit]] returns the per-epoch audit frame: `epoch`, the
+  * misclassified count BEFORE that epoch's update, and the weight
+  * vector AFTER it (`w_<feature>` columns). [[margin]] is the map-only
+  * scoring expression for a fitted row of weights — `margin > 0`
+  * predicts the positive class, composable with the X13/X27 quality
+  * gates. */
+object Perceptron {
+
+  /** Batch-perceptron fit. `labelCol` must be ±1 (integral);
+    * `featureCols` are integral count features — include a constant
+    * 1 column for a bias term. Weights start at 0 (epoch 1 therefore
+    * counts EVERY document misclassified: y·0 ≤ 0 — the convention
+    * the oracle replays). */
+  def fit(docs: DataFrame, featureCols: Seq[String], labelCol: String,
+          epochs: Int): DataFrame = {
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    require(epochs >= 1 && epochs <= 16,
+      s"epochs ($epochs) must be in [1, 16] — each epoch is a full corpus scan")
+    val spark = docs.sparkSession
+    val y = col(labelCol).cast("long")
+    var w = Vector.fill(featureCols.size)(0L)
+    val rows = Vector.newBuilder[Row]
+    for (epoch <- 1 to epochs) {
+      val m = marginOf(w, featureCols)
+      val mis = m * y <= 0L
+      val agg = docs.agg(
+        count(when(mis, lit(1))).as("__mis"),
+        featureCols.map(f =>
+          coalesce(sum(when(mis, y * col(f).cast("long"))), lit(0L))
+            .as(s"__d_$f")): _*)
+      val r = agg.head() // bounded: ONE row of dim+1 longs per epoch
+      val nMis = r.getLong(0)
+      w = w.zipWithIndex.map { case (wi, i) => wi + r.getLong(i + 1) }
+      rows += Row.fromSeq(epoch.toLong +: nMis +: w)
+    }
+    val schema = StructType(
+      StructField("epoch", LongType, nullable = false) +:
+      StructField("n_misclassified", LongType, nullable = false) +:
+      featureCols.map(f => StructField(s"w_$f", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.result(), 1), schema)
+  }
+
+  /** The linear margin `w · x` for FIXED weights (plan literals — the
+    * X13 posture: a dozens-of-features model needs no broadcast). */
+  def marginOf(weights: Seq[Long], featureCols: Seq[String]): Column = {
+    require(weights.size == featureCols.size,
+      s"weights (${weights.size}) and features (${featureCols.size}) differ")
+    weights.zip(featureCols)
+      .map { case (wi, f) => lit(wi) * col(f).cast("long") }
+      .reduce(_ + _)
+  }
+}

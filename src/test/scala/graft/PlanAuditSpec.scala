@@ -218,7 +218,10 @@ class PlanAuditSpec extends SparkSpec {
     // fits + SAVES the per-stratum threshold cuts on first construction
     // (the x16_dsir_against persisted-model discipline); the registered
     // plan probes the loaded parquet
-    "x27_pctl_against", "x10_pctl_funnel")
+    "x27_pctl_against", "x10_pctl_funnel",
+    // the fit IS the operator: k epoch aggregates run at construction,
+    // the registered frame is the collected per-epoch audit
+    "x30_perceptron")
 
   test("top-N per group never plans a single-partition global sort or window") {
     // The operator exists to avoid the one-reducer-per-group shape; the
