@@ -2227,6 +2227,38 @@ object Oracles {
         |  UNION ALL SELECT 3 AS epoch, * FROM w3)
         |ORDER BY epoch""".stripMargin,
 
+    "x12_upsample" ->
+      // The epoch expansion replayed copy for copy: per-source ppm
+      // factor (when-chain restated as CASE), whole epochs by integer
+      // division, the fractional-epoch keep draw by the SAME salted
+      // hash64 mod 10⁶, the expansion as unnest(range(n)) — the
+      // (doc_id, epoch_idx) fingerprint sum pins WHICH copies exist.
+      (s"""WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CASE source WHEN 'src1' THEN 2300000
+        |                     WHEN 'src2' THEN 500000
+        |                     WHEN 'src3' THEN 0
+        |                     ELSE 1000000 END AS f
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source, n_chars,
+        |         (f // 1000000) +
+        |           (CASE WHEN (${hash64Sql("doc_id",
+                      42L ^ graft.ext.Mixing.EpochSalt)} % 1000000)
+        |                      < (f % 1000000)
+        |                 THEN 1 ELSE 0 END) AS nc
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, source, n_chars,
+        |         unnest(range(nc)) AS epoch_idx
+        |  FROM n WHERE nc >= 1)
+        |SELECT source, count(*) AS rows_out,
+        |       CAST(max(epoch_idx) AS BIGINT) AS max_epoch,
+        |       CAST(sum(n_chars) AS BIGINT) AS char_mass,
+        |       CAST(sum((doc_id * 1031 + epoch_idx) % 1000000000)
+        |            AS BIGINT) AS copy_fp_sum
+        |FROM e GROUP BY source ORDER BY source""").stripMargin,
+
     "x16_dsir_weights" ->
       ("WITH " + dsirWeightCtes + "\n" +
         """SELECT doc_id, dsir_grams, dsir_logw_micro,

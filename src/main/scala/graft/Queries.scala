@@ -2008,6 +2008,27 @@ object Queries {
       .orderBy("epoch")
   }
 
+  /** X12d — physical multi-epoch upsampling ([[graft.ext.Mixing
+    * .upsample]]): src1 trains 2.3 epochs, src2 is downsampled to a
+    * half epoch, src3 drops, the rest train once — the per-source
+    * repeat factors a published LLM data recipe states, materialized.
+    * Output = the per-source copy census: emitted rows, highest epoch
+    * index, char mass, and a (doc_id, epoch_idx) fingerprint sum that
+    * pins WHICH copies exist (the fractional-epoch keep draw is a
+    * keyed hash, so the oracle re-derives every copy exactly). */
+  def x12Upsample(s: SparkSession, d: String): DataFrame =
+    graft.ext.Mixing.upsample(
+        documents(s, d).select("doc_id", "source", "n_chars"),
+        factorsPpm = Map("src1" -> 2300000L, "src2" -> 500000L,
+          "src3" -> 0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("rows_out"),
+        max(col("epoch_idx")).as("max_epoch"),
+        sum(col("n_chars")).as("char_mass"),
+        sum(pmod(col("doc_id") * lit(1031L) + col("epoch_idx"),
+          lit(1000000000L))).as("copy_fp_sum"))
+      .orderBy("source")
+
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")

@@ -298,6 +298,60 @@ object Mixing {
       .orderBy("source")
   }
 
+  /** Salt for the fractional-epoch keep draw ("EPOC") — decorrelated
+    * from every sampling/mix/order stage like the [[Sampling]] salts. */
+  val EpochSalt = 0x45504F43L
+
+  /** Copies-per-key modulus for the per-copy order key: bounds
+    * `epochs ≤ 1024` so `key·1024 + epoch_idx` stays injective (and
+    * < 2⁶² for any 2⁵¹-bounded key) before [[Sampling.orderKey]]. */
+  val MaxEpochs = 1024L
+
+  /** X12d — PHYSICAL multi-epoch upsampling (the published-recipe step
+    * between the mix plan and the packed corpus: LLM data recipes
+    * state per-source repeat factors — "Wikipedia 3.0 epochs, web 0.8"
+    * — and the training corpus materializes them): every document of
+    * source s emits `floor(f_s)` copies plus one more iff its keyed
+    * hash clears the fractional part (`pmod(hash64, 10⁶) <
+    * f_s mod 10⁶` — so a 2.3-epoch source repeats every document
+    * twice and a deterministic, partitioning-invariant 30% of them a
+    * third time; expected mass = f_s exactly). Factors are in ppm
+    * (2_300_000 = 2.3 epochs); `f = 0` drops the source.
+    *
+    * Each copy carries `epoch_idx` (0-based) and its OWN
+    * `shuffle_key` — [[Sampling.orderKey]] of `key·1024 + epoch_idx`,
+    * so the copies of one document SCATTER across the global training
+    * order instead of training back-to-back (the reason epoch
+    * expansion happens before the corpus shuffle, not after).
+    *
+    * Scale shape: map-only — the factor is a when-chain literal, the
+    * keep draw a per-row hash, the expansion one `explode(sequence)`
+    * per row (bounded by `MaxEpochs`); no shuffle, no census, output
+    * rows = Σ f_s·|s|. Integer end to end (`div`/`pmod` on ppm), so
+    * WHICH copies exist replays exactly in SQL. */
+  def upsample(docs: DataFrame, factorsPpm: Map[String, Long],
+               defaultPpm: Long = 1000000L, srcCol: String = "source",
+               keyCol: String = "doc_id", seed: Long = 42L): DataFrame = {
+    val all = factorsPpm.values ++ Seq(defaultPpm)
+    require(all.forall(p => p >= 0L && p <= MaxEpochs * 1000000L),
+      s"factors must be in [0, ${MaxEpochs}e6] ppm")
+    val f = factorsPpm.toSeq.sortBy(_._1).foldLeft(lit(defaultPpm): Column) {
+      case (acc, (s, p)) => when(col(srcCol) === s, lit(p)).otherwise(acc)
+    }
+    docs
+      .withColumn("__fppm", f)
+      .withColumn("__n",
+        expr("__fppm div 1000000") +
+          when(pmod(Sampling.hash64(col(keyCol), seed ^ EpochSalt),
+            lit(1000000L)) < expr("__fppm % 1000000"), 1L).otherwise(0L))
+      .filter(col("__n") >= 1L)
+      .withColumn("epoch_idx", explode(sequence(lit(0L), col("__n") - 1)))
+      .withColumn("shuffle_key",
+        Sampling.orderKey(col(keyCol) * lit(MaxEpochs) + col("epoch_idx"),
+          seed ^ Sampling.OrderSalt))
+      .drop("__fppm", "__n")
+  }
+
   /** Deterministic global training order: documents reordered by a keyed
     * hash (shuffle-the-corpus-once, the step between mixing and
     * [[Packing]]). The sort key is the FULL-WIDTH engine-replayable

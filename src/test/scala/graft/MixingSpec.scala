@@ -260,6 +260,53 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("upsample: whole epochs exact, fractional epochs a keyed draw, " +
+       "zero drops the source, copies carry distinct scattered order keys") {
+    val d = df((1L to 1000L).map(i =>
+        Row(i, if (i <= 400) "a" else if (i <= 800) "b" else "c", 10L)),
+      "doc_id BIGINT, source STRING, n_chars BIGINT")
+    val up = Mixing.upsample(d,
+      Map("a" -> 2300000L, "b" -> 500000L, "c" -> 0L))
+    val byDoc = up.groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct("shuffle_key").as("nk"),
+        min("epoch_idx").as("mn"), max("epoch_idx").as("mx"))
+      .collect()
+    assert(!byDoc.exists(_.getString(0) == "c"), "f=0 must drop the source")
+    byDoc.filter(_.getString(0) == "a").foreach { r =>
+      assert(r.getLong(2) == 2L || r.getLong(2) == 3L, s"a: $r")
+      assert(r.getLong(3) == r.getLong(2), "copies must have distinct keys")
+      assert(r.getLong(4) == 0L && r.getLong(5) == r.getLong(2) - 1,
+        "epoch_idx must be the dense 0..n-1 range")
+    }
+    byDoc.filter(_.getString(0) == "b").foreach { r =>
+      assert(r.getLong(2) == 1L, s"b emits 0 or 1 copies: $r")
+    }
+    // The fractional draws hit ~their rates (keyed hash, not RNG — the
+    // count is EXACT for this fixture, pinned loosely here and exactly
+    // by the x12_upsample oracle on the real corpus).
+    val aThird = byDoc.count(r => r.getString(0) == "a" && r.getLong(2) == 3L)
+    val bKept = byDoc.count(_.getString(0) == "b")
+    assert(aThird > 60 && aThird < 180, s"~30% of a gets a 3rd copy: $aThird")
+    assert(bKept > 120 && bKept < 280, s"~50% of b survives: $bKept")
+    // Partitioning invariance: the copy set is a pure row function.
+    val again = Mixing.upsample(d.repartition(17),
+        Map("a" -> 2300000L, "b" -> 500000L, "c" -> 0L))
+      .select("doc_id", "epoch_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val first = up.select("doc_id", "epoch_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(again.sameElements(first))
+    // Copies of one document scatter: their order keys are not adjacent
+    // in the global order (no two copies of a doc rank consecutively).
+    val ranked = up.filter(col("source") === "a")
+      .select("doc_id", "shuffle_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val adjacentSameDoc = ranked.sliding(2)
+      .count(p => p.length == 2 && p(0)._1 == p(1)._1)
+    assert(adjacentSameDoc <= 3,
+      s"$adjacentSameDoc adjacent same-doc copy pairs — copies cluster")
+  }
+
   test("blank and null text count 0 tokens in the supply census") {
     val d = df(Seq(Row(1L, "a", "x y"), Row(2L, "a", "   "), Row(3L, "a", null)),
       "doc_id BIGINT, source STRING, text STRING")
