@@ -2227,6 +2227,24 @@ object Oracles {
         |  UNION ALL SELECT 3 AS epoch, * FROM w3)
         |ORDER BY epoch""".stripMargin,
 
+    "x31_kanon" ->
+      // The k-anonymity audit replayed as the NAIVE per-group window
+      // the census+join formulation avoids. NULL user_id: a real
+      // group for counting (window partitions nulls together, like
+      // the engine's <=> join) but excluded from the DISTINCT group
+      // censuses in both engines.
+      """WITH g AS (
+        |  SELECT user_id, event_type,
+        |         count(*) OVER (PARTITION BY user_id, event_type) AS gs
+        |  FROM events)
+        |SELECT event_type, count(*) AS rows_total,
+        |       CAST(sum(CASE WHEN gs >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS rows_kept,
+        |       count(DISTINCT user_id) AS groups_total,
+        |       count(DISTINCT CASE WHEN gs < 10 THEN user_id END)
+        |         AS groups_suppressed
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "x12_upsample" ->
       // The epoch expansion replayed copy for copy: per-source ppm
       // factor (when-chain restated as CASE), whole epochs by integer

@@ -2029,6 +2029,24 @@ object Queries {
           lit(1000000000L))).as("copy_fp_sum"))
       .orderBy("source")
 
+  /** X31 — k-anonymity release audit ([[graft.ext.Privacy]]): events
+    * gated on the (user_id, event_type) quasi-identifier at k = 10 —
+    * a user's rows for an event type release only if they number at
+    * least 10. Output = the per-type audit a release review reads:
+    * total rows, releasable rows, group counts, suppressed groups.
+    * The oracle replays the census as the naive per-group window. */
+  def x31Kanon(s: SparkSession, d: String): DataFrame =
+    graft.ext.Privacy.kAnonymity(
+        events(s, d).select("event_id", "user_id", "event_type"),
+        Seq("user_id", "event_type"), k = 10L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("rows_total"),
+        sum(when(col("is_kanon"), 1L).otherwise(0L)).as("rows_kept"),
+        countDistinct(col("user_id")).as("groups_total"),
+        countDistinct(when(!col("is_kanon"), col("user_id")))
+          .as("groups_suppressed"))
+      .orderBy("event_type")
+
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")

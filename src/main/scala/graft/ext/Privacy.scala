@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X31 — k-anonymity suppression: the release gate that sits next to
+  * X7's PII redaction in a data-platform pipeline. Redaction scrubs
+  * DIRECT identifiers out of content; k-anonymity handles the
+  * QUASI-identifiers — combinations of ordinary columns (user ×
+  * event type, zip × age band) specific enough to re-identify someone
+  * when a group contains fewer than k rows. The standard rule: a row
+  * may only be released if at least k rows share its quasi-identifier
+  * combination; smaller groups are suppressed.
+  *
+  * Annotate-don't-filter (the [[Curation]] discipline): [[kAnonymity]]
+  * appends `group_size` and `is_kanon` so the release audit — how much
+  * data the privacy gate costs, per segment — is one aggregate over
+  * the same frame; [[suppress]] is the conjunction filter.
+  *
+  * Scale shape: ONE census aggregate over the quasi columns (map-side
+  * partial combine — group rows collapse per partition before the
+  * shuffle) + one join back co-partitioned on the same columns — the
+  * [[Dedup.softDedupWeights]] cost model. The join is null-safe on
+  * EVERY quasi column (`<=>`): NULL is a real quasi-value (all-null
+  * rows form a group), never a silent row drop. No window — the naive
+  * `count(*) OVER (PARTITION BY quasi)` ships every corpus row to its
+  * group's reducer; the census shuffles only distinct combinations. */
+object Privacy {
+
+  /** Appends `group_size` (rows sharing this row's quasi combination)
+    * and `is_kanon` (`group_size >= k`). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 1L, s"k ($k) must be >= 1")
+    val census = df
+      .groupBy(quasiCols.map(c => col(c).as(s"__q_$c")): _*)
+      .agg(count(lit(1)).as("group_size"))
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    df.join(census, cond)
+      .drop(quasiCols.map(c => s"__q_$c"): _*)
+      .withColumn("is_kanon", col("group_size") >= lit(k))
+  }
+
+  /** Only the releasable rows (groups of at least k). */
+  def suppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    kAnonymity(df, quasiCols, k).filter(col("is_kanon"))
+      .drop("group_size", "is_kanon")
+}

@@ -632,6 +632,42 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("write: a split-filtered read PRUNES to that split's files — " +
+       "partition pruning reaches the scan") {
+    // The reason the layout partitions by (split, source) at all: a
+    // reader asking for one split must touch only that directory's
+    // files — on a 100 TB corpus, reading `val` (10%) must not scan
+    // `train` (80%). Pin it at the plan level: the scan's partition
+    // filters carry the predicate and the selected file count is the
+    // split's, not the corpus's.
+    val curated = Curation.curate(docs, bench,
+      Curation.Config(minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L))
+    val dir = java.nio.file.Files.createTempDirectory("curated_prune").toString
+    Curation.write(curated, dir, numShards = 2)
+    val all = spark.read.parquet(dir)
+    val pruned = all.filter(col("split") === "val")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.isDefined, "expected the V2 file scan at the leaves")
+    val fscan = scan.get.scan
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+    assert(fscan.partitionFilters.nonEmpty,
+      "the split predicate must become a PARTITION filter")
+    val valFiles = fscan.fileIndex
+      .listFiles(fscan.partitionFilters, fscan.dataFilters)
+      .map(_.files.length).sum
+    val allFiles = fscan.fileIndex.listFiles(Nil, Nil)
+      .map(_.files.length).sum
+    assert(valFiles < allFiles && valFiles > 0,
+      s"pruned read touches $valFiles of $allFiles files — no pruning")
+    // And the pruned read's rows are exactly the split's (counted
+    // DRIVER-side from the full read, so this path cannot itself prune).
+    assert(pruned.count() ==
+      all.collect().count(_.getAs[String]("split") == "val"))
+  }
+
   test("writePacked: per-split sequences round-trip and never mix splits") {
     import graft.ext.{Packing, Sampling}
     val curated = Curation.curate(docs, bench,
