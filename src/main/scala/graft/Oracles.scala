@@ -2227,6 +2227,35 @@ object Oracles {
         |  UNION ALL SELECT 3 AS epoch, * FROM w3)
         |ORDER BY epoch""".stripMargin,
 
+    "x19_nfc_dedup" ->
+      // NFC-aware dedup replayed WITHOUT computing NFD: NFC(NFD(x)) =
+      // NFC(x) is a Unicode invariant, so the decomposed twin (+2e6)
+      // shares the composed twin's (+1e6) nfc_normalize family key and
+      // loses min-key; every survivor's fingerprint is md5 of NFC text
+      // both engines compute (JDK Normalizer and utf8proc implement
+      // the same spec). The ' é café' literal guarantees the plant has
+      // composable sequences even over ASCII-only documents.
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |tw AS (
+        |  SELECT doc_id, coalesce(text, '') || ' é café' AS text
+        |  FROM base WHERE doc_id < 10),
+        |corpus AS (
+        |  SELECT doc_id, nfc_normalize(text) AS ntext FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, nfc_normalize(text) FROM tw
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, nfc_normalize(text) FROM tw),
+        |k AS (
+        |  SELECT doc_id, ntext,
+        |         lower(trim(regexp_replace(ntext, '\s+', ' ', 'g'))) AS kt
+        |  FROM corpus),
+        |s AS (
+        |  SELECT doc_id, ntext,
+        |         doc_id = min(doc_id) OVER (PARTITION BY kt) AS keep
+        |  FROM k)
+        |SELECT doc_id, md5(coalesce(ntext, '')) AS nfc_fp
+        |FROM s WHERE keep ORDER BY doc_id""".stripMargin,
+
     "x31_kanon" ->
       // The k-anonymity audit replayed as the NAIVE per-group window
       // the census+join formulation avoids. NULL user_id: a real

@@ -2047,6 +2047,35 @@ object Queries {
           .as("groups_suppressed"))
       .orderBy("event_type")
 
+  /** X19d — Unicode-normalization-aware dedup ([[graft.functions
+    * .UnicodeNormalize]]): "café" composed (U+00E9) and decomposed
+    * (e + U+0301) are different BYTES but the same text — byte-keyed
+    * dedup norms treat them as distinct documents unless the pipeline
+    * NFC-normalizes first. The plant builds, for docs < 10, a composed
+    * twin (+10⁶, text ⧺ " é café") and its NFD-decomposed double
+    * (+2·10⁶): byte-distinct, so WITHOUT the NFC stage they are
+    * separate families; WITH it they merge and min-key keeps the
+    * composed twin. The oracle needs no NFD at all — NFC∘NFD = NFC is
+    * a Unicode invariant, so the decomposed twin's family key is
+    * `nfc_normalize` of the composed text, and survivors' fingerprints
+    * are md5 of the NFC text both engines can compute. */
+  def x19NfcDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.unicodeNormalize
+    val docs = documents(s, d).select("doc_id", "text")
+    val twins = docs.filter(col("doc_id") < 10)
+      .withColumn("text",
+        concat(coalesce(col("text"), lit("")), lit(" é café")))
+    val corpus = docs
+      .unionByName(twins.withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(twins.withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("text", unicodeNormalize(col("text"), "NFD")))
+      .withColumn("text", unicodeNormalize(col("text"), "NFC"))
+    Dedup.exactDedup(corpus)
+      .select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("nfc_fp"))
+      .orderBy("doc_id")
+  }
+
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")

@@ -555,6 +555,60 @@ object DedupLines {
   }
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) as a native codegen'd
+  * expression — the stage-0 text-canonicalization step dedup needs:
+  * "café" composed (U+00E9) and decomposed (e + U+0301) are DIFFERENT
+  * BYTES but the same text, so byte-keyed dedup norms, fingerprints,
+  * and shingles silently treat them as distinct documents. Normalizing
+  * to NFC before any text-keyed stage closes that hole; NFD exists for
+  * building test twins and for pipelines that strip combining marks.
+  *
+  * Implementation: `java.text.Normalizer` (the JDK's Unicode
+  * normalizer — the same spec utf8proc/DuckDB's `nfc_normalize`
+  * implements, so results replay cross-engine). Fast path:
+  * `isNormalized` is a scan without allocation, and most real text IS
+  * already NFC — the common case costs one check, no copy.
+  * Null in → null out; codegen is one static call so the projection
+  * stays in WholeStageCodegen. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if UnicodeNormalize.Forms.contains(form) =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: form ($form) must be one of NFC/NFD/NFKC/NFKD")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any =
+    UnicodeNormalize.compute(v.asInstanceOf[UTF8String], form)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"""graft.functions.UnicodeNormalize.compute($c, "$form")""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "unicode_normalize"
+}
+
+object UnicodeNormalize {
+  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+
+  def compute(s: UTF8String, form: String): UTF8String = {
+    val f = java.text.Normalizer.Form.valueOf(form)
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+}
+
 /** Column-API entry points for the text expressions. */
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -576,4 +630,7 @@ object TextFunctions {
 
   def dedupLines(text: Column): Column =
     column(DedupLines(expression(text)))
+
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    column(UnicodeNormalize(expression(text), form))
 }
