@@ -2076,6 +2076,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X24b — BM25 document ranking ([[graft.ext.TfIdf.bm25Rank]]): the
+    * top 10 documents for the query {data, vector, merge}, scored with
+    * the standard k1=1.2 / b=0.75. idf is the one micro-nat rounding;
+    * every other step is integer cross-multiplication with the corpus
+    * length ratio kept RATIONAL (L/N, never a float avgdl) — the
+    * oracle replays idf, both floor divisions, the per-doc sum, and
+    * the top-10 cut over the (score desc, doc_id asc) total order. */
+  def x24Bm25Rank(s: SparkSession, d: String): DataFrame =
+    graft.ext.TfIdf.bm25Rank(documents(s, d),
+        Seq("data", "vector", "merge"), k = 10)
+      .orderBy("rank")
+
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")

@@ -67,8 +67,9 @@ class PlanAuditSpec extends SparkSpec {
       // both |weeks| / |types|·|bins| sized at ANY corpus size.
       "x20_psi_drift",
       // The ONE-ROW corpus-size N cross onto the (doc, term) tf frame
-      // — the x15/x16 totals shape again.
-      "x24_tfidf_terms",
+      // — the x15/x16 totals shape again (bm25 crosses the one-row
+      // (N, L) totals the same way).
+      "x24_tfidf_terms", "x24_bm25_rank",
       // The ONE-ROW scale-safe re-key offset (floor(max(custkey)/1e5)+1)
       // ·1e5 cross onto the five new-key plants (ADVICE r10 — a fixed
       // +100000 collides at sf1); the streaming lane replays the same

@@ -52,4 +52,53 @@ class TfIdfSpec extends SparkSpec {
       TfIdf.topTerms(docs((1L, "a")), k = 0)
     }
   }
+
+  test("bm25: term saturation and length normalization behave as the " +
+       "formula demands; ranking equals a driver-side reference") {
+    // 6 docs: d1/d2 differ only in tf of 'x' (saturation: score(d2) <
+    // 2·score(d1)); d3 repeats d1's hit inside a LONGER doc (length
+    // discount: score(d3) < score(d1)); d4 has no hit; d5/d6 pad df.
+    val d = docs(
+      (1L, "x a b c"), (2L, "x x a b"), (3L, "x a b c d e f g h i"),
+      (4L, "a b c d"), (5L, "y a"), (6L, "y b"))
+    val out = TfIdf.bm25Rank(d, Seq("x", "y"), k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(!out.contains(4L), "a doc with no query term must not rank")
+    val s1 = out(1L)._1; val s2 = out(2L)._1; val s3 = out(3L)._1
+    assert(s2 > s1 && s2 < 2 * s1, s"saturation violated: $s1 vs $s2")
+    assert(s3 < s1, s"length normalization violated: $s1 vs $s3")
+    // Driver-side reference of the exact integer formula.
+    val texts = Map(1L -> "x a b c", 2L -> "x x a b",
+      3L -> "x a b c d e f g h i", 4L -> "a b c d", 5L -> "y a",
+      6L -> "y b").view.mapValues(_.split(" ").toSeq).toMap
+    val n = texts.size; val ltot = texts.values.map(_.size).sum
+    def score(id: Long): (Long, Long) = {
+      val hits = Seq("x", "y").flatMap { t =>
+        val tf = texts(id).count(_ == t)
+        if (tf == 0) None else {
+          val df = texts.values.count(_.contains(t))
+          val idf = math.round(
+            math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000.0)
+          val den = tf * 1000000L + 1200L * 250L +
+            (1200L * 750L * texts(id).size * n) / ltot
+          Some((idf * tf * 2200L * 1000L) / den)
+        }
+      }
+      (hits.sum, hits.size.toLong)
+    }
+    out.foreach { case (id, got) =>
+      assert(got == score(id), s"doc $id: $got vs reference ${score(id)}")
+    }
+  }
+
+  test("registered x24_bm25_rank: 10 ranked rows, scores descending, " +
+       "every hit counted") {
+    val out = Queries.x24Bm25Rank(spark, sfDir).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(1)).toSeq == (1L to 10L))
+    val scores = out.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(out.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 3))
+  }
 }
