@@ -473,6 +473,40 @@ object Oracles {
     * formulation) and s5_stream_sessions (the flatMapGroupsWithState
     * fold, batch-replayed) — the two engines' session sets must be
     * identical. */
+  private val bm25RankSql: String =
+    raw"""WITH l AS (
+        |  SELECT doc_id,
+        |         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS dl
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS ltot FROM l),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('data', 'vector', 'merge') GROUP BY doc_id, term),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |c AS (
+        |  SELECT f.doc_id,
+        |         CAST(round(ln(1 + (t.n - d.df + 0.5) / (d.df + 0.5))
+        |                    * 1000000) AS BIGINT)
+        |           * f.tf * 2200 * 1000 AS num,
+        |         f.tf * 1000000 + 1200 * 250 +
+        |           ((1200 * 750 * l.dl * t.n) // t.ltot) AS den
+        |  FROM tf f JOIN dfc d USING (term) JOIN l USING (doc_id), tot t),
+        |s AS (
+        |  SELECT doc_id, CAST(sum(num // den) AS BIGINT) AS bm25_micro,
+        |         count(*) AS terms_hit
+        |  FROM c GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, bm25_micro, terms_hit,
+        |         row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC)
+        |           AS rank
+        |  FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, bm25_micro, terms_hit
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   private val sessionizeSql: String =
     """WITH a AS (
       |  SELECT user_id, ts, event_id, value,
@@ -2234,38 +2268,12 @@ object Oracles {
       // avgdl as (dl·n)//ltot inside the saturation denominator, the
       // per-doc contribution sum, and the (score desc, doc_id asc)
       // top-10 window.
-      raw"""WITH l AS (
-        |  SELECT doc_id,
-        |         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS dl
-        |  FROM documents),
-        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS ltot FROM l),
-        |tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM tok
-        |  WHERE term IN ('data', 'vector', 'merge') GROUP BY doc_id, term),
-        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |c AS (
-        |  SELECT f.doc_id,
-        |         CAST(round(ln(1 + (t.n - d.df + 0.5) / (d.df + 0.5))
-        |                    * 1000000) AS BIGINT)
-        |           * f.tf * 2200 * 1000 AS num,
-        |         f.tf * 1000000 + 1200 * 250 +
-        |           ((1200 * 750 * l.dl * t.n) // t.ltot) AS den
-        |  FROM tf f JOIN dfc d USING (term) JOIN l USING (doc_id), tot t),
-        |s AS (
-        |  SELECT doc_id, CAST(sum(num // den) AS BIGINT) AS bm25_micro,
-        |         count(*) AS terms_hit
-        |  FROM c GROUP BY doc_id),
-        |r AS (
-        |  SELECT doc_id, bm25_micro, terms_hit,
-        |         row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC)
-        |           AS rank
-        |  FROM s)
-        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, bm25_micro, terms_hit
-        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      bm25RankSql,
+
+    // The persisted-index probe scores the SAME exact integers (save ->
+    // probe == fresh pinned in TfIdfSpec), so it replays the same SQL --
+    // the x15_lm_against / x16_dsir_against precedent.
+    "x24_bm25_against" -> bm25RankSql,
 
     "x19_nfc_dedup" ->
       // NFC-aware dedup replayed WITHOUT computing NFD: NFC(NFD(x)) =

@@ -2088,6 +2088,21 @@ object Queries {
         Seq("data", "vector", "merge"), k = 10)
       .orderBy("rank")
 
+  /** X24c — the persisted-inverted-index BM25 probe ([[graft.ext.TfIdf
+    * .saveIndex]] → [[graft.ext.TfIdf.bm25Against]]): the corpus is
+    * indexed ONCE per JVM (postings clustered+sorted by term, df
+    * census, totals — the [[persistedIndexDir]] discipline) and the
+    * query reads only its terms' postings. Scores are the same exact
+    * integers as [[x24Bm25Rank]], so this probe hash-matches the SAME
+    * oracle — save → probe ≡ fresh is also pinned in TfIdfSpec. */
+  def x24Bm25Against(s: SparkSession, d: String): DataFrame = {
+    val dir = persistedIndexDir("bm25_index", d)(dir =>
+      graft.ext.TfIdf.saveIndex(documents(s, d), dir))
+    graft.ext.TfIdf.bm25Against(s, dir, Seq("data", "vector", "merge"),
+        k = 10)
+      .orderBy("rank")
+  }
+
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")

@@ -105,9 +105,20 @@ object TfIdf {
       .groupBy(col(keyCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfCensus = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val contrib = tf
+    rankFromStats(tf.join(lens, keyCol), dfCensus, totals, keyCol,
+      k, k1Milli, bMilli)
+  }
+
+  /** ONE definition of the BM25 scoring + top-k over prepared stats —
+    * shared by the fresh path ([[bm25Rank]]) and the persisted-index
+    * probe ([[bm25Against]]), so the two can never disagree.
+    * `postings` = (key, term, tf, dl); `dfCensus` = (term, df);
+    * `totals` = ONE row (__n, __l). */
+  private def rankFromStats(postings: DataFrame, dfCensus: DataFrame,
+                            totals: DataFrame, keyCol: String, k: Int,
+                            k1Milli: Long, bMilli: Long): DataFrame = {
+    val contrib = postings
       .join(dfCensus, "term")
-      .join(lens, keyCol)
       .crossJoin(broadcast(totals))
       .withColumn("idf_micro",
         round(log(lit(1.0) +
@@ -126,5 +137,59 @@ object TfIdf {
       .select(col(keyCol),
         col("rank_in_group").cast("long").as("rank"),
         col("bm25_micro"), col("terms_hit"))
+  }
+
+  /** X24c — the PERSISTED inverted index ([[saveIndex]] →
+    * [[bm25Against]]): the deployment shape of corpus search. A 100 TB
+    * corpus is indexed ONCE — full postings (doc, term, tf, dl), the
+    * df census, and the (N, L) totals, as parquet — and every query
+    * after that reads ONLY its terms' postings: the postings file is
+    * written clustered-and-sorted by term, so the `term IN (…)` probe
+    * prunes at the parquet row-group level (min/max stats) instead of
+    * re-tokenizing the corpus per query. The X1h/X15/X16/X27
+    * fit-once-probe-cheaply contract applied to search; save → probe
+    * ≡ fresh [[bm25Rank]] is pinned in TfIdfSpec. */
+  def saveIndex(docs: DataFrame, dir: String, textCol: String = "text",
+                keyCol: String = "doc_id"): Unit = {
+    val toks = docs.select(col(keyCol), col(textCol))
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("dl",
+        TextAnalysis.tokenCountFromToks(col(textCol), col("__toks")))
+    val lens = toks.select(col(keyCol), col("dl"))
+    val tf = toks
+      .select(col(keyCol), explode(col("__toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(keyCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(lens, keyCol)
+      // Cluster + sort by term so a term-probe read skips row groups
+      // via parquet min/max stats — the shape that makes query-time
+      // cost proportional to the QUERY's postings, not the corpus.
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/df")
+    lens.agg(count(lit(1)).as("__n"),
+        coalesce(sum(col("dl")), lit(0L)).as("__l"))
+      .write.mode("overwrite").parquet(s"$dir/totals")
+  }
+
+  /** BM25 top-k against a [[saveIndex]] artifact — query-time cost is
+    * the query terms' postings (row-group pruned), two small joins,
+    * and the staged top-k; the corpus text is never touched. Columns
+    * read BY NAME (the r9 index discipline). */
+  def bm25Against(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  queryTerms: Seq[String], keyCol: String = "doc_id",
+                  k: Int = 10, k1Milli: Long = 1200L, bMilli: Long = 750L)
+      : DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val postings = spark.read.parquet(s"$dir/postings")
+      .select(col(keyCol), col("term"), col("tf"), col("dl"))
+      .filter(col("term").isin(queryTerms: _*))
+    val dfCensus = spark.read.parquet(s"$dir/df").select("term", "df")
+      .filter(col("term").isin(queryTerms: _*))
+    val totals = spark.read.parquet(s"$dir/totals").select("__n", "__l")
+    rankFromStats(postings, dfCensus, totals, keyCol, k, k1Milli, bMilli)
   }
 }

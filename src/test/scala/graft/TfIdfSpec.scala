@@ -92,6 +92,23 @@ class TfIdfSpec extends SparkSpec {
     }
   }
 
+  test("persisted index: save -> probe equals the fresh rank, and the " +
+       "term probe reaches the postings scan as a pushed filter") {
+    val docs5 = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    TfIdf.saveIndex(docs5, dir)
+    val probe = TfIdf.bm25Against(spark, dir, Seq("data", "vector", "merge"),
+      k = 10)
+    val fresh = TfIdf.bm25Rank(docs5, Seq("data", "vector", "merge"), k = 10)
+    assert(probe.orderBy("rank").collect().map(_.toSeq).toSeq ==
+      fresh.orderBy("rank").collect().map(_.toSeq).toSeq,
+      "probe diverged from the fresh rank")
+    // The term IN (…) predicate must reach the postings scan.
+    val scans = probe.queryExecution.executedPlan.collectLeaves()
+    assert(scans.exists(_.toString.contains("term")),
+      "expected the term filter at the postings scan")
+  }
+
   test("registered x24_bm25_rank: 10 ranked rows, scores descending, " +
        "every hit counted") {
     val out = Queries.x24Bm25Rank(spark, sfDir).collect()
