@@ -14,6 +14,57 @@ import graft.ext.Curation
   * stage boundary. */
 class PipelineE2ESpec extends SparkSpec {
 
+  test("calibrated funnel → curate → upsample(epochs) → JSONL export " +
+       "→ re-read composes; every boundary conserves what it must") {
+    import graft.ext.{Calibrate, Mixing, TextAnalysis}
+    import graft.sources.Jsonl
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    // Adaptive per-language floor, fitted on the corpus itself (the
+    // FineWeb shape), composed as a funnel quality signal.
+    val cuts = Calibrate.thresholds(
+      docs.select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("nt")),
+      "nt", "lang", minPpm = 100000L)
+    val cfg = Curation.Config(minTokens = 1L, rates = Map("en" -> 0.4),
+      seqLen = 64L, calibCuts = Some(cuts))
+    val curated = Curation.curate(docs, bench, cfg).cache()
+    try {
+      val nDocs = curated.count()
+      assert(nDocs > 0L, "the journey needs survivors")
+      // Epoch expansion: one source trains 2.0 epochs — row mass
+      // doubles EXACTLY for it (whole factors have no keep draw).
+      val src = curated.select("source").head.getString(0)
+      val up = Mixing.upsample(curated, Map(src -> 2000000L))
+      val perSrc = up.groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val basePerSrc = curated.groupBy("source")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      basePerSrc.foreach { case (s, n) =>
+        val want = if (s == src) 2 * n else n
+        assert(perSrc(s) == want, s"$s: ${perSrc(s)} vs $want")
+      }
+      // Export the expanded corpus as sharded JSONL and re-read it:
+      // the (doc_id, epoch_idx) multiset and token mass round-trip.
+      val dir = java.nio.file.Files.createTempDirectory("e2e_jsonl").toString
+      val export = up.select("doc_id", "epoch_idx", "text", "n_tok")
+        .withColumn("jk",
+          col("doc_id") * lit(Mixing.MaxEpochs) + col("epoch_idx"))
+      Jsonl.write(export, dir, numShards = 3, keyCol = "jk")
+      val back = Jsonl.read(spark, dir,
+        "doc_id BIGINT, epoch_idx BIGINT, text STRING, n_tok BIGINT, jk BIGINT")
+      assert(back.count() == up.count())
+      assert(back.agg(sum("n_tok")).head.getLong(0) ==
+        up.agg(sum("n_tok")).head.getLong(0))
+      val keysBack = back.select("jk").collect().map(_.getLong(0)).sorted
+      val keysUp = export.select("jk").collect().map(_.getLong(0)).sorted
+      assert(keysBack.sameElements(keysUp),
+        "the exported copy multiset drifted through JSONL")
+    } finally curated.unpersist()
+  }
+
   test("curate → write(shards) → audit → re-read → writePacked composes") {
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.filter(col("doc_id") < 3)
