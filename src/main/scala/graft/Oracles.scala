@@ -2275,6 +2275,10 @@ object Oracles {
     // the x15_lm_against / x16_dsir_against precedent.
     "x24_bm25_against" -> bm25RankSql,
 
+    // Merging two disjoint-shard indexes must be indistinguishable from
+    // indexing the union fresh — same full-corpus replay again.
+    "x24_bm25_merged" -> bm25RankSql,
+
     "x19_nfc_dedup" ->
       // NFC-aware dedup replayed WITHOUT computing NFD: NFC(NFD(x)) =
       // NFC(x) is a Unicode invariant, so the decomposed twin (+2e6)

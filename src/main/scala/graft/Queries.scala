@@ -2103,6 +2103,27 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** X24d — incremental index maintenance ([[graft.ext.TfIdf
+    * .mergeIndexes]]): the corpus is indexed as two DISJOINT shards
+    * (docs < 300 = "history", docs ≥ 300 = "tonight's crawl"), the two
+    * artifacts are merged WITHOUT touching either corpus's text, and
+    * the probe runs against the merged index. Every component is a
+    * mergeable statistic (postings union, df adds, totals add), so the
+    * merged probe must hash-match the SAME full-corpus oracle as
+    * [[x24Bm25Rank]] — merged ≡ fresh-on-the-union, also pinned in
+    * TfIdfSpec. Built once per JVM (the persisted-index discipline). */
+  def x24Bm25Merged(s: SparkSession, d: String): DataFrame = {
+    val dir = persistedIndexDir("bm25_merged", d) { dir =>
+      val docs = documents(s, d)
+      graft.ext.TfIdf.saveIndex(docs.filter(col("doc_id") < 300), s"$dir/a")
+      graft.ext.TfIdf.saveIndex(docs.filter(col("doc_id") >= 300), s"$dir/b")
+      graft.ext.TfIdf.mergeIndexes(s, s"$dir/a", s"$dir/b", s"$dir/m")
+    }
+    graft.ext.TfIdf.bm25Against(s, s"$dir/m",
+        Seq("data", "vector", "merge"), k = 10)
+      .orderBy("rank")
+  }
+
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")

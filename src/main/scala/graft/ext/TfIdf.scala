@@ -175,6 +175,37 @@ object TfIdf {
       .write.mode("overwrite").parquet(s"$dir/totals")
   }
 
+  /** X24d — incremental index maintenance: MERGE two [[saveIndex]]
+    * artifacts over DISJOINT document sets into one, without touching
+    * either corpus's text (the nightly-shard story for search — index
+    * today's crawl, fold it into the historical index). Every index
+    * component is a mergeable statistic: postings union (documents are
+    * disjoint, so no per-document reconciliation), df adds per term,
+    * (N, L) totals add. The merged artifact is INDISTINGUISHABLE from
+    * indexing the union corpus fresh — probe-equality pinned in
+    * TfIdfSpec, and the registered probe hash-matches the same full-
+    * corpus oracle. Caller contract: the two indexes' document key
+    * sets must be disjoint (re-indexing an updated document means
+    * remove-then-add, the X25 corpus-diff lane's job to detect). */
+  def mergeIndexes(spark: org.apache.spark.sql.SparkSession,
+                   dirA: String, dirB: String, out: String): Unit = {
+    val postings = spark.read.parquet(s"$dirA/postings")
+      .unionByName(spark.read.parquet(s"$dirB/postings"))
+    postings
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$out/postings")
+    spark.read.parquet(s"$dirA/df")
+      .unionByName(spark.read.parquet(s"$dirB/df"))
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(s"$out/df")
+    spark.read.parquet(s"$dirA/totals")
+      .unionByName(spark.read.parquet(s"$dirB/totals"))
+      .agg(sum(col("__n")).as("__n"), sum(col("__l")).as("__l"))
+      .write.mode("overwrite").parquet(s"$out/totals")
+  }
+
   /** BM25 top-k against a [[saveIndex]] artifact — query-time cost is
     * the query terms' postings (row-group pruned), two small joins,
     * and the staged top-k; the corpus text is never touched. Columns

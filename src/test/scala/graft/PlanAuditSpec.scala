@@ -70,6 +70,7 @@ class PlanAuditSpec extends SparkSpec {
       // — the x15/x16 totals shape again (bm25 crosses the one-row
       // (N, L) totals the same way).
       "x24_tfidf_terms", "x24_bm25_rank", "x24_bm25_against",
+      "x24_bm25_merged",
       // The ONE-ROW scale-safe re-key offset (floor(max(custkey)/1e5)+1)
       // ·1e5 cross onto the five new-key plants (ADVICE r10 — a fixed
       // +100000 collides at sf1); the streaming lane replays the same
@@ -225,7 +226,8 @@ class PlanAuditSpec extends SparkSpec {
     "x30_perceptron",
     // builds + SAVES the inverted index once per JVM at first
     // construction; the registered plan probes the saved postings
-    "x24_bm25_against")
+    // (the merged variant builds two shard indexes + the merge)
+    "x24_bm25_against", "x24_bm25_merged")
 
   test("top-N per group never plans a single-partition global sort or window") {
     // The operator exists to avoid the one-reducer-per-group shape; the

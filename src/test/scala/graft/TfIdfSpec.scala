@@ -109,6 +109,22 @@ class TfIdfSpec extends SparkSpec {
       "expected the term filter at the postings scan")
   }
 
+  test("merged disjoint-shard indexes are indistinguishable from " +
+       "indexing the union fresh") {
+    val docs5 = Tables.documents(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("bm25_merge").toString
+    TfIdf.saveIndex(docs5.filter(col("doc_id") % 2 === 0), s"$base/even")
+    TfIdf.saveIndex(docs5.filter(col("doc_id") % 2 =!= 0), s"$base/odd")
+    TfIdf.mergeIndexes(spark, s"$base/even", s"$base/odd", s"$base/all")
+    TfIdf.saveIndex(docs5, s"$base/fresh")
+    val terms = Seq("data", "vector", "merge")
+    val m = TfIdf.bm25Against(spark, s"$base/all", terms, k = 20)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val f = TfIdf.bm25Against(spark, s"$base/fresh", terms, k = 20)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(m == f, "merge is not equivalent to fresh indexing")
+  }
+
   test("registered x24_bm25_rank: 10 ranked rows, scores descending, " +
        "every hit counted") {
     val out = Queries.x24Bm25Rank(spark, sfDir).collect()
