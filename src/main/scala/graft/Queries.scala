@@ -2152,6 +2152,47 @@ object Queries {
     * see. Same operators, same parameters, `materialize = false`; used by
     * [[Explain]] and the plan-audit spec, never by Verify/Bench. */
   def planOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x27_pctl_against" -> ((s, d) => {
+      // Un-persisted cuts, so the dump shows the REAL serve shape: the
+      // dim-sized census+CDF feeding the broadcast gate join — not a
+      // parquet scan of the per-JVM saved model.
+      val cuts = graft.ext.Calibrate.thresholds(
+        documents(s, d).select("source", "n_chars"),
+        "n_chars", "source", minPpm = 100000L)
+      graft.ext.Calibrate.gateAgainst(
+          documents(s, d).select("doc_id", "source", "n_chars"), cuts,
+          "n_chars", "source")
+        .orderBy("doc_id")
+    }),
+    "x10_pctl_funnel" -> ((s, d) => {
+      // Un-persisted cuts (same rationale): the funnel with the fitted
+      // floor derived lazily — a pure plan showing the calib gate's
+      // broadcast join inside the annotate pass.
+      val docs = documents(s, d)
+      val bench = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val cuts = graft.ext.Calibrate.thresholds(
+        docs.select(col("lang"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tok_raw")),
+        "n_tok_raw", "lang", 100000L)
+      graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
+        rates = Map("en" -> 0.4), seqLen = 512L, calibCuts = Some(cuts)))
+    }),
+    "x30_perceptron" -> ((s, d) => {
+      // ONE epoch's aggregate with the zero-weight literals — the real
+      // per-epoch shape (the registered frame is a collected local
+      // audit, which hides the map-side-combine aggregate this IS).
+      val fc = Seq("f_one", "q_stop_hits", "q_alpha_chars",
+        "q_punct_chars", "q_tokens")
+      val feats = graft.ext.QualityScore.scored(documents(s, d))
+        .withColumn("f_one", lit(1L))
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+      val mis = graft.ext.Perceptron
+        .marginOf(Seq.fill(fc.size)(0L), fc) * col("y") <= 0L
+      feats.agg(count(when(mis, lit(1))).as("n_mis"),
+        fc.map(f => coalesce(sum(when(mis, col("y") * col(f))), lit(0L))
+          .as(s"d_$f")): _*)
+    }),
     "x26_budget_cut" -> ((s, d) => {
       // Fixed (band, leftover) instead of the construction-time band
       // census, so the dump shows the real phase-B shapes: the map-only
