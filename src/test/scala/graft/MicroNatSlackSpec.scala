@@ -195,6 +195,27 @@ class MicroNatSlackSpec extends SparkSpec {
     assert(s >= MinSlack, f"x24 idf slack $s%.3e < $MinSlack%.0e")
   }
 
+  test("x24 bm25 idf micro-nats sit >=1e-6 from rounding boundaries") {
+    // The BM25 oracle's one rounding: round(1e6·ln(1 + (N−df+½)/(df+½)))
+    // over the query terms' df values — mirror the oracle's formula
+    // exactly. df ranges over the three registered query terms PLUS
+    // every df value the corpus could hand a future term (cheap: all
+    // distinct df values of the full vocabulary), so a testdata regen
+    // landing any term near a boundary fails here first.
+    val d = docs
+    val tf = d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.count().toDouble
+    val v = log(lit(1.0) +
+      (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1e6)
+    val s = minSlack(dfc.select("df").distinct().select(v.as("v")))
+    assert(s >= MinSlack, f"bm25 idf slack $s%.3e < $MinSlack%.0e")
+  }
+
   test("x20 4-dp psi display cannot tie (no |psi_micro| = 50 mod 100)") {
     val ties = graft.ext.PsiDrift.psiByWeek(Tables.events(spark, oracleSf))
       .filter(pmod(abs(col("psi_micro")), lit(100L)) === 50L)
