@@ -4218,7 +4218,8 @@ object Oracles {
         |       coalesce((g.cum_le * 1000000) // g.tot >= 100000, FALSE)
         |         AS is_kept
         |FROM documents d
-        |LEFT JOIN g ON d.source = g.source AND d.n_chars = g.n_chars
+        |LEFT JOIN g ON d.source IS NOT DISTINCT FROM g.source
+        |           AND d.n_chars = g.n_chars
         |ORDER BY d.doc_id""".stripMargin,
 
     "x26_budget_cut" ->

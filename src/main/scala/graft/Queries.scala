@@ -1879,16 +1879,27 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def bucketedTable(s: SparkSession, d: String, base: String,
                             cols: Seq[String], bucketCol: String,
-                            numBuckets: Int): String =
-    bucketedTables.computeIfAbsent(s"$base @ $d", _ => {
-      val name = "graft_bkt_" + base + "_" +
-        java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+                            numBuckets: Int): String = {
+    // Collision-proof name: a 16-hex md5 prefix of the dataset path
+    // (String.hashCode collisions are constructible — two colliding
+    // paths would silently share one table and census the wrong
+    // corpus). The name is a pure function of (base, d), so the
+    // catalog-existence check below can recover when a NEW
+    // SparkSession in this JVM lacks the per-session catalog entry
+    // the memo was built under.
+    val name = "graft_bkt_" + base + "_" + java.security.MessageDigest
+      .getInstance("MD5").digest(d.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    def build(): String = {
       val dir = java.nio.file.Files.createTempDirectory(name).toString
       graft.sources.Bucketed.writeBucketed(
         Tables.load(s, d, base).select(cols.map(col): _*),
         name, dir, bucketCol, numBuckets)
       name
-    })
+    }
+    bucketedTables.computeIfAbsent(s"$base @ $d", _ => build())
+    if (!s.catalog.tableExists(name)) build() else name
+  }
 
   /** X28 — co-located join over bucketed tables ([[graft.sources
     * .Bucketed]]): orders and customer are stored bucketed+sorted on
@@ -1952,7 +1963,8 @@ object Queries {
           "n_chars", "source", minPpm = 100000L),
         "n_chars", "source", 100000L, dir)
     }
-    val (cuts, _) = graft.ext.Calibrate.load(s, dir)
+    val (cuts, _) = graft.ext.Calibrate.load(s, dir,
+      expectScore = Some("n_chars"), expectGroup = Some("source"))
     graft.ext.Calibrate.gateAgainst(
         documents(s, d).select("doc_id", "source", "n_chars"), cuts,
         "n_chars", "source")
@@ -1980,7 +1992,8 @@ object Queries {
           "n_tok_raw", "lang", 100000L),
         "n_tok_raw", "lang", 100000L, dir)
     }
-    val (cuts, _) = graft.ext.Calibrate.load(s, dir)
+    val (cuts, _) = graft.ext.Calibrate.load(s, dir,
+      expectScore = Some("n_tok_raw"), expectGroup = Some("lang"))
     graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
       rates = Map("en" -> 0.4), seqLen = 512L, calibCuts = Some(cuts)))
   }

@@ -56,23 +56,33 @@ object Calibrate {
   def scorePercentiles(docs: DataFrame, scoreCol: String,
                        groupCol: String,
                        broadcastCdf: Boolean = true): DataFrame = {
+    val c = cdf(docs, scoreCol, groupCol)
+    val dim = if (broadcastCdf) broadcast(c) else c
+    docs.join(dim,
+        docs(groupCol) <=> dim("__g") && docs(scoreCol) === dim("__s"),
+        "left")
+      .drop("__g", "__s")
+  }
+
+  /** ONE definition of the census → per-group integer CDF — shared by
+    * [[scorePercentiles]] and [[thresholds]] (the rankFromStats
+    * discipline: the gate ⇔ cut equivalence must hold by construction,
+    * not only by test). Output: (__g, __s, pctl_ppm) over distinct
+    * (group, non-null score) pairs. */
+  private def cdf(docs: DataFrame, scoreCol: String,
+                  groupCol: String): DataFrame = {
     val census = docs
       .filter(col(scoreCol).isNotNull)
       .groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
       .agg(count(lit(1)).as("__n"))
     val byGroup = Window.partitionBy(col("__g"))
-    val cdf = census
+    census
       .withColumn("__cum",
         sum(col("__n")).over(byGroup.orderBy(col("__s"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__tot", sum(col("__n")).over(byGroup))
       .select(col("__g"), col("__s"),
         expr("(__cum * 1000000) div __tot").as("pctl_ppm"))
-    val dim = if (broadcastCdf) broadcast(cdf) else cdf
-    docs.join(dim,
-        docs(groupCol) <=> dim("__g") && docs(scoreCol) === dim("__s"),
-        "left")
-      .drop("__g", "__s")
   }
 
   /** [[scorePercentiles]] + the keep verdict: `is_kept` ⇔ the row's
@@ -93,8 +103,9 @@ object Calibrate {
     * the smallest score whose percentile clears `minPpm` — so
     * `score >= cut_score` is EXACTLY `pctl_ppm >= minPpm` for every
     * real score (both sides of the equivalence are monotone in the
-    * same total order; pinned by test). One tiny frame
-    * (group, cut_score), derived from the same census.
+    * same total order; derived from the SAME [[cdf]] definition the
+    * row gate uses, and additionally pinned by test). One tiny frame
+    * (grp, cut_score).
     *
     * This is the deployment artifact: fit the cuts on the reference
     * corpus ONCE ([[save]]), then gating tomorrow's shard is a
@@ -105,24 +116,16 @@ object Calibrate {
                  minPpm: Long): DataFrame = {
     require(minPpm >= 0L && minPpm <= 1000000L,
       s"minPpm ($minPpm) must be in [0, 1000000]")
-    val census = docs
-      .filter(col(scoreCol).isNotNull)
-      .groupBy(col(groupCol).as("grp"), col(scoreCol).as("__s"))
-      .agg(count(lit(1)).as("__n"))
-    val byGroup = Window.partitionBy(col("grp"))
-    census
-      .withColumn("__cum",
-        sum(col("__n")).over(byGroup.orderBy(col("__s"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__tot", sum(col("__n")).over(byGroup))
-      .filter(expr("(__cum * 1000000) div __tot") >= lit(minPpm))
-      .groupBy(col("grp"))
+    cdf(docs, scoreCol, groupCol)
+      .filter(col("pctl_ppm") >= lit(minPpm))
+      .groupBy(col("__g").as("grp"))
       .agg(min(col("__s")).as("cut_score"))
   }
 
   /** Persist fitted cuts as parquet: the thresholds frame plus a
     * one-row params frame (minPpm + the fitted column names), so a
-    * probe can assert it loaded the model it expects. */
+    * probe can assert it loaded the model it expects ([[load]]'s
+    * expect* parameters). */
   def save(cuts: DataFrame, scoreCol: String, groupCol: String,
            minPpm: Long, dir: String): Unit = {
     cuts.write.mode("overwrite").parquet(s"$dir/cuts")
@@ -134,27 +137,44 @@ object Calibrate {
   }
 
   /** Load a saved cuts frame (columns read BY NAME — the r9 index
-    * discipline). */
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String)
-      : (DataFrame, Long) = {
+    * discipline). Pass `expectScore`/`expectGroup` to FAIL LOUDLY if
+    * the artifact was fitted on different columns than the probe
+    * intends — a silent mismatch would gate every row on the wrong
+    * score scale (or fail every stratum as unseen). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+           expectScore: Option[String] = None,
+           expectGroup: Option[String] = None): (DataFrame, Long) = {
     val cuts = spark.read.parquet(s"$dir/cuts").select("grp", "cut_score")
-    val minPpm = spark.read.parquet(s"$dir/params")
-      .select("min_ppm").head().getLong(0)
-    (cuts, minPpm)
+    val params = spark.read.parquet(s"$dir/params")
+      .select("min_ppm", "score_col", "group_col").head()
+    expectScore.foreach(e => require(params.getString(1) == e,
+      s"cuts at $dir were fitted on score '${params.getString(1)}', " +
+        s"probe expects '$e'"))
+    expectGroup.foreach(e => require(params.getString(2) == e,
+      s"cuts at $dir were fitted on group '${params.getString(2)}', " +
+        s"probe expects '$e'"))
+    (cuts, params.getLong(0))
   }
 
   /** Serve-time gate against FITTED cuts: appends `cut_score` (the
     * group's floor, NULL for groups the fit never saw) and `is_kept`
-    * (`score >= cut_score`; NULL score OR unknown group ⇒ false —
+    * (`score >= cut_score`; NULL score OR unknown group => false —
     * an unscored document, or one from a stratum the reference corpus
     * has no distribution for, never survives an adaptive cut by
     * default). Map-only over the corpus: the cuts frame is
-    * |groups|-sized at any corpus scale, so the join broadcasts. */
+    * |groups|-sized at any corpus scale, so the join broadcasts.
+    * Alias-safe: the cuts columns ride internal names through the
+    * join, and a pre-existing `cut_score`/`is_kept` on the input is
+    * OVERWRITTEN (re-gating replaces the previous verdict — compose
+    * passes by renaming first if both verdicts must survive). */
   def gateAgainst(docs: DataFrame, cuts: DataFrame, scoreCol: String,
                   groupCol: String): DataFrame =
-    docs.join(broadcast(cuts.select(col("grp"), col("cut_score"))),
-        docs(groupCol) <=> col("grp"), "left")
-      .drop("grp")
+    docs.drop("cut_score", "is_kept")
+      .join(broadcast(cuts.select(col("grp").as("__cal_grp"),
+          col("cut_score").as("__cal_cut"))),
+        col(groupCol) <=> col("__cal_grp"), "left")
+      .withColumn("cut_score", col("__cal_cut"))
       .withColumn("is_kept",
-        coalesce(col(scoreCol) >= col("cut_score"), lit(false)))
+        coalesce(col(scoreCol) >= col("__cal_cut"), lit(false)))
+      .drop("__cal_grp", "__cal_cut")
 }

@@ -66,11 +66,22 @@ object Perceptron {
       val mis = m * y <= 0L
       val agg = docs.agg(
         count(when(mis, lit(1))).as("__mis"),
-        featureCols.map(f =>
+        (featureCols.map(f =>
           coalesce(sum(when(mis, y * col(f).cast("long"))), lit(0L))
-            .as(s"__d_$f")): _*)
-      val r = agg.head() // bounded: ONE row of dim+1 longs per epoch
+            .as(s"__d_$f")) :+ count(lit(1)).as("__rows")): _*)
+      val r = agg.head() // bounded: ONE row of dim+2 longs per epoch
       val nMis = r.getLong(0)
+      // NULL-input guard: a NULL feature or label makes the margin
+      // NULL, silently vanishing the row from BOTH the count and the
+      // update — a trajectory that then matches no exact replay. With
+      // w = 0 the epoch-1 margin is 0, so every non-corrupt row counts
+      // misclassified; fewer means NULLs reached the fit. Fail loudly.
+      if (epoch == 1) {
+        val total = r.getLong(featureCols.size + 1)
+        require(nMis == total,
+          s"$labelCol/feature NULLs reached the fit: epoch 1 counted " +
+            s"$nMis of $total rows — coalesce or filter the inputs")
+      }
       w = w.zipWithIndex.map { case (wi, i) => wi + r.getLong(i + 1) }
       rows += Row.fromSeq(epoch.toLong +: nMis +: w)
     }

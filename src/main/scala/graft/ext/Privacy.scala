@@ -28,17 +28,25 @@ import org.apache.spark.sql.functions._
 object Privacy {
 
   /** Appends `group_size` (rows sharing this row's quasi combination)
-    * and `is_kanon` (`group_size >= k`). */
+    * and `is_kanon` (`group_size >= k`). Alias-safe: the census count
+    * rides an internal name through the join, and a pre-existing
+    * `group_size`/`is_kanon` on the input is OVERWRITTEN — re-running
+    * the gate with a different quasi set replaces the previous
+    * verdict instead of crashing on an ambiguous reference (rename
+    * first if both audits must survive). */
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
     require(k >= 1L, s"k ($k) must be >= 1")
     val census = df
       .groupBy(quasiCols.map(c => col(c).as(s"__q_$c")): _*)
-      .agg(count(lit(1)).as("group_size"))
+      .agg(count(lit(1)).as("__q_n"))
     val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
-    df.join(census, cond)
+    df.drop("group_size", "is_kanon")
+      .join(census, cond)
       .drop(quasiCols.map(c => s"__q_$c"): _*)
-      .withColumn("is_kanon", col("group_size") >= lit(k))
+      .withColumn("group_size", col("__q_n"))
+      .withColumn("is_kanon", col("__q_n") >= lit(k))
+      .drop("__q_n")
   }
 
   /** Only the releasable rows (groups of at least k). */

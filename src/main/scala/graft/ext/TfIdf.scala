@@ -80,7 +80,9 @@ object TfIdf {
     * aggregate (a |terms|-element isin — map-side, so the shuffle
     * carries only matching grams), df comes from the same pruned
     * frame, and (N, L) is a ONE-ROW broadcast cross (the x24 shape).
-    * Document length is computed in the same pass as the corpus scan.
+    * Document length RIDES the postings explode into the tf aggregate
+    * (no corpus-side lens join); the only other corpus pass is the
+    * (N, L) totals aggregate, which inherently needs every document.
     * Ties rank deterministically by (score desc, key asc). */
   def bm25Rank(docs: DataFrame, queryTerms: Seq[String],
                textCol: String = "text", keyCol: String = "doc_id",
@@ -89,6 +91,11 @@ object TfIdf {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0 && k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
       s"bad params (k=$k, k1Milli=$k1Milli, bMilli=$bMilli)")
+    // TWO corpus passes total, each tokenizing once: the (N, L) totals
+    // need EVERY document (pass A), the postings only the matching
+    // grams (pass B, with dl RIDING the explode so no third pass or
+    // corpus-side join re-derives it — shared lineage is not shared
+    // work in Spark; each subtree re-evaluates the split regex).
     val toks = docs.select(col(keyCol), col(textCol))
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       // ONE definition with the funnel/packing counts: null/blank = 0
@@ -96,17 +103,17 @@ object TfIdf {
       // the materialized array, so the split regex runs once per row.
       .withColumn("dl",
         TextAnalysis.tokenCountFromToks(col(textCol), col("__toks")))
-    val lens = toks.select(col(keyCol), col("dl"))
-    val totals = lens.agg(count(lit(1)).as("__n"),
+    val totals = toks.agg(count(lit(1)).as("__n"),
       coalesce(sum(col("dl")), lit(0L)).as("__l"))
     val tf = toks
-      .select(col(keyCol), explode(col("__toks")).as("term"))
+      .select(col(keyCol), col("dl"), explode(col("__toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col(keyCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      // dl is constant per key — max() just carries it through the
+      // same aggregate the tf count rides (map-side combined).
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfCensus = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    rankFromStats(tf.join(lens, keyCol), dfCensus, totals, keyCol,
-      k, k1Milli, bMilli)
+    rankFromStats(tf, dfCensus, totals, keyCol, k, k1Milli, bMilli)
   }
 
   /** ONE definition of the BM25 scoring + top-k over prepared stats —
@@ -155,13 +162,14 @@ object TfIdf {
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .withColumn("dl",
         TextAnalysis.tokenCountFromToks(col(textCol), col("__toks")))
-    val lens = toks.select(col(keyCol), col("dl"))
+    // dl rides the explode into the tf aggregate (bm25Rank's shape) —
+    // no corpus-side lens join, one tokenization per writing pass.
     val tf = toks
-      .select(col(keyCol), explode(col("__toks")).as("term"))
+      .select(col(keyCol), col("dl"), explode(col("__toks")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(keyCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    tf.join(lens, keyCol)
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    tf
       // Cluster + sort by term so a term-probe read skips row groups
       // via parquet min/max stats — the shape that makes query-time
       // cost proportional to the QUERY's postings, not the corpus.
@@ -170,7 +178,7 @@ object TfIdf {
       .write.mode("overwrite").parquet(s"$dir/postings")
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$dir/df")
-    lens.agg(count(lit(1)).as("__n"),
+    toks.agg(count(lit(1)).as("__n"),
         coalesce(sum(col("dl")), lit(0L)).as("__l"))
       .write.mode("overwrite").parquet(s"$dir/totals")
   }

@@ -565,11 +565,13 @@ object DedupLines {
   *
   * Implementation: `java.text.Normalizer` (the JDK's Unicode
   * normalizer — the same spec utf8proc/DuckDB's `nfc_normalize`
-  * implements, so results replay cross-engine). Fast path:
-  * `isNormalized` is a scan without allocation, and most real text IS
-  * already NFC — the common case costs one check, no copy.
-  * Null in → null out; codegen is one static call so the projection
-  * stays in WholeStageCodegen. */
+  * implements, so results replay cross-engine). Fast path: most real
+  * text IS already normalized, so the common case is one UTF-16
+  * materialization + an `isNormalized` scan and NO normalize pass or
+  * second copy (the String bridge itself is unavoidable — the JDK
+  * normalizer has no byte-level API). The form enum resolves ONCE per
+  * expression-class load, never per row. Null in → null out; codegen
+  * is one static call so the projection stays in WholeStageCodegen. */
 case class UnicodeNormalize(child: Expression, form: String)
     extends UnaryExpression {
 
@@ -601,8 +603,25 @@ case class UnicodeNormalize(child: Expression, form: String)
 object UnicodeNormalize {
   val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
 
+  // Resolved once at class load — the per-row path must not pay an
+  // enum valueOf string lookup per document.
+  private val Nfc = java.text.Normalizer.Form.NFC
+  private val Nfd = java.text.Normalizer.Form.NFD
+  private val Nfkc = java.text.Normalizer.Form.NFKC
+  private val Nfkd = java.text.Normalizer.Form.NFKD
+
+  private def formOf(form: String): java.text.Normalizer.Form =
+    form match {
+      case "NFC" => Nfc
+      case "NFD" => Nfd
+      case "NFKC" => Nfkc
+      case "NFKD" => Nfkd
+      case other =>
+        throw new IllegalArgumentException(s"unknown form $other")
+    }
+
   def compute(s: UTF8String, form: String): UTF8String = {
-    val f = java.text.Normalizer.Form.valueOf(form)
+    val f = formOf(form)
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))

@@ -79,8 +79,20 @@ class CalibrateSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_calib").toString
     Calibrate.save(Calibrate.thresholds(d, "s", "g", 100000L),
       "s", "g", 100000L, dir)
-    val (loaded, ppm) = Calibrate.load(spark, dir)
+    val (loaded, ppm) = Calibrate.load(spark, dir,
+      expectScore = Some("s"), expectGroup = Some("g"))
     assert(ppm == 100000L)
+    // A probe expecting different fit columns must fail LOUDLY, not
+    // gate on the wrong score scale.
+    intercept[IllegalArgumentException] {
+      Calibrate.load(spark, dir, expectScore = Some("n_tok"))
+    }
+    // Re-gating overwrites the previous verdict instead of crashing on
+    // an ambiguous cut_score/is_kept reference.
+    val twice = Calibrate.gateAgainst(
+      Calibrate.gateAgainst(d, loaded, "s", "g"), loaded, "s", "g")
+    assert(twice.columns.count(_ == "cut_score") == 1 &&
+      twice.columns.count(_ == "is_kept") == 1)
     val shard = df(Seq(Row("big", 1L, 9L), Row("never_seen", 2L, 999L)),
       "g STRING, doc_id BIGINT, s BIGINT")
     val gated = Calibrate.gateAgainst(shard, loaded, "s", "g")
