@@ -324,4 +324,41 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: fitted cuts == the percentile gate on random grouped " +
+       "scores, at random cut points, for every partitioning") {
+    // Random (group, score) data with nulls in both roles, duplicate
+    // scores (peers must share percentiles), and cut points sweeping
+    // the boundaries 0 / 10^6 plus interior values — the floor-division
+    // edges where an off-by-one would move a whole peer group across
+    // the cut. The shared-CDF refactor makes equivalence structural;
+    // this pins it stays true for ANY data the generators produce.
+    import graft.ext.Calibrate
+    import org.apache.spark.sql.functions.col
+    val rowGen: Gen[List[(String, Long, Option[Long])]] =
+      Gen.choose(1, 40).flatMap(k => Gen.listOfN(k, for {
+        g <- Gen.oneOf("a", "b", "c", null)
+        s <- Gen.oneOf(Gen.const(None),
+          Gen.choose(0L, 6L).map(v => Some(v)))
+      } yield (g, 0L, s)).map(_.zipWithIndex.map {
+        case ((g, _, sc), i) => (g, i.toLong, sc) }))
+    val ppms = Seq(0L, 1L, 100000L, 333333L, 500000L, 999999L, 1000000L)
+    samples(rowGen, 6).foreach { rows =>
+      val d = df(rows.map { case (g, id, sc) =>
+          Row(g, id, sc.map(Long.box).orNull) },
+        "g STRING, doc_id BIGINT, s BIGINT")
+      ppms.foreach { ppm =>
+        val direct = Calibrate.percentileGate(d, "s", "g", ppm)
+          .filter(col("is_kept")).select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+        Seq(1, 5).foreach { parts =>
+          val cuts = Calibrate.thresholds(d.repartition(parts), "s", "g", ppm)
+          val via = Calibrate.gateAgainst(d, cuts, "s", "g")
+            .filter(col("is_kept")).select("doc_id")
+            .collect().map(_.getLong(0)).toSet
+          assert(via == direct, s"ppm=$ppm parts=$parts rows=$rows")
+        }
+      }
+    }
+  }
 }
