@@ -2279,6 +2279,61 @@ object Oracles {
     // indexing the union fresh — same full-corpus replay again.
     "x24_bm25_merged" -> bm25RankSql,
 
+    "s8_stream_bm25" ->
+      // The streaming relevance scorer batch-replayed: idf re-derived
+      // from the FIT corpus (docs < 300 — df = distinct containing
+      // docs, absent terms df 0), then the same integer per-term
+      // contribution formula over every shard document; no-hit docs
+      // score 0 via the LEFT JOIN + coalesce, mirroring the engine's
+      // annotate-don't-drop.
+      raw"""WITH fit AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |l0 AS (
+        |  SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS dl
+        |  FROM fit),
+        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS ltot FROM l0),
+        |ftok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM fit WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |dfc AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM ftok
+        |  WHERE term IN ('data', 'vector', 'merge') GROUP BY term),
+        |q AS (
+        |  SELECT t.term,
+        |         CAST(round(ln(1 + (tot.n - coalesce(d.df, 0) + 0.5)
+        |                        / (coalesce(d.df, 0) + 0.5)) * 1000000)
+        |              AS BIGINT) AS idf
+        |  FROM (VALUES ('data'), ('vector'), ('merge')) t(term)
+        |  LEFT JOIN dfc d USING (term), tot),
+        |shard AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300),
+        |sdl AS (
+        |  SELECT doc_id,
+        |         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS dl
+        |  FROM shard),
+        |stok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM shard WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |stf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM stok
+        |  WHERE term IN ('data', 'vector', 'merge') GROUP BY doc_id, term),
+        |c AS (
+        |  SELECT s.doc_id,
+        |         (q.idf * s.tf * 2200 * 1000)
+        |           // (s.tf * 1000000 + 300000 +
+        |               ((1200 * 750 * d.dl * t.n) // t.ltot)) AS contrib
+        |  FROM stf s JOIN q USING (term) JOIN sdl d USING (doc_id), tot t),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_micro,
+        |         count(*) AS terms_hit
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.bm25_micro, 0) AS bm25_micro,
+        |       CAST(coalesce(a.terms_hit, 0) AS BIGINT) AS terms_hit
+        |FROM sdl d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "x19_nfc_dedup" ->
       // NFC-aware dedup replayed WITHOUT computing NFD: NFC(NFD(x)) =
       // NFC(x) is a Unicode invariant, so the decomposed twin (+2e6)

@@ -2137,6 +2137,29 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** S8 — STREAMING relevance scoring ([[graft.ext.TfIdf
+    * .scoreAgainst]]): the BM25 index is fit and saved on the history
+    * corpus (docs < 300, once per JVM), its per-term idf and (N, L)
+    * become plan literals, and "tonight's crawl" (docs ≥ 300) scores
+    * in ONE stateless projection — no joins, no aggregation, no
+    * state, so the identical code runs on a structured stream
+    * (micro-batch ≡ batch pinned in TfIdfSpec; this registration is
+    * the batch replay, the house streaming-lane discipline). A
+    * no-hit document scores 0 with `terms_hit` 0 — the stream passes
+    * every document through with its relevance, annotate-don't-drop.
+    * The oracle re-derives idf from the fit corpus and replays the
+    * integer formula per shard document. */
+  def s8StreamBm25(s: SparkSession, d: String): DataFrame = {
+    val dir = persistedIndexDir("bm25_hist", d)(dir =>
+      graft.ext.TfIdf.saveIndex(
+        documents(s, d).filter(col("doc_id") < 300), dir))
+    graft.ext.TfIdf.scoreAgainst(s, dir,
+        documents(s, d).filter(col("doc_id") >= 300),
+        Seq("data", "vector", "merge"))
+      .select("doc_id", "bm25_micro", "terms_hit")
+      .orderBy("doc_id")
+  }
+
   /** X4 — per-event-type z-score anomaly flags (|z| > 3). */
   def x4ZscoreFlags(s: SparkSession, d: String): DataFrame =
     Anomaly.zscoreFlags(events(s, d), "value", "event_type", "event_id")

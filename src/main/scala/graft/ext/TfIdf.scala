@@ -214,6 +214,65 @@ object TfIdf {
       .write.mode("overwrite").parquet(s"$out/totals")
   }
 
+  /** X24e — MAP-ONLY relevance scoring of NEW documents against a
+    * [[saveIndex]] artifact: the streaming-grade form of BM25. Ranking
+    * a corpus needs a top-k; SCORING an arriving document needs only
+    * its own (tf, dl) — computed per row from its text — and the
+    * query terms' idf + the corpus (N, L), which are MODEL constants.
+    * Those are fetched once from the saved index (a bounded
+    * ≤|queryTerms|+1-row driver read — the persisted-model params
+    * discipline) and inlined as plan LITERALS, so the whole scorer is
+    * one stateless projection: no joins, no aggregation, no state —
+    * it runs identically on a batch frame and on a structured stream
+    * (micro-batch ≡ batch pinned in TfIdfSpec), the "filter tonight's
+    * crawl for topic-relevant documents" deployment.
+    *
+    * Scoring is the SAME integer formula as [[bm25Rank]] (per-term
+    * contributions summed; a document with no query term scores 0
+    * with `terms_hit` 0), so the batch replay hash-matches a SQL
+    * oracle deriving idf from the index's fit corpus. */
+  def scoreAgainst(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   docs: DataFrame, queryTerms: Seq[String],
+                   textCol: String = "text",
+                   k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val totals = spark.read.parquet(s"$dir/totals")
+      .select("__n", "__l").head()
+    val (n, l) = (totals.getLong(0), totals.getLong(1))
+    val dfByTerm = spark.read.parquet(s"$dir/df").select("term", "df")
+      .filter(col("term").isin(queryTerms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(n > 0L && l > 0L,
+      s"index at $dir has an empty fit corpus (N=$n, L=$l)")
+    val idf = queryTerms.zipWithIndex.map { case (t, i) =>
+      val df = dfByTerm.getOrElse(t, 0L)
+      (t, i, math.round(math.log(1.0 +
+        (n - df + 0.5) / (df + 0.5)) * 1000000.0))
+    }
+    val withToks = docs
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__dl",
+        TextAnalysis.tokenCountFromToks(col(textCol), col("__toks")))
+    val scored = idf.foldLeft(withToks) { case (acc, (t, i, idfMicro)) =>
+      acc
+        .withColumn(s"__tf_$i", coalesce(
+          size(filter(col("__toks"), x => x === lit(t))).cast("long"),
+          lit(0L)))
+        .withColumn(s"__c_$i", when(col(s"__tf_$i") > 0L, expr(
+          s"($idfMicro * __tf_$i * ${k1Milli + 1000L} * 1000) div " +
+          s"(__tf_$i * 1000000 + ${k1Milli * (1000L - bMilli)} + " +
+          s"(($k1Milli * $bMilli * __dl * $n) div $l))")).otherwise(lit(0L)))
+    }
+    scored
+      .withColumn("bm25_micro",
+        idf.map { case (_, i, _) => col(s"__c_$i") }.reduce(_ + _))
+      .withColumn("terms_hit",
+        idf.map { case (_, i, _) =>
+          when(col(s"__tf_$i") > 0L, 1L).otherwise(0L) }.reduce(_ + _))
+      .drop("__toks" +: "__dl" +:
+        idf.flatMap { case (_, i, _) => Seq(s"__tf_$i", s"__c_$i") }: _*)
+  }
+
   /** BM25 top-k against a [[saveIndex]] artifact — query-time cost is
     * the query terms' postings (row-group pruned), two small joins,
     * and the staged top-k; the corpus text is never touched. Columns

@@ -226,8 +226,10 @@ class PlanAuditSpec extends SparkSpec {
     "x30_perceptron",
     // builds + SAVES the inverted index once per JVM at first
     // construction; the registered plan probes the saved postings
-    // (the merged variant builds two shard indexes + the merge)
-    "x24_bm25_against", "x24_bm25_merged")
+    // (the merged variant builds two shard indexes + the merge; the
+    // s8 scorer fits the history index and reads its tiny stats into
+    // plan literals)
+    "x24_bm25_against", "x24_bm25_merged", "s8_stream_bm25")
 
   test("top-N per group never plans a single-partition global sort or window") {
     // The operator exists to avoid the one-reducer-per-group shape; the

@@ -125,6 +125,45 @@ class TfIdfSpec extends SparkSpec {
     assert(m == f, "merge is not equivalent to fresh indexing")
   }
 
+  test("scoreAgainst is streaming-compatible: micro-batched scores " +
+       "equal the batch scorer (stateless projection, literal model)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hist = Tables.documents(spark, sfDir).filter(col("doc_id") < 300)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_s8").toString
+    TfIdf.saveIndex(hist, dir)
+    val terms = Seq("data", "vector", "merge")
+    val shardRows = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 300).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.Buffer[(Long, Long, Long)]()
+    val query = TfIdf.scoreAgainst(spark, dir, stream, terms)
+      .select("doc_id", "bm25_micro", "terms_hit")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))); () }
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-s8-ckpt").toString)
+      .start()
+    try {
+      val (a, b) = shardRows.splitAt(shardRows.length / 2)
+      input.addData(a.toSeq); query.processAllAvailable()
+      input.addData(b.toSeq); query.processAllAvailable()
+    } finally query.stop()
+    val batch = Queries.s8StreamBm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.sortBy(_._1).toArray.sameElements(batch),
+      "stream and batch relevance scores diverged")
+    assert(batch.exists(_._2 > 0) && batch.exists(_._3 == 0),
+      "fixture should have both relevant and no-hit documents")
+  }
+
   test("registered x24_bm25_rank: 10 ranked rows, scores descending, " +
        "every hit counted") {
     val out = Queries.x24Bm25Rank(spark, sfDir).collect()
