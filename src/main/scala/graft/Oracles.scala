@@ -473,16 +473,22 @@ object Oracles {
     * formulation) and s5_stream_sessions (the flatMapGroupsWithState
     * fold, batch-replayed) — the two engines' session sets must be
     * identical. */
-  private val bm25RankSql: String =
+  /** The BM25 top-10 replay over `documents WHERE pred` — ONE SQL body
+    * for the fresh rank, the persisted/merged probes (pred = TRUE) and
+    * the post-removal probe (pred = the kept set): the engine paths all
+    * share [[graft.ext.TfIdf]]'s `rankFromStats`, so their oracles must
+    * share the scoring text too. */
+  private def bm25RankSqlOn(pred: String): String =
     raw"""WITH l AS (
         |  SELECT doc_id,
         |         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
         |              ELSE len(string_split_regex(trim(text), '\s+')) END AS dl
-        |  FROM documents),
+        |  FROM documents WHERE $pred),
         |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS ltot FROM l),
         |tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |  FROM documents
+        |  WHERE ($pred) AND text IS NOT NULL AND len(trim(text)) > 0),
         |tf AS (
         |  SELECT doc_id, term, count(*) AS tf FROM tok
         |  WHERE term IN ('data', 'vector', 'merge') GROUP BY doc_id, term),
@@ -506,6 +512,26 @@ object Oracles {
         |  FROM s)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, bm25_micro, terms_hit
         |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  private val bm25RankSql: String = bm25RankSqlOn("TRUE")
+
+  /** The X8 containment replay — same shared 4-gram CTE as the
+    * x1_jaccard oracle; containment = |grams(doc) ∩ grams(bench)| /
+    * |grams(bench)|, threshold on the ROUNDED value (matching the
+    * Spark side). ONE definition bound to BOTH x8_contamination and
+    * the persisted-index probe x8_contam_against. */
+  private val contaminationSql: String =
+    ("WITH " + gram4Ctes + ",\n" +
+      """bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+        |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+        |binter AS (
+        |  SELECT g.doc_id, b.bench_id, count(*) AS i
+        |  FROM grams g JOIN bench b ON g.gram = b.gram
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, bench_id, containment FROM (
+        |  SELECT doc_id, bench_id, round(i * 1.0 / n, 4) AS containment
+        |  FROM binter JOIN bn USING (bench_id))
+        |WHERE containment >= 0.8 ORDER BY doc_id, bench_id""".stripMargin)
 
   private val sessionizeSql: String =
     """WITH a AS (
@@ -2279,6 +2305,12 @@ object Oracles {
     // indexing the union fresh — same full-corpus replay again.
     "x24_bm25_merged" -> bm25RankSql,
 
+    // Document removal must leave an artifact INDISTINGUISHABLE from
+    // indexing the remainder fresh: the same replay, documents table
+    // pre-filtered to the kept set — every idf (df AND N/L) must have
+    // shifted exactly as if the removed docs never existed.
+    "x24_bm25_removed" -> bm25RankSqlOn("NOT (doc_id % 7 = 3)"),
+
     "s8_stream_bm25" ->
       // The streaming relevance scorer batch-replayed: idf re-derived
       // from the FIT corpus (docs < 300 — df = distinct containing
@@ -2979,21 +3011,28 @@ object Oracles {
         |WHERE rank_in_group <= 5
         |ORDER BY lang, rank_in_group""".stripMargin,
 
-    "x8_contamination" ->
-      // Same shared 4-gram CTE as the x1_jaccard oracle; containment =
-      // |grams(doc) ∩ grams(bench)| / |grams(bench)|, threshold on the
-      // ROUNDED value (matching the Spark side).
-      ("WITH " + gram4Ctes + ",\n" +
-        """bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
-          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
-          |binter AS (
-          |  SELECT g.doc_id, b.bench_id, count(*) AS i
-          |  FROM grams g JOIN bench b ON g.gram = b.gram
-          |  GROUP BY 1, 2)
-          |SELECT doc_id, bench_id, containment FROM (
-          |  SELECT doc_id, bench_id, round(i * 1.0 / n, 4) AS containment
-          |  FROM binter JOIN bn USING (bench_id))
-          |WHERE containment >= 0.8 ORDER BY doc_id, bench_id""".stripMargin),
+    "x6_quota_sample" ->
+      // The exact-quota draw replayed: the ORDER-grade key (hash64 +
+      // wrapped-multiply finalizer, the x12 orderKeySql definition)
+      // and one plain window over the same (draw DESC, doc_id ASC)
+      // total order the staged top-N provably preserves.
+      s"""SELECT lang, rank_in_group, doc_id, draw FROM (
+        |  SELECT lang, doc_id, draw,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY draw DESC, doc_id ASC) AS BIGINT)
+        |           AS rank_in_group
+        |  FROM (SELECT lang, doc_id,
+        |               ${orderKeySql("doc_id", 77L)} AS draw
+        |        FROM documents))
+        |WHERE rank_in_group <= 20
+        |ORDER BY lang, rank_in_group""".stripMargin,
+
+    "x8_contamination" -> contaminationSql,
+
+    // The persisted-benchmark-index probe shares contaminationPairs'
+    // scoring tail by construction (ONE containmentFromGrams), so it
+    // hash-matches the SAME full replay — index ≡ fresh.
+    "x8_contam_against" -> contaminationSql,
 
     "x3_repetition" ->
       // Bigram repetition per language: same normalization + lead-window
@@ -3612,6 +3651,28 @@ object Oracles {
         gram4CtesFrom("cc") + ",\n" + benchGramsRawCtes + ",\n" +
         noFuzzyFunnelBody("cc")),
 
+    "x10_nfc_funnel" ->
+      // X19d composed into X10 (Config.nfcFirst): the planted NFD twin
+      // (+2e6) must share its composed sibling's (+1e6) dedup family —
+      // NFC(NFD(x)) = NFC(x), so the oracle needs only nfc_normalize
+      // (utf8proc and the JDK Normalizer implement the same spec).
+      // Corpus grams from the NFC'd planted corpus; bench grams from
+      // the RAW docs 0-2 (the engine passes the raw bench frame — NFC
+      // of the ASCII bench text is the identity). No url/history/fuzzy
+      // stages (no-ops).
+      ("WITH pn AS (\n" +
+        raw"""  SELECT doc_id, lang, nfc_normalize(text) AS text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, lang,
+          |         nfc_normalize(coalesce(text, '') || ' é café')
+          |  FROM documents WHERE doc_id < 10
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, lang,
+          |         nfc_normalize(coalesce(text, '') || ' é café')
+          |  FROM documents WHERE doc_id < 10),""".stripMargin + "\n" +
+        gram4CtesFrom("pn") + ",\n" + benchGramsRawCtes + ",\n" +
+        noFuzzyFunnelBody("pn")),
+
     "x10_xdedup_funnel" ->
       // X19c composed into X10 (the CCNet ordering — the shard-level
       // line dedup is the FIRST text operation): the planted universal
@@ -4162,6 +4223,31 @@ object Oracles {
         |       coalesce(d.n_chars >= t.cut_score, FALSE) AS is_kept
         |FROM documents d
         |LEFT JOIN cut t ON d.source IS NOT DISTINCT FROM t.source
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "s9_stream_pctl_gate" ->
+      // The streaming serve-time gate batch-replayed: cuts re-derived
+      // from the FIT corpus only (docs < 300 — the history shard), the
+      // gate one comparison per arriving document (docs >= 300). A
+      // source absent from history yields no cut row → NULL cut_score
+      // → FALSE (an unknown stratum never survives an adaptive cut).
+      """WITH c AS (
+        |  SELECT source, n_chars, count(*) AS n FROM documents
+        |  WHERE doc_id < 300 AND n_chars IS NOT NULL
+        |  GROUP BY source, n_chars),
+        |g AS (
+        |  SELECT source, n_chars,
+        |         sum(n) OVER (PARTITION BY source ORDER BY n_chars) AS cum_le,
+        |         sum(n) OVER (PARTITION BY source) AS tot
+        |  FROM c),
+        |cut AS (
+        |  SELECT source, min(n_chars) AS cut_score FROM g
+        |  WHERE (cum_le * 1000000) // tot >= 100000 GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars, t.cut_score,
+        |       coalesce(d.n_chars >= t.cut_score, FALSE) AS is_kept
+        |FROM documents d
+        |LEFT JOIN cut t ON d.source IS NOT DISTINCT FROM t.source
+        |WHERE d.doc_id >= 300
         |ORDER BY d.doc_id""".stripMargin,
 
     "x10_pctl_funnel" ->

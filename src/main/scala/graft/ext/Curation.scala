@@ -134,6 +134,19 @@ object Curation {
       // cleaning would see one giant line — the C4 recipe strips
       // boilerplate lines on the raw page text first.
       dedupLinesFirst: Boolean = false,
+      // Optional X19d stage (VERDICT r11 missing #3 — the standalone
+      // x19_nfc_dedup lane proved the hole: without this, a corpus
+      // with decomposed-form duplicates walks them past x10 dedup
+      // unless the caller pre-normalizes): when true, the text column
+      // is rewritten to Unicode NFC FIRST OF ALL — before even the
+      // cross-document line census — so composed and decomposed
+      // encodings of the same text present ONE byte form to every
+      // text-keyed stage (boilerplate line identity, dedup norms,
+      // fingerprints, shingles, redaction, token counts). Map-only
+      // ([[graft.functions.UnicodeNormalize]], codegen'd, with the
+      // already-normalized fast path), zero cost when false — the
+      // base-funnel plan pin in PlanAuditSpec enforces that.
+      nfcFirst: Boolean = false,
       // Optional X19c stage: when set, CROSS-document boilerplate
       // lines (normalized form in >= this many distinct documents) are
       // stripped FIRST — before even `dedupLinesFirst`, the CCNet
@@ -205,15 +218,22 @@ object Curation {
                fuzzyPairs: Option[DataFrame] = None,
                historyFp: Option[DataFrame] = None,
                selection: Option[DataFrame] = None): DataFrame = {
-    // X19c first of all (see Config.xdocMinDf): the corpus-global
+    // X19d zeroth of all (see Config.nfcFirst): byte-canonical Unicode
+    // before ANY text-keyed operation — a decomposed footer line must
+    // census together with its composed twin in the X19c pass below.
+    val docsN = if (cfg.nfcFirst)
+      docs0.withColumn(cfg.textCol,
+        graft.functions.TextFunctions.unicodeNormalize(col(cfg.textCol), "NFC"))
+    else docs0
+    // X19c next (see Config.xdocMinDf): the corpus-global
     // boilerplate-line strip — CCNet runs the shard-level line dedup
     // before any other text operation.
     val docs00 = cfg.xdocMinDf match {
       case Some(minDf) =>
-        TextClean.dedupLinesAcross(docs0, minDf, cfg.textCol, cfg.keyCol)
+        TextClean.dedupLinesAcross(docsN, minDf, cfg.textCol, cfg.keyCol)
           .withColumn(cfg.textCol, col("text_xdedup"))
           .drop("text_xdedup")
-      case None => docs0
+      case None => docsN
     }
     // X19 next (see Config.dedupLinesFirst/cleanFirst): map-only
     // rewrites — line dedup BEFORE the clean pass (which destroys

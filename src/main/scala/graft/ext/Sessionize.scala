@@ -66,9 +66,12 @@ object Sessionize {
         (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
           .as("duration_s"),
         // DECIMAL accumulation (the d-series discipline): a double sum
-        // is order-dependent across engines; decimal is exact, so the
-        // 2 dp round can never sit on a float boundary.
-        round(sum(col(valueCol).cast("decimal(18,4)")).cast("double"), 2)
+        // is order-dependent across engines; decimal is exact. The
+        // ROUND happens in decimal space too (ADVICE r12): rounding
+        // after the double cast lets a half-cent sum whose shortest
+        // double representation falls below .xx5 round DOWN here while
+        // the oracle's decimal round goes UP.
+        round(sum(col(valueCol).cast("decimal(18,4)")), 2).cast("double")
           .as("total_value"))
       .orderBy(col(userCol), col("session_idx"))
 }

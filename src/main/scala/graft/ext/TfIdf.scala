@@ -158,27 +158,36 @@ object TfIdf {
     * ≡ fresh [[bm25Rank]] is pinned in TfIdfSpec. */
   def saveIndex(docs: DataFrame, dir: String, textCol: String = "text",
                 keyCol: String = "doc_id"): Unit = {
+    val spark = docs.sparkSession
     val toks = docs.select(col(keyCol), col(textCol))
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .withColumn("dl",
         TextAnalysis.tokenCountFromToks(col(textCol), col("__toks")))
     // dl rides the explode into the tf aggregate (bm25Rank's shape) —
-    // no corpus-side lens join, one tokenization per writing pass.
-    val tf = toks
+    // no corpus-side lens join. TWO tokenization passes total: the
+    // postings write and the doclens write (a zero-token document has
+    // no postings row but still counts in N — the lens frame is the
+    // full document census [[removeDocs]] decrements from); df and
+    // totals then derive from RE-READS of the just-written artifacts
+    // (2–5 longs/row of parquet), not third and fourth text parses.
+    toks
       .select(col(keyCol), col("dl"), explode(col("__toks")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(keyCol), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    tf
       // Cluster + sort by term so a term-probe read skips row groups
       // via parquet min/max stats — the shape that makes query-time
       // cost proportional to the QUERY's postings, not the corpus.
       .repartition(col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/postings")
-    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    toks.select(col(keyCol), col("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$dir/df")
-    toks.agg(count(lit(1)).as("__n"),
+    spark.read.parquet(s"$dir/doclens")
+      .agg(count(lit(1)).as("__n"),
         coalesce(sum(col("dl")), lit(0L)).as("__l"))
       .write.mode("overwrite").parquet(s"$dir/totals")
   }
@@ -193,8 +202,9 @@ object TfIdf {
     * indexing the union corpus fresh — probe-equality pinned in
     * TfIdfSpec, and the registered probe hash-matches the same full-
     * corpus oracle. Caller contract: the two indexes' document key
-    * sets must be disjoint (re-indexing an updated document means
-    * remove-then-add, the X25 corpus-diff lane's job to detect). */
+    * sets must be disjoint; re-indexing an updated document is
+    * remove-then-add — [[removeDocs]] then this (the X25 corpus-diff
+    * lane detects WHICH documents changed). */
   def mergeIndexes(spark: org.apache.spark.sql.SparkSession,
                    dirA: String, dirB: String, out: String): Unit = {
     val postings = spark.read.parquet(s"$dirA/postings")
@@ -208,9 +218,65 @@ object TfIdf {
       .groupBy(col("term"))
       .agg(sum(col("df")).as("df"))
       .write.mode("overwrite").parquet(s"$out/df")
+    spark.read.parquet(s"$dirA/doclens")
+      .unionByName(spark.read.parquet(s"$dirB/doclens"))
+      .write.mode("overwrite").parquet(s"$out/doclens")
     spark.read.parquet(s"$dirA/totals")
       .unionByName(spark.read.parquet(s"$dirB/totals"))
       .agg(sum(col("__n")).as("__n"), sum(col("__l")).as("__l"))
+      .write.mode("overwrite").parquet(s"$out/totals")
+  }
+
+  /** X24f — search-index DOCUMENT REMOVAL: [[mergeIndexes]]' inverse,
+    * completing the nightly maintenance story (an updated document is
+    * remove-then-add; a takedown/opt-out is remove alone). Every index
+    * component decrements without touching any corpus text:
+    *
+    *  - postings: anti join on the key set (the only corpus-scaled
+    *    frame; one artifact scan each for the kept and removed sides);
+    *  - df: DECREMENT by the removed postings' per-term census — only
+    *    the removed documents' terms are touched, and a term whose df
+    *    hits 0 leaves the frame (its postings are gone with it);
+    *  - doclens: anti join — this is WHY the lens frame is part of the
+    *    artifact: a zero-token document has no postings row, so
+    *    postings alone cannot tell whether a removed key was ever
+    *    indexed, and (N, L) would drift by exactly those documents;
+    *  - totals: re-censused from the kept lens frame (2 longs/row) —
+    *    definitionally `count/sum` of doclens, the same derivation
+    *    [[saveIndex]] uses, so remove → add ≡ fresh holds bit-for-bit
+    *    (pinned in TfIdfSpec, and the registered probe hash-matches
+    *    the fresh-on-remainder oracle).
+    *
+    * `keys` is a DataFrame, not a driver list — a takedown set can be
+    * an X25 diff output at any scale; keys absent from the index are
+    * no-ops (anti/semi joins ignore them). `out` must differ from
+    * `dir`: the inputs are re-read while the outputs write. */
+  def removeDocs(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 keys: DataFrame, out: String,
+                 keyCol: String = "doc_id"): Unit = {
+    require(dir != out,
+      s"removeDocs must write to a NEW artifact dir (in-place overwrite " +
+        s"of $dir would corrupt the postings mid-read)")
+    val k = keys.select(col(keyCol)).distinct()
+    val postings = spark.read.parquet(s"$dir/postings")
+    postings.join(k, Seq(keyCol), "left_anti")
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$out/postings")
+    val dec = postings.join(k, Seq(keyCol), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("__dec"))
+    spark.read.parquet(s"$dir/df")
+      .join(dec, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("__dec"), lit(0L))).as("df"))
+      .filter(col("df") > 0L)
+      .write.mode("overwrite").parquet(s"$out/df")
+    spark.read.parquet(s"$dir/doclens")
+      .join(k, Seq(keyCol), "left_anti")
+      .write.mode("overwrite").parquet(s"$out/doclens")
+    spark.read.parquet(s"$out/doclens")
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(col("dl")), lit(0L)).as("__l"))
       .write.mode("overwrite").parquet(s"$out/totals")
   }
 
@@ -236,28 +302,40 @@ object TfIdf {
                    textCol: String = "text",
                    k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // Dedupe (ADVICE r11): the aggregate paths dedupe for free via
+    // isin + groupBy(term) — a duplicate here would double-count its
+    // slot into bm25_micro/terms_hit and diverge from bm25Rank on the
+    // same term list.
+    val terms = queryTerms.distinct
     val totals = spark.read.parquet(s"$dir/totals")
       .select("__n", "__l").head()
     val (n, l) = (totals.getLong(0), totals.getLong(1))
     val dfByTerm = spark.read.parquet(s"$dir/df").select("term", "df")
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(terms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(n > 0L && l > 0L,
       s"index at $dir has an empty fit corpus (N=$n, L=$l)")
-    val idf = queryTerms.zipWithIndex.map { case (t, i) =>
+    val idf = terms.zipWithIndex.map { case (t, i) =>
       val df = dfByTerm.getOrElse(t, 0L)
       (t, i, math.round(math.log(1.0 +
         (n - df + 0.5) / (df + 0.5)) * 1000000.0))
     }
+    // ONE token-array traversal for ALL query terms (the native
+    // [[graft.functions.TermCounts]] hash probe — VERDICT r11 #5: the
+    // per-term filter() HOF this replaces ran |terms| interpreted
+    // passes per row, quadratic for wide queries; measured 3.4× at a
+    // 20-term query over sf0.1, exact per-cell parity — BASELINE.md).
+    // The per-term columns below are O(1) array extracts over the
+    // counts.
     val withToks = docs
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .withColumn("__dl",
         TextAnalysis.tokenCountFromToks(col(textCol), col("__toks")))
-    val scored = idf.foldLeft(withToks) { case (acc, (t, i, idfMicro)) =>
+      .withColumn("__tc",
+        graft.functions.TextFunctions.termCounts(col("__toks"), terms))
+    val scored = idf.foldLeft(withToks) { case (acc, (_, i, idfMicro)) =>
       acc
-        .withColumn(s"__tf_$i", coalesce(
-          size(filter(col("__toks"), x => x === lit(t))).cast("long"),
-          lit(0L)))
+        .withColumn(s"__tf_$i", coalesce(get(col("__tc"), lit(i)), lit(0L)))
         .withColumn(s"__c_$i", when(col(s"__tf_$i") > 0L, expr(
           s"($idfMicro * __tf_$i * ${k1Milli + 1000L} * 1000) div " +
           s"(__tf_$i * 1000000 + ${k1Milli * (1000L - bMilli)} + " +
@@ -269,7 +347,7 @@ object TfIdf {
       .withColumn("terms_hit",
         idf.map { case (_, i, _) =>
           when(col(s"__tf_$i") > 0L, 1L).otherwise(0L) }.reduce(_ + _))
-      .drop("__toks" +: "__dl" +:
+      .drop("__toks" +: "__dl" +: "__tc" +:
         idf.flatMap { case (_, i, _) => Seq(s"__tf_$i", s"__c_$i") }: _*)
   }
 

@@ -628,6 +628,85 @@ object UnicodeNormalize {
   }
 }
 
+/** Per-term occurrence counts of a FIXED term set over a token array —
+  * the hot loop of serve-time relevance scoring ([[graft.ext.TfIdf
+  * .scoreAgainst]]) in ONE expression node.
+  *
+  * The HOF formulation this replaces ran `size(filter(toks, t = term))`
+  * once PER QUERY TERM — |terms| interpreted traversals of the full
+  * token array per row (VERDICT r11 next #5: quadratic in the wide-
+  * query case). Here ONE traversal looks each token up in a hash map
+  * built once per executor (`@transient lazy`, never per row) and
+  * returns `array<long>` of counts in the constructor's term order —
+  * O(tokens + terms) per row regardless of query width.
+  *
+  * `terms` must be distinct (a duplicate would silently alias two
+  * output slots to one map entry), non-empty, and free of the empty
+  * string (the split artifact every token consumer filters — counting
+  * it would resurrect the [''] null-text ghost). Null in → null out;
+  * codegen is one static call over a plan-referenced map, so the
+  * projection stays in WholeStageCodegen. */
+case class TermCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, s"$prettyName: terms must be non-empty")
+  require(terms.distinct.size == terms.size,
+    s"$prettyName: terms must be distinct, got $terms")
+  require(terms.forall(_.nonEmpty),
+    s"$prettyName: the empty-string term is a split artifact, not a term")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // Rebuilt per deserialization site (executor), never per row; the
+  // UTF8String keys are what the tokenizer emits, so the per-token
+  // lookup is a byte-level hash probe with no String bridge.
+  @transient private lazy val termIndex: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](terms.size * 2)
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.put(UTF8String.fromString(t), Integer.valueOf(i))
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TermCounts.compute(v.asInstanceOf[ArrayData], termIndex, terms.size)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("termIndex", termIndex,
+      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Integer>")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TermCounts.compute($c, $mapRef, ${terms.size})")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "term_counts"
+}
+
+object TermCounts {
+
+  def compute(toks: ArrayData, termIndex: java.util.HashMap[UTF8String, Integer],
+              nTerms: Int): ArrayData = {
+    val counts = new Array[Long](nTerms)
+    val m = toks.numElements()
+    var i = 0
+    while (i < m) {
+      if (!toks.isNullAt(i)) {
+        val idx = termIndex.get(toks.getUTF8String(i))
+        if (idx != null) counts(idx.intValue()) += 1L
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+}
+
 /** Column-API entry points for the text expressions. */
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -652,4 +731,7 @@ object TextFunctions {
 
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     column(UnicodeNormalize(expression(text), form))
+
+  def termCounts(toks: Column, terms: Seq[String]): Column =
+    column(TermCounts(expression(toks), terms))
 }

@@ -459,6 +459,44 @@ class CurationSpec extends SparkSpec {
       "every doc carried the planted universal footer")
   }
 
+  test("nfcFirst composes: parity with a pre-normalized corpus, decomposed " +
+       "twins drop at the dedup stage") {
+    // The xdocMinDf composition contract applied to X19d: funnel
+    // (nfcFirst) must equal the funnel over a corpus already rewritten
+    // by the standalone UnicodeNormalize — and the normalization must
+    // be OBSERVABLE: a planted NFD twin of a composed doc deduplicates
+    // with nfcFirst (one canonical per family) where the raw funnel
+    // counts both as canonical (different bytes, so no family).
+    import graft.functions.TextFunctions.unicodeNormalize
+    val twins = docs.select("doc_id", "lang", "text")
+      .filter(col("doc_id") < 10)
+      .withColumn("text",
+        concat(coalesce(col("text"), lit("")), lit(" é café")))
+    val planted = docs.select("doc_id", "lang", "text")
+      .unionByName(twins.withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(twins.withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("text", unicodeNormalize(col("text"), "NFD")))
+    val composed = Curation.funnel(planted, bench,
+      cfg.copy(nfcFirst = true)).collect().head
+    val standalone = Curation.funnel(
+      planted.withColumn("text", unicodeNormalize(col("text"), "NFC")),
+      bench, cfg).collect().head
+    assert(composed.toSeq == standalone.toSeq,
+      "composed funnel must equal the funnel over the standalone rewrite")
+    val raw0 = Curation.funnel(planted, bench, cfg).collect().head
+    val nTwins = twins.count()
+    assert(composed.getAs[Long]("n_after_dedup") ==
+      raw0.getAs[Long]("n_after_dedup") - nTwins,
+      s"each of the $nTwins decomposed twins must lose min-key to its " +
+        "composed sibling only under nfcFirst")
+    // Standalone proof the raw funnel misses every family: the NFD
+    // copies are byte-distinct, so without normalization each is its
+    // own canonical.
+    val ann = Curation.annotate(planted, bench, cfg)
+    assert(ann.filter(col("doc_id") >= 2000000L && !col("is_canonical"))
+      .count() == 0L, "raw funnel should treat NFD twins as unique")
+  }
+
   test("cleanFirst: markup-wrapped duplicates dedup; bench quotes still flag") {
     // One plain doc, one markup-wrapped twin (same text once cleaned),
     // one doc quoting the benchmark inside markup, one unrelated doc

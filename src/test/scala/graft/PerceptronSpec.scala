@@ -62,6 +62,29 @@ class PerceptronSpec extends SparkSpec {
     assert(last.getLong(1) == 0L)
   }
 
+  test("materialized-feature fit replays the text-path trajectory " +
+       "bit for bit (the k-epoch re-parse fix is result-invisible)") {
+    import graft.ext.QualityScore
+    val fc = Seq("f_one", "q_stop_hits", "q_alpha_chars", "q_punct_chars",
+      "q_tokens")
+    val feats = QualityScore.scored(Tables.documents(spark, sfDir))
+      .withColumn("f_one", lit(1L))
+      .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+    val textPath = Perceptron.fit(feats, fc, "y", epochs = 3)
+      .orderBy("epoch").collect().map(_.toSeq).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("perc_feats").toString
+    Perceptron.materializeFeatures(feats, fc, "y", dir)
+    val featPath = Perceptron.fit(
+        Perceptron.loadFeatures(spark, dir, fc, "y"), fc, "y", epochs = 3)
+      .orderBy("epoch").collect().map(_.toSeq).toSeq
+    assert(textPath == featPath,
+      "the parquet hop changed the weight trajectory")
+    // The artifact is the integer frame the replay assumes: 6 longs.
+    val schema = spark.read.parquet(dir).schema
+    assert(schema.size == 6 &&
+      schema.forall(_.dataType == org.apache.spark.sql.types.LongType))
+  }
+
   test("registered x30_perceptron: three epochs, epoch 1 counts the " +
        "whole corpus, trajectory is integral and non-trivial") {
     val out = Queries.x30Perceptron(spark, sfDir).collect()

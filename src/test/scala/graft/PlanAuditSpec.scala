@@ -70,7 +70,7 @@ class PlanAuditSpec extends SparkSpec {
       // — the x15/x16 totals shape again (bm25 crosses the one-row
       // (N, L) totals the same way).
       "x24_tfidf_terms", "x24_bm25_rank", "x24_bm25_against",
-      "x24_bm25_merged",
+      "x24_bm25_merged", "x24_bm25_removed",
       // The ONE-ROW scale-safe re-key offset (floor(max(custkey)/1e5)+1)
       // ·1e5 cross onto the five new-key plants (ADVICE r10 — a fixed
       // +100000 collides at sf1); the streaming lane replays the same
@@ -219,17 +219,23 @@ class PlanAuditSpec extends SparkSpec {
     "x29_jsonl_roundtrip",
     // fits + SAVES the per-stratum threshold cuts on first construction
     // (the x16_dsir_against persisted-model discipline); the registered
-    // plan probes the loaded parquet
-    "x27_pctl_against", "x10_pctl_funnel",
+    // plan probes the loaded parquet (s9 = the same fit on the history
+    // half, serving the shard half)
+    "x27_pctl_against", "x10_pctl_funnel", "s9_stream_pctl_gate",
     // the fit IS the operator: k epoch aggregates run at construction,
     // the registered frame is the collected per-epoch audit
     "x30_perceptron",
     // builds + SAVES the inverted index once per JVM at first
     // construction; the registered plan probes the saved postings
     // (the merged variant builds two shard indexes + the merge; the
-    // s8 scorer fits the history index and reads its tiny stats into
+    // removed variant builds the full index + the decrement; the s8
+    // scorer fits the history index and reads its tiny stats into
     // plan literals)
-    "x24_bm25_against", "x24_bm25_merged", "s8_stream_bm25")
+    "x24_bm25_against", "x24_bm25_merged", "x24_bm25_removed",
+    "s8_stream_bm25",
+    // shingles + SAVES the benchmark index once per JVM at first
+    // construction; the registered plan probes the loaded grams
+    "x8_contam_against")
 
   test("top-N per group never plans a single-partition global sort or window") {
     // The operator exists to avoid the one-reducer-per-group shape; the
@@ -296,6 +302,15 @@ class PlanAuditSpec extends SparkSpec {
     // keeper census, the contamination shingle pass, and the one-row
     // audit aggregate. Any future optional gate that adds a scan, a
     // shuffle, a window, or a join while DISABLED fails here.
+    //
+    // Cache hygiene: earlier query constructions (x1_jaccard_pairs)
+    // .cache() a shingle frame whose subtree structurally matches the
+    // contamination pass here — Spark would substitute
+    // InMemoryTableScan for the file scan and the pinned counts would
+    // measure the SUITE's cache state, not the funnel's plan. Clearing
+    // is correctness-neutral: the memoized registered queries pin via
+    // RDD localCheckpoint, which the SQL cache manager does not track.
+    spark.sharedState.cacheManager.clearCache()
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.filter("doc_id < 3")
       .selectExpr("doc_id as bench_id", "text")

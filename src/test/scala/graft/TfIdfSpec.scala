@@ -125,6 +125,83 @@ class TfIdfSpec extends SparkSpec {
     assert(m == f, "merge is not equivalent to fresh indexing")
   }
 
+  test("removeDocs: the decremented index probes identically to a fresh " +
+       "index on the remainder — zero-token documents included") {
+    // doc 4 is NULL-text (dl 0, NO postings rows): its removal must
+    // still decrement N — a postings-only decrement would leave idf
+    // fit on N=6 while the fresh remainder index has N=4, shifting
+    // every score. doc 2 removes a term ('vector') entirely: its df
+    // row must LEAVE the frame, not linger at 0.
+    val d = docs(
+      (1L, "data data merge"),
+      (2L, "vector vector"),
+      (3L, "data merge merge"),
+      (4L, null),
+      (5L, "data"),
+      (6L, "merge data noise"))
+    val base = java.nio.file.Files.createTempDirectory("bm25_rm").toString
+    TfIdf.saveIndex(d, s"$base/full")
+    val removeKeys = d.filter(col("doc_id").isin(2L, 4L)).select("doc_id")
+    TfIdf.removeDocs(spark, s"$base/full", removeKeys, s"$base/kept")
+    TfIdf.saveIndex(d.filter(!col("doc_id").isin(2L, 4L)), s"$base/fresh")
+    val terms = Seq("data", "vector", "merge")
+    for (sub <- Seq("postings", "df", "doclens", "totals")) {
+      val got = spark.read.parquet(s"$base/kept/$sub")
+      val want = spark.read.parquet(s"$base/fresh/$sub")
+      assert(got.collect().map(_.toSeq).sortBy(_.mkString).toSeq ==
+        want.collect().map(_.toSeq).sortBy(_.mkString).toSeq,
+        s"$sub diverged from the fresh remainder index")
+    }
+    val probe = TfIdf.bm25Against(spark, s"$base/kept", terms, k = 10)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val fresh = TfIdf.bm25Against(spark, s"$base/fresh", terms, k = 10)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(probe == fresh, "post-removal probe diverged from fresh")
+    // 'vector' left the df frame entirely (df hit 0).
+    assert(spark.read.parquet(s"$base/kept/df")
+      .filter(col("term") === "vector").isEmpty)
+    // In-place removal is rejected (the inputs are re-read mid-write).
+    intercept[IllegalArgumentException] {
+      TfIdf.removeDocs(spark, s"$base/full", removeKeys, s"$base/full")
+    }
+  }
+
+  test("remove-then-add equals fresh: re-indexing an updated document " +
+       "via removeDocs + mergeIndexes is invisible to the probe") {
+    val v1 = docs((1L, "data merge"), (2L, "old old stale"), (3L, "vector"))
+    val v2Doc2 = docs((2L, "data vector fresh"))
+    val after = docs((1L, "data merge"), (2L, "data vector fresh"),
+      (3L, "vector"))
+    val base = java.nio.file.Files.createTempDirectory("bm25_rma").toString
+    TfIdf.saveIndex(v1, s"$base/v1")
+    TfIdf.saveIndex(v2Doc2, s"$base/delta")
+    TfIdf.removeDocs(spark, s"$base/v1",
+      v2Doc2.select("doc_id"), s"$base/less")
+    TfIdf.mergeIndexes(spark, s"$base/less", s"$base/delta", s"$base/v2")
+    TfIdf.saveIndex(after, s"$base/freshv2")
+    val terms = Seq("data", "vector", "merge", "stale")
+    val got = TfIdf.bm25Against(spark, s"$base/v2", terms, k = 10)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val want = TfIdf.bm25Against(spark, s"$base/freshv2", terms, k = 10)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(got == want, "remove-then-add is not equivalent to fresh")
+  }
+
+  test("scoreAgainst dedupes duplicate query terms (aggregate-path parity)") {
+    val d = docs((1L, "data data vector"), (2L, "merge"), (3L, "data"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25_dup").toString
+    TfIdf.saveIndex(d, dir)
+    val once = TfIdf.scoreAgainst(spark, dir, d, Seq("data", "vector"))
+      .select("doc_id", "bm25_micro", "terms_hit")
+      .collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+    val duped = TfIdf.scoreAgainst(spark, dir, d,
+        Seq("data", "vector", "data", "data"))
+      .select("doc_id", "bm25_micro", "terms_hit")
+      .collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+    assert(once == duped,
+      "duplicate query terms double-counted into bm25_micro/terms_hit")
+  }
+
   test("scoreAgainst is streaming-compatible: micro-batched scores " +
        "equal the batch scorer (stateless projection, literal model)") {
     import spark.implicits._
