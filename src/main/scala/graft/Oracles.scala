@@ -3034,6 +3034,15 @@ object Oracles {
     // hash-matches the SAME full replay — index ≡ fresh.
     "x8_contam_against" -> contaminationSql,
 
+    // The streaming gate batch-replayed: survivors = the COMPLEMENT of
+    // the same containment CTE (a doc with >= 0.8 of any benchmark's
+    // 4-grams drops; null/short docs have no grams and survive).
+    "s10_stream_decontam" ->
+      ("WITH " + gram4Ctes + ",\n" + benchGramsRawCtes + "\n" +
+        """SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+          |ORDER BY doc_id""".stripMargin),
+
     "x3_repetition" ->
       // Bigram repetition per language: same normalization + lead-window
       // gram construction as the x1_jaccard oracle (n=2); docs with no

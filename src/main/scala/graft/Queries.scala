@@ -1038,6 +1038,31 @@ object Queries {
       expectN = Some(4))
   }
 
+  /** S10 — STREAMING decontamination ([[graft.stream.StreamingDecontam
+    * .contamDropStreamAgainst]]): the benchmark shingle index is fit
+    * and saved once per JVM (the SAME artifact x8_contam_against
+    * probes), its per-benchmark gram sets become the dim-sized static
+    * side, and arriving documents gate through ONE stateless
+    * projection (native per-row gram set) + ONE stream-static anti
+    * join carrying the exact containment verify — no aggregation, no
+    * state, so the identical code runs on a structured stream
+    * (micro-batch ≡ batch pinned in StreamingDecontamSpec; this
+    * registration is the batch replay, the house streaming-lane
+    * discipline). The oracle is the COMPLEMENT of the x8 containment
+    * CTE: survivors = documents minus the contaminated set. */
+  def s10StreamDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = persistedIndexDir("bench_shingles", d)(dir =>
+      Dedup.saveBenchShingles(
+        docs.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("bench_id"), col("text")),
+        dir, n = 4))
+    graft.stream.StreamingDecontam.contamDropStreamAgainst(
+        docs, graft.stream.StreamingDecontam.benchGramSets(s, dir),
+        n = 4, minContainment = 0.8)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** X9 — sequence packing (concat-and-chunk): the documents' token
     * stream chunked into 512-token training sequences via the two-level
     * prefix sum; every (document, sequence) span is emitted. Small

@@ -71,6 +71,12 @@ class PlanAuditSpec extends SparkSpec {
       // (N, L) totals the same way).
       "x24_tfidf_terms", "x24_bm25_rank", "x24_bm25_against",
       "x24_bm25_merged", "x24_bm25_removed",
+      // The streaming decontamination gate: deliberately ONE broadcast
+      // non-equi anti join of the corpus against the |benchmark|-row
+      // gram-set frame (dim-sized BY DEFINITION — eval suites vs a
+      // 100 TB corpus), carrying the exact containment verify as the
+      // join condition — the s6/x2_topk bounded-static-side shape.
+      "s10_stream_decontam",
       // The ONE-ROW scale-safe re-key offset (floor(max(custkey)/1e5)+1)
       // ·1e5 cross onto the five new-key plants (ADVICE r10 — a fixed
       // +100000 collides at sf1); the streaming lane replays the same
@@ -234,8 +240,10 @@ class PlanAuditSpec extends SparkSpec {
     "x24_bm25_against", "x24_bm25_merged", "x24_bm25_removed",
     "s8_stream_bm25",
     // shingles + SAVES the benchmark index once per JVM at first
-    // construction; the registered plan probes the loaded grams
-    "x8_contam_against")
+    // construction; the registered plan probes the loaded grams (the
+    // s10 stream gate reads the same artifact's params row at plan
+    // time — the s8 literal-model discipline)
+    "x8_contam_against", "s10_stream_decontam")
 
   test("top-N per group never plans a single-partition global sort or window") {
     // The operator exists to avoid the one-reducer-per-group shape; the
