@@ -1738,6 +1738,26 @@ object Oracles {
         |              AS BIGINT) AS rank
         |  FROM s) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "x2_hard_negatives" ->
+      // The banded top-k replayed: same cosine/6-dp/tiebreak discipline
+      // as x2_topk_cosine, with the [0, 0.95] band applied to the
+      // ROUNDED sim before the window — the engine filters before its
+      // bounded aggregate at exactly the same values.
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, cand_id,
+        |         round(list_inner_product(qv, cv) /
+        |               sqrt(list_inner_product(qv, qv) * list_inner_product(cv, cv)), 6) AS sim
+        |  FROM q JOIN c ON cand_id <> query_id),
+        |b AS (SELECT * FROM s WHERE sim >= 0.0 AND sim <= 0.95)
+        |SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+        |  SELECT query_id, cand_id AS neighbor_id, round(sim, 4) AS cosine_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id)
+        |              AS BIGINT) AS rank
+        |  FROM b) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "x2_mrl_topk" ->
       // BOTH stages replayed: candidate ranking on the 16-component
       // prefix (6-dp rounded sim, id tiebreak — the engine's ranking

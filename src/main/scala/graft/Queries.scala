@@ -781,6 +781,20 @@ object Queries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** X2g — hard-negative mining ([[graft.ext.Similarity
+    * .hardNegatives]]): per query, the 5 most-similar candidates in
+    * the [0.0, 0.95] cosine band — related enough to be informative,
+    * below the near-dup gate so no positive leaks into the negative
+    * set (the contrastive-training data need). Deterministic (6-dp
+    * sim, id tiebreak), so the oracle replays the band filter and the
+    * ranking exactly; duplicate exclusion proven with a planted copy
+    * in SimilaritySpec. */
+  def x2HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+      k = 5, minSim = 0.0, maxSim = 0.95)
+  }
+
   /** X2f — Matryoshka two-stage retrieval: 16-of-64-dim candidate
     * search (k·4 = 20 candidates), exact full-dim re-rank to k = 5.
     * Deterministic end to end — the oracle replays BOTH stages (the

@@ -95,16 +95,50 @@ object Similarity {
     * across engines computing the same double math. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     simBand: Option[(Double, Double)] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
     val topk = udaf(new TopKAggregator(k))
-    c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
         round(cosine(col("qvec"), col("cvec")), 6).as("sim"))
+    // Band filter on the 6-dp ROUNDED sim (the ranking value), so the
+    // band edge is engine-exact: a candidate at exactly the bound is
+    // in or out identically here and in the SQL replay.
+    val banded = simBand match {
+      case Some((lo, hi)) =>
+        scored.filter(col("sim") >= lo && col("sim") <= hi)
+      case None => scored
+    }
+    banded
       .groupBy("query_id")
       .agg(topk(col("cand_id"), col("sim")).as("topk"))
       .transform(ranked)
+  }
+
+  /** X2g — HARD-NEGATIVE mining for contrastive/embedding training:
+    * per query, the k most-similar candidates INSIDE a cosine band —
+    * above `minSim` (related enough to be informative: a random
+    * negative teaches nothing) and at or below `maxSim` (the near-dup
+    * gate: anything above it is a positive/duplicate, and a false
+    * negative that similar actively corrupts the loss). This is
+    * [[bruteForceTopK]] with the band filter pushed BEFORE the bounded
+    * top-k aggregate — same one-corpus-scan / broadcast-queries /
+    * map-side-combined aggregator shape, so the mining cost equals a
+    * plain top-k at any corpus size. A query with no candidate in the
+    * band yields no rows (annotate upstream if empty-negative queries
+    * must be visible). Deterministic (6-dp sim, id tiebreak), so the
+    * whole selection hash-matches a SQL replay; duplicate-exclusion
+    * behavior pinned in SimilaritySpec with a planted exact copy. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    minSim: Double, maxSim: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(minSim <= maxSim,
+      s"empty band: minSim ($minSim) > maxSim ($maxSim)")
+    bruteForceTopK(corpus, queries, k, idCol, vecCol,
+      simBand = Some((minSim, maxSim)))
   }
 
   /** X2f — Matryoshka two-stage retrieval (MRL, Kusupati et al. 2022:

@@ -43,7 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     // x2_mrl_topk's stage 1 IS bruteForceTopK on the truncated prefix —
     // the same deliberate broadcast non-equi (cand_id != query_id) join
     // as x2_topk_cosine; stage 2 is equi-joined.
-    Set("g3_in_set", "x2_topk_cosine", "x2_mrl_topk", "x2_quant_topk",
+    Set("g3_in_set", "x2_topk_cosine", "x2_hard_negatives", "x2_mrl_topk",
+      "x2_quant_topk",
       "x1_embed_neardup",
       "x2_semdedup", "s2_stream_dedup", "x11_skew_profile",
       "x12_temperature_mix",

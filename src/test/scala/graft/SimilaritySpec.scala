@@ -38,6 +38,34 @@ class SimilaritySpec extends SparkSpec {
     assert(res(2) == (3L, 1L)) // rank 3: orthogonal beats antiparallel
   }
 
+  test("hardNegatives excludes planted duplicates above the band and " +
+       "uninformative candidates below it; equals banded brute force") {
+    // Corpus: the query's exact copy (sim 1.0 — a POSITIVE, must not
+    // leak into the negative set), a hard negative at ~45°, a mild one
+    // near orthogonal, and an antiparallel one below the floor.
+    val corpus = df(Seq(
+      Row(10L, vec(1, 0, 0, 0)),     // exact copy of the query → excluded (> 0.95)
+      Row(11L, vec(1, 1, 0, 0)),     // sim ≈ 0.707 → the hardest negative
+      Row(12L, vec(0.1, 1, 0, 0)),   // sim ≈ 0.0995 → mild negative
+      Row(13L, vec(-1, 0, 0, 0))),   // sim -1 → below the floor, excluded
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val query = df(Seq(Row(0L, vec(1, 0, 0, 0))),
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val got = Similarity.hardNegatives(corpus, query, k = 5,
+        minSim = 0.0, maxSim = 0.95)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(11L, 12L),
+      "band must keep exactly the informative negatives, hardest first")
+    // And the plain top-k WOULD have ranked the duplicate first — the
+    // band is what keeps the positive out of the negative set.
+    val plain = Similarity.bruteForceTopK(corpus, query, k = 1)
+      .collect().head.getAs[Long]("neighbor_id")
+    assert(plain == 10L)
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(corpus, query, 5, minSim = 0.9, maxSim = 0.1)
+    }
+  }
+
   test("mrlTopK at full dims equals brute force; truncated stage bounds candidates") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)
