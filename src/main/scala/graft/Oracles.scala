@@ -515,6 +515,25 @@ object Oracles {
 
   private val bm25RankSql: String = bm25RankSqlOn("TRUE")
 
+  /** The round-trip / layout census replayed from the ORIGINAL
+    * parquet: the engine censuses what it read back out of the
+    * exported/rewritten files, the oracle censuses what was there
+    * before — equality is the losslessness proof (the md5-prefix fp
+    * sum makes any single escaped-byte divergence visible). NULL
+    * text: md5(NULL) is NULL in both engines, so it drops from the fp
+    * sum and is pinned by the explicit null count instead. ONE
+    * definition bound to x29 (JSONL), x32 (CSV), and x33
+    * (compaction). */
+  private val docCensusSql: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+      |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_null_text,
+      |       CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+      |            % 1000000000) AS BIGINT) AS text_fp_sum
+      |FROM documents GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   /** The X8 containment replay — same shared 4-gram CTE as the
     * x1_jaccard oracle; containment = |grams(doc) ∩ grams(bench)| /
     * |grams(bench)|, threshold on the ROUNDED value (matching the
@@ -4214,22 +4233,13 @@ object Oracles {
         |GROUP BY c.c_mktsegment
         |ORDER BY mktsegment""".stripMargin,
 
-    "x29_jsonl_roundtrip" ->
-      // The JSONL round trip replayed from the ORIGINAL parquet: the
-      // engine censuses what it read back out of the JSON files, the
-      // oracle censuses what was there before the export — equality is
-      // the losslessness proof (the md5-prefix fp sum makes any single
-      // escaped-byte divergence visible). NULL text: md5(NULL) is NULL
-      // in both engines, so it drops from the fp sum and is pinned by
-      // the explicit null count instead.
-      """SELECT source, lang, count(*) AS n_docs,
-        |       CAST(sum(n_chars) AS BIGINT) AS char_sum,
-        |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
-        |            AS BIGINT) AS n_null_text,
-        |       CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
-        |            % 1000000000) AS BIGINT) AS text_fp_sum
-        |FROM documents GROUP BY source, lang
-        |ORDER BY source, lang""".stripMargin,
+    "x29_jsonl_roundtrip" -> docCensusSql,
+
+    // The CSV round trip and the compaction rewrite bind to the SAME
+    // original-parquet census: losslessness (x32) and layout-only-ness
+    // (x33) are the same proof shape.
+    "x32_csv_roundtrip" -> docCensusSql,
+    "x33_compact_verify" -> docCensusSql,
 
     "x27_pctl_against" ->
       // The persisted-cut gate replayed from scratch: the per-source

@@ -1401,11 +1401,14 @@ object Queries {
   }
 
   /** X10r — the funnel driven by a CHECKED-IN recipe file
-    * (`recipes/base_curation.json` → [[graft.ext.CurationRecipe]] →
-    * Config — the SuiteLoader/ScorerConfig authoring discipline: the
-    * recipe a training run used is a reviewed, diffable artifact, not
-    * code). Proves the file → Config → funnel loop end-to-end against
-    * the oracle. No fuzzy pair frame — recipes CONFIGURE; detector
+    * (`src/main/resources/recipes/base_curation.json` →
+    * [[graft.ext.CurationRecipe]] → Config — the SuiteLoader/
+    * ScorerConfig authoring discipline: the recipe a training run used
+    * is a reviewed, diffable artifact, not code). Loaded from the
+    * CLASSPATH, not the working directory — a library query must not
+    * assume the caller's cwd (r12: a bench harness launched from
+    * another directory failed exactly that way). Proves the file →
+    * Config → funnel loop end-to-end against the oracle. No fuzzy pair frame — recipes CONFIGURE; detector
     * frames are pipeline arguments — so the fuzzy stage is the
     * documented no-op, and the oracle is assembled from the existing
     * shared parts (gram4Ctes + benchGramsRawCtes + noFuzzyFunnelBody),
@@ -1415,7 +1418,7 @@ object Queries {
     val bench = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("bench_id"), col("text"))
     graft.ext.Curation.funnel(docs, bench,
-      graft.ext.CurationRecipe.load("recipes/base_curation.json"))
+      graft.ext.CurationRecipe.loadResource("recipes/base_curation.json"))
   }
 
   /** X10h — the funnel with the C4 RULE BUNDLE as the quality stage
@@ -2057,6 +2060,21 @@ object Queries {
     * parquet, so one byte changed by JSON escaping/unescaping anywhere
     * in the corpus (embedded newlines, quotes, non-BMP chars) breaks
     * the hash — the round trip must be lossless. */
+  /** ONE content-census definition shared by every round-trip / layout
+    * lane (x29 JSONL, x32 CSV, x33 compaction): doc count, char sum,
+    * null-text count, and the md5-prefix fingerprint sum per (source,
+    * lang) — one escaped byte anywhere in any text breaks the hash.
+    * All three lanes bind to the SAME oracle census over the original
+    * parquet. */
+  private def docCensus(df: DataFrame): DataFrame =
+    df.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("char_sum"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+        sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"),
+          lit(1000000000L))).as("text_fp_sum"))
+      .orderBy("source", "lang")
+
   def x29JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = persistedIndexDir("graft_jsonl", d)(dir =>
       graft.sources.Jsonl.write(documents(s, d), dir, numShards = 4))
@@ -2064,14 +2082,36 @@ object Queries {
     // 5-column DDL would silently drop any column the documents table
     // gains, and the "lossless round trip" proof would stop covering
     // the full row width — the exact drift this lane exists to catch.
-    graft.sources.Jsonl.read(s, dir, documents(s, d).schema.toDDL)
-      .groupBy("source", "lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("char_sum"),
-        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
-        sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"),
-          lit(1000000000L))).as("text_fp_sum"))
-      .orderBy("source", "lang")
+    docCensus(graft.sources.Jsonl.read(s, dir, documents(s, d).schema.toDDL))
+  }
+
+  /** X32 — CSV round trip ([[graft.sources.Csv]]): the corpus exported
+    * as 4 sharded CSV files (written once per JVM), re-read under the
+    * derived schema in FAILFAST + multiLine mode, and censused — the
+    * same losslessness proof as x29 for the format most likely to
+    * corrupt silently (delimiters, quotes, and newlines INSIDE
+    * values). Same oracle census as x29. */
+  def x32CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = persistedIndexDir("graft_csv", d)(dir =>
+      graft.sources.Csv.write(documents(s, d), dir, numShards = 4))
+    docCensus(graft.sources.Csv.read(s, dir, documents(s, d).schema.toDDL))
+  }
+
+  /** X33 — small-file compaction ([[graft.sources.Compact]]): the
+    * corpus is deliberately fragmented into 64 parquet files, compacted
+    * back to target-sized files (one, at this sf), and the read-back
+    * census must hash-match the same original-parquet oracle as
+    * x29/x32 — compaction is layout-only by contract. The file-count
+    * reduction itself is pinned in CompactSpec. */
+  def x33CompactVerify(s: SparkSession, d: String): DataFrame = {
+    val dir = persistedIndexDir("graft_compact", d) { dir =>
+      documents(s, d).repartition(64, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/frag")
+      graft.sources.Compact.compact(s, s"$dir/frag", s"$dir/out",
+        targetFileBytes = 64L << 20)
+      ()
+    }
+    docCensus(s.read.parquet(s"$dir/out"))
   }
 
   /** X27b — the PERSISTED-threshold gate ([[graft.ext.Calibrate

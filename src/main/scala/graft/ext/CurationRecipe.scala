@@ -192,4 +192,20 @@ object CurationRecipe {
     val yaml = path.endsWith(".yaml") || path.endsWith(".yml")
     parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)), yaml)
   }
+
+  /** [[load]] from the library's own CLASSPATH (leading slash optional)
+    * — for recipes that SHIP WITH the engine jar: a filesystem path is
+    * relative to the process working directory, which a library must
+    * not assume (the registered recipe query failed under a bench
+    * harness launched from another directory — cwd is the caller's,
+    * not the repo's). Checked-in pipeline recipes keep using [[load]];
+    * this is for the engine's own bundled defaults. */
+  def loadResource(resource: String): Curation.Config = {
+    val path = if (resource.startsWith("/")) resource else s"/$resource"
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"recipe resource $path not on the classpath")
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    parse(text, path.endsWith(".yaml") || path.endsWith(".yml"))
+  }
 }

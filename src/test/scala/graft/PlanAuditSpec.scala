@@ -221,9 +221,10 @@ class PlanAuditSpec extends SparkSpec {
     // writes the two bucketed tables once per JVM at first construction
     // (the layout investment the co-located join amortizes)
     "x28_bucketed_join",
-    // exports the JSONL shards once per JVM at first construction (the
-    // x10-writer discipline); the registered plan is the read-back census
-    "x29_jsonl_roundtrip",
+    // exports the JSONL/CSV shards (and the fragment + compaction
+    // rewrite) once per JVM at first construction (the x10-writer
+    // discipline); the registered plan is the read-back census
+    "x29_jsonl_roundtrip", "x32_csv_roundtrip", "x33_compact_verify",
     // fits + SAVES the per-stratum threshold cuts on first construction
     // (the x16_dsir_against persisted-model discipline); the registered
     // plan probes the loaded parquet (s9 = the same fit on the history
