@@ -3537,6 +3537,42 @@ object Oracles {
         |       CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4
         |FROM counted GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x7_card_scan" ->
+      // The card plants replayed arithmetically — the corpus has no
+      // digits (engine-checked by the zero candidate count off the
+      // plants), so candidates/valid per doc are pure functions of
+      // doc_id, and the redacted text is constructed directly: valid
+      // cards become <CARD>, invalid candidates survive byte-for-byte.
+      // %17 wins over %19 like the engine's when-chain. NULL text
+      // null-propagates through the plant in both engines.
+      """WITH planted AS (
+        |  SELECT source, doc_id,
+        |         CASE WHEN doc_id % 17 = 0 THEN
+        |                text || ' pay 4111111111111111 or 4539 5787 6362 1486 now'
+        |              WHEN doc_id % 19 = 0 THEN
+        |                text || ' order 4111111111111112 ref 1234567890123 end'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |scanned AS (
+        |  SELECT source,
+        |         CASE WHEN text IS NULL THEN NULL
+        |              WHEN doc_id % 17 = 0 THEN 2
+        |              WHEN doc_id % 19 = 0 THEN 2 ELSE 0 END AS n_cand,
+        |         CASE WHEN text IS NULL THEN NULL
+        |              WHEN doc_id % 17 = 0 THEN 2 ELSE 0 END AS n_valid,
+        |         CASE WHEN doc_id % 17 = 0 AND text IS NOT NULL THEN
+        |                replace(replace(text, '4111111111111111', '<CARD>'),
+        |                        '4539 5787 6362 1486', '<CARD>')
+        |              ELSE text END AS redacted
+        |  FROM planted)
+        |SELECT source, count(*) AS n_docs,
+        |       count(CASE WHEN n_valid > 0 THEN 1 END) AS docs_with_card,
+        |       COALESCE(CAST(sum(n_cand) AS BIGINT), 0) AS n_candidates,
+        |       COALESCE(CAST(sum(n_valid) AS BIGINT), 0) AS n_valid,
+        |       CAST(sum(CAST(('0x' || substr(md5(redacted), 1, 15)) AS BIGINT)
+        |            % 1000000000) AS BIGINT) AS redacted_fp_sum
+        |FROM scanned GROUP BY 1 ORDER BY source""".stripMargin,
+
     "x5_header_parse" ->
       // The planted header fields re-derived from the generation
       // formulas: doc_id%3 picks the container; width/height/rate/

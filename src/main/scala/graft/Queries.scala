@@ -1022,6 +1022,40 @@ object Queries {
     graft.ext.Pii.scanSummary(planted)
   }
 
+  /** X7b — checksum-validated payment-card scan ([[graft.ext.Pii
+    * .redactCards]] over the native [[graft.functions.CardScan]]): the
+    * corpus carries no digits, so the plants are the ONLY candidates —
+    * every 17th doc gains two Luhn-VALID cards (one contiguous, one
+    * 4-4-4-4 separated), every 19th two Luhn-INVALID candidates (a
+    * tampered PAN and a 13-digit order number). Valid cards redact to
+    * `<CARD>`; invalid candidates must survive UNTOUCHED (regex-only
+    * redaction would destroy them — the over-redaction this operator
+    * exists to avoid). The oracle replays the plant arithmetic and the
+    * redacted text line for line — the Luhn logic itself is pinned
+    * against known PANs in PiiSpec. */
+  def x7CardScan(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 17 === 0,
+        concat(col("text"),
+          lit(" pay 4111111111111111 or 4539 5787 6362 1486 now")))
+        .when(col("doc_id") % 19 === 0,
+          concat(col("text"),
+            lit(" order 4111111111111112 ref 1234567890123 end")))
+        .otherwise(col("text")))
+    graft.ext.Pii.redactCards(planted)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_card_valid") > 0, lit(1))).as("docs_with_card"),
+        coalesce(sum(col("n_card_candidates").cast("long")), lit(0L))
+          .as("n_candidates"),
+        coalesce(sum(col("n_card_valid").cast("long")), lit(0L))
+          .as("n_valid"),
+        sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long"), lit(1000000000L))).as("redacted_fp_sum"))
+      .orderBy("source")
+  }
+
   /** X8 — benchmark decontamination: the first three documents stand in
     * as the "benchmark" set; every corpus document containing ≥80% of a
     * benchmark doc's 4-grams flags (the benchmark docs themselves at

@@ -59,4 +59,21 @@ object Pii {
       kinds.foldLeft(col(textCol)) { case (c, (kind, re)) =>
         regexp_replace(c, re, s"<${kind.toUpperCase}>")
       })
+
+  /** X7b — CHECKSUM-VALIDATED payment-card scan + conditional
+    * redaction ([[graft.functions.CardScan]], one native traversal per
+    * row): a 13–19-digit run is only a CANDIDATE — order numbers and
+    * tracking ids match the same shape — so redaction is gated on the
+    * ISO-7812 Luhn check, which a regex cannot express and
+    * `regexp_replace` cannot apply per match. Regex-only redaction
+    * OVER-redacts (corrupting exactly the ids a training corpus should
+    * keep); this replaces only Luhn-valid matches with `<CARD>` and
+    * counts both populations for the audit. Adds `n_card_candidates`,
+    * `n_card_valid`, and rewrites `textCol`. Map-only, no shuffle. */
+  def redactCards(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("__cs", graft.functions.TextFunctions.cardScan(col(textCol)))
+      .withColumn("n_card_candidates", col("__cs.n_candidates"))
+      .withColumn("n_card_valid", col("__cs.n_valid"))
+      .withColumn(textCol, col("__cs.redacted"))
+      .drop("__cs")
 }

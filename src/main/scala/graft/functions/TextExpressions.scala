@@ -707,6 +707,100 @@ object TermCounts {
   }
 }
 
+/** Checksum-validated payment-card scan — candidates, Luhn-valid
+  * count, and the conditionally-redacted text in ONE traversal (X7b).
+  *
+  * Why a native expression and not regex alone: a 13–19-digit run is
+  * only a CANDIDATE — order numbers, tracking ids, and timestamps
+  * match the same pattern, and a regex-only redactor destroys them
+  * (over-redaction corrupts training text), while leaving real PANs
+  * needs the ISO-7812 Luhn mod-10 check that regular expressions
+  * cannot express. `regexp_replace` has no per-match predicate, so
+  * conditional redaction requires per-match logic — here one
+  * java.util.regex scan per row with a Luhn verify per candidate,
+  * replacing only VALID matches with `<CARD>`.
+  *
+  * Output: struct(n_candidates, n_valid, redacted). Candidates are
+  * contiguous 13–19-digit runs or the common 4-4-4-4 grouping with a
+  * CONSISTENT space/hyphen separator (mixed separators are not a card
+  * — the backreference is fine here because this pattern never needs
+  * a SQL replay: the registered lane's oracle replays a deterministic
+  * PLANT, and the Luhn logic itself is pinned against known-valid /
+  * known-invalid PANs in PiiSpec). Null in → null out; one static
+  * call, stays in WholeStageCodegen. */
+case class CardScan(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_candidates", IntegerType, nullable = false),
+    StructField("n_valid", IntegerType, nullable = false),
+    StructField("redacted", StringType, nullable = true)))
+
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any =
+    CardScan.compute(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CardScan.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "card_scan"
+}
+
+object CardScan {
+
+  // 13–19 contiguous digits, or 4-4-4-4 with ONE consistent separator.
+  // \b guards keep a 20-digit run from yielding a 19-digit "card".
+  private val Candidate = java.util.regex.Pattern.compile(
+    "\\b(?:\\d{13,19}|\\d{4}([ -])\\d{4}\\1\\d{4}\\1\\d{4})\\b")
+
+  /** ISO-7812 Luhn mod-10 over the digits of `s` (separators skipped). */
+  def luhnValid(s: CharSequence): Boolean = {
+    var sum = 0; var pos = 0; var i = s.length - 1
+    while (i >= 0) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var d = c - '0'
+        if (pos % 2 == 1) { d *= 2; if (d > 9) d -= 9 }
+        sum += d; pos += 1
+      }
+      i -= 1
+    }
+    pos > 0 && sum % 10 == 0
+  }
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val m = Candidate.matcher(s)
+    var nCand = 0; var nValid = 0
+    var out: java.lang.StringBuilder = null
+    var last = 0
+    while (m.find()) {
+      nCand += 1
+      if (luhnValid(s.subSequence(m.start(), m.end()))) {
+        nValid += 1
+        if (out == null) out = new java.lang.StringBuilder(s.length)
+        out.append(s, last, m.start()).append("<CARD>")
+        last = m.end()
+      }
+    }
+    val red =
+      if (out == null) text // zero valid matches: zero-copy passthrough
+      else { out.append(s, last, s.length)
+        UTF8String.fromString(out.toString) }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nCand, nValid, red))
+  }
+}
+
 /** Column-API entry points for the text expressions. */
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -734,4 +828,7 @@ object TextFunctions {
 
   def termCounts(toks: Column, terms: Seq[String]): Column =
     column(TermCounts(expression(toks), terms))
+
+  def cardScan(text: Column): Column =
+    column(CardScan(expression(text)))
 }

@@ -47,6 +47,54 @@ class PiiSpec extends SparkSpec {
       "multi: <EMAIL> and <IPV4> and <PHONE>")
   }
 
+  test("card scan: Luhn gates redaction — valid PANs redact, invalid " +
+       "candidates survive byte-for-byte, separators handled") {
+    import graft.functions.CardScan.luhnValid
+    // Known PANs: the classic test numbers are Luhn-valid; a one-digit
+    // tamper breaks the checksum.
+    assert(luhnValid("4111111111111111"))
+    assert(luhnValid("4539 5787 6362 1486"))
+    assert(luhnValid("378282246310005")) // 15-digit Amex
+    assert(!luhnValid("4111111111111112"))
+    assert(!luhnValid("1234567890123"))
+    val rows = df(Seq(
+      Row(1L, "pay 4111111111111111 now"),
+      Row(2L, "grouped 4539-5787-6362-1486 ok"),
+      Row(3L, "order 4111111111111112 is not a card"),
+      Row(4L, "tracking 12345678901234567890 too long"), // 20 digits: no \b match
+      Row(5L, "mixed 4539 5787-6362 1486 separators"),   // inconsistent: not a card
+      Row(6L, null),
+      Row(7L, "no digits at all")),
+      "doc_id BIGINT, text STRING")
+    val out = Pii.redactCards(rows).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+    assert(out(1L) == ("pay <CARD> now", 1, 1))
+    assert(out(2L) == ("grouped <CARD> ok", 1, 1))
+    assert(out(3L) == ("order 4111111111111112 is not a card", 1, 0),
+      "an invalid candidate must survive untouched")
+    assert(out(4L)._2 == 0, "a 20-digit run is not a 19-digit card")
+    assert(out(5L)._2 == 0, "mixed separators are not a card")
+    assert(out(6L) == ((null, -1, -1)))
+    assert(out(7L) == (("no digits at all", 0, 0)))
+  }
+
+  test("registered x7_card_scan: every 17th doc redacts two cards, " +
+       "every 19th keeps its two invalid candidates") {
+    val rows = Queries.x7CardScan(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    val valid17 = docs.filter(col("doc_id") % 17 === 0 &&
+      col("text").isNotNull).count()
+    val invalid19 = docs.filter(col("doc_id") % 17 =!= 0 &&
+      col("doc_id") % 19 === 0 && col("text").isNotNull).count()
+    assert(rows.map(_.getAs[Long]("docs_with_card")).sum == valid17)
+    assert(rows.map(_.getAs[Long]("n_valid")).sum == 2 * valid17)
+    assert(rows.map(_.getAs[Long]("n_candidates")).sum ==
+      2 * valid17 + 2 * invalid19)
+  }
+
   test("registered x7_pii_scan finds exactly the planted contacts") {
     val rows = Queries.x7PiiScan(spark, sfDir).collect()
     val plantedDocs = Tables.documents(spark, sfDir)
