@@ -51,6 +51,13 @@ object Compact {
       .min(Int.MaxValue.toLong).toInt
     spark.read.parquet(dir)
       .repartition(nOut, col(keyCol))
+      // Sort within each output file: without this, intra-file row
+      // order depends on the INPUT files' scan order and the
+      // byte-stability claim above would only hold set-wise. Key-sorted
+      // files also restore parquet min/max row-group pruning on the
+      // key — fragmented ingest typically interleaves key ranges, so
+      // compaction is the moment clustering is recoverable for free.
+      .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(out)
     val outFiles = fs.listStatus(new Path(out))
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

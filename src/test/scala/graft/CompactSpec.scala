@@ -24,6 +24,23 @@ class CompactSpec extends SparkSpec {
     assert(got == want, "compaction changed content — it must be layout-only")
   }
 
+  test("compacted row order is input-fragmentation-invariant (key-sorted " +
+       "within each output file)") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_compact3").toString
+    docs.repartition(32, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$base/fragA")
+    docs.repartition(7, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$base/fragB")
+    Compact.compact(spark, s"$base/fragA", s"$base/outA")
+    Compact.compact(spark, s"$base/fragB", s"$base/outB")
+    val a = spark.read.parquet(s"$base/outA").collect().map(_.getLong(0)).toSeq
+    val b = spark.read.parquet(s"$base/outB").collect().map(_.getLong(0)).toSeq
+    assert(a == b,
+      "same corpus, different fragmentation must compact to the same order")
+    assert(a == a.sorted, "each output file must be key-sorted")
+  }
+
   test("output file count tracks the byte target; in-place rejected; " +
        "empty dir rejected") {
     val docs = Tables.documents(spark, sfDir)
