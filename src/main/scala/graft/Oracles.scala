@@ -4276,6 +4276,7 @@ object Oracles {
     // (x33) are the same proof shape.
     "x32_csv_roundtrip" -> docCensusSql,
     "x33_compact_verify" -> docCensusSql,
+    "x34_orc_roundtrip" -> docCensusSql,
 
     "x27_pctl_against" ->
       // The persisted-cut gate replayed from scratch: the per-source

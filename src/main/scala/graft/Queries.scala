@@ -2131,6 +2131,19 @@ object Queries {
     docCensus(graft.sources.Csv.read(s, dir, documents(s, d).schema.toDDL))
   }
 
+  /** X34 — ORC round trip ([[graft.sources.Orc]]): the corpus exported
+    * as 4 sharded ORC files (written once per JVM), re-read under the
+    * schema-drift contract, and censused — the warehouse-interchange
+    * leg of the losslessness matrix (x29 JSONL, x32 CSV). ORC is
+    * binary and self-describing, so the lane's real work is proving
+    * the drift check passes on a faithful write and the census still
+    * hash-matches the original parquet. Same oracle census as x29. */
+  def x34OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = persistedIndexDir("graft_orc", d)(dir =>
+      graft.sources.Orc.write(documents(s, d), dir, numShards = 4))
+    docCensus(graft.sources.Orc.read(s, dir, documents(s, d).schema))
+  }
+
   /** X33 — small-file compaction ([[graft.sources.Compact]]): the
     * corpus is deliberately fragmented into 64 parquet files, compacted
     * back to target-sized files (one, at this sf), and the read-back
