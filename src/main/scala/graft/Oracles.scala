@@ -4277,6 +4277,56 @@ object Oracles {
     "x32_csv_roundtrip" -> docCensusSql,
     "x33_compact_verify" -> docCensusSql,
     "x34_orc_roundtrip" -> docCensusSql,
+    "x19_fix_mojibake" ->
+      // The planted damage vocabulary replays as a literal replace
+      // chain (\u escapes mirror the plant; U+009F is invisible) --
+      // exact because clean corpus text is ASCII and the repair's
+      // strict round-trip condition passes it through untouched (see
+      // Queries.x19FixMojibake / FixMojibakeSpec).
+      ("""WITH planted AS (
+        |  SELECT source,
+        |         CASE WHEN doc_id % 7 = 3
+        |              THEN coalesce(text, '') ||
+        |                ' caf\u00c3\u00a9 \u00e2\u20ac\u201d""" +
+        """ don\u00e2\u20ac\u2122t stra\u00c3\u009fe'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, text,
+        |         replace(replace(replace(replace(text,
+        |           '\u00c3\u00a9', '\u00e9'),
+        |           '\u00e2\u20ac\u201d', '\u2014'),
+        |           '\u00e2\u20ac\u2122', '\u2019'),
+        |           '\u00c3\u009f', '\u00df') AS fixed
+        |  FROM planted)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(count(CASE WHEN fixed IS DISTINCT FROM text THEN 1 END)
+        |            AS BIGINT) AS n_repaired,
+        |       CAST(sum(length(fixed)) AS BIGINT) AS fixed_chars,
+        |       CAST(sum(CAST(('0x' || substr(md5(fixed), 1, 15)) AS BIGINT)
+        |            % 1000000000) AS BIGINT) AS fixed_fp_sum
+        |FROM f GROUP BY source ORDER BY source""").stripMargin,
+    "x3_word_blocklist" ->
+      """WITH planted AS (
+        |  SELECT source,
+        |         CASE WHEN doc_id % 13 = 5
+        |              THEN coalesce(text, '') || ' Slow VECTOR flagged'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |h AS (
+        |  SELECT source,
+        |         CASE WHEN text IS NULL THEN NULL
+        |              ELSE len(list_filter(
+        |                regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |                t -> t IN ('vector', 'merge', 'slow', 'customer')))
+        |              END AS hits
+        |  FROM planted)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(count(CASE WHEN hits > 0 THEN 1 END) AS BIGINT)
+        |         AS n_flagged,
+        |       CAST(sum(hits) AS BIGINT) AS hits_sum,
+        |       CAST(max(hits) AS BIGINT) AS max_hits
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     "x27_pctl_against" ->
       // The persisted-cut gate replayed from scratch: the per-source

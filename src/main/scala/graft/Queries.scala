@@ -2344,6 +2344,61 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X19e — encoding-damage repair ([[graft.functions.FixMojibake]]):
+    * every 7th document gains a suffix of UTF-8-read-as-cp1252 junk
+    * (cafÃ© / â€” / donâ€™t /
+    * straÃe — Latin-1 two-byte, cp1252 three-byte, and the
+    * invisible-C1 case), the whole corpus runs through the repair, and
+    * the per-source census fingerprints the REPAIRED text — one byte
+    * of over- or under-repair anywhere breaks the hash. The oracle
+    * replays the planted damage vocabulary as a literal replace chain
+    * (exact because clean corpus text is ASCII and passes through
+    * untouched — the strict round-trip condition FixMojibakeSpec
+    * pins); the general repair has no SQL replay (no Latin-1 codec in
+    * the oracle engine). Map-only, zero shuffles before the census. */
+  def x19FixMojibake(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.fixMojibake
+    val damaged = " caf\u00c3\u00a9 \u00e2\u20ac\u201d" +
+      " don\u00e2\u20ac\u2122t stra\u00c3\u009fe"
+    val planted = documents(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(7L)) === 3L,
+        concat(coalesce(col("text"), lit("")), lit(damaged)))
+        .otherwise(col("text")))
+    planted.withColumn("fixed", fixMojibake(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(!(col("fixed") <=> col("text")), 1)).as("n_repaired"),
+        sum(length(col("fixed"))).as("fixed_chars"),
+        sum(pmod(conv(substring(md5(col("fixed")), 1, 15), 16, 10)
+          .cast("long"), lit(1000000000L))).as("fixed_fp_sum"))
+      .orderBy("source")
+  }
+
+  /** X3i — blocklist page gate ([[graft.functions.BlocklistHits]], the
+    * C4 "bad words" filter): one byte-level traversal per document
+    * counts token-exact hits against a fixed word set (O(text) per
+    * row, independent of list size — the scale contract a 2k-word
+    * production list needs). Every 13th document gains a MIXED-CASE
+    * plant so the census proves ASCII case folding, not just matching.
+    * The oracle replays the exact token semantics as
+    * list_filter(regexp_split_to_array(lower(text))). */
+  def x3WordBlocklist(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.blocklistHits
+    val blocklist = Seq("vector", "merge", "slow", "customer")
+    val planted = documents(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(13L)) === 5L,
+        concat(coalesce(col("text"), lit("")), lit(" Slow VECTOR flagged")))
+        .otherwise(col("text")))
+    planted
+      .withColumn("hits", blocklistHits(col("text"), blocklist))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("hits") > 0L, 1)).as("n_flagged"),
+        sum(col("hits")).as("hits_sum"),
+        max(col("hits")).as("max_hits"))
+      .orderBy("source")
+  }
+
   /** X24b — BM25 document ranking ([[graft.ext.TfIdf.bm25Rank]]): the
     * top 10 documents for the query {data, vector, merge}, scored with
     * the standard k1=1.2 / b=0.75. idf is the one micro-nat rounding;

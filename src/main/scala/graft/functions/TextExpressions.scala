@@ -801,6 +801,220 @@ object CardScan {
   }
 }
 
+/** Blocklist word-hit count over raw text — the C4 "bad words" page
+  * gate's hot loop in ONE expression node (X3i).
+  *
+  * The published C4 pipeline drops any page containing a word from a
+  * fixed blocklist (the "List of Dirty, Naughty …" filter); at corpus
+  * scale that list is thousands of words, and the two obvious Spark
+  * formulations both fail it: a `rlike` alternation of k words is a
+  * backtracking Java-regex scan whose cost grows with k, and
+  * `filter(split(text), t -> array_contains(...))` materializes the
+  * token array and runs an interpreted lambda doing an O(k) array
+  * probe per token. Here ONE byte-level traversal of the UTF8String
+  * tokenizes in place (ASCII word chars `[A-Za-z0-9_]`, everything
+  * else — including every byte of a multi-byte char — is a
+  * separator, matching RE2's ASCII `\W`), lowercases ASCII into a
+  * reusable scratch buffer, and probes a HashSet built once per
+  * executor — O(text bytes) per row, independent of list size.
+  *
+  * Contract: `words` must be distinct, non-empty, and already in
+  * canonical form (lowercase ASCII word chars only) — anything else
+  * is unmatchable by construction and rejected eagerly. Tokens longer
+  * than the longest word skip the probe but still consume. Returns
+  * the TOTAL hit count (the page gate is `hits > 0`; the count is
+  * free and feeds ratio heuristics). Null in → null out; codegen is
+  * one static call, stays in WholeStageCodegen. The token semantics
+  * replay exactly in the oracle as
+  * `list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), …)`. */
+case class BlocklistHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  require(words.nonEmpty, s"$prettyName: words must be non-empty")
+  require(words.distinct.size == words.size,
+    s"$prettyName: words must be distinct, got $words")
+  require(words.forall(w => w.nonEmpty &&
+      w.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_')),
+    s"$prettyName: words must be lowercase ASCII word chars ([a-z0-9_]+); " +
+      s"offenders: ${words.filterNot(w => w.nonEmpty && w.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'))}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  private val maxLen = words.map(_.length).max
+
+  // Rebuilt per executor, never per row (the TermCounts discipline).
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    BlocklistHits.compute(v.asInstanceOf[UTF8String], wordSet, maxLen)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", wordSet,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BlocklistHits.compute($c, $setRef, $maxLen)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "blocklist_hits"
+}
+
+object BlocklistHits {
+
+  def compute(text: UTF8String,
+              words: java.util.HashSet[UTF8String], maxLen: Int): Long = {
+    val n = text.numBytes
+    val scratch = new Array[Byte](maxLen)
+    var hits = 0L
+    var tokLen = 0
+    var i = 0
+    // i == n is a virtual trailing separator closing the last token.
+    while (i <= n) {
+      val b = if (i < n) text.getByte(i) & 0xFF else 0
+      val isWord = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9') || b == '_'
+      if (isWord) {
+        if (tokLen < maxLen) {
+          scratch(tokLen) =
+            (if (b >= 'A' && b <= 'Z') b + 32 else b).toByte
+        }
+        tokLen += 1 // true length — a too-long token overflows past maxLen
+      } else if (tokLen > 0) {
+        if (tokLen <= maxLen &&
+            words.contains(UTF8String.fromBytes(scratch, 0, tokLen))) hits += 1L
+        tokLen = 0
+      }
+      i += 1
+    }
+    hits
+  }
+}
+
+/** Encoding-damage repair — UTF-8 text that was decoded as
+  * Latin-1/Windows-1252 and re-encoded ("cafÃ©", "donâ€™t"), restored
+  * in ONE whole-string round trip (X19e, the ftfy core heuristic).
+  *
+  * Crawl corpora are full of this damage: a page's UTF-8 bytes read
+  * under the wrong single-byte charset turn every non-ASCII character
+  * into 2–4 junk characters, and every text operator downstream
+  * (dedup norms, token counts, LM scoring) then sees different
+  * "words" for the same content. The repair condition is strict and
+  * self-verifying: every char of the string must map back to a
+  * single byte (chars ≤ 0xFF as themselves, plus the 27
+  * Windows-1252 specials like €/™/’/— mapping back to 0x80–0x9F),
+  * and the resulting byte string must STRICTLY decode as UTF-8 with
+  * at least one multi-byte sequence. Real text almost never passes
+  * by accident — a lone é is a malformed continuation byte — so
+  * clean text (ASCII, CJK, properly-encoded accents) passes through
+  * untouched, by construction rather than by heuristic confidence.
+  * Up to 3 rounds handles the double-encoded case ("cafÃƒÂ©").
+  *
+  * Null in → null out; zero-copy passthrough when no repair applies;
+  * one static call, stays in WholeStageCodegen. Not SQL-replayable in
+  * general (the oracle's engine has no Latin-1 codec) — the
+  * registered lane plants a FINITE damage vocabulary, which replays
+  * as a literal replace chain, and FixMojibakeSpec pins the general
+  * fixtures. */
+case class FixMojibake(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    FixMojibake.compute(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FixMojibake.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "fix_mojibake"
+}
+
+object FixMojibake {
+
+  /** char → original byte for the Windows-1252 specials (0x80–0x9F).
+    * U+0080–U+009F themselves also map (a Latin-1 decoder passes the
+    * control range through); the two sets don't overlap. */
+  private val Cp1252Inverse: java.util.HashMap[Character, java.lang.Byte] = {
+    val pairs = Seq(
+      0x20AC -> 0x80, 0x201A -> 0x82, 0x0192 -> 0x83, 0x201E -> 0x84,
+      0x2026 -> 0x85, 0x2020 -> 0x86, 0x2021 -> 0x87, 0x02C6 -> 0x88,
+      0x2030 -> 0x89, 0x0160 -> 0x8A, 0x2039 -> 0x8B, 0x0152 -> 0x8C,
+      0x017D -> 0x8E, 0x2018 -> 0x91, 0x2019 -> 0x92, 0x201C -> 0x93,
+      0x201D -> 0x94, 0x2022 -> 0x95, 0x2013 -> 0x96, 0x2014 -> 0x97,
+      0x02DC -> 0x98, 0x2122 -> 0x99, 0x0161 -> 0x9A, 0x203A -> 0x9B,
+      0x0153 -> 0x9C, 0x017E -> 0x9E, 0x0178 -> 0x9F)
+    val m = new java.util.HashMap[Character, java.lang.Byte](64)
+    pairs.foreach { case (c, b) =>
+      m.put(Character.valueOf(c.toChar), java.lang.Byte.valueOf(b.toByte))
+    }
+    m
+  }
+
+  def compute(text: UTF8String): UTF8String = {
+    var cur = text.toString
+    var changed = false
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 3) {
+      val fixed = repairOnce(cur)
+      if (fixed == null) done = true
+      else { cur = fixed; changed = true; rounds += 1 }
+    }
+    if (!changed) text else UTF8String.fromString(cur)
+  }
+
+  /** One repair round, or null when the string is not (or no longer)
+    * repairable — pure ASCII, chars outside the single-byte image, or
+    * bytes that don't strictly decode as UTF-8. */
+  private def repairOnce(s: String): String = {
+    val n = s.length
+    var hasHigh = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c > 0xFF && !Cp1252Inverse.containsKey(Character.valueOf(c)))
+        return null
+      if (c >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return null
+    val bytes = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      bytes(i) =
+        if (c <= 0xFF) c.toByte
+        else Cp1252Inverse.get(Character.valueOf(c)).byteValue()
+      i += 1
+    }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+}
+
 /** Column-API entry points for the text expressions. */
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -831,4 +1045,10 @@ object TextFunctions {
 
   def cardScan(text: Column): Column =
     column(CardScan(expression(text)))
+
+  def blocklistHits(text: Column, words: Seq[String]): Column =
+    column(BlocklistHits(expression(text), words))
+
+  def fixMojibake(text: Column): Column =
+    column(FixMojibake(expression(text)))
 }
