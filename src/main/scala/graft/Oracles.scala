@@ -3573,6 +3573,51 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS redacted_fp_sum
         |FROM scanned GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "s11_stream_scrub" ->
+      // The scrub replayed arithmetically (the x7_card_scan
+      // discipline): the corpus has no digits or '@', so every match
+      // is a plant — valid cards and the email redact, the invalid
+      // candidates survive, the phone redacts. %17 wins over %19 like
+      // the engine's when-chain; NULL text null-propagates.
+      """WITH planted AS (
+        |  SELECT source, doc_id,
+        |         CASE WHEN doc_id % 17 = 0 THEN
+        |                text || ' pay 4111111111111111 or 4539 5787 6362 1486' ||
+        |                ' now mail user' || doc_id || '@example.com'
+        |              WHEN doc_id % 19 = 0 THEN
+        |                text || ' order 4111111111111112 ref 1234567890123' ||
+        |                ' call 555-867-5309'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT source,
+        |         CASE WHEN text IS NULL THEN NULL
+        |              WHEN doc_id % 17 = 0 THEN 2 ELSE 0 END AS n_valid,
+        |         CASE WHEN text IS NULL THEN NULL
+        |              WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS n_email,
+        |         CASE WHEN text IS NULL THEN NULL
+        |              WHEN doc_id % 17 = 0 THEN 0
+        |              WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END AS n_phone,
+        |         CASE WHEN text IS NULL THEN text
+        |              WHEN doc_id % 17 = 0 THEN
+        |                replace(replace(replace(text,
+        |                  '4111111111111111', '<CARD>'),
+        |                  '4539 5787 6362 1486', '<CARD>'),
+        |                  'user' || doc_id || '@example.com', '<EMAIL>')
+        |              WHEN doc_id % 19 = 0 THEN
+        |                replace(text, '555-867-5309', '<PHONE>')
+        |              ELSE text END AS scrubbed
+        |  FROM planted)
+        |SELECT source, count(*) AS n_docs,
+        |       count(CASE WHEN n_valid > 0 OR n_email > 0 OR n_phone > 0
+        |                  THEN 1 END) AS docs_scrubbed,
+        |       COALESCE(CAST(sum(n_valid) AS BIGINT), 0) AS n_valid,
+        |       COALESCE(CAST(sum(n_email) AS BIGINT), 0) AS n_email,
+        |       COALESCE(CAST(sum(n_phone) AS BIGINT), 0) AS n_phone,
+        |       CAST(sum(CAST(('0x' || substr(md5(scrubbed), 1, 15)) AS BIGINT)
+        |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
+        |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
+
     "x5_header_parse" ->
       // The planted header fields re-derived from the generation
       // formulas: doc_id%3 picks the container; width/height/rate/

@@ -1111,6 +1111,40 @@ object Queries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** S11 — STREAMING compliance scrub ([[graft.stream.StreamingRedact
+    * .scrubStream]]): the X7 card + PII redaction as ONE stateless
+    * serve-time projection, so raw PII never lands (micro-batch ≡
+    * batch pinned in StreamingRedactSpec; this registration is the
+    * batch replay, the house streaming-lane discipline). Plants: every
+    * 17th doc two Luhn-VALID cards + an email, every 19th two
+    * Luhn-INVALID candidates + a phone — the census proves both
+    * redaction (fp of the scrubbed text) and restraint (the invalid
+    * candidates and the order number survive byte-for-byte). */
+  def s11StreamScrub(s: SparkSession, d: String): DataFrame = {
+    val planted = documents(s, d).withColumn("text",
+      when(col("doc_id") % 17 === 0,
+        concat(col("text"),
+          lit(" pay 4111111111111111 or 4539 5787 6362 1486 now mail user"),
+          col("doc_id"), lit("@example.com")))
+        .when(col("doc_id") % 19 === 0,
+          concat(col("text"),
+            lit(" order 4111111111111112 ref 1234567890123 call 555-867-5309")))
+        .otherwise(col("text")))
+    graft.stream.StreamingRedact.scrubStream(planted)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_card_valid") > 0 || col("n_email") > 0 ||
+          col("n_phone") > 0 || col("n_ipv4") > 0, lit(1)))
+          .as("docs_scrubbed"),
+        coalesce(sum(col("n_card_valid").cast("long")), lit(0L))
+          .as("n_valid"),
+        coalesce(sum(col("n_email").cast("long")), lit(0L)).as("n_email"),
+        coalesce(sum(col("n_phone").cast("long")), lit(0L)).as("n_phone"),
+        sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long"), lit(1000000000L))).as("scrubbed_fp_sum"))
+      .orderBy("source")
+  }
+
   /** X9 — sequence packing (concat-and-chunk): the documents' token
     * stream chunked into 512-token training sequences via the two-level
     * prefix sum; every (document, sequence) span is emitted. Small
