@@ -290,7 +290,11 @@ object Oracles {
     * `contam` in scope (from [[benchGramsRawCtes]]). ONE body shared by
     * x10_clean_funnel and x10_xdedup_funnel, so the rewritten-corpus
     * funnels can never drift from each other's stage replay. */
-  private def noFuzzyFunnelBody(src: String): String =
+  /** `extraAnnCol` (leading comma included) adds a gate column to the
+    * `ann` select (rtext/lang in scope); `qualExtra` (leading AND
+    * included) extends the quality predicate in all four places. */
+  private def noFuzzyFunnelBody(src: String, extraAnnCol: String = "",
+                                qualExtra: String = ""): String =
     raw"""ann AS (
       |  SELECT doc_id, lang,
       |         doc_id = min(doc_id) OVER (
@@ -300,7 +304,7 @@ object Oracles {
       |         CASE WHEN len(trim(rtext)) = 0 THEN 0
       |              ELSE len(string_split_regex(trim(rtext), '\s+')) END AS n_tok,
       |         ${bucketSql("doc_id")} AS b,
-      |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr
+      |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr${extraAnnCol}
       |  FROM (SELECT doc_id, lang, text,
       |               regexp_replace(regexp_replace(regexp_replace(text,
       |                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
@@ -314,10 +318,10 @@ object Oracles {
       |                         AND NOT is_contaminated THEN 1 END)
       |           AS n_after_decontam,
       |         count(CASE WHEN is_canonical AND NOT is_contaminated
-      |                         AND n_tok BETWEEN 25 AND 90 THEN 1 END)
+      |                         AND n_tok BETWEEN 25 AND 90${qualExtra} THEN 1 END)
       |           AS n_after_quality,
       |         count(CASE WHEN is_canonical AND NOT is_contaminated
-      |                         AND n_tok BETWEEN 25 AND 90 AND b < thr THEN 1 END)
+      |                         AND n_tok BETWEEN 25 AND 90${qualExtra} AND b < thr THEN 1 END)
       |           AS n_after_sample,
       |         COALESCE(CAST(sum(n_tok) AS BIGINT), 0) AS tokens_raw,
       |         COALESCE(CAST(sum(CASE WHEN is_canonical
@@ -326,10 +330,10 @@ object Oracles {
       |                         AND NOT is_contaminated
       |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_decontam,
       |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
-      |                         AND n_tok BETWEEN 25 AND 90
+      |                         AND n_tok BETWEEN 25 AND 90${qualExtra}
       |                    THEN n_tok END) AS BIGINT), 0) AS tokens_after_quality,
       |         COALESCE(CAST(sum(CASE WHEN is_canonical AND NOT is_contaminated
-      |                         AND n_tok BETWEEN 25 AND 90 AND b < thr
+      |                         AND n_tok BETWEEN 25 AND 90${qualExtra} AND b < thr
       |                    THEN n_tok END) AS BIGINT), 0) AS n_tokens
       |  FROM ann)
       |SELECT n_raw, n_raw AS n_after_url, n_after_dedup,
@@ -3801,6 +3805,46 @@ object Oracles {
           |  FROM documents WHERE doc_id < 10),""".stripMargin + "\n" +
         gram4CtesFrom("pn") + ",\n" + benchGramsRawCtes + ",\n" +
         noFuzzyFunnelBody("pn")),
+
+    "x10_mojibake_funnel" ->
+      // X19e composed into X10 (Config.fixEncodingFirst): the damaged
+      // twin (+2e6, " caf\u00c3\u00a9") repairs to its clean sibling's
+      // bytes (+1e6, " caf\u00e9"), so they form ONE dedup family and
+      // min-key keeps +1e6. The repair replays as the planted replace
+      // chain (exact: the base corpus is ASCII and passes through; the
+      // clean twin's lone \u00e9 is a malformed continuation byte, also
+      // passthrough). Bench grams from the RAW docs 0-2; no url/
+      // history/fuzzy stages (no-ops).
+      ("WITH pm AS (\n" +
+        """  SELECT doc_id, lang, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, lang, coalesce(text, '') || ' caf\u00e9'
+          |  FROM documents WHERE doc_id < 10
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, lang,
+          |         replace(coalesce(text, '') || ' caf\u00c3\u00a9',
+          |                 '\u00c3\u00a9', '\u00e9')
+          |  FROM documents WHERE doc_id < 10),""".stripMargin + "\n" +
+        gram4CtesFrom("pm") + ",\n" + benchGramsRawCtes + ",\n" +
+        noFuzzyFunnelBody("pm")),
+
+    "x10_blocklist_funnel" ->
+      // X3i composed into X10: the blocklist page gate as one more
+      // quality conjunct, replayed as the exact token-split semantics
+      // inside the shared funnel body. The plant is MIXED CASE, so a
+      // hash match proves the engine's byte-level case folding too.
+      ("WITH pb AS (\n" +
+        """  SELECT doc_id, lang,
+          |         CASE WHEN doc_id % 9 = 2
+          |              THEN coalesce(text, '') || ' utterly FORBIDDEN content'
+          |              ELSE text END AS text
+          |  FROM documents),""".stripMargin + "\n" +
+        gram4CtesFrom("pb") + ",\n" + benchGramsRawCtes + ",\n" +
+        noFuzzyFunnelBody("pb",
+          extraAnnCol = ",\n         len(list_filter(" +
+            "regexp_split_to_array(lower(rtext), '[^a-z0-9_]+'), " +
+            "t -> t IN ('forbidden', 'viagra'))) AS bl",
+          qualExtra = " AND bl = 0")),
 
     "x10_xdedup_funnel" ->
       // X19c composed into X10 (the CCNet ordering — the shard-level

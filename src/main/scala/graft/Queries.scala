@@ -1468,6 +1468,59 @@ object Queries {
         nfcFirst = true))
   }
 
+  /** X10 × X19e — the funnel with encoding repair composed in
+    * ([[graft.ext.Curation.Config.fixEncodingFirst]], closing the
+    * standalone x19_fix_mojibake lane's hole the way nfcFirst closed
+    * X19d's): for doc_id < 10, a clean twin (+1e6, real " café") and a
+    * MOJIBAKE-damaged twin (+2e6, " cafÃ©") join the corpus — with
+    * the repair on, the damaged twin's bytes restore to the clean
+    * twin's, they form ONE dedup family, and min-key keeps +1e6 /
+    * drops +2e6. The oracle replays the repair as the planted replace
+    * chain and the whole funnel census over the repaired corpus. */
+  def x10MojibakeFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val base = docs.select("doc_id", "lang", "text")
+      .filter(col("doc_id") < 10)
+    val clean = base.withColumn("text",
+      concat(coalesce(col("text"), lit("")), lit(" caf\u00e9")))
+    val damaged = base.withColumn("text",
+      concat(coalesce(col("text"), lit("")), lit(" caf\u00c3\u00a9")))
+    val corpus = docs.select("doc_id", "lang", "text")
+      .unionByName(clean.withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(damaged.withColumn("doc_id", col("doc_id") + 2000000L))
+    graft.ext.Curation.funnel(corpus, bench,
+      graft.ext.Curation.Config(
+        minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L,
+        fixEncodingFirst = true))
+  }
+
+  /** X10 × X3i — the funnel with the blocklist page gate
+    * ([[graft.ext.Curation.Config.blocklist]]): every 9th document
+    * gains a MIXED-CASE planted blocklist word, the gate requires zero
+    * token-exact hits on the (redacted) text, and the funnel census
+    * shows the quality stage eating exactly the planted docs. The
+    * oracle replays the gate as the list_filter token split inside
+    * the standard funnel body. */
+  def x10BlocklistFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val planted = docs.select("doc_id", "lang", "text")
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(9L)) === 2L,
+          concat(coalesce(col("text"), lit("")),
+            lit(" utterly FORBIDDEN content")))
+          .otherwise(col("text")))
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    graft.ext.Curation.funnel(planted, bench,
+      graft.ext.Curation.Config(
+        minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L,
+        blocklist = Seq("forbidden", "viagra")))
+  }
+
   /** X10r — the funnel driven by a CHECKED-IN recipe file
     * (`src/main/resources/recipes/base_curation.json` →
     * [[graft.ext.CurationRecipe]] → Config — the SuiteLoader/

@@ -88,6 +88,16 @@ object Curation {
       // on the annotated frame for the audit. Map-only: the cuts frame
       // is |strata|-sized, the join broadcasts.
       calibCuts: Option[DataFrame] = None,
+      // Optional X3i gate (the C4 "bad words" page filter composed
+      // like X13/X15/X3g/X3h): when non-empty, `is_quality`
+      // additionally requires ZERO token-exact hits against this word
+      // set ([[graft.functions.BlocklistHits]] — one byte-level
+      // traversal, O(text) per row independent of list size),
+      // evaluated on the (cleaned, redacted) text like every other
+      // quality signal. `blocklist_hits` stays on the annotated frame
+      // for the audit. Words must be canonical lowercase (the
+      // expression's contract).
+      blocklist: Seq[String] = Nil,
       // Optional URL stage (runs FIRST — crawl pipelines filter and
       // dedup by URL before any text operator): when `urlCol` is set,
       // `is_url_ok` flags documents whose canonical domain is not on
@@ -147,6 +157,17 @@ object Curation {
       // already-normalized fast path), zero cost when false — the
       // base-funnel plan pin in PlanAuditSpec enforces that.
       nfcFirst: Boolean = false,
+      // Optional X19e stage: encoding-damage repair ([[graft.functions
+      // .FixMojibake]]) FIRST OF ALL — before even NFC, the ftfy
+      // ordering: fix the bytes, then normalize the codepoints. A
+      // mojibake-damaged copy and its clean sibling present ONE byte
+      // form to every text-keyed stage (dedup norms, fingerprints,
+      // shingles, token counts) — without this, the damaged copy
+      // walks past dedup as a distinct document (the standalone
+      // x19_fix_mojibake lane's hole, closed the way nfcFirst closed
+      // X19d's). Map-only, codegen'd, zero cost when false (the
+      // base-funnel plan pin enforces that).
+      fixEncodingFirst: Boolean = false,
       // Optional X19c stage: when set, CROSS-document boilerplate
       // lines (normalized form in >= this many distinct documents) are
       // stripped FIRST — before even `dedupLinesFirst`, the CCNet
@@ -218,13 +239,20 @@ object Curation {
                fuzzyPairs: Option[DataFrame] = None,
                historyFp: Option[DataFrame] = None,
                selection: Option[DataFrame] = None): DataFrame = {
-    // X19d zeroth of all (see Config.nfcFirst): byte-canonical Unicode
+    // X19e zeroth of ALL (see Config.fixEncodingFirst): repair the
+    // bytes before normalizing the codepoints — NFC of mojibake junk
+    // would canonicalize the junk, not the text it encodes.
+    val docsE = if (cfg.fixEncodingFirst)
+      docs0.withColumn(cfg.textCol,
+        graft.functions.TextFunctions.fixMojibake(col(cfg.textCol)))
+    else docs0
+    // X19d next (see Config.nfcFirst): byte-canonical Unicode
     // before ANY text-keyed operation — a decomposed footer line must
     // census together with its composed twin in the X19c pass below.
     val docsN = if (cfg.nfcFirst)
-      docs0.withColumn(cfg.textCol,
+      docsE.withColumn(cfg.textCol,
         graft.functions.TextFunctions.unicodeNormalize(col(cfg.textCol), "NFC"))
-    else docs0
+    else docsE
     // X19c next (see Config.xdocMinDf): the corpus-global
     // boilerplate-line strip — CCNet runs the shard-level line dedup
     // before any other text operation.
@@ -434,6 +462,19 @@ object Curation {
           .drop("__cgrp", "__ccut")
       case None => withC4
     }
+    // X3i gate: one more map-only per-row pass (the byte-level
+    // blocklist traversal), no shuffle — evaluated on the (cleaned,
+    // redacted) text like every other quality signal. Null text
+    // fails closed (coalesce), consistent with the token band.
+    val withBlock =
+      if (cfg.blocklist.isEmpty) withCalib
+      else withCalib
+        .withColumn("blocklist_hits",
+          graft.functions.TextFunctions.blocklistHits(
+            col(cfg.textCol), cfg.blocklist))
+        .withColumn("is_quality",
+          col("is_quality") &&
+            coalesce(col("blocklist_hits") === 0L, lit(false)))
     // Sampling stage: by default the keyed-hash stratified sampler;
     // with `selection`, an EXTERNAL selector's key set replaces it —
     // the plug point for weight-proportional resampling (X16 DSIR
@@ -446,11 +487,11 @@ object Curation {
       case Some(sel) =>
         val s = sel.select(col(cfg.keyCol)).distinct()
           .withColumn("__sel", lit(true))
-        withCalib.join(s, Seq(cfg.keyCol), "left")
+        withBlock.join(s, Seq(cfg.keyCol), "left")
           .withColumn("is_sampled", coalesce(col("__sel"), lit(false)))
           .drop("__sel")
       case None =>
-        withCalib.withColumn("is_sampled",
+        withBlock.withColumn("is_sampled",
           Sampling.bucket(col(cfg.keyCol), cfg.seed) <
             Sampling.keepThreshold(cfg.strataCol, cfg.rates, cfg.defaultRate))
     }

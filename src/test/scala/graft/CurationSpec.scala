@@ -502,6 +502,66 @@ class CurationSpec extends SparkSpec {
       .count() == 0L, "raw funnel should treat NFD twins as unique")
   }
 
+  test("fixEncodingFirst composes: parity with a pre-repaired corpus, " +
+       "mojibake twins drop at the dedup stage") {
+    // The nfcFirst contract applied to X19e: funnel (fixEncodingFirst)
+    // must equal the funnel over a corpus already rewritten by the
+    // standalone FixMojibake — and the repair must be OBSERVABLE: a
+    // damaged twin deduplicates with its clean sibling only when the
+    // repair runs.
+    import graft.functions.TextFunctions.fixMojibake
+    val base = docs.select("doc_id", "lang", "text")
+      .filter(col("doc_id") < 10)
+    val clean = base.withColumn("text",
+      concat(coalesce(col("text"), lit("")), lit(" caf\u00e9")))
+    val damaged = base.withColumn("text",
+      concat(coalesce(col("text"), lit("")), lit(" caf\u00c3\u00a9")))
+    val planted = docs.select("doc_id", "lang", "text")
+      .unionByName(clean.withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(damaged.withColumn("doc_id", col("doc_id") + 2000000L))
+    val composed = Curation.funnel(planted, bench,
+      cfg.copy(fixEncodingFirst = true)).collect().head
+    val standalone = Curation.funnel(
+      planted.withColumn("text", fixMojibake(col("text"))),
+      bench, cfg).collect().head
+    assert(composed.toSeq == standalone.toSeq,
+      "composed funnel must equal the funnel over the standalone repair")
+    val raw0 = Curation.funnel(planted, bench, cfg).collect().head
+    assert(composed.getAs[Long]("n_after_dedup") ==
+      raw0.getAs[Long]("n_after_dedup") - 10L,
+      "each damaged twin must lose min-key to its clean sibling only " +
+        "under fixEncodingFirst")
+  }
+
+  test("blocklist gate composes: quality drops exactly the hit docs; " +
+       "blocklist_hits stays for the audit") {
+    import graft.functions.TextFunctions.blocklistHits
+    val planted = docs.select("doc_id", "lang", "text")
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(9L)) === 2L,
+          concat(coalesce(col("text"), lit("")),
+            lit(" utterly FORBIDDEN content")))
+          .otherwise(col("text")))
+    val words = Seq("forbidden", "viagra")
+    val gated = Curation.annotate(planted, bench,
+      cfg.copy(blocklist = words))
+    // The gate's verdict equals the ungated quality AND zero hits,
+    // row for row (the standalone expression is the ground truth).
+    val ungated = Curation.annotate(planted, bench, cfg)
+      .select(col("doc_id"), col("is_quality").as("q0"))
+    val joined = gated
+      .select(col("doc_id"), col("is_quality"), col("blocklist_hits"),
+        blocklistHits(col("text"), words).isNull.as("h_null"))
+      .join(ungated, "doc_id")
+    assert(joined.filter(col("is_quality") =!=
+        (col("q0") && coalesce(col("blocklist_hits") === 0L, lit(false))))
+      .count() == 0L)
+    // The plant bites: every planted doc has hits >= 1 (case folded).
+    assert(gated.filter(pmod(col("doc_id"), lit(9L)) === 2L &&
+        col("blocklist_hits") < 1L).count() == 0L)
+    assert(gated.filter(col("blocklist_hits") > 0L).count() > 0L)
+  }
+
   test("cleanFirst: markup-wrapped duplicates dedup; bench quotes still flag") {
     // One plain doc, one markup-wrapped twin (same text once cleaned),
     // one doc quoting the benchmark inside markup, one unrelated doc
