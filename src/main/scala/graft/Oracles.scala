@@ -1746,6 +1746,39 @@ object Oracles {
         |              AS BIGINT) AS rank
         |  FROM s) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "x2_centroid_outliers" ->
+      // Quantization (the shared X2d double-arithmetic scheme), the
+      // per-(label, dim) integer census, the rational-centroid
+      // distance numerator, and ONE plain window over the same
+      // (dist DESC, vec_id ASC) total order the staged top-N provably
+      // preserves. All integer after the quantize step — sums ride
+      // DuckDB's HUGEINT, output cast to the engine's DECIMAL(38,0).
+      """WITH base AS (SELECT vec_id, label,
+        |                     CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qz AS (SELECT vec_id, label,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x / (m / 127))) END AS qv
+        |       FROM (SELECT vec_id, label, v,
+        |                    list_max(list_transform(v, x -> abs(x))) AS m
+        |             FROM base)),
+        |e AS (SELECT vec_id, label, CAST(unnest(qv) AS BIGINT) AS q,
+        |             generate_subscripts(qv, 1) AS pos FROM qz),
+        |cen AS (SELECT label, pos, sum(q) AS s, count(*) AS n
+        |        FROM e GROUP BY 1, 2),
+        |dd AS (SELECT e.vec_id, e.label,
+        |              sum((e.q * c.n - c.s) * (e.q * c.n - c.s)) AS dist
+        |       FROM e JOIN cen c ON e.label = c.label AND e.pos = c.pos
+        |       GROUP BY 1, 2)
+        |SELECT label, vec_id, CAST(dist AS DECIMAL(38,0)) AS dist_num,
+        |       rank_in_group
+        |FROM (SELECT label, vec_id, dist,
+        |             CAST(row_number() OVER (PARTITION BY label
+        |               ORDER BY dist DESC, vec_id ASC) AS BIGINT)
+        |               AS rank_in_group
+        |      FROM dd)
+        |WHERE rank_in_group <= 5
+        |ORDER BY label, rank_in_group""".stripMargin,
+
     "x2_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),

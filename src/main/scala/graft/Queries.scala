@@ -943,6 +943,19 @@ object Queries {
     graft.ext.Quantize.quantTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** X2g — embedding-space outlier detection ([[graft.ext.Outliers
+    * .centroidOutliers]]): the 5 vectors farthest from their label's
+    * centroid, per label — the embedding-side quality screen
+    * (mislabeled / off-topic / corrupted documents). Integer-exact
+    * over the shared X2d int8 quantization: the score is the rational
+    * centroid's numerator n²·‖q − μ‖² in DECIMAL(38,0), the top-N cut
+    * rides the X6b staged plan, and the oracle replays quantization,
+    * census, distance, and one plain window over the same total
+    * order. */
+  def x2CentroidOutliers(s: SparkSession, d: String): DataFrame =
+    graft.ext.Outliers.centroidOutliers(embeddings(s, d), topN = 5)
+      .orderBy("label", "rank_in_group")
+
   /** X6 — deterministic stratified sampling (training-data curation):
     * down-weight the over-represented 'en' stratum to 40%, halve 'zh',
     * keep the rest. Output = the per-stratum audit summary; survivors

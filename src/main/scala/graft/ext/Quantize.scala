@@ -25,20 +25,23 @@ object Quantize {
 
   /** Quantize `vecCol` to (qvec array<tinyint>, scale float). The
     * zero-vector guard keeps ANSI mode from overflowing on round(±Inf);
-    * a zero vector quantizes to zeros with scale 0. */
+    * a zero vector quantizes to zeros with scale 0. `keep` columns ride
+    * along unchanged (e.g. a group label for [[Outliers]]). */
   def quantize(df: DataFrame, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding",
+               keep: Seq[String] = Nil): DataFrame = {
     // max|x| materialized through its own projection: HOF lambdas are
     // interpreted, and the transform below references it per element.
     val maxabs = col("__maxabs")
-    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    df.select(col(idCol) +: keep.map(col) :+
+        col(vecCol).cast("array<double>").as("__v"): _*)
       .withColumn("__maxabs", array_max(transform(col("__v"), x => abs(x))))
-      .select(col(idCol),
+      .select(col(idCol) +: keep.map(col) :+
         when(maxabs === 0d,
             transform(col("__v"), _ => lit(0d)))
           .otherwise(transform(col("__v"), x => round(x / (maxabs / 127d))))
-          .cast("array<tinyint>").as("qvec"),
-        (maxabs / 127d).cast("float").as("scale"))
+          .cast("array<tinyint>").as("qvec") :+
+        (maxabs / 127d).cast("float").as("scale"): _*)
   }
 
   /** Exact top-k cosine over the QUANTIZED corpus: same broadcast-queries

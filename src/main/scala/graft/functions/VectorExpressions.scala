@@ -448,6 +448,116 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** The X2g rational-centroid distance numerator `Σ_i (q_i·n − s_i)²`
+  * in ONE primitive loop per row (see [[graft.ext.Outliers]]).
+  *
+  * Why native and not `aggregate(zip_with(...))`: beyond the usual
+  * interpreted-HOF cost, the HOF formulation must run in
+  * DECIMAL(38,0) END TO END for the 10⁹-rows-per-group overflow case
+  * — boxing a Decimal per element per row (measured ~0.65 ms/row at
+  * dim 64). Here the loop runs a LONG fast path with overflow checks
+  * (`Math.multiplyExact`/`addExact`) and falls back to BigInteger for
+  * the row only when a group is actually large enough to overflow —
+  * the common case allocates nothing but the result. Children:
+  * (qvec array<tinyint|smallint|int|long>, sums array<long>, n long);
+  * output DECIMAL(38,0), the exact value in both paths. Null if any
+  * child is null; mismatched lengths throw (a centroid of the wrong
+  * dimensionality is corruption, not data). */
+case class CentroidDistNum(vec: Expression, sums: Expression, n: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = sums
+  override def third: Expression = n
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def intArray(dt: DataType): Boolean = dt match {
+      case ArrayType(ByteType | ShortType | IntegerType | LongType, _) => true
+      case _ => false
+    }
+    (vec.dataType, sums.dataType, n.dataType) match {
+      case (v, ArrayType(LongType, _), LongType) if intArray(v) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<integral>, array<long>, long), got $other")
+    }
+  }
+
+  override def dataType: DataType = DecimalType(38, 0)
+
+  // Lazy: children are unresolved at construction (Column-API path);
+  // only eval/codegen — post-analysis — may read dataType.
+  private lazy val vecElem: DataType =
+    vec.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any, s: Any, nn: Any): Any =
+    CentroidDistNum.compute(v.asInstanceOf[ArrayData],
+      CentroidDistNum.code(vecElem),
+      s.asInstanceOf[ArrayData], nn.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s, nn) =>
+      s"graft.functions.CentroidDistNum.compute($v, " +
+        s"${CentroidDistNum.code(vecElem)}, $s, $nn)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(vec = f, sums = s, n = t)
+
+  override def prettyName: String = "centroid_dist_num"
+}
+
+object CentroidDistNum {
+
+  def code(dt: DataType): Int = dt match {
+    case ByteType => 0
+    case ShortType => 1
+    case IntegerType => 2
+    case LongType => 3
+    case other => throw new IllegalArgumentException(s"bad elem type $other")
+  }
+
+  private def elem(a: ArrayData, i: Int, code: Int): Long = code match {
+    case 0 => a.getByte(i).toLong
+    case 1 => a.getShort(i).toLong
+    case 2 => a.getInt(i).toLong
+    case 3 => a.getLong(i)
+  }
+
+  def compute(vec: ArrayData, vecCode: Int, sums: ArrayData,
+              n: Long): org.apache.spark.sql.types.Decimal = {
+    val dim = vec.numElements()
+    if (sums.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"centroid_dist_num: vector dim $dim != centroid dim " +
+          s"${sums.numElements()}")
+    var acc = 0L
+    var i = 0
+    try {
+      while (i < dim) {
+        val d = Math.subtractExact(
+          Math.multiplyExact(elem(vec, i, vecCode), n), sums.getLong(i))
+        acc = Math.addExact(acc, Math.multiplyExact(d, d))
+        i += 1
+      }
+      org.apache.spark.sql.types.Decimal(acc)
+    } catch {
+      case _: ArithmeticException => // group large enough to overflow
+        var big = java.math.BigInteger.ZERO
+        val bn = java.math.BigInteger.valueOf(n)
+        var j = 0
+        while (j < dim) {
+          val d = java.math.BigInteger.valueOf(elem(vec, j, vecCode))
+            .multiply(bn)
+            .subtract(java.math.BigInteger.valueOf(sums.getLong(j)))
+          big = big.add(d.multiply(d))
+          j += 1
+        }
+        org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(big))
+    }
+  }
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
   def dot(a: Column, b: Column): Column =
@@ -461,4 +571,6 @@ object VectorFunctions {
                        nProbe: Int, tiesHigh: Boolean): Column =
     column(NearestCentroids(expression(v),
       centroids.map(_.toIndexedSeq).toIndexedSeq, nProbe, tiesHigh))
+  def centroidDistNum(vec: Column, sums: Column, n: Column): Column =
+    column(CentroidDistNum(expression(vec), expression(sums), expression(n)))
 }
