@@ -943,7 +943,7 @@ object Queries {
     graft.ext.Quantize.quantTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
-  /** X2g — embedding-space outlier detection ([[graft.ext.Outliers
+  /** X2h — embedding-space outlier detection ([[graft.ext.Outliers
     * .centroidOutliers]]): the 5 vectors farthest from their label's
     * centroid, per label — the embedding-side quality screen
     * (mislabeled / off-topic / corrupted documents). Integer-exact

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** X2g — embedding-space outlier detection: the documents farthest from
+/** X2h — embedding-space outlier detection: the documents farthest from
   * their group's centroid are the mislabeled, off-topic, or corrupted
   * ones — the embedding-side quality screen (SemDeDup finds documents
   * too CLOSE together; this finds the ones too FAR from where they

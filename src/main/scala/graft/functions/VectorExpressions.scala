@@ -448,7 +448,7 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
-/** The X2g rational-centroid distance numerator `Σ_i (q_i·n − s_i)²`
+/** The X2h rational-centroid distance numerator `Σ_i (q_i·n − s_i)²`
   * in ONE primitive loop per row (see [[graft.ext.Outliers]]).
   *
   * Why native and not `aggregate(zip_with(...))`: beyond the usual
