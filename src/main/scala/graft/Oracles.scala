@@ -4428,6 +4428,17 @@ object Oracles {
         |       CAST(sum(CAST(('0x' || substr(md5(fixed), 1, 15)) AS BIGINT)
         |            % 1000000000) AS BIGINT) AS fixed_fp_sum
         |FROM f GROUP BY source ORDER BY source""").stripMargin,
+    "x3_top_terms" ->
+      // The shared whitespace token split, one global count, and the
+      // same (n DESC, term ASC) total order under the cut — ties at
+      // rank 20 are deterministic in both engines.
+      raw"""SELECT term, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |      FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |GROUP BY term
+        |ORDER BY n DESC, term ASC
+        |LIMIT 20""".stripMargin,
+
     "x3_word_blocklist" ->
       """WITH planted AS (
         |  SELECT source,

@@ -2014,6 +2014,16 @@ object Queries {
       .orderBy("source")
   }
 
+  /** X3j — corpus-wide heavy-hitter term census ([[graft.ext
+    * .HeavyHitters.exactTopTerms]]): the 20 most frequent tokens
+    * (stopword discovery / boilerplate detection / tokenizer vocab
+    * planning). The sort+limit plans as TakeOrderedAndProject —
+    * per-partition top-k, never a global sort; the bounded-memory
+    * Misra–Gries sketch twin is guarantee-pinned in
+    * HeavyHittersSpec. */
+  def x3TopTerms(s: SparkSession, d: String): DataFrame =
+    graft.ext.HeavyHitters.exactTopTerms(documents(s, d), k = 20)
+
   /** X3d — whitespace + BPE-ish token counting per language. */
   def x3TokenCounts(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCountsByLang(documents(s, d))
