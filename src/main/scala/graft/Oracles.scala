@@ -3655,6 +3655,19 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x35_time_layout" ->
+      // The one-week census straight from the raw events: dt = UTC day
+      // of ts (the engine session pins UTC), DECIMAL-accumulated value
+      // sum rounded in decimal then cast (the d-series discipline).
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+        |       count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS value_sum
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "x5_header_parse" ->
       // The planted header fields re-derived from the generation
       // formulas: doc_id%3 picks the container; width/height/rate/

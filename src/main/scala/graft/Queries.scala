@@ -1158,6 +1158,32 @@ object Queries {
       .orderBy("source")
   }
 
+  /** X35 — date-partitioned event store ([[graft.sources
+    * .TimePartitioned]]): events land Hive-partitioned by UTC day
+    * (written once per JVM), then a one-week census runs over the
+    * store — the time predicate prunes at DIRECTORY level
+    * (PartitionFilters, pinned in TimePartitionedSpec), so at scale
+    * the query reads 7 days of a years-deep store before decoding a
+    * row. The oracle derives the same week straight from the raw
+    * events — a hash match proves dt-derivation (UTC), the partition
+    * round trip, and the pruned read return identical rows. */
+  def x35TimeLayout(s: SparkSession, d: String): DataFrame = {
+    val dir = persistedIndexDir("graft_dtstore", d)(dir =>
+      graft.sources.TimePartitioned.writeDaily(
+        Tables.events(s, d), dir, filesPerDay = 2))
+    graft.sources.TimePartitioned.read(s, dir)
+      .filter(col("dt").between(lit("2024-01-08"), lit("2024-01-14")))
+      .groupBy(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        // DECIMAL-accumulate, round in decimal, cast after (the
+        // d-series / ADVICE r12 discipline).
+        round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("value_sum"))
+      .orderBy("dt", "event_type")
+  }
+
   /** X9 — sequence packing (concat-and-chunk): the documents' token
     * stream chunked into 512-token training sequences via the two-level
     * prefix sum; every (document, sequence) span is emitted. Small
