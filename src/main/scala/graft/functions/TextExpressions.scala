@@ -873,10 +873,23 @@ case class BlocklistHits(child: Expression, words: Seq[String])
 
 object BlocklistHits {
 
+  // Per-thread scratch, grown on demand: the hot loop must not
+  // allocate per row (the doc's 'reusable scratch buffer' made true —
+  // ADVICE-style review catch). UTF8String.fromBytes wraps without
+  // copying, but HashSet.contains only READS the probe key, so reuse
+  // across probes is safe.
+  private val scratchTl = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](64)
+  }
+
   def compute(text: UTF8String,
               words: java.util.HashSet[UTF8String], maxLen: Int): Long = {
     val n = text.numBytes
-    val scratch = new Array[Byte](maxLen)
+    var scratch = scratchTl.get()
+    if (scratch.length < maxLen) {
+      scratch = new Array[Byte](maxLen)
+      scratchTl.set(scratch)
+    }
     var hits = 0L
     var tokLen = 0
     var i = 0
@@ -971,6 +984,18 @@ object FixMojibake {
   }
 
   def compute(text: UTF8String): UTF8String = {
+    // Byte-level ASCII fast path: the overwhelming majority of rows
+    // are clean ASCII and must not pay a UTF-16 decode (toString)
+    // just to discover there is nothing to repair. One branch per
+    // byte, zero allocation, true zero-copy passthrough.
+    val nb = text.numBytes
+    var bi = 0
+    var anyHigh = false
+    while (bi < nb && !anyHigh) {
+      if ((text.getByte(bi) & 0x80) != 0) anyHigh = true
+      bi += 1
+    }
+    if (!anyHigh) return text
     var cur = text.toString
     var changed = false
     var rounds = 0

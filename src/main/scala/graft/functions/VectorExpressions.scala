@@ -531,6 +531,16 @@ object CentroidDistNum {
       throw new IllegalArgumentException(
         s"centroid_dist_num: vector dim $dim != centroid dim " +
           s"${sums.numElements()}")
+    // A null ELEMENT is corruption, not data (the mismatched-dim
+    // philosophy): reading it as 0 would silently diverge from the
+    // oracle's null-skipping sum — throw with the position instead.
+    var k = 0
+    while (k < dim) {
+      if (vec.isNullAt(k) || sums.isNullAt(k))
+        throw new IllegalArgumentException(
+          s"centroid_dist_num: null element at position $k")
+      k += 1
+    }
     var acc = 0L
     var i = 0
     try {

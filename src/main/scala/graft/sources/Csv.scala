@@ -56,6 +56,9 @@ object Csv {
             keyCol: String = "doc_id"): Unit = {
     require(numShards >= 1, s"numShards ($numShards) must be >= 1")
     df.repartition(numShards, col(keyCol))
+      // Key-sort within each shard (the Compact lesson: byte-stable
+      // contents require a deterministic intra-file order).
+      .sortWithinPartitions(keyCol)
       .write.mode("overwrite")
       .option("header", "true")
       .option("ignoreLeadingWhiteSpace", "false")

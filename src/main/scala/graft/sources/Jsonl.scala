@@ -50,6 +50,10 @@ object Jsonl {
     // small ints into n buckets, which collides (empty + doubled
     // shards) for small n.
     df.repartition(numShards, col(keyCol))
+      // Key-sort within each shard: without it, intra-file line order
+      // depends on shuffle fetch order and the byte-stable-contents
+      // claim above would only hold set-wise (the Compact lesson).
+      .sortWithinPartitions(keyCol)
       .write.mode("overwrite").json(dir)
   }
 

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** X34 — ORC source/sink, completing the interchange matrix's
   * warehouse leg (parquet for the engine's own artifacts, JSONL for
@@ -33,23 +33,42 @@ import org.apache.spark.sql.types.StructType
   * key — byte-stable shard contents, uniform, no single-task funnel. */
 object Orc {
 
-  /** Write `df` as `numShards` ORC files under `dir` (overwrite). */
+  /** Write `df` as `numShards` ORC files under `dir` (overwrite).
+    * Key-sorted within each shard: without the sort, intra-file row
+    * order depends on shuffle fetch order and the byte-stability
+    * claim would only hold set-wise (the Compact lesson); sorted
+    * files also keep stripe min/max stats tight on the key. */
   def write(df: DataFrame, dir: String, numShards: Int = 1,
             keyCol: String = "doc_id"): Unit = {
     require(numShards >= 1, s"numShards ($numShards) must be >= 1")
     df.repartition(numShards, col(keyCol))
+      .sortWithinPartitions(keyCol)
       .write.mode("overwrite").orc(dir)
   }
 
+  /** Strip nullability RECURSIVELY (field nullable, array
+    * containsNull, map valueContainsNull): ORC marks everything
+    * nullable at every level, so a faithful round trip of a
+    * non-nullable nested type must not read as drift. */
+  private def denull(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = denull(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      a.copy(elementType = denull(a.elementType), containsNull = true)
+    case m: MapType => m.copy(keyType = denull(m.keyType),
+      valueType = denull(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   /** Read an ORC directory, asserting the files' own schema matches
-    * `expected` on (name, dataType) per field — nullability is
-    * excluded because ORC marks every column nullable. A drifted
-    * table fails here with both schemas in the message, not 500
-    * stages later with a cast artifact. */
+    * `expected` on (name, dataType) per field — nullability excluded
+    * at EVERY nesting level ([[denull]]) because ORC marks every
+    * column nullable. A drifted table fails here with both schemas in
+    * the message, not 500 stages later with a cast artifact. */
   def read(spark: SparkSession, dir: String, expected: StructType): DataFrame = {
     val df = spark.read.orc(dir)
-    val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-    val want = expected.fields.map(f => (f.name, f.dataType)).toSeq
+    val got = df.schema.fields.map(f => (f.name, denull(f.dataType))).toSeq
+    val want = expected.fields.map(f => (f.name, denull(f.dataType))).toSeq
     require(got == want,
       s"ORC schema drift under $dir: file carries ${df.schema.toDDL}, " +
         s"pipeline expects ${expected.toDDL}")

@@ -36,22 +36,22 @@ object TimePartitioned {
                  keyCol: String = "event_id", filesPerDay: Int = 1,
                  overwriteDays: Boolean = false): Unit = {
     require(filesPerDay >= 1, s"filesPerDay ($filesPerDay) must be >= 1")
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-      if (overwriteDays) "dynamic" else "static")
-    try {
-      df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
-        .repartition(col("dt"), pmod(hash(col(keyCol)), lit(filesPerDay)))
-        .write.mode("overwrite").partitionBy("dt").parquet(dir)
-    } finally {
-      prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .repartition(col("dt"), pmod(hash(col(keyCol)), lit(filesPerDay)))
+      // Key-sort within each writer task: without it, intra-file row
+      // order depends on shuffle fetch order and the byte-stability /
+      // per-day-idempotence contract would only hold set-wise (the
+      // Compact lesson). Sorting by (dt, key) also restores parquet
+      // min/max pruning on the key inside each day.
+      .sortWithinPartitions(col("dt"), col(keyCol))
+      .write.mode("overwrite")
+      // Per-WRITE option, not the session conf: mutating the shared
+      // session conf races a concurrent writer on the same session —
+      // a 'static' set by one call between another's set and execute
+      // would turn a one-day overwrite into a whole-store wipe.
+      .option("partitionOverwriteMode",
+        if (overwriteDays) "dynamic" else "static")
+      .partitionBy("dt").parquet(dir)
   }
 
   /** Read the store; `dt` comes back as a DATE partition column

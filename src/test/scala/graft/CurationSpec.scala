@@ -535,7 +535,6 @@ class CurationSpec extends SparkSpec {
 
   test("blocklist gate composes: quality drops exactly the hit docs; " +
        "blocklist_hits stays for the audit") {
-    import graft.functions.TextFunctions.blocklistHits
     val planted = docs.select("doc_id", "lang", "text")
       .withColumn("text",
         when(pmod(col("doc_id"), lit(9L)) === 2L,
@@ -551,10 +550,13 @@ class CurationSpec extends SparkSpec {
       .select(col("doc_id"), col("is_quality").as("q0"))
     val joined = gated
       .select(col("doc_id"), col("is_quality"), col("blocklist_hits"),
-        blocklistHits(col("text"), words).isNull.as("h_null"))
+        col("text").isNull.as("t_null"))
       .join(ungated, "doc_id")
     assert(joined.filter(col("is_quality") =!=
         (col("q0") && coalesce(col("blocklist_hits") === 0L, lit(false))))
+      .count() == 0L)
+    // Null propagation: the audit column is null exactly for null text.
+    assert(joined.filter(col("blocklist_hits").isNull =!= col("t_null"))
       .count() == 0L)
     // The plant bites: every planted doc has hits >= 1 (case folded).
     assert(gated.filter(pmod(col("doc_id"), lit(9L)) === 2L &&

@@ -49,6 +49,29 @@ class OrcSpec extends SparkSpec {
       s"expected a named drift error, got: ${ex.getMessage}")
   }
 
+  test("nested nullability is not drift: a non-nullable array element " +
+       "round-trips even though ORC marks every level nullable") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        nullable = false)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, Seq(1L, 2L)),
+        Row(2L, Seq(3L))), 1), schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_nested")
+    Orc.write(d, dir.toString)
+    // Must NOT throw: nullability differs at the nested level only.
+    val back = Orc.read(spark, dir.toString, schema)
+    assert(back.count() == 2)
+    // A genuine nested TYPE drift still fails.
+    intercept[IllegalArgumentException] {
+      Orc.read(spark, dir.toString, "doc_id BIGINT, v ARRAY<INT>")
+    }
+  }
+
   test("predicate pushdown reaches the ORC scan (stripe-skip capable)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc_push")
     Orc.write(Tables.documents(spark, sfDir), dir.toString)

@@ -50,6 +50,21 @@ class TimePartitionedSpec extends SparkSpec {
     assert(q.count() == expect && expect > 0)
   }
 
+  test("row order inside each day is input-fragmentation-invariant " +
+       "(key-sorted — the Compact contract)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dt_frag").toString
+    TimePartitioned.writeDaily(events.repartition(32), s"$base/a")
+    TimePartitioned.writeDaily(events.repartition(7), s"$base/b")
+    def order(dir: String) = TimePartitioned.read(spark, dir)
+      .select("dt", "event_id").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    val (a, b) = (order(s"$base/a"), order(s"$base/b"))
+    assert(a.sorted == b.sorted, "same content")
+    assert(a.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._2) == rows.map(_._2).sorted },
+      "each day's rows must come back key-sorted")
+  }
+
   test("overwriteDays: re-running one day replaces only that day") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dt_idem").toString
     TimePartitioned.writeDaily(events, dir)
