@@ -3730,6 +3730,31 @@ object Oracles {
         |FROM pb GROUP BY week, event_type
         |ORDER BY week, event_type""".stripMargin,
 
+    "s12_stream_clean" ->
+      // The full stage-0 chain composed from the SHARED replay parts
+      // (markup dirt -> mojibake replace -> nfc_normalize -> the
+      // line-dedup CTEs' boiler footer + first-occurrence rewrite ->
+      // the clean chain) -- none of the stages can drift from their
+      // standalone lanes because the SQL is assembled from the same
+      // builders. %7 wins over %11 like the engine's when-chain
+      // (deliberate: U+0301 would void the repair).
+      ("WITH " + dirtyCteNamed("m0") + ",\n" +
+        """dirty0 AS (
+          |  SELECT doc_id, lang,
+          |         CASE WHEN doc_id % 7 = 3
+          |              THEN replace(coalesce(t, '') || ' caf\u00c3\u00a9',
+          |                           '\u00c3\u00a9', '\u00e9')
+          |              WHEN doc_id % 11 = 4
+          |              THEN nfc_normalize(coalesce(t, '') || ' cafe\u0301 nfd')
+          |              ELSE t END AS t
+          |  FROM m0),""".stripMargin + "\n" +
+        lineDedupCtes + ",\n" + cleanCtes + "\n" +
+        """SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+          |       CAST(sum(CAST(('0x' || substr(md5(clean), 1, 15)) AS BIGINT)
+          |            % 1000000000) AS BIGINT) AS clean_fp_sum
+          |FROM c4 GROUP BY lang ORDER BY lang""".stripMargin),
+
     "x19_text_clean" ->
       // The cleaning chain replayed step for step (shared dirtyCte +
       // cleanCtes — see their Scaladoc for the &amp;-last single-pass

@@ -1413,6 +1413,35 @@ object Queries {
       .otherwise(col("text")))
   }
 
+  /** S12 — STREAMING stage-0 cleaning ([[graft.stream.StreamingClean
+    * .cleanStream]]): fix-encoding → NFC → line dedup → markup clean
+    * as ONE stateless projection (micro-batch ≡ batch pinned in
+    * StreamingCleanSpec; this registration is the batch replay). The
+    * plant stacks every damage class the chain exists for — the X19
+    * markup dirt, a mojibake suffix (%7), an NFD suffix (%11, mutually
+    * exclusive with the mojibake branch: U+0301 is outside the
+    * single-byte image and would void the repair), and the universal
+    * boiler footer — and the census fingerprints the CLEANED text per
+    * language, so one wrong byte from any stage anywhere breaks it. */
+  def s12StreamClean(s: SparkSession, d: String): DataFrame = {
+    val planted = dirtiedDocs(s, d)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7L)) === 3L,
+          concat(coalesce(col("text"), lit("")), lit(" cafÃ©")))
+          .when(pmod(col("doc_id"), lit(11L)) === 4L,
+            concat(coalesce(col("text"), lit("")), lit(" cafe\u0301 nfd")))
+          .otherwise(col("text")))
+      .withColumn("text", concat(coalesce(col("text"), lit("")),
+        lit("\nboiler\nboiler\nboiler")))
+    graft.stream.StreamingClean.cleanStream(planted)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("clean_chars"),
+        sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long"), lit(1000000000L))).as("clean_fp_sum"))
+      .orderBy("lang")
+  }
+
   def x19TextClean(s: SparkSession, d: String): DataFrame = {
     graft.ext.TextClean.clean(dirtiedDocs(s, d))
       .select(col("doc_id"), col("had_markup"), col("n_tok_clean"),
