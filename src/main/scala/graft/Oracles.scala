@@ -294,7 +294,8 @@ object Oracles {
     * `ann` select (rtext/lang in scope); `qualExtra` (leading AND
     * included) extends the quality predicate in all four places. */
   private def noFuzzyFunnelBody(src: String, extraAnnCol: String = "",
-                                qualExtra: String = ""): String =
+                                qualExtra: String = "",
+                                rtextBase: String = "text"): String =
     raw"""ann AS (
       |  SELECT doc_id, lang,
       |         doc_id = min(doc_id) OVER (
@@ -306,7 +307,7 @@ object Oracles {
       |         ${bucketSql("doc_id")} AS b,
       |         CASE lang WHEN 'en' THEN 4000 ELSE 10000 END AS thr${extraAnnCol}
       |  FROM (SELECT doc_id, lang, text,
-      |               regexp_replace(regexp_replace(regexp_replace(text,
+      |               regexp_replace(regexp_replace(regexp_replace(${rtextBase},
       |                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       |                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
       |                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
@@ -3898,6 +3899,27 @@ object Oracles {
           |  FROM documents WHERE doc_id < 10),""".stripMargin + "\n" +
         gram4CtesFrom("pm") + ",\n" + benchGramsRawCtes + ",\n" +
         noFuzzyFunnelBody("pm")),
+
+    "x10_card_funnel" ->
+      // X7b composed into X10: the card plants replayed as the same
+      // replace arithmetic as x7_card_scan, wired in as the funnel
+      // body's redaction BASE (cards before the regex PII chain, the
+      // s11 ordering) -- the census observes redaction through the
+      // token mass and restraint through the surviving invalid
+      // candidates' tokens.
+      ("WITH pc AS (\n" +
+        """  SELECT doc_id, lang,
+          |         CASE WHEN doc_id % 17 = 0 THEN
+          |                text || ' pay 4111111111111111 or 4539 5787 6362 1486 now'
+          |              WHEN doc_id % 19 = 0 THEN
+          |                text || ' order 4111111111111112 ref 1234567890123 end'
+          |              ELSE text END AS text
+          |  FROM documents),""".stripMargin + "\n" +
+        gram4CtesFrom("pc") + ",\n" + benchGramsRawCtes + ",\n" +
+        noFuzzyFunnelBody("pc", rtextBase =
+          "CASE WHEN doc_id % 17 = 0 THEN " +
+            "replace(replace(text, '4111111111111111', '<CARD>'), " +
+            "'4539 5787 6362 1486', '<CARD>') ELSE text END")),
 
     "x10_blocklist_funnel" ->
       // X3i composed into X10: the blocklist page gate as one more

@@ -1589,6 +1589,33 @@ object Queries {
         blocklist = Seq("forbidden", "viagra")))
   }
 
+  /** X10 × X7b — the funnel with the Luhn-gated card scrub composed in
+    * ([[graft.ext.Curation.Config.redactCards]]): the x7 card plants
+    * ride the corpus into the funnel, redaction rewrites the text
+    * BEFORE the regex PII chain (the s11 ordering) and before any
+    * token counting, so the census observes the scrub through the
+    * token mass (a 4-4-4-4 card's 4 tokens collapse to ONE `<CARD>`)
+    * while Luhn-INVALID candidates keep their tokens — restraint and
+    * redaction both visible in one hash. */
+  def x10CardFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val planted = docs.select("doc_id", "lang", "text").withColumn("text",
+      when(col("doc_id") % 17 === 0,
+        concat(col("text"),
+          lit(" pay 4111111111111111 or 4539 5787 6362 1486 now")))
+        .when(col("doc_id") % 19 === 0,
+          concat(col("text"),
+            lit(" order 4111111111111112 ref 1234567890123 end")))
+        .otherwise(col("text")))
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    graft.ext.Curation.funnel(planted, bench,
+      graft.ext.Curation.Config(
+        minTokens = 25L, maxTokens = 90L,
+        rates = Map("en" -> 0.4), seqLen = 512L,
+        redactCards = true))
+  }
+
   /** X10r — the funnel driven by a CHECKED-IN recipe file
     * (`src/main/resources/recipes/base_curation.json` →
     * [[graft.ext.CurationRecipe]] → Config — the SuiteLoader/

@@ -98,6 +98,13 @@ object Curation {
       // for the audit. Words must be canonical lowercase (the
       // expression's contract).
       blocklist: Seq[String] = Nil,
+      // Optional X7b stage: Luhn-gated payment-card redaction
+      // ([[Pii.redactCards]]) BEFORE the regex PII chain — the s11
+      // streaming-scrub ordering, composed into the funnel so the
+      // curated corpus ships card-free. Every downstream quality
+      // signal (token band, classifier, LM, rule bundles) sees the
+      // `<CARD>`-redacted text, exactly like emails/phones/IPs.
+      redactCards: Boolean = false,
       // Optional URL stage (runs FIRST — crawl pipelines filter and
       // dedup by URL before any text operator): when `urlCol` is set,
       // `is_url_ok` flags documents whose canonical domain is not on
@@ -373,7 +380,15 @@ object Curation {
           .drop("__fp", "__seen")
       case None => flagged1.withColumn("is_unseen", lit(true))
     }).drop("__norm")
-    val redacted0 = Pii.redact(flagged, textCol = cfg.textCol)
+    // Optional X7b card scrub BEFORE the regex PII chain (the s11
+    // ordering contract: a phone-shaped regex could split a 4-4-4-4
+    // card's digit groups) — the funnel becomes the complete
+    // compliance path; `n_card_candidates`/`n_card_valid` stay on the
+    // annotated frame for the audit. Zero plan cost when off.
+    val carded = if (cfg.redactCards)
+      Pii.redactCards(flagged, textCol = cfg.textCol)
+    else flagged
+    val redacted0 = Pii.redact(carded, textCol = cfg.textCol)
     val tokenBand = col("n_tok").between(cfg.minTokens, cfg.maxTokens)
     val withQuality = cfg.qualityWeights match {
       case Some(w) =>

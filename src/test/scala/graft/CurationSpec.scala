@@ -564,6 +564,42 @@ class CurationSpec extends SparkSpec {
     assert(gated.filter(col("blocklist_hits") > 0L).count() > 0L)
   }
 
+  test("redactCards gate composes: cards scrub before counting, invalid " +
+       "candidates keep their tokens, audit columns ride the frame") {
+    val planted = docs.select("doc_id", "lang", "text").withColumn("text",
+      when(col("doc_id") % 17 === 0,
+        concat(col("text"),
+          lit(" pay 4111111111111111 or 4539 5787 6362 1486 now")))
+        .when(col("doc_id") % 19 === 0,
+          concat(col("text"),
+            lit(" order 4111111111111112 ref 1234567890123 end")))
+        .otherwise(col("text")))
+    val ann = Curation.annotate(planted, bench,
+      cfg.copy(redactCards = true))
+    assert(ann.columns.contains("n_card_valid") &&
+      ann.columns.contains("n_card_candidates"))
+    // Valid plants scrubbed, counted; invalid candidates survive.
+    assert(ann.filter(col("doc_id") % 17 === 0 && col("text").isNotNull &&
+      !col("text").contains("<CARD>")).count() == 0L)
+    assert(ann.filter(col("doc_id") % 17 =!= 0 &&
+      col("n_card_valid") > 0).count() == 0L)
+    assert(ann.filter(col("doc_id") % 19 === 0 && col("doc_id") % 17 =!= 0 &&
+      col("text").isNotNull &&
+      !col("text").contains("4111111111111112")).count() == 0L,
+      "Luhn-invalid candidates must survive the funnel byte-for-byte")
+    // The scrub is observable in the token mass: a %17 doc's n_tok is
+    // 3 lower than the unscrubbed funnel's (the 8 planted tokens
+    // "pay 4111… or 4539 5787 6362 1486 now" collapse to
+    // "pay <CARD> or <CARD> now" = 5).
+    val un = Curation.annotate(planted, bench, cfg)
+      .select(col("doc_id"), col("n_tok").as("n0"))
+    val both = ann.select("doc_id", "n_tok").join(un, "doc_id")
+    assert(both.filter(col("doc_id") % 17 === 0 &&
+      col("n_tok") =!= col("n0") - 3).count() == 0L)
+    assert(both.filter(col("doc_id") % 17 =!= 0 &&
+      col("n_tok") =!= col("n0")).count() == 0L)
+  }
+
   test("cleanFirst: markup-wrapped duplicates dedup; bench quotes still flag") {
     // One plain doc, one markup-wrapped twin (same text once cleaned),
     // one doc quoting the benchmark inside markup, one unrelated doc
