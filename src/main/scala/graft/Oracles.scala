@@ -3656,6 +3656,26 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x36_cohort_retention" ->
+      // The retention matrix straight from raw events: distinct
+      // (user, UTC day) activity, min-day cohorts, distinct actives
+      // per (cohort, offset), cohort sizes, integer-ppm rate (floor
+      // division on positives matches Spark's div).
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |           FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1),
+        |s AS (SELECT cohort_day, count(*) AS cohort_size FROM c GROUP BY 1),
+        |r AS (SELECT c.cohort_day,
+        |             CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+        |             count(DISTINCT a.user_id) AS n_active
+        |      FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       day_offset, n_active, cohort_size,
+        |       CAST((n_active * 1000000) // cohort_size AS BIGINT)
+        |         AS retained_ppm
+        |FROM r JOIN s USING (cohort_day)
+        |ORDER BY 1, 2""".stripMargin,
+
     "x35_time_layout" ->
       // The one-week census straight from the raw events: dt = UTC day
       // of ts (the engine session pins UTC), DECIMAL-accumulated value

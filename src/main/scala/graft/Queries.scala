@@ -1184,6 +1184,14 @@ object Queries {
       .orderBy("dt", "event_type")
   }
 
+  /** X36 — cohort retention over events ([[graft.ext.Retention
+    * .cohortRetention]]): users by first-active day, distinct actives
+    * per (cohort, offset), retention in integer ppm — the analytics
+    * matrix as ONE distinct shuffle + a user-co-partitioned join +
+    * a cohort-sized census (no corpus window). */
+  def x36CohortRetention(s: SparkSession, d: String): DataFrame =
+    graft.ext.Retention.cohortRetention(Tables.events(s, d))
+
   /** X9 — sequence packing (concat-and-chunk): the documents' token
     * stream chunked into 512-token training sequences via the two-level
     * prefix sum; every (document, sequence) span is emitted. Small
