@@ -3656,6 +3656,28 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x37_event_funnel" ->
+      // The chained earliest-after-previous funnel replayed as three
+      // correlated min-aggregates; strict > on both engines, floor
+      // division for the ppm.
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+        |c AS (SELECT 1 AS step_idx, 'view' AS step,
+        |             CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |      UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |      UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT CAST(step_idx AS BIGINT) AS step_idx, step, n_users,
+        |       CAST((n_users * 1000000) //
+        |            (SELECT n_users FROM c WHERE step_idx = 1) AS BIGINT)
+        |         AS conv_ppm
+        |FROM c ORDER BY step_idx""".stripMargin,
+
     "x36_cohort_retention" ->
       // The retention matrix straight from raw events: distinct
       // (user, UTC day) activity, min-day cohorts, distinct actives

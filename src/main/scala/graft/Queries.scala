@@ -1192,6 +1192,13 @@ object Queries {
   def x36CohortRetention(s: SparkSession, d: String): DataFrame =
     graft.ext.Retention.cohortRetention(Tables.events(s, d))
 
+  /** X37 — ordered-step funnel conversion ([[graft.ext.EventFunnel
+    * .funnel]]): view → click → purchase, each step strictly after the
+    * user's previous conversion, counts + integer-ppm conversion. */
+  def x37EventFunnel(s: SparkSession, d: String): DataFrame =
+    graft.ext.EventFunnel.funnel(Tables.events(s, d),
+      Seq("view", "click", "purchase"))
+
   /** X9 — sequence packing (concat-and-chunk): the documents' token
     * stream chunked into 512-token training sequences via the two-level
     * prefix sum; every (document, sequence) span is emitted. Small
