@@ -1298,6 +1298,26 @@ object Oracles {
         |GROUP BY 1, 2
         |ORDER BY region_name, nation_name""".stripMargin,
 
+    "t3_mart_rollup" ->
+      // The same mart derivation under GROUP BY ROLLUP; the level is
+      // the explicit grouping(r)*2 + grouping(n) sum and rolled keys
+      // coalesce to the '(all)' sentinel — both engines spell the
+      // convention out rather than relying on GROUPING_ID bit layouts.
+      """SELECT coalesce(r_name, '(all)') AS region_name,
+        |       coalesce(n_name, '(all)') AS nation_name,
+        |       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT)
+        |         AS grouping_level,
+        |       count(*) AS line_count,
+        |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY grouping_level, region_name, nation_name""".stripMargin,
+
     "t4_scd2_snapshot" -> scd2SnapshotSql,
 
     "s7_stream_scd2" -> scd2SnapshotSql,
@@ -2252,6 +2272,48 @@ object Oracles {
         |SELECT dom, rank_in_domain, doc_id, n_chars FROM r
         |WHERE rank_in_domain <= 3
         |ORDER BY dom, rank_in_domain""".stripMargin),
+
+    "s13_stream_quality" ->
+      // The streaming scorer's batch replay with the FILE-LOADED
+      // weights (recipes/quality_scorer.json: 1800·stop + 1200·alpha
+      // − 900·punct + 120·sum_tok_len; hi/lo = 1670/1560) — the same
+      // zero-float-division integer replay as x13, plus the score-sum
+      // column so a single drifted weight breaks the hash.
+      """WITH m AS (
+        |  SELECT lang,
+        |         CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok,
+        |         length(coalesce(text, '')) AS nchar,
+        |         len(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+        |             x -> list_contains(['a','the','and','of','is','to','in','that'], x)))
+        |           AS stop_hits,
+        |         length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g'))
+        |           AS alpha_chars,
+        |         length(coalesce(text, '')) -
+        |           length(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g'))
+        |           AS punct_chars,
+        |         CAST(coalesce(list_sum(list_transform(
+        |             string_split_regex(trim(coalesce(text, '')), '\s+'),
+        |             x -> length(x))), 0) AS BIGINT) AS sum_tok_len
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang, ntok,
+        |         1800 * stop_hits * nchar + 1200 * alpha_chars * ntok
+        |           - 900 * punct_chars * ntok + 120 * sum_tok_len * nchar
+        |           AS score_num,
+        |         ntok * nchar AS den
+        |  FROM m),
+        |b AS (
+        |  SELECT lang, ntok, score_num,
+        |         CASE WHEN den = 0 THEN 'empty'
+        |              WHEN score_num >= 1670 * den THEN 'high'
+        |              WHEN score_num >= 1560 * den THEN 'medium'
+        |              ELSE 'low' END AS q_band
+        |  FROM f)
+        |SELECT lang, q_band, count(*) AS n_docs,
+        |       CAST(sum(ntok) AS BIGINT) AS tokens,
+        |       CAST(sum(score_num) AS BIGINT) AS score_num_sum
+        |FROM b GROUP BY 1, 2 ORDER BY lang, q_band""".stripMargin,
 
     "x13_quality_bands" ->
       // The linear scorer replayed with zero float division: band
@@ -3655,6 +3717,142 @@ object Oracles {
         |       CAST(sum(CAST(('0x' || substr(md5(scrubbed), 1, 15)) AS BIGINT)
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "x41_pmi_pairs" ->
+      // PMI replayed: unigram census, adjacent-pair census via lateral
+      // unnest over 1..len-1, the >=5 cut, (Nu, Nb) from ONE pass over
+      // the token arrays, the SAME pinned multiply/divide association
+      // inside the single ln, one micro-nat rounding (slack-audited in
+      // MicroNatSlackSpec), and the (pmi DESC, w1, w2) top-50 — the
+      // (w1, w2) key makes the order total, so LIMIT is deterministic.
+      raw"""WITH t AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |uni AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM t)
+        |  WHERE w <> '' GROUP BY 1),
+        |pairs AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, unnest(range(1, len(toks))) AS r(i)),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM pairs
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tot AS (
+        |  SELECT CAST(sum(len(toks)) AS BIGINT) AS nu,
+        |         CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS nb
+        |  FROM t),
+        |scored AS (
+        |  SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+        |         CAST(round(ln(((b.c12 * 1.0 * tot.nu) / tot.nb) *
+        |                       ((tot.nu * 1.0) / u1.c) / u2.c)
+        |                    * 1000000.0) AS BIGINT) AS pmi_micro
+        |  FROM big b JOIN uni u1 ON b.w1 = u1.w
+        |             JOIN uni u2 ON b.w2 = u2.w
+        |             CROSS JOIN tot)
+        |SELECT w1, w2, c12, c1, c2, pmi_micro FROM scored
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "x40_dataset_card" ->
+      // Every card signal re-derived independently: the shared
+      // token-count CASE, the normText dedup family (the oracle counts
+      // distinct NORMS where the engine counts distinct md5s — same
+      // cardinality), the x7 PII patterns, exact interpolated median
+      // (quantile_cont ≡ Spark percentile), all under GROUP BY
+      // ROLLUP(source) with the '(all)' sentinel.
+      """WITH t AS (SELECT source, lang, text,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        |    coalesce(length(text), 0) AS n_ch,
+        |    coalesce(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '') AS norm,
+        |    (text IS NULL OR length(trim(text)) = 0) AS blank,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |    len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS np,
+        |    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni
+        |  FROM documents)
+        |SELECT coalesce(source, '(all)') AS source,
+        |       CAST(GROUPING(source) AS BIGINT) AS grouping_level,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_ch) AS BIGINT) AS n_chars,
+        |       count(CASE WHEN blank THEN 1 END) AS n_empty,
+        |       count(DISTINCT norm) AS n_distinct_text,
+        |       CAST(((count(*) - count(DISTINCT norm)) * 1000000) //
+        |            count(*) AS BIGINT) AS dup_ppm,
+        |       count(DISTINCT lang) AS n_langs,
+        |       count(CASE WHEN ne > 0 OR np > 0 OR ni > 0 THEN 1 END)
+        |         AS docs_with_pii,
+        |       round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS mean_tok,
+        |       round(quantile_cont(n_tok, 0.5), 4) AS p50_tok
+        |FROM t GROUP BY ROLLUP (source)
+        |ORDER BY grouping_level, source""".stripMargin,
+
+    "x39_length_batches" ->
+      // The banded hierarchical rank replayed as the NAIVE per-band
+      // window the staged plan avoids (row_number over the same
+      // (band, doc_id) order), then the same batch census arithmetic —
+      // any document the two ranks batch differently moves a max/sum
+      // and breaks the hash. DuckDB sums BIGINT into HUGEINT, so every
+      // sum casts back before the compare.
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |             CAST(least(n_tok // 64, 31) AS BIGINT) AS band
+        |      FROM toks WHERE n_tok > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY band
+        |        ORDER BY doc_id) - 1 AS rnk FROM b)
+        |SELECT band, CAST(rnk // 32 AS BIGINT) AS batch_idx,
+        |       count(*) AS n_docs, max(n_tok) AS max_tok,
+        |       CAST(sum(n_tok) AS BIGINT) AS actual_tok,
+        |       count(*) * max(n_tok) AS padded_tok,
+        |       CAST(((count(*) * max(n_tok) - sum(n_tok)) * 1000000) //
+        |            (count(*) * max(n_tok)) AS BIGINT) AS pad_waste_ppm
+        |FROM r GROUP BY 1, 2 ORDER BY band, batch_idx""".stripMargin,
+
+    "x38_fuzzy_join" ->
+      // The full linkage replayed: the keyed one-char deletion plant,
+      // lowercase trigram sets via lateral unnest, the right-side df
+      // census with the cap, candidate blocking on cold trigrams only,
+      // the exact full-set intersection verify, the integer-ppm
+      // Jaccard, and the (jppm DESC, rkey ASC) top-1 window. Any row
+      // the engine's broadcast-blocked staged plan links differently
+      // breaks the hash.
+      """WITH clean AS (SELECT c_custkey AS rkey, lower(c_name) AS rname
+        |               FROM customer),
+        |dirty AS (SELECT c_custkey AS lkey,
+        |                 lower(concat(
+        |                   substr(c_name, 1, ((c_custkey % (length(c_name) - 3)) + 3) - 1),
+        |                   substr(c_name, ((c_custkey % (length(c_name) - 3)) + 3) + 1))) AS lname
+        |          FROM customer),
+        |rg AS (SELECT DISTINCT rkey, substr(rname, i, 3) AS g
+        |       FROM clean, unnest(range(1, greatest(length(rname) - 1, 1))) AS t(i)
+        |       WHERE length(rname) >= 3),
+        |lg AS (SELECT DISTINCT lkey, substr(lname, i, 3) AS g
+        |       FROM dirty, unnest(range(1, greatest(length(lname) - 1, 1))) AS t(i)
+        |       WHERE length(lname) >= 3),
+        |dfc AS (SELECT g, count(*) AS n FROM rg GROUP BY 1),
+        |cand AS (SELECT DISTINCT lg.lkey, rg.rkey
+        |         FROM lg JOIN dfc USING (g) JOIN rg USING (g)
+        |         WHERE dfc.n <= 64),
+        |sl AS (SELECT lkey, count(*) AS nl FROM lg GROUP BY 1),
+        |sr AS (SELECT rkey, count(*) AS nr FROM rg GROUP BY 1),
+        |inter AS (SELECT c.lkey, c.rkey, count(*) AS ni
+        |          FROM cand c JOIN lg ON lg.lkey = c.lkey
+        |                      JOIN rg ON rg.rkey = c.rkey AND rg.g = lg.g
+        |          GROUP BY 1, 2),
+        |j AS (SELECT i.lkey, i.rkey, ni AS n_inter,
+        |             nl + nr - ni AS n_union,
+        |             (ni * 1000000) // (nl + nr - ni) AS jaccard_ppm
+        |      FROM inter i JOIN sl USING (lkey) JOIN sr USING (rkey)
+        |      WHERE (ni * 1000000) // (nl + nr - ni) >= 500000),
+        |t AS (SELECT *, row_number() OVER (PARTITION BY lkey
+        |        ORDER BY jaccard_ppm DESC, rkey ASC) AS rank_in_group
+        |      FROM j)
+        |SELECT lkey, rkey, CAST(rank_in_group AS BIGINT) AS rank_in_group,
+        |       n_inter, n_union, jaccard_ppm,
+        |       lkey = rkey AS is_true_match
+        |FROM t WHERE rank_in_group <= 1 ORDER BY lkey""".stripMargin,
 
     "x37_event_funnel" ->
       // The chained earliest-after-previous funnel replayed as three

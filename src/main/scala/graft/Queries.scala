@@ -102,6 +102,16 @@ object Queries {
       lineitem(s, d), orders(s, d), customer(s, d), nation(s, d), region(s, d))
       .orderBy("region_name", "nation_name")
 
+  /** T3b — the mart under ROLLUP ([[graft.etl.Stages.martSalesRollup]]):
+    * nation rows + region subtotals + the grand total from ONE aggregate
+    * over the same fact join; level = grouping(region)·2 +
+    * grouping(nation) spelled out so the bit convention is the query's,
+    * not an engine's. */
+  def t3MartRollup(s: SparkSession, d: String): DataFrame =
+    Stages.martSalesRollup(
+      lineitem(s, d), orders(s, d), customer(s, d), nation(s, d), region(s, d))
+      .orderBy("grouping_level", "region_name", "nation_name")
+
   /** T4 — SCD-2 snapshot merge ([[graft.etl.Scd2]]): dimension history
     * under a mutating source. The plant exercises every branch: closed
     * prior versions for custkey%50==0 (pass-through untouched), a
@@ -1199,6 +1209,64 @@ object Queries {
     graft.ext.EventFunnel.funnel(Tables.events(s, d),
       Seq("view", "click", "purchase"))
 
+  /** X38 — fuzzy cross-table join ([[graft.ext.FuzzyJoin.trigramJoin]]):
+    * record linkage by trigram Jaccard. The plant derives a "dirty"
+    * roster from customer names by deleting ONE character at the keyed
+    * position `(c_custkey % (len−3)) + 3` (1-based, always past the
+    * shared prefix) and links it back to the clean roster — the
+    * vendor-dedup shape. Top-1 per dirty name at ≥ 0.5 quantized
+    * Jaccard, dfCap 64 blocking (the ubiquitous "customer#…" prefix
+    * trigrams carry no signal and are capped out of the inverted
+    * index; the verify still scores FULL sets). `is_true_match` records
+    * whether the origin won — on this synthetic corpus near-id names
+    * (…123 vs …124) are genuinely close, so sub-100% linkage is the
+    * honest answer, and both engines must agree on exactly which rows
+    * win. */
+  def x38FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d)
+    val clean = cust.select(col("c_custkey").as("rkey"),
+      col("c_name").as("rname"))
+    val dirty = cust.select(col("c_custkey").as("lkey"),
+      expr("""concat(
+          substr(c_name, 1, ((c_custkey % (length(c_name) - 3)) + 3) - 1),
+          substr(c_name, ((c_custkey % (length(c_name) - 3)) + 3) + 1))""")
+        .as("lname"))
+    graft.ext.FuzzyJoin.trigramJoin(
+      dirty, "lkey", "lname", clean, "rkey", "rname",
+      minJaccardPpm = 500000L, n = 1, dfCap = 64L)
+      .select(col("lkey"), col("rkey"),
+        col("rank_in_group").cast("long").as("rank_in_group"),
+        col("n_inter"), col("n_union"), col("jaccard_ppm"),
+        (col("lkey") === col("rkey")).as("is_true_match"))
+      .orderBy("lkey")
+  }
+
+  /** X41 — PMI collocation mining ([[graft.ext.Collocations
+    * .pmiPairs]]): the corpus's statistically-bound word pairs, top 50
+    * by integer micro-nat PMI at ≥5 occurrences — tokenizer merge
+    * planning / boilerplate-phrase discovery. */
+  def x41PmiPairs(s: SparkSession, d: String): DataFrame =
+    graft.ext.Collocations.pmiPairs(documents(s, d), k = 50, minCount = 5L)
+
+  /** X40 — dataset card ([[graft.ext.DatasetCard.card]]): the
+    * per-source corpus datasheet + corpus-total row from ONE fused
+    * ROLLUP aggregate — docs, token/char mass, blank and duplicate
+    * rates, language spread, PII incidence, exact median length. */
+  def x40DatasetCard(s: SparkSession, d: String): DataFrame =
+    graft.ext.DatasetCard.card(documents(s, d))
+      .orderBy("grouping_level", "source")
+
+  /** X39 — length-bucketed padded batching ([[graft.ext.Batching]]):
+    * the pad-to-batch-max counterpart of X9's concat-and-chunk. Small
+    * blockSize/fanout so the testdata exercises every level of the
+    * banded hierarchical rank; the audit's pad_waste_ppm is the
+    * operator's deliverable. */
+  def x39LengthBatches(s: SparkSession, d: String): DataFrame =
+    graft.ext.Batching.batchAudit(documents(s, d),
+      bandWidth = 64L, nBands = 32, batchSize = 32L,
+      blockSize = 500L, fanout = 4L)
+      .orderBy("band", "batch_idx")
+
   /** X9 — sequence packing (concat-and-chunk): the documents' token
     * stream chunked into 512-token training sequences via the two-level
     * prefix sum; every (document, sequence) span is emitted. Small
@@ -1455,6 +1523,23 @@ object Queries {
         sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
           .cast("long"), lit(1000000000L))).as("clean_fp_sum"))
       .orderBy("lang")
+  }
+
+  /** S13 — streaming quality scoring ([[graft.stream.StreamingQuality]]
+    * batch replay, the stateless-lane discipline): the X13 linear
+    * scorer with a FILE-LOADED weight vector
+    * (`recipes/quality_scorer.json`, classpath — the deploy artifact),
+    * censused per (lang, band). MemoryStream ≡ batch pinned in
+    * StreamingQualitySpec. */
+  def s13StreamQuality(s: SparkSession, d: String): DataFrame = {
+    val cfg = graft.ext.QualityScore
+      .loadResourceConfig("recipes/quality_scorer.json")
+    graft.stream.StreamingQuality.scoreStream(documents(s, d), cfg)
+      .groupBy("lang", "q_band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q_tokens")).as("tokens"),
+        sum(col("q_score_num")).as("score_num_sum"))
+      .orderBy("lang", "q_band")
   }
 
   def x19TextClean(s: SparkSession, d: String): DataFrame = {

@@ -72,4 +72,47 @@ object Stages {
         round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
           count(lit(1)), 4).as("avg_qty"))
   }
+
+  /** T3b — the dashboard's subtotal view: the same mart derivation under
+    * `ROLLUP(region, nation)`, emitting per-nation rows, per-region
+    * subtotals, and the grand total in ONE aggregate (SURVEY §2.8 had
+    * declared grouping sets absent; a Redash-style dashboard needs the
+    * subtotal rows, and ROLLUP computes all three levels in a single
+    * shuffle where three UNIONed GROUP BYs would scan the fact join
+    * three times).
+    *
+    * Engine-portability discipline: the level indicator is the explicit
+    * `grouping(region)*2 + grouping(nation)` sum — Spark's `grouping_id`
+    * and DuckDB's `GROUPING(a, b)` agree on this corpus, but the spelled
+    * -out form makes the bit convention part of the query, not an engine
+    * coincidence. Rolled-up key columns surface as the `(all)` sentinel
+    * (no name collides with it) so the result carries no NULL keys into
+    * the hash compare; money stays in the DECIMAL-accumulate /
+    * round-in-decimal discipline of [[martSalesPerformance]].
+    */
+  def martSalesRollup(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val dims = customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(dims, orders("o_custkey") === dims("c_custkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        (grouping(col("r_name")) * lit(2) + grouping(col("n_name")))
+          .cast("long").as("grouping_level"),
+        count(lit(1)).as("line_count"),
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("avg_qty"))
+      .select(
+        coalesce(col("r_name"), lit("(all)")).as("region_name"),
+        coalesce(col("n_name"), lit("(all)")).as("nation_name"),
+        col("grouping_level"), col("line_count"), col("revenue"),
+        col("avg_qty"))
+  }
 }

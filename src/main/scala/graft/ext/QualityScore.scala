@@ -229,4 +229,16 @@ object QualityScore {
     parseConfig(
       java.nio.file.Files.readString(java.nio.file.Paths.get(path)), yaml)
   }
+
+  /** Load a scorer config from the CLASSPATH (the [[graft.ext
+    * .CurationRecipe.loadResource]] discipline — a library query must
+    * not assume the caller's cwd). */
+  def loadResourceConfig(resource: String): ScorerConfig = {
+    val path = if (resource.startsWith("/")) resource else s"/$resource"
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"scorer config resource $path not on the classpath")
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    parseConfig(text, path.endsWith(".yaml") || path.endsWith(".yml"))
+  }
 }

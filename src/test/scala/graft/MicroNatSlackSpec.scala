@@ -216,6 +216,32 @@ class MicroNatSlackSpec extends SparkSpec {
     assert(s >= MinSlack, f"bm25 idf slack $s%.3e < $MinSlack%.0e")
   }
 
+  test("x41 pmi micro-nats sit >=1e-6 from rounding boundaries") {
+    // Mirrors the x41 oracle's scored CTE exactly: the pinned
+    // multiply/divide association inside the single ln, over every
+    // surviving (>= minCount) pair of the verify corpus.
+    val toks = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(graft.ext.TextAnalysis.tokens(col("text")).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").agg(count(lit(1)).as("c"))
+    val big = toks
+      .select(explode(graft.ext.Collocations.pairStructs(col("__toks"))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5L)
+    val t = toks.agg(
+      sum(size(col("__toks"))).cast("long").as("__nu"),
+      sum(greatest(size(col("__toks")) - 1, lit(0))).cast("long").as("__nb"))
+    val v = log(((col("c12") * lit(1.0) * col("__nu")) / col("__nb")) *
+      ((col("__nu") * lit(1.0)) / col("c1")) / col("c2")) * lit(1e6)
+    val s = minSlack(big
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+      .crossJoin(broadcast(t)).select(v.as("v")))
+    assert(s >= MinSlack, f"x41 pmi slack $s%.3e < $MinSlack%.0e")
+  }
+
   test("x20 4-dp psi display cannot tie (no |psi_micro| = 50 mod 100)") {
     val ties = graft.ext.PsiDrift.psiByWeek(Tables.events(spark, oracleSf))
       .filter(pmod(abs(col("psi_micro")), lit(100L)) === 50L)

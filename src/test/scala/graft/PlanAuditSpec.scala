@@ -51,6 +51,9 @@ class PlanAuditSpec extends SparkSpec {
       // ONE-ROW (total_toks, vocab) totals broadcast-cross-joined onto
       // the per-gram probe — the x12 weight-sum shape.
       "x15_lm_ppl", "x15_lm_ppl3", "x15_lm_ppl5", "x15_lm_against",
+      // The ONE-ROW (Nu, Nb) totals cross onto the surviving pair
+      // frame — the x15 totals shape.
+      "x41_pmi_pairs",
       // The ppl-gated funnel inherits x15's one-row totals cross; the
       // dsir-selected funnel inherits x16's.
       "x10_ppl_funnel", "x10_dsir_funnel",
