@@ -3718,6 +3718,38 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x42_scd2_enrich" ->
+      // The validity join replayed as the NAIVE key + BETWEEN left
+      // join the asof formulation avoids (non-overlapping versions →
+      // at most one match, so the left join is row-preserving); the
+      // plant — keyed boundaries, the dropped silver version, the gap
+      // — is re-derived from scratch.
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v1 AS (SELECT user_id, 'bronze' AS tier,
+        |              TIMESTAMP '2024-01-01 00:00:00' AS vf,
+        |              CAST(DATE '2024-01-08' + (user_id % 7) * INTERVAL 1 DAY
+        |                   AS TIMESTAMP) AS vt
+        |       FROM u),
+        |v2 AS (SELECT user_id, 'silver' AS tier,
+        |              CAST(DATE '2024-01-08' + (user_id % 7) * INTERVAL 1 DAY
+        |                   AS TIMESTAMP) AS vf,
+        |              CAST(DATE '2024-01-18' + (user_id % 9) * INTERVAL 1 DAY
+        |                   AS TIMESTAMP) AS vt
+        |       FROM u WHERE user_id % 11 <> 0),
+        |v3 AS (SELECT user_id, 'gold' AS tier,
+        |              CAST(DATE '2024-01-18' + (user_id % 9) * INTERVAL 1 DAY
+        |                   AS TIMESTAMP) AS vf,
+        |              CAST(NULL AS TIMESTAMP) AS vt
+        |       FROM u),
+        |dim AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |        UNION ALL SELECT * FROM v3)
+        |SELECT e.event_id, e.user_id, d.tier AS dim_tier,
+        |       d.vf AS dim_valid_from
+        |FROM events e LEFT JOIN dim d
+        |  ON e.user_id = d.user_id AND e.ts >= d.vf
+        |     AND (d.vt IS NULL OR e.ts < d.vt)
+        |ORDER BY event_id""".stripMargin,
+
     "x41_pmi_pairs" ->
       // PMI replayed: unigram census, adjacent-pair census via lateral
       // unnest over 1..len-1, the >=5 cut, (Nu, Nb) from ONE pass over

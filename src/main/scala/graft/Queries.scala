@@ -1994,6 +1994,39 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** X42 — point-in-time dimension enrichment ([[graft.ext.AsofJoin
+    * .enrichAsOf]]): every event joined to the dimension VERSION valid
+    * at its timestamp — the T4 SCD-2 consumer. The plant builds a
+    * three-version tier history per event user with keyed validity
+    * boundaries (bronze → silver → gold, contiguous), and DROPS the
+    * silver version for every 11th user so a real history GAP exists:
+    * events landing in it must enrich NULL (proving the valid_to
+    * check, not just the as-of pick). */
+  def x42Scd2Enrich(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val users = ev.select("user_id").distinct()
+    val vt1 = date_add(to_date(lit("2024-01-08")),
+      pmod(col("user_id"), lit(7L)).cast("int")).cast("timestamp")
+    val vt2 = date_add(to_date(lit("2024-01-18")),
+      pmod(col("user_id"), lit(9L)).cast("int")).cast("timestamp")
+    val v1 = users.select(col("user_id"), lit("bronze").as("tier"),
+      to_date(lit("2024-01-01")).cast("timestamp").as("valid_from"),
+      vt1.as("valid_to"))
+    val v2 = users.filter(pmod(col("user_id"), lit(11L)) =!= 0L)
+      .select(col("user_id"), lit("silver").as("tier"),
+        vt1.as("valid_from"), vt2.as("valid_to"))
+    val v3 = users.select(col("user_id"), lit("gold").as("tier"),
+      vt2.as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"))
+    val dim = v1.unionByName(v2).unionByName(v3)
+    graft.ext.AsofJoin.enrichAsOf(ev, dim,
+        keyCol = "user_id", timeCol = "ts", attrs = Seq("tier"))
+      .select(col("event_id"), col("user_id"), col("dim_tier"),
+        col("dim_valid_from"))
+      .orderBy("event_id")
+  }
+
   /** X22 — range join: every event matched back to its containing
     * session interval ([[graft.ext.RangeJoin]] over [[x18Sessionize]]'s
     * sessions — a self-consistency pair: sessions partition each user's

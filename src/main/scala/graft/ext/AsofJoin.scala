@@ -86,4 +86,37 @@ object AsofJoin {
       .select((leftCols.map(col) ++
         rightCols.map(c => col(s"__rrow.$c").as(s"$prefix$c"))).toIndexedSeq: _*)
   }
+
+  /** X42 — point-in-time dimension enrichment: join each fact row to
+    * the dimension VERSION valid at its timestamp (`valid_from <= t`,
+    * and `t < valid_to` when a `valid_to` is set) — the consumer of
+    * T4/s7's SCD-2 history, and the join every "what tier was this
+    * user ON THAT DAY" report needs (joining the current slice instead
+    * silently rewrites history — the classic leakage bug).
+    *
+    * SCD-2 validity intervals are non-overlapping per key, so the
+    * at-or-before [[asofJoin]] on `valid_from` finds the only
+    * candidate in ONE keyed shuffle+sort (never an interval explosion
+    * or a BETWEEN nested loop); a candidate whose `valid_to` has
+    * already passed marks a HISTORY GAP and enriches as NULL (checked
+    * post-carry — `attrs` come back null, exactly like a key with no
+    * version at all). Facts before a key's first version, unknown
+    * keys, and null keys/times all enrich as NULL through the asof
+    * machinery's existing semantics. */
+  def enrichAsOf(facts: DataFrame, dim: DataFrame, keyCol: String,
+                 timeCol: String, attrs: Seq[String],
+                 validFrom: String = "valid_from",
+                 validTo: String = "valid_to",
+                 prefix: String = "dim_"): DataFrame = {
+    require(attrs.nonEmpty, "attrs must name at least one dimension column")
+    val j = asofJoin(facts, dim, keyCol, timeCol, validFrom,
+      rightCols = (attrs :+ validTo :+ validFrom).distinct, prefix = "__e_")
+    val expired = col(s"__e_$validTo").isNotNull &&
+      col(timeCol) >= col(s"__e_$validTo")
+    val enriched = (attrs :+ validFrom).distinct.foldLeft(j) { (d, c) =>
+      d.withColumn(s"$prefix$c", when(!expired, col(s"__e_$c")))
+    }
+    enriched.drop(
+      (attrs :+ validTo :+ validFrom).distinct.map(c => s"__e_$c"): _*)
+  }
 }

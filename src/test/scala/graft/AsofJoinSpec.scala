@@ -79,6 +79,36 @@ class AsofJoinSpec extends SparkSpec {
     assert(d.length == 2 && d(0).getAs[Long]("event_id") == 12L)
   }
 
+  test("enrichAsOf: picks the valid version, NULLs history gaps, " +
+       "expired tails, unknown keys, and pre-history facts") {
+    // user 1: bronze [10, 20), silver [20, 30), gold [30, 40) — and
+    // NOTHING past 40 (an expired tail, not an open row).
+    // user 2: only bronze [10, 20) then a gap until gold [35, null).
+    val dim = df(Seq(
+      Row(1L, "bronze", sec(10), sec(20)),
+      Row(1L, "silver", sec(20), sec(30)),
+      Row(1L, "gold", sec(30), sec(40)),
+      Row(2L, "bronze", sec(10), sec(20)),
+      Row(2L, "gold", sec(35), null)),
+      "user_id BIGINT, tier STRING, valid_from TIMESTAMP, valid_to TIMESTAMP")
+    val facts = df(Seq(
+      Row(1L, 1L, sec(20)),   // boundary: valid_from inclusive → silver
+      Row(2L, 1L, sec(29)),   // silver
+      Row(3L, 1L, sec(45)),   // past the last valid_to → expired, NULL
+      Row(4L, 2L, sec(25)),   // in the gap → NULL
+      Row(5L, 2L, sec(99)),   // open gold row
+      Row(6L, 9L, sec(25)),   // unknown key → NULL
+      Row(7L, 1L, sec(5))),   // before any version → NULL
+      "event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+    val out = AsofJoin.enrichAsOf(facts, dim, "user_id", "ts",
+        attrs = Seq("tier"))
+      .orderBy("event_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("dim_tier"))
+    assert(out.toSeq == Seq(1L -> "silver", 2L -> "silver", 3L -> null,
+      4L -> null, 5L -> "gold", 6L -> null, 7L -> null),
+      s"got:\n${out.mkString("\n")}")
+  }
+
   test("registered x21 is partitioning-invariant and matches a window replay") {
     val a = Queries.x21AsofJoin(spark, sfDir).collect()
     assert(a.length == Tables.events(spark, sfDir).count())
