@@ -3718,6 +3718,45 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x43_embed_drift" ->
+      // The whole drift pipeline replayed: the shared int8 quantization
+      // (widen-then-shift for the label-3 plant, same IEEE op order as
+      // the engine), per-(label, dim) integer sums per snapshot half,
+      // FLOOR micro-means (// floors; the engine spells floor via
+      // pmod), and the DECIMAL(38,0) squared-diff rollup.
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |         CASE WHEN vec_id % 2 = 1 AND label = 3
+        |              THEN list_transform(CAST(embedding AS DOUBLE[]),
+        |                                  x -> x + 0.25)
+        |              ELSE CAST(embedding AS DOUBLE[]) END AS v
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, label,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x / (m / 127))) END AS qv
+        |  FROM (SELECT vec_id, label, v,
+        |               list_max(list_transform(v, x -> abs(x))) AS m
+        |        FROM base)),
+        |e AS (
+        |  SELECT vec_id, label, i AS pos, CAST(qv[i] AS BIGINT) AS q
+        |  FROM qz, unnest(range(1, len(qv) + 1)) AS t(i)),
+        |ca AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS sa,
+        |              count(*) AS na
+        |       FROM e WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |cb AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS sb,
+        |              count(*) AS nb
+        |       FROM e WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+        |m AS (SELECT label, na, nb,
+        |             (sa * 1000000) // na AS ma,
+        |             (sb * 1000000) // nb AS mb
+        |      FROM ca JOIN cb USING (label, pos))
+        |SELECT label, CAST(max(na) AS BIGINT) AS n_prev,
+        |       CAST(max(nb) AS BIGINT) AS n_cur,
+        |       CAST(sum((ma - mb) * (ma - mb)) AS DECIMAL(38,0))
+        |         AS drift_num
+        |FROM m GROUP BY 1 ORDER BY label""".stripMargin,
+
     "x42_scd2_enrich" ->
       // The validity join replayed as the NAIVE key + BETWEEN left
       // join the asof formulation avoids (non-overlapping versions →

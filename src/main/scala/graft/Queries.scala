@@ -1241,6 +1241,27 @@ object Queries {
       .orderBy("lkey")
   }
 
+  /** X43 — embedding-distribution drift ([[graft.ext.EmbedDrift
+    * .centroidDrift]]): per-label centroid displacement between the
+    * even-key and odd-key snapshot halves, with label 3's current half
+    * PLANTED +0.25 on every dimension — its drift_num must dominate
+    * (the detection the operator exists for; rank pinned in
+    * EmbedDriftSpec, values hash-pinned by the oracle). */
+  def x43EmbedDrift(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val prev = emb.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+    // The shift is applied in DOUBLE (cast first, then add): adding in
+    // float and widening after would round differently from the
+    // oracle's widen-then-add — same IEEE, different op order.
+    val cur = emb.filter(pmod(col("vec_id"), lit(2L)) === 1L)
+      .withColumn("embedding",
+        when(col("label") === 3L,
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(0.25d)))
+          .otherwise(col("embedding").cast("array<double>")))
+    graft.ext.EmbedDrift.centroidDrift(prev, cur).orderBy("label")
+  }
+
   /** X41 — PMI collocation mining ([[graft.ext.Collocations
     * .pmiPairs]]): the corpus's statistically-bound word pairs, top 50
     * by integer micro-nat PMI at ≥5 occurrences — tokenizer merge
