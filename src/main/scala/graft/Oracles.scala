@@ -1007,6 +1007,38 @@ object Oracles {
     * the streaming lane's key-partitioned micro-batch replay claims
     * composition to the one-shot merge, so it must hash against the
     * same replay (the x1_incremental/x1_bloom sharing rule). */
+  /** The shared X42/S14 oracle: the validity join replayed as the
+    * NAIVE key + BETWEEN left join (non-overlapping versions -> at
+    * most one match, so the left join is row-preserving); the plant
+    * -- keyed boundaries, the dropped silver version, the gap -- is
+    * re-derived from scratch.  */
+  private val scd2EnrichSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v1 AS (SELECT user_id, 'bronze' AS tier,
+        |              TIMESTAMP '2024-01-01 00:00:00' AS vf,
+        |              CAST(DATE '2024-01-08' + (user_id % 7) * INTERVAL 1 DAY
+        |                   AS TIMESTAMP) AS vt
+        |       FROM u),
+        |v2 AS (SELECT user_id, 'silver' AS tier,
+        |              CAST(DATE '2024-01-08' + (user_id % 7) * INTERVAL 1 DAY
+        |                   AS TIMESTAMP) AS vf,
+        |              CAST(DATE '2024-01-18' + (user_id % 9) * INTERVAL 1 DAY
+        |                   AS TIMESTAMP) AS vt
+        |       FROM u WHERE user_id % 11 <> 0),
+        |v3 AS (SELECT user_id, 'gold' AS tier,
+        |              CAST(DATE '2024-01-18' + (user_id % 9) * INTERVAL 1 DAY
+        |                   AS TIMESTAMP) AS vf,
+        |              CAST(NULL AS TIMESTAMP) AS vt
+        |       FROM u),
+        |dim AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |        UNION ALL SELECT * FROM v3)
+        |SELECT e.event_id, e.user_id, d.tier AS dim_tier,
+        |       d.vf AS dim_valid_from
+        |FROM events e LEFT JOIN dim d
+        |  ON e.user_id = d.user_id AND e.ts >= d.vf
+        |     AND (d.vt IS NULL OR e.ts < d.vt)
+        |ORDER BY event_id""".stripMargin
+
   private val scd2SnapshotSql: String =
       """WITH hist_closed AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal - 100 AS c_acctbal,
@@ -3757,37 +3789,9 @@ object Oracles {
         |         AS drift_num
         |FROM m GROUP BY 1 ORDER BY label""".stripMargin,
 
-    "x42_scd2_enrich" ->
-      // The validity join replayed as the NAIVE key + BETWEEN left
-      // join the asof formulation avoids (non-overlapping versions →
-      // at most one match, so the left join is row-preserving); the
-      // plant — keyed boundaries, the dropped silver version, the gap
-      // — is re-derived from scratch.
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |v1 AS (SELECT user_id, 'bronze' AS tier,
-        |              TIMESTAMP '2024-01-01 00:00:00' AS vf,
-        |              CAST(DATE '2024-01-08' + (user_id % 7) * INTERVAL 1 DAY
-        |                   AS TIMESTAMP) AS vt
-        |       FROM u),
-        |v2 AS (SELECT user_id, 'silver' AS tier,
-        |              CAST(DATE '2024-01-08' + (user_id % 7) * INTERVAL 1 DAY
-        |                   AS TIMESTAMP) AS vf,
-        |              CAST(DATE '2024-01-18' + (user_id % 9) * INTERVAL 1 DAY
-        |                   AS TIMESTAMP) AS vt
-        |       FROM u WHERE user_id % 11 <> 0),
-        |v3 AS (SELECT user_id, 'gold' AS tier,
-        |              CAST(DATE '2024-01-18' + (user_id % 9) * INTERVAL 1 DAY
-        |                   AS TIMESTAMP) AS vf,
-        |              CAST(NULL AS TIMESTAMP) AS vt
-        |       FROM u),
-        |dim AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
-        |        UNION ALL SELECT * FROM v3)
-        |SELECT e.event_id, e.user_id, d.tier AS dim_tier,
-        |       d.vf AS dim_valid_from
-        |FROM events e LEFT JOIN dim d
-        |  ON e.user_id = d.user_id AND e.ts >= d.vf
-        |     AND (d.vt IS NULL OR e.ts < d.vt)
-        |ORDER BY event_id""".stripMargin,
+    "x42_scd2_enrich" -> scd2EnrichSql,
+
+    "s14_stream_enrich" -> scd2EnrichSql,
 
     "x41_pmi_pairs" ->
       // PMI replayed: unigram census, adjacent-pair census via lateral

@@ -2023,7 +2023,12 @@ object Queries {
     * silver version for every 11th user so a real history GAP exists:
     * events landing in it must enrich NULL (proving the valid_to
     * check, not just the as-of pick). */
-  def x42Scd2Enrich(s: SparkSession, d: String): DataFrame = {
+  /** The shared X42/S14 enrichment plant — ONE definition, because the
+    * streaming lane's batch replay hash-checks against the SAME oracle:
+    * returns (facts, three-version tier dimension with the 11th-user
+    * silver gap). */
+  private def enrichPlant(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val ev = events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"))
     val users = ev.select("user_id").distinct()
@@ -2040,8 +2045,27 @@ object Queries {
     val v3 = users.select(col("user_id"), lit("gold").as("tier"),
       vt2.as("valid_from"),
       lit(null).cast("timestamp").as("valid_to"))
-    val dim = v1.unionByName(v2).unionByName(v3)
+    (ev, v1.unionByName(v2).unionByName(v3))
+  }
+
+  def x42Scd2Enrich(s: SparkSession, d: String): DataFrame = {
+    val (ev, dim) = enrichPlant(s, d)
     graft.ext.AsofJoin.enrichAsOf(ev, dim,
+        keyCol = "user_id", timeCol = "ts", attrs = Seq("tier"))
+      .select(col("event_id"), col("user_id"), col("dim_tier"),
+        col("dim_valid_from"))
+      .orderBy("event_id")
+  }
+
+  /** S14 — streaming point-in-time enrichment ([[graft.stream
+    * .StreamingEnrich]] batch replay): the SERVE-time form of X42 —
+    * arriving facts enrich against the broadcast dimension history via
+    * one stream-static validity join; hash-matched against the SAME
+    * oracle as `x42_scd2_enrich` (batch ≡ asof formulation pinned in
+    * StreamingEnrichSpec along with live MemoryStream parity). */
+  def s14StreamEnrich(s: SparkSession, d: String): DataFrame = {
+    val (ev, dim) = enrichPlant(s, d)
+    graft.stream.StreamingEnrich.enrichStream(ev, dim,
         keyCol = "user_id", timeCol = "ts", attrs = Seq("tier"))
       .select(col("event_id"), col("user_id"), col("dim_tier"),
         col("dim_valid_from"))
