@@ -3750,6 +3750,37 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x44_mad_outliers" ->
+      // The twice-median trick replayed: 4-dp scaled longs, med2 =
+      // round(2·quantile_cont) — an EXACT .0/.5 double over integer
+      // inputs in both engines, so no interpolation ulp exposure —
+      // then the all-integer outlier test 2·D > 3·mad2.
+      """WITH s AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |           AS scaled
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |         CAST(round(2 * quantile_cont(scaled, 0.5)) AS BIGINT)
+        |           AS med2
+        |  FROM s GROUP BY 1),
+        |dev AS (
+        |  SELECT s.event_type, abs(s.scaled * 2 - med.med2) AS dev2,
+        |         med.med2
+        |  FROM s JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type,
+        |         CAST(round(2 * quantile_cont(dev2, 0.5)) AS BIGINT)
+        |           AS mad2
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |       max(d.med2) AS med2, max(m.mad2) AS mad2,
+        |       count(CASE WHEN d.dev2 * 2 > 3 * m.mad2 THEN 1 END)
+        |         AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "x43_embed_drift" ->
       // The whole drift pipeline replayed: the shared int8 quantization
       // (widen-then-shift for the label-3 plant, same IEEE op order as

@@ -1241,6 +1241,12 @@ object Queries {
       .orderBy("lkey")
   }
 
+  /** X44 — robust anomaly flags ([[graft.ext.RobustStats.madCensus]]):
+    * median/MAD outliers per event type at k = 3, exact through the
+    * doubled-median integer trick — the robust twin of X4's z-scores. */
+  def x44MadOutliers(s: SparkSession, d: String): DataFrame =
+    graft.ext.RobustStats.madCensus(events(s, d))
+
   /** X43 — embedding-distribution drift ([[graft.ext.EmbedDrift
     * .centroidDrift]]): per-label centroid displacement between the
     * even-key and odd-key snapshot halves, with label 3's current half
