@@ -3750,6 +3750,56 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "g17_referential" ->
+      // Each edge re-derived as a NOT-EXISTS census (null fks counted
+      // separately, never as orphans — SQL FK semantics), with the
+      // lineitem %97 plant replayed.
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 13
+        |              THEN l_orderkey + 1000000000
+        |              ELSE l_orderkey END AS fk
+        |  FROM lineitem),
+        |edges AS (
+        |  SELECT 'lineitem' AS child_table, 'l_orderkey' AS fk_column,
+        |         'orders' AS parent_table,
+        |         count(fk) AS n_child,
+        |         count(CASE WHEN fk IS NULL THEN 1 END) AS n_null_fk,
+        |         count(CASE WHEN fk IS NOT NULL AND NOT EXISTS
+        |           (SELECT 1 FROM orders WHERE o_orderkey = fk)
+        |           THEN 1 END) AS n_orphans
+        |  FROM li
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey', 'customer', count(o_custkey),
+        |         count(CASE WHEN o_custkey IS NULL THEN 1 END),
+        |         count(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS
+        |           (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |           THEN 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'customer', 'c_nationkey', 'nation', count(c_nationkey),
+        |         count(CASE WHEN c_nationkey IS NULL THEN 1 END),
+        |         count(CASE WHEN c_nationkey IS NOT NULL AND NOT EXISTS
+        |           (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+        |           THEN 1 END)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier', 's_nationkey', 'nation', count(s_nationkey),
+        |         count(CASE WHEN s_nationkey IS NULL THEN 1 END),
+        |         count(CASE WHEN s_nationkey IS NOT NULL AND NOT EXISTS
+        |           (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)
+        |           THEN 1 END)
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'nation', 'n_regionkey', 'region', count(n_regionkey),
+        |         count(CASE WHEN n_regionkey IS NULL THEN 1 END),
+        |         count(CASE WHEN n_regionkey IS NOT NULL AND NOT EXISTS
+        |           (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
+        |           THEN 1 END)
+        |  FROM nation)
+        |SELECT child_table, fk_column, parent_table, n_child, n_null_fk,
+        |       n_orphans, n_orphans = 0 AS passed
+        |FROM edges ORDER BY child_table, fk_column""".stripMargin,
+
     "x44_mad_outliers" ->
       // The twice-median trick replayed: 4-dp scaled longs, med2 =
       // round(2·quantile_cont) — an EXACT .0/.5 double over integer

@@ -1241,6 +1241,29 @@ object Queries {
       .orderBy("lkey")
   }
 
+  /** G17 — referential-integrity census ([[graft.checks.Referential]]):
+    * orphan foreign keys across the star schema's five FK edges, with
+    * a deterministic plant (lineitem keys where `%97 == 13` re-keyed
+    * +10⁹) so the orphan counter is provably live, not a constant
+    * zero; the clean edges must still report exactly zero. */
+  def g17Referential(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).withColumn("l_orderkey",
+      when(pmod(col("l_orderkey"), lit(97L)) === 13L,
+        col("l_orderkey") + lit(1000000000L))
+        .otherwise(col("l_orderkey")))
+    graft.checks.Referential.census(Seq(
+      (li, "lineitem", "l_orderkey", orders(s, d), "orders", "o_orderkey"),
+      (orders(s, d), "orders", "o_custkey",
+        customer(s, d), "customer", "c_custkey"),
+      (customer(s, d), "customer", "c_nationkey",
+        nation(s, d), "nation", "n_nationkey"),
+      (supplier(s, d), "supplier", "s_nationkey",
+        nation(s, d), "nation", "n_nationkey"),
+      (nation(s, d), "nation", "n_regionkey",
+        region(s, d), "region", "r_regionkey")))
+      .orderBy("child_table", "fk_column")
+  }
+
   /** X44 — robust anomaly flags ([[graft.ext.RobustStats.madCensus]]):
     * median/MAD outliers per event type at k = 3, exact through the
     * doubled-median integer trick — the robust twin of X4's z-scores. */

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.checks.Referential
+
+class ReferentialSpec extends SparkSpec {
+
+  test("orphan census: counts orphans exactly, nulls are missing not " +
+       "dangling, duplicate parent keys never fan out") {
+    val child = df(Seq(Row(1L), Row(1L), Row(2L), Row(9L), Row(null)),
+      "fk BIGINT")
+    // parent key 1 appears twice — the census must still count child
+    // rows once each (the key set deduplicates).
+    val parent = df(Seq(Row(1L), Row(1L), Row(2L), Row(3L)), "pk BIGINT")
+    val r = Referential.orphanCensus(child, "c", "fk", parent, "p", "pk")
+      .collect().head
+    assert(r.getAs[Long]("n_child") == 4L)
+    assert(r.getAs[Long]("n_null_fk") == 1L)
+    assert(r.getAs[Long]("n_orphans") == 1L)
+    assert(!r.getAs[Boolean]("passed"))
+  }
+
+  test("a clean edge passes; the census unions edges in order") {
+    val child = df(Seq(Row(1L), Row(2L)), "fk BIGINT")
+    val parent = df(Seq(Row(1L), Row(2L)), "pk BIGINT")
+    val out = Referential.census(Seq(
+      (child, "a", "fk", parent, "p", "pk"),
+      (child, "b", "fk", parent, "p", "pk"))).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Boolean]("passed")))
+    assert(out.map(_.getAs[String]("child_table")).toSeq == Seq("a", "b"))
+  }
+
+  test("the registered plant flags exactly the re-keyed lineitem edge " +
+       "on clean testdata") {
+    val rows = Queries.g17Referential(spark, sfDir).collect()
+    val byEdge = rows.map(r => r.getAs[String]("child_table") ->
+      r.getAs[Boolean]("passed")).toMap
+    assert(!byEdge("lineitem"), "the plant must trip the orphan counter")
+    assert(Seq("orders", "customer", "supplier", "nation")
+      .forall(byEdge(_)), "clean edges must pass")
+  }
+}
