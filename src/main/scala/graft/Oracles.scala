@@ -3750,6 +3750,42 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x45_session_funnel" ->
+      // The x18 session assignment (4-hour gap) composed under the x37
+      // correlated-min funnel, keyed on the user:session composite;
+      // strict > and floor division as in both parents.
+      """WITH a AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_type,
+        |         concat(CAST(user_id AS VARCHAR), ':',
+        |                CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 14400
+        |                         THEN 1 ELSE 0 END)
+        |                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                  AS VARCHAR)) AS sk
+        |  FROM a),
+        |s1 AS (SELECT sk, min(ts) AS t1 FROM sess
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s.sk, min(ts) AS t2
+        |       FROM sess s JOIN s1 USING (sk)
+        |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+        |s3 AS (SELECT s.sk, min(ts) AS t3
+        |       FROM sess s JOIN s2 USING (sk)
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+        |c AS (SELECT 1 AS step_idx, 'view' AS step,
+        |             CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |      UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |      UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT CAST(step_idx AS BIGINT) AS step_idx, step, n_users,
+        |       CAST((n_users * 1000000) //
+        |            (SELECT n_users FROM c WHERE step_idx = 1) AS BIGINT)
+        |         AS conv_ppm
+        |FROM c ORDER BY step_idx""".stripMargin,
+
     "g17_referential" ->
       // Each edge re-derived as a NOT-EXISTS census (null fks counted
       // separately, never as orphans — SQL FK semantics), with the

@@ -2148,6 +2148,23 @@ object Queries {
   def x18Sessionize(s: SparkSession, d: String): DataFrame =
     graft.ext.Sessionize.summary(events(s, d), gapSeconds = 43200L)
 
+  /** X45 — within-session funnel ([[graft.ext.Sessionize.assign]] ∘
+    * [[graft.ext.EventFunnel.funnel]]): the X37 ordered-step funnel
+    * with the SESSION as the conversion unit — "did the user get from
+    * view to purchase in ONE sitting" (4-hour gap — at this corpus's
+    * event density a 1-hour gap leaves step 3 empty), the stricter
+    * product question X37's lifetime funnel can't ask. The funnel key
+    * is the `user:session` composite; machinery otherwise unchanged,
+    * so the composition is two audited operators, zero new bodies. */
+  def x45SessionFunnel(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.ext.Sessionize.assign(events(s, d),
+        gapSeconds = 14400L)
+      .withColumn("session_key",
+        concat_ws(":", col("user_id"), col("session_idx")))
+    graft.ext.EventFunnel.funnel(sess, Seq("view", "click", "purchase"),
+      userCol = "session_key")
+  }
+
   /** X11 — key-skew profile: the heaviest join keys on the fact table
     * with their share of rows, the diagnostic that decides between AQE,
     * salting, and broadcast (ext/Skew). */
