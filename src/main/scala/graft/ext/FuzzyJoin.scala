@@ -80,7 +80,11 @@ object FuzzyJoin {
     val cold = rPost.groupBy("__g").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap).select("__g")
 
-    val cand = lPost.join(broadcast(cold), "__g").join(rPost, "__g")
+    // BOTH posting streams prune to cold trigrams before the inverted
+    // -index shuffle — a hot gram's postings can never match once the
+    // other side is filtered, so shipping them is pure waste.
+    val cand = lPost.join(broadcast(cold), "__g")
+      .join(rPost.join(broadcast(cold), "__g"), "__g")
       .select("__lk", "__rk").distinct()
 
     // Exact verify on the FULL sets: candidates join back to the gram

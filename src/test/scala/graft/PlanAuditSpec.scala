@@ -67,8 +67,9 @@ class PlanAuditSpec extends SparkSpec {
       // one-row cross).
       "x16_dsir_weights", "x16_dsir_select", "x16_dsir_against",
       // The ONE-ROW step-1 population cross onto the 3-row step-count
-      // union — the funnel's ppm denominator (x12 weight-sum shape).
-      "x37_event_funnel",
+      // union — the funnel's ppm denominator (x12 weight-sum shape);
+      // the session funnel rides the same machinery.
+      "x37_event_funnel", "x45_session_funnel",
       // The weeks × observed-(type,bin) smoothing grid: a deliberate
       // cross of two frames derived from the checkpointed census —
       // both |weeks| / |types|·|bins| sized at ANY corpus size.
