@@ -3750,6 +3750,19 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x46_planted_ratio" ->
+      // No compressor needed: the plant's band is a certainty (a
+      // constant run of >= 200 bytes deflates under 8% in any correct
+      // deflate implementation), and n_raw is pure doc_id arithmetic.
+      // The band cut itself is engine-side; what the oracle pins is
+      // that every planted row lands in it — a broken Deflater loop,
+      // a ratio off by a factor, or a band boundary drift all break
+      // this.
+      """SELECT doc_id, CAST(200 + doc_id % 500 AS BIGINT) AS n_raw,
+        |       'junk' AS band
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY doc_id""".stripMargin,
+
     "x45_session_funnel" ->
       // The x18 session assignment (4-hour gap) composed under the x37
       // correlated-min funnel, keyed on the user:session composite;

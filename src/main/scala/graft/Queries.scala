@@ -1264,6 +1264,31 @@ object Queries {
       .orderBy("child_table", "fk_column")
   }
 
+  /** X46 — compression-ratio quality census ([[graft.ext
+    * .Compressibility]]): per-(lang, band) deflate-ratio census —
+    * rows-only (DuckDB ships no deflate; the engine-side ratio is
+    * deterministic and partitioning-invariant, pinned in
+    * CompressibilitySpec), twinned with the oracle-checked plant
+    * below. */
+  def x46CompressRatio(s: SparkSession, d: String): DataFrame =
+    graft.ext.Compressibility.census(documents(s, d))
+
+  /** X46b — the oracle-checked planted twin: every 13th doc's text
+    * replaced by a `'z' × (200 + doc_id % 500)` constant run, whose
+    * deflate ratio sits under 8% BY MATHEMATICAL CERTAINTY (a constant
+    * run of ≥200 bytes deflates to a few dozen under any correct
+    * deflate) — so the oracle can state every output row (doc_id,
+    * n_raw, band) without running a compressor. */
+  def x46PlantedRatio(s: SparkSession, d: String): DataFrame = {
+    val planted = documents(s, d)
+      .filter(pmod(col("doc_id"), lit(13L)) === 0L)
+      .withColumn("text",
+        expr("repeat('z', cast(200 + doc_id % 500 as int))"))
+    graft.ext.Compressibility.ratios(planted)
+      .select(col("doc_id"), col("n_raw"), col("band"))
+      .orderBy("doc_id")
+  }
+
   /** X44 — robust anomaly flags ([[graft.ext.RobustStats.madCensus]]):
     * median/MAD outliers per event type at k = 3, exact through the
     * doubled-median integer trick — the robust twin of X4's z-scores. */

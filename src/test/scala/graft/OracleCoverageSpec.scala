@@ -21,7 +21,12 @@ class OracleCoverageSpec extends AnyFunSuite {
     "x2_ann_topk",        // (x2_ann_planted, x2_ann_against)
     "x2_ivf_topk",        // (x2_ivf_planted, x2_ivf_against)
     "s3_stream_neardup",  // (s3_planted_neardup)
-    "s4_stream_simhash")  // (s4_planted_simhash)
+    "s4_stream_simhash",  // (s4_planted_simhash)
+    // Not randomized but equally unreplayable: DuckDB ships no
+    // deflate, so the ratio census can't hash-compare; the planted
+    // twin's band IS certain (a constant run < 8% under any correct
+    // deflate) and oracle-checked.
+    "x46_compress_ratio") // (x46_planted_ratio)
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -51,7 +56,8 @@ class OracleCoverageSpec extends AnyFunSuite {
       "x2_ann_topk" -> "x2_ann_planted",
       "x2_ivf_topk" -> "x2_ivf_planted",
       "s3_stream_neardup" -> "s3_planted_neardup",
-      "s4_stream_simhash" -> "s4_planted_simhash")
+      "s4_stream_simhash" -> "s4_planted_simhash",
+      "x46_compress_ratio" -> "x46_planted_ratio")
     declaredRowsOnly.foreach { q =>
       val t = twins(q)
       assert(SparkEntry.queries.contains(t) && SparkEntry.oracleSql.contains(t),
