@@ -3750,6 +3750,29 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x47_rolling_metrics" ->
+      // The daily census + RANGE-framed trailing window replayed;
+      // DECIMAL through the window sum, one round at the edge (the
+      // d-series discipline), integer epoch-day ordering so gap
+      // handling is identical.
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dt,
+        |         count(*) AS n_events,
+        |         sum(CAST(value AS DECIMAL(18,4))) AS vsum,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS day
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, strftime(dt, '%Y-%m-%d') AS dt, n_events,
+        |       CAST(round(vsum, 2) AS DOUBLE) AS value_sum,
+        |       CAST(sum(n_events) OVER w AS BIGINT) AS n_7d,
+        |       CAST(round(sum(vsum) OVER w, 2) AS DOUBLE)
+        |         AS value_sum_7d,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_days_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, dt""".stripMargin,
+
     "x46_planted_ratio" ->
       // No compressor needed: the plant's band is a certainty (a
       // constant run of >= 200 bytes deflates under 8% in any correct

@@ -1264,6 +1264,13 @@ object Queries {
       .orderBy("child_table", "fk_column")
   }
 
+  /** X47 — rolling time-series metrics ([[graft.ext.RollingMetrics
+    * .rolling]]): per-(event_type, day) census with 7-day trailing
+    * RANGE-framed rolling sums over the integer epoch-day (calendar
+    * gaps handled without a day spine). */
+  def x47RollingMetrics(s: SparkSession, d: String): DataFrame =
+    graft.ext.RollingMetrics.rolling(events(s, d), days = 7)
+
   /** X46 — compression-ratio quality census ([[graft.ext
     * .Compressibility]]): per-(lang, band) deflate-ratio census —
     * rows-only (DuckDB ships no deflate; the engine-side ratio is
