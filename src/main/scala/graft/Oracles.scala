@@ -3750,6 +3750,57 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x48_concurrency" ->
+      // The staged two-level sweep replayed as ONE plain per-day
+      // window over the same (ts, +1-before-−1) order: sessions from
+      // the x18 derivation, exploded to the days they touch, clipped,
+      // swept. Any peak the staged plan computes differently breaks
+      // the hash.
+      """WITH a AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(CASE WHEN gap_s IS NULL OR gap_s > 43200
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS session_idx
+        |  FROM a),
+        |sess AS (
+        |  SELECT user_id, session_idx, min(ts) AS start_ts,
+        |         max(ts) AS end_ts
+        |  FROM s GROUP BY 1, 2),
+        |bd AS (
+        |  SELECT user_id, session_idx, start_ts, end_ts,
+        |         CAST(d.day AS DATE) AS day
+        |  FROM sess, LATERAL (SELECT unnest(generate_series(
+        |         CAST(CAST(start_ts AS DATE) AS TIMESTAMP),
+        |         CAST(CAST(end_ts AS DATE) AS TIMESTAMP),
+        |         INTERVAL 1 DAY)) AS day) d),
+        |clipped AS (
+        |  SELECT user_id, session_idx, day,
+        |         greatest(start_ts, CAST(day AS TIMESTAMP)) AS cs,
+        |         least(end_ts, CAST(day + 1 AS TIMESTAMP)) AS ce
+        |  FROM bd),
+        |pts AS (
+        |  SELECT day, cs AS ts, CAST(1 AS BIGINT) AS d,
+        |         user_id, session_idx FROM clipped
+        |  UNION ALL
+        |  SELECT day, ce, -1, user_id, session_idx FROM clipped),
+        |run AS (
+        |  SELECT day, sum(d) OVER (PARTITION BY day
+        |           ORDER BY ts, d DESC, user_id, session_idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS r
+        |  FROM pts)
+        |SELECT strftime(day, '%Y-%m-%d') AS dt,
+        |       CAST(count(*) / 2 AS BIGINT) AS n_sessions,
+        |       CAST(max(r) AS BIGINT) AS max_concurrent
+        |FROM run GROUP BY 1 ORDER BY dt""".stripMargin,
+
     "x47_rolling_metrics" ->
       // The daily census + RANGE-framed trailing window replayed;
       // DECIMAL through the window sum, one round at the edge (the

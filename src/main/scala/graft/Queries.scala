@@ -1264,6 +1264,14 @@ object Queries {
       .orderBy("child_table", "fk_column")
   }
 
+  /** X48 — interval-sweep concurrency ([[graft.ext.Concurrency
+    * .dailyPeak]]): max simultaneously-active sessions per UTC day at
+    * the x18 12-hour gap — the capacity number session counts can't
+    * answer; two-level sweep, closed intervals, midnight spans
+    * clipped per day. */
+  def x48Concurrency(s: SparkSession, d: String): DataFrame =
+    graft.ext.Concurrency.dailyPeak(events(s, d), gapSeconds = 43200L)
+
   /** X47 — rolling time-series metrics ([[graft.ext.RollingMetrics
     * .rolling]]): per-(event_type, day) census with 7-day trailing
     * RANGE-framed rolling sums over the integer epoch-day (calendar
