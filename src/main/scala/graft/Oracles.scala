@@ -3750,6 +3750,40 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x49_rendezvous" -> {
+      // Rendezvous replayed: the nine per-shard ORDER-grade weights (same
+      // Scala-side seed lanes), argmax via greatest + first-match CASE
+      // (ties to the lowest shard, as the engine's when-chain), both
+      // ring sizes, and the moved/moved-elsewhere censuses — the
+      // minimal-disruption theorem shows up as an all-zero column the
+      // hash compare pins.
+      val ws = (0 to 8).map(s => orderKeySql("doc_id", 42L + s))
+      val wCols = ws.zipWithIndex
+        .map { case (w, s) => s"$w AS w$s" }.mkString(",\n         ")
+      def argmax(n: Int, m: String): String =
+        (0 until n).map(s => s"WHEN w$s = $m THEN $s")
+          .mkString("CASE ", " ", " END")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         $wCols
+         |  FROM documents),
+         |g AS (
+         |  SELECT *, greatest(${(0 to 7).map("w" + _).mkString(", ")}) AS m8,
+         |         greatest(${(0 to 8).map("w" + _).mkString(", ")}) AS m9
+         |  FROM w),
+         |a AS (
+         |  SELECT doc_id,
+         |         CAST(${argmax(8, "m8")} AS BIGINT) AS shard,
+         |         CAST(${argmax(9, "m9")} AS BIGINT) AS shard_next
+         |  FROM g)
+         |SELECT shard, count(*) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS key_sum,
+         |       count(CASE WHEN shard_next <> shard THEN 1 END) AS n_moved,
+         |       count(CASE WHEN shard_next <> shard AND shard_next <> 8
+         |                  THEN 1 END) AS n_moved_elsewhere
+         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin
+    },
+
     "x48_concurrency" ->
       // The staged two-level sweep replayed as ONE plain per-day
       // window over the same (ts, +1-before-−1) order: sessions from

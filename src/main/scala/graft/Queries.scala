@@ -1264,6 +1264,24 @@ object Queries {
       .orderBy("child_table", "fk_column")
   }
 
+  /** X49 — rendezvous shard routing ([[graft.ext.Rendezvous]]): docs
+    * routed to 8 shards by highest-random-weight, then the ring grown
+    * to 9 — the census proves the minimal-disruption THEOREM: every
+    * moved key moves TO the new shard (`n_moved_elsewhere` must be 0
+    * on every row), and only ~1/9 of keys move at all. */
+  def x49Rendezvous(s: SparkSession, d: String): DataFrame =
+    graft.ext.Rendezvous.assign(
+        documents(s, d).select("doc_id"), "doc_id",
+        nShards = 8, seed = 42L, compareWith = Some(9))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("key_sum"),
+        count(when(col("shard_next") =!= col("shard"), lit(1)))
+          .as("n_moved"),
+        count(when(col("shard_next") =!= col("shard") &&
+          col("shard_next") =!= 8L, lit(1))).as("n_moved_elsewhere"))
+      .orderBy("shard")
+
   /** X48 — interval-sweep concurrency ([[graft.ext.Concurrency
     * .dailyPeak]]): max simultaneously-active sessions per UTC day at
     * the x18 12-hour gap — the capacity number session counts can't

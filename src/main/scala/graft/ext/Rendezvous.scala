@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X49 — rendezvous (highest-random-weight) shard routing: assign each
+  * key to the shard whose keyed hash scores highest. The property that
+  * makes it worth a name — and the reason every incremental pipeline
+  * eventually wants it over `pmod(hash, n)` — is MINIMAL DISRUPTION:
+  * growing n → n+1 moves exactly the keys whose new-shard weight wins
+  * (≈ 1/(n+1) of them), and every moved key moves TO the new shard —
+  * the relative order among surviving shards is untouched, so nothing
+  * reshuffles between old shards. Under `pmod`, the same growth moves
+  * ~n/(n+1) of ALL keys — a full re-shard of a persisted corpus (the
+  * X1h fingerprint index, the X24 postings, the X10 layout) instead of
+  * an incremental top-up.
+  *
+  * Weights are the engine's SQL-replayable ORDER-grade
+  * [[Sampling.orderKey]] at per-shard seeds (`seed + s`) — orderKey,
+  * not raw [[Sampling.hash64]], is load-bearing: hash64's no-wrap low
+  * lane is order-preserving in `(key + seedLane)`, so under raw
+  * hash64 the argmax picks the same seed for nearly EVERY key and one
+  * shard swallows the corpus (measured: 500/500 keys on one shard
+  * before the finalizer; rendezvous is exactly the "sorts BY the hash
+  * value" consumer family orderKey exists for). Argmax resolves by a
+  * when-chain
+  * against the greatest weight — first match wins, so ties (already
+  * ~2⁻⁶² per pair) break to the LOWEST shard identically in both
+  * engines. Map-only: n hash evaluations + n comparisons per row, no
+  * shuffle, no state.
+  */
+object Rendezvous {
+
+  /** The winning shard in [0, nShards) for `key`. */
+  def shardOf(key: Column, nShards: Int, seed: Long): Column = {
+    require(nShards >= 1 && nShards <= 1024,
+      s"nShards ($nShards) must be in [1, 1024]")
+    val ws = (0 until nShards).map(s => Sampling.orderKey(key, seed + s))
+    val wMax = if (ws.size == 1) ws.head else greatest(ws: _*)
+    ws.zipWithIndex.tail.foldLeft(
+        when(ws.head === wMax, lit(0L)): Column) {
+      case (acc, (w, s)) => acc.when(w === wMax, lit(s.toLong))
+    }
+  }
+
+  /** Append `shard` (and, when `compareWith` is set, `shard_next` for
+    * the grown ring) to `df`. */
+  def assign(df: DataFrame, keyCol: String, nShards: Int, seed: Long,
+             compareWith: Option[Int] = None): DataFrame = {
+    val out = df.withColumn("shard", shardOf(col(keyCol), nShards, seed))
+    compareWith.fold(out)(n2 =>
+      out.withColumn("shard_next", shardOf(col(keyCol), n2, seed)))
+  }
+}
