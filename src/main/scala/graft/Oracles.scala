@@ -3750,6 +3750,37 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x50_nested_flatten" ->
+      // The parse+flatten replayed as pure doc_id arithmetic (the
+      // JSON is constructed from doc_id): author/tag/score derive
+      // directly, the two tag array slots become two UNION ALL arms —
+      // so a same-value collision (id ≡ v mod 3 AND mod 7) yields two
+      // rows, pinning explode (not set) semantics.
+      """WITH f AS (
+        |  SELECT 'u' || (doc_id % 50) AS author,
+        |         't' || (doc_id % 3) AS tag,
+        |         doc_id % 100 AS score
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'u' || (doc_id % 50), 't' || (doc_id % 7),
+        |         doc_id % 100
+        |  FROM documents)
+        |SELECT author, tag, count(*) AS n,
+        |       CAST(sum(score) AS BIGINT) AS score_sum
+        |FROM f GROUP BY 1, 2 ORDER BY author, tag""".stripMargin,
+
+    "x51_pivot_crosstab" ->
+      // The pivot replayed as explicit CASE sums — one column per
+      // event type, absent cells 0.
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+        |       count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |         AS purchase,
+        |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |       count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,
+
     "x49_rendezvous" -> {
       // Rendezvous replayed: the nine per-shard ORDER-grade weights (same
       // Scala-side seed lanes), argmax via greatest + first-match CASE

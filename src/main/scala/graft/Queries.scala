@@ -1264,6 +1264,51 @@ object Queries {
       .orderBy("child_table", "fk_column")
   }
 
+  /** X50 — nested-JSON flattening: the semi-structured ingestion step
+    * (crawl metadata, API payloads) — `from_json` under an EXPLICIT
+    * schema (inference is a second full pass; the x29 rationale), a
+    * nested-struct field path, and an array explode, censused. The
+    * JSON column is CONSTRUCTED from doc_id, so the oracle replays the
+    * whole parse+flatten as pure arithmetic — a parser mangling any
+    * field breaks the census. Duplicate tags (doc_id ≡ same value mod
+    * 3 and mod 7) must emit TWO rows — explode semantics, not
+    * set semantics. */
+  def x50NestedFlatten(s: SparkSession, d: String): DataFrame = {
+    val js = documents(s, d).select(col("doc_id"),
+      concat(lit("{\"meta\":{\"author\":\"u"),
+        pmod(col("doc_id"), lit(50L)),
+        lit("\",\"tags\":[\"t"), pmod(col("doc_id"), lit(3L)),
+        lit("\",\"t"), pmod(col("doc_id"), lit(7L)),
+        lit("\"],\"score\":"), pmod(col("doc_id"), lit(100L)),
+        lit("}}")).as("json"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "meta STRUCT<author: STRING, tags: ARRAY<STRING>, score: BIGINT>")
+    js.select(col("doc_id"), from_json(col("json"), schema).as("j"))
+      .select(col("doc_id"), col("j.meta.author").as("author"),
+        explode(col("j.meta.tags")).as("tag"),
+        col("j.meta.score").as("score"))
+      .groupBy("author", "tag")
+      .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
+      .orderBy("author", "tag")
+  }
+
+  /** X51 — pivot crosstab: the dashboard view — per-day event counts
+    * spread across one column per event type, with the EXPLICIT value
+    * list (an inferred pivot pays a distinct-values pass first, and
+    * its column set drifts with the data — the x29 explicit-schema
+    * rationale applied to columns). Absent cells are 0, not null. */
+  def x51PivotCrosstab(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val piv = events(s, d)
+      .withColumn("dt", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+      .groupBy("dt")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(piv)((d2, t) =>
+        d2.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("dt")
+  }
+
   /** X49 — rendezvous shard routing ([[graft.ext.Rendezvous]]): docs
     * routed to 8 shards by highest-random-weight, then the ring grown
     * to 9 — the census proves the minimal-disruption THEOREM: every
