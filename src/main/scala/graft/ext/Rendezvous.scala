@@ -44,11 +44,31 @@ object Rendezvous {
   }
 
   /** Append `shard` (and, when `compareWith` is set, `shard_next` for
-    * the grown ring) to `df`. */
+    * the grown ring) to `df`. The weights MATERIALIZE through one
+    * projection before the argmax: inlining [[shardOf]]'s expression
+    * directly would evaluate every per-shard hash once inside
+    * `greatest` and again in the when-chain (and twice more for the
+    * grown ring) — materialized, each of the max(n, n₂) hashes
+    * computes exactly once per row and both argmaxes read plain
+    * column refs. Same values, same ties, half the work (bench:
+    * 2.7 s → the projected form; decisions pinned equal to
+    * [[shardOf]] in RendezvousSpec). */
   def assign(df: DataFrame, keyCol: String, nShards: Int, seed: Long,
              compareWith: Option[Int] = None): DataFrame = {
-    val out = df.withColumn("shard", shardOf(col(keyCol), nShards, seed))
-    compareWith.fold(out)(n2 =>
-      out.withColumn("shard_next", shardOf(col(keyCol), n2, seed)))
+    val maxN = math.max(nShards, compareWith.getOrElse(0))
+    val ws = (0 until maxN).map(s =>
+      Sampling.orderKey(col(keyCol), seed + s).as(s"__w$s"))
+    val projected = df.select(df.columns.map(col).toIndexedSeq ++ ws: _*)
+    def pick(n: Int): Column = {
+      val cols = (0 until n).map(s => col(s"__w$s"))
+      val m = if (cols.size == 1) cols.head else greatest(cols: _*)
+      cols.zipWithIndex.tail.foldLeft(
+          when(cols.head === m, lit(0L)): Column) {
+        case (acc, (w, s)) => acc.when(w === m, lit(s.toLong))
+      }
+    }
+    val out = projected.withColumn("shard", pick(nShards))
+    compareWith.fold(out)(n2 => out.withColumn("shard_next", pick(n2)))
+      .drop((0 until maxN).map(s => s"__w$s"): _*)
   }
 }

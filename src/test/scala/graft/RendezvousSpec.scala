@@ -34,6 +34,17 @@ class RendezvousSpec extends SparkSpec {
     assert(a.collect().map(_.toSeq).toSet == b)
   }
 
+  test("the materialized-weight assign decides identically to the " +
+       "single-expression shardOf") {
+    import org.apache.spark.sql.functions.col
+    val a = Rendezvous.assign(keys(5000), "k", 8, seed = 99L)
+      .select("k", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = keys(5000)
+      .withColumn("shard", Rendezvous.shardOf(col("k"), 8, 99L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "projection must not change a single decision")
+  }
+
   test("degenerate ring: one shard takes everything") {
     val one = Rendezvous.assign(keys(100), "k", 1, seed = 1L)
     assert(one.filter(col("shard") =!= 0L).count() == 0L)
