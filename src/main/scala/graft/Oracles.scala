@@ -3750,6 +3750,38 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "x52_group_split" ->
+      // The group-keyed split replayed: author from the plant, the
+      // md5-prefix group key, the split-salted bucket, the 80/10/10
+      // bands, per-split doc/group censuses, and the straddle count
+      // re-derived from scratch (its zero IS the leakage guarantee).
+      s"""WITH t AS (
+        |  SELECT doc_id, 'u' || (doc_id % 50) AS author FROM documents),
+        |k AS (
+        |  SELECT doc_id, author,
+        |         CAST(('0x' || substr(md5(author), 1, 15)) AS BIGINT)
+        |           AS gk
+        |  FROM t),
+        |sp AS (
+        |  SELECT doc_id, author,
+        |         CASE WHEN b < 8000 THEN 'train'
+        |              WHEN b < 9000 THEN 'val'
+        |              WHEN b < 10000 THEN 'test'
+        |              ELSE 'holdout' END AS split
+        |  FROM (SELECT doc_id, author,
+        |               ${bucketSql("gk", 42L ^ graft.ext.Sampling.SplitSalt)}
+        |                 AS b
+        |        FROM k)),
+        |straddle AS (
+        |  SELECT count(*) AS n_straddling_groups FROM (
+        |    SELECT author FROM sp GROUP BY 1
+        |    HAVING count(DISTINCT split) > 1))
+        |SELECT split, count(*) AS n_docs,
+        |       count(DISTINCT author) AS n_groups,
+        |       (SELECT n_straddling_groups FROM straddle)
+        |         AS n_straddling_groups
+        |FROM sp GROUP BY 1 ORDER BY split""".stripMargin,
+
     "x50_nested_flatten" ->
       // The parse+flatten replayed as pure doc_id arithmetic (the
       // JSON is constructed from doc_id): author/tag/score derive

@@ -1264,6 +1264,29 @@ object Queries {
       .orderBy("child_table", "fk_column")
   }
 
+  /** X52 — group-preserving split ([[graft.ext.Sampling
+    * .assignSplitByGroup]]): the GroupKFold leakage guard — docs split
+    * 80/10/10 by their AUTHOR group (the x50 plant's `u<id%50>`), so
+    * no author straddles train/test. The census carries
+    * `n_straddling_groups` (groups seen in >1 split) — the all-zero
+    * column IS the guarantee, and the oracle re-derives it from
+    * scratch. */
+  def x52GroupSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"),
+      concat(lit("u"), pmod(col("doc_id"), lit(50L))).as("author"))
+    val tagged = docs.withColumn("split",
+      graft.ext.Sampling.assignSplitByGroup(col("author"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val straddle = tagged.groupBy("author")
+      .agg(countDistinct(col("split")).as("__k"))
+      .agg(count(when(col("__k") > 1, lit(1))).as("n_straddling_groups"))
+    tagged.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("author")).as("n_groups"))
+      .crossJoin(broadcast(straddle))
+      .orderBy("split")
+  }
+
   /** X50 — nested-JSON flattening: the semi-structured ingestion step
     * (crawl metadata, API payloads) — `from_json` under an EXPLICIT
     * schema (inference is a second full pass; the x29 rationale), a

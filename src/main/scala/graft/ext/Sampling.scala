@@ -235,6 +235,27 @@ object Sampling {
     }
   }
 
+  /** SQL-replayable non-negative 60-bit key for a STRING group — the
+    * md5-prefix family (the [[Dsir]] bucket-hash / x12 fingerprint
+    * discipline; 15 hex chars < 2⁶³, so [[hash64]]'s non-negative-key
+    * contract holds). Null groups key as the `''` group — one shared
+    * split, never a silent drop. */
+  def groupKey(c: Column): Column =
+    conv(substring(md5(coalesce(c, lit(""))), 1, 15), 16, 10).cast("long")
+
+  /** X52 — GROUP-preserving split (the GroupKFold leakage guard): the
+    * split key is the group's hash, not the row's, so every member of
+    * a group lands in the same split BY CONSTRUCTION — same-domain
+    * pages, same-author documents, or a near-duplicate family can
+    * never straddle train/test (row-keyed splitting leaks: the model
+    * sees the test set's twin at training time and the eval is
+    * quietly optimistic). Same map-only shape as [[assignSplit]]. */
+  def assignSplitByGroup(groupCol: Column,
+                         fractions: Seq[(String, Double)],
+                         otherwise: String = "holdout",
+                         seed: Long = 42L): Column =
+    assignSplit(groupKey(groupCol), fractions, otherwise, seed)
+
   /** Split census: (split, n_docs), ordered — the audit frame. */
   def splitSummary(df: DataFrame, keyCol: String,
                    fractions: Seq[(String, Double)],

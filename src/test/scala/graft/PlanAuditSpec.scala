@@ -54,6 +54,9 @@ class PlanAuditSpec extends SparkSpec {
       // The ONE-ROW (Nu, Nb) totals cross onto the surviving pair
       // frame — the x15 totals shape.
       "x41_pmi_pairs",
+      // The ONE-ROW straddle census cross onto the 3-row split
+      // census — the leakage-guard audit column.
+      "x52_group_split",
       // The ppl-gated funnel inherits x15's one-row totals cross; the
       // dsir-selected funnel inherits x16's.
       "x10_ppl_funnel", "x10_dsir_funnel",

@@ -229,4 +229,32 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.5)))
   }
+
+  test("group-preserving split: no group straddles, the row-keyed " +
+       "split provably would, null groups share one split") {
+    import org.apache.spark.sql.Row
+    val rows = (0L until 4000L).map(i =>
+      Row(i, if (i % 100 == 7) null else s"g${i % 80}"))
+    val docs = df(rows, "doc_id BIGINT, grp STRING")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val byGroup = docs.withColumn("split",
+      Sampling.assignSplitByGroup(col("grp"), fr))
+    val straddling = byGroup.groupBy("grp")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddling == 0L, "a group straddled splits — leakage")
+    // Null groups collapse to ONE split (the '' group), never dropped.
+    val nullSplits = byGroup.filter(col("grp").isNull)
+      .select("split").distinct().count()
+    assert(nullSplits == 1L)
+    // The row-keyed split on the same data DOES straddle — the
+    // contrast that makes the group variant worth shipping.
+    val byRow = docs.withColumn("split",
+      Sampling.assignSplit(col("doc_id"), fr))
+    val rowStraddle = byRow.filter(col("grp").isNotNull)
+      .groupBy("grp").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(rowStraddle > 0L,
+      "fixture too small to show the leakage the guard prevents")
+  }
 }
