@@ -1012,6 +1012,27 @@ object Oracles {
     * most one match, so the left join is row-preserving); the plant
     * -- keyed boundaries, the dropped silver version, the gap -- is
     * re-derived from scratch.  */
+  /** The shared X50/S15 oracle — the parse+flatten replayed as pure
+    * doc_id arithmetic (the JSON is constructed from doc_id): author/
+    * tag/score derive directly, the two tag array slots become two
+    * UNION ALL arms, pinning explode (not set) semantics. */
+  private val nestedFlattenSql: String =
+      // directly, the two tag array slots become two UNION ALL arms —
+      // so a same-value collision (id ≡ v mod 3 AND mod 7) yields two
+      // rows, pinning explode (not set) semantics.
+      """WITH f AS (
+        |  SELECT 'u' || (doc_id % 50) AS author,
+        |         't' || (doc_id % 3) AS tag,
+        |         doc_id % 100 AS score
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'u' || (doc_id % 50), 't' || (doc_id % 7),
+        |         doc_id % 100
+        |  FROM documents)
+        |SELECT author, tag, count(*) AS n,
+        |       CAST(sum(score) AS BIGINT) AS score_sum
+        |FROM f GROUP BY 1, 2 ORDER BY author, tag""".stripMargin
+
   private val scd2EnrichSql: String =
     """WITH u AS (SELECT DISTINCT user_id FROM events),
         |v1 AS (SELECT user_id, 'bronze' AS tier,
@@ -3750,6 +3771,24 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "g18_fd_check" ->
+      // The FD census replayed over the same staged model + plant:
+      // trimmed names (the t1 contract), the ZONE_X second mapping for
+      // NATION_0's region, count(DISTINCT) skipping nulls.
+      """WITH stg AS (
+        |  SELECT n_nationkey AS territory_key, trim(n_name) AS region_name,
+        |         trim(r_name) AS zone_name
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |f AS (
+        |  SELECT * FROM stg
+        |  UNION ALL
+        |  SELECT territory_key + 1000, region_name, 'ZONE_X'
+        |  FROM stg WHERE territory_key = 0)
+        |SELECT region_name, count(*) AS n_rows,
+        |       count(DISTINCT zone_name) AS n_dep_values,
+        |       count(DISTINCT zone_name) <= 1 AS fd_holds
+        |FROM f GROUP BY 1 ORDER BY region_name""".stripMargin,
+
     "x52_group_split" ->
       // The group-keyed split replayed: author from the plant, the
       // md5-prefix group key, the split-salted bucket, the 80/10/10
@@ -3782,24 +3821,11 @@ object Oracles {
         |         AS n_straddling_groups
         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin,
 
-    "x50_nested_flatten" ->
-      // The parse+flatten replayed as pure doc_id arithmetic (the
-      // JSON is constructed from doc_id): author/tag/score derive
-      // directly, the two tag array slots become two UNION ALL arms —
-      // so a same-value collision (id ≡ v mod 3 AND mod 7) yields two
-      // rows, pinning explode (not set) semantics.
-      """WITH f AS (
-        |  SELECT 'u' || (doc_id % 50) AS author,
-        |         't' || (doc_id % 3) AS tag,
-        |         doc_id % 100 AS score
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT 'u' || (doc_id % 50), 't' || (doc_id % 7),
-        |         doc_id % 100
-        |  FROM documents)
-        |SELECT author, tag, count(*) AS n,
-        |       CAST(sum(score) AS BIGINT) AS score_sum
-        |FROM f GROUP BY 1, 2 ORDER BY author, tag""".stripMargin,
+    "s15_stream_ingest" -> nestedFlattenSql,
+
+    "x50_nested_flatten" -> nestedFlattenSql,
+
+
 
     "x51_pivot_crosstab" ->
       // The pivot replayed as explicit CASE sums — one column per

@@ -1264,6 +1264,20 @@ object Queries {
       .orderBy("child_table", "fk_column")
   }
 
+  /** G18 — functional-dependency check ([[graft.checks.Referential
+    * .fdCensus]]): `region_name → zone_name` over stg_territory must
+    * be functional; a planted re-keyed row maps NATION_0 to a second
+    * zone, so exactly one determinant violates (the counter is
+    * provably live) while every other holds. */
+  def g18FdCheck(s: SparkSession, d: String): DataFrame = {
+    val stg = Stages.stgTerritory(nation(s, d), region(s, d))
+    val plant = stg.filter(col("territory_key") === 0L)
+      .select((col("territory_key") + lit(1000L)).as("territory_key"),
+        col("region_name"), lit("ZONE_X").as("zone_name"))
+    graft.checks.Referential.fdCensus(
+      stg.unionByName(plant), "region_name", "zone_name")
+  }
+
   /** X52 — group-preserving split ([[graft.ext.Sampling
     * .assignSplitByGroup]]): the GroupKFold leakage guard — docs split
     * 80/10/10 by their AUTHOR group (the x50 plant's `u<id%50>`), so
@@ -1296,24 +1310,47 @@ object Queries {
     * field breaks the census. Duplicate tags (doc_id ≡ same value mod
     * 3 and mod 7) must emit TWO rows — explode semantics, not
     * set semantics. */
-  def x50NestedFlatten(s: SparkSession, d: String): DataFrame = {
-    val js = documents(s, d).select(col("doc_id"),
+  /** The shared X50/S15 constructed-JSON plant + schema — ONE
+    * definition, because the streaming lane hash-checks against the
+    * SAME oracle. */
+  private def nestedJsonPlant(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
       concat(lit("{\"meta\":{\"author\":\"u"),
         pmod(col("doc_id"), lit(50L)),
         lit("\",\"tags\":[\"t"), pmod(col("doc_id"), lit(3L)),
         lit("\",\"t"), pmod(col("doc_id"), lit(7L)),
         lit("\"],\"score\":"), pmod(col("doc_id"), lit(100L)),
         lit("}}")).as("json"))
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "meta STRUCT<author: STRING, tags: ARRAY<STRING>, score: BIGINT>")
-    js.select(col("doc_id"), from_json(col("json"), schema).as("j"))
-      .select(col("doc_id"), col("j.meta.author").as("author"),
-        explode(col("j.meta.tags")).as("tag"),
-        col("j.meta.score").as("score"))
-      .groupBy("author", "tag")
+  private val nestedJsonSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("meta STRUCT<author: STRING, tags: ARRAY<STRING>, score: BIGINT>")
+
+  /** Test hook: the shared plant, for StreamingIngestSpec's live
+    * MemoryStream parity run. */
+  private[graft] def x50PlantForSpec(s: SparkSession, d: String): DataFrame =
+    nestedJsonPlant(s, d)
+
+  private def nestedCensus(flat: DataFrame): DataFrame =
+    flat.groupBy("author", "tag")
       .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
       .orderBy("author", "tag")
-  }
+
+  def x50NestedFlatten(s: SparkSession, d: String): DataFrame =
+    nestedCensus(nestedJsonPlant(s, d)
+      .select(col("doc_id"), from_json(col("json"), nestedJsonSchema).as("j"))
+      .select(col("doc_id"), col("j.meta.author").as("author"),
+        explode(col("j.meta.tags")).as("tag"),
+        col("j.meta.score").as("score")))
+
+  /** S15 — streaming semi-structured ingestion ([[graft.stream
+    * .StreamingIngest]] batch replay, the stateless-lane discipline):
+    * the SAME parse + flatten as X50 through the streaming code path,
+    * hash-matched against the SAME oracle; live MemoryStream ≡ batch
+    * + corrupt-record drop pinned in StreamingIngestSpec. */
+  def s15StreamIngest(s: SparkSession, d: String): DataFrame =
+    nestedCensus(graft.stream.StreamingIngest.flattenStream(
+      nestedJsonPlant(s, d), "json", nestedJsonSchema,
+      paths = Seq("meta.author", "meta.score"),
+      arrayPath = "meta.tags", elemName = "tag"))
 
   /** X51 — pivot crosstab: the dashboard view — per-day event counts
     * spread across one column per event type, with the EXPLICIT value

@@ -44,6 +44,22 @@ object Referential {
         (col("n_orphans") === 0L).as("passed"))
   }
 
+  /** G18 — functional-dependency census: does `detCol` DETERMINE
+    * `depCol` (every determinant value maps to at most one dependent
+    * value)? The DQ class behind "each nation belongs to exactly one
+    * region", "each SKU has one unit price" — a broken upstream join
+    * or a double-loaded dimension violates the FD long before totals
+    * drift. ONE partial-agg census per determinant (map-side combined;
+    * never a window); NULL dependents count as MISSING, not as a
+    * value (the [[orphanCensus]] null discipline) — a determinant with
+    * {null, 'A'} still holds the FD. */
+  def fdCensus(df: DataFrame, detCol: String, depCol: String): DataFrame =
+    df.groupBy(col(detCol))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(depCol)).as("n_dep_values"))
+      .withColumn("fd_holds", col("n_dep_values") <= 1)
+      .orderBy(detCol)
+
   /** Census over a list of edges: (child df, child name, fk, parent
     * df, parent name, pk). */
   def census(edges: Seq[(DataFrame, String, String, DataFrame, String,

@@ -32,6 +32,29 @@ class ReferentialSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("child_table")).toSeq == Seq("a", "b"))
   }
 
+  test("fdCensus: a second dependent value breaks the FD, null " +
+       "dependents are missing not values, singletons hold") {
+    val rows = df(Seq(
+      Row("a", "x"), Row("a", "x"),          // holds (one value)
+      Row("b", "x"), Row("b", "y"),          // violated
+      Row("c", null), Row("c", "z"),         // holds — null is missing
+      Row("d", null)),                       // holds — zero values
+      "det STRING, dep STRING")
+    val out = Referential.fdCensus(rows, "det", "dep").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_dep_values"),
+        r.getAs[Boolean]("fd_holds"))).toMap
+    assert(out("a") == ((1L, true)))
+    assert(out("b") == ((2L, false)))
+    assert(out("c") == ((1L, true)))
+    assert(out("d") == ((0L, true)))
+  }
+
+  test("the registered FD plant violates exactly one determinant") {
+    val rows = Queries.g18FdCheck(spark, sfDir).collect()
+    val broken = rows.filterNot(_.getAs[Boolean]("fd_holds"))
+    assert(broken.length == 1 && broken.head.getAs[Long]("n_dep_values") == 2L)
+  }
+
   test("the registered plant flags exactly the re-keyed lineitem edge " +
        "on clean testdata") {
     val rows = Queries.g17Referential(spark, sfDir).collect()
