@@ -3771,6 +3771,41 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "s16_stream_madgate" ->
+      // The serve-time gate replayed end to end: cuts re-derived from
+      // the even half (the twice-median trick), the odd half gated by
+      // the all-integer comparison, per-(type, flag) census with a
+      // dev2 sum so one wrong flag breaks the hash.
+      """WITH sc AS (
+        |  SELECT event_id, event_type,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |           AS scaled
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |         CAST(round(2 * quantile_cont(scaled, 0.5)) AS BIGINT)
+        |           AS med2
+        |  FROM sc WHERE event_id % 2 = 0 GROUP BY 1),
+        |dev AS (
+        |  SELECT s.event_type, abs(s.scaled * 2 - m.med2) AS dev2
+        |  FROM sc s JOIN med m USING (event_type)
+        |  WHERE s.event_id % 2 = 0),
+        |mad AS (
+        |  SELECT event_type,
+        |         CAST(round(2 * quantile_cont(dev2, 0.5)) AS BIGINT)
+        |           AS mad2
+        |  FROM dev GROUP BY 1),
+        |serve AS (
+        |  SELECT s.event_type,
+        |         abs(s.scaled * 2 - m.med2) AS dev2,
+        |         abs(s.scaled * 2 - m.med2) * 2 > 3 * d.mad2 AS is_outlier
+        |  FROM sc s JOIN med m USING (event_type)
+        |            JOIN mad d USING (event_type)
+        |  WHERE s.event_id % 2 = 1)
+        |SELECT event_type, is_outlier, count(*) AS n,
+        |       CAST(sum(dev2) AS BIGINT) AS dev2_sum
+        |FROM serve GROUP BY 1, 2 ORDER BY event_type, is_outlier""".stripMargin,
+
     "g18_fd_check" ->
       // The FD census replayed over the same staged model + plant:
       // trimmed names (the t1 contract), the ZONE_X second mapping for

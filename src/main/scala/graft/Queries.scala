@@ -1427,6 +1427,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** S16 — streaming robust anomaly gate ([[graft.stream
+    * .StreamingMadGate]] batch replay): cuts fit on the even-event_id
+    * history half, the odd half gates through them — per-(type, flag)
+    * census; MemoryStream ≡ batch pinned in StreamingMadGateSpec. */
+  def s16StreamMadGate(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val cuts = graft.ext.RobustStats.fit(
+      ev.filter(pmod(col("event_id"), lit(2L)) === 0L))
+    graft.stream.StreamingMadGate.gateStream(
+        ev.filter(pmod(col("event_id"), lit(2L)) === 1L), cuts)
+      .groupBy("event_type", "is_outlier")
+      .agg(count(lit(1)).as("n"),
+        sum(col("dev2")).as("dev2_sum"))
+      .orderBy("event_type", "is_outlier")
+  }
+
   /** X44 — robust anomaly flags ([[graft.ext.RobustStats.madCensus]]):
     * median/MAD outliers per event type at k = 3, exact through the
     * doubled-median integer trick — the robust twin of X4's z-scores. */

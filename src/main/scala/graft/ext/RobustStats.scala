@@ -52,6 +52,35 @@ object RobustStats {
       .withColumn("is_outlier", col("dev2") * 2 > lit(k) * col("mad2"))
   }
 
+  /** FIT the per-group robust cuts: the (group, med2, mad2) frame —
+    * dim-sized by construction (one row per group), the X27/X15
+    * fit-once artifact. Persist with plain parquet; serve with
+    * [[gateAgainst]]. */
+  def fit(df: DataFrame, valueCol: String = "value",
+          groupCol: String = "event_type", k: Long = 3L): DataFrame =
+    madFlags(df, valueCol, groupCol, k)
+      .groupBy(col(groupCol))
+      .agg(max(col("med2")).as("med2"), max(col("mad2")).as("mad2"))
+
+  /** SERVE the fitted cuts: one broadcast join + the all-integer
+    * comparison per row — stateless, no aggregation, the same code on
+    * batch and stream (the s9/s13 serve discipline). Rows from groups
+    * the fit never saw FAIL SAFE (`is_outlier` null — neither flagged
+    * clean nor outlier; route them to a refit). */
+  def gateAgainst(df: DataFrame, cuts: DataFrame,
+                  valueCol: String = "value",
+                  groupCol: String = "event_type",
+                  k: Long = 3L): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    df.withColumn("scaled",
+        (col(valueCol).cast("decimal(18,4)") * lit(10000)).cast("long"))
+      .join(broadcast(cuts), Seq(groupCol), "left_outer")
+      .withColumn("dev2", abs(col("scaled") * 2 - col("med2")))
+      .withColumn("is_outlier",
+        when(col("med2").isNull, lit(null).cast("boolean"))
+          .otherwise(col("dev2") * 2 > lit(k) * col("mad2")))
+  }
+
   /** The registered census: per-group n, exact doubled median/MAD
     * integers, and the outlier count — ONE more partial aggregate over
     * [[madFlags]]. */
