@@ -3806,6 +3806,35 @@ object Oracles {
         |       CAST(sum(dev2) AS BIGINT) AS dev2_sum
         |FROM serve GROUP BY 1, 2 ORDER BY event_type, is_outlier""".stripMargin,
 
+    "g19_benford" ->
+      // The digit census replayed: the 4-dp scaled long's decimal
+      // rendering gives the first significant digit (no float log10
+      // binning), floor-ppm shares, and the SAME Benford literals the
+      // engine carries.
+      """WITH sc AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+        |              AS BIGINT) AS v
+        |  FROM orders),
+        |d AS (
+        |  SELECT substr(CAST(v AS VARCHAR), 1, 1) AS digit
+        |  FROM sc WHERE v > 0),
+        |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM c)
+        |SELECT digit, n_obs,
+        |       CAST((n_obs * 1000000) // t.total AS BIGINT) AS obs_ppm,
+        |       CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+        |                  WHEN '3' THEN 124939 WHEN '4' THEN 96910
+        |                  WHEN '5' THEN 79181 WHEN '6' THEN 66947
+        |                  WHEN '7' THEN 57992 WHEN '8' THEN 51153
+        |                  WHEN '9' THEN 45757 END AS benford_ppm,
+        |       abs(CAST((n_obs * 1000000) // t.total AS BIGINT) -
+        |           CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+        |                      WHEN '3' THEN 124939 WHEN '4' THEN 96910
+        |                      WHEN '5' THEN 79181 WHEN '6' THEN 66947
+        |                      WHEN '7' THEN 57992 WHEN '8' THEN 51153
+        |                      WHEN '9' THEN 45757 END) AS abs_dev_ppm
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+
     "g18_fd_check" ->
       // The FD census replayed over the same staged model + plant:
       // trimmed names (the t1 contract), the ZONE_X second mapping for

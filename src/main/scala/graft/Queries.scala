@@ -1264,6 +1264,14 @@ object Queries {
       .orderBy("child_table", "fk_column")
   }
 
+  /** G19 — Benford first-digit screen ([[graft.checks.Referential
+    * .benford]]) over the order-price amount column: observed vs
+    * expected first-digit ppm, the fraud/fabrication screen. The
+    * synthetic uniform prices deviate from Benford — which is exactly
+    * what the screen reports; the check is a census, not a verdict. */
+  def g19Benford(s: SparkSession, d: String): DataFrame =
+    graft.checks.Referential.benford(orders(s, d), "o_totalprice")
+
   /** G18 — functional-dependency check ([[graft.checks.Referential
     * .fdCensus]]): `region_name → zone_name` over stg_territory must
     * be functional; a planted re-keyed row maps NATION_0 to a second

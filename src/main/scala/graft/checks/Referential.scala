@@ -60,6 +60,47 @@ object Referential {
       .withColumn("fd_holds", col("n_dep_values") <= 1)
       .orderBy(detCol)
 
+  /** The Benford first-digit expectations in ppm —
+    * round(10⁶·log₁₀(1 + 1/d)). LITERALS (one table, mirrored
+    * verbatim in the oracle) rather than computed: a log10 computed
+    * independently per engine would reintroduce the libm exposure the
+    * micro-nat lanes audit for, over constants that never change. */
+  val BenfordPpm: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** G19 — Benford first-digit screen: naturally-occurring positive
+    * measures follow Benford's law; fabricated or truncated data does
+    * not — the classic fraud/DQ screen for amount columns. The first
+    * SIGNIFICANT digit comes from the 4-dp scaled long's decimal
+    * rendering (`substring(cast(scaled), 1, 1)` — bigint-to-string is
+    * exponent-free and identical in both engines; float `log10`
+    * binning would wobble at power-of-ten boundaries). Zero/negative
+    * values are excluded (Benford is defined on positive magnitudes);
+    * output per digit: observed count, observed ppm (floor), the
+    * Benford expectation, and the absolute deviation. ONE partial-agg
+    * census — 9 rows out at any corpus size. */
+  def benford(df: DataFrame, valueCol: String = "value"): DataFrame = {
+    val expectation = BenfordPpm.toSeq.sortBy(_._1)
+      .foldRight(lit(null).cast("long"): org.apache.spark.sql.Column) {
+        case ((d, ppm), acc) =>
+          when(col("digit") === d.toString, lit(ppm)).otherwise(acc)
+      }
+    df.select((col(valueCol).cast("decimal(18,4)") * lit(10000))
+        .cast("long").as("__sc"))
+      .filter(col("__sc") > 0L)
+      .select(substring(col("__sc").cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .withColumn("__total", sum(col("n_obs"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .withColumn("obs_ppm", expr("(n_obs * 1000000) div __total"))
+      .withColumn("benford_ppm", expectation)
+      .withColumn("abs_dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+      .drop("__total")
+      .orderBy("digit")
+  }
+
   /** Census over a list of edges: (child df, child name, fk, parent
     * df, parent name, pk). */
   def census(edges: Seq[(DataFrame, String, String, DataFrame, String,

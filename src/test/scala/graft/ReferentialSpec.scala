@@ -49,6 +49,24 @@ class ReferentialSpec extends SparkSpec {
     assert(out("d") == ((0L, true)))
   }
 
+  test("benford: first significant digit from the scaled rendering, " +
+       "zero/negative excluded, ppm arithmetic exact") {
+    val rows = df(Seq(
+      Row(1.0), Row(0.19), Row(123.45), Row(900.0),
+      Row(0.0), Row(-5.0)),
+      "value DOUBLE")
+    // scaled: 10000→'1', 1900→'1', 1234500→'1', 9000000→'9';
+    // 0 and −5 drop → 4 rows, digits 1×3 and 9×1.
+    val out = Referential.benford(rows, "value").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_obs"),
+        r.getAs[Long]("obs_ppm"))).toMap
+    assert(out == Map("1" -> ((3L, 750000L)), "9" -> ((1L, 250000L))),
+      s"got $out")
+    // The hardcoded expectation table is the real Benford law:
+    // Σ ppm ≈ 10⁶ (rounding leaves exactly 10⁶ here).
+    assert(Referential.BenfordPpm.values.sum == 1000000L)
+  }
+
   test("the registered FD plant violates exactly one determinant") {
     val rows = Queries.g18FdCheck(spark, sfDir).collect()
     val broken = rows.filterNot(_.getAs[Boolean]("fd_holds"))
