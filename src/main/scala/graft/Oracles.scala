@@ -3806,6 +3806,36 @@ object Oracles {
         |       CAST(sum(dev2) AS BIGINT) AS dev2_sum
         |FROM serve GROUP BY 1, 2 ORDER BY event_type, is_outlier""".stripMargin,
 
+    "g20_corr_stats" ->
+      // The five sufficient sums replayed in HUGEINT (DuckDB promotes
+      // over-width DECIMAL products to DOUBLE, so the 128-bit integer
+      // lane is the exact path here), cast back to DECIMAL(38,0), and
+      // the SAME pinned-association Pearson over the exact values.
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |         CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000
+        |              AS HUGEINT) AS x,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+        |              AS HUGEINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |         sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       CAST(sx AS DECIMAL(38,0)) AS sx,
+        |       CAST(sy AS DECIMAL(38,0)) AS sy,
+        |       CAST(sxx AS DECIMAL(38,0)) AS sxx,
+        |       CAST(syy AS DECIMAL(38,0)) AS syy,
+        |       CAST(sxy AS DECIMAL(38,0)) AS sxy,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                  CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |         AS corr6
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
     "g19_benford" ->
       // The digit census replayed: the 4-dp scaled long's decimal
       // rendering gives the first significant digit (no float log10

@@ -1264,6 +1264,14 @@ object Queries {
       .orderBy("child_table", "fk_column")
   }
 
+  /** G20 — exact correlation sufficient statistics ([[graft.checks
+    * .Profiling.corrStats]]): quantity vs extended price per return
+    * flag — the five mergeable DECIMAL sums plus the 6-dp Pearson
+    * computed once from them. */
+  def g20CorrStats(s: SparkSession, d: String): DataFrame =
+    graft.checks.Profiling.corrStats(lineitem(s, d),
+      "l_quantity", "l_extendedprice", "l_returnflag")
+
   /** G19 — Benford first-digit screen ([[graft.checks.Referential
     * .benford]]) over the order-price amount column: observed vs
     * expected first-digit ppm, the fraud/fabrication screen. The
