@@ -65,6 +65,43 @@ class PipelineE2ESpec extends SparkSpec {
     } finally curated.unpersist()
   }
 
+  test("curate → group-split(by source) → per-split dataset card " +
+       "composes: no source straddles, cards fold to the corpus card") {
+    import graft.ext.{DatasetCard, Sampling}
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val curated = graft.ext.Curation.curate(docs, bench,
+      graft.ext.Curation.Config(minTokens = 1L)).cache()
+    try {
+      // Leakage-safe split by SOURCE: every source's survivors land in
+      // one split (the near-dup-family rationale — same-source docs
+      // are the correlated ones).
+      val split = curated.withColumn("split",
+        Sampling.assignSplitByGroup(col("source"),
+          Seq("train" -> 0.8, "val" -> 0.2)))
+      val straddle = split.groupBy("source")
+        .agg(countDistinct(col("split")).as("k"))
+        .filter(col("k") > 1).count()
+      assert(straddle == 0L, "a source straddled the split")
+      // The datasheet of each split + the whole: additive columns of
+      // the per-split corpus-total rows must fold to the full card's.
+      val whole = DatasetCard.card(curated)
+        .filter(col("grouping_level") === 1L).head
+      val parts = split.select("doc_id", "text", "lang", "source", "split")
+        .collect().groupBy(_.getAs[String]("split"))
+      val partTotals = parts.keys.toSeq.map { sp =>
+        DatasetCard.card(split.filter(col("split") === sp)
+          .drop("split")).filter(col("grouping_level") === 1L).head
+      }
+      for (c <- Seq("n_docs", "n_tokens", "n_chars", "docs_with_pii")) {
+        assert(whole.getAs[Long](c) ==
+          partTotals.map(_.getAs[Long](c)).sum,
+          s"$c does not fold across splits")
+      }
+    } finally curated.unpersist()
+  }
+
   test("curate → write(shards) → audit → re-read → writePacked composes") {
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.filter(col("doc_id") < 3)
