@@ -1294,6 +1294,65 @@ object Oracles {
        |  LEFT JOIN per USING (doc_id))""".stripMargin
   }
 
+  /** X3k learned-language-ID replay pieces — generated FROM the Scala
+    * constants ([[graft.ext.LangTrained.Langs]]/`langProfiles`) so a
+    * profile or class change cannot desynchronize the oracle. Feature
+    * expressions in [[graft.ext.LangTrained.FeatureCols]] order:
+    * bias, per-language stopword hits, script char counts, token
+    * count — every one an exact integer. */
+  private val langFeatExprs: Seq[String] = {
+    val hits = graft.ext.TextAnalysis.langProfiles.toSeq.sortBy(_._1)
+      .map { case (_, ws) =>
+        "COALESCE(len(list_filter(string_split_regex(trim(lower(text)), " +
+          raw"'\s+'), x -> list_contains([" +
+          ws.map(w => s"'$w'").mkString(",") + "], x))), 0)"
+      }
+    ("1" +: hits) ++ Seq(
+      raw"COALESCE(length(text) - length(regexp_replace(text, '[\x{3040}-\x{30ff}]', '', 'g')), 0)",
+      raw"COALESCE(length(text) - length(regexp_replace(text, '[\x{ac00}-\x{d7a3}]', '', 'g')), 0)",
+      raw"COALESCE(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')), 0)",
+      raw"CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0" +
+        raw" ELSE len(string_split_regex(trim(text), '\s+')) END")
+  }
+
+  /** The labeled integer-feature CTE (`lf`): lang + x0..x8. */
+  private val langFeatCte: String =
+    "lf AS (SELECT lang,\n  " +
+      langFeatExprs.zipWithIndex
+        .map { case (e, i) => s"$e AS x$i" }.mkString(",\n  ") +
+      "\n  FROM documents)"
+
+  /** Per-class chained epoch CTEs (the x30 trajectory replay, one
+    * chain per one-vs-rest class): e{k}_{lang} / w{k}_{lang}. */
+  private def langTrajCtes(epochs: Int): String = {
+    val dim = langFeatExprs.size
+    graft.ext.LangTrained.Langs.map { l =>
+      val y = s"(CASE WHEN lang = '$l' THEN 1 ELSE -1 END)"
+      (1 to epochs).map { k =>
+        val sums = (0 until dim).map(i =>
+          s"COALESCE(CAST(sum($y * x$i) AS BIGINT), 0) AS d$i")
+          .mkString(",\n         ")
+        val (from, margin) =
+          if (k == 1) ("lf", "0")
+          else (s"lf, w${k - 1}_$l w",
+            (0 until dim).map(i => s"w.a$i * x$i").mkString(" + "))
+        val wSel = (0 until dim).map(i =>
+          if (k == 1) s"e.d$i AS a$i" else s"w.a$i + e.d$i AS a$i")
+          .mkString(", ")
+        val wFrom =
+          if (k == 1) s"e${k}_$l e" else s"e${k}_$l e, w${k - 1}_$l w"
+        s"""e${k}_$l AS (
+           |  SELECT count(*) AS mis,
+           |         $sums
+           |  FROM $from WHERE $y * ($margin) <= 0),
+           |w${k}_$l AS (SELECT e.mis, $wSel FROM $wFrom)""".stripMargin
+      }.mkString(",\n")
+    }.mkString(",\n")
+  }
+
+  private val langWColNames: Seq[String] =
+    graft.ext.LangTrained.FeatureCols.map(f => s"w_$f")
+
   val sql: Map[String, String] = Map(
     "d1_count" -> "SELECT count(*) AS cnt FROM lineitem",
 
@@ -1826,7 +1885,8 @@ object Oracles {
       // distance numerator, and ONE plain window over the same
       // (dist DESC, vec_id ASC) total order the staged top-N provably
       // preserves. All integer after the quantize step — sums ride
-      // DuckDB's HUGEINT, output cast to the engine's DECIMAL(38,0).
+      // DuckDB's HUGEINT, shipped as a canonical integer STRING (r12:
+      // raw DECIMAL(38,0) output diverged in the driver's hasher).
       """WITH base AS (SELECT vec_id, label,
         |                     CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |qz AS (SELECT vec_id, label,
@@ -1843,7 +1903,7 @@ object Oracles {
         |              sum((e.q * c.n - c.s) * (e.q * c.n - c.s)) AS dist
         |       FROM e JOIN cen c ON e.label = c.label AND e.pos = c.pos
         |       GROUP BY 1, 2)
-        |SELECT label, vec_id, CAST(dist AS DECIMAL(38,0)) AS dist_num,
+        |SELECT label, vec_id, CAST(dist AS VARCHAR) AS dist_num,
         |       rank_in_group
         |FROM (SELECT label, vec_id, dist,
         |             CAST(row_number() OVER (PARTITION BY label
@@ -2880,6 +2940,89 @@ object Oracles {
         |SELECT label, predicted, count(*) AS n
         |FROM p GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin,
 
+    "x3_lang_train" -> {
+      // The 4-class one-vs-rest TRAINING replayed bit-for-bit: the
+      // shared integer feature CTE, then per class the x30 chained
+      // epoch CTEs (w starts at 0 → epoch 1 misclassifies ALL; each
+      // epoch's update is one summed integer aggregate), unioned into
+      // the (lang, epoch) trajectory frame.
+      val dim = langFeatExprs.size
+      val unions = graft.ext.LangTrained.Langs.map { l =>
+        (1 to 3).map { k =>
+          s"SELECT '$l' AS lang, $k AS epoch, mis, " +
+            (0 until dim).map(i => s"a$i").mkString(", ") + s" FROM w${k}_$l"
+        }.mkString("\n  UNION ALL ")
+      }.mkString("\n  UNION ALL ")
+      "WITH " + langFeatCte + ",\n" + langTrajCtes(3) + "\n" +
+        s"""SELECT lang, CAST(epoch AS BIGINT) AS epoch,
+           |       CAST(mis AS BIGINT) AS n_misclassified,
+           |       ${(0 until dim).map(i =>
+                    s"CAST(a$i AS BIGINT) AS ${langWColNames(i)}")
+                    .mkString(",\n       ")}
+           |FROM ($unions)
+           |ORDER BY lang, epoch""".stripMargin
+    },
+
+    "x3_lang_trained" -> {
+      // The trained model SERVING replayed: the same trajectory CTEs
+      // yield the final weights, margins are pure integer dot products
+      // against the feature columns, the multi-class decision is the
+      // SAME pinned first-wins chain (class order = sorted Langs, a
+      // winner must be positive, none → 'und'), and the X3e heuristic
+      // re-derives alongside (the x3_lang_confusion formulation) — the
+      // census compares both against the corpus label.
+      val dim = langFeatExprs.size
+      val langs = graft.ext.LangTrained.Langs
+      val ratio = Seq(
+        raw"(length(text) - length(regexp_replace(text, '[\x{3040}-\x{30ff}]', '', 'g'))) * 1.0 / greatest(length(text), 1) AS kana",
+        raw"(length(text) - length(regexp_replace(text, '[\x{ac00}-\x{d7a3}]', '', 'g'))) * 1.0 / greatest(length(text), 1) AS hang",
+        raw"(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))) * 1.0 / greatest(length(text), 1) AS cjk")
+      val lf = "lf AS (SELECT lang,\n  " +
+        (langFeatExprs.zipWithIndex
+          .map { case (e, i) => s"$e AS x$i" } ++ ratio)
+          .mkString(",\n  ") + "\n  FROM documents)"
+      def xOf(l: String): String = s"x${1 + langs.indexOf(l)}"
+      // Heuristic argmax ties to the lexicographically LARGEST language
+      // (the engine's array_max over (score, lang) structs) — chain in
+      // REVERSE sorted order, ELSE = smallest.
+      val rev = langs.reverse
+      val heurChain = rev.init.zipWithIndex.map { case (l, j) =>
+        val conds = rev.drop(j + 1).map(r => s"${xOf(l)} >= ${xOf(r)}")
+          .mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n            ")
+      val margins = langs.map(l =>
+        "(" + (0 until dim).map(i => s"w$l.a$i * x$i").mkString(" + ") +
+          s") AS m_$l").mkString(",\n         ")
+      val trainedChain = langs.zipWithIndex.map { case (l, i) =>
+        val conds = (s"m_$l > 0" +:
+          langs.drop(i + 1).map(r => s"m_$l >= m_$r")).mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n              ")
+      "WITH " + lf + ",\n" + langTrajCtes(3) + ",\n" +
+        s"""lh AS (
+           |  SELECT *,
+           |         CASE WHEN kana > 0.05 THEN 'ja'
+           |              WHEN hang > 0.3 THEN 'ko'
+           |              WHEN cjk > 0.3 THEN 'zh'
+           |              WHEN greatest(${langs.map(xOf).mkString(", ")}) = 0 THEN 'und'
+           |            $heurChain
+           |              ELSE '${rev.last}' END AS pred_heur
+           |  FROM lf),
+           |sc AS (
+           |  SELECT lang AS label, pred_heur,
+           |         $margins
+           |  FROM lh, ${langs.map(l => s"w3_$l w$l").mkString(", ")}),
+           |p AS (
+           |  SELECT label, pred_heur,
+           |         CASE $trainedChain
+           |              ELSE 'und' END AS pred_trained
+           |  FROM sc)
+           |SELECT label, pred_trained, pred_heur, count(*) AS n
+           |FROM p GROUP BY 1, 2, 3
+           |ORDER BY label, pred_trained, pred_heur""".stripMargin
+    },
+
     "x11_skew_profile" ->
       // Top-10 heaviest l_suppkey values with their row share; ties at
       // the cut break by key ascending on both sides.
@@ -3809,8 +3952,10 @@ object Oracles {
     "g20_corr_stats" ->
       // The five sufficient sums replayed in HUGEINT (DuckDB promotes
       // over-width DECIMAL products to DOUBLE, so the 128-bit integer
-      // lane is the exact path here), cast back to DECIMAL(38,0), and
-      // the SAME pinned-association Pearson over the exact values.
+      // lane is the exact path here), shipped as canonical integer
+      // STRINGS (r12: raw DECIMAL(38,0) output diverged in the
+      // driver's hasher), and the SAME pinned-association Pearson over
+      // the exact values.
       """WITH t AS (
         |  SELECT l_returnflag,
         |         CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000
@@ -3825,11 +3970,11 @@ object Oracles {
         |         sum(y * y) AS syy, sum(x * y) AS sxy
         |  FROM t GROUP BY 1)
         |SELECT l_returnflag, n,
-        |       CAST(sx AS DECIMAL(38,0)) AS sx,
-        |       CAST(sy AS DECIMAL(38,0)) AS sy,
-        |       CAST(sxx AS DECIMAL(38,0)) AS sxx,
-        |       CAST(syy AS DECIMAL(38,0)) AS syy,
-        |       CAST(sxy AS DECIMAL(38,0)) AS sxy,
+        |       CAST(sx AS VARCHAR) AS sx,
+        |       CAST(sy AS VARCHAR) AS sy,
+        |       CAST(sxx AS VARCHAR) AS sxx,
+        |       CAST(syy AS VARCHAR) AS syy,
+        |       CAST(sxy AS VARCHAR) AS sxy,
         |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
         |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
         |                  CAST(n * syy - sy * sy AS DOUBLE)), 6)
@@ -3914,6 +4059,85 @@ object Oracles {
         |       (SELECT n_straddling_groups FROM straddle)
         |         AS n_straddling_groups
         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "x10_split_cards" ->
+      // The E2E capstone replayed end to end: the default-config curate
+      // survivor set (min-id keeper over normalized text, the x8
+      // containment CTE vs docs 0-2, PII-redacted token count >= 1),
+      // the SOURCE-keyed group split (md5-prefix group key, split-
+      // salted bucket, 80/20 bands — the x52 replay), every x40 card
+      // signal re-derived over the REDACTED text under ROLLUP(split),
+      // and the straddle count re-derived from scratch — its zero IS
+      // the leakage guarantee.
+      ("WITH " + gram4Ctes + ",\n" +
+        raw"""bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 3),
+          |bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY 1),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT g.doc_id, b.bench_id, count(*) AS i
+          |    FROM grams g JOIN bench b ON g.gram = b.gram
+          |    GROUP BY 1, 2) JOIN bn USING (bench_id)
+          |  WHERE round(i * 1.0 / n, 4) >= 0.8
+          |),
+          |ann AS (
+          |  SELECT doc_id, lang, source, rtext,
+          |         doc_id = min(doc_id) OVER (
+          |           PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+          |           AS is_canonical,
+          |         doc_id IN (SELECT doc_id FROM contam) AS is_contaminated,
+          |         CASE WHEN rtext IS NULL OR len(trim(rtext)) = 0 THEN 0
+          |              ELSE len(string_split_regex(trim(rtext), '\s+')) END AS n_tok
+          |  FROM (SELECT doc_id, lang, source, text,
+          |               regexp_replace(regexp_replace(regexp_replace(text,
+          |                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          |                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS rtext
+          |        FROM documents)),
+          |surv AS (
+          |  SELECT doc_id, lang, source, rtext, n_tok FROM ann
+          |  WHERE is_canonical AND NOT is_contaminated AND n_tok >= 1),
+          |""".stripMargin +
+        s"""sp AS (
+          |  SELECT *, CASE WHEN b < 8000 THEN 'train' ELSE 'val' END AS split
+          |  FROM (SELECT *,
+          |          ${bucketSql("gk", 42L ^ graft.ext.Sampling.SplitSalt)} AS b
+          |        FROM (SELECT *,
+          |                CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT)
+          |                  AS gk
+          |              FROM surv))),
+          |straddle AS (
+          |  SELECT count(*) AS n_straddling_sources FROM (
+          |    SELECT source FROM sp GROUP BY 1
+          |    HAVING count(DISTINCT split) > 1)),
+          |""".stripMargin +
+        raw"""sig AS (
+          |  SELECT split, lang,
+          |         n_tok,
+          |         coalesce(length(rtext), 0) AS n_ch,
+          |         coalesce(lower(trim(regexp_replace(rtext, '\s+', ' ', 'g'))), '') AS cnorm,
+          |         (rtext IS NULL OR length(trim(rtext)) = 0) AS blank,
+          |         len(regexp_extract_all(rtext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+          |         len(regexp_extract_all(rtext, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS np,
+          |         len(regexp_extract_all(rtext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni
+          |  FROM sp)
+          |SELECT coalesce(split, '(all)') AS split,
+          |       CAST(GROUPING(split) AS BIGINT) AS grouping_level,
+          |       count(*) AS n_docs,
+          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          |       CAST(sum(n_ch) AS BIGINT) AS n_chars,
+          |       count(CASE WHEN blank THEN 1 END) AS n_empty,
+          |       count(DISTINCT cnorm) AS n_distinct_text,
+          |       CAST(((count(*) - count(DISTINCT cnorm)) * 1000000) //
+          |            count(*) AS BIGINT) AS dup_ppm,
+          |       count(DISTINCT lang) AS n_langs,
+          |       count(CASE WHEN ne > 0 OR np > 0 OR ni > 0 THEN 1 END)
+          |         AS docs_with_pii,
+          |       round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS mean_tok,
+          |       round(quantile_cont(n_tok, 0.5), 4) AS p50_tok,
+          |       (SELECT n_straddling_sources FROM straddle)
+          |         AS n_straddling_sources
+          |FROM sig GROUP BY ROLLUP (split)
+          |ORDER BY grouping_level, split""".stripMargin),
 
     "s15_stream_ingest" -> nestedFlattenSql,
 
@@ -4176,7 +4400,9 @@ object Oracles {
       // (widen-then-shift for the label-3 plant, same IEEE op order as
       // the engine), per-(label, dim) integer sums per snapshot half,
       // FLOOR micro-means (// floors; the engine spells floor via
-      // pmod), and the DECIMAL(38,0) squared-diff rollup.
+      // pmod), and the squared-diff rollup shipped as a canonical
+      // integer STRING (r12: raw DECIMAL(38,0) diverged in the
+      // driver's hasher).
       """WITH base AS (
         |  SELECT vec_id, label,
         |         CASE WHEN vec_id % 2 = 1 AND label = 3
@@ -4206,7 +4432,7 @@ object Oracles {
         |      FROM ca JOIN cb USING (label, pos))
         |SELECT label, CAST(max(na) AS BIGINT) AS n_prev,
         |       CAST(max(nb) AS BIGINT) AS n_cur,
-        |       CAST(sum((ma - mb) * (ma - mb)) AS DECIMAL(38,0))
+        |       CAST(sum((ma - mb) * (ma - mb)) AS VARCHAR)
         |         AS drift_num
         |FROM m GROUP BY 1 ORDER BY label""".stripMargin,
 

@@ -963,7 +963,11 @@ object Queries {
     * census, distance, and one plain window over the same total
     * order. */
   def x2CentroidOutliers(s: SparkSession, d: String): DataFrame =
+    // dist_num ships as a canonical integer string (the g19 discipline:
+    // raw DECIMAL(38,0) output failed the driver's hasher in r12); the
+    // library keeps the decimal for rank math.
     graft.ext.Outliers.centroidOutliers(embeddings(s, d), topN = 5)
+      .withColumn("dist_num", col("dist_num").cast("string"))
       .orderBy("label", "rank_in_group")
 
   /** X6 — deterministic stratified sampling (training-data curation):
@@ -1267,10 +1271,23 @@ object Queries {
   /** G20 — exact correlation sufficient statistics ([[graft.checks
     * .Profiling.corrStats]]): quantity vs extended price per return
     * flag — the five mergeable DECIMAL sums plus the 6-dp Pearson
-    * computed once from them. */
-  def g20CorrStats(s: SparkSession, d: String): DataFrame =
-    graft.checks.Profiling.corrStats(lineitem(s, d),
+    * computed once from them. The sums stay DECIMAL(38,0) inside the
+    * library (mergeability is the point); at the REGISTERED boundary
+    * they ship as canonical integer strings — the g19 bigint-to-string
+    * discipline — because raw wide decimals proved locally-comparable
+    * but driver-hash-unstable (the r12 incident; OutputTypeLintSpec
+    * now bans them). */
+  def g20CorrStats(s: SparkSession, d: String): DataFrame = {
+    val r = graft.checks.Profiling.corrStats(lineitem(s, d),
       "l_quantity", "l_extendedprice", "l_returnflag")
+    r.select(col("l_returnflag"), col("n"),
+      col("sx").cast("string").as("sx"),
+      col("sy").cast("string").as("sy"),
+      col("sxx").cast("string").as("sxx"),
+      col("syy").cast("string").as("syy"),
+      col("sxy").cast("string").as("sxy"),
+      col("corr6"))
+  }
 
   /** G19 — Benford first-digit screen ([[graft.checks.Referential
     * .benford]]) over the order-price amount column: observed vs
@@ -1315,6 +1332,33 @@ object Queries {
         countDistinct(col("author")).as("n_groups"))
       .crossJoin(broadcast(straddle))
       .orderBy("split")
+  }
+
+  /** X10-split-cards — the E2E capstone REGISTERED (VERDICT r12 next
+    * #7): curate → leakage-safe group split → per-split dataset card,
+    * the release journey `PipelineE2ESpec` proves, under the driver's
+    * oracle. The split key is the SOURCE group ([[graft.ext.Sampling
+    * .assignSplitByGroup]] — same-source documents are the correlated
+    * ones, so none may straddle train/val), the per-split datasheet is
+    * ONE [[graft.ext.DatasetCard.card]] ROLLUP over the split column
+    * (per-split rows + the corpus-total row from one shuffle), and
+    * `n_straddling_sources` — re-derived from scratch by the oracle —
+    * pins the leakage guarantee at ZERO. */
+  def x10SplitCards(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val curated = graft.ext.Curation.curate(docs, bench,
+      graft.ext.Curation.Config(minTokens = 1L))
+    val split = curated.withColumn("split",
+      graft.ext.Sampling.assignSplitByGroup(col("source"),
+        Seq("train" -> 0.8, "val" -> 0.2)))
+    val straddle = split.groupBy("source")
+      .agg(countDistinct(col("split")).as("__k"))
+      .agg(count(when(col("__k") > 1, lit(1))).as("n_straddling_sources"))
+    graft.ext.DatasetCard.card(split, groupCol = "split")
+      .crossJoin(broadcast(straddle))
+      .orderBy("grouping_level", "split")
   }
 
   /** X50 — nested-JSON flattening: the semi-structured ingestion step
@@ -1483,7 +1527,11 @@ object Queries {
           transform(col("embedding").cast("array<double>"),
             x => x + lit(0.25d)))
           .otherwise(col("embedding").cast("array<double>")))
-    graft.ext.EmbedDrift.centroidDrift(prev, cur).orderBy("label")
+    // drift_num ships as a canonical integer string (the g19
+    // discipline — r12's raw DECIMAL(38,0) failed the driver's hasher).
+    graft.ext.EmbedDrift.centroidDrift(prev, cur)
+      .withColumn("drift_num", col("drift_num").cast("string"))
+      .orderBy("label")
   }
 
   /** X41 — PMI collocation mining ([[graft.ext.Collocations
@@ -2885,6 +2933,40 @@ object Queries {
         graft.ext.Perceptron.loadFeatures(s, dir, fc, "y"),
         fc, "y", epochs = 3)
       .orderBy("epoch")
+  }
+
+  /** Shared X3k persisted-model build: ONE text-parsing pass
+    * materializes the integer feature frame, then the 4-class × 3-epoch
+    * one-vs-rest trajectory fits from the parquet (the X30
+    * materialized-features lesson) and persists like an X15 LM. */
+  private def langPerceptronDir(s: SparkSession, d: String): String =
+    persistedIndexDir("lang_perceptron", d) { dir =>
+      graft.ext.LangTrained.features(documents(s, d))
+        .write.mode("overwrite").parquet(s"$dir/feats")
+      graft.ext.LangTrained.saveTrajectory(
+        s.read.parquet(s"$dir/feats"), s"$dir/traj", epochs = 3)
+    }
+
+  /** X3k — learned language-ID TRAINING ([[graft.ext.LangTrained
+    * .fitAll]]): the 4 one-vs-rest perceptron trajectories over the
+    * script/stopword integer features — 12 rows of exact integer
+    * weights the oracle replays as chained CTEs (the x30 discipline,
+    * per class). */
+  def x3LangTrain(s: SparkSession, d: String): DataFrame =
+    graft.ext.LangTrained.loadTrajectory(s,
+        s"${langPerceptronDir(s, d)}/traj")
+      .orderBy("lang", "epoch")
+
+  /** X3k-score — the TRAINED model serving ([[graft.ext.LangTrained
+    * .confusionVsHeuristic]]): final weights as plan literals (the X13
+    * posture), the pinned first-wins margin argmax, censused against
+    * BOTH the corpus label and the X3e heuristic — the
+    * learned-vs-heuristic quality screen (a census, not a verdict). */
+  def x3LangTrained(s: SparkSession, d: String): DataFrame = {
+    val dir = langPerceptronDir(s, d)
+    val w = graft.ext.LangTrained.finalWeights(
+      graft.ext.LangTrained.loadTrajectory(s, s"$dir/traj"))
+    graft.ext.LangTrained.confusionVsHeuristic(documents(s, d), w)
   }
 
   /** X12d — physical multi-epoch upsampling ([[graft.ext.Mixing

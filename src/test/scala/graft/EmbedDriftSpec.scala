@@ -36,9 +36,11 @@ class EmbedDriftSpec extends SparkSpec {
   test("registered plant: the shifted label's drift dominates every " +
        "unshifted label's") {
     // The corpus label column is int32 — read it width-agnostically.
+    // drift_num ships as a canonical integer string at the registered
+    // boundary (the r12 hash-stability discipline).
     val rows = Queries.x43EmbedDrift(spark, sfDir).collect()
       .map(r => r.getAs[Number](0).longValue ->
-        BigDecimal(r.getDecimal(3))).toMap
+        BigDecimal(r.getString(3))).toMap
     val shifted = rows(3L)
     // At sf0.001 the halves hold only ~25 vectors per label, so the
     // background (sampling) drift is large — pin strict dominance, not

@@ -102,6 +102,22 @@ class PipelineE2ESpec extends SparkSpec {
     } finally curated.unpersist()
   }
 
+  test("the registered x10_split_cards capstone: straddle pinned at " +
+       "zero; per-split cards fold to the corpus-total row") {
+    val out = Queries.x10SplitCards(spark, sfDir).collect()
+    assert(out.length >= 2, "expected at least one split row plus (all)")
+    out.foreach(r =>
+      assert(r.getAs[Long]("n_straddling_sources") == 0L,
+        "a source straddled the split — the leakage guarantee broke"))
+    val all = out.filter(_.getAs[Long]("grouping_level") == 1L)
+    assert(all.length == 1, "exactly one corpus-total row")
+    val parts = out.filter(_.getAs[Long]("grouping_level") == 0L)
+    for (c <- Seq("n_docs", "n_tokens", "n_chars", "docs_with_pii")) {
+      assert(all.head.getAs[Long](c) == parts.map(_.getAs[Long](c)).sum,
+        s"$c does not fold across splits")
+    }
+  }
+
   test("curate → write(shards) → audit → re-read → writePacked composes") {
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.filter(col("doc_id") < 3)

@@ -57,6 +57,9 @@ class PlanAuditSpec extends SparkSpec {
       // The ONE-ROW straddle census cross onto the 3-row split
       // census — the leakage-guard audit column.
       "x52_group_split",
+      // The same one-row straddle cross onto the per-split card rows
+      // (the E2E capstone registration).
+      "x10_split_cards",
       // The ppl-gated funnel inherits x15's one-row totals cross; the
       // dsir-selected funnel inherits x16's.
       "x10_ppl_funnel", "x10_dsir_funnel",
@@ -243,6 +246,11 @@ class PlanAuditSpec extends SparkSpec {
     // the fit IS the operator: k epoch aggregates run at construction,
     // the registered frame is the collected per-epoch audit
     "x30_perceptron",
+    // the X3k persisted-model pair: feature materialization + the
+    // 4-class fit + trajectory save run once per JVM at first
+    // construction (x30's posture); the scoring lane additionally
+    // reads the 4-row final weights into plan literals
+    "x3_lang_train", "x3_lang_trained",
     // builds + SAVES the inverted index once per JVM at first
     // construction; the registered plan probes the saved postings
     // (the merged variant builds two shard indexes + the merge; the
