@@ -1353,6 +1353,62 @@ object Oracles {
   private val langWColNames: Seq[String] =
     graft.ext.LangTrained.FeatureCols.map(f => s"w_$f")
 
+  /** X53 BPE-training replay: k chained merge steps over the SAME
+    * wrapped-symbol string surgery the engine runs — build the top-W
+    * word census, then per step: unwrap → adjacent-pair census →
+    * (count DESC, l, r) argmax → non-rescanning `replace` fuse.
+    * DuckDB's `replace` and Spark's `StringReplace` share the
+    * left-to-right non-rescanning scan, so greedy fusion ([a,a,a] →
+    * [aa,a]) and double fusion ([a,b,a,b] → [ab,ab]) agree exactly
+    * (probed against DuckDB 1.0.0; pinned in BpeTrainSpec). */
+  private def bpeTrainSql(maxWords: Int, merges: Int): String = {
+    val steps = (1 to merges).map { k =>
+      val sk = s"s$k"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+         |    SELECT word, cnt, sym AS l,
+         |           lead(sym) OVER (PARTITION BY word ORDER BY ord) AS r
+         |    FROM (
+         |      SELECT word, cnt,
+         |             unnest(string_split(substr(seq, 2, length(seq) - 2),
+         |                    chr(2) || chr(1))) AS sym,
+         |             generate_subscripts(
+         |               string_split(substr(seq, 2, length(seq) - 2),
+         |                    chr(2) || chr(1)), 1) AS ord
+         |      FROM $sk))
+         |  WHERE r IS NOT NULL GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
+         |s${k + 1} AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |         replace(seq,
+         |           chr(1) || (SELECT l FROM b$k) || chr(2) ||
+         |             chr(1) || (SELECT r FROM b$k) || chr(2),
+         |           chr(1) || (SELECT l FROM b$k) ||
+         |             (SELECT r FROM b$k) || chr(2)) AS seq
+         |  FROM $sk)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to merges).map(k =>
+      s"""SELECT $k AS step, l AS "left", r AS "right", pc FROM b$k""")
+      .mkString("\n  UNION ALL ")
+    raw"""WITH w0 AS (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      |  FROM documents),
+      |wc AS MATERIALIZED (
+      |  SELECT word, count(*) AS cnt FROM w0
+      |  WHERE regexp_matches(word, '^[a-z]+${"$"}')
+      |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT $maxWords),
+      |s1 AS MATERIALIZED (
+      |  SELECT word, cnt,
+      |         array_to_string(list_transform(string_split(word, ''),
+      |           c -> chr(1) || c || chr(2)), '') AS seq
+      |  FROM wc),
+      |""".stripMargin + steps + "\n" +
+      s"""SELECT CAST(step AS BIGINT) AS step, "left", "right",
+         |       "left" || "right" AS merged, pc AS pair_count
+         |FROM ($unions)
+         |ORDER BY step""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "d1_count" -> "SELECT count(*) AS cnt FROM lineitem",
 
@@ -1912,6 +1968,32 @@ object Oracles {
         |      FROM dd)
         |WHERE rank_in_group <= 5
         |ORDER BY label, rank_in_group""".stripMargin,
+
+    "x2_pq_planted" ->
+      // The PQ planted twin replayed in closed form: the constructed
+      // corpus's sub-vector (vec_id + m) % 4 IS codeword p of an
+      // explicit codebook with entry value
+      // ((p+1)·(m+j+1)) % 5 − 2, so encode is reconstruction-exact and
+      // the ADC score equals this integer dot product; top-5 under the
+      // (sim DESC, cand_id ASC) total order, self excluded.
+      """WITH ids AS (SELECT vec_id FROM embeddings),
+        |q AS (SELECT vec_id AS query_id FROM ids WHERE vec_id < 5),
+        |grid AS (SELECT m, j
+        |         FROM unnest(range(0, 4)) t(m), unnest(range(0, 2)) u(j)),
+        |sc AS (
+        |  SELECT q.query_id, c.vec_id AS cand_id,
+        |         CAST(sum(
+        |           (((((q.query_id + m) % 4) + 1) * (m + j + 1)) % 5 - 2) *
+        |           (((((c.vec_id + m) % 4) + 1) * (m + j + 1)) % 5 - 2))
+        |           AS DOUBLE) AS sim
+        |  FROM q, ids c, grid
+        |  WHERE c.vec_id <> q.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id, adc_score FROM (
+        |  SELECT query_id, cand_id AS neighbor_id, round(sim, 4) AS adc_score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+        |  FROM sc) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "x2_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -4139,6 +4221,8 @@ object Oracles {
           |FROM sig GROUP BY ROLLUP (split)
           |ORDER BY grouping_level, split""".stripMargin),
 
+    "x53_bpe_train" -> bpeTrainSql(maxWords = 300, merges = 8),
+
     "s15_stream_ingest" -> nestedFlattenSql,
 
     "x50_nested_flatten" -> nestedFlattenSql,
@@ -5746,6 +5830,33 @@ object Oracles {
         |       CAST(sum(w * ((3 * doc_id + y) % 256)) AS BIGINT) AS sum_b
         |FROM scan GROUP BY doc_id, w, h
         |ORDER BY media_id""".stripMargin,
+
+    "x5_gif_decode" ->
+      // The real-codec ANIMATED round trip replayed WITHOUT a codec:
+      // payloads are JDK-encoded indexed-color GIFs (explicit 64-entry
+      // palette (3i,5i,7i)%256 — no quantizer runs, so the format is
+      // lossless) with frame f's scanline y painted palette index
+      // (id + 17f + y) % 64 at w=16+id%32, h=16+id%16, frames=1+id%4;
+      // the per-frame decoded dims + integer channel sums equal this
+      // closed form exactly.
+      """WITH img AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 32 AS INTEGER) AS w,
+        |         CAST(16 + doc_id % 16 AS INTEGER) AS h,
+        |         CAST(1 + doc_id % 4 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM img),
+        |px AS (
+        |  SELECT doc_id, w, h, f, (doc_id + 17 * f + y) % 64 AS idx
+        |  FROM (SELECT doc_id, w, h, f,
+        |               unnest(range(0, CAST(h AS BIGINT))) AS y FROM fr))
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |       w AS gif_w, h AS gif_h,
+        |       CAST(sum(w * ((idx * 3) % 256)) AS BIGINT) AS sum_r,
+        |       CAST(sum(w * ((idx * 5) % 256)) AS BIGINT) AS sum_g,
+        |       CAST(sum(w * ((idx * 7) % 256)) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "x5_wav_decode" ->
       // The real-codec WAV round trip replayed WITHOUT a codec: payloads

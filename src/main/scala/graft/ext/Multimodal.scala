@@ -408,6 +408,150 @@ object Multimodal {
       .toDF()
   }
 
+  // ---------------------------------- real animated-GIF codec path (X5c)
+
+  /** True when the JVM ships GIF ImageIO read AND write plugins —
+    * probed, not assumed (the [[pngSupported]] contract). */
+  lazy val gifSupported: Boolean =
+    javax.imageio.ImageIO.getImageReadersByFormatName("gif").hasNext &&
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").hasNext
+
+  /** The fixed 64-entry palette every planted GIF carries: entry i is
+    * (3i%256, 5i%256, 7i%256) — closed-form, so the oracle can replay
+    * channel sums without a codec. 64 = 2⁶ keeps the color table a
+    * legal GIF power-of-two size. */
+  private val GifPaletteSize = 64
+  private def gifPalette: java.awt.image.IndexColorModel = {
+    val r = new Array[Byte](GifPaletteSize)
+    val g = new Array[Byte](GifPaletteSize)
+    val b = new Array[Byte](GifPaletteSize)
+    var i = 0
+    while (i < GifPaletteSize) {
+      r(i) = ((i * 3) % 256).toByte
+      g(i) = ((i * 5) % 256).toByte
+      b(i) = ((i * 7) % 256).toByte
+      i += 1
+    }
+    new java.awt.image.IndexColorModel(8, GifPaletteSize, r, g, b)
+  }
+
+  /** Deterministic REAL animated GIF: `frames` full-size frames of a
+    * TYPE_BYTE_INDEXED image over [[gifPalette]], scanline y of frame f
+    * painted with palette index (id + 17f + y) % 64, pushed through the
+    * JDK's GIF sequence writer. Indexed color over an explicit palette
+    * is LOSSLESS (no quantizer runs — the pixels already name palette
+    * entries), so whatever a real decoder reads back per frame is
+    * exactly the formula: the per-frame channel sums are closed-form,
+    * which is what makes a DuckDB oracle possible without a codec —
+    * the PNG/WAV argument, extended to the multi-frame (video) lane. */
+  def gifPayload(id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val icm = gifPalette
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        val idx = ((id + 17L * f + y) % GifPaletteSize).toInt
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, idx); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Real-GIF media table: one row per video-kind document (the same
+    * doc_id % 3 == 2 lane as [[syntheticMediaWithHeaders]]'s MP4s),
+    * w = 16+id%32, h = 16+id%16, frames = 1+id%4. Encoding runs
+    * partition-local (the codec batch shape). */
+  def gifMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, gifPayload(id,
+            (16 + id % 32).toInt, (16 + id % 16).toInt, (1 + id % 4).toInt))
+        }
+      }(encoder)
+  }
+
+  /** One decoded frame: dimensions and integer per-channel pixel sums
+    * read back OUT OF the compressed multi-frame bitstream. */
+  final case class GifFrame(
+      media_id: Long, frame_idx: Long, gif_w: Option[Int],
+      gif_h: Option[Int], sum_r: Option[Long], sum_g: Option[Long],
+      sum_b: Option[Long])
+
+  private[graft] def decodeGifOne(id: Long, b: Array[Byte]): Seq[GifFrame] = {
+    def none = Seq(GifFrame(id, 0L, None, None, None, None, None))
+    if (!gifSupported || b == null) return none
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) return none
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n =
+        try reader.getNumImages(true)
+        catch { case _: java.io.IOException => return none }
+      (0 until n).map { f =>
+        val img =
+          try reader.read(f)
+          catch { case _: java.io.IOException => null }
+        if (img == null) GifFrame(id, f.toLong, None, None, None, None, None)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          GifFrame(id, f.toLong, Some(w), Some(h), Some(sr), Some(sg), Some(sb))
+        }
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** X5c — REAL multi-frame pixel decode over a (media_id, payload)
+    * frame: one narrow mapPartitions pass through the JDK GIF reader,
+    * one output row per frame (the decode-side half of the video lane
+    * [[sampleFrames]] stubs — this one reads actual pixels). */
+  def decodeGifs(media: DataFrame): DataFrame = {
+    val session = media.sparkSession
+    import session.implicits._
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap(r => decodeGifOne(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+      .toDF()
+  }
+
   private def beInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
       ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)

@@ -448,6 +448,280 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** X2i product-quantization ENCODE: the M sub-vector codes of a vector
+  * against a fixed (M × K × subDim) codebook tensor, in ONE expression
+  * node (the [[NearestCentroids]] reference-object discipline — plan
+  * size independent of M, K, dim).
+  *
+  * Code m is the L2-NEAREST codeword of sub-vector m (the Jégou et al.
+  * 2011 assignment; ties to the LOWER code — pinned, so encoding is
+  * deterministic). A vector whose length differs from M·subDim throws
+  * instead of silently encoding a prefix (the ADVICE-r2 silent-recall
+  * class). Output `array<tinyint>` — K ≤ 128 enforced, so a code fits
+  * a byte: at serving time the corpus scan reads M BYTES per vector
+  * instead of dim floats, which is the whole memory-bounded point. */
+case class PqEncode(child: Expression, flat: Array[Double],
+                    m: Int, k: Int, subDim: Int)
+  extends UnaryExpression {
+
+  // The codebook rides as a FLAT ARRAY param, not a Seq tensor: a
+  // realistic M×K×subDim is thousands of doubles, and Catalyst calls
+  // case-class hashCode/equals/toString on expressions many times per
+  // optimization pass — nested-Seq params pay per-element boxing-hash
+  // each call (measured: the Seq form put the registered PQ lane at
+  // 14 s; arrays hash by identity). toString is overridden like
+  // [[SignBandSignature]] for the same reason.
+  private def dim = m * subDim
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (m >= 1 && k >= 1 && k <= 128 && subDim >= 1 &&
+        flat.length == m * k * subDim)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs flat.length == M × (K ≤ 128) × subDim")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<float|double> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override def toString: String =
+    s"pq_encode($child, m=$m, k=$k, subDim=$subDim)"
+
+  def badDim(n: Int): Nothing = throw new IllegalArgumentException(
+    s"pq_encode: vector has $n elements but the codebook expects ${dim} " +
+      s"(M=$m × subDim=$subDim) — wrong embedding column or model skew")
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) badDim(v.numElements())
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val out = new Array[Byte](m)
+    var mm = 0
+    while (mm < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var cc = 0
+      while (cc < k) {
+        var d2 = 0.0
+        var j = 0
+        while (j < subDim) {
+          val i = mm * subDim + j
+          val x = if (v.isNullAt(i)) 0.0
+                  else if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          val d = x - flat((mm * k + cc) * subDim + j)
+          d2 += d * d
+          j += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = cc }
+        cc += 1
+      }
+      out(mm) = best.toByte
+      mm += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val flatRef = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+      val self = ctx.addReferenceObj("pqEncodeExpr", this, classOf[PqEncode].getName)
+      val get = child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => (i: String) => s"(double) $v.getFloat($i)"
+        case DoubleType => (i: String) => s"$v.getDouble($i)"
+        case other      => throw new IllegalStateException(s"unsupported $other")
+      }
+      val out = ctx.freshName("out")
+      val mm = ctx.freshName("mm")
+      val cc = ctx.freshName("cc")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val d = ctx.freshName("d")
+      val d2 = ctx.freshName("d2")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |if ($v.numElements() != $dim) $self.badDim($v.numElements());
+         |byte[] $out = new byte[$m];
+         |for (int $mm = 0; $mm < $m; $mm++) {
+         |  int $best = 0;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $cc = 0; $cc < $k; $cc++) {
+         |    double $d2 = 0.0;
+         |    for (int $j = 0; $j < $subDim; $j++) {
+         |      int $i = $mm * $subDim + $j;
+         |      double $x = $v.isNullAt($i) ? 0.0 : ${get(i)};
+         |      double $d = $x - $flatRef[($mm * $k + $cc) * $subDim + $j];
+         |      $d2 += $d * $d;
+         |    }
+         |    if ($d2 < $bestD) { $bestD = $d2; $best = $cc; }
+         |  }
+         |  $out[$mm] = (byte) $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** X2i ADC lookup table for ONE query: lut[m·K + c] = dot(q_m, C[m][c])
+  * — the per-query M×K table the asymmetric-distance scorer probes.
+  * Computed ONCE per query row (M·K·subDim work), so scoring a
+  * candidate is O(M) array lookups ([[PqAdcScore]]) instead of O(dim)
+  * — the batch-amortized ADC shape from Jégou et al. 2011. */
+case class PqLut(child: Expression, flat: Array[Double],
+                 m: Int, k: Int, subDim: Int)
+  extends UnaryExpression {
+
+  // Flat-array param for the same hashCode/toString reason as
+  // [[PqEncode]].
+  private def dim = m * subDim
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (m >= 1 && k >= 1 && subDim >= 1 && flat.length == m * k * subDim)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs flat.length == M × K × subDim")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<float|double> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override def toString: String = s"pq_lut($child, m=$m, k=$k, subDim=$subDim)"
+
+  def badDim(n: Int): Nothing = throw new IllegalArgumentException(
+    s"pq_lut: vector has $n elements but the codebook expects ${dim}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) badDim(v.numElements())
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val out = new Array[Double](m * k)
+    var mm = 0
+    while (mm < m) {
+      var cc = 0
+      while (cc < k) {
+        var dot = 0.0
+        var j = 0
+        while (j < subDim) {
+          val i = mm * subDim + j
+          val x = if (v.isNullAt(i)) 0.0
+                  else if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          dot += x * flat((mm * k + cc) * subDim + j)
+          j += 1
+        }
+        out(mm * k + cc) = dot
+        cc += 1
+      }
+      mm += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val flatRef = ctx.addReferenceObj("pqLutCodebooks", flat, "double[]")
+      val self = ctx.addReferenceObj("pqLutExpr", this, classOf[PqLut].getName)
+      val get = child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => (i: String) => s"(double) $v.getFloat($i)"
+        case DoubleType => (i: String) => s"$v.getDouble($i)"
+        case other      => throw new IllegalStateException(s"unsupported $other")
+      }
+      val out = ctx.freshName("out")
+      val mm = ctx.freshName("mm")
+      val cc = ctx.freshName("cc")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val dot = ctx.freshName("dot")
+      s"""
+         |if ($v.numElements() != $dim) $self.badDim($v.numElements());
+         |double[] $out = new double[$m * $k];
+         |for (int $mm = 0; $mm < $m; $mm++) {
+         |  for (int $cc = 0; $cc < $k; $cc++) {
+         |    double $dot = 0.0;
+         |    for (int $j = 0; $j < $subDim; $j++) {
+         |      int $i = $mm * $subDim + $j;
+         |      double $x = $v.isNullAt($i) ? 0.0 : ${get(i)};
+         |      $dot += $x * $flatRef[($mm * $k + $cc) * $subDim + $j];
+         |    }
+         |    $out[$mm * $k + $cc] = $dot;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** X2i ADC score: Σ_m lut[m·K + codes[m]] — the asymmetric approximate
+  * inner product, O(M) lookups per (query, candidate) pair. Left child
+  * is the candidate's `array<tinyint>` code vector, right the query's
+  * [[PqLut]] table; `k` is the codebook width the lut was built with.
+  * Sums m ascending (one fixed association — deterministic). */
+case class PqAdcScore(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(DoubleType, _)) if k >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<tinyint>, array<double>) and k >= 1, got $other")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  def badShape(m: Int, lutLen: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"pq_adc_score: $m codes need a ${m * k}-entry lut, got $lutLen — " +
+        "codebook/model version skew")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (lut.numElements() != m * k) badShape(m, lut.numElements())
+    var sum = 0.0
+    var mm = 0
+    while (mm < m) {
+      sum += lut.getDouble(mm * k + (codes.getByte(mm) & 0xFF))
+      mm += 1
+    }
+    sum
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val self = ctx.addReferenceObj("pqAdcExpr", this, classOf[PqAdcScore].getName)
+      val m = ctx.freshName("m")
+      val mm = ctx.freshName("mm")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $m = $c.numElements();
+         |if ($l.numElements() != $m * $k) $self.badShape($m, $l.numElements());
+         |double $sum = 0.0;
+         |for (int $mm = 0; $mm < $m; $mm++) {
+         |  $sum += $l.getDouble($mm * $k + ($c.getByte($mm) & 0xFF));
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** The X2h rational-centroid distance numerator `Σ_i (q_i·n − s_i)²`
   * in ONE primitive loop per row (see [[graft.ext.Outliers]]).
   *
@@ -583,4 +857,28 @@ object VectorFunctions {
       centroids.map(_.toIndexedSeq).toIndexedSeq, nProbe, tiesHigh))
   def centroidDistNum(vec: Column, sums: Column, n: Column): Column =
     column(CentroidDistNum(expression(vec), expression(sums), expression(n)))
+  private def pqFlat(codebooks: Array[Array[Array[Double]]])
+      : (Array[Double], Int, Int, Int) = {
+    val m = codebooks.length
+    val k = codebooks.headOption.map(_.length).getOrElse(0)
+    val subDim = codebooks.headOption.flatMap(_.headOption)
+      .map(_.length).getOrElse(0)
+    require(codebooks.forall(cb =>
+      cb.length == k && cb.forall(_.length == subDim)),
+      "pq codebook tensor must be rectangular")
+    val a = new Array[Double](m * k * subDim)
+    for (mm <- 0 until m; cc <- 0 until k; j <- 0 until subDim)
+      a((mm * k + cc) * subDim + j) = codebooks(mm)(cc)(j)
+    (a, m, k, subDim)
+  }
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val (a, m, k, subDim) = pqFlat(codebooks)
+    column(PqEncode(expression(v), a, m, k, subDim))
+  }
+  def pqLut(v: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val (a, m, k, subDim) = pqFlat(codebooks)
+    column(PqLut(expression(v), a, m, k, subDim))
+  }
+  def pqAdcScore(codes: Column, lut: Column, k: Int): Column =
+    column(PqAdcScore(expression(codes), expression(lut), k))
 }

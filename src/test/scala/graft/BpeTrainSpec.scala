@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.BpeTrain
+
+class BpeTrainSpec extends SparkSpec {
+
+  private val wddl = "word STRING, cnt BIGINT"
+
+  test("hand-computed trajectory: weighted pair argmax, greedy fuse, " +
+       "deterministic tie-break") {
+    // words: aaab ×3, ab ×2.
+    // step 1 pairs: (a,a) = 2·3 = 6; (a,b) = 1·3 + 1·2 = 5 → merge (a,a).
+    //   aaab → [aa, a, b] (GREEDY left-to-right), ab unchanged.
+    // step 2 pairs: (aa,a) = 3; (a,b) = 3 + 2 = 5 → merge (a,b).
+    // step 3 pairs: (aa,ab) = 3 → merge (aa,ab) → 'aaab' one symbol.
+    val words = df(Seq(Row("aaab", 3L), Row("ab", 2L)), wddl)
+    val got = BpeTrain.fitMerges(words, merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "a", "b", "ab", 5L),
+      (3L, "aa", "ab", "aaab", 3L)))
+  }
+
+  test("adjacent repeats fuse BOTH occurrences; odd runs fuse greedily " +
+       "left-to-right (the wrap-encoding soundness cases)") {
+    // abab: (a,b) appears twice ADJACENTLY — both must fuse in one step.
+    val w1 = df(Seq(Row("abab", 1L)), wddl)
+    val t1 = BpeTrain.fitMerges(w1, merges = 2).collect()
+    assert((t1(0).getString(1), t1(0).getString(2), t1(0).getLong(4)) ==
+      (("a", "b", 2L)))
+    // After fusing (a,b) both pairs collapse → step 2 sees (ab,ab).
+    assert((t1(1).getString(1), t1(1).getString(2)) == (("ab", "ab")))
+    // aaa: two overlapping (a,a) pairs count 2, but the fuse is greedy →
+    // [aa, a]; step 2's best is then (aa, a).
+    val w2 = df(Seq(Row("aaa", 1L)), wddl)
+    val t2 = BpeTrain.fitMerges(w2, merges = 2).collect()
+    assert((t2(0).getString(3), t2(0).getLong(4)) == (("aa", 2L)))
+    assert((t2(1).getString(1), t2(1).getString(2)) == (("aa", "a")))
+  }
+
+  test("multi-char symbols never false-match inside a neighbor") {
+    // After merging (a,b), the word 'cab' contains symbol 'ab' next to
+    // 'c'; a bare-string encoding would let pair (b,c) of some other
+    // word fire inside it. Pin: segmenting 'cab' under merges
+    // [(a,b)] yields [c, ab] — and under [(b,c)] stays [c, a, b].
+    val one = spark.range(1).select(lit("cab").as("w"))
+    val s1 = one.select(BpeTrain.segment(col("w"), Seq("a" -> "b")))
+      .head.getSeq[String](0)
+    assert(s1 == Seq("c", "ab"))
+    val s2 = one.select(BpeTrain.segment(col("w"), Seq("b" -> "c")))
+      .head.getSeq[String](0)
+    assert(s2 == Seq("c", "a", "b"))
+  }
+
+  test("early stop: a single-char vocabulary has no pairs") {
+    val words = df(Seq(Row("a", 5L), Row("b", 2L)), wddl)
+    assert(BpeTrain.fitMerges(words, merges = 4).count() == 0L)
+  }
+
+  test("word census: lowercase-alpha only, (cnt DESC, word) cut is " +
+       "deterministic; trajectory is partitioning-invariant") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = BpeTrain.wordCensus(docs, maxWords = 50)
+    val n = a.count()
+    assert(n > 10 && n <= 50,
+      s"census must respect the cap and find real words (got $n)")
+    val bad = a.filter(!col("word").rlike("^[a-z]+$")).count()
+    assert(bad == 0L)
+    val t1 = BpeTrain.fitMerges(
+      BpeTrain.wordCensus(docs, 100), merges = 4).collect().map(_.toSeq)
+    val t2 = BpeTrain.fitMerges(
+      BpeTrain.wordCensus(docs.repartition(17), 100), merges = 4)
+      .collect().map(_.toSeq)
+    assert(t1.toSeq == t2.toSeq)
+  }
+
+  test("segment replays the fitted merges: symbols round-trip to the " +
+       "word and compress monotonically with more merges") {
+    val docs = Tables.documents(spark, sfDir)
+    val words = BpeTrain.wordCensus(docs, 100)
+    val traj = BpeTrain.fitMerges(words, merges = 6).collect()
+    val merges = traj.sortBy(_.getLong(0))
+      .map(r => r.getString(1) -> r.getString(2)).toSeq
+    // Lossless: concatenating a word's symbols reproduces the word.
+    val bad = words.select(col("word"),
+        concat_ws("", BpeTrain.segment(col("word"), merges)).as("rt"))
+      .filter(col("word") =!= col("rt")).count()
+    assert(bad == 0L, "segmentation must concatenate back to the word")
+    // Each additional merge can only shrink or keep a word's symbol
+    // count — and the LAST learned merge must fire somewhere (its
+    // pair_count came from these very words).
+    val sizes = (0 to merges.size).map { k =>
+      words.select(sum(size(BpeTrain.segment(col("word"),
+        merges.take(k)))).cast("long")).head.getLong(0)
+    }
+    sizes.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"merge grew the symbol mass: $sizes")
+    }
+    assert(sizes.last < sizes(sizes.size - 2),
+      "the last learned merge must reduce the symbol mass")
+  }
+}

@@ -182,4 +182,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWavOne(id, bytes.take(16)).n_samples.isEmpty)
     assert(Multimodal.decodeWavOne(id, null).n_samples.isEmpty)
   }
+
+  test("GIF codec round trip: every frame of the animated payload " +
+       "decodes to the closed-form palette sums") {
+    assume(Multimodal.gifSupported, "JDK without a GIF plugin")
+    val id = 23L
+    val (w, h, nf) = ((16 + id % 32).toInt, (16 + id % 16).toInt,
+      (1 + id % 4).toInt)
+    val bytes = Multimodal.gifPayload(id, w, h, nf)
+    // A real GIF container (GIF89a/GIF87a signature).
+    assert(new String(bytes.take(3), "US-ASCII") == "GIF")
+    val frames = Multimodal.decodeGifOne(id, bytes)
+    assert(frames.size == nf, s"expected $nf frames, got ${frames.size}")
+    frames.foreach { fr =>
+      val f = fr.frame_idx
+      def ch(mul: Int): Long = (0 until h).map { y =>
+        val idx = ((id + 17L * f + y) % 64).toInt
+        w.toLong * ((idx * mul) % 256)
+      }.sum
+      assert(fr.gif_w.contains(w) && fr.gif_h.contains(h))
+      assert(fr.sum_r.contains(ch(3)), s"frame $f red sum")
+      assert(fr.sum_g.contains(ch(5)) && fr.sum_b.contains(ch(7)))
+    }
+    // Corrupt payload is data, not a crash.
+    assert(Multimodal.decodeGifOne(id, bytes.take(10)).head.gif_w.isEmpty)
+    assert(Multimodal.decodeGifOne(id, null).head.gif_w.isEmpty)
+  }
 }

@@ -45,6 +45,10 @@ class PlanAuditSpec extends SparkSpec {
     // as x2_topk_cosine; stage 2 is equi-joined.
     Set("g3_in_set", "x2_topk_cosine", "x2_hard_negatives", "x2_mrl_topk",
       "x2_quant_topk",
+      // the ADC scan: bounded LUT-carrying query set broadcast against
+      // the byte-code table with the non-equi self-exclusion — the
+      // x2_topk_cosine brute-force shape on the compressed codes
+      "x2_pq_topk", "x2_pq_planted",
       "x1_embed_neardup",
       "x2_semdedup", "s2_stream_dedup", "x11_skew_profile",
       "x12_temperature_mix",
@@ -111,12 +115,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** Queries whose widest scan is a BOUNDED MODEL ARTIFACT, not a
+    * corpus: the x3_lang_train trajectory parquet is 12 rows × (lang,
+    * epoch, mis + 9 weight columns) — the query's whole point is to
+    * emit every column of the fitted model, so "pruning" cannot apply.
+    * Corpus scans in these queries still ran through Verify's oracle
+    * gate; only the artifact read is exempted (by its wider bound). */
+  private val modelArtifactScanCols = Map(
+    "x3_lang_train" -> 12, "x3_lang_trained" -> 12)
+
   test("every parquet scan is column-pruned (≤ 6 of lineitem's 11 columns etc.)") {
     var scansSeen = 0
     SparkEntry.queries.keys.foreach { name =>
+      val cap = modelArtifactScanCols.getOrElse(name, 6)
       scansOf(planOf(name)).foreach { b =>
         scansSeen += 1
-        assert(b.schema.size <= 6,
+        assert(b.schema.size <= cap,
           s"$name has a parquet scan reading ${b.schema.size} columns — pruning regressed")
       }
     }
@@ -251,6 +265,14 @@ class PlanAuditSpec extends SparkSpec {
     // construction (x30's posture); the scoring lane additionally
     // reads the 4-row final weights into plan literals
     "x3_lang_train", "x3_lang_trained",
+    // the X53 fit IS the operator: the word census + k merge-argmax
+    // aggregates run once per JVM at first construction and persist
+    // the vocab artifact; the registered frame reads the saved merges
+    "x53_bpe_train",
+    // the PQ codebook fit (iters bounded aggregates) + the guarded
+    // query-count fetch run at construction (the x2_ivf shape); the
+    // planted twin skips the fit but keeps the broadcast guard fetch
+    "x2_pq_topk", "x2_pq_planted",
     // builds + SAVES the inverted index once per JVM at first
     // construction; the registered plan probes the saved postings
     // (the merged variant builds two shard indexes + the merge; the

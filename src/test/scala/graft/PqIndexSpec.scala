@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.{IvfIndex, PqIndex, Similarity}
+import graft.functions.VectorFunctions
+
+class PqIndexSpec extends SparkSpec {
+
+  private val ddl = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+
+  // m=2 sub-spaces of 2 dims, k=2 codewords each — hand-checkable.
+  private val books: Array[Array[Array[Double]]] = Array(
+    Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+    Array(Array(0.0, 1.0), Array(2.0, 0.0)))
+
+  test("encode: L2-nearest codeword per sub-space; ties to the LOWER " +
+       "code; wrong width throws") {
+    val rows = Seq(
+      Row(1L, Seq(0.9, 1.1, 1.9, 0.1)),   // -> [1, 1]
+      Row(2L, Seq(0.1, -0.1, 0.1, 0.9)),  // -> [0, 0]
+      // sub-vector (0.5, 0.5) is EQUIDISTANT from both m=0 codewords ->
+      // code 0 (lower) by the pinned tie rule.
+      Row(3L, Seq(0.5, 0.5, 0.0, 1.0)))   // -> [0, 0]
+    val model = PqIndex.Model(2, 2, 2, books, normalized = false)
+    val got = PqIndex.encode(model, df(rows, ddl)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toSeq).toMap
+    assert(got(1L) == Seq(1.toByte, 1.toByte))
+    assert(got(2L) == Seq(0.toByte, 0.toByte))
+    assert(got(3L) == Seq(0.toByte, 0.toByte), "tie must take the lower code")
+    val err = intercept[Exception] {
+      df(Seq(Row(9L, Seq(1.0, 2.0, 3.0))), ddl)
+        .select(VectorFunctions.pqEncode(col("embedding"), books)).collect()
+    }
+    assert(err.getMessage.contains("pq_encode") ||
+      err.getCause != null && err.getCause.getMessage.contains("pq_encode"))
+  }
+
+  test("LUT + ADC: the score is the exact dot against the RECONSTRUCTED " +
+       "candidate; shape skew throws") {
+    val model = PqIndex.Model(2, 2, 2, books)
+    val q = Seq(1.0, 2.0, 3.0, 4.0)
+    val d1 = df(Seq(Row(1L, q)), ddl)
+      .select(VectorFunctions.pqLut(col("embedding"), books).as("lut"))
+    val lut = d1.head.getSeq[Double](0)
+    // lut[m*K + c] = dot(q_m, C[m][c]).
+    assert(lut == Seq(0.0, 3.0, 4.0, 6.0))
+    // codes [1, 0] -> recon (1,1,0,1) -> dot = 1+2+4 = 7 = lut[1]+lut[2].
+    val score = d1.select(VectorFunctions.pqAdcScore(
+        typedLit(Seq(1.toByte, 0.toByte)), col("lut"), 2))
+      .head.getDouble(0)
+    assert(score == 7.0)
+    val err = intercept[Exception] {
+      d1.select(VectorFunctions.pqAdcScore(
+        typedLit(Seq(1.toByte)), col("lut"), 3)).collect()
+    }
+    assert(err.getMessage.contains("pq_adc_score") ||
+      err.getCause != null && err.getCause.getMessage.contains("pq_adc_score"))
+  }
+
+  test("new expressions survive CODEGEN_ONLY") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    val d = s2.createDataFrame(
+      s2.sparkContext.parallelize(Seq(Row(1L, Seq(0.9, 1.1, 1.9, 0.1))), 1),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    val out = d.select(
+      VectorFunctions.pqEncode(col("embedding"), books).as("codes"),
+      VectorFunctions.pqLut(col("embedding"), books).as("lut"))
+      .select(VectorFunctions.pqAdcScore(col("codes"), col("lut"), 2))
+      .head.getDouble(0)
+    // codes [1,1]; recon (1,1,2,0); dot(q=vec, recon) = 0.9+1.1+3.8 = 5.8.
+    assert(math.abs(out - 5.8) < 1e-12)
+  }
+
+  test("trained PQ: deterministic across partitionings; recall@5 vs " +
+       "brute force is pinned") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = PqIndex.train(emb, m = 32, k = 128, iters = 3)
+    val queries = emb.filter(col("vec_id") < 10)
+    val pq = PqIndex.topK(model, PqIndex.encode(model, emb), queries, kNN = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val model2 = PqIndex.train(emb.repartition(7), m = 32, k = 128, iters = 3)
+    // Seeding is ORDERED (first k by id) and each iteration a partial
+    // aggregate, so the fitted books match across partitionings up to
+    // double-mean summation order; the testdata means land identically.
+    val pq2 = PqIndex.topK(model2, PqIndex.encode(model2, emb), queries, kNN = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq == pq2, "trained PQ results must not depend on partitioning")
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (pq intersect exact).size.toDouble / exact.size
+    // Measured 0.90 at sf0.001 / 0.80 at sf0.01 (m=32 × k=128, dim 64
+    // near-random corpus — PQ's worst case; numpy cross-check agrees
+    // exactly). Pin a floor with margin: a codebook or ADC regression
+    // craters this.
+    assert(recall >= 0.6, s"PQ recall@5 collapsed: $recall")
+  }
+
+  test("IVF-PQ with nProbe = k equals the exhaustive ADC scan; " +
+       "save/load round-trips the model and codes") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = PqIndex.train(emb, m = 4, k = 8, iters = 1)
+    val codes = PqIndex.encode(model, emb)
+    val queries = emb.filter(col("vec_id") < 5)
+    val full = PqIndex.topK(model, codes, queries, kNN = 3)
+      .collect().map(_.toSeq).toSet
+    val ivf = IvfIndex.build(emb, k = 4, iters = 1)
+    try {
+      val pruned = PqIndex.topKInClusters(model, ivf, codes, queries,
+        kNN = 3, nProbe = 4).collect().map(_.toSeq).toSet
+      assert(pruned == full,
+        "probing every cluster must equal the exhaustive ADC scan")
+    } finally ivf.release()
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    PqIndex.save(model, codes, dir)
+    val (m2, codes2) = PqIndex.load(spark, dir)
+    assert(m2.codebooks.flatten.flatten.toSeq ==
+      model.codebooks.flatten.flatten.toSeq)
+    val re = PqIndex.topK(m2, codes2, queries, kNN = 3)
+      .collect().map(_.toSeq).toSet
+    assert(re == full, "saved index must probe identically")
+  }
+}
