@@ -1353,6 +1353,60 @@ object Oracles {
   private val langWColNames: Seq[String] =
     graft.ext.LangTrained.FeatureCols.map(f => s"w_$f")
 
+  /** The X3k SERVING replay (see the x3_lang_trained map comment). */
+  private def langTrainedSql: String = {
+    val dim = langFeatExprs.size
+    val langs = graft.ext.LangTrained.Langs
+    val ratio = Seq(
+      raw"(length(text) - length(regexp_replace(text, '[\x{3040}-\x{30ff}]', '', 'g'))) * 1.0 / greatest(length(text), 1) AS kana",
+      raw"(length(text) - length(regexp_replace(text, '[\x{ac00}-\x{d7a3}]', '', 'g'))) * 1.0 / greatest(length(text), 1) AS hang",
+      raw"(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))) * 1.0 / greatest(length(text), 1) AS cjk")
+    val lf = "lf AS (SELECT lang,\n  " +
+      (langFeatExprs.zipWithIndex
+        .map { case (e, i) => s"$e AS x$i" } ++ ratio)
+        .mkString(",\n  ") + "\n  FROM documents)"
+    def xOf(l: String): String = s"x${1 + langs.indexOf(l)}"
+    // Heuristic argmax ties to the lexicographically LARGEST language
+    // (the engine's array_max over (score, lang) structs) — chain in
+    // REVERSE sorted order, ELSE = smallest.
+    val rev = langs.reverse
+    val heurChain = rev.init.zipWithIndex.map { case (l, j) =>
+      val conds = rev.drop(j + 1).map(r => s"${xOf(l)} >= ${xOf(r)}")
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n            ")
+    val margins = langs.map(l =>
+      "(" + (0 until dim).map(i => s"w$l.a$i * x$i").mkString(" + ") +
+        s") AS m_$l").mkString(",\n         ")
+    val trainedChain = langs.zipWithIndex.map { case (l, i) =>
+      val conds = (s"m_$l > 0" +:
+        langs.drop(i + 1).map(r => s"m_$l >= m_$r")).mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n              ")
+    "WITH " + lf + ",\n" + langTrajCtes(3) + ",\n" +
+      s"""lh AS (
+         |  SELECT *,
+         |         CASE WHEN kana > 0.05 THEN 'ja'
+         |              WHEN hang > 0.3 THEN 'ko'
+         |              WHEN cjk > 0.3 THEN 'zh'
+         |              WHEN greatest(${langs.map(xOf).mkString(", ")}) = 0 THEN 'und'
+         |            $heurChain
+         |              ELSE '${rev.last}' END AS pred_heur
+         |  FROM lf),
+         |sc AS (
+         |  SELECT lang AS label, pred_heur,
+         |         $margins
+         |  FROM lh, ${langs.map(l => s"w3_$l w$l").mkString(", ")}),
+         |p AS (
+         |  SELECT label, pred_heur,
+         |         CASE $trainedChain
+         |              ELSE 'und' END AS pred_trained
+         |  FROM sc)
+         |SELECT label, pred_trained, pred_heur, count(*) AS n
+         |FROM p GROUP BY 1, 2, 3
+         |ORDER BY label, pred_trained, pred_heur""".stripMargin
+  }
+
   /** X53 BPE-training replay: k chained merge steps over the SAME
     * wrapped-symbol string surgery the engine runs — build the top-W
     * word census, then per step: unwrap → adjacent-pair census →
@@ -1361,7 +1415,33 @@ object Oracles {
     * left-to-right non-rescanning scan, so greedy fusion ([a,a,a] →
     * [aa,a]) and double fusion ([a,b,a,b] → [ab,ab]) agree exactly
     * (probed against DuckDB 1.0.0; pinned in BpeTrainSpec). */
-  private def bpeTrainSql(maxWords: Int, merges: Int): String = {
+  private def bpeTrainSql(maxWords: Int, merges: Int): String =
+    bpeWith(maxWords, merges) + "\n" + {
+      val unions = (1 to merges).map(k =>
+        s"""SELECT $k AS step, l AS "left", r AS "right", pc FROM b$k""")
+        .mkString("\n  UNION ALL ")
+      s"""SELECT CAST(step AS BIGINT) AS step, "left", "right",
+         |       "left" || "right" AS merged, pc AS pair_count
+         |FROM ($unions)
+         |ORDER BY step""".stripMargin
+    }
+
+  /** X53b tokenize-apply replay: the SAME chained merge CTEs, then the
+    * final sequence table s{merges+1} unwraps to the segmented census. */
+  private def bpeTokenizeSql(maxWords: Int, merges: Int): String =
+    bpeWith(maxWords, merges) + "\n" +
+      s"""SELECT word, cnt,
+         |       array_to_string(string_split(substr(seq, 2, length(seq) - 2),
+         |                       chr(2) || chr(1)), ' ') AS segmented,
+         |       CAST(len(string_split(substr(seq, 2, length(seq) - 2),
+         |                 chr(2) || chr(1))) AS BIGINT) AS n_symbols
+         |FROM s${merges + 1}
+         |ORDER BY cnt DESC, word""".stripMargin
+
+  /** The shared "WITH …" block: census, initial sequences, and the
+    * chained per-step (pair census → argmax → fuse) CTEs through
+    * s{merges+1}. */
+  private def bpeWith(maxWords: Int, merges: Int): String = {
     val steps = (1 to merges).map { k =>
       val sk = s"s$k"
       s"""p$k AS MATERIALIZED (
@@ -1387,9 +1467,6 @@ object Oracles {
          |             (SELECT r FROM b$k) || chr(2)) AS seq
          |  FROM $sk)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to merges).map(k =>
-      s"""SELECT $k AS step, l AS "left", r AS "right", pc FROM b$k""")
-      .mkString("\n  UNION ALL ")
     raw"""WITH w0 AS (
       |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
       |  FROM documents),
@@ -1402,11 +1479,7 @@ object Oracles {
       |         array_to_string(list_transform(string_split(word, ''),
       |           c -> chr(1) || c || chr(2)), '') AS seq
       |  FROM wc),
-      |""".stripMargin + steps + "\n" +
-      s"""SELECT CAST(step AS BIGINT) AS step, "left", "right",
-         |       "left" || "right" AS merged, pc AS pair_count
-         |FROM ($unions)
-         |ORDER BY step""".stripMargin
+      |""".stripMargin + steps
   }
 
   val sql: Map[String, String] = Map(
@@ -1969,13 +2042,37 @@ object Oracles {
         |WHERE rank_in_group <= 5
         |ORDER BY label, rank_in_group""".stripMargin,
 
+    // The PQ planted twin replayed in closed form: the constructed
+    // corpus's sub-vector (vec_id + m) % 4 IS codeword p of an
+    // explicit codebook with entry value ((p+1)·(m+j+1)) % 5 − 2, so
+    // encode is reconstruction-exact and the ADC score equals this
+    // integer dot product; top-5 under the (sim DESC, cand_id ASC)
+    // total order, self excluded. The SAME oracle serves the IVF-PQ
+    // planted lane: with nProbe = k every inverted list is probed, so
+    // the composed path is mathematically the exhaustive ADC scan.
     "x2_pq_planted" ->
-      // The PQ planted twin replayed in closed form: the constructed
-      // corpus's sub-vector (vec_id + m) % 4 IS codeword p of an
-      // explicit codebook with entry value
-      // ((p+1)·(m+j+1)) % 5 − 2, so encode is reconstruction-exact and
-      // the ADC score equals this integer dot product; top-5 under the
-      // (sim DESC, cand_id ASC) total order, self excluded.
+      """WITH ids AS (SELECT vec_id FROM embeddings),
+        |q AS (SELECT vec_id AS query_id FROM ids WHERE vec_id < 5),
+        |grid AS (SELECT m, j
+        |         FROM unnest(range(0, 4)) t(m), unnest(range(0, 2)) u(j)),
+        |sc AS (
+        |  SELECT q.query_id, c.vec_id AS cand_id,
+        |         CAST(sum(
+        |           (((((q.query_id + m) % 4) + 1) * (m + j + 1)) % 5 - 2) *
+        |           (((((c.vec_id + m) % 4) + 1) * (m + j + 1)) % 5 - 2))
+        |           AS DOUBLE) AS sim
+        |  FROM q, ids c, grid
+        |  WHERE c.vec_id <> q.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id, adc_score FROM (
+        |  SELECT query_id, cand_id AS neighbor_id, round(sim, 4) AS adc_score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+        |  FROM sc) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "x2_ivfpq_planted" ->
+      // Same replay as x2_pq_planted (see the comment there): the
+      // nProbe = k composition IS the exhaustive scan.
       """WITH ids AS (SELECT vec_id FROM embeddings),
         |q AS (SELECT vec_id AS query_id FROM ids WHERE vec_id < 5),
         |grid AS (SELECT m, j
@@ -3045,65 +3142,18 @@ object Oracles {
            |ORDER BY lang, epoch""".stripMargin
     },
 
-    "x3_lang_trained" -> {
-      // The trained model SERVING replayed: the same trajectory CTEs
-      // yield the final weights, margins are pure integer dot products
-      // against the feature columns, the multi-class decision is the
-      // SAME pinned first-wins chain (class order = sorted Langs, a
-      // winner must be positive, none → 'und'), and the X3e heuristic
-      // re-derives alongside (the x3_lang_confusion formulation) — the
-      // census compares both against the corpus label.
-      val dim = langFeatExprs.size
-      val langs = graft.ext.LangTrained.Langs
-      val ratio = Seq(
-        raw"(length(text) - length(regexp_replace(text, '[\x{3040}-\x{30ff}]', '', 'g'))) * 1.0 / greatest(length(text), 1) AS kana",
-        raw"(length(text) - length(regexp_replace(text, '[\x{ac00}-\x{d7a3}]', '', 'g'))) * 1.0 / greatest(length(text), 1) AS hang",
-        raw"(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))) * 1.0 / greatest(length(text), 1) AS cjk")
-      val lf = "lf AS (SELECT lang,\n  " +
-        (langFeatExprs.zipWithIndex
-          .map { case (e, i) => s"$e AS x$i" } ++ ratio)
-          .mkString(",\n  ") + "\n  FROM documents)"
-      def xOf(l: String): String = s"x${1 + langs.indexOf(l)}"
-      // Heuristic argmax ties to the lexicographically LARGEST language
-      // (the engine's array_max over (score, lang) structs) — chain in
-      // REVERSE sorted order, ELSE = smallest.
-      val rev = langs.reverse
-      val heurChain = rev.init.zipWithIndex.map { case (l, j) =>
-        val conds = rev.drop(j + 1).map(r => s"${xOf(l)} >= ${xOf(r)}")
-          .mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }.mkString("\n            ")
-      val margins = langs.map(l =>
-        "(" + (0 until dim).map(i => s"w$l.a$i * x$i").mkString(" + ") +
-          s") AS m_$l").mkString(",\n         ")
-      val trainedChain = langs.zipWithIndex.map { case (l, i) =>
-        val conds = (s"m_$l > 0" +:
-          langs.drop(i + 1).map(r => s"m_$l >= m_$r")).mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }.mkString("\n              ")
-      "WITH " + lf + ",\n" + langTrajCtes(3) + ",\n" +
-        s"""lh AS (
-           |  SELECT *,
-           |         CASE WHEN kana > 0.05 THEN 'ja'
-           |              WHEN hang > 0.3 THEN 'ko'
-           |              WHEN cjk > 0.3 THEN 'zh'
-           |              WHEN greatest(${langs.map(xOf).mkString(", ")}) = 0 THEN 'und'
-           |            $heurChain
-           |              ELSE '${rev.last}' END AS pred_heur
-           |  FROM lf),
-           |sc AS (
-           |  SELECT lang AS label, pred_heur,
-           |         $margins
-           |  FROM lh, ${langs.map(l => s"w3_$l w$l").mkString(", ")}),
-           |p AS (
-           |  SELECT label, pred_heur,
-           |         CASE $trainedChain
-           |              ELSE 'und' END AS pred_trained
-           |  FROM sc)
-           |SELECT label, pred_trained, pred_heur, count(*) AS n
-           |FROM p GROUP BY 1, 2, 3
-           |ORDER BY label, pred_trained, pred_heur""".stripMargin
-    },
+    // The trained model SERVING replayed: the same trajectory CTEs
+    // yield the final weights, margins are pure integer dot products
+    // against the feature columns, the multi-class decision is the
+    // SAME pinned first-wins chain (class order = sorted Langs, a
+    // winner must be positive, none → 'und'), and the X3e heuristic
+    // re-derives alongside (the x3_lang_confusion formulation) — the
+    // census compares both against the corpus label. ONE definition
+    // serves x3_lang_trained AND its streaming batch replay
+    // s17_stream_lang (the s14/x42 shared-oracle contract).
+    "x3_lang_trained" -> langTrainedSql,
+
+    "s17_stream_lang" -> langTrainedSql,
 
     "x11_skew_profile" ->
       // Top-10 heaviest l_suppkey values with their row share; ties at
@@ -4222,6 +4272,8 @@ object Oracles {
           |ORDER BY grouping_level, split""".stripMargin),
 
     "x53_bpe_train" -> bpeTrainSql(maxWords = 300, merges = 8),
+
+    "x53_bpe_tokenize" -> bpeTokenizeSql(maxWords = 300, merges = 8),
 
     "s15_stream_ingest" -> nestedFlattenSql,
 

@@ -918,7 +918,13 @@ object Queries {
     * the exact integer dot product — which a DuckDB replay computes in
     * closed form. The randomized-family twin contract (x2_ann_planted)
     * applied to PQ. */
-  def x2PqPlanted(s: SparkSession, d: String): DataFrame = {
+  /** The shared X2i planted construction: an explicit codebook whose
+    * codewords ARE the constructed corpus's sub-vectors (reconstruction
+    * error zero), in MIPS mode (normalized = false — the exactness
+    * contract needs the RAW integer dot the oracle replays in closed
+    * form). */
+  private def pqPlanted(s: SparkSession, d: String)
+      : (graft.ext.PqIndex.Model, DataFrame) = {
     val (m, kk, subDim) = (4, 4, 2)
     val books = Array.tabulate(m, kk, subDim)((mm, p, j) =>
       (((p + 1) * (mm + j + 1)) % 5 - 2).toDouble)
@@ -928,13 +934,54 @@ object Queries {
         ((pmod(col("vec_id") + lit(mm), lit(4)) + 1) * lit(mm + j + 1) % 5 - 2)
           .cast("double")
       }: _*).as("embedding"))
-    // MIPS mode (normalized = false): the exactness contract needs the
-    // RAW integer dot, which the oracle replays in closed form.
-    val model = graft.ext.PqIndex.Model(m, kk, subDim, books,
-      normalized = false)
+    (graft.ext.PqIndex.Model(m, kk, subDim, books, normalized = false),
+      corpus)
+  }
+
+  def x2PqPlanted(s: SparkSession, d: String): DataFrame = {
+    val (model, corpus) = pqPlanted(s, d)
     graft.ext.PqIndex.topK(model, graft.ext.PqIndex.encode(model, corpus),
         corpus.filter(col("vec_id") < 5), kNN = 5)
       .orderBy("query_id", "rank")
+  }
+
+  /** X2i-ivfpq — the composed IVF-PQ serving shape ([[graft.ext
+    * .PqIndex.topKInClusters]]): the coarse quantizer prunes to nProbe
+    * inverted lists, ADC re-ranks only those candidates — the
+    * billion-scale standard. Approximate twice over (coarse prune ×
+    * code quantization) → rows-only, twinned by [[x2IvfpqPlanted]]. */
+  def x2IvfpqTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val dir = persistedIndexDir("pq_index", d) { dir =>
+      val model = graft.ext.PqIndex.train(emb, m = 32, k = 128, iters = 3)
+      graft.ext.PqIndex.save(model,
+        graft.ext.PqIndex.encode(model, emb), dir)
+    }
+    val (model, codes) = graft.ext.PqIndex.load(s, dir)
+    val ivf = graft.ext.IvfIndex.build(emb, k = 8, iters = 2)
+    val out = graft.ext.PqIndex.topKInClusters(model, ivf, codes,
+        emb.filter(col("vec_id") < 10), kNN = 5, nProbe = 3)
+      .orderBy("query_id", "rank")
+      .localCheckpoint(true) // materialize before the index cache drops
+    ivf.release()
+    out
+  }
+
+  /** X2i-ivfpq-planted — the full IVF-PQ path under the oracle: the
+    * [[pqPlanted]] exact-codebook corpus probed with nProbe = k (every
+    * inverted list) — mathematically identical to the exhaustive ADC
+    * scan (each vector lives in exactly one list), which equals the
+    * exact integer dot the x2_pq_planted oracle replays. */
+  def x2IvfpqPlanted(s: SparkSession, d: String): DataFrame = {
+    val (model, corpus) = pqPlanted(s, d)
+    val ivf = graft.ext.IvfIndex.build(corpus, k = 4, iters = 1)
+    val out = graft.ext.PqIndex.topKInClusters(model, ivf,
+        graft.ext.PqIndex.encode(model, corpus),
+        corpus.filter(col("vec_id") < 5), kNN = 5, nProbe = 4)
+      .orderBy("query_id", "rank")
+      .localCheckpoint(true)
+    ivf.release()
+    out
   }
 
   /** X2b-against — the persisted-LSH-index probe ([[graft.ext.Similarity
@@ -3037,20 +3084,56 @@ object Queries {
     graft.ext.LangTrained.confusionVsHeuristic(documents(s, d), w)
   }
 
+  /** S17 — streaming language-ID ([[graft.stream.StreamingLang]]): the
+    * trained lid gate as a stateless streaming projection, batch-
+    * replayed here through the SAME code path and censused — hash-
+    * matched against the x3_lang_trained oracle (the s14/x42 shared-
+    * oracle contract); live MemoryStream parity pinned in
+    * StreamingLangSpec. */
+  def s17StreamLang(s: SparkSession, d: String): DataFrame = {
+    val dir = langPerceptronDir(s, d)
+    val w = graft.ext.LangTrained.finalWeights(
+      graft.ext.LangTrained.loadTrajectory(s, s"$dir/traj"))
+    graft.stream.StreamingLang.classifyStream(documents(s, d), w)
+      .groupBy("label", "pred_trained", "pred_heur")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred_trained", "pred_heur")
+  }
+
   /** X53 — BPE merge training ([[graft.ext.BpeTrain]]): the iterative
     * pair-merge loop over the top-300 word census, 8 merges — the
     * vocab artifact persisted like an X15 LM (fit once per JVM, the
     * registered frame reads the saved merges). The oracle replays the
     * full merge TRAJECTORY as 8 chained CTEs over the same wrapped-
     * symbol string surgery (the x30 training-is-exact discipline). */
-  def x53BpeTrain(s: SparkSession, d: String): DataFrame = {
-    val dir = persistedIndexDir("bpe_merges", d) { dir =>
+  private def bpeMergesDir(s: SparkSession, d: String): String =
+    persistedIndexDir("bpe_merges", d) { dir =>
       graft.ext.BpeTrain.saveMerges(
         graft.ext.BpeTrain.fitMerges(
           graft.ext.BpeTrain.wordCensus(documents(s, d), maxWords = 300),
           merges = 8), dir)
     }
-    graft.ext.BpeTrain.loadMerges(s, dir).orderBy("step")
+
+  def x53BpeTrain(s: SparkSession, d: String): DataFrame =
+    graft.ext.BpeTrain.loadMerges(s, bpeMergesDir(s, d)).orderBy("step")
+
+  /** X53b — the vocab artifact APPLIED ([[graft.ext.BpeTrain
+    * .segment]]): every census word tokenized under the trained merge
+    * list (merges as plan literals — the X13 posture), the
+    * train→tokenize round trip under the driver's oracle. The oracle
+    * re-derives the merges from scratch (the x53 chained CTEs) and
+    * replays the same greedy fuses, so a segmentation that disagrees
+    * with the trained trajectory anywhere breaks the hash. */
+  def x53BpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.ext.BpeTrain.loadMerges(s, bpeMergesDir(s, d))
+      .orderBy("step").collect() // bounded: the k-row merge list
+      .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+    val seg = graft.ext.BpeTrain.segment(col("word"), merges)
+    graft.ext.BpeTrain.wordCensus(documents(s, d), maxWords = 300)
+      .select(col("word"), col("cnt"),
+        concat_ws(" ", seg).as("segmented"),
+        size(seg).cast("long").as("n_symbols"))
+      .orderBy(col("cnt").desc, col("word"))
   }
 
   /** X12d — physical multi-epoch upsampling ([[graft.ext.Mixing

@@ -49,8 +49,17 @@ object IvfIndex {
       .collect().map(_.getSeq[Double](0).toArray)
 
     for (_ <- 0 until iters) {
+      // The cluster assignment is PINNED before the element explode:
+      // fused into one select, Catalyst inlines the nearest-centroid
+      // expression through the Generate and re-evaluates its k×dim
+      // loop once PER EXPLODED ELEMENT — a dim× compute blowup
+      // (measured 5.5 s vs 0.65 s per iteration on the PQ sibling,
+      // ext/PqIndex.scala; here k is small so the latent cost was
+      // hidden, but the 100 TB shape must not carry it). Bounded:
+      // Lloyd's runs on the training corpus (sample at scale).
       val assigned = corpus.select(col(idCol), col(vecCol),
-        nearestCentroid(col(vecCol), centroids).as("cluster"))
+          nearestCentroid(col(vecCol), centroids).as("cluster"))
+        .localCheckpoint(true)
       // Element-wise mean per cluster: explode to (cluster, pos, v),
       // partial-agg avg, re-assemble ordered arrays. Only k×dim values
       // are collected.
@@ -60,6 +69,7 @@ object IvfIndex {
         .groupBy(col("cluster"))
         .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("v"))).as("m"))
         .collect()
+      assigned.unpersist()
       val updated = centroids.clone()
       means.foreach { r =>
         val cid = r.getInt(0)

@@ -113,14 +113,16 @@ object LangTrained {
     * model-quality screen (a census, not a verdict — the g19 posture).
     * Map-only: features, margins, and the heuristic are all per-row
     * expressions; the census is one partial-agg shuffle. */
-  def confusionVsHeuristic(docs: DataFrame, weights: Map[String, Seq[Long]],
-                           textCol: String = "text",
-                           labelCol: String = "lang"): DataFrame = {
+  /** Row-level classification — ONE stateless projection (features,
+    * trained margins as plan literals, the pinned argmax, and the X3e
+    * heuristic side by side; the token split materializes once and
+    * feeds everything): `(label, pred_trained, pred_heur)` per input
+    * row. Identical code on batch and stream — the s13 serve shape. */
+  def classified(docs: DataFrame, weights: Map[String, Seq[Long]],
+                 textCol: String = "text",
+                 labelCol: String = "lang"): DataFrame = {
     require(Langs.forall(weights.contains),
       s"weights must cover every class in $Langs")
-    // Heuristic prediction needs the raw text — features and heuristic
-    // compute side by side in one projection (both per-row; the token
-    // split materializes once and feeds both).
     val t = col(textCol)
     val scored = docs
       .select(col(labelCol).as("label"), t.as("__t"),
@@ -143,10 +145,16 @@ object LangTrained {
       l -> Perceptron.marginOf(weights(l), FeatureCols)).toMap
     feats
       .withColumn("pred_trained", predictFromMargins(margins))
+      .select("label", "pred_trained", "pred_heur")
+  }
+
+  def confusionVsHeuristic(docs: DataFrame, weights: Map[String, Seq[Long]],
+                           textCol: String = "text",
+                           labelCol: String = "lang"): DataFrame =
+    classified(docs, weights, textCol, labelCol)
       .groupBy("label", "pred_trained", "pred_heur")
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "pred_trained", "pred_heur")
-  }
 
   /** Persist a [[fitAll]] trajectory (the X15/X24 persisted-model
     * contract: fit once, probe cheaply). */

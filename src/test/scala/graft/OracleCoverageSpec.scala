@@ -21,6 +21,7 @@ class OracleCoverageSpec extends AnyFunSuite {
     "x2_ann_topk",        // (x2_ann_planted, x2_ann_against)
     "x2_ivf_topk",        // (x2_ivf_planted, x2_ivf_against)
     "x2_pq_topk",         // (x2_pq_planted)
+    "x2_ivfpq_topk",      // (x2_ivfpq_planted)
     "s3_stream_neardup",  // (s3_planted_neardup)
     "s4_stream_simhash",  // (s4_planted_simhash)
     // Not randomized but equally unreplayable: DuckDB ships no
@@ -57,6 +58,7 @@ class OracleCoverageSpec extends AnyFunSuite {
       "x2_ann_topk" -> "x2_ann_planted",
       "x2_ivf_topk" -> "x2_ivf_planted",
       "x2_pq_topk" -> "x2_pq_planted",
+      "x2_ivfpq_topk" -> "x2_ivfpq_planted",
       "s3_stream_neardup" -> "s3_planted_neardup",
       "s4_stream_simhash" -> "s4_planted_simhash",
       "x46_compress_ratio" -> "x46_planted_ratio")

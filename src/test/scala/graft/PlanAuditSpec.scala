@@ -265,14 +265,21 @@ class PlanAuditSpec extends SparkSpec {
     // construction (x30's posture); the scoring lane additionally
     // reads the 4-row final weights into plan literals
     "x3_lang_train", "x3_lang_trained",
+    // the streaming serve lane's batch replay reads the same persisted
+    // trajectory + the 4-row weights fetch at construction
+    "s17_stream_lang",
     // the X53 fit IS the operator: the word census + k merge-argmax
     // aggregates run once per JVM at first construction and persist
     // the vocab artifact; the registered frame reads the saved merges
     "x53_bpe_train",
     // the PQ codebook fit (iters bounded aggregates) + the guarded
     // query-count fetch run at construction (the x2_ivf shape); the
-    // planted twin skips the fit but keeps the broadcast guard fetch
-    "x2_pq_topk", "x2_pq_planted",
+    // planted twin skips the fit but keeps the broadcast guard fetch;
+    // the ivfpq pair additionally builds (and releases) the coarse
+    // quantizer and localCheckpoints its bounded output
+    "x2_pq_topk", "x2_pq_planted", "x2_ivfpq_topk", "x2_ivfpq_planted",
+    // reads the persisted merge list into plan literals at construction
+    "x53_bpe_tokenize",
     // builds + SAVES the inverted index once per JVM at first
     // construction; the registered plan probes the saved postings
     // (the merged variant builds two shard indexes + the merge; the
