@@ -54,9 +54,14 @@ object BpeTrain {
       .orderBy(col("cnt").desc, col("word"))
       .limit(maxWords)
 
-  /** The initial symbol sequence: each character wrapped. */
+  /** The initial symbol sequence: each character wrapped. DOTALL —
+    * without (?s) a line terminator in the input would pass through
+    * UNWRAPPED and silently corrupt the symbol boundaries ([[segment]]
+    * is a public API; [[wordCensus]]'s `^[a-z]+$` filter protects only
+    * the training path). Sentinel characters (U+0001/U+0002) in the
+    * input remain unsupported, as in the x32 CSV contract. */
   private def charSeq(word: Column): Column =
-    regexp_replace(word, "(.)", s"$S$$1$E")
+    regexp_replace(word, "(?s)(.)", s"$S$$1$E")
 
   /** Unwrap a sequence back to its symbol array: strip the outer
     * sentinels, split on the close·open boundary. */
@@ -105,11 +110,17 @@ object BpeTrain {
         val (l, r, pc) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((step.toLong, l, r, l + r, pc))
-        seqs = seqs.withColumn("seq", fuse(col("seq"), l, r))
+        val next = seqs.withColumn("seq", fuse(col("seq"), l, r))
           .localCheckpoint(true)
+        // Release the superseded pin — a 64-merge fit would otherwise
+        // leave 65 checkpointed RDDs in the block manager for the JVM
+        // lifetime (the IvfIndex/PqIndex per-iteration discipline).
+        seqs.unpersist()
+        seqs = next
         step += 1
       }
     }
+    seqs.unpersist()
     import spark.implicits._
     out.result().toDF("step", "left", "right", "merged", "pair_count")
       .orderBy("step")

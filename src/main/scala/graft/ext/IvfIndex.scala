@@ -39,14 +39,35 @@ object IvfIndex {
       .getItem(0)
 
   /** Build the index: deterministic seeding (first k vectors by id), then
-    * `iters` Lloyd rounds. */
+    * `iters` Lloyd rounds. The Lloyd input is capped at `maxTrainRows`
+    * via a deterministic keyed-hash sample (the PqIndex.train
+    * discipline — each iteration pins its assignment frame, and at
+    * 100 TB an unbounded fit would materialize the full corpus per
+    * iteration; k-means needs thousands of points per centroid, not
+    * billions). The FINAL inverted lists always cover the whole
+    * corpus — only the centroid fit samples. */
   def build(corpus: DataFrame, k: Int, iters: Int = 3,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            maxTrainRows: Long = 1000000L): Model = {
     val spark = corpus.sparkSession
-    var centroids: Array[Array[Double]] = corpus
+    require(maxTrainRows >= k, s"maxTrainRows ($maxTrainRows) must cover k=$k seeds")
+    val nRows = graft.Client.fetchScalar[Long](
+      corpus.agg(count(lit(1)).as("__n")), "__n")
+    // 10⁻⁸ rate grain (see PqIndex.train): the 1/10⁴ bucket floor
+    // would silently admit nRows/10⁴ rows past the cap at scale.
+    val trainSet =
+      if (nRows <= maxTrainRows) corpus
+      else corpus.filter(
+        pmod(Sampling.hash64(col(idCol), seed = 42L), lit(100000000L)) <
+          lit(math.max(1L, maxTrainRows * 100000000L / nRows)))
+    var centroids: Array[Array[Double]] = trainSet
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k,
+      s"training sample yielded ${centroids.length} < k=$k seed vectors — " +
+        "raise maxTrainRows or lower k (a silently narrower quantizer " +
+        "would mis-size every nProbe caller)")
 
     for (_ <- 0 until iters) {
       // The cluster assignment is PINNED before the element explode:
@@ -57,7 +78,7 @@ object IvfIndex {
       // ext/PqIndex.scala; here k is small so the latent cost was
       // hidden, but the 100 TB shape must not carry it). Bounded:
       // Lloyd's runs on the training corpus (sample at scale).
-      val assigned = corpus.select(col(idCol), col(vecCol),
+      val assigned = trainSet.select(col(idCol), col(vecCol),
           nearestCentroid(col(vecCol), centroids).as("cluster"))
         .localCheckpoint(true)
       // Element-wise mean per cluster: explode to (cluster, pos, v),

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * X13 posture: a 9-feature model needs no broadcast).
   *
   * Multi-class decision: a pinned first-wins CASE chain over the four
-  * one-vs-rest margins (en → es → fr → de, requiring the winning
-  * margin positive; none positive → 'und') — deterministic under ties
-  * and identical in both engines, unlike a float softmax.
+  * one-vs-rest margins in SORTED class order (de → en → es → fr,
+  * requiring the winning margin positive; none positive → 'und') —
+  * deterministic under ties and identical in both engines, unlike a
+  * float softmax.
   *
   * Scale shape: feature extraction is ONE map-only pass (materialized
   * once, the X30 fit-from-parquet contract); training is

@@ -507,7 +507,9 @@ object Multimodal {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(b))
     val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    if (!readers.hasNext) return none
+    // Close before the no-reader return — corrupt rows route here by
+    // design, and an abandoned cache stream per row accumulates.
+    if (!readers.hasNext) { iis.close(); return none }
     val reader = readers.next()
     try {
       reader.setInput(iis)

@@ -43,23 +43,21 @@ object PqIndex {
                          codebooks: Array[Array[Array[Double]]],
                          normalized: Boolean = true)
 
-  /** Map-only unit normalization (norm computed ONCE per row through a
-    * projection — a `transform` lambda recomputing the dot per element
-    * would be O(dim²)). With unit vectors the ADC inner product IS the
-    * cosine, so the trained lane ranks commensurately with the rest of
-    * the X2 family; `normalized = false` is MIPS mode (raw inner
-    * product — the planted twin's exact-integer contract). Zero
-    * vectors yield NaN scores, ranking last (the cosine convention). */
-  private def unitized(dfIn: DataFrame, vecCol: String): DataFrame = {
-    val vd = col(vecCol).cast("array<double>")
-    dfIn.withColumn("__nrm", sqrt(VectorFunctions.dot(vd, vd)))
-      .withColumn(vecCol, transform(vd, x => x / col("__nrm")))
-      .drop("__nrm")
-  }
-
+  /** Map-only unit normalization via the native [[graft.functions
+    * .UnitVector]] — one codegen traversal per row (the projection +
+    * `transform` formulation is NOT map-only in practice:
+    * CollapseProject inlines the single-use norm alias into the lambda
+    * and the dot recomputes per element, O(dim²) interpreted). With
+    * unit vectors the ADC inner product IS the cosine, so the trained
+    * lane ranks commensurately with the rest of the X2 family;
+    * `normalized = false` is MIPS mode (raw inner product — the
+    * planted twin's exact-integer contract). Zero vectors yield NaN
+    * scores, ranking last (the cosine convention). */
   private def prep(dfIn: DataFrame, vecCol: String,
                    normalized: Boolean): DataFrame =
-    if (normalized) unitized(dfIn, vecCol) else dfIn
+    if (normalized)
+      dfIn.withColumn(vecCol, VectorFunctions.unitVector(col(vecCol)))
+    else dfIn
 
   /** Fit the M per-sub-space codebooks. Seeding is deterministic (the
     * first `k` vectors by id supply one codeword each per sub-space —
@@ -68,10 +66,32 @@ object PqIndex {
     * their previous value. */
   def train(corpus0: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 3,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            normalized: Boolean = true): Model = {
+            normalized: Boolean = true,
+            maxTrainRows: Long = 1000000L): Model = {
     require(m >= 1 && k >= 1 && k <= 128 && iters >= 0,
       s"bad PQ config m=$m k=$k iters=$iters")
-    val corpus = prep(corpus0, vecCol, normalized)
+    require(maxTrainRows >= k, s"maxTrainRows ($maxTrainRows) must cover k=$k seeds")
+    // Codebooks fit on a BOUNDED, deterministic keyed-hash sample: each
+    // Lloyd iteration pins its code frame (see below), and at 100 TB an
+    // unbounded fit would materialize the full corpus per iteration.
+    // k-means needs thousands of points per codeword, not billions —
+    // the standard PQ practice (Jégou et al. train on ~100k vectors).
+    // The sample is a pure row predicate (Sampling.bucket), so the fit
+    // is reproducible across runs/partitionings; the full-corpus ENCODE
+    // stays exact in [[encode]]. One bounded count job decides (the
+    // IvfIndex.topK guard pattern); corpora under the cap train whole.
+    val all = prep(corpus0, vecCol, normalized)
+    val nRows = graft.Client.fetchScalar[Long](
+      all.agg(count(lit(1)).as("__n")), "__n")
+    // 10⁻⁸ rate grain, not the 10⁻⁴ bucket: at the 10¹¹-row shape the
+    // 1/10⁴ floor would silently admit nRows/10⁴ ≫ maxTrainRows rows —
+    // the cap defeated exactly where it matters. maxTrainRows·10⁸ ≤
+    // 10¹⁴ stays in long range; the floor only binds past 10¹⁴ rows.
+    val corpus =
+      if (nRows <= maxTrainRows) all
+      else all.filter(
+        pmod(Sampling.hash64(col(idCol), seed = 42L), lit(100000000L)) <
+          lit(math.max(1L, maxTrainRows * 100000000L / nRows)))
     val seeds = corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
@@ -196,13 +216,26 @@ object PqIndex {
   def topKInClusters(model: Model, ivf: IvfIndex.Model, codes: DataFrame,
                      queries: DataFrame, kNN: Int, nProbe: Int = 2,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     broadcastQueries: Boolean = true,
+                     broadcastQueryLimit: Long = 1000000L): DataFrame = {
     val probes = prep(queries, vecCol, model.normalized)
       .select(col(idCol).as("query_id"),
         VectorFunctions.pqLut(col(vecCol), model.codebooks).as("__lut"),
         explode(VectorFunctions.nearestCentroids(
           col(vecCol), ivf.centroids, nProbe, tiesHigh = false)).as("cluster"))
-    val cands = broadcast(probes)
+    // GUARDED broadcast (ADVICE r4, the IvfIndex.topK contract): probe
+    // rows carry the M×K-double LUT, so an unguarded broadcast of a
+    // corpus-sized query set hard-fails at the 8 GB ceiling; within
+    // the guard the pin keeps the assignments side from shuffling on
+    // the k-valued cluster key.
+    val pin = broadcastQueries && {
+      val n = graft.Client.fetchScalar[Long](
+        queries.agg(count(lit(1)).as("__n")), "__n")
+      n * math.min(nProbe, ivf.centroids.length) <= broadcastQueryLimit
+    }
+    val probeSide = if (pin) broadcast(probes) else probes
+    val cands = probeSide
       .join(ivf.assignments, "cluster")
       .filter(col(idCol) =!= col("query_id"))
       .join(codes, idCol)

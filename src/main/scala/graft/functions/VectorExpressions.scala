@@ -686,6 +686,12 @@ case class PqAdcScore(left: Expression, right: Expression, k: Int)
       s"pq_adc_score: $m codes need a ${m * k}-entry lut, got $lutLen — " +
         "codebook/model version skew")
 
+  def badCode(c: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"pq_adc_score: code $c >= k=$k — codes encoded under a wider " +
+        "codebook than the lut's (model version skew); UnsafeArrayData " +
+        "reads are unbounded, so this would be silent garbage, not an error")
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val codes = l.asInstanceOf[ArrayData]
     val lut = r.asInstanceOf[ArrayData]
@@ -694,7 +700,9 @@ case class PqAdcScore(left: Expression, right: Expression, k: Int)
     var sum = 0.0
     var mm = 0
     while (mm < m) {
-      sum += lut.getDouble(mm * k + (codes.getByte(mm) & 0xFF))
+      val c = codes.getByte(mm) & 0xFF
+      if (c >= k) badCode(c)
+      sum += lut.getDouble(mm * k + c)
       mm += 1
     }
     sum
@@ -706,12 +714,15 @@ case class PqAdcScore(left: Expression, right: Expression, k: Int)
       val m = ctx.freshName("m")
       val mm = ctx.freshName("mm")
       val sum = ctx.freshName("sum")
+      val cd = ctx.freshName("cd")
       s"""
          |int $m = $c.numElements();
          |if ($l.numElements() != $m * $k) $self.badShape($m, $l.numElements());
          |double $sum = 0.0;
          |for (int $mm = 0; $mm < $m; $mm++) {
-         |  $sum += $l.getDouble($mm * $k + ($c.getByte($mm) & 0xFF));
+         |  int $cd = $c.getByte($mm) & 0xFF;
+         |  if ($cd >= $k) $self.badCode($cd);
+         |  $sum += $l.getDouble($mm * $k + $cd);
          |}
          |${ev.value} = $sum;
        """.stripMargin
@@ -720,6 +731,88 @@ case class PqAdcScore(left: Expression, right: Expression, k: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** L2 unit normalization in ONE traversal: out[i] = v[i] / √(Σ v²).
+  *
+  * Why native and not `transform(v, x -> x / sqrt(dot(v, v)))`: the
+  * single-use norm alias gets CollapseProject-inlined INTO the
+  * transform lambda, and ArrayTransform evaluates its body per
+  * element — recomputing the dot per element, O(dim²) interpreted
+  * (the same optimizer-inlining blowup the PQ training pass measured
+  * at dim×). Here the norm accumulates once and the divide loop runs
+  * inside codegen. Null elements pass through as 0 (the cosine
+  * convention); a zero-norm vector yields NaNs, ranking last. */
+case class UnitVector(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<float|double> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "unit_vector"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (v.isNullAt(i)) 0.0
+              else if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      ss += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val x = if (v.isNullAt(j)) 0.0
+              else if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      out(j) = x / nrm
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val get = child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => (i: String) => s"(double) $v.getFloat($i)"
+        case DoubleType => (i: String) => s"$v.getDouble($i)"
+        case other      => throw new IllegalStateException(s"unsupported $other")
+      }
+      val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss")
+      val nrm = ctx.freshName("nrm")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = $v.numElements();
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $v.isNullAt($i) ? 0.0 : ${get(i)};
+         |  $ss += $x * $x;
+         |}
+         |double $nrm = java.lang.Math.sqrt($ss);
+         |double[] $out = new double[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  double $y = $v.isNullAt($j) ? 0.0 : ${get(j)};
+         |  $out[$j] = $y / $nrm;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** The X2h rational-centroid distance numerator `Σ_i (q_i·n − s_i)²`
@@ -881,4 +974,5 @@ object VectorFunctions {
   }
   def pqAdcScore(codes: Column, lut: Column, k: Int): Column =
     column(PqAdcScore(expression(codes), expression(lut), k))
+  def unitVector(v: Column): Column = column(UnitVector(expression(v)))
 }

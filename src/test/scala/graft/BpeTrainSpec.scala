@@ -55,6 +55,12 @@ class BpeTrainSpec extends SparkSpec {
     val s2 = one.select(BpeTrain.segment(col("w"), Seq("b" -> "c")))
       .head.getSeq[String](0)
     assert(s2 == Seq("c", "a", "b"))
+    // Line terminators wrap like any character (the (?s) contract):
+    // without DOTALL a '\n' would slip through unwrapped and corrupt
+    // the symbol boundaries of a public-API input.
+    val s3 = spark.range(1).select(lit("a\nb").as("w"))
+      .select(BpeTrain.segment(col("w"), Nil)).head.getSeq[String](0)
+    assert(s3 == Seq("a", "\n", "b"))
   }
 
   test("early stop: a single-char vocabulary has no pairs") {

@@ -99,6 +99,30 @@ class PqIndexSpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ recall@5 collapsed: $recall")
   }
 
+  test("the capped Lloyd fit samples deterministically (partitioning-" +
+       "invariant) and the IVF inverted lists still cover the corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = PqIndex.train(emb, m = 4, k = 8, iters = 1, maxTrainRows = 200)
+    val b = PqIndex.train(emb.repartition(5), m = 4, k = 8, iters = 1,
+      maxTrainRows = 200)
+    // The SAMPLE is a pure row predicate (identical membership); the
+    // codeword means are double avgs whose summation order follows the
+    // partitioning, so equality holds to last-ulp tolerance (the
+    // serving-level invariance — identical topK SETS after rounding —
+    // is pinned in the trained-PQ test above).
+    val fa: Seq[Double] = a.codebooks.flatten.flatten.toSeq
+    val fb: Seq[Double] = b.codebooks.flatten.flatten.toSeq
+    val diffs = fa.zip(fb).map(p => math.abs(p._1 - p._2))
+    assert(diffs.max < 1e-12,
+      s"the keyed-hash training sample drifted: max diff ${diffs.max}")
+    // Only the FIT samples: a capped IVF build still assigns every
+    // corpus vector to an inverted list.
+    val ivf = IvfIndex.build(emb, k = 4, iters = 1, maxTrainRows = 100)
+    try assert(ivf.assignments.count() == emb.count(),
+      "inverted lists must cover the whole corpus")
+    finally ivf.release()
+  }
+
   test("IVF-PQ with nProbe = k equals the exhaustive ADC scan; " +
        "save/load round-trips the model and codes") {
     val emb = Tables.embeddings(spark, sfDir)
