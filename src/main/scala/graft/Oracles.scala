@@ -4113,6 +4113,25 @@ object Oracles {
         |         AS corr6
         |FROM a ORDER BY l_returnflag""".stripMargin,
 
+    "g21_rowcount_parity" ->
+      // GE's expect_table_row_count_to_equal_other_table replayed:
+      // the staged side re-derived (inner join / projection), one
+      // count per side. CAST to BIGINT — DuckDB count(*) is BIGINT
+      // already, pinned explicitly per the HUGEINT discipline.
+      """WITH pairs AS (
+        |  SELECT 'stg_territory' AS table_a, 'nation' AS table_b,
+        |         (SELECT count(*) FROM nation JOIN region
+        |            ON n_regionkey = r_regionkey) AS n_a,
+        |         (SELECT count(*) FROM nation) AS n_b
+        |  UNION ALL
+        |  SELECT 'stg_salesperson', 'supplier',
+        |         (SELECT count(*) FROM supplier),
+        |         (SELECT count(*) FROM supplier))
+        |SELECT table_a, table_b,
+        |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       n_a = n_b AS passed
+        |FROM pairs ORDER BY table_a""".stripMargin,
+
     "g19_benford" ->
       // The digit census replayed: the 4-dp scaled long's decimal
       // rendering gives the first significant digit (no float log10

@@ -1370,6 +1370,23 @@ object Queries {
       .orderBy("child_table", "fk_column")
   }
 
+  /** G21 — cross-table row-count parity ([[graft.checks.Referential
+    * .rowCountParity]]): GE 0.18's
+    * `expect_table_row_count_to_equal_other_table` over the T1/T2
+    * staging contracts — stg_territory must carry exactly nation's
+    * rows (the join to region is enrichment, not filtering) and
+    * stg_salesperson exactly supplier's (a 1:1 projection). The
+    * reference runs this check by hand as paired count queries
+    * (pager-workflow.py:126 vs :159). */
+  def g21RowcountParity(s: SparkSession, d: String): DataFrame =
+    graft.checks.Referential.rowCountParity(
+        Stages.stgTerritory(nation(s, d), region(s, d)), "stg_territory",
+        nation(s, d), "nation")
+      .unionByName(graft.checks.Referential.rowCountParity(
+        Stages.stgSalesperson(supplier(s, d)), "stg_salesperson",
+        supplier(s, d), "supplier"))
+      .orderBy("table_a")
+
   /** G20 — exact correlation sufficient statistics ([[graft.checks
     * .Profiling.corrStats]]): quantity vs extended price per return
     * flag — the five mergeable DECIMAL sums plus the 6-dp Pearson

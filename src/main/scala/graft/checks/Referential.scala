@@ -60,6 +60,29 @@ object Referential {
       .withColumn("fd_holds", col("n_dep_values") <= 1)
       .orderBy(detCol)
 
+  /** G21 — cross-table row-count parity: GE 0.18's
+    * `expect_table_row_count_to_equal_other_table`, the two-table
+    * expectation a staging contract runs nightly ("the staged model
+    * must carry exactly its source's rows" — the reference does this
+    * by hand with paired count queries, pager-workflow.py:126 vs
+    * :159). ONE count aggregate per side; the two one-row tallies
+    * union and fold in a final one-row aggregate — no join of any
+    * kind (a one-row×one-row join would plan as the BNLJ the plan
+    * audit bans), so the whole check is two scans + O(1) rows moved
+    * at any scale. */
+  def rowCountParity(a: DataFrame, aName: String,
+                     b: DataFrame, bName: String): DataFrame = {
+    val ca = a.agg(count(lit(1)).as("n"))
+      .select(lit("a").as("__side"), col("n"))
+    val cb = b.agg(count(lit(1)).as("n"))
+      .select(lit("b").as("__side"), col("n"))
+    ca.unionByName(cb)
+      .agg(max(when(col("__side") === "a", col("n"))).as("n_a"),
+        max(when(col("__side") === "b", col("n"))).as("n_b"))
+      .select(lit(aName).as("table_a"), lit(bName).as("table_b"),
+        col("n_a"), col("n_b"), (col("n_a") === col("n_b")).as("passed"))
+  }
+
   /** The Benford first-digit expectations in ppm —
     * round(10⁶·log₁₀(1 + 1/d)). LITERALS (one table, mirrored
     * verbatim in the oracle) rather than computed: a log10 computed

@@ -43,6 +43,25 @@ object LangTrained {
     coalesce((length(t) - length(regexp_replace(t, cls, "")))
       .cast("long"), lit(0L))
 
+  /** The feature expressions over the raw text column `t` and its
+    * materialized lowercase token array `lt`, in [[FeatureCols]] order
+    * — ONE definition shared by training ([[features]]) and serving
+    * ([[classified]]), so an edit to either side cannot silently
+    * desynchronize the trained-model contract (ADVICE r13). */
+  private def featureExprs(t: Column, lt: Column): Seq[Column] = {
+    val hitCols = TextAnalysis.langProfiles.toSeq.sortBy(_._1).map {
+      case (l, words) =>
+        val arr = array(words.map(lit): _*)
+        coalesce(size(filter(lt, x => array_contains(arr, x)))
+          .cast("long"), lit(0L)).as(s"h_$l")
+    }
+    lit(1L).as("f_one") +: hitCols ++: Seq(
+      scriptCount(t, "[\\u3040-\\u30ff]").as("s_kana"),
+      scriptCount(t, "[\\uac00-\\ud7a3]").as("s_hangul"),
+      scriptCount(t, "[\\u4e00-\\u9fff]").as("s_han"),
+      TextAnalysis.tokenCount(t).as("f_tok"))
+  }
+
   /** The labeled integer feature frame: `lang` plus [[FeatureCols]].
     * Null text yields all-zero features (coalesce — the [[Perceptron]]
     * fit requires NULL-free inputs). One projection materializes the
@@ -51,20 +70,10 @@ object LangTrained {
   def features(docs: DataFrame, textCol: String = "text",
                labelCol: String = "lang"): DataFrame = {
     val t = col(textCol)
-    val hitCols = TextAnalysis.langProfiles.toSeq.sortBy(_._1).map {
-      case (l, words) =>
-        val arr = array(words.map(lit): _*)
-        coalesce(size(filter(col("__lt"), x => array_contains(arr, x)))
-          .cast("long"), lit(0L)).as(s"h_$l")
-    }
     docs
       .select(col(labelCol).as("lang"), t.as("__t"),
         TextAnalysis.tokens(lower(t)).as("__lt"))
-      .select(col("lang") +: lit(1L).as("f_one") +: hitCols ++: Seq(
-        scriptCount(col("__t"), "[\\u3040-\\u30ff]").as("s_kana"),
-        scriptCount(col("__t"), "[\\uac00-\\ud7a3]").as("s_hangul"),
-        scriptCount(col("__t"), "[\\u4e00-\\u9fff]").as("s_han"),
-        TextAnalysis.tokenCount(col("__t")).as("f_tok")): _*)
+      .select(col("lang") +: featureExprs(col("__t"), col("__lt")): _*)
   }
 
   /** One-vs-rest trajectories: `(lang, epoch, n_misclassified, w_*)` —
@@ -130,18 +139,9 @@ object LangTrained {
         TextAnalysis.tokens(lower(t)).as("__lt"))
       .withColumn("pred_heur",
         TextAnalysis.languageIdFromTokens(col("__t"), col("__lt")))
-    val hitCols = TextAnalysis.langProfiles.toSeq.sortBy(_._1).map {
-      case (l, words) =>
-        val arr = array(words.map(lit): _*)
-        coalesce(size(filter(col("__lt"), x => array_contains(arr, x)))
-          .cast("long"), lit(0L)).as(s"h_$l")
-    }
     val feats = scored.select(
-      col("label") +: col("pred_heur") +: lit(1L).as("f_one") +: hitCols ++: Seq(
-        scriptCount(col("__t"), "[\\u3040-\\u30ff]").as("s_kana"),
-        scriptCount(col("__t"), "[\\uac00-\\ud7a3]").as("s_hangul"),
-        scriptCount(col("__t"), "[\\u4e00-\\u9fff]").as("s_han"),
-        TextAnalysis.tokenCount(col("__t")).as("f_tok")): _*)
+      col("label") +: col("pred_heur") +:
+        featureExprs(col("__t"), col("__lt")): _*)
     val margins = Langs.map(l =>
       l -> Perceptron.marginOf(weights(l), FeatureCols)).toMap
     feats

@@ -32,6 +32,23 @@ class ReferentialSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("child_table")).toSeq == Seq("a", "b"))
   }
 
+  test("rowCountParity: equal counts pass, unequal fail, empty sides " +
+       "count zero") {
+    val a3 = df(Seq(Row(1L), Row(2L), Row(3L)), "x BIGINT")
+    val b3 = df(Seq(Row(9L), Row(8L), Row(7L)), "x BIGINT")
+    val b2 = df(Seq(Row(9L), Row(8L)), "x BIGINT")
+    val empty = df(Seq.empty[Row], "x BIGINT")
+    val ok = Referential.rowCountParity(a3, "a", b3, "b").collect().head
+    assert(ok.getAs[Long]("n_a") == 3L && ok.getAs[Long]("n_b") == 3L)
+    assert(ok.getAs[Boolean]("passed"))
+    assert(ok.getAs[String]("table_a") == "a")
+    val bad = Referential.rowCountParity(a3, "a", b2, "b").collect().head
+    assert(bad.getAs[Long]("n_b") == 2L && !bad.getAs[Boolean]("passed"))
+    val z = Referential.rowCountParity(empty, "e", empty, "e2")
+      .collect().head
+    assert(z.getAs[Long]("n_a") == 0L && z.getAs[Boolean]("passed"))
+  }
+
   test("fdCensus: a second dependent value breaks the FD, null " +
        "dependents are missing not values, singletons hold") {
     val rows = df(Seq(
