@@ -2071,8 +2071,13 @@ object Oracles {
         |  FROM sc) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "x2_ivfpq_planted" ->
-      // Same replay as x2_pq_planted (see the comment there): the
-      // nProbe = k composition IS the exhaustive scan.
+      // The x2_pq_planted replay with the IVFADC decomposition folded
+      // back together: corpus vector = 100-hot coarse block (dims 0-3
+      // for even ids, 4-7 for odd — cell i = 2m+j is in the low block
+      // iff m < 2) + the pqPlanted residual, and the engine's
+      // q·centroid + residual-ADC sum equals the plain dot of those
+      // composed vectors exactly (zero-error residual codebook, all
+      // integers). nProbe = 2 probes both lists = the exhaustive scan.
       """WITH ids AS (SELECT vec_id FROM embeddings),
         |q AS (SELECT vec_id AS query_id FROM ids WHERE vec_id < 5),
         |grid AS (SELECT m, j
@@ -2080,8 +2085,12 @@ object Oracles {
         |sc AS (
         |  SELECT q.query_id, c.vec_id AS cand_id,
         |         CAST(sum(
-        |           (((((q.query_id + m) % 4) + 1) * (m + j + 1)) % 5 - 2) *
-        |           (((((c.vec_id + m) % 4) + 1) * (m + j + 1)) % 5 - 2))
+        |           ((CASE WHEN (q.query_id % 2 = 0) = (m < 2)
+        |                  THEN 100 ELSE 0 END) +
+        |            (((((q.query_id + m) % 4) + 1) * (m + j + 1)) % 5 - 2)) *
+        |           ((CASE WHEN (c.vec_id % 2 = 0) = (m < 2)
+        |                  THEN 100 ELSE 0 END) +
+        |            (((((c.vec_id + m) % 4) + 1) * (m + j + 1)) % 5 - 2)))
         |           AS DOUBLE) AS sim
         |  FROM q, ids c, grid
         |  WHERE c.vec_id <> q.query_id

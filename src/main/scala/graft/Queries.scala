@@ -945,43 +945,66 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** X2i-ivfpq — the composed IVF-PQ serving shape ([[graft.ext
-    * .PqIndex.topKInClusters]]): the coarse quantizer prunes to nProbe
-    * inverted lists, ADC re-ranks only those candidates — the
-    * billion-scale standard. Approximate twice over (coarse prune ×
-    * code quantization) → rows-only, twinned by [[x2IvfpqPlanted]]. */
+  /** X2i-ivfpq — the residual-encoded IVFADC serving shape ([[graft
+    * .ext.PqIndex.trainIvfAdc]]/[[graft.ext.PqIndex.topKIvfAdc]],
+    * Jégou et al. 2011): the coarse quantizer prunes to nProbe
+    * inverted lists, ADC re-ranks only those candidates' RESIDUAL
+    * codes (`x − centroid(x)` — most of the recall at fixed bytes) —
+    * the billion-scale standard. BOTH artifacts (coarse centroids +
+    * PQ codebooks/codes, one bundle) persist once per JVM and the
+    * serve path probes the LOADED bundle with no corpus-scale build
+    * (VERDICT r13 ask #1; the r12 fit-once contract). Approximate
+    * twice over (coarse prune × code quantization) → rows-only,
+    * twinned by [[x2IvfpqPlanted]]; recall vs brute force pinned
+    * strictly above the raw-vector PQ floor in PqIndexSpec. */
   def x2IvfpqTopk(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val dir = persistedIndexDir("pq_index", d) { dir =>
-      val model = graft.ext.PqIndex.train(emb, m = 32, k = 128, iters = 3)
-      graft.ext.PqIndex.save(model,
-        graft.ext.PqIndex.encode(model, emb), dir)
+    val dir = persistedIndexDir("ivfadc_index", d) { dir =>
+      val (model, codes) = graft.ext.PqIndex.trainIvfAdc(emb,
+        kCoarse = 8, coarseIters = 2, m = 32, k = 128, iters = 3)
+      graft.ext.PqIndex.saveIvfAdc(model, codes, dir)
     }
-    val (model, codes) = graft.ext.PqIndex.load(s, dir)
-    val ivf = graft.ext.IvfIndex.build(emb, k = 8, iters = 2)
-    val out = graft.ext.PqIndex.topKInClusters(model, ivf, codes,
+    val (model, codes) = graft.ext.PqIndex.loadIvfAdc(s, dir)
+    graft.ext.PqIndex.topKIvfAdc(model, codes,
         emb.filter(col("vec_id") < 10), kNN = 5, nProbe = 3)
       .orderBy("query_id", "rank")
-      .localCheckpoint(true) // materialize before the index cache drops
-    ivf.release()
-    out
   }
 
-  /** X2i-ivfpq-planted — the full IVF-PQ path under the oracle: the
-    * [[pqPlanted]] exact-codebook corpus probed with nProbe = k (every
-    * inverted list) — mathematically identical to the exhaustive ADC
-    * scan (each vector lives in exactly one list), which equals the
-    * exact integer dot the x2_pq_planted oracle replays. */
+  /** X2i-ivfpq-planted — the full IVFADC path under the oracle: an
+    * EXPLICIT bundle whose coarse centroids are orthogonal 100-scaled
+    * block vectors (c₀ hot in dims 0–3, c₁ in dims 4–7) and whose
+    * residual codebook is [[pqPlanted]]'s; corpus vector =
+    * c_{id mod 2} + the pqPlanted residual (entries in ±2, so cosine
+    * assignment provably lands on id mod 2 — the hot block dominates
+    * every cross term). Residual quantization error is ZERO, so
+    * `q·c + ADC(residual codes)` equals the exact integer dot q·x —
+    * which the oracle replays in closed form (base + residual per
+    * grid cell). nProbe = 2 probes every list: the composition IS the
+    * exhaustive scan, in MIPS mode (normalized = false), all-integer
+    * arithmetic end to end. */
   def x2IvfpqPlanted(s: SparkSession, d: String): DataFrame = {
-    val (model, corpus) = pqPlanted(s, d)
-    val ivf = graft.ext.IvfIndex.build(corpus, k = 4, iters = 1)
-    val out = graft.ext.PqIndex.topKInClusters(model, ivf,
-        graft.ext.PqIndex.encode(model, corpus),
-        corpus.filter(col("vec_id") < 5), kNN = 5, nProbe = 4)
+    val (m, kk, subDim) = (4, 4, 2)
+    val books = Array.tabulate(m, kk, subDim)((mm, p, j) =>
+      (((p + 1) * (mm + j + 1)) % 5 - 2).toDouble)
+    val cents = Array.tabulate(2, m * subDim)((g, i) =>
+      if ((g == 0) == (i < 4)) 100.0 else 0.0)
+    val model = graft.ext.PqIndex.IvfAdc(cents,
+      graft.ext.PqIndex.Model(m, kk, subDim, books, normalized = false),
+      normalized = false)
+    val corpus = embeddings(s, d).select(col("vec_id"),
+      array((0 until m * subDim).map { i =>
+        val (mm, j) = (i / subDim, i % subDim)
+        val hot = when(
+          pmod(col("vec_id"), lit(2)) === lit(if (i < 4) 0L else 1L),
+          lit(100.0)).otherwise(lit(0.0))
+        hot +
+          ((pmod(col("vec_id") + lit(mm), lit(4)) + 1) * lit(mm + j + 1) % 5
+            - 2).cast("double")
+      }: _*).as("embedding"))
+    graft.ext.PqIndex.topKIvfAdc(model,
+        graft.ext.PqIndex.encodeIvfAdc(model, corpus),
+        corpus.filter(col("vec_id") < 5), kNN = 5, nProbe = 2)
       .orderBy("query_id", "rank")
-      .localCheckpoint(true)
-    ivf.release()
-    out
   }
 
   /** X2b-against — the persisted-LSH-index probe ([[graft.ext.Similarity

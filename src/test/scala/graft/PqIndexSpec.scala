@@ -123,21 +123,13 @@ class PqIndexSpec extends SparkSpec {
     finally ivf.release()
   }
 
-  test("IVF-PQ with nProbe = k equals the exhaustive ADC scan; " +
-       "save/load round-trips the model and codes") {
+  test("PQ save/load round-trips the model and codes") {
     val emb = Tables.embeddings(spark, sfDir)
     val model = PqIndex.train(emb, m = 4, k = 8, iters = 1)
     val codes = PqIndex.encode(model, emb)
     val queries = emb.filter(col("vec_id") < 5)
     val full = PqIndex.topK(model, codes, queries, kNN = 3)
       .collect().map(_.toSeq).toSet
-    val ivf = IvfIndex.build(emb, k = 4, iters = 1)
-    try {
-      val pruned = PqIndex.topKInClusters(model, ivf, codes, queries,
-        kNN = 3, nProbe = 4).collect().map(_.toSeq).toSet
-      assert(pruned == full,
-        "probing every cluster must equal the exhaustive ADC scan")
-    } finally ivf.release()
     val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
     PqIndex.save(model, codes, dir)
     val (m2, codes2) = PqIndex.load(spark, dir)
@@ -146,5 +138,77 @@ class PqIndexSpec extends SparkSpec {
     val re = PqIndex.topK(m2, codes2, queries, kNN = 3)
       .collect().map(_.toSeq).toSet
     assert(re == full, "saved index must probe identically")
+  }
+
+  test("IVFADC: a zero-error residual bundle scores the exact dot; a " +
+       "candidate's score composes q·centroid + residual ADC") {
+    // Two orthogonal hot-block centroids (100 in dims 0/1 vs 2/3), one
+    // residual codeword per sub-space value in {-1, 1}: corpus vector =
+    // centroid(g) + residual, so assignment provably lands on g and the
+    // reconstructed candidate IS the candidate.
+    val cents = Array(Array(100.0, 100.0, 0.0, 0.0),
+      Array(0.0, 0.0, 100.0, 100.0))
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(-1.0, 1.0), Array(1.0, -1.0)),
+      Array(Array(-1.0, -1.0), Array(1.0, 1.0)))
+    val model = PqIndex.IvfAdc(cents,
+      PqIndex.Model(2, 2, 2, books, normalized = false),
+      normalized = false)
+    def vec(g: Int, c0: Int, c1: Int): Seq[Double] = {
+      val base = cents(g)
+      val r = books(0)(c0) ++ books(1)(c1)
+      base.indices.map(i => base(i) + r(i))
+    }
+    val rows = Seq(
+      Row(0L, vec(0, 0, 0)), Row(1L, vec(0, 1, 1)),
+      Row(2L, vec(1, 0, 1)), Row(3L, vec(1, 1, 0)))
+    val corpus = df(rows, ddl)
+    val codes = PqIndex.encodeIvfAdc(model, corpus)
+    // Every encoded row sits in its constructed cluster with its
+    // constructed codes (zero reconstruction error).
+    val byId = codes.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Byte](2).toSeq)))
+      .toMap
+    assert(byId(0L) == ((0, Seq(0.toByte, 0.toByte))))
+    assert(byId(3L) == ((1, Seq(1.toByte, 0.toByte))))
+    // nProbe = 2 probes both lists: every score must equal the exact
+    // dot product of the raw vectors.
+    val got = PqIndex.topKIvfAdc(model, codes, corpus, kNN = 3, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val raw = rows.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (((q, c), s) <- got) {
+      val exact = raw(q).zip(raw(c)).map { case (a, b) => a * b }.sum
+      assert(s == exact, s"IVFADC score ($q,$c)=$s, exact dot $exact")
+    }
+  }
+
+  test("IVFADC save/load round-trips the bundle; served results match " +
+       "the fresh build; residual recall@5 beats the raw-PQ floor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val (model, codes) = PqIndex.trainIvfAdc(emb, kCoarse = 8,
+      coarseIters = 2, m = 32, k = 128, iters = 3)
+    val fresh = PqIndex.topKIvfAdc(model, codes, queries, kNN = 5,
+      nProbe = 3).collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc_idx").toString
+    PqIndex.saveIvfAdc(model, codes, dir)
+    val (m2, codes2) = PqIndex.loadIvfAdc(spark, dir)
+    assert(m2.normalized == model.normalized)
+    assert(m2.centroids.flatten.toSeq == model.centroids.flatten.toSeq)
+    val served = PqIndex.topKIvfAdc(m2, codes2, queries, kNN = 5,
+      nProbe = 3).collect().map(_.toSeq).toSet
+    assert(served == fresh, "the saved bundle must probe identically")
+    // Residual encoding is the recall-per-byte win: at the same M·K
+    // budget the residual ADC must clear a floor STRICTLY ABOVE the
+    // raw-vector PQ's pinned 0.6 (VERDICT r13 ask #1). nProbe = 8
+    // probes every list, isolating quantization from pruning.
+    val allLists = PqIndex.topKIvfAdc(m2, codes2, queries, kNN = 5,
+        nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (allLists intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"residual IVFADC recall@5 collapsed: $recall")
   }
 }
