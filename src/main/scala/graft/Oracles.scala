@@ -1440,7 +1440,11 @@ object Oracles {
 
   /** The shared "WITH …" block: census, initial sequences, and the
     * chained per-step (pair census → argmax → fuse) CTEs through
-    * s{merges+1}. */
+    * s{merges+1}. An exhausted pair census (empty b$k on a degenerate
+    * corpus) makes that step's fuse a NO-OP via the CASE guard —
+    * matching the engine's early stop; without it the NULL scalar
+    * subqueries would null EVERY sequence through replace(seq, NULL,
+    * …) (ADVICE r13). */
   private def bpeWith(maxWords: Int, merges: Int): String = {
     val steps = (1 to merges).map { k =>
       val sk = s"s$k"
@@ -1460,11 +1464,13 @@ object Oracles {
          |b$k AS MATERIALIZED (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
          |s${k + 1} AS MATERIALIZED (
          |  SELECT word, cnt,
-         |         replace(seq,
-         |           chr(1) || (SELECT l FROM b$k) || chr(2) ||
-         |             chr(1) || (SELECT r FROM b$k) || chr(2),
-         |           chr(1) || (SELECT l FROM b$k) ||
-         |             (SELECT r FROM b$k) || chr(2)) AS seq
+         |         CASE WHEN (SELECT count(*) FROM b$k) = 0 THEN seq
+         |              ELSE replace(seq,
+         |                chr(1) || (SELECT l FROM b$k) || chr(2) ||
+         |                  chr(1) || (SELECT r FROM b$k) || chr(2),
+         |                chr(1) || (SELECT l FROM b$k) ||
+         |                  (SELECT r FROM b$k) || chr(2))
+         |         END AS seq
          |  FROM $sk)""".stripMargin
     }.mkString(",\n")
     raw"""WITH w0 AS (

@@ -3176,6 +3176,29 @@ object Queries {
       .orderBy(col("cnt").desc, col("word"))
   }
 
+  /** X53c — production-DEPTH BPE training: 1024 merges over the
+    * top-2000 census via the incremental pair-delta trainer
+    * ([[graft.ext.BpeTrain.fitMerges]] — per step only words
+    * containing the fused pair are touched, so depth is feasible
+    * where the full-census loop was k × O(W·len)). A 1024-step
+    * chained-MATERIALIZED-CTE oracle is infeasible in DuckDB (the
+    * x46 deflate posture: deterministic but not replayable at this
+    * depth) → rows-only, twinned by the fully-oracle-checked
+    * [[x53BpeTrain]] (identical machinery at k=8) and the
+    * BpeTrainSpec delta≡full-census proof at k=100. The trainer runs
+    * to the corpus's fixed point when that comes first (the synthetic
+    * sf vocabularies are small — ~31 distinct words at sf0.01 — so
+    * the early stop, not the 1024 guard, usually binds; the 1024-deep
+    * path itself is exercised on a long-tail vocabulary in
+    * BpeTrainSpec). Output = the step-1 and every-16th trajectory
+    * milestones (bounded). */
+  def x53BpeDeep(s: SparkSession, d: String): DataFrame =
+    graft.ext.BpeTrain.fitMerges(
+        graft.ext.BpeTrain.wordCensus(documents(s, d), maxWords = 2000),
+        merges = 1024)
+      .filter(pmod(col("step"), lit(16L)) === 0L || col("step") === 1L)
+      .orderBy("step")
+
   /** X12d — physical multi-epoch upsampling ([[graft.ext.Mixing
     * .upsample]]): src1 trains 2.3 epochs, src2 is downsampled to a
     * half epoch, src3 drops, the rest train once — the per-source

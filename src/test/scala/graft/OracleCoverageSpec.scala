@@ -28,7 +28,12 @@ class OracleCoverageSpec extends AnyFunSuite {
     // deflate, so the ratio census can't hash-compare; the planted
     // twin's band IS certain (a constant run < 8% under any correct
     // deflate) and oracle-checked.
-    "x46_compress_ratio") // (x46_planted_ratio)
+    "x46_compress_ratio", // (x46_planted_ratio)
+    // Deterministic but not DuckDB-computable at depth: a 1024-step
+    // chained-MATERIALIZED-CTE replay is infeasible; the k=8 twin
+    // runs the identical trainer under the full trajectory oracle,
+    // and BpeTrainSpec pins delta ≡ full-census at k=100.
+    "x53_bpe_deep")       // (x53_bpe_train)
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -61,7 +66,8 @@ class OracleCoverageSpec extends AnyFunSuite {
       "x2_ivfpq_topk" -> "x2_ivfpq_planted",
       "s3_stream_neardup" -> "s3_planted_neardup",
       "s4_stream_simhash" -> "s4_planted_simhash",
-      "x46_compress_ratio" -> "x46_planted_ratio")
+      "x46_compress_ratio" -> "x46_planted_ratio",
+      "x53_bpe_deep" -> "x53_bpe_train")
     declaredRowsOnly.foreach { q =>
       val t = twins(q)
       assert(SparkEntry.queries.contains(t) && SparkEntry.oracleSql.contains(t),
