@@ -4061,6 +4061,19 @@ object Oracles {
         |            % 1000000000) AS BIGINT) AS scrubbed_fp_sum
         |FROM scrub GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "s18_stream_join" ->
+      // The stream-stream interval join replayed as the plain BETWEEN
+      // self-join it equals on complete in-order data (closed bounds,
+      // the X22 convention); lag in whole seconds via date_diff —
+      // exact integer arithmetic in both engines.
+      """SELECT i.event_id AS imp_id, c.event_id AS conv_id,
+        |       i.user_id AS user_id,
+        |       CAST(date_diff('second', i.ts, c.ts) AS BIGINT) AS lag_sec
+        |FROM events i JOIN events c ON i.user_id = c.user_id
+        |WHERE i.event_type = 'view' AND c.event_type = 'purchase'
+        |  AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 12 HOUR
+        |ORDER BY imp_id, conv_id""".stripMargin,
+
     "s16_stream_madgate" ->
       // The serve-time gate replayed end to end: cuts re-derived from
       // the even half (the twice-median trick), the odd half gated by

@@ -2517,6 +2517,30 @@ object Queries {
       .orderBy("event_id", "session_idx")
   }
 
+  /** S18 — watermarked stream-stream interval join ([[graft.stream
+    * .StreamingIntervalJoin]] batch replay): view impressions joined
+    * to purchase conversions within 12 h per user — the attribution
+    * serving form of X22. On complete in-order data the stream emits
+    * exactly the plain BETWEEN join, so this lane hash-matches the
+    * DuckDB replay (the s14/x42 shared-oracle contract); live
+    * two-MemoryStream parity and the watermark late-drop are pinned
+    * in StreamingIntervalJoinSpec. */
+  def s18StreamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val imps = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("imp_id"), col("user_id"), col("ts"))
+    val convs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"), col("ts"))
+    graft.stream.StreamingIntervalJoin.joinWithin(
+        imps, convs, keyCol = "user_id", leftTime = "ts",
+        rightTime = "ts", withinSeconds = 43200L)
+      .select(col("imp_id"), col("r_conv_id").as("conv_id"),
+        col("user_id"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("ts")))
+          .as("lag_sec"))
+      .orderBy("imp_id", "conv_id")
+  }
+
   /** X20 — weekly PSI drift of the events value distribution per event
     * type vs the earliest week ([[graft.ext.PsiDrift.psiByWeek]]). The
     * oracle replays bins, +1 smoothing over the union grid, and the
