@@ -1488,6 +1488,63 @@ object Oracles {
       |""".stripMargin + steps
   }
 
+  /** The X5e dHash corpus + brute-force Hamming pairs as shared CTEs —
+    * one definition for the pair lane and its drop-set projection. The
+    * pixel formula mirrors `Multimodal.dhashLuma` verbatim (families
+    * f = doc_id/21, variant cap vp, grid-row-0 ridge, byte-mix body);
+    * the hash assembly mirrors `Multimodal.dhash64` (9×8 cells,
+    * cross-multiplied mean comparison, bit gy·8+gx). */
+  private val dhashPairCtes: String =
+    """img AS (
+      |  SELECT doc_id, doc_id // 21 AS f,
+      |         LEAST((doc_id % 21) // 3, 5) AS vp
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |dim AS (
+      |  SELECT doc_id, vp,
+      |         CAST(9 * (1 + f % 3) AS BIGINT) AS w,
+      |         CAST(8 * (1 + f % 2) AS BIGINT) AS h,
+      |         xor(f % 1000000007, (f % 1000000007) // 65536) * 73244475 AS m
+      |  FROM img),
+      |xs AS (SELECT doc_id, vp, w, h, m, unnest(range(0, w)) AS x FROM dim),
+      |px AS (SELECT doc_id, vp, w, h, m, x, unnest(range(0, h)) AS y FROM xs),
+      |lum AS (
+      |  SELECT doc_id, x * 9 // w AS gx, y * 8 // h AS gy,
+      |         CASE WHEN y * 8 // h = 0 THEN
+      |           100 + CASE WHEN x * 9 // w <= vp THEN 10 * (x * 9 // w)
+      |                      ELSE 10 * vp - (x * 9 // w - vp) END
+      |         ELSE xor(((m + 40503 * x + 48271 * y) // 256) % 256,
+      |                  ((m + 40503 * x + 48271 * y) // 16777216) % 256)
+      |         END AS l
+      |  FROM px),
+      |cell AS (SELECT doc_id, gy, gx, sum(l) AS s, count(*) AS cnt
+      |         FROM lum GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.doc_id, CAST(a.gy * 8 + a.gx AS INTEGER) AS pos
+      |  FROM cell a JOIN cell b
+      |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8 AND a.s * b.cnt < b.s * a.cnt),
+      |hash AS (
+      |  SELECT i.doc_id,
+      |         coalesce(bit_or(CASE WHEN b.pos = 63
+      |                              THEN (-9223372036854775807 - 1)
+      |                              ELSE 1::BIGINT << b.pos END),
+      |                  0) AS dhash
+      |  FROM img i LEFT JOIN bits b ON i.doc_id = b.doc_id
+      |  GROUP BY i.doc_id),
+      |dpair AS (
+      |  SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+      |         CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+      |  FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3)""".stripMargin
+
+  /** The public IMA step table as a VALUES list — spec DATA (not
+    * decoder logic) deliberately taken from the same constant array the
+    * engine uses, the GIF-palette-formula sharing class: the state
+    * MACHINE is replayed independently in SQL. */
+  private val imaStepValues: String =
+    graft.ext.Multimodal.ImaStepTable.zipWithIndex
+      .map { case (s, i) => s"($i, $s)" }.mkString(", ")
+
   val sql: Map[String, String] = Map(
     "d1_count" -> "SELECT count(*) AS cnt FROM lineitem",
 
@@ -5973,6 +6030,79 @@ object Oracles {
         |       CAST(sum((doc_id * 31 + 7 * t) % 2003 - 1001) AS BIGINT) AS sum_samples
         |FROM samp GROUP BY doc_id, rate, n
         |ORDER BY media_id""".stripMargin,
+
+    "x5_dhash_pairs" ->
+      // The perceptual-hash near-dup lane replayed as BRUTE FORCE: every
+      // pixel of the planted corpus is closed-form (see
+      // Multimodal.dhashLuma — the oracle mirrors it verbatim), so the
+      // oracle recomputes every image's 64-bit dHash (cell sums compared
+      // by cross-multiplication, bit 63 assembled from the Long.MinValue
+      // literal since DuckDB refuses 1<<63) and then applies the
+      // brute-force all-pairs Hamming predicate. The engine's pigeonhole
+      // band join must equal it EXACTLY — the LSH-style recall guarantee,
+      // hash-checked rather than trusted.
+      ("WITH " + dhashPairCtes + "\n" +
+        """SELECT media_id_a, media_id_b, hamming FROM dpair
+          |ORDER BY media_id_a, media_id_b""".stripMargin),
+
+    "x5_dhash_dropset" ->
+      // Keep-first over the near-dup relation: dropped = the b-side of
+      // any qualifying pair (some smaller-id image within Hamming <= 3).
+      ("WITH " + dhashPairCtes + "\n" +
+        """SELECT DISTINCT media_id_b AS media_id FROM dpair
+          |ORDER BY media_id""".stripMargin),
+
+    "x5_adpcm_decode" ->
+      // The REAL compressed-audio round trip replayed WITHOUT sharing the
+      // decoder: payloads are WAVE/IMA-ADPCM containers carrying the
+      // closed-form nibble stream nib(id,t) = xor(id*7 + 13t, t//8) % 16
+      // with header predictor (id*97)%2048-1024 and initial index id%89;
+      // the oracle re-runs the IMA state machine INDEPENDENTLY as a
+      // recursive CTE — step/index tables as VALUES, both clamps, the
+      // shift-form diff — so the engine's byte-level parse + decode must
+      // reproduce the exact PCM sums.
+      ("""WITH RECURSIVE
+        |aud AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n,
+        |         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate,
+        |         CAST((doc_id * 97) % 2048 - 1024 AS BIGINT) AS p0,
+        |         CAST(doc_id % 89 AS BIGINT) AS i0
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |st(i, s) AS (VALUES """.stripMargin + imaStepValues + """),
+        |dec AS (
+        |  SELECT doc_id, n, CAST(0 AS BIGINT) AS t, p0 AS pred, i0 AS idx,
+        |         p0 AS ssum, p0 AS wsum
+        |  FROM aud
+        |  UNION ALL
+        |  SELECT doc_id, n, t, npred, nidx, ssum + npred,
+        |         wsum + npred * (t + 1)
+        |  FROM (
+        |    SELECT q.doc_id, q.n, q.t, q.ssum, q.wsum,
+        |           LEAST(GREATEST(CASE WHEN q.nib >= 8 THEN q.pred - q.diff
+        |                               ELSE q.pred + q.diff END,
+        |                          -32768), 32767) AS npred,
+        |           LEAST(GREATEST(q.idx + CASE WHEN q.nib % 8 < 4 THEN -1
+        |                                       WHEN q.nib % 8 = 4 THEN 2
+        |                                       WHEN q.nib % 8 = 5 THEN 4
+        |                                       WHEN q.nib % 8 = 6 THEN 6
+        |                                       ELSE 8 END, 0), 88) AS nidx
+        |    FROM (
+        |      SELECT p.*, p.s // 8
+        |             + CASE WHEN p.nib % 2 = 1 THEN p.s // 4 ELSE 0 END
+        |             + CASE WHEN (p.nib // 2) % 2 = 1 THEN p.s // 2 ELSE 0 END
+        |             + CASE WHEN (p.nib // 4) % 2 = 1 THEN p.s ELSE 0 END AS diff
+        |      FROM (
+        |        SELECT d.doc_id, d.n, d.t + 1 AS t, d.pred, d.idx,
+        |               d.ssum, d.wsum, st.s,
+        |               xor(d.doc_id * 7 + 13 * (d.t + 1), (d.t + 1) // 8) % 16 AS nib
+        |        FROM dec d JOIN st ON st.i = d.idx
+        |        WHERE d.t + 1 < d.n) p) q) z
+        |)
+        |SELECT d.doc_id AS media_id, a.rate AS sample_rate, d.n AS n_samples,
+        |       d.ssum AS sum_samples, d.wsum AS sum_weighted
+        |FROM dec d JOIN aud a USING (doc_id)
+        |WHERE d.t = d.n - 1
+        |ORDER BY media_id""".stripMargin),
 
     "x5_media_features" ->
       // The byte-window pseudo-decode replayed from the document text

