@@ -1494,7 +1494,10 @@ object Oracles {
     * f = doc_id/21, variant cap vp, grid-row-0 ridge, byte-mix body);
     * the hash assembly mirrors `Multimodal.dhash64` (9×8 cells,
     * cross-multiplied mean comparison, bit gy·8+gx). */
-  private val dhashPairCtes: String =
+  /** img → … → hash: every image-lane document's 64-bit dHash in
+    * closed form. Shared by the pair, drop-set, against, and streaming
+    * lanes (each appends its own pair/anti predicate). */
+  private val dhashHashCtes: String =
     """img AS (
       |  SELECT doc_id, doc_id // 21 AS f,
       |         LEAST((doc_id % 21) // 3, 5) AS vp
@@ -1530,8 +1533,10 @@ object Oracles {
       |                              ELSE 1::BIGINT << b.pos END),
       |                  0) AS dhash
       |  FROM img i LEFT JOIN bits b ON i.doc_id = b.doc_id
-      |  GROUP BY i.doc_id),
-      |dpair AS (
+      |  GROUP BY i.doc_id)""".stripMargin
+
+  private val dhashPairCtes: String = dhashHashCtes + ",\n" +
+    """dpair AS (
       |  SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
       |         CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
       |  FROM hash a JOIN hash b ON a.doc_id < b.doc_id
@@ -6103,6 +6108,38 @@ object Oracles {
         |FROM dec d JOIN aud a USING (doc_id)
         |WHERE d.t = d.n - 1
         |ORDER BY media_id""".stripMargin),
+
+    "x5_dhash_against" ->
+      // The incremental (cross-shard) image near-dup replayed as the
+      // brute-force cross predicate: history = variants 0-2 of every
+      // family (the persisted signature index), shard = variants 3-6;
+      // a qualifying pair needs |vp_new - vp_hist| <= 3, which the
+      // hash replay proves rather than assumes.
+      ("WITH " + dhashHashCtes + "\n" +
+        """SELECT s.doc_id AS media_id_new, h.doc_id AS media_id_hist,
+          |       CAST(bit_count(xor(s.dhash, h.dhash)) AS INTEGER) AS hamming
+          |FROM hash s JOIN hash h
+          |  ON bit_count(xor(s.dhash, h.dhash)) <= 3
+          |WHERE (s.doc_id % 21) // 3 >= 3 AND (h.doc_id % 21) // 3 < 3
+          |ORDER BY media_id_new, media_id_hist""".stripMargin),
+
+    "s19_stream_dhash" ->
+      // The streaming image drop's batch replay in closed form:
+      // survivors = shard images (variants 3-6) with NO history image
+      // (variants 0-2) within Hamming <= 2 — at that threshold the
+      // vp=5 members (distance 3 from the nearest history variant)
+      // survive while vp=3/4 drop, so both outcomes are exercised.
+      // The FULL oracle here is what the s3/s4 text lanes cannot have
+      // (randomized hash families): dHash is deterministic end-to-end.
+      ("WITH " + dhashHashCtes + "\n" +
+        """SELECT s.doc_id AS media_id, s.dhash
+          |FROM hash s
+          |WHERE (s.doc_id % 21) // 3 >= 3
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM hash h
+          |    WHERE (h.doc_id % 21) // 3 < 3
+          |      AND bit_count(xor(s.dhash, h.dhash)) <= 2)
+          |ORDER BY media_id""".stripMargin),
 
     "x5_media_features" ->
       // The byte-window pseudo-decode replayed from the document text

@@ -1960,6 +1960,54 @@ object Queries {
       graft.ext.Multimodal.adpcmMediaFromDocuments(documents(s, d)))
       .orderBy("media_id")
 
+  /** The X5e incremental split: history = variants 0–2 of every dHash
+    * family (dHashed and SAVED to parquet once per JVM — the persisted
+    * signature index a nightly image-dedup pipeline keeps), shard =
+    * variants 3–6 (today's arrivals). Returns (shard media, loaded
+    * history signatures). */
+  private def dhashShardAndIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val media = graft.ext.Multimodal.dhashMediaFromDocuments(documents(s, d))
+    val dir = persistedIndexDir("dhash_index", d) { dir =>
+      graft.ext.Multimodal.dhashPngs(
+          media.filter(expr("(media_id % 21) div 3 < 3")))
+        .write.mode("overwrite").parquet(dir)
+    }
+    (media.filter(expr("(media_id % 21) div 3 >= 3")), s.read.parquet(dir))
+  }
+
+  /** X5e-against — incremental image near-dup vs the persisted dHash
+    * index (the X1h nightly posture on images): today's shard decodes,
+    * hashes, and bands against the SAVED signature parquet through
+    * [[graft.ext.Dedup.hammingPairsAgainst]] — cross-side (band,
+    * bucket) candidates only, exact Hamming verify — and the oracle
+    * replays the brute-force cross predicate over closed-form
+    * hashes. */
+  def x5DhashAgainst(s: SparkSession, d: String): DataFrame = {
+    val (shard, histSigs) = dhashShardAndIndex(s, d)
+    graft.ext.Dedup.hammingPairsAgainst(
+        graft.ext.Multimodal.dhashPngs(shard), histSigs,
+        "media_id", "dhash", maxHamming = 3)
+      .toDF("media_id_new", "media_id_hist", "hamming")
+      .orderBy("media_id_new", "media_id_hist")
+  }
+
+  /** s19 — STREAMING image near-dup drop vs the saved dHash index,
+    * batch-replayed through the same code path
+    * ([[graft.stream.StreamingDhash.dhashDropStreamAgainst]]): per-row
+    * decode+hash, then one stream-static LEFT ANTI join per pigeonhole
+    * band with the exact Hamming verify. maxHamming = 2 so the planted
+    * corpus exercises BOTH outcomes (vp=3/4 shard members drop, vp=5
+    * members survive at distance 3). The first streaming near-dup lane
+    * with a FULL oracle — dHash is deterministic where the s3/s4
+    * MinHash/SimHash families are rows-only by nature. Live
+    * two-MemoryStream parity is pinned in StreamingDhashSpec. */
+  def s19StreamDhash(s: SparkSession, d: String): DataFrame = {
+    val (shard, histSigs) = dhashShardAndIndex(s, d)
+    graft.stream.StreamingDhash.dhashDropStreamAgainst(shard, histSigs,
+        maxHamming = 2)
+      .orderBy("media_id")
+  }
+
   /** X19 — stage-0 text cleaning over deterministically "dirtied"
     * documents: three planted markup lanes (element wrap + script
     * payload, double-escaped entities + bare tag, trailing entities +

@@ -94,6 +94,26 @@ class DHashSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("hammingPairsAgainst equals the brute-force cross predicate") {
+    val media = Multimodal.dhashMediaFromDocuments(docsFrame(126)).cache()
+    val histSigs = Multimodal.dhashPngs(
+      media.filter("(media_id % 21) div 3 < 3")).localCheckpoint(true)
+    val shardSigs = Multimodal.dhashPngs(
+      media.filter("(media_id % 21) div 3 >= 3")).localCheckpoint(true)
+    val banded = Dedup.hammingPairsAgainst(shardSigs, histSigs,
+        "media_id", "dhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hist = histSigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sh = shardSigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (sid, ss) <- sh; (hid, hs) <- hist
+      d = java.lang.Long.bitCount(ss ^ hs) if d <= 3
+    } yield (sid, hid, d)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty)
+    media.unpersist()
+  }
+
   test("undecodable payloads drop out of the signature frame") {
     val media = df(Seq(
       Row(1L, Array[Byte](1, 2, 3)),

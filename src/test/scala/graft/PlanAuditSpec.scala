@@ -219,11 +219,12 @@ class PlanAuditSpec extends SparkSpec {
     // history index / materialized pair signatures)
     "s3_planted_neardup", "s4_planted_simhash",
     "x1_minhash_planted", "x1_simhash_planted",
-    // the image dHash lanes ride the same hammingPairs core as
-    // x1_simhash_pairs (materialized signature cache + checkpointed
+    // the image dHash lanes ride the same hammingPairs(Against) core
+    // as x1_simhash_pairs (materialized signature cache + checkpointed
     // ordered pair set — the family/banded joins would otherwise
-    // decode+hash the corpus once per consumer)
-    "x5_dhash_pairs", "x5_dhash_dropset",
+    // decode+hash the corpus once per consumer); s19's drop stream is
+    // deliberately NOT here — its anti-join fold is lazy end-to-end
+    "x5_dhash_pairs", "x5_dhash_dropset", "x5_dhash_against",
     // checkpoints the derived weight column (persisted-X17-state contract)
     "x12_weighted_mix",
     // checkpoints the (week,type,bin) census consumed by five branches
