@@ -118,14 +118,19 @@ object BpeTrain {
     require(merges >= 1 && merges <= 32768,
       s"merges ($merges) must be in [1, 32768]")
     val spark = words.sparkSession
+    // limit(bound + 1) BEFORE the collect: fetching first and counting
+    // after would materialize an un-cut corpus-scale census on the
+    // driver — the exact blow-up this guard exists to prevent — and
+    // OOM before the require could fire.
     val fetched = words
       .select(col("word"), coalesce(col("cnt").cast("long"), lit(0L))
         .as("cnt"))
       .where(col("word").isNotNull)
+      .limit((1 << 20) + 1)
       .collect()
     require(fetched.length <= (1 << 20),
       s"fitMerges consumes the bounded wordCensus artifact " +
-        s"(top-maxWords); got ${fetched.length} rows — cut the census " +
+        s"(top-maxWords); got over ${1 << 20} rows — cut the census " +
         "first, the merge loop must stay driver-bounded")
     // Initial symbols are CODE POINTS, matching [[charSeq]]'s `(?s)(.)`
     // regex (a UTF-16-unit split would break surrogate pairs and
@@ -144,6 +149,25 @@ object BpeTrain {
       fetched.map(r => charSyms(r.getString(0)))
     val cnt: Array[Long] = fetched.map(_.getLong(1))
 
+    // Code-point order == UTF-8 byte order — the collation BOTH census
+    // engines tie-break in (Spark UTF8String binary compare, DuckDB
+    // default binary collation). Java String.compareTo is UTF-16
+    // code-UNIT order, which sorts supplementary characters (surrogate
+    // pairs, 0xD800+) BELOW U+E000..U+FFFF and would diverge the
+    // trajectory on a non-BMP tie; charSyms explicitly admits such
+    // symbols, so the order must be code-point-exact.
+    def cpCompare(a: String, b: String): Int = {
+      var i = 0
+      var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
     // count DESC, l ASC, r ASC — the census argmax's total order.
     implicit val bestOrd: Ordering[(Long, String, String)] =
       new Ordering[(Long, String, String)] {
@@ -152,8 +176,8 @@ object BpeTrain {
           val c = java.lang.Long.compare(b._1, a._1)
           if (c != 0) c
           else {
-            val cl = a._2.compareTo(b._2)
-            if (cl != 0) cl else a._3.compareTo(b._3)
+            val cl = cpCompare(a._2, b._2)
+            if (cl != 0) cl else cpCompare(a._3, b._3)
           }
         }
       }

@@ -118,35 +118,52 @@ object IvfIndex {
     * over the historical corpus. Layout: `centroids` = (cluster, pos, v)
     * exploded rows (k×dim — tiny), `assignments` = (idCol, cluster)
     * inverted lists (one row per indexed vector). */
-  def save(model: Model, dir: String, idCol: String = "vec_id"): Unit = {
-    val spark = model.assignments.sparkSession
+  /** The exploded (cluster, pos, v) persistence of a dense k×dim
+    * centroid matrix — ONE layout definition shared by this index's
+    * [[save]]/[[load]] and the IVFADC bundle
+    * ([[PqIndex.saveIvfAdc]]/[[PqIndex.loadIvfAdc]]), so a layout or
+    * validation change cannot drift between the two families. */
+  private[graft] def saveCentroids(spark: SparkSession,
+                                   centroids: Array[Array[Double]],
+                                   path: String): Unit = {
     import spark.implicits._
     val rows = for {
-      (c, cid) <- model.centroids.zipWithIndex
+      (c, cid) <- centroids.zipWithIndex
       (v, pos) <- c.zipWithIndex
     } yield (cid, pos, v)
     rows.toSeq.toDF("cluster", "pos", "v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    model.assignments.write.mode("overwrite").parquet(s"$dir/assignments")
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Load a saved index. Only the k×dim centroid matrix reaches the
-    * driver (the same bounded fetch as [[build]]); the inverted lists
-    * stay a distributed frame backed by the saved parquet. Columns are
-    * selected BY NAME (ADVICE r9: a positional read would silently
-    * misread a reordered or widened save layout — a rename/drop must
-    * fail loudly at load time). */
-  def load(spark: SparkSession, dir: String): Model = {
-    val cRows = spark.read.parquet(s"$dir/centroids")
+  /** Columns are selected BY NAME (ADVICE r9: a positional read would
+    * silently misread a reordered or widened save layout — a
+    * rename/drop must fail loudly at load time). Only the k×dim matrix
+    * reaches the driver (the bounded [[build]] fetch). */
+  private[graft] def loadCentroids(spark: SparkSession,
+                                   path: String): Array[Array[Double]] = {
+    val cRows = spark.read.parquet(path)
       .select("cluster", "pos", "v")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-    require(cRows.nonEmpty, s"empty centroid index at $dir/centroids")
+    require(cRows.nonEmpty, s"empty centroid index at $path")
     val k = cRows.map(_._1).max + 1
     val dim = cRows.map(_._2).max + 1
     val centroids = Array.ofDim[Double](k, dim)
     cRows.foreach { case (c, p, v) => centroids(c)(p) = v }
-    Model(centroids, spark.read.parquet(s"$dir/assignments"))
+    centroids
   }
+
+  def save(model: Model, dir: String, idCol: String = "vec_id"): Unit = {
+    val spark = model.assignments.sparkSession
+    saveCentroids(spark, model.centroids, s"$dir/centroids")
+    model.assignments.write.mode("overwrite").parquet(s"$dir/assignments")
+  }
+
+  /** Load a saved index: the centroid matrix via [[loadCentroids]];
+    * the inverted lists stay a distributed frame backed by the saved
+    * parquet. */
+  def load(spark: SparkSession, dir: String): Model =
+    Model(loadCentroids(spark, s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments"))
 
   /** Probe TODAY's query embeddings against YESTERDAY's saved index —
     * the production ANN shape at 100 TB ([[Dedup.minhashPairsAgainst]]'s

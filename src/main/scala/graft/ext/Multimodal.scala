@@ -771,28 +771,36 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Decode one payload and dHash it; null for undecodable payloads or
+    * a plugin-less runtime — the ONE per-payload body shared by the
+    * batch signature pass ([[dhashPngs]]) and the streaming drop lane
+    * ([[graft.stream.StreamingDhash]]), so a codec fix can never land
+    * on one side only. */
+  private[graft] def decodeDhash(b: Array[Byte]): java.lang.Long = {
+    if (!pngSupported || b == null) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: java.io.IOException => null }
+    if (img == null) null else java.lang.Long.valueOf(dhash64(img))
+  }
+
   /** X5e decode half — (media_id, dhash) signatures read back OUT OF
     * compressed payloads: one narrow mapPartitions pass through the JDK
     * PNG reader ([[decodePngs]] batch shape) computing [[dhash64]] per
     * image. Undecodable payloads (or a plugin-less runtime) yield no
-    * signature — corrupt media drops out of near-dup, it doesn't
-    * crash it. Feed the output to
-    * [[graft.ext.Dedup.hammingPairs]] for the banded pair join. */
+    * signature — corrupt media drops out of near-dup PAIRING (a null
+    * signature can never pair); the streaming DROP lane instead keeps
+    * them alive with a null hash (its contract is survival). Feed the
+    * output to [[graft.ext.Dedup.hammingPairs]] for the banded pair
+    * join. */
   def dhashPngs(media: DataFrame): DataFrame = {
     val session = media.sparkSession
     import session.implicits._
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val id = r.getLong(0)
-          val b = r.getAs[Array[Byte]](1)
-          if (!pngSupported || b == null) None
-          else {
-            val img =
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-              catch { case _: java.io.IOException => null }
-            if (img == null) None else Some((id, dhash64(img)))
-          }
+          val h = decodeDhash(r.getAs[Array[Byte]](1))
+          if (h == null) None else Some((r.getLong(0), h.longValue))
         }
       }
       .toDF("media_id", "dhash")

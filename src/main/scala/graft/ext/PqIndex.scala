@@ -270,7 +270,14 @@ object PqIndex {
       maxTrainRows)
     val centroids = ivf.centroids
     ivf.release() // the code table below IS the inverted-list artifact
+    // PIN the residual frame: train() takes a row-count job, a seed
+    // fetch, and one pass per Lloyd iteration, and the code projection
+    // below reads it once more — unpinned, every one of those actions
+    // would re-run the assignment + broadcast join + zip_with lineage
+    // end-to-end (5+ redundant corpus scans; the train()-internal
+    // per-iteration pin discipline, applied at this hop too).
     val resid = residuals(prepped, centroids, idCol, vecCol)
+      .localCheckpoint(true)
     val pq = train(resid, m, k, iters, idCol, "__resid",
       normalized = false, maxTrainRows = maxTrainRows)
     val codes = resid.select(col(idCol), col("cluster"),
@@ -298,26 +305,14 @@ object PqIndex {
   def saveIvfAdc(model: IvfAdc, codes: DataFrame, dir: String): Unit = {
     val spark = codes.sparkSession
     import spark.implicits._
-    val cRows = for {
-      (c, cid) <- model.centroids.zipWithIndex
-      (v, pos) <- c.zipWithIndex
-    } yield (cid, pos, v)
-    cRows.toSeq.toDF("cluster", "pos", "v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    IvfIndex.saveCentroids(spark, model.centroids, s"$dir/coarse")
     Seq(model.normalized).toDF("normalized")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/prep")
     save(model.pq, codes, s"$dir/pq")
   }
 
   def loadIvfAdc(spark: SparkSession, dir: String): (IvfAdc, DataFrame) = {
-    val cRows = spark.read.parquet(s"$dir/coarse")
-      .select("cluster", "pos", "v")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-    require(cRows.nonEmpty, s"empty coarse centroids at $dir/coarse")
-    val k = cRows.map(_._1).max + 1
-    val dim = cRows.map(_._2).max + 1
-    val centroids = Array.ofDim[Double](k, dim)
-    cRows.foreach { case (c, p, v) => centroids(c)(p) = v }
+    val centroids = IvfIndex.loadCentroids(spark, s"$dir/coarse")
     val normalized = spark.read.parquet(s"$dir/prep")
       .select("normalized").head.getBoolean(0)
     val (pq, codes) = load(spark, s"$dir/pq")

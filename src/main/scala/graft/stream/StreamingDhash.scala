@@ -42,18 +42,10 @@ object StreamingDhash {
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val id = r.getLong(0)
-          val b = r.getAs[Array[Byte]](1)
-          val h: java.lang.Long =
-            if (!graft.ext.Multimodal.pngSupported || b == null) null
-            else {
-              val img =
-                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-                catch { case _: java.io.IOException => null }
-              if (img == null) null
-              else java.lang.Long.valueOf(graft.ext.Multimodal.dhash64(img))
-            }
-          Row(id, h)
+          // ONE decode body with the batch pair lanes (Multimodal
+          // .decodeDhash) — only the null handling differs here.
+          Row(r.getLong(0),
+            graft.ext.Multimodal.decodeDhash(r.getAs[Array[Byte]](1)))
         }
       }(encoder)
   }
