@@ -217,17 +217,23 @@ object Oracles {
       |  FROM inter JOIN dc x ON doc_id_a = x.doc_id JOIN dc y ON doc_id_b = y.doc_id),
       |jp AS (SELECT doc_id_a, doc_id_b FROM jpair WHERE jaccard >= 0.8)""".stripMargin
 
-  /** Connected components over `jp` via recursive reachability → `creach`
-    * (min(lbl) per id = the component's smallest member — the Spark
-    * side's min-label-propagation fixpoint). Requires WITH RECURSIVE. */
+  /** Connected components over ANY symmetric pair CTE — creach
+    * accumulates, per vertex, the labels of everything that reaches it;
+    * min(label) per vertex = the component's smallest id, exactly the
+    * engine's min-label fixpoint. Shared by the text (x1_dedup_groups)
+    * and image (x5_dhash_groups) resolutions. */
+  private def componentCtesFrom(pairCte: String, aCol: String,
+                                bCol: String): String =
+    s"""cedges AS (
+       |  SELECT $aCol AS src, $bCol AS dst FROM $pairCte
+       |  UNION SELECT $bCol, $aCol FROM $pairCte),
+       |creach(id, lbl) AS (
+       |  SELECT src, src FROM cedges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM cedges e JOIN creach r ON e.src = r.id)""".stripMargin
+
   private val componentCtes: String =
-    """cedges AS (
-      |  SELECT doc_id_a AS src, doc_id_b AS dst FROM jp
-      |  UNION SELECT doc_id_b, doc_id_a FROM jp),
-      |creach(id, lbl) AS (
-      |  SELECT src, src FROM cedges
-      |  UNION
-      |  SELECT e.dst, r.lbl FROM cedges e JOIN creach r ON e.src = r.id)""".stripMargin
+    componentCtesFrom("jp", "doc_id_a", "doc_id_b")
 
   /** Benchmark 4-gram shingles and the containment CTE built from the
     * RAW documents 0–2 (benchmarks are clean, the crawl is not)
@@ -6108,6 +6114,18 @@ object Oracles {
         |FROM dec d JOIN aud a USING (doc_id)
         |WHERE d.t = d.n - 1
         |ORDER BY media_id""".stripMargin),
+
+    "x5_dhash_groups" ->
+      // The X1f resolution replayed on the image pair graph: the SAME
+      // recursive reachability as x1_dedup_groups over the closed-form
+      // dhash pairs — per family the variant chain (|Δvp| <= 3 between
+      // adjacent variants) is connected, so components ARE the planted
+      // families and the representative is the family's smallest id.
+      ("WITH RECURSIVE " + dhashPairCtes + ",\n" +
+        componentCtesFrom("dpair", "media_id_a", "media_id_b") + "\n" +
+        """SELECT id AS media_id, min(lbl) AS cluster_id,
+          |       min(lbl) = id AS keep
+          |FROM creach GROUP BY id ORDER BY media_id""".stripMargin),
 
     "x5_dhash_against" ->
       // The incremental (cross-shard) image near-dup replayed as the

@@ -1960,6 +1960,25 @@ object Queries {
       graft.ext.Multimodal.adpcmMediaFromDocuments(documents(s, d)))
       .orderBy("media_id")
 
+  /** X5e-groups — pair-graph RESOLUTION on the image near-dup relation
+    * (the X1f composition applied to dHash): connected components of
+    * the Hamming-≤3 pair graph via the SAME min-label machinery as
+    * text dedup ([[graft.ext.DedupResolve.connectedComponents]]),
+    * component = smallest member, keep = the representative. The
+    * oracle replays the identical recursive reachability over the
+    * closed-form pair CTE — image dedup is resolvable end-to-end, not
+    * just detectable. */
+  def x5DhashGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.ext.Dedup.hammingPairs(
+      graft.ext.Multimodal.dhashPngs(
+        graft.ext.Multimodal.dhashMediaFromDocuments(documents(s, d))),
+      "media_id", "dhash", maxHamming = 3)
+    graft.ext.DedupResolve.connectedComponents(pairs)
+      .select(col("id").as("media_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("keep"))
+      .orderBy("media_id")
+  }
+
   /** The X5e incremental split: history = variants 0–2 of every dHash
     * family (dHashed and SAVED to parquet once per JVM — the persisted
     * signature index a nightly image-dedup pipeline keeps), shard =

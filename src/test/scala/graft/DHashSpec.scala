@@ -114,6 +114,20 @@ class DHashSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("pair-graph resolution recovers exactly the planted families") {
+    val pairs = Dedup.hammingPairs(
+      Multimodal.dhashPngs(Multimodal.dhashMediaFromDocuments(docsFrame(126))),
+      "media_id", "dhash", maxHamming = 3)
+    val cc = graft.ext.DedupResolve.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // All 42 image docs are in some pair (each family's variant chain
+    // is connected through |Δvp| <= 3 steps), and every component's
+    // label is its family's smallest member 21f.
+    assert(cc.size === 42)
+    cc.foreach { case (id, comp) =>
+      assert(comp === 21L * (id / 21), s"media $id") }
+  }
+
   test("undecodable payloads drop out of the signature frame") {
     val media = df(Seq(
       Row(1L, Array[Byte](1, 2, 3)),

@@ -225,6 +225,7 @@ class PlanAuditSpec extends SparkSpec {
     // decode+hash the corpus once per consumer); s19's drop stream is
     // deliberately NOT here — its anti-join fold is lazy end-to-end
     "x5_dhash_pairs", "x5_dhash_dropset", "x5_dhash_against",
+    "x5_dhash_groups", // + the bounded driver union-find (x1_dedup_groups shape)
     // checkpoints the derived weight column (persisted-X17-state contract)
     "x12_weighted_mix",
     // checkpoints the (week,type,bin) census consumed by five branches
