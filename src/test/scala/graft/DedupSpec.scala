@@ -327,4 +327,67 @@ class DedupSpec extends SparkSpec {
     assert(pairs.keySet == Set(10L, 11L))
     assert(pairs(10L) == 1.0 && pairs(11L) == 1.0)
   }
+
+  // -------------------------------------------- hammingEdges (VERDICT r14 #1)
+  // The verdict-sufficient edge relation: same components and drop set
+  // as the full pair relation, LINEAR in identical-signature family
+  // size where hammingPairs' Hamming-0 self-join is quadratic.
+
+  /** A signature corpus with a LARGE Hamming-0 family (ids 0..n-1 share
+    * one signature), a second family at Hamming 1 from it, a small
+    * third family at Hamming 2 from the second, and an unrelated
+    * far-off signature. */
+  private def plantedSigs(bigFamily: Int) = {
+    val base = 0x5a5a5a5a5a5a5a5aL
+    val rows =
+      (0L until bigFamily.toLong).map(i => Row(i, base)) ++          // family A
+      Seq(Row(9001L, base ^ 1L), Row(9002L, base ^ 1L),              // family B (d=1 from A)
+        Row(9003L, base ^ 6L),                                       // family C (d=2 from A, d=3 from B)
+        Row(9100L, ~base))                                           // isolated
+    df(rows, "doc_id BIGINT, sig BIGINT")
+  }
+
+  test("hammingEdges is linear in identical-signature family size") {
+    val n = 1200
+    val edges = Dedup.hammingEdges(plantedSigs(n), "doc_id", "sig",
+      maxHamming = 3)
+    val m = edges.count()
+    // star edges: (n-1) for family A, 1 for B, 0 for C/isolated;
+    // representative edges: A-B (d=1), B-C (d=2), A-C (d=3) = 3.
+    assert(m == (n - 1) + 1 + 3,
+      s"expected ${(n - 1) + 4} linear edges, got $m (quadratic would be " +
+        s"~${n.toLong * (n - 1) / 2})")
+  }
+
+  test("hammingEdges: components and keep-first drop set equal hammingPairs'") {
+    val sigs = plantedSigs(40)
+    val pairs = Dedup.hammingPairs(sigs, "doc_id", "sig", maxHamming = 3)
+    val edges = Dedup.hammingEdges(sigs, "doc_id", "sig", maxHamming = 3)
+    def components(rel: org.apache.spark.sql.DataFrame) =
+      graft.ext.DedupResolve.connectedComponents(rel)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(components(edges) == components(pairs),
+      "edge relation must span the identical connected components")
+    def dropSet(rel: org.apache.spark.sql.DataFrame) =
+      rel.select("doc_id_b").distinct().collect().map(_.getLong(0)).toSet
+    assert(dropSet(edges) == dropSet(pairs),
+      "DISTINCT doc_id_b must yield the identical keep-first drop set")
+    // the planted truth: everything except the global min (0) and the
+    // isolated image is dropped (A/B/C are one component rooted at 0).
+    assert(dropSet(edges) ==
+      ((1L until 40L).toSet ++ Set(9001L, 9002L, 9003L)))
+  }
+
+  test("hammingPairs/hammingEdges reject a non-integral signature column") {
+    val bad = df(Seq(Row(1L, "notasig")), "doc_id BIGINT, sig STRING")
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(bad, "doc_id", "sig", maxHamming = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingEdges(bad, "doc_id", "sig", maxHamming = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairsAgainst(bad, bad, "doc_id", "sig", maxHamming = 3)
+    }
+  }
 }
