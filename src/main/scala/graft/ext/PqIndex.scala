@@ -280,8 +280,17 @@ object PqIndex {
       .localCheckpoint(true)
     val pq = train(resid, m, k, iters, idCol, "__resid",
       normalized = false, maxTrainRows = maxTrainRows)
+    // Pin the (small: id + cluster + M bytes) code table and RELEASE the
+    // residual checkpoint — resid holds dim doubles per corpus row, and
+    // returning a frame whose lineage reads it would keep those blocks
+    // alive for the JVM lifetime (driver ADVICE r14; the train()-internal
+    // per-iteration release discipline applied to the trainer's own
+    // corpus-scale pin).
     val codes = resid.select(col(idCol), col("cluster"),
-      VectorFunctions.pqEncode(col("__resid"), pq.codebooks).as("codes"))
+        VectorFunctions.pqEncode(col("__resid"), pq.codebooks).as("codes"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.CheckpointBridge
+      .releaseLocalCheckpoint(resid)
     (IvfAdc(centroids, pq, normalized), codes)
   }
 
