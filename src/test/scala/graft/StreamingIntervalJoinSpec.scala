@@ -89,6 +89,78 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("left_outer live: an unmatched impression emits null-extended " +
+       "exactly once, only after watermark passage; a late conversion " +
+       "does not resurrect it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Timestamp)]
+    val rIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Timestamp)]
+    val out = scala.collection.mutable.Buffer[(Long, Option[Long])]()
+    val query = StreamingIntervalJoin.joinWithin(
+        lIn.toDF().toDF("imp_id", "user_id", "ts"),
+        rIn.toDF().toDF("conv_id", "user_id", "ts"),
+        "user_id", "ts", "ts", withinSeconds = 100L, delaySeconds = 10L,
+        joinType = "left_outer")
+      .select(col("imp_id"), col("r_conv_id"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r =>
+            (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          ()
+        }
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-s20-ckpt").toString)
+      .start()
+    try {
+      // One matched impression (user 1) and one that never converts
+      // (user 2). The match emits inner-style immediately; the
+      // unmatched row must NOT emit yet — no watermark has passed
+      // ts + within + delay = 210.
+      lIn.addData(Seq((1L, 1L, sec(100)), (2L, 2L, sec(100))))
+      rIn.addData(Seq((10L, 1L, sec(150))))
+      query.processAllAvailable()
+      assert(out.toSet == Set((1L, Some(10L))),
+        s"before watermark passage only the matched pair may emit: $out")
+      // Advance BOTH watermarks past 210 (watermark = max event time −
+      // 10 s). The evicted impression 2 must now emit null-extended,
+      // exactly once (outer emission can trail by one micro-batch —
+      // feed a second advancing batch before asserting).
+      lIn.addData(Seq((90L, 7L, sec(1000))))
+      rIn.addData(Seq((91L, 8L, sec(1000))))
+      query.processAllAvailable()
+      lIn.addData(Seq((92L, 7L, sec(1100))))
+      rIn.addData(Seq((93L, 8L, sec(1100))))
+      query.processAllAvailable()
+      assert(out.count(_ == (2L -> None)) == 1,
+        s"unmatched impression must emit null-extended exactly once: $out")
+      // A late conversion for user 2 (behind the watermark) is dropped
+      // at ingest and must not produce a pair or a duplicate.
+      val before = out.size
+      rIn.addData(Seq((20L, 2L, sec(150))))
+      query.processAllAvailable()
+      assert(out.size == before,
+        s"a late conversion must not resurrect the evicted row: $out")
+    } finally query.stop()
+  }
+
+  test("left_outer batch replay equals the plain LEFT JOIN BETWEEN") {
+    val got = StreamingIntervalJoin.joinWithin(
+        df(imps, lddl), df(convs, rddl), keyCol = "user_id",
+        leftTime = "ts", rightTime = "ts", withinSeconds = 100L,
+        joinType = "left_outer")
+      .select(col("imp_id"), col("r_conv_id"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    // imp 4 (user 3) has no conversion → null-extended.
+    assert(got == Set((1L, 10L), (2L, 11L), (3L, 12L), (4L, -1L)))
+  }
+
   test("the registered lane's shape: stream output equals the plain " +
        "BETWEEN join on the events fixture") {
     val ev = Tables.events(spark, sfDir)
