@@ -617,6 +617,107 @@ final case class SchemaCheck(
   }
 }
 
+/** G22 — `expect_column_values_to_be_increasing` / `_decreasing`
+  * (GE 0.18 tail vocabulary, VERDICT r15 ask #5). GE checks row order;
+  * a distributed engine has no row order, so the check is monotonicity
+  * of `column` under an explicit `orderBy` key (numeric or temporal —
+  * both are compared as doubles; timestamps cast to fractional epoch
+  * seconds, exact to 2^53).
+  *
+  * Scale shape — NO global window, NO single-partition sort: range
+  * partition on the order key (partition ids come out range-ordered),
+  * sort WITHIN partitions only, one mapPartitions pass per partition
+  * emitting (rows, violations, first, last), then the driver stitches
+  * the ≤numPartitions boundary pairs — the per-partition fold is the
+  * whole scan, and the cross-partition work is bounded by partition
+  * count, not rows. Ties on the order key sort by the value in the
+  * check's FAVORABLE direction (lenient-on-ties: an order-key tie is
+  * not evidence of disorder), which also makes the count deterministic
+  * under non-unique order keys. */
+final case class MonotonicCheck(column: String, orderBy: String,
+    increasing: Boolean = true, strictly: Boolean = false)
+  extends Check {
+  private def dirTag =
+    (if (increasing) "incr" else "decr") + (if (strictly) "_strict" else "")
+  val name = s"monotonic:$dirTag:$column:by:$orderBy"
+  def run(df: DataFrame): ValidationResult = {
+    val prepared = df
+      .select(col(orderBy).cast("double").as("__o"),
+        col(column).cast("double").as("__v"))
+      .filter(col("__o").isNotNull && col("__v").isNotNull)
+    val secondary = if (increasing) col("__v").asc else col("__v").desc
+    val sorted = prepared
+      .repartitionByRange(col("__o"))
+      .sortWithinPartitions(col("__o").asc, secondary)
+    // Plain locals so the executor closure serializes values, not the
+    // check instance.
+    val (inc, str) = (increasing, strictly)
+    val bad: (Double, Double) => Boolean = (prev, cur) =>
+      if (inc) { if (str) cur <= prev else cur < prev }
+      else { if (str) cur >= prev else cur > prev }
+    val sums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cnt = 0L; var viol = 0L
+      var first = 0.0; var last = 0.0; var any = false
+      it.foreach { r =>
+        val v = r.getDouble(1)
+        if (!any) { first = v; any = true }
+        else if (bad(last, v)) viol += 1
+        last = v; cnt += 1
+      }
+      if (!any) Iterator.empty
+      else Iterator.single((pid, cnt, viol, first, last))
+    }.collect().sortBy(_._1) // bounded: one row per non-empty partition
+    val boundary = sums.iterator.sliding(2).withPartial(false).count {
+      w => bad(w(0)._5, w(1)._4) // last of partition p vs first of p+1
+    }
+    val total = sums.map(_._2).sum
+    val viol = sums.map(_._3).sum + boundary
+    ValidationResult(name,
+      if (viol == 0L) ValidationStatus.Passed else ValidationStatus.Failed,
+      s"$column ${if (increasing) "increasing" else "decreasing"}" +
+        s"${if (strictly) " strictly" else ""} by $orderBy: " +
+        s"$viol adjacent violations over $total rows",
+      elementCount = total, unexpectedCount = viol,
+      unexpectedPercent =
+        if (total == 0L) 0.0 else viol.toDouble / total * 100.0)
+  }
+}
+
+/** G22 — `expect_column_most_common_value_to_be_in_set` (GE 0.18 tail
+  * vocabulary). Passes iff EVERY value attaining the maximum count is
+  * in `allowed` (GE's observed value is the tied-mode list — one
+  * disallowed co-mode fails). One job: partial-agg groupBy(value)
+  * census, then a tiny second-level aggregate comparing the best
+  * allowed count against the best disallowed count — no mode fetch,
+  * no second scan, adversarial tie counts never reach the driver. */
+final case class MostCommonValueCheck(column: String, allowed: Seq[String])
+  extends Check {
+  val name = s"most_common_in_set:$column"
+  def run(df: DataFrame): ValidationResult = {
+    val counts = df.filter(col(column).isNotNull)
+      .groupBy(col(column).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val row = counts.agg(
+      sum("__cnt").as("n_rows"),
+      max(when(!col("__v").isin(allowed: _*), col("__cnt"))).as("max_out"),
+      max(col("__cnt")).as("max_all"),
+      max(struct(col("__cnt"), col("__v"))).as("top")).head()
+    val total = if (row.isNullAt(0)) 0L else row.getAs[Long]("n_rows")
+    val maxOut = if (row.isNullAt(1)) 0L else row.getAs[Long]("max_out")
+    val maxAll = if (row.isNullAt(2)) 0L else row.getAs[Long]("max_all")
+    val observed =
+      if (row.isNullAt(3)) "<empty>" else row.getStruct(3).getString(1)
+    // An empty table has no mode to violate the set — vacuous pass,
+    // like InSetCheck over zero rows.
+    val ok = total == 0L || maxOut < maxAll
+    ValidationResult(name,
+      if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      s"most common $column = $observed (count $maxAll of $total)" +
+        (if (ok) " within set" else " — a disallowed value attains the mode"),
+      elementCount = total, unexpectedCount = if (ok) 0L else 1L)
+  }
+}
+
 object CheckSuite {
   /** Fuse all agg-expressible checks over one table into a SINGLE Spark
     * job (one scan, one partial+final aggregate). The scale property the

@@ -250,6 +250,20 @@ object SuiteLoader {
         aggBounds(kw, "sum")
       case "expect_column_stdev_to_be_between" =>
         aggBounds(kw, "stddev")
+      case "expect_column_values_to_be_increasing" |
+           "expect_column_values_to_be_decreasing" =>
+        // GE's implicit row order does not exist in a distributed
+        // engine — the suite must DECLARE the order key. Required like
+        // the quantile kwarg: silently defaulting would validate a
+        // meaningless ordering.
+        require(kw.hasNonNull("order_by"),
+          s"missing 'order_by' in $kw — a distributed table has no row " +
+            "order; declare the key the sequence is read in")
+        MonotonicCheck(reqText(kw, "column"), reqText(kw, "order_by"),
+          increasing = expectationType.endsWith("increasing"),
+          strictly = kw.path("strictly").asBoolean(false))
+      case "expect_column_most_common_value_to_be_in_set" =>
+        MostCommonValueCheck(reqText(kw, "column"), strings(kw, "value_set"))
       case "expect_column_values_to_be_unique" =>
         UniqueCheck(Seq(reqText(kw, "column")))
       case "expect_compound_columns_to_be_unique" =>

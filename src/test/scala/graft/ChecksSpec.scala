@@ -193,4 +193,94 @@ class ChecksSpec extends SparkSpec {
     assert(batched.map(r => (r.validationName, r.status, r.elementCount, r.unexpectedCount)) ==
       individual.map(r => (r.validationName, r.status, r.elementCount, r.unexpectedCount)))
   }
+
+  // --------------------------------------------- G22 GE-tail vocabulary
+
+  test("MonotonicCheck counts adjacent violations across partition boundaries") {
+    // 200 ordered rows → repartitionByRange spreads them over many
+    // partitions, so boundary stitching is genuinely exercised. Values
+    // dip at every multiple of 50 (4 inversions for increasing).
+    val rows = (1 to 200).map(i =>
+      Row(i.toLong, if (i % 50 == 0) -1.0 else i.toDouble))
+    val data = df(rows, "ord BIGINT, v DOUBLE")
+    val inc = MonotonicCheck("v", "ord").run(data)
+    // each dip is ONE adjacency violation (the drop in; the rise out is
+    // increasing again): 4 dips → 4
+    assert(inc.elementCount == 200L && inc.unexpectedCount == 4L,
+      inc.message)
+    assert(!inc.passed)
+    // ord itself is strictly increasing by ord.
+    val strict = MonotonicCheck("ord", "ord", strictly = true).run(data)
+    assert(strict.passed && strict.unexpectedCount == 0L)
+  }
+
+  test("MonotonicCheck: strictness counts ties; decreasing mirrors; " +
+       "ties on the order key are lenient") {
+    val data = df(Seq(
+      Row(1L, 5.0), Row(2L, 5.0), Row(3L, 4.0), Row(4L, 4.0), Row(5L, 3.0)),
+      "ord BIGINT, v DOUBLE")
+    assert(MonotonicCheck("v", "ord", increasing = false).run(data).passed)
+    val strict = MonotonicCheck("v", "ord", increasing = false,
+      strictly = true).run(data)
+    assert(!strict.passed && strict.unexpectedCount == 2L) // two plateaus
+    // order-key ties sort the value favorably: (ord=1, v∈{1,2}) is not
+    // disorder for an increasing check regardless of physical layout.
+    val tied = df(Seq(Row(1L, 2.0), Row(1L, 1.0), Row(2L, 3.0)),
+      "ord BIGINT, v DOUBLE")
+    assert(MonotonicCheck("v", "ord").run(tied).passed)
+    // nulls (in value or order key) drop out of the basis.
+    val withNulls = df(Seq(Row(1L, 1.0), Row(2L, null), Row(3L, 2.0)),
+      "ord BIGINT, v DOUBLE")
+    val r = MonotonicCheck("v", "ord").run(withNulls)
+    assert(r.passed && r.elementCount == 2L)
+  }
+
+  test("MostCommonValueCheck: mode membership, disallowed co-mode fails") {
+    val data = df(Seq(
+      Row("a"), Row("a"), Row("b"), Row("b"), Row("c")),
+      "k STRING")
+    // tied modes {a, b}: both allowed → pass; b missing → fail.
+    assert(MostCommonValueCheck("k", Seq("a", "b")).run(data).passed)
+    assert(!MostCommonValueCheck("k", Seq("a", "c")).run(data).passed)
+    // unique mode a: c need not be allowed.
+    val uni = df(Seq(Row("a"), Row("a"), Row("c")), "k STRING")
+    assert(MostCommonValueCheck("k", Seq("a")).run(uni).passed)
+    // empty table: vacuous pass (no mode exists to violate the set).
+    val empty = df(Seq.empty[Row], "k STRING")
+    val r = MostCommonValueCheck("k", Seq("a")).run(empty)
+    assert(r.passed && r.elementCount == 0L)
+  }
+
+  test("SuiteLoader wires the G22 expectation names") {
+    import graft.suite.SuiteLoader
+    val yaml =
+      """suite_name: g22
+        |tables:
+        |  - table: t
+        |    expectations:
+        |      - type: expect_column_values_to_be_increasing
+        |        kwargs: { column: v, order_by: ord, strictly: true }
+        |      - type: expect_column_values_to_be_decreasing
+        |        kwargs: { column: v, order_by: ord }
+        |      - type: expect_column_most_common_value_to_be_in_set
+        |        kwargs: { column: k, value_set: [a, b] }
+        |""".stripMargin
+    val checks = SuiteLoader.parse(yaml, yaml = true).tables.head.checks
+    assert(checks == Seq(
+      MonotonicCheck("v", "ord", increasing = true, strictly = true),
+      MonotonicCheck("v", "ord", increasing = false),
+      MostCommonValueCheck("k", Seq("a", "b"))))
+    // order_by is required — a silent default would validate nothing.
+    val bad =
+      """suite_name: g22bad
+        |tables:
+        |  - table: t
+        |    expectations:
+        |      - type: expect_column_values_to_be_increasing
+        |        kwargs: { column: v }
+        |""".stripMargin
+    intercept[IllegalArgumentException] {
+      SuiteLoader.parse(bad, yaml = true)
+    }
+  }
 }
