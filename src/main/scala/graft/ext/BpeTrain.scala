@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   * only alternate occurrences), `[a,a,a]` fuses greedily left-to-right
   * to `[aa,a]` — exactly the reference algorithm — and a multi-char
   * symbol can never false-match inside a neighbor (`(b,c)` does not
-  * fire on `[ab,c]`). The census is restricted to lowercase-alphabetic
-  * words, so the sentinels cannot occur in the data (the x32 CSV
-  * U+0001 discipline).
+  * fire on `[ab,c]`). The census excludes words carrying the sentinel
+  * code points, so the sentinels cannot occur in the data (the x32 CSV
+  * U+0001 discipline); the default census further restricts to
+  * case-folded lowercase-alphabetic words (the classic word-level
+  * setting), while `fullAlphabet = true` admits every other symbol —
+  * punctuation, digits, any Unicode (VERDICT r15 ask #4).
   *
   * Scale shape: ONE corpus pass builds the word census; the top-W cut
   * rides a TakeOrdered (no global sort); the merge loop then runs
@@ -44,17 +47,40 @@ object BpeTrain {
   private val S = "\u0001" // symbol open sentinel
   private val E = "\u0002" // symbol close sentinel
 
-  /** Word-frequency census: lowercase-alphabetic words only (the
-    * sentinel-safety contract), top `maxWords` by (count DESC, word
-    * ASC) — a deterministic TakeOrdered cut. */
+  /** Word-frequency census, top `maxWords` by (count DESC, word ASC) —
+    * a deterministic TakeOrdered cut.
+    *
+    * Two alphabets (VERDICT r15 ask #4):
+    *  - default: case-folded lowercase-alphabetic words only — the
+    *    classic Sennrich word-level setting, and the shape the
+    *    registered k=8 oracle replays;
+    *  - `fullAlphabet = true`: case-preserving whitespace tokens with
+    *    punctuation/digits/any Unicode intact — the production
+    *    byte-level-style vocabulary. The TRAINING path
+    *    ([[fitMerges]]) is already representation-agnostic (symbol
+    *    ARRAYS, code-point collation); the only unrepresentable
+    *    symbols anywhere in the family are the two sentinel code
+    *    points the string-surgery SERVE path ([[segment]]) and the
+    *    SQL oracle wrap with (U+0001/U+0002 — the x32 CSV
+    *    discipline), so full mode excludes exactly words carrying
+    *    those, not the other 1,114,110 code points the old `^[a-z]+$`
+    *    gate threw away. */
   def wordCensus(docs: DataFrame, maxWords: Int,
-                 textCol: String = "text"): DataFrame =
-    docs.select(explode(TextAnalysis.tokens(lower(col(textCol))))
-        .as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
+                 textCol: String = "text",
+                 fullAlphabet: Boolean = false): DataFrame = {
+    val toks =
+      if (fullAlphabet) TextAnalysis.tokens(col(textCol))
+      else TextAnalysis.tokens(lower(col(textCol)))
+    val keep =
+      if (fullAlphabet) !col("word").rlike(s"[$S$E]") &&
+        length(col("word")) > 0
+      else col("word").rlike("^[a-z]+$")
+    docs.select(explode(toks).as("word"))
+      .filter(keep)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
       .limit(maxWords)
+  }
 
   /** The initial symbol sequence: each character wrapped. DOTALL —
     * without (?s) a line terminator in the input would pass through

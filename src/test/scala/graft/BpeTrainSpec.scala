@@ -85,13 +85,13 @@ class BpeTrainSpec extends SparkSpec {
     assert(t1.toSeq == t2.toSeq)
   }
 
-  test("delta-maintained training equals an independent full-census " +
-       "reference at ~100 merges (the VERDICT r13 incremental proof)") {
-    // Independent reference: recompute EVERY pair count from scratch
-    // each step (the pre-r14 formulation), pure Scala — no shared code
-    // with the delta path beyond the fuse rule it re-implements.
-    def reference(words0: Seq[(String, Long)], merges: Int)
-        : Seq[(Long, String, String, String, Long)] = {
+  // Independent reference: recompute EVERY pair count from scratch
+  // each step (the pre-r14 formulation), pure Scala — no shared code
+  // with the delta path beyond the fuse rule it re-implements. Shared
+  // by the alpha-census and full-alphabet pins (BMP-only: ASCII words
+  // sort identically under UTF-16 and code-point collation).
+  private def reference(words0: Seq[(String, Long)], merges: Int)
+      : Seq[(Long, String, String, String, Long)] = {
       var ws = words0.map { case (w, c) => (w.map(_.toString).toArray, c) }
       val out = Seq.newBuilder[(Long, String, String, String, Long)]
       var step = 1
@@ -125,6 +125,9 @@ class BpeTrainSpec extends SparkSpec {
       }
       out.result()
     }
+
+  test("delta-maintained training equals an independent full-census " +
+       "reference at ~100 merges (the VERDICT r13 incremental proof)") {
     val docs = Tables.documents(spark, sfDir)
     val census = BpeTrain.wordCensus(docs, 300)
     val words = census.collect()
@@ -138,6 +141,39 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == want,
       "delta-maintained trajectory diverged from the full-census " +
         "reference")
+  }
+
+  test("full-alphabet census trains over punctuation/digits/case and " +
+       "matches the recompute-everything reference (VERDICT r15 ask #4)") {
+    // Dirty the documents so the full alphabet is genuinely present:
+    // trailing punctuation, digit suffixes, mixed case, a unicode mark.
+    val docs = Tables.documents(spark, sfDir).withColumn("text",
+      concat_ws(" ", col("text"),
+        lit("End-of-line! (v2.1) COSTS $3,000 — §7; 'quoted,' 42%")))
+    val census = BpeTrain.wordCensus(docs, 300, fullAlphabet = true)
+    val words = census.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // The alphabet is genuinely full: punctuation, digits, uppercase.
+    assert(words.exists(_._1.exists(c => !c.isLetter)),
+      "full census must admit non-alphabetic symbols")
+    assert(words.exists(_._1.exists(_.isUpper)),
+      "full census must preserve case")
+    assert(words.forall(w => !w._1.contains('\u0001') &&
+      !w._1.contains('\u0002')), "sentinel code points stay excluded")
+    val want = reference(words, merges = 120)
+    val got = BpeTrain.fitMerges(census, merges = 120).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == want,
+      "full-alphabet trajectory diverged from the full-census reference")
+    // Punctuation genuinely participates in learned merges on this
+    // corpus (the sentence-final period rides the census words).
+    assert(got.exists(m => (m._2 + m._3).exists(c => !c.isLetter)),
+      s"expected a merge touching a non-letter symbol: ${got.take(10)}")
+    // The alpha-mode census is unchanged by the new parameter (the
+    // registered x53 oracle's shape).
+    val alpha = BpeTrain.wordCensus(docs, 50)
+    assert(alpha.filter(!col("word").rlike("^[a-z]+$")).count() == 0L)
   }
 
   test("a 1024-merge fit runs (the raised guard) and stays exact on " +
