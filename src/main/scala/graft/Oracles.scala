@@ -1556,6 +1556,78 @@ object Oracles {
     graft.ext.Multimodal.ImaStepTable.zipWithIndex
       .map { case (s, i) => s"($i, $s)" }.mkString(", ")
 
+  /** The fixed-point pHash DCT basis as a VALUES list — rendered from
+    * the engine's own table (the imaStepValues sharing class: basis
+    * DATA shared, the DCT/median/bit MACHINE replayed independently in
+    * SQL). (u, x, c) with c = round(2^14·cos((2x+1)uπ/64)), u < 8. */
+  private val phashCosValues: String =
+    graft.ext.Multimodal.phashCos.zipWithIndex.flatMap {
+      case (row, u) => row.zipWithIndex.map {
+        case (c, x) => s"($u, $x, $c)"
+      }
+    }.mkString(", ")
+
+  /** Every pHash-lane document's 64-bit perceptual hash in CLOSED FORM:
+    * planted luma (Multimodal.phashLuma mirrored verbatim) → floor-div
+    * 32×32 cell means → two integer DCT passes over the shared
+    * fixed-point basis → 32nd-order-statistic median of the 63 AC
+    * coefficients → bit v·8+u strictly above median (DC bit never
+    * set), bit 63 via the Long.MinValue literal (DuckDB refuses
+    * 1<<63). */
+  private lazy val phashHashCtes: String =
+    """pimg AS (
+      |  SELECT doc_id, doc_id // 24 AS f,
+      |         LEAST((doc_id % 24) // 3, 6) AS vp
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |pdim AS (
+      |  SELECT doc_id, vp,
+      |         CAST(32 * (1 + f % 2) AS BIGINT) AS w,
+      |         CAST(32 AS BIGINT) AS h,
+      |         xor(f % 1000000007, (f % 1000000007) // 65536)
+      |           * 73244475 AS m
+      |  FROM pimg),
+      |pxs AS (SELECT doc_id, vp, w, h, m, unnest(range(0, w)) AS x
+      |        FROM pdim),
+      |ppx AS (SELECT doc_id, vp, w, h, m, x, unnest(range(0, h)) AS y
+      |        FROM pxs),
+      |plum AS (
+      |  SELECT doc_id, x * 32 // w AS cx, y * 32 // h AS cy,
+      |         (xor(((m + 40503 * x + 48271 * y) // 256) % 256,
+      |              ((m + 40503 * x + 48271 * y) // 16777216) % 256)
+      |          % 192) + vp * ((x + 2 * y) % 7) AS l
+      |  FROM ppx),
+      |pcell AS (SELECT doc_id, cy, cx,
+      |                 CAST(sum(l) // count(*) AS BIGINT) AS cv
+      |          FROM plum GROUP BY 1, 2, 3),
+      |pct(u, x, c) AS (VALUES """.stripMargin + phashCosValues + """),
+      |pt1 AS (
+      |  SELECT p.doc_id, p.cy AS y, t.u, sum(p.cv * t.c) AS a
+      |  FROM pcell p JOIN pct t ON t.x = p.cx
+      |  GROUP BY 1, 2, 3),
+      |pt2 AS (
+      |  SELECT t1.doc_id, t1.u AS u, t.u AS v, sum(t1.a * t.c) AS coef
+      |  FROM pt1 t1 JOIN pct t ON t.x = t1.y
+      |  GROUP BY 1, 2, 3),
+      |pmed AS (
+      |  SELECT doc_id, coef AS med FROM (
+      |    SELECT doc_id, coef,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY coef)
+      |             AS rn
+      |    FROM pt2 WHERE NOT (u = 0 AND v = 0))
+      |  WHERE rn = 32),
+      |pbits AS (
+      |  SELECT t.doc_id, CAST(t.v * 8 + t.u AS INTEGER) AS pos
+      |  FROM pt2 t JOIN pmed md ON md.doc_id = t.doc_id
+      |  WHERE NOT (t.u = 0 AND t.v = 0) AND t.coef > md.med),
+      |phash AS (
+      |  SELECT i.doc_id,
+      |         coalesce(bit_or(CASE WHEN b.pos = 63
+      |                              THEN (-9223372036854775807 - 1)
+      |                              ELSE 1::BIGINT << b.pos END),
+      |                  0) AS phash
+      |  FROM pimg i LEFT JOIN pbits b ON i.doc_id = b.doc_id
+      |  GROUP BY i.doc_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "d1_count" -> "SELECT count(*) AS cnt FROM lineitem",
 
@@ -4142,6 +4214,22 @@ object Oracles {
         |  AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 12 HOUR
         |ORDER BY imp_id, conv_id""".stripMargin,
 
+    "s20_stream_outer_join" ->
+      // The left-outer interval join replayed as the plain LEFT JOIN
+      // BETWEEN it equals on complete in-order data: unmatched
+      // impressions null-extended. Within an imp_id a null conv_id
+      // exists only when no match does, so (imp_id, conv_id) ordering
+      // never compares null vs non-null — the Spark (NULLS FIRST) /
+      // DuckDB (NULLS LAST) ASC divergence is unreachable.
+      """SELECT i.event_id AS imp_id, c.event_id AS conv_id,
+        |       i.user_id AS user_id,
+        |       CAST(date_diff('second', i.ts, c.ts) AS BIGINT) AS lag_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'view') i
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') c
+        |  ON i.user_id = c.user_id
+        | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 12 HOUR
+        |ORDER BY imp_id, conv_id""".stripMargin,
+
     "s16_stream_madgate" ->
       // The serve-time gate replayed end to end: cuts re-derived from
       // the even half (the twice-median trick), the odd half gated by
@@ -4227,6 +4315,92 @@ object Oracles {
         |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |       n_a = n_b AS passed
         |FROM pairs ORDER BY table_a""".stripMargin,
+
+    "g22_ge_tail" ->
+      // The GE-tail verdicts replayed: monotonic violations via lag
+      // windows over the SAME per-check non-null basis (the engine
+      // filters each check's columns independently; event_id is unique,
+      // so the engine's lenient-on-ties secondary sort never engages
+      // and lag adjacency IS partition-stitched adjacency), the mode
+      // duel as best-allowed vs best-disallowed counts, and the
+      // sum/stdev bounds as verdicts only (floats stay off the hash).
+      """WITH lagts AS (
+        |  SELECT ts, lag(ts) OVER (ORDER BY event_id) AS pts
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+        |lagv AS (
+        |  SELECT value, lag(value) OVER (ORDER BY event_id) AS pv
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |mts AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(CASE WHEN ts <= pts THEN 1 END) AS BIGINT)
+        |           AS viol
+        |  FROM lagts),
+        |mv AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(CASE WHEN value < pv THEN 1 END) AS BIGINT)
+        |           AS viol_incr,
+        |         CAST(count(CASE WHEN value > pv THEN 1 END) AS BIGINT)
+        |           AS viol_decr
+        |  FROM lagv),
+        |md AS (
+        |  SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_rows,
+        |         max(CASE WHEN v NOT IN ('signup', 'view') THEN c END)
+        |           AS max_out,
+        |         max(c) AS max_all
+        |  FROM (SELECT event_type AS v, count(*) AS c FROM events
+        |        WHERE event_type IS NOT NULL GROUP BY 1)),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, sum(value) AS sv,
+        |         stddev_samp(value) AS sd
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'monotonic:incr_strict:ts:by:event_id'
+        |           AS validation_name,
+        |         CASE WHEN viol = 0 THEN 'PASSED' ELSE 'FAILED' END
+        |           AS status,
+        |         n AS element_count, viol AS unexpected_count
+        |  FROM mts
+        |  UNION ALL
+        |  SELECT 'monotonic:incr:value:by:event_id',
+        |         CASE WHEN viol_incr = 0 THEN 'PASSED' ELSE 'FAILED' END,
+        |         n, viol_incr
+        |  FROM mv
+        |  UNION ALL
+        |  SELECT 'monotonic:decr:value:by:event_id',
+        |         CASE WHEN viol_decr = 0 THEN 'PASSED' ELSE 'FAILED' END,
+        |         n, viol_decr
+        |  FROM mv
+        |  UNION ALL
+        |  SELECT 'most_common_in_set:event_type',
+        |         CASE WHEN n_rows = 0 OR max_out IS NULL
+        |                   OR max_out < max_all
+        |              THEN 'PASSED' ELSE 'FAILED' END,
+        |         n_rows,
+        |         CAST(CASE WHEN n_rows = 0 OR max_out IS NULL
+        |                        OR max_out < max_all
+        |                   THEN 0 ELSE 1 END AS BIGINT)
+        |  FROM md
+        |  UNION ALL
+        |  SELECT 'agg_bounds:sum:value',
+        |         CASE WHEN sv IS NOT NULL AND sv >= 0.0
+        |                   AND sv <= 1000000000000.0
+        |              THEN 'PASSED' ELSE 'FAILED' END,
+        |         n,
+        |         CAST(CASE WHEN sv IS NOT NULL AND sv >= 0.0
+        |                        AND sv <= 1000000000000.0
+        |                   THEN 0 ELSE 1 END AS BIGINT)
+        |  FROM ag
+        |  UNION ALL
+        |  SELECT 'agg_bounds:stddev:value',
+        |         CASE WHEN sd IS NOT NULL AND sd >= 1000000.0
+        |                   AND sd <= 2000000.0
+        |              THEN 'PASSED' ELSE 'FAILED' END,
+        |         n,
+        |         CAST(CASE WHEN sd IS NOT NULL AND sd >= 1000000.0
+        |                        AND sd <= 2000000.0
+        |                   THEN 0 ELSE 1 END AS BIGINT)
+        |  FROM ag)
+        |ORDER BY validation_name""".stripMargin,
 
     "g19_benford" ->
       // The digit census replayed: the 4-dp scaled long's decimal
@@ -6126,6 +6300,60 @@ object Oracles {
         """SELECT id AS media_id, min(lbl) AS cluster_id,
           |       min(lbl) = id AS keep
           |FROM creach GROUP BY id ORDER BY media_id""".stripMargin),
+
+    "x5_jpeg_decode" ->
+      // The LOSSY round trip's closed-form verdict: dims replay
+      // exactly; fidelity ships as n_blocks_within_tol = n_blocks
+      // (every decoded MCU-block mean within ±3 counts of the planted
+      // constant — block-constant gray input at explicit q0.95 bounds
+      // the error to DC quantization + YCbCr rounding). The oracle
+      // ASSERTS the full count; one drifted block breaks the hash.
+      """SELECT doc_id AS media_id,
+        |       CAST(16 + 8 * ((doc_id // 3) % 3) AS INTEGER) AS jpeg_w,
+        |       CAST(16 + 8 * ((doc_id // 3) % 2) AS INTEGER) AS jpeg_h,
+        |       CAST(((16 + 8 * ((doc_id // 3) % 3)) // 8)
+        |            * ((16 + 8 * ((doc_id // 3) % 2)) // 8)
+        |         AS INTEGER) AS n_blocks,
+        |       CAST(((16 + 8 * ((doc_id // 3) % 3)) // 8)
+        |            * ((16 + 8 * ((doc_id // 3) % 2)) // 8)
+        |         AS INTEGER) AS n_blocks_within_tol
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id""".stripMargin,
+
+    "x5_phash_pairs" ->
+      // The DCT perceptual-hash near-dup replayed as BRUTE FORCE over
+      // hashes recomputed from the closed-form planted luma — the
+      // exact-integer DCT (shared fixed-point basis, floor-div cell
+      // means, order-statistic median) is what makes a float-free
+      // replay possible; the banded engine must equal the all-pairs
+      // Hamming predicate exactly.
+      ("WITH " + phashHashCtes + ",\n" +
+        """ppair AS (
+          |  SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+          |         CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER)
+          |           AS hamming
+          |  FROM phash a JOIN phash b ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.phash, b.phash)) <= 10)
+          |SELECT media_id_a, media_id_b, hamming FROM ppair
+          |ORDER BY media_id_a, media_id_b""".stripMargin),
+
+    "x5_dhash_pipeline" ->
+      // The composed production shape replayed per image from the
+      // closed-form hash CTE: signature, connected component over the
+      // full pair graph (isolated images label themselves), CC keep,
+      // and the keep-first drop flag (EXISTS a smaller-id image within
+      // Hamming <= 3 — the b-side of any qualifying pair).
+      ("WITH RECURSIVE " + dhashPairCtes + ",\n" +
+        componentCtesFrom("dpair", "media_id_a", "media_id_b") + "\n" +
+        """SELECT h.doc_id AS media_id, h.dhash,
+          |       COALESCE(c.cluster_id, h.doc_id) AS cluster_id,
+          |       COALESCE(c.cluster_id, h.doc_id) = h.doc_id AS keep,
+          |       EXISTS (SELECT 1 FROM dpair p
+          |               WHERE p.media_id_b = h.doc_id) AS drop_firstseen
+          |FROM hash h
+          |LEFT JOIN (SELECT id, min(lbl) AS cluster_id
+          |           FROM creach GROUP BY id) c ON c.id = h.doc_id
+          |ORDER BY media_id""".stripMargin),
 
     "x5_dhash_against" ->
       // The incremental (cross-shard) image near-dup replayed as the

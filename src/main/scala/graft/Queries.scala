@@ -1410,6 +1410,43 @@ object Queries {
         supplier(s, d), "supplier"))
       .orderBy("table_a")
 
+  /** G22 — the GE 0.18 tail vocabulary (VERDICT r15 ask #5), run
+    * through the REAL check engine and registered as its verdict rows:
+    * [[graft.checks.MonotonicCheck]]
+    * (`expect_column_values_to_be_increasing/decreasing` — range
+    * partition + within-partition sort + driver boundary stitch, no
+    * global window) on the events stream (ts is strictly increasing by
+    * event_id: a deterministic pass with a live zero counter; value is
+    * unordered: both directions FAIL with exact data-derived inversion
+    * counts), [[graft.checks.MostCommonValueCheck]]
+    * (`expect_column_most_common_value_to_be_in_set`, tie-exact via
+    * best-allowed vs best-disallowed counts), and the sum/stdev
+    * [[graft.checks.AggBoundsCheck]] bounds GE 0.18 declares
+    * (`expect_column_sum/stdev_to_be_between` — the stdev bound is
+    * deliberately unsatisfiable, so the FAILED path is proven live).
+    * The oracle replays every verdict: inversions via lag windows,
+    * the mode duel, and the bound checks (verdict-only on floats —
+    * values stay off the hash). Cites the platform's declared GE
+    * surface (great_expectations.yml:6-10, requirements.txt:3). */
+  def g22GeTail(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val checks: Seq[graft.checks.Check] = Seq(
+      graft.checks.MonotonicCheck("ts", "event_id",
+        increasing = true, strictly = true),
+      graft.checks.MonotonicCheck("value", "event_id", increasing = true),
+      graft.checks.MonotonicCheck("value", "event_id", increasing = false),
+      graft.checks.MostCommonValueCheck("event_type", Seq("signup", "view")),
+      graft.checks.AggBoundsCheck("value", "sum", 0.0, 1e12),
+      graft.checks.AggBoundsCheck("value", "stddev", 1e6, 2e6))
+    checks.map(_.run(ev))
+      .map(r => (r.validationName, r.status, r.elementCount,
+        r.unexpectedCount))
+      .toDF("validation_name", "status", "element_count",
+        "unexpected_count")
+      .orderBy("validation_name")
+  }
+
   /** G20 — exact correlation sufficient statistics ([[graft.checks
     * .Profiling.corrStats]]): quantity vs extended price per return
     * flag — the five mergeable DECIMAL sums plus the 6-dp Pearson
@@ -1941,10 +1978,21 @@ object Queries {
   /** X5e-dropset — the dedup-composition form of [[x5DhashPairs]]:
     * an image is DROPPED iff some smaller-id image sits within
     * Hamming ≤ 3 (keep-first-occurrence over the near-dup relation —
-    * the image analog of the text drop-set lanes). */
+    * the image analog of the text drop-set lanes). Consumes
+    * [[graft.ext.Dedup.hammingEdges]], NOT the full pair relation
+    * (VERDICT r14 #1): the verdicts only need one smaller neighbor
+    * per dropped image, and the star-edge relation supplies it
+    * linearly where the Hamming-0 family self-join is quadratic in
+    * duplicate-family size — identical drop set by construction
+    * (the `DISTINCT doc_id_b` equivalence proven in hammingEdges'
+    * contract and pinned in DedupSpec), so the oracle's brute-force
+    * pair replay is unchanged. */
   def x5DhashDropset(s: SparkSession, d: String): DataFrame =
-    x5DhashPairs(s, d)
-      .select(col("media_id_b").as("media_id")).distinct()
+    graft.ext.Dedup.hammingEdges(
+      graft.ext.Multimodal.dhashPngs(
+        graft.ext.Multimodal.dhashMediaFromDocuments(documents(s, d))),
+      "media_id", "dhash", maxHamming = 3)
+      .select(col("doc_id_b").as("media_id")).distinct()
       .orderBy("media_id")
 
   /** X5f — REAL compressed-audio decode (VERDICT r13 ask #6): planted
@@ -1967,9 +2015,14 @@ object Queries {
     * component = smallest member, keep = the representative. The
     * oracle replays the identical recursive reachability over the
     * closed-form pair CTE — image dedup is resolvable end-to-end, not
-    * just detectable. */
+    * just detectable. Resolution consumes
+    * [[graft.ext.Dedup.hammingEdges]] (VERDICT r14 #1): star +
+    * representative edges span the SAME components as the full pair
+    * relation — linear where the Hamming-0 family self-join is
+    * quadratic in duplicate-family size — so the recursive oracle
+    * over the full closed-form pair graph is unchanged. */
   def x5DhashGroups(s: SparkSession, d: String): DataFrame = {
-    val pairs = graft.ext.Dedup.hammingPairs(
+    val pairs = graft.ext.Dedup.hammingEdges(
       graft.ext.Multimodal.dhashPngs(
         graft.ext.Multimodal.dhashMediaFromDocuments(documents(s, d))),
       "media_id", "dhash", maxHamming = 3)
@@ -2008,6 +2061,87 @@ object Queries {
         "media_id", "dhash", maxHamming = 3)
       .toDF("media_id_new", "media_id_hist", "hamming")
       .orderBy("media_id_new", "media_id_hist")
+  }
+
+  /** X5g — REAL JPEG round trip (VERDICT r15 ask #2: crawled images
+    * are overwhelmingly JPEG, and the JDK ships the codec): planted
+    * block-constant gray JPEGs (dims in MCU multiples, every 8×8 block
+    * a constant — AC quantizes to exact zero) encoded at explicit
+    * quality 0.95, decoded back through javax.imageio, per-MCU-block
+    * luma sums compared against the closed-form plant. JPEG is LOSSY,
+    * so unlike the PNG lane the sums themselves can't hash — instead
+    * the lane ships the decode-fidelity VERDICT: every block's mean
+    * must sit within ±3 counts of [[graft.ext.Multimodal
+    * .jpegBlockLuma]] (DC quant step at q0.95 ≈ 2 → ≤1 count of mean
+    * error, plus YCbCr integer rounding — measured max ≤ 2 in
+    * JpegPhashSpec), and the oracle asserts n_blocks_within_tol =
+    * n_blocks in closed form. A codec drift breaks the hash loudly. */
+  def x5JpegDecode(s: SparkSession, d: String): DataFrame =
+    graft.ext.Multimodal.decodeJpegs(
+      graft.ext.Multimodal.jpegMediaFromDocuments(documents(s, d)))
+      .select(col("media_id"), col("jpeg_w"), col("jpeg_h"),
+        size(col("block_sums")).as("n_blocks"),
+        expr("""size(filter(block_sums, (s, i) ->
+                abs(s - 64 * (20 + (31 * media_id
+                                    + 7 * (i % (jpeg_w div 8))
+                                    + 13 * (i div (jpeg_w div 8))) % 200))
+                <= 192))""").as("n_blocks_within_tol"))
+      .orderBy("media_id")
+
+  /** X5g-pairs — DCT perceptual-hash near-dup ([[graft.ext.Multimodal
+    * .phash64]]): the re-compression-robust sibling of dHash, riding
+    * the SAME banded [[graft.ext.Dedup.hammingPairs]] core. The
+    * exact-integer DCT formulation (fixed-point cosine table shared
+    * verbatim with the oracle, floor-div cell means, integer median
+    * threshold) is what promotes the lane to a FULL oracle where a
+    * float DCT would be rows-only: the oracle recomputes every hash
+    * from the closed-form planted luma and applies the brute-force
+    * Hamming predicate — the banded engine must equal it exactly.
+    * Cross-codec stability (pHash of a JPEG re-encode lands within a
+    * few bits of the PNG original) is pinned in JpegPhashSpec. */
+  def x5PhashPairs(s: SparkSession, d: String): DataFrame =
+    graft.ext.Dedup.hammingPairs(
+      graft.ext.Multimodal.phashImages(
+        graft.ext.Multimodal.phashMediaFromDocuments(documents(s, d))),
+      "media_id", "phash", maxHamming = 10)
+      .toDF("media_id_a", "media_id_b", "hamming")
+      .orderBy("media_id_a", "media_id_b")
+
+  /** X5e-pipeline — the PRODUCTION composition of the dHash family
+    * (VERDICT r15 ask #6): the four registered lanes are standalone by
+    * contract (each re-decodes the corpus — the documented
+    * registered-standalone pricing), but a real pipeline runs the
+    * decode+hash pass ONCE, persists the signature index, and serves
+    * every consumer from it. This lane prices that shape: signatures
+    * built and SAVED once per JVM ([[persistedIndexDir]]), then the
+    * pair probe, the keep-first drop verdict, and the
+    * connected-component resolution all read the LOADED parquet —
+    * one [[graft.ext.Dedup.hammingEdges]] pass feeds all three
+    * (≈ one decode pass + three cheap probes instead of four decode
+    * passes). Output is the per-image verdict card: signature,
+    * cluster, CC-representative keep, and the keep-first drop flag —
+    * the oracle replays all of it from the closed-form hash CTE. */
+  def x5DhashPipeline(s: SparkSession, d: String): DataFrame = {
+    val dir = persistedIndexDir("dhash_sigs", d) { dir =>
+      graft.ext.Multimodal.dhashPngs(
+          graft.ext.Multimodal.dhashMediaFromDocuments(documents(s, d)))
+        .write.mode("overwrite").parquet(dir)
+    }
+    val sigs = s.read.parquet(dir)
+    val edges = graft.ext.Dedup.hammingEdges(sigs, "media_id", "dhash",
+      maxHamming = 3)
+    val clusters = graft.ext.DedupResolve.connectedComponents(edges)
+      .select(col("id").as("media_id"), col("component").as("cluster_id"))
+    val dropped = edges.select(col("doc_id_b").as("media_id")).distinct()
+      .withColumn("drop_firstseen", lit(true))
+    sigs.join(clusters, Seq("media_id"), "left")
+      .join(dropped, Seq("media_id"), "left")
+      .select(col("media_id"), col("dhash"),
+        coalesce(col("cluster_id"), col("media_id")).as("cluster_id"),
+        (coalesce(col("cluster_id"), col("media_id")) === col("media_id"))
+          .as("keep"),
+        coalesce(col("drop_firstseen"), lit(false)).as("drop_firstseen"))
+      .orderBy("media_id")
   }
 
   /** s19 — STREAMING image near-dup drop vs the saved dHash index,
@@ -2642,6 +2776,34 @@ object Queries {
     graft.stream.StreamingIntervalJoin.joinWithin(
         imps, convs, keyCol = "user_id", leftTime = "ts",
         rightTime = "ts", withinSeconds = 43200L)
+      .select(col("imp_id"), col("r_conv_id").as("conv_id"),
+        col("user_id"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("ts")))
+          .as("lag_sec"))
+      .orderBy("imp_id", "conv_id")
+  }
+
+  /** S20 — the LEFT-OUTER half of the s18 vocabulary (VERDICT r15 ask
+    * #3): every impression, attributed if a conversion lands within
+    * 12 h, null-extended otherwise. Live semantics (unmatched row
+    * emitted exactly once, only after the watermark passes
+    * `ts + within + delay`; a late conversion never resurrects it) are
+    * pinned in StreamingIntervalJoinSpec; on complete in-order data
+    * the stream emits exactly the plain LEFT JOIN BETWEEN, which is
+    * what this batch replay hash-checks. Within an imp_id the
+    * null-extended row exists only when NO match does, so the
+    * (imp_id, conv_id) order never compares a null against a non-null
+    * — the Spark/DuckDB null-ordering divergence can't bite. */
+  def s20StreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val imps = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("imp_id"), col("user_id"), col("ts"))
+    val convs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"), col("ts"))
+    graft.stream.StreamingIntervalJoin.joinWithin(
+        imps, convs, keyCol = "user_id", leftTime = "ts",
+        rightTime = "ts", withinSeconds = 43200L,
+        joinType = "left_outer")
       .select(col("imp_id"), col("r_conv_id").as("conv_id"),
         col("user_id"),
         (unix_timestamp(col("r_ts")) - unix_timestamp(col("ts")))

@@ -200,6 +200,10 @@ class PlanAuditSpec extends SparkSpec {
     "x10_keepbest_funnel",
     "v1_raw_gate", "v2_suite_summary", "g16_declarative_suite",
     "v5_drift_check", "v6_checkpoint_run",
+    // runs the REAL check engine (MonotonicCheck's range-partitioned
+    // fold + the mode/bounds aggregates) at construction, the
+    // v2_suite_summary shape
+    "g22_ge_tail",
     // localCheckpoint the derived history-signature index once,
     // mirroring the persisted-parquet contract of the streaming path
     // (the per-band anti joins would otherwise recompute the signature
@@ -226,6 +230,11 @@ class PlanAuditSpec extends SparkSpec {
     // deliberately NOT here — its anti-join fold is lazy end-to-end
     "x5_dhash_pairs", "x5_dhash_dropset", "x5_dhash_against",
     "x5_dhash_groups", // + the bounded driver union-find (x1_dedup_groups shape)
+    // builds + SAVES the signature index once per JVM, then probes the
+    // loaded parquet (edge materialization + driver union-find)
+    "x5_dhash_pipeline",
+    // the pHash pair lane rides the same materialized hammingPairs core
+    "x5_phash_pairs",
     // checkpoints the derived weight column (persisted-X17-state contract)
     "x12_weighted_mix",
     // checkpoints the (week,type,bin) census consumed by five branches
