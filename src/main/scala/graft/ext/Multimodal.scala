@@ -784,6 +784,42 @@ object Multimodal {
     if (img == null) null else java.lang.Long.valueOf(dhash64(img))
   }
 
+  /** [[dhashPngs]] with an EXACT payload pre-dedup (VERDICT r14 #1
+    * tail: X1a composed on the payload bytes): each DISTINCT payload
+    * decodes once, and members inherit their representative's hash
+    * through slim md5 joins. On production image corpora the dominant
+    * duplicate class is the byte-identical re-upload (the same logo
+    * stored millions of times) — this trades m codec runs per
+    * m-duplicate family for ONE run plus two shuffles of 48-byte
+    * (md5, id/hash) rows and one shuffle of the DISTINCT payloads
+    * (output-proportional: a family moves one payload, not m). Wrong
+    * trade on duplicate-free corpora (the extra shuffles buy nothing)
+    * — callers choose by duplicate ratio; result ≡ [[dhashPngs]] by
+    * construction (same decode body), pinned in DHashSpec. */
+  def dhashPngsDistinct(media: DataFrame): DataFrame = {
+    val session = media.sparkSession
+    import session.implicits._
+    val fp = media.select(col("media_id"), col("payload"),
+      md5(col("payload")).as("__fp"))
+    // Slim census first: (md5, id) pairs only — payloads stay put.
+    val reps = fp.groupBy("__fp").agg(min(col("media_id")).as("__rep"))
+    // Move each DISTINCT payload once; decode through the ONE shared
+    // codec body ([[decodeDhash]] — a fix can't land on one path only),
+    // carrying the fingerprint so no join lineage re-evaluates.
+    val hashed = media.join(reps, media("media_id") === reps("__rep"))
+      .select(col("__fp"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val h = decodeDhash(r.getAs[Array[Byte]](1))
+          if (h == null) None else Some((r.getString(0), h.longValue))
+        }
+      }
+      .toDF("__fp", "dhash")
+    fp.select(col("media_id"), col("__fp"))
+      .join(hashed, "__fp")
+      .select("media_id", "dhash")
+  }
+
   /** X5e decode half — (media_id, dhash) signatures read back OUT OF
     * compressed payloads: one narrow mapPartitions pass through the JDK
     * PNG reader ([[decodePngs]] batch shape) computing [[dhash64]] per

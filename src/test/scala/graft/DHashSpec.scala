@@ -135,4 +135,23 @@ class DHashSpec extends SparkSpec {
       "media_id BIGINT, payload BINARY")
     assert(Multimodal.dhashPngs(media).count() === 0L)
   }
+
+  test("payload pre-dedup decode equals the plain decode row-for-row") {
+    // The planted corpus carries byte-identical v=5/v=6 members, so
+    // the distinct-payload arm genuinely collapses families here.
+    val media = Multimodal.dhashMediaFromDocuments(
+      Tables.documents(spark, sfDir))
+    val plain = Multimodal.dhashPngs(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dedup = Multimodal.dhashPngsDistinct(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dedup == plain,
+      "dhashPngsDistinct must inherit exactly the plain decode's hashes")
+    // And the collapse is real: strictly fewer distinct payloads than
+    // members (the Hamming-0 plant).
+    val nDistinct = media.select(org.apache.spark.sql.functions
+      .md5(org.apache.spark.sql.functions.col("payload"))).distinct().count()
+    assert(nDistinct < plain.size,
+      s"fixture must contain byte-identical payloads ($nDistinct vs ${plain.size})")
+  }
 }
