@@ -74,10 +74,10 @@ class JpegPhashSpec extends SparkSpec {
     val sigs = sigFrame.collect().map(r => r.getLong(0) -> r.getLong(1))
     val brute = (for {
       (ka, ha) <- sigs; (kb, hb) <- sigs if ka < kb
-      d = java.lang.Long.bitCount(ha ^ hb) if d <= 10
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
     } yield (ka, kb, d)).toSet
     val banded = Dedup.hammingPairs(sigFrame, "media_id", "phash",
-        maxHamming = 10)
+        maxHamming = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(banded == brute,
       s"banded ${banded.size} pairs vs brute ${brute.size}")
