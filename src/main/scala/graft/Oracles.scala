@@ -6333,7 +6333,7 @@ object Oracles {
           |         CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER)
           |           AS hamming
           |  FROM phash a JOIN phash b ON a.doc_id < b.doc_id
-          |  WHERE bit_count(xor(a.phash, b.phash)) <= 10)
+          |  WHERE bit_count(xor(a.phash, b.phash)) <= 4)
           |SELECT media_id_a, media_id_b, hamming FROM ppair
           |ORDER BY media_id_a, media_id_b""".stripMargin),
 
