@@ -641,6 +641,21 @@ final case class MonotonicCheck(column: String, orderBy: String,
     (if (increasing) "incr" else "decr") + (if (strictly) "_strict" else "")
   val name = s"monotonic:$dirTag:$column:by:$orderBy"
   def run(df: DataFrame): ValidationResult = {
+    // Both columns must BE orderable-as-number types: a silent
+    // cast("double") of a string column would null every row, drop the
+    // whole basis, and return a vacuous PASS on arbitrarily disordered
+    // data — the same silent-empty-result class Dedup.requireSigLong
+    // guards against (r15 review finding #1).
+    def requireOrderable(c: String): Unit = {
+      import org.apache.spark.sql.types._
+      val dt = df.schema(df.schema.fieldIndex(c)).dataType
+      require(dt.isInstanceOf[NumericType] || dt == TimestampType ||
+          dt == TimestampNTZType || dt == DateType,
+        s"monotonic check needs a numeric/temporal column, '$c' is $dt " +
+          "— a lossy cast would silently empty the basis")
+    }
+    requireOrderable(column)
+    requireOrderable(orderBy)
     val prepared = df
       .select(col(orderBy).cast("double").as("__o"),
         col(column).cast("double").as("__v"))
@@ -650,11 +665,17 @@ final case class MonotonicCheck(column: String, orderBy: String,
       .repartitionByRange(col("__o"))
       .sortWithinPartitions(col("__o").asc, secondary)
     // Plain locals so the executor closure serializes values, not the
-    // check instance.
+    // check instance. TOTAL-order comparison (java.lang.Double.compare:
+    // NaN greater than everything, matching both Spark's sort order
+    // and DuckDB's comparison semantics) — IEEE primitive comparisons
+    // would silently skip every NaN adjacency while the sort placed
+    // NaN by total order (r15 review finding #2).
     val (inc, str) = (increasing, strictly)
-    val bad: (Double, Double) => Boolean = (prev, cur) =>
-      if (inc) { if (str) cur <= prev else cur < prev }
-      else { if (str) cur >= prev else cur > prev }
+    val bad: (Double, Double) => Boolean = (prev, cur) => {
+      val c = java.lang.Double.compare(cur, prev)
+      if (inc) { if (str) c <= 0 else c < 0 }
+      else { if (str) c >= 0 else c > 0 }
+    }
     val sums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var cnt = 0L; var viol = 0L
       var first = 0.0; var last = 0.0; var any = false

@@ -799,10 +799,16 @@ object Multimodal {
   def dhashPngsDistinct(media: DataFrame): DataFrame = {
     val session = media.sparkSession
     import session.implicits._
-    val fp = media.select(col("media_id"), col("payload"),
-      md5(col("payload")).as("__fp"))
-    // Slim census first: (md5, id) pairs only — payloads stay put.
-    val reps = fp.groupBy("__fp").agg(min(col("media_id")).as("__rep"))
+    // ONE md5 pass over the payload bytes: the slim (id, md5) frame is
+    // cached and both consumers (the representative census and the
+    // member join) read the cache — two uncached branches would each
+    // re-scan and re-hash every payload (r15 review finding #5). The
+    // payloads themselves are never cached; the output pin below lets
+    // the cache release before returning.
+    val slim = media.select(col("media_id"), md5(col("payload")).as("__fp"))
+      .cache()
+    slim.count()
+    val reps = slim.groupBy("__fp").agg(min(col("media_id")).as("__rep"))
     // Move each DISTINCT payload once; decode through the ONE shared
     // codec body ([[decodeDhash]] — a fix can't land on one path only),
     // carrying the fingerprint so no join lineage re-evaluates.
@@ -815,9 +821,11 @@ object Multimodal {
         }
       }
       .toDF("__fp", "dhash")
-    fp.select(col("media_id"), col("__fp"))
-      .join(hashed, "__fp")
+    val out = slim.join(hashed, "__fp")
       .select("media_id", "dhash")
+      .localCheckpoint(true) // 16 B/row — the bounded pin
+    slim.unpersist()
+    out
   }
 
   /** X5e decode half — (media_id, dhash) signatures read back OUT OF
@@ -870,6 +878,9 @@ object Multimodal {
   def jpegPayload(id: Long, w: Int, h: Int): Array[Byte] = {
     require(w % 8 == 0 && h % 8 == 0,
       s"planted JPEG dims must be MCU multiples, got ${w}x$h")
+    // Loud, not NoSuchElementException-from-an-empty-iterator inside an
+    // executor: the probe exists, consult it (r15 review finding #3).
+    require(jpegSupported, "this JVM's ImageIO ships no JPEG codec")
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -1137,9 +1148,13 @@ object Multimodal {
     * payloads or a codec-less runtime. Format-agnostic (ImageIO
     * sniffs the container), so the same body hashes PNGs and JPEGs —
     * which is the point: a re-encoded near-duplicate must land near
-    * its original regardless of container. */
+    * its original regardless of container. No format-specific probe
+    * here (r15 review finding #4 — gating on the PNG reader would
+    * null perfectly decodable JPEGs on a PNG-less runtime):
+    * `ImageIO.read` itself returns null when no installed reader
+    * claims the payload. */
   private[graft] def decodePhash(b: Array[Byte]): java.lang.Long = {
-    if (!pngSupported || b == null) return null
+    if (b == null) return null
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       catch { case _: java.io.IOException => null }

@@ -235,6 +235,28 @@ class ChecksSpec extends SparkSpec {
     assert(r.passed && r.elementCount == 2L)
   }
 
+  test("MonotonicCheck rejects non-orderable columns and counts NaN " +
+       "by total order (r15 review findings)") {
+    // A string column silently casts to all-nulls — must be loud, not
+    // a vacuous PASS on an empty basis.
+    val strs = df(Seq(Row(1L, "2024-01-02"), Row(2L, "2024-01-01")),
+      "ord BIGINT, v STRING")
+    intercept[IllegalArgumentException] {
+      MonotonicCheck("v", "ord").run(strs)
+    }
+    intercept[IllegalArgumentException] {
+      MonotonicCheck("ord", "v").run(strs)
+    }
+    // NaN compares by TOTAL order (greater than everything — Spark's
+    // sort order and DuckDB's comparison semantics agree): the descent
+    // out of a NaN counts, the ascent into it does not.
+    val nan = df(Seq(Row(1L, 1.0), Row(2L, Double.NaN), Row(3L, 0.5)),
+      "ord BIGINT, v DOUBLE")
+    val r = MonotonicCheck("v", "ord").run(nan)
+    assert(!r.passed && r.unexpectedCount == 1L && r.elementCount == 3L,
+      r.message)
+  }
+
   test("MostCommonValueCheck: mode membership, disallowed co-mode fails") {
     val data = df(Seq(
       Row("a"), Row("a"), Row("b"), Row("b"), Row("c")),
