@@ -1444,6 +1444,51 @@ object Oracles {
          |FROM s${merges + 1}
          |ORDER BY cnt DESC, word""".stripMargin
 
+  /** The per-document BPE token-count replay: derive the merges from
+    * the census chain ([[bpeWith]] — the SAME b$k argmax CTEs the
+    * trajectory oracle verifies), then APPLY them to every distinct
+    * document word through a second fuse chain (a1…a{k+1}, the same
+    * CASE-guarded non-rescanning replace), and aggregate symbol counts
+    * per document. Exercises the vocab-table serving shape: each
+    * distinct word segments once, documents join by word. */
+  private def bpeCountSql(maxWords: Int, merges: Int): String = {
+    val applySteps = (1 to merges).map { k =>
+      s"""a${k + 1} AS MATERIALIZED (
+         |  SELECT word,
+         |         CASE WHEN (SELECT count(*) FROM b$k) = 0 THEN seq
+         |              ELSE replace(seq,
+         |                chr(1) || (SELECT l FROM b$k) || chr(2) ||
+         |                  chr(1) || (SELECT r FROM b$k) || chr(2),
+         |                chr(1) || (SELECT l FROM b$k) ||
+         |                  (SELECT r FROM b$k) || chr(2))
+         |         END AS seq
+         |  FROM a$k)""".stripMargin
+    }.mkString(",\n")
+    bpeWith(maxWords, merges) + ",\n" +
+      raw"""dwf AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |             AS word
+        |    FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+${"$"}')),
+        |a1 AS MATERIALIZED (
+        |  SELECT word,
+        |         array_to_string(list_transform(string_split(word, ''),
+        |           c -> chr(1) || c || chr(2)), '') AS seq
+        |  FROM (SELECT DISTINCT word FROM dwf)),
+        |""".stripMargin + applySteps + ",\n" +
+      s"""useg AS (
+         |  SELECT word,
+         |         CAST(len(string_split(substr(seq, 2, length(seq) - 2),
+         |                   chr(2) || chr(1))) AS BIGINT) AS n_syms
+         |  FROM a${merges + 1})
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(u.n_syms) AS BIGINT) AS bpe_tokens
+         |FROM dwf d JOIN useg u USING (word)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** The shared "WITH …" block: census, initial sequences, and the
     * chained per-step (pair census → argmax → fuse) CTEs through
     * s{merges+1}. An exhausted pair census (empty b$k on a degenerate
@@ -4563,6 +4608,8 @@ object Oracles {
     "x53_bpe_train" -> bpeTrainSql(maxWords = 300, merges = 8),
 
     "x53_bpe_tokenize" -> bpeTokenizeSql(maxWords = 300, merges = 8),
+
+    "x53_bpe_count" -> bpeCountSql(maxWords = 300, merges = 8),
 
     "s15_stream_ingest" -> nestedFlattenSql,
 

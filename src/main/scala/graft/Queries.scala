@@ -3486,6 +3486,36 @@ object Queries {
       .orderBy(col("cnt").desc, col("word"))
   }
 
+  /** X53d — the PRODUCTION serving shape of the trained vocab
+    * (r15: `segment`'s own scaladoc names it — "materialize the
+    * segmented census once and tokenize by broadcast lookup, the
+    * standard vocab-table shape" — but no lane priced it): per-document
+    * BPE token counts under the SAVED merge list. Each DISTINCT word
+    * segments exactly once (the vocab table, computed in-flight), and
+    * documents join by word — corpus cost is one explode + one
+    * AQE-broadcastable join, independent of k. This is the number a
+    * token-budget computation actually needs ([[x26BudgetCut]] counts
+    * whitespace tokens; a real budget is BPE tokens). The oracle
+    * re-derives the merges from the census chain AND replays the apply
+    * chain over every distinct document word — one fused pair off
+    * anywhere in any word breaks a doc's count and the hash. */
+  def x53BpeCount(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.ext.BpeTrain.loadMerges(s, bpeMergesDir(s, d))
+      .orderBy("step").collect() // bounded: the k-row merge list
+      .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+    val dw = documents(s, d).select(col("doc_id"),
+        explode(graft.ext.TextAnalysis.tokens(lower(col("text"))))
+          .as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val vocab = dw.select("word").distinct()
+      .withColumn("n_syms",
+        size(graft.ext.BpeTrain.segment(col("word"), merges)).cast("long"))
+    dw.join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** X53c — production-DEPTH BPE training: 1024 merges over the
     * top-2000 census via the incremental pair-delta trainer
     * ([[graft.ext.BpeTrain.fitMerges]] — per step only words

@@ -297,7 +297,7 @@ class PlanAuditSpec extends SparkSpec {
     // quantizer and localCheckpoints its bounded output
     "x2_pq_topk", "x2_pq_planted", "x2_ivfpq_topk", "x2_ivfpq_planted",
     // reads the persisted merge list into plan literals at construction
-    "x53_bpe_tokenize",
+    "x53_bpe_tokenize", "x53_bpe_count",
     // builds + SAVES the inverted index once per JVM at first
     // construction; the registered plan probes the saved postings
     // (the merged variant builds two shard indexes + the merge; the
