@@ -6351,10 +6351,14 @@ object Oracles {
     "x5_jpeg_decode" ->
       // The LOSSY round trip's closed-form verdict: dims replay
       // exactly; fidelity ships as n_blocks_within_tol = n_blocks
-      // (every decoded MCU-block mean within ±3 counts of the planted
+      // (every decoded MCU-block mean within ±4 counts of the planted
       // constant — block-constant gray input at explicit q0.95 bounds
-      // the error to DC quantization + YCbCr rounding). The oracle
-      // ASSERTS the full count; one drifted block breaks the hash.
+      // the error to DC quantization + YCbCr rounding; measured max 2,
+      // registered tolerance 4). The oracle ASSERTS the full count;
+      // one drifted block breaks the hash. ADVICE r15 caveat, by
+      // design: the bound depends on the JVM's ImageIO q0.95 quant
+      // tables — a JDK whose DC step exceeds ~8 fails this lane
+      // legitimately (the lane exists to catch codec drift).
       """SELECT doc_id AS media_id,
         |       CAST(16 + 8 * ((doc_id // 3) % 3) AS INTEGER) AS jpeg_w,
         |       CAST(16 + 8 * ((doc_id // 3) % 2) AS INTEGER) AS jpeg_h,
@@ -6383,6 +6387,27 @@ object Oracles {
           |  WHERE bit_count(xor(a.phash, b.phash)) <= 4)
           |SELECT media_id_a, media_id_b, hamming FROM ppair
           |ORDER BY media_id_a, media_id_b""".stripMargin),
+
+    "x5_xcodec_dedup" ->
+      // The cross-codec drop set replayed WITHOUT a codec, by certainty
+      // bands (measured at sf0.01: re-encode drift <= 4 bits,
+      // within-family <= 4, cross-family >= 14; threshold 6 sits in
+      // the [4, 13] certainty interval): every JPEG re-encode drops
+      // against its own smaller-id original, and — because every
+      // re-encode id is offset ABOVE every original — a PNG's verdict
+      // depends only on PNG-PNG pairs, which the exact-integer pHash
+      // CTE replays in closed form. Extra pairs among re-encodes can't
+      // perturb the set (their b-side is a re-encode, already in it).
+      ("WITH " + phashHashCtes + ",\n" +
+        """xpair AS (
+          |  SELECT b.doc_id AS media_id
+          |  FROM phash a JOIN phash b ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.phash, b.phash)) <= 6)
+          |SELECT media_id FROM (
+          |  SELECT DISTINCT media_id FROM xpair
+          |  UNION ALL
+          |  SELECT doc_id + 1000000000 AS media_id FROM pimg)
+          |ORDER BY media_id""".stripMargin),
 
     "x5_dhash_pipeline" ->
       // The composed production shape replayed per image from the
@@ -6432,6 +6457,24 @@ object Oracles {
           |    SELECT 1 FROM hash h
           |    WHERE (h.doc_id % 21) // 3 < 3
           |      AND bit_count(xor(s.dhash, h.dhash)) <= 2)
+          |ORDER BY media_id""".stripMargin),
+
+    "s21_stream_phash" ->
+      // The streaming pHash drop's batch replay in closed form (the
+      // s19 posture on the DCT family): survivors = shard images
+      // (variants 3-7) with NO history image (variants 0-2) within
+      // Hamming <= 2 — at that threshold most shard members drop
+      // while the distance-4 members survive, so both outcomes are
+      // exercised. Deterministic end-to-end: the exact-integer pHash
+      // CTE recomputes every signature from the planted luma.
+      ("WITH " + phashHashCtes + "\n" +
+        """SELECT s.doc_id AS media_id, s.phash
+          |FROM phash s
+          |WHERE (s.doc_id % 24) // 3 >= 3
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM phash h
+          |    WHERE (h.doc_id % 24) // 3 < 3
+          |      AND bit_count(xor(s.phash, h.phash)) <= 2)
           |ORDER BY media_id""".stripMargin),
 
     "x5_media_features" ->

@@ -2071,11 +2071,17 @@ object Queries {
     * luma sums compared against the closed-form plant. JPEG is LOSSY,
     * so unlike the PNG lane the sums themselves can't hash — instead
     * the lane ships the decode-fidelity VERDICT: every block's mean
-    * must sit within ±3 counts of [[graft.ext.Multimodal
+    * must sit within ±4 counts of [[graft.ext.Multimodal
     * .jpegBlockLuma]] (DC quant step at q0.95 ≈ 2 → ≤1 count of mean
     * error, plus YCbCr integer rounding — measured max ≤ 2 in
-    * JpegPhashSpec), and the oracle asserts n_blocks_within_tol =
-    * n_blocks in closed form. A codec drift breaks the hash loudly. */
+    * JpegPhashSpec, so the registered tolerance carries 2× headroom;
+    * ADVICE r15: the bound is a property of the JVM's ImageIO quant
+    * tables, and the closed-form oracle asserts the FULL count — a
+    * JDK vendor whose q0.95 DC step exceeds ~8 would fail this lane
+    * legitimately; the headroom covers table variation within the
+    * libjpeg-derived family every mainstream JDK ships), and the
+    * oracle asserts n_blocks_within_tol = n_blocks in closed form. A
+    * codec drift breaks the hash loudly. */
   def x5JpegDecode(s: SparkSession, d: String): DataFrame =
     graft.ext.Multimodal.decodeJpegs(
       graft.ext.Multimodal.jpegMediaFromDocuments(documents(s, d)))
@@ -2085,7 +2091,7 @@ object Queries {
                 abs(s - 64 * (20 + (31 * media_id
                                     + 7 * (i % (jpeg_w div 8))
                                     + 13 * (i div (jpeg_w div 8))) % 200))
-                <= 192))""").as("n_blocks_within_tol"))
+                <= 256))""").as("n_blocks_within_tol"))
       .orderBy("media_id")
 
   /** X5g-pairs — DCT perceptual-hash near-dup ([[graft.ext.Multimodal
@@ -2117,6 +2123,47 @@ object Queries {
       "media_id", "phash", maxHamming = 4)
       .toDF("media_id_a", "media_id_b", "hamming")
       .orderBy("media_id_a", "media_id_b")
+
+  /** X5h — CROSS-CODEC image near-dup dedup (VERDICT r15 next #1: the
+    * production scenario pHash exists for — a crawled-image pipeline
+    * meets the same picture as a lossless PNG and as somebody's JPEG
+    * re-save, and must drop the re-encode against the original, which
+    * byte-exact dedup and gradient-sign dHash both miss): the planted
+    * pHash PNGs PLUS a REAL JDK JPEG q0.95 re-encode of every one
+    * ([[graft.ext.Multimodal.reencodeJpegs]], ids offset above every
+    * original), pHashed through the ONE format-agnostic decode body,
+    * keep-first drop set via [[graft.ext.Dedup.hammingEdges]].
+    *
+    * FULL oracle by certainty bands (the x46_planted_ratio posture):
+    * the planted distance distribution is three-banded — measured at
+    * sf0.01: re-encode-to-own-original ≤ 4 bits, within-family
+    * (either codec) ≤ 4, cross-family (either codec) ≥ 14 — so at
+    * maxHamming = 6 (the JpegPhashSpec-pinned cross-codec ceiling,
+    * re-measured on THIS corpus in XcodecDedupSpec; certainty holds
+    * for every threshold in [4, 13]) the drop set is exactly
+    * {every JPEG re-encode} ∪ {PNG b-sides of the CLOSED-FORM PNG
+    * pair relation}: a re-encode always has its own original smaller
+    * and within range; a PNG's smaller neighbors are all PNGs (the
+    * id offset), so its verdict replays from the exact-integer pHash
+    * CTE alone; and no cross-family pair can form. Spurious extra
+    * pairs AMONG re-encodes cannot perturb it (their b-side is a
+    * re-encode, already dropped). The JDK-drift dependence is the
+    * documented x5_jpeg_decode class: a codec whose q0.95 drift
+    * exceeds 6 bits fails this lane loudly — that is the lane's job.
+    * maxHamming = 6 → 7 pigeonhole bands of 9–10 bits (512–1,024
+    * buckets) — the same bucket-space scale argument as the h=4
+    * pair lane. */
+  def x5XcodecDedup(s: SparkSession, d: String): DataFrame = {
+    val pngs = graft.ext.Multimodal.phashMediaFromDocuments(
+      documents(s, d))
+    val media = pngs.unionByName(
+      graft.ext.Multimodal.reencodeJpegs(pngs, idOffset = 1000000000L))
+    graft.ext.Dedup.hammingEdges(
+        graft.ext.Multimodal.phashImages(media),
+        "media_id", "phash", maxHamming = 6)
+      .select(col("doc_id_b").as("media_id")).distinct()
+      .orderBy("media_id")
+  }
 
   /** X5e-pipeline — the PRODUCTION composition of the dHash family
     * (VERDICT r15 ask #6): the four registered lanes are standalone by
@@ -2174,6 +2221,34 @@ object Queries {
     val (shard, histSigs) = dhashShardAndIndex(s, d)
     graft.stream.StreamingDhash.dhashDropStreamAgainst(shard, histSigs,
         maxHamming = 2)
+      .orderBy("media_id")
+  }
+
+  /** s21 — STREAMING image near-dup drop vs a saved pHash index
+    * (VERDICT r15 next #3 — the s19 machine generalized over the
+    * signature column, [[graft.stream.StreamingDhash
+    * .dropStreamAgainst]]): arriving images hash through the
+    * format-agnostic [[graft.ext.Multimodal.decodePhash]] body and
+    * survive one stream-static LEFT ANTI join per pigeonhole band
+    * against the persisted signature parquet. History = variants 0–2
+    * of every pHash family, shard = variants 3–7; at maxHamming = 2
+    * BOTH outcomes are planted (most shard members sit within 2 bits
+    * of a history variant, while some vp=6 members sit at distance 4
+    * and survive — measured at sf0.01). pHash is deterministic, so
+    * the batch replay carries the FULL closed-form oracle (the s19
+    * contract on the DCT family); live two-MemoryStream parity is
+    * pinned in StreamingDhashSpec. */
+  def s21StreamPhash(s: SparkSession, d: String): DataFrame = {
+    val media = graft.ext.Multimodal.phashMediaFromDocuments(
+      documents(s, d))
+    val dir = persistedIndexDir("phash_index", d) { dir =>
+      graft.ext.Multimodal.phashImages(
+          media.filter(expr("(media_id % 24) div 3 < 3")))
+        .write.mode("overwrite").parquet(dir)
+    }
+    graft.stream.StreamingDhash.phashDropStreamAgainst(
+        media.filter(expr("(media_id % 24) div 3 >= 3")),
+        s.read.parquet(dir), maxHamming = 2)
       .orderBy("media_id")
   }
 

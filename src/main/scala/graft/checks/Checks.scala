@@ -621,8 +621,13 @@ final case class SchemaCheck(
   * (GE 0.18 tail vocabulary, VERDICT r15 ask #5). GE checks row order;
   * a distributed engine has no row order, so the check is monotonicity
   * of `column` under an explicit `orderBy` key (numeric or temporal —
-  * both are compared as doubles; timestamps cast to fractional epoch
-  * seconds, exact to 2^53).
+  * each normalized to a NATIVE exact representation: integral types
+  * stay long, DATE becomes unix_date days, TIMESTAMP/TIMESTAMP_NTZ
+  * become unix_micros longs, narrow scale-0 decimals become long;
+  * only genuinely fractional types compare as doubles, via the
+  * order-isomorphic sortable-bits transform. ADVICE r15: the previous
+  * cast("double") funnel was an ILLEGAL Spark cast for DATE and
+  * TIMESTAMP_NTZ, and silently collapsed distinct longs above 2^53).
   *
   * Scale shape — NO global window, NO single-partition sort: range
   * partition on the order key (partition ids come out range-ordered),
@@ -641,46 +646,70 @@ final case class MonotonicCheck(column: String, orderBy: String,
     (if (increasing) "incr" else "decr") + (if (strictly) "_strict" else "")
   val name = s"monotonic:$dirTag:$column:by:$orderBy"
   def run(df: DataFrame): ValidationResult = {
-    // Both columns must BE orderable-as-number types: a silent
-    // cast("double") of a string column would null every row, drop the
-    // whole basis, and return a vacuous PASS on arbitrarily disordered
-    // data — the same silent-empty-result class Dedup.requireSigLong
-    // guards against (r15 review finding #1).
-    def requireOrderable(c: String): Unit = {
-      import org.apache.spark.sql.types._
+    import org.apache.spark.sql.types._
+    // Both columns must BE orderable-as-number types: a silent lossy
+    // cast of a string column would null every row, drop the whole
+    // basis, and return a vacuous PASS on arbitrarily disordered data
+    // — the same silent-empty-result class Dedup.requireSigLong guards
+    // against (r15 review finding #1). Each admitted type normalizes
+    // to a native EXACT column (ADVICE r15: cast("double") is illegal
+    // for DATE/TIMESTAMP_NTZ on Spark 4 and collapses distinct longs
+    // above 2^53): integral/temporal/narrow-decimal → long,
+    // float/double/wide-decimal → double (the one genuinely
+    // fractional lane). Returns (normalized column, is-long-lane).
+    def normalize(c: String): (Column, Boolean) = {
       val dt = df.schema(df.schema.fieldIndex(c)).dataType
-      require(dt.isInstanceOf[NumericType] || dt == TimestampType ||
-          dt == TimestampNTZType || dt == DateType,
-        s"monotonic check needs a numeric/temporal column, '$c' is $dt " +
-          "— a lossy cast would silently empty the basis")
+      dt match {
+        case DateType => (unix_date(col(c)).cast("long"), true)
+        case TimestampType => (unix_micros(col(c)), true)
+        case TimestampNTZType =>
+          // NTZ carries no zone; reinterpreting in the session zone is
+          // order-preserving, which is all monotonicity needs.
+          (unix_micros(col(c).cast(TimestampType)), true)
+        case ByteType | ShortType | IntegerType | LongType =>
+          (col(c).cast("long"), true)
+        case d: DecimalType if d.scale == 0 && d.precision <= 18 =>
+          (col(c).cast("long"), true)
+        case FloatType | DoubleType | _: DecimalType =>
+          (col(c).cast("double"), false)
+        case other => throw new IllegalArgumentException(
+          s"monotonic check needs a numeric/temporal column, '$c' is " +
+            s"$other — a lossy cast would silently empty the basis")
+      }
     }
-    requireOrderable(column)
-    requireOrderable(orderBy)
+    val (oCol, _) = normalize(orderBy)
+    val (vCol, vLong) = normalize(column)
     val prepared = df
-      .select(col(orderBy).cast("double").as("__o"),
-        col(column).cast("double").as("__v"))
+      .select(oCol.as("__o"), vCol.as("__v"))
       .filter(col("__o").isNotNull && col("__v").isNotNull)
     val secondary = if (increasing) col("__v").asc else col("__v").desc
     val sorted = prepared
       .repartitionByRange(col("__o"))
       .sortWithinPartitions(col("__o").asc, secondary)
     // Plain locals so the executor closure serializes values, not the
-    // check instance. TOTAL-order comparison (java.lang.Double.compare:
-    // NaN greater than everything, matching both Spark's sort order
-    // and DuckDB's comparison semantics) — IEEE primitive comparisons
-    // would silently skip every NaN adjacency while the sort placed
-    // NaN by total order (r15 review finding #2).
-    val (inc, str) = (increasing, strictly)
-    val bad: (Double, Double) => Boolean = (prev, cur) => {
-      val c = java.lang.Double.compare(cur, prev)
+    // check instance. The fold runs entirely on primitive longs: the
+    // long lane reads values natively (exact to the full 64 bits);
+    // the double lane maps each value through the order-isomorphic
+    // sortable-bits transform, whose long order IS
+    // java.lang.Double.compare's total order (NaN greater than
+    // everything, matching both Spark's sort order and DuckDB's
+    // comparison semantics — IEEE primitive comparisons would
+    // silently skip every NaN adjacency, r15 review finding #2).
+    val (inc, str, isLong) = (increasing, strictly, vLong)
+    val bad: (Long, Long) => Boolean = (prev, cur) => {
+      val c = java.lang.Long.compare(cur, prev)
       if (inc) { if (str) c <= 0 else c < 0 }
       else { if (str) c >= 0 else c > 0 }
     }
     val sums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      def sortableBits(d: Double): Long = {
+        val b = java.lang.Double.doubleToLongBits(d)
+        if (b >= 0L) b else b ^ Long.MaxValue
+      }
       var cnt = 0L; var viol = 0L
-      var first = 0.0; var last = 0.0; var any = false
+      var first = 0L; var last = 0L; var any = false
       it.foreach { r =>
-        val v = r.getDouble(1)
+        val v = if (isLong) r.getLong(1) else sortableBits(r.getDouble(1))
         if (!any) { first = v; any = true }
         else if (bad(last, v)) viol += 1
         last = v; cnt += 1

@@ -790,8 +790,8 @@ object Multimodal {
     * through slim md5 joins. On production image corpora the dominant
     * duplicate class is the byte-identical re-upload (the same logo
     * stored millions of times) — this trades m codec runs per
-    * m-duplicate family for ONE run plus two shuffles of 48-byte
-    * (md5, id/hash) rows and one shuffle of the DISTINCT payloads
+    * m-duplicate family for ONE run plus two shuffles of slim
+    * (sha256, id/hash) rows and one shuffle of the DISTINCT payloads
     * (output-proportional: a family moves one payload, not m). Wrong
     * trade on duplicate-free corpora (the extra shuffles buy nothing)
     * — callers choose by duplicate ratio; result ≡ [[dhashPngs]] by
@@ -799,13 +799,17 @@ object Multimodal {
   def dhashPngsDistinct(media: DataFrame): DataFrame = {
     val session = media.sparkSession
     import session.implicits._
-    // ONE md5 pass over the payload bytes: the slim (id, md5) frame is
-    // cached and both consumers (the representative census and the
-    // member join) read the cache — two uncached branches would each
+    // ONE fingerprint pass over the payload bytes: the slim (id, hash)
+    // frame is cached and both consumers (the representative census and
+    // the member join) read the cache — two uncached branches would each
     // re-scan and re-hash every payload (r15 review finding #5). The
     // payloads themselves are never cached; the output pin below lets
-    // the cache release before returning.
-    val slim = media.select(col("media_id"), md5(col("payload")).as("__fp"))
+    // the cache release before returning. SHA-256, not MD5 (ADVICE
+    // r15): MD5 collisions are practically constructible, so two
+    // byte-distinct adversarial payloads could silently inherit one
+    // representative's hash and break the ≡-dhashPngs contract.
+    val slim = media
+      .select(col("media_id"), sha2(col("payload"), 256).as("__fp"))
       .cache()
     slim.count()
     val reps = slim.groupBy("__fp").agg(min(col("media_id")).as("__rep"))
@@ -893,17 +897,73 @@ object Multimodal {
       }
       y += 1
     }
+    encodeJpeg(img, 0.95f)
+  }
+
+  /** JDK JPEG encode at an EXPLICIT quality — the one writer body
+    * shared by the planted corpus ([[jpegPayload]]) and the re-encode
+    * pass ([[reencodeJpegs]]), so the two can never use different
+    * writer parameters. */
+  private[graft] def encodeJpeg(img: java.awt.image.BufferedImage,
+                                quality: Float): Array[Byte] = {
     val writer = javax.imageio.ImageIO
       .getImageWritersByFormatName("jpg").next()
     val p = writer.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    p.setCompressionQuality(0.95f)
+    p.setCompressionQuality(quality)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     writer.setOutput(ios)
     try writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
     finally { ios.close(); writer.dispose() }
     bos.toByteArray
+  }
+
+  /** X5h build half — REAL JPEG re-encodes of an image corpus: decode
+    * each payload (format-agnostic — ImageIO sniffs the container) and
+    * re-compress through the JDK JPEG writer at explicit `quality`,
+    * emitting `(media_id + idOffset, jpeg_payload)`. One narrow
+    * mapPartitions pass (the [[dhashPngs]] batch shape); undecodable
+    * payloads emit nothing (a re-encode pass has nothing to re-encode
+    * — corrupt media is a later integrity gate's data, the batch
+    * near-dup contract). `idOffset` keys every re-encode ABOVE its
+    * original, which is what lets keep-first dedup resolve re-encodes
+    * against originals deterministically (the [[graft.Queries
+    * .x5XcodecDedup]] certainty-band argument relies on it).
+    *
+    * The decode draws a THREE-band TYPE_INT_RGB canvas explicitly
+    * before encoding: ImageIO's PNG reader hands a gray PNG back as a
+    * single-band TYPE_BYTE_GRAY image, and the JPEG writer encodes
+    * that as a one-component (grayscale) JPEG whose decode path skips
+    * YCbCr — re-drawing onto RGB pins the production shape (crawled
+    * JPEGs are 3-component) and keeps the round trip inside the same
+    * color path [[phash64]] reads. */
+  def reencodeJpegs(media: DataFrame, idOffset: Long,
+                    quality: Float = 0.95f): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val b = r.getAs[Array[Byte]](1)
+          val img =
+            if (b == null) null
+            else try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b))
+            catch { case _: java.io.IOException => null }
+          if (img == null || !jpegSupported) None
+          else {
+            val rgb = new java.awt.image.BufferedImage(img.getWidth,
+              img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = rgb.createGraphics()
+            try g.drawImage(img, 0, 0, null) finally g.dispose()
+            Some(Row(r.getLong(0) + idOffset, encodeJpeg(rgb, quality)))
+          }
+        }
+      }(encoder)
   }
 
   /** Real-JPEG media table: one row per image-kind document

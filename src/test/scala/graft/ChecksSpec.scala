@@ -257,6 +257,39 @@ class ChecksSpec extends SparkSpec {
       r.message)
   }
 
+  test("MonotonicCheck: DATE/TIMESTAMP_NTZ columns work and 64-bit " +
+       "longs above 2^53 compare exactly (ADVICE r15)") {
+    // DATE and TIMESTAMP_NTZ were admitted by the guard but threw
+    // AnalysisException in the old cast("double") funnel.
+    val dates = df(Seq(
+      Row(1L, java.sql.Date.valueOf("2024-01-01")),
+      Row(2L, java.sql.Date.valueOf("2024-01-03")),
+      Row(3L, java.sql.Date.valueOf("2024-01-02"))),
+      "ord BIGINT, v DATE")
+    val rd = MonotonicCheck("v", "ord").run(dates)
+    assert(!rd.passed && rd.unexpectedCount == 1L, rd.message)
+    // ...and as the ORDER key too: by date order the ord sequence is
+    // 1, 3, 2 — one inversion.
+    val ro = MonotonicCheck("ord", "v").run(dates)
+    assert(!ro.passed && ro.unexpectedCount == 1L, ro.message)
+    val ntz = df(Seq(
+      Row(1L, java.time.LocalDateTime.of(2024, 1, 1, 0, 0)),
+      Row(2L, java.time.LocalDateTime.of(2024, 1, 2, 0, 0))),
+      "ord BIGINT, v TIMESTAMP_NTZ")
+    assert(MonotonicCheck("v", "ord").run(ntz).passed)
+    // Distinct longs above 2^53 collapse to EQUAL doubles — the native
+    // long lane must still see the inversion (and a strict check must
+    // still see the adjacent "tie" as two distinct values).
+    val big = (1L << 53) + 1L
+    val longs = df(Seq(Row(1L, big + 1L), Row(2L, big)),
+      "ord BIGINT, v BIGINT")
+    val rl = MonotonicCheck("v", "ord").run(longs)
+    assert(!rl.passed && rl.unexpectedCount == 1L,
+      s"2^53+2 -> 2^53+1 must count as an inversion: ${rl.message}")
+    assert(MonotonicCheck("v", "ord", increasing = false,
+      strictly = true).run(longs).passed)
+  }
+
   test("MostCommonValueCheck: mode membership, disallowed co-mode fails") {
     val data = df(Seq(
       Row("a"), Row("a"), Row("b"), Row("b"), Row("c")),

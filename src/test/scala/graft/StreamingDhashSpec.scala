@@ -79,6 +79,56 @@ class StreamingDhashSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(1)), "junk must carry a null dhash")
   }
 
+  test("s21 pHash lane: live two-batch MemoryStream equals the batch " +
+       "replay, and both equal brute force (the generalized drop core)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The pHash corpus: families of 8 variants on image-lane doc_ids.
+    // 21 families — wide enough to plant BOTH outcomes (whether a
+    // family's far variants sit at distance 2 or 4 from its history
+    // variants is a per-family property of the luma mix; the 7-family
+    // slice happens to hold only droppers).
+    val pmedia = Multimodal.phashMediaFromDocuments(docs(504))
+      .localCheckpoint(true)
+    val phist = Multimodal.phashImages(
+      pmedia.filter("(media_id % 24) div 3 < 3")).localCheckpoint(true)
+    val pshard = pmedia.filter("(media_id % 24) div 3 >= 3")
+    val batch = StreamingDhash.phashDropStreamAgainst(pshard, phist,
+      maxHamming = 2).collect().map(_.getLong(0)).toSet
+    // Brute force over the shared decode body.
+    val hist = phist.collect().map(r => r.getLong(1))
+    val sh = Multimodal.phashImages(pshard).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = sh.collect {
+      case (id, h) if !hist.exists(x =>
+        java.lang.Long.bitCount(x ^ h) <= 2) => id
+    }.toSet
+    assert(batch === brute)
+    assert(brute.nonEmpty && brute.size < sh.length,
+      "both outcomes must be exercised")
+    // Live parity across two micro-batches (stateless fold).
+    val rows = pshard.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val out = scala.collection.mutable.Buffer[Long]()
+    val query = StreamingDhash.phashDropStreamAgainst(
+        input.toDF().toDF("media_id", "payload"), phist, maxHamming = 2)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.collect().map(_.getLong(0)); () }
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-s21-ckpt").toString)
+      .start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a); query.processAllAvailable()
+      input.addData(b); query.processAllAvailable()
+    } finally query.stop()
+    assert(out.toSet === batch, "stream and batch drop sets diverged")
+  }
+
   test("the banded drop set equals the brute-force Hamming predicate") {
     val hist = histSigs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val sh = Multimodal.dhashPngs(shard).collect()
