@@ -1421,8 +1421,9 @@ object Oracles {
     * left-to-right non-rescanning scan, so greedy fusion ([a,a,a] →
     * [aa,a]) and double fusion ([a,b,a,b] → [ab,ab]) agree exactly
     * (probed against DuckDB 1.0.0; pinned in BpeTrainSpec). */
-  private def bpeTrainSql(maxWords: Int, merges: Int): String =
-    bpeWith(maxWords, merges) + "\n" + {
+  private def bpeTrainSql(maxWords: Int, merges: Int,
+                          fullAlphabet: Boolean = false): String =
+    bpeWith(maxWords, merges, fullAlphabet) + "\n" + {
       val unions = (1 to merges).map(k =>
         s"""SELECT $k AS step, l AS "left", r AS "right", pc FROM b$k""")
         .mkString("\n  UNION ALL ")
@@ -1496,7 +1497,39 @@ object Oracles {
     * matching the engine's early stop; without it the NULL scalar
     * subqueries would null EVERY sequence through replace(seq, NULL,
     * …) (ADVICE r13). */
-  private def bpeWith(maxWords: Int, merges: Int): String = {
+  private def bpeWith(maxWords: Int, merges: Int,
+                      fullAlphabet: Boolean = false): String = {
+    // Two census alphabets, mirroring BpeTrain.wordCensus: the classic
+    // case-folded lowercase-letters-only setting, and the full mode
+    // over the x53_bpe_train_full lane's planted case/punctuation/digit
+    // corpus (upper() a third of the docs, comma-attach a third, append
+    // digit-bearing tokens to the rest — the synthetic documents are
+    // pure lowercase letters, so the full alphabet must be planted to
+    // be exercised). Full mode keeps every symbol except the two
+    // sentinel code points the wrapped-symbol surgery reserves.
+    val census =
+      if (fullAlphabet)
+        raw"""WITH w0 AS (
+          |  SELECT unnest(string_split_regex(trim(
+          |           CASE WHEN doc_id % 3 = 0 THEN upper(text)
+          |                WHEN doc_id % 3 = 1 THEN replace(text, ' ', ', ')
+          |                ELSE concat_ws(' ', text, 'v4.1 2024 100%')
+          |           END), '\s+')) AS word
+          |  FROM documents),
+          |wc AS MATERIALIZED (
+          |  SELECT word, count(*) AS cnt FROM w0
+          |  WHERE length(word) > 0
+          |    AND NOT (word LIKE '%' || chr(1) || '%'
+          |             OR word LIKE '%' || chr(2) || '%')
+          |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT $maxWords),""".stripMargin
+      else
+        raw"""WITH w0 AS (
+          |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+          |  FROM documents),
+          |wc AS MATERIALIZED (
+          |  SELECT word, count(*) AS cnt FROM w0
+          |  WHERE regexp_matches(word, '^[a-z]+${"$"}')
+          |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT $maxWords),""".stripMargin
     val steps = (1 to merges).map { k =>
       val sk = s"s$k"
       s"""p$k AS MATERIALIZED (
@@ -1524,14 +1557,8 @@ object Oracles {
          |         END AS seq
          |  FROM $sk)""".stripMargin
     }.mkString(",\n")
-    raw"""WITH w0 AS (
-      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
-      |  FROM documents),
-      |wc AS MATERIALIZED (
-      |  SELECT word, count(*) AS cnt FROM w0
-      |  WHERE regexp_matches(word, '^[a-z]+${"$"}')
-      |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT $maxWords),
-      |s1 AS MATERIALIZED (
+    census + "\n" +
+      raw"""s1 AS MATERIALIZED (
       |  SELECT word, cnt,
       |         array_to_string(list_transform(string_split(word, ''),
       |           c -> chr(1) || c || chr(2)), '') AS seq
@@ -1592,6 +1619,45 @@ object Oracles {
       |         CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
       |  FROM hash a JOIN hash b ON a.doc_id < b.doc_id
       |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3)""".stripMargin
+
+  /** One G23 KL-divergence declaration block: census (c$k) + verdict
+    * (v$k) CTEs over the shared `counts`/`tot` value census. The
+    * micro-nat contribution mirrors KlDivergenceCheck.census VERBATIM
+    * including the multiplication ASSOCIATION ((n/N)·ln(..)·1e6,
+    * left-to-right) — double multiply is not associative, and the one
+    * rounding per value must see bit-identical pre-round input on both
+    * engines (boundary slack audited in MicroNatSlackSpec). */
+  private def klCheckCtes(k: Int, parts: Seq[(String, Long)]): String = {
+    val vals = parts.map { case (v, p) => s"('$v', $p)" }.mkString(", ")
+    s"""p$k AS (SELECT v AS value, CAST(ppm AS BIGINT) AS ppm
+       |        FROM (VALUES $vals) t(v, ppm)),
+       |c$k AS (
+       |  SELECT counts.value, counts.n, p$k.ppm,
+       |         CASE WHEN p$k.ppm IS NOT NULL THEN
+       |           CAST(round((counts.n / CAST(t.n_total AS DOUBLE))
+       |                * ln((counts.n * 1e6)
+       |                     / (CAST(t.n_total AS DOUBLE) * p$k.ppm))
+       |                * 1e6) AS BIGINT)
+       |         END AS contrib_micro
+       |  FROM counts LEFT JOIN p$k USING (value), tot t),
+       |v$k AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS element_count,
+       |         CAST(coalesce(sum(CASE WHEN ppm IS NULL THEN n END), 0)
+       |           AS BIGINT) AS unexpected_count,
+       |         coalesce(sum(contrib_micro), 0) AS kl_micro
+       |  FROM c$k)""".stripMargin
+  }
+
+  /** One G23 verdict+census projection (the engine repeats the verdict
+    * columns on every census row). */
+  private def klCheckSelect(k: Int, name: String, threshold: Double): String =
+    s"""SELECT '$name' AS validation_name,
+       |       CASE WHEN v$k.unexpected_count = 0
+       |                 AND v$k.kl_micro / 1e6 < $threshold
+       |            THEN 'PASSED' ELSE 'FAILED' END AS status,
+       |       v$k.element_count, v$k.unexpected_count,
+       |       c$k.value, c$k.n, c$k.ppm, c$k.contrib_micro
+       |FROM c$k, v$k""".stripMargin
 
   /** The public IMA step table as a VALUES list — spec DATA (not
     * decoder logic) deliberately taken from the same constant array the
@@ -4275,6 +4341,22 @@ object Oracles {
         | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 12 HOUR
         |ORDER BY imp_id, conv_id""".stripMargin,
 
+    "s22_stream_full_outer" ->
+      // The full-outer interval join replayed as the plain FULL JOIN
+      // BETWEEN it equals on complete in-order data: unmatched
+      // impressions AND unmatched conversions null-extended, the key
+      // coalesced across sides. Conversion-only rows carry a NULL
+      // imp_id into the ORDER BY — DuckDB's ASC default is NULLS
+      // LAST, which the engine pins explicitly with asc_nulls_last.
+      """SELECT i.event_id AS imp_id, c.event_id AS conv_id,
+        |       coalesce(i.user_id, c.user_id) AS user_id,
+        |       CAST(date_diff('second', i.ts, c.ts) AS BIGINT) AS lag_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'view') i
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') c
+        |  ON i.user_id = c.user_id
+        | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 12 HOUR
+        |ORDER BY imp_id, conv_id""".stripMargin,
+
     "s16_stream_madgate" ->
       // The serve-time gate replayed end to end: cuts re-derived from
       // the even half (the twice-median trick), the odd half gated by
@@ -4341,6 +4423,33 @@ object Oracles {
         |                  CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |         AS corr6
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "g23_kl_divergence" -> {
+      // The three KL screens replayed per value AND per verdict: shared
+      // non-null value census, per-declaration LEFT JOIN against the
+      // PPM grid, ONE micro-nat rounding per value (association matched
+      // to the engine — see klCheckCtes), integer sums, the same
+      // infinite-divergence (out-of-partition) and threshold rules.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val uniform = types.map(_ -> 200000L)
+      val skewed = types.map(t => t -> (if (t == "click") 600000L else 100000L))
+      val missing = types.filterNot(_ == "error").map(_ -> 250000L)
+      """WITH counts AS (
+        |  SELECT event_type AS value, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts),
+        |""".stripMargin +
+        klCheckCtes(1, uniform) + ",\n" +
+        klCheckCtes(2, skewed) + ",\n" +
+        klCheckCtes(3, missing) + "\n" +
+        "SELECT * FROM (\n" +
+        klCheckSelect(1, "kl_divergence:event_type:lt:0.05", 0.05) +
+        "\nUNION ALL\n" +
+        klCheckSelect(2, "kl_divergence:event_type:lt:0.25", 0.25) +
+        "\nUNION ALL\n" +
+        klCheckSelect(3, "kl_divergence:event_type:lt:10.0", 10.0) +
+        ")\nORDER BY validation_name, value"
+    },
 
     "g21_rowcount_parity" ->
       // GE's expect_table_row_count_to_equal_other_table replayed:
@@ -4606,6 +4715,14 @@ object Oracles {
           |ORDER BY grouping_level, split""".stripMargin),
 
     "x53_bpe_train" -> bpeTrainSql(maxWords = 300, merges = 8),
+
+    "x53_bpe_train_full" ->
+      // The FULL-ALPHABET merge trajectory (VERDICT r15 next #2):
+      // the same 8 chained merge CTEs over the case/punctuation/digit
+      // plant — at sf0.01 the trajectory carries a comma merge
+      // ('e', ',') and an uppercase merge ('E', 'R'), proving the
+      // non-letter path under the oracle, not just in spec.
+      bpeTrainSql(maxWords = 300, merges = 8, fullAlphabet = true),
 
     "x53_bpe_tokenize" -> bpeTokenizeSql(maxWords = 300, merges = 8),
 

@@ -1447,6 +1447,41 @@ object Queries {
       .orderBy("validation_name")
   }
 
+  /** G23 — `expect_column_kl_divergence_to_be_less_than`
+    * ([[graft.checks.KlDivergenceCheck]], VERDICT r15 next #5) run
+    * through the REAL check engine over three declared partitions of
+    * the events type column: uniform fifths (the true shape — PASSES
+    * at threshold 0.05), a click-heavy declaration (KL ≈ 0.33 — FAILS
+    * at 0.25), and a four-value declaration missing 'error' (an
+    * observed value with q = 0 — infinite divergence, FAILS any
+    * threshold, out-of-partition rows counted). The registered frame
+    * ships each check's verdict AND its per-value micro-nat census, so
+    * the oracle pins every rounded contribution, not just the summed
+    * verdict (the PSI exact-integer discipline; boundary slack audited
+    * in MicroNatSlackSpec). */
+  def g23KlDivergence(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val checks = Seq(
+      graft.checks.KlDivergenceCheck("event_type", types,
+        Seq(200000L, 200000L, 200000L, 200000L, 200000L), 0.05),
+      graft.checks.KlDivergenceCheck("event_type", types,
+        Seq(600000L, 100000L, 100000L, 100000L, 100000L), 0.25),
+      graft.checks.KlDivergenceCheck("event_type",
+        Seq("click", "purchase", "signup", "view"),
+        Seq(250000L, 250000L, 250000L, 250000L), 10.0))
+    checks.map { c =>
+      val r = c.run(ev)
+      c.census(ev).select(
+        lit(r.validationName).as("validation_name"),
+        lit(r.status).as("status"),
+        lit(r.elementCount).as("element_count"),
+        lit(r.unexpectedCount).as("unexpected_count"),
+        col("value"), col("n"), col("ppm"), col("contrib_micro"))
+    }.reduce(_ unionByName _)
+      .orderBy("validation_name", "value")
+  }
+
   /** G20 — exact correlation sufficient statistics ([[graft.checks
     * .Profiling.corrStats]]): quantity vs extended price per return
     * flag — the five mergeable DECIMAL sums plus the 6-dp Pearson
@@ -2902,6 +2937,36 @@ object Queries {
       .orderBy("imp_id", "conv_id")
   }
 
+  /** S22 — the FULL-OUTER completion of the s18/s20 interval-join
+    * vocabulary (VERDICT r15 next #6): every impression AND every
+    * conversion, matched within 12 h per user, null-extended on
+    * whichever side is missing. Live semantics (each unmatched row
+    * emitted exactly once, only after the OTHER side's watermark can
+    * prove no partner can still arrive; a late arrival never
+    * resurrects either side) are pinned in StreamingIntervalJoinSpec;
+    * on complete in-order data the stream emits exactly the plain
+    * FULL JOIN BETWEEN, which this batch replay hash-checks. Unlike
+    * s20, null keys DO reach the ORDER BY (conversion-only rows have
+    * null imp_id) — Spark sorts nulls FIRST by default where DuckDB
+    * sorts them LAST, so the sort pins `asc_nulls_last` explicitly to
+    * the oracle's convention. */
+  def s22StreamFullOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val imps = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("imp_id"), col("user_id"), col("ts"))
+    val convs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"), col("ts"))
+    graft.stream.StreamingIntervalJoin.joinWithin(
+        imps, convs, keyCol = "user_id", leftTime = "ts",
+        rightTime = "ts", withinSeconds = 43200L,
+        joinType = "full_outer")
+      .select(col("imp_id"), col("r_conv_id").as("conv_id"),
+        col("user_id"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("ts")))
+          .as("lag_sec"))
+      .orderBy(col("imp_id").asc_nulls_last, col("conv_id").asc_nulls_last)
+  }
+
   /** X20 — weekly PSI drift of the events value distribution per event
     * type vs the earliest week ([[graft.ext.PsiDrift.psiByWeek]]). The
     * oracle replays bins, +1 smoothing over the union grid, and the
@@ -3542,6 +3607,40 @@ object Queries {
   def x53BpeTrain(s: SparkSession, d: String): DataFrame =
     graft.ext.BpeTrain.loadMerges(s, bpeMergesDir(s, d)).orderBy("step")
 
+  /** The x53-full corpus plant: the synthetic documents are pure
+    * lowercase letters, so the full-alphabet census would degenerate
+    * to the classic one — this deterministic transform makes a third
+    * of the corpus UPPERCASE, attaches a comma to every token of
+    * another third, and appends digit/punctuation tokens to the rest
+    * (mirrored verbatim by the oracle's census CTE). */
+  private def caseDigitDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(3L)) === 0L, upper(col("text")))
+        .when(pmod(col("doc_id"), lit(3L)) === 1L,
+          regexp_replace(col("text"), " ", ", "))
+        .otherwise(concat_ws(" ", col("text"), lit("v4.1 2024 100%"))))
+
+  /** X53-full — FULL-ALPHABET BPE training (VERDICT r15 next #2:
+    * `fullAlphabet = true` was spec-only): the same k=8 trajectory
+    * machinery over the case/punctuation/digit plant, census
+    * case-preserving with every non-sentinel symbol admitted
+    * ([[graft.ext.BpeTrain.wordCensus]] full mode — the production
+    * byte-level-style vocabulary). The oracle replays the full merge
+    * trajectory as chained CTEs; at sf0.01 it contains a comma merge
+    * AND an uppercase merge, so the non-letter path is
+    * oracle-checked, not just spec-pinned. */
+  private def bpeMergesFullDir(s: SparkSession, d: String): String =
+    persistedIndexDir("bpe_merges_full", d) { dir =>
+      graft.ext.BpeTrain.saveMerges(
+        graft.ext.BpeTrain.fitMerges(
+          graft.ext.BpeTrain.wordCensus(caseDigitDocs(s, d),
+            maxWords = 300, fullAlphabet = true),
+          merges = 8), dir)
+    }
+
+  def x53BpeTrainFull(s: SparkSession, d: String): DataFrame =
+    graft.ext.BpeTrain.loadMerges(s, bpeMergesFullDir(s, d)).orderBy("step")
+
   /** X53b — the vocab artifact APPLIED ([[graft.ext.BpeTrain
     * .segment]]): every census word tokenized under the trained merge
     * list (merges as plan literals — the X13 posture), the
@@ -3860,6 +3959,16 @@ object Queries {
     * see. Same operators, same parameters, `materialize = false`; used by
     * [[Explain]] and the plan-audit spec, never by Verify/Bench. */
   def planOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g23_kl_divergence" -> ((s, d) => {
+      // Un-pinned census (materialize = false), so the dump shows the
+      // one partial-agg value census feeding the broadcast PPM join +
+      // broadcast total — not a checkpoint scan.
+      graft.checks.KlDivergenceCheck("event_type",
+          Seq("click", "error", "purchase", "signup", "view"),
+          Seq(200000L, 200000L, 200000L, 200000L, 200000L), 0.05)
+        .census(events(s, d), materialize = false)
+        .orderBy("value")
+    }),
     "x27_pctl_against" -> ((s, d) => {
       // Un-persisted cuts, so the dump shows the REAL serve shape: the
       // dim-sized census+CDF feeding the broadcast gate join — not a

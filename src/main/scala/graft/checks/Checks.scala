@@ -768,6 +768,98 @@ final case class MostCommonValueCheck(column: String, allowed: Seq[String])
   }
 }
 
+/** G23 — `expect_column_kl_divergence_to_be_less_than` (GE 0.18 tail
+  * vocabulary, VERDICT r15 next #5): KL(observed ‖ declared) of a
+  * categorical column against a DECLARED partition object, on the PSI
+  * machinery's exact micro-nat integer discipline
+  * ([[graft.ext.PsiDrift]]): weights are declared in integer PPM
+  * summing to exactly 1,000,000 (so two engines replay the same
+  * grid), each observed value contributes ONE rounding —
+  * round(1e6·(n/N)·ln(n·10⁶ / (N·ppm))) — and the verdict
+  * integer-sums the contributions, so aggregation order can never
+  * perturb it (or the registered lane's hash). Contributions can be
+  * negative (p < q), but Spark's HALF_UP and DuckDB's
+  * half-away-from-zero agree on negatives, and the boundary slack is
+  * audited in MicroNatSlackSpec. An observed value OUTSIDE the
+  * partition makes the true divergence infinite — the check FAILS
+  * against any finite threshold, with the out-of-partition rows as
+  * unexpectedCount (GE's q=0-with-p>0 convention).
+  *
+  * Scale shape: ONE corpus shuffle (the partial-agg value census —
+  * |distinct values| rows for the categorical columns this screen
+  * exists for); everything after is arithmetic on that tiny census
+  * via broadcast joins (the PsiDrift pattern). NULLs fall out of the
+  * basis — a missing value is NotNullCheck's business, not a shape
+  * question. */
+final case class KlDivergenceCheck(column: String,
+    partitionValues: Seq[String], weightsPpm: Seq[Long],
+    threshold: Double) extends Check {
+  require(partitionValues.nonEmpty &&
+      partitionValues.size == weightsPpm.size,
+    "partition needs equal-length non-empty values/weights")
+  require(partitionValues.distinct.size == partitionValues.size,
+    s"duplicate partition values in $partitionValues")
+  require(weightsPpm.forall(_ > 0L),
+    "every declared weight must be positive — a zero-weight element " +
+      "is an out-of-partition declaration; drop it instead")
+  require(weightsPpm.sum == 1000000L,
+    s"weights must sum to exactly 1,000,000 ppm, got ${weightsPpm.sum}")
+  require(threshold > 0, s"threshold ($threshold) must be positive")
+  // Threshold in the name: one column legitimately carries several KL
+  // screens against different declarations.
+  val name = s"kl_divergence:$column:lt:$threshold"
+
+  /** The per-value micro-nat census `(value, n, ppm, contrib_micro)` —
+    * the registered lane ships these rows alongside the verdict so the
+    * oracle pins every contribution, not just their sum. `ppm` (and
+    * `contrib_micro`) are NULL for observed values outside the
+    * declared partition. `materialize` pins the value census once (it
+    * feeds BOTH the contribution join and the total — unpinned, each
+    * would re-scan the corpus; the census is |distinct values| rows at
+    * ANY corpus size, so the pin is free — the PsiDrift discipline).
+    * False only for plan inspection. */
+  def census(df: DataFrame, materialize: Boolean = true): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val part = partitionValues.zip(weightsPpm).toDF("__v", "ppm")
+    val counts0 = df.filter(col(column).isNotNull)
+      .groupBy(col(column).cast("string").as("__v"))
+      .agg(count(lit(1)).as("n"))
+    val counts = if (materialize) counts0.localCheckpoint(true) else counts0
+    val totals = counts.agg(sum(col("n")).as("__N"))
+    counts.join(broadcast(part), Seq("__v"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__v").as("value"), col("n"), col("ppm"),
+        when(col("ppm").isNotNull,
+          round((col("n").cast("double") / col("__N"))
+            * log(col("n").cast("double") * lit(1000000.0)
+              / (col("__N").cast("double") * col("ppm").cast("double")))
+            * lit(1000000.0), 0).cast("long")).as("contrib_micro"))
+  }
+
+  def run(df: DataFrame): ValidationResult = {
+    val row = census(df).agg(
+      sum(col("n")).as("total"),
+      sum(when(col("ppm").isNull, col("n"))).as("n_out"),
+      sum(col("contrib_micro")).as("kl_micro")).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val nOut = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val klMicro = if (row.isNullAt(2)) 0L else row.getLong(2)
+    val kl = klMicro / 1e6
+    // An empty basis has no distribution to diverge — vacuous pass,
+    // the MostCommonValueCheck convention.
+    val ok = total == 0L || (nOut == 0L && kl < threshold)
+    ValidationResult(name,
+      if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      if (nOut > 0L)
+        s"$nOut rows of $column fall outside the declared partition — " +
+          "KL is infinite"
+      else f"KL($column observed vs declared) = $kl%.6f vs threshold " +
+        f"$threshold%.6f over $total rows",
+      elementCount = total, unexpectedCount = nOut)
+  }
+}
+
 object CheckSuite {
   /** Fuse all agg-expressible checks over one table into a SINGLE Spark
     * job (one scan, one partial+final aggregate). The scale property the

@@ -37,20 +37,32 @@ object StreamingIntervalJoin {
     * usually derive from one source). `delaySeconds` is the shared
     * late-data tolerance on both watermarks.
     *
-    * `joinType` = `"inner"` (s18) or `"left_outer"` (s20, VERDICT r14
-    * missing #2 — the other half of the interval-join vocabulary): the
-    * attribution shape usually needs the impression WITHOUT a
-    * conversion too, emitted null-extended exactly once — and only
-    * once the watermark passes `leftTime + withinSeconds +
-    * delaySeconds`, the point where Structured Streaming can PROVE no
-    * matching right row can still arrive (eviction time = match
-    * completeness, which is why the outer form demands watermarks
-    * where the inner form merely benefits from them). A late
-    * conversion after that never resurrects the row (it is dropped at
-    * ingest, and the buffered impression is already evicted) — pinned
-    * live in StreamingIntervalJoinSpec. On batch frames the watermark
-    * is optimizer-eliminated and this is the plain LEFT JOIN BETWEEN,
-    * the registered `s20_stream_outer_join` oracle. */
+    * `joinType` = `"inner"` (s18), `"left_outer"` (s20, VERDICT r14
+    * missing #2) or `"full_outer"` (s22, VERDICT r15 next #6 — the
+    * last interval-join vocabulary item): the attribution shape
+    * usually needs the impression WITHOUT a conversion too, emitted
+    * null-extended exactly once — and only once the watermark passes
+    * `leftTime + withinSeconds + delaySeconds`, the point where
+    * Structured Streaming can PROVE no matching right row can still
+    * arrive (eviction time = match completeness, which is why the
+    * outer forms demand watermarks where the inner form merely
+    * benefits from them). The full-outer form adds the symmetric
+    * claim: an orphaned CONVERSION (no impression within the window)
+    * also emits null-extended exactly once, after the left watermark
+    * passes ITS eviction bound `rightTime + delaySeconds` (the right
+    * row can only match left rows with `leftTime ≥ rightTime −
+    * within`, all provably absent once the left watermark clears
+    * `rightTime`). A late row after its side's watermark never
+    * resurrects anything (dropped at ingest, the buffered partner
+    * already evicted) — both sides pinned live in
+    * StreamingIntervalJoinSpec. On batch frames the watermark is
+    * optimizer-eliminated and these are the plain LEFT/FULL JOIN
+    * BETWEEN, the registered `s20`/`s22` oracles.
+    *
+    * On the outer forms the join key survives null-extension:
+    * `keyCol` comes out `coalesce(left, right)` (a full-outer row has
+    * it on exactly one side; without the coalesce the right-only rows
+    * would lose their key with the dropped `prefix` column). */
   def joinWithin(left: DataFrame, right: DataFrame, keyCol: String,
                  leftTime: String, rightTime: String,
                  withinSeconds: Long, delaySeconds: Long = 3600L,
@@ -58,19 +70,26 @@ object StreamingIntervalJoin {
                  joinType: String = "inner"): DataFrame = {
     require(withinSeconds >= 0, s"withinSeconds ($withinSeconds) < 0")
     require(delaySeconds >= 0, s"delaySeconds ($delaySeconds) < 0")
-    require(joinType == "inner" || joinType == "left_outer",
-      s"joinType ($joinType) must be 'inner' or 'left_outer' — the " +
-        "stream-stream interval vocabulary this operator serves")
+    require(joinType == "inner" || joinType == "left_outer" ||
+        joinType == "full_outer",
+      s"joinType ($joinType) must be 'inner', 'left_outer' or " +
+        "'full_outer' — the stream-stream interval vocabulary this " +
+        "operator serves")
     val l = left.withWatermark(leftTime, s"$delaySeconds seconds")
     val r = right
       .select(right.columns.map(c => col(c).as(s"$prefix$c")).toSeq: _*)
       .withWatermark(s"$prefix$rightTime", s"$delaySeconds seconds")
-    l.join(r,
+    val joined = l.join(r,
       col(keyCol) === col(s"$prefix$keyCol") &&
         col(s"$prefix$rightTime") >= col(leftTime) &&
         col(s"$prefix$rightTime") <=
           col(leftTime) + expr(s"INTERVAL $withinSeconds SECONDS"),
       joinType)
-      .drop(s"$prefix$keyCol")
+    val keyed =
+      if (joinType == "full_outer")
+        joined.withColumn(keyCol,
+          coalesce(col(keyCol), col(s"$prefix$keyCol")))
+      else joined
+    keyed.drop(s"$prefix$keyCol")
   }
 }

@@ -264,6 +264,23 @@ object SuiteLoader {
           strictly = kw.path("strictly").asBoolean(false))
       case "expect_column_most_common_value_to_be_in_set" =>
         MostCommonValueCheck(reqText(kw, "column"), strings(kw, "value_set"))
+      case "expect_column_kl_divergence_to_be_less_than" =>
+        // GE's categorical partition_object: {values, weights}. Weights
+        // land as integer PPM (the check requires an exact 1,000,000
+        // sum — a declaration two engines can replay bit-for-bit);
+        // doubles that are not exact ppm multiples are caught by the
+        // check's own sum guard, loudly.
+        require(kw.hasNonNull("partition_object"),
+          s"missing 'partition_object' in $kw — declare the expected " +
+            "categorical distribution as {values, weights}")
+        val po = kw.get("partition_object")
+        val values = strings(po, "values")
+        val ppm = po.path("weights").elements().asScala
+          .map(w => math.round(w.asDouble() * 1e6)).toSeq
+        require(kw.hasNonNull("threshold"),
+          s"missing 'threshold' in $kw")
+        KlDivergenceCheck(reqText(kw, "column"), values, ppm,
+          kw.get("threshold").asDouble())
       case "expect_column_values_to_be_unique" =>
         UniqueCheck(Seq(reqText(kw, "column")))
       case "expect_compound_columns_to_be_unique" =>

@@ -243,4 +243,15 @@ class BpeTrainSpec extends SparkSpec {
     assert(sizes.last < sizes(sizes.size - 2),
       "the last learned merge must reduce the symbol mass")
   }
+
+  test("the registered x53_bpe_train_full lane learns a non-letter " +
+       "AND an uppercase merge over the planted corpus") {
+    val traj = Queries.x53BpeTrainFull(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(traj.length == 8, s"expected the 8-step trajectory: ${traj.toSeq}")
+    assert(traj.exists { case (l, r) => (l + r).exists(c => !c.isLetter) },
+      s"expected a non-letter merge: ${traj.toSeq}")
+    assert(traj.exists { case (l, r) => (l + r).exists(_.isUpper) },
+      s"expected an uppercase merge: ${traj.toSeq}")
+  }
 }

@@ -306,6 +306,48 @@ class ChecksSpec extends SparkSpec {
     assert(r.passed && r.elementCount == 0L)
   }
 
+  test("KlDivergenceCheck: matching shape passes, skew fails, " +
+       "out-of-partition is infinite, declarations are guarded") {
+    // 80/20 over two values — matches the declared 800000/200000.
+    val rows = (1 to 100).map(i => Row(if (i <= 80) "a" else "b"))
+    val data = df(rows, "k STRING")
+    val exact = KlDivergenceCheck("k", Seq("a", "b"),
+      Seq(800000L, 200000L), 0.001).run(data)
+    assert(exact.passed && exact.elementCount == 100L, exact.message)
+    // Same data against an inverted declaration: KL = .8·ln4 + .2·ln.25
+    // ≈ 0.8317 — fails a 0.5 threshold, passes a loose 1.0.
+    val skew = KlDivergenceCheck("k", Seq("a", "b"),
+      Seq(200000L, 800000L), 0.5)
+    assert(!skew.run(data).passed)
+    assert(KlDivergenceCheck("k", Seq("a", "b"),
+      Seq(200000L, 800000L), 1.0).run(data).passed)
+    // An observed value with no declared mass → infinite divergence:
+    // fails ANY threshold, the stray rows counted.
+    val strays = df(rows ++ Seq(Row("c"), Row("c")), "k STRING")
+    val inf = KlDivergenceCheck("k", Seq("a", "b"),
+      Seq(800000L, 200000L), 1e9).run(strays)
+    assert(!inf.passed && inf.unexpectedCount == 2L, inf.message)
+    // Census rows carry the per-value integer contributions; the
+    // stray value's ppm/contrib are null.
+    val cen = KlDivergenceCheck("k", Seq("a", "b"),
+        Seq(800000L, 200000L), 1.0).census(strays)
+      .collect().map(r => r.getString(0) -> r.isNullAt(3)).toMap
+    assert(cen == Map("a" -> false, "b" -> false, "c" -> true))
+    // Empty basis: vacuous pass (no distribution to diverge).
+    assert(KlDivergenceCheck("k", Seq("a"), Seq(1000000L), 0.1)
+      .run(data.filter("k = 'zzz'")).passed)
+    // Declaration guards: ppm sum, zero weights, duplicate values.
+    intercept[IllegalArgumentException] {
+      KlDivergenceCheck("k", Seq("a", "b"), Seq(5000L, 200000L), 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      KlDivergenceCheck("k", Seq("a", "b"), Seq(1000000L, 0L), 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      KlDivergenceCheck("k", Seq("a", "a"), Seq(500000L, 500000L), 0.1)
+    }
+  }
+
   test("SuiteLoader wires the G22 expectation names") {
     import graft.suite.SuiteLoader
     val yaml =
@@ -319,12 +361,18 @@ class ChecksSpec extends SparkSpec {
         |        kwargs: { column: v, order_by: ord }
         |      - type: expect_column_most_common_value_to_be_in_set
         |        kwargs: { column: k, value_set: [a, b] }
+        |      - type: expect_column_kl_divergence_to_be_less_than
+        |        kwargs:
+        |          column: k
+        |          partition_object: { values: [a, b], weights: [0.75, 0.25] }
+        |          threshold: 0.1
         |""".stripMargin
     val checks = SuiteLoader.parse(yaml, yaml = true).tables.head.checks
     assert(checks == Seq(
       MonotonicCheck("v", "ord", increasing = true, strictly = true),
       MonotonicCheck("v", "ord", increasing = false),
-      MostCommonValueCheck("k", Seq("a", "b"))))
+      MostCommonValueCheck("k", Seq("a", "b")),
+      KlDivergenceCheck("k", Seq("a", "b"), Seq(750000L, 250000L), 0.1)))
     // order_by is required — a silent default would validate nothing.
     val bad =
       """suite_name: g22bad

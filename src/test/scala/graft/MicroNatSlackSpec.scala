@@ -178,6 +178,33 @@ class MicroNatSlackSpec extends SparkSpec {
     assert(s >= MinSlack, f"x20 psi bin slack $s%.3e < $MinSlack%.0e")
   }
 
+  test("g23 KL contributions sit >=1e-6 from rounding boundaries") {
+    // Mirrors the g23 lane's three declared partitions over the events
+    // type census (KlDivergenceCheck.census): one rounding per
+    // (declaration, value) of (n/N)·ln(n·1e6/(N·ppm))·1e6.
+    val ev = Tables.events(spark, oracleSf)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val decls = Seq(
+      types.map(_ -> 200000L),
+      types.map(t => t -> (if (t == "click") 600000L else 100000L)),
+      types.filterNot(_ == "error").map(_ -> 250000L))
+    val counts = ev.filter(col("event_type").isNotNull)
+      .groupBy(col("event_type").cast("string").as("__v"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val total = counts.map(_._2).sum.toDouble
+    val pre = for {
+      decl <- decls
+      ppmOf = decl.toMap
+      (v, n) <- counts
+      ppm <- ppmOf.get(v)
+    } yield (n / total) * math.log(n * 1e6 / (total * ppm)) * 1e6
+    assert(pre.nonEmpty)
+    import spark.implicits._
+    val s = minSlack(pre.toDF("v"))
+    assert(s >= MinSlack, f"g23 kl slack $s%.3e < $MinSlack%.0e")
+  }
+
   test("x24 idf micro-nats sit >=1e-6 from rounding boundaries") {
     // Mirrors the oracle's dfc/n CTEs: one ln per distinct df value
     // (ln(N/N) = 0 is exact in every libm and excluded like x20's

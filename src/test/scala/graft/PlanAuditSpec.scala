@@ -99,7 +99,11 @@ class PlanAuditSpec extends SparkSpec {
       // ·1e5 cross onto the five new-key plants (ADVICE r10 — a fixed
       // +100000 collides at sf1); the streaming lane replays the same
       // plant through upsertBatch.
-      "t4_scd2_snapshot", "s7_stream_scd2")
+      "t4_scd2_snapshot", "s7_stream_scd2",
+      // The ONE-ROW total-N cross onto the |distinct values| KL census
+      // (the x12 weight-sum shape, per declared partition), plus the
+      // one-row verdict literals cross onto the census rows.
+      "g23_kl_divergence")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -310,7 +314,20 @@ class PlanAuditSpec extends SparkSpec {
     // construction; the registered plan probes the loaded grams (the
     // s10 stream gate reads the same artifact's params row at plan
     // time — the s8 literal-model discipline)
-    "x8_contam_against", "s10_stream_decontam")
+    "x8_contam_against", "s10_stream_decontam",
+    // runs the REAL check engine's three KL verdicts (each an agg over
+    // the pinned value census — the g22_ge_tail shape) at construction
+    "g23_kl_divergence",
+    // the xcodec drop set rides the materialized hammingEdges core
+    // (decode+re-encode+hash cache, checkpointed edge set — the
+    // x5_dhash_dropset shape on the union corpus)
+    "x5_xcodec_dedup",
+    // (s21_stream_phash is deliberately NOT here — like s19, its
+    // per-band anti-join fold is lazy end-to-end once the per-JVM
+    // index save is pre-paid)
+    // full-alphabet sibling of x53_bpe_train: the census + merge
+    // argmaxes run once per JVM and persist the vocab artifact
+    "x53_bpe_train_full")
 
   test("top-N per group never plans a single-partition global sort or window") {
     // The operator exists to avoid the one-reducer-per-group shape; the

@@ -161,6 +161,86 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 11L), (3L, 12L), (4L, -1L)))
   }
 
+  test("full_outer batch replay equals the plain FULL JOIN BETWEEN, " +
+       "key coalesced across sides") {
+    val got = StreamingIntervalJoin.joinWithin(
+        df(imps, lddl), df(convs, rddl), keyCol = "user_id",
+        leftTime = "ts", rightTime = "ts", withinSeconds = 100L,
+        joinType = "full_outer")
+      .select(col("imp_id"), col("r_conv_id"), col("user_id"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))
+      .toSet
+    // imp 4 (user 3) has no conversion; convs 13 (user 2, out of
+    // window) and 14 (user 9, unknown key) have no impression — the
+    // coalesced key must survive on the right-only rows.
+    assert(got == Set((1L, 10L, 1L), (2L, 11L, 1L), (3L, 12L, 2L),
+      (4L, -1L, 3L), (-1L, 13L, 2L), (-1L, 14L, 9L)))
+  }
+
+  test("full_outer live: null-extension on BOTH sides after the " +
+       "respective watermark passages, exactly once, no resurrection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Timestamp)]
+    val rIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Timestamp)]
+    val out = scala.collection.mutable.Buffer[(Option[Long], Option[Long])]()
+    val query = StreamingIntervalJoin.joinWithin(
+        lIn.toDF().toDF("imp_id", "user_id", "ts"),
+        rIn.toDF().toDF("conv_id", "user_id", "ts"),
+        "user_id", "ts", "ts", withinSeconds = 100L, delaySeconds = 10L,
+        joinType = "full_outer")
+      .select(col("imp_id"), col("r_conv_id"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r =>
+            (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+              if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          ()
+        }
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-s22-ckpt").toString)
+      .start()
+    try {
+      // A matched pair (user 1), an impression that never converts
+      // (user 2), and a conversion that never had an impression
+      // (user 9). Neither unmatched row may emit before its
+      // eviction-bound watermark passage.
+      lIn.addData(Seq((1L, 1L, sec(100)), (2L, 2L, sec(100))))
+      rIn.addData(Seq((10L, 1L, sec(150)), (14L, 9L, sec(100))))
+      query.processAllAvailable()
+      assert(out.toSet == Set((Some(1L), Some(10L))),
+        s"before watermark passage only the matched pair may emit: $out")
+      // Advance both watermarks far past every eviction bound; outer
+      // emission can trail by one micro-batch, so feed two advancing
+      // batches. BOTH unmatched rows must now emit null-extended,
+      // exactly once each.
+      lIn.addData(Seq((90L, 7L, sec(1000))))
+      rIn.addData(Seq((91L, 8L, sec(1000))))
+      query.processAllAvailable()
+      lIn.addData(Seq((92L, 7L, sec(1100))))
+      rIn.addData(Seq((93L, 8L, sec(1100))))
+      query.processAllAvailable()
+      assert(out.count(_ == (Some(2L) -> None)) == 1,
+        s"unmatched impression must emit null-extended exactly once: $out")
+      assert(out.count(_ == (None -> Some(14L))) == 1,
+        s"unmatched conversion must emit null-extended exactly once: $out")
+      // Late rows on either side are dropped at ingest — no pair, no
+      // duplicate, no resurrection.
+      val before = out.size
+      rIn.addData(Seq((20L, 2L, sec(150))))
+      lIn.addData(Seq((6L, 9L, sec(90))))
+      query.processAllAvailable()
+      assert(out.size == before,
+        s"late rows must not resurrect evicted partners: $out")
+    } finally query.stop()
+  }
+
   test("the registered lane's shape: stream output equals the plain " +
        "BETWEEN join on the events fixture") {
     val ev = Tables.events(spark, sfDir)
