@@ -6526,6 +6526,37 @@ object Oracles {
           |  SELECT doc_id + 1000000000 AS media_id FROM pimg)
           |ORDER BY media_id""".stripMargin),
 
+    "x5_xcodec_groups" ->
+      // Cross-codec resolution replayed from the PNG side alone, by
+      // the x5_xcodec_dedup certainty bands plus the clique claim
+      // (within-family pairs of EITHER codec measure <= 4 bits,
+      // asserted <= 6 in XcodecDedupSpec): the union graph's
+      // components are the closed-form PNG pHash components with each
+      // re-encode (id + 1e9) attached to its own original's cluster —
+      // a re-encode can neither merge components (cross-family >= 14)
+      // nor out-rank a PNG label (ids offset above every original).
+      // Isolated PNGs (single-member families with no PNG pair)
+      // label themselves, the x5_dhash_pipeline COALESCE shape.
+      ("WITH RECURSIVE " + phashHashCtes + ",\n" +
+        """xgp AS (
+          |  SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b
+          |  FROM phash a JOIN phash b ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+          |""".stripMargin +
+        componentCtesFrom("xgp", "media_id_a", "media_id_b") + ",\n" +
+        """pngc AS (
+          |  SELECT i.doc_id AS media_id,
+          |         COALESCE(c.cluster_id, i.doc_id) AS cluster_id
+          |  FROM pimg i
+          |  LEFT JOIN (SELECT id, min(lbl) AS cluster_id
+          |             FROM creach GROUP BY id) c ON c.id = i.doc_id)
+          |SELECT media_id, cluster_id, cluster_id = media_id AS keep
+          |FROM (
+          |  SELECT media_id, cluster_id FROM pngc
+          |  UNION ALL
+          |  SELECT media_id + 1000000000, cluster_id FROM pngc)
+          |ORDER BY media_id""".stripMargin),
+
     "x5_dhash_pipeline" ->
       // The composed production shape replayed per image from the
       // closed-form hash CTE: signature, connected component over the

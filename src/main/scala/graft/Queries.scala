@@ -2200,6 +2200,38 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** X5h-groups — cross-codec RESOLUTION (the x5DhashGroups
+    * composition on the union corpus): connected components of the
+    * Hamming-≤6 pHash graph over PNG originals + their JPEG q0.95
+    * re-encodes, via the SAME min-label machinery as text/image dedup.
+    * Each planted family resolves to ONE cluster holding both codecs'
+    * copies, labeled by its smallest PNG id (re-encode ids are offset
+    * above every original, so the representative is always an
+    * original — the keep flag never elects a re-save).
+    *
+    * FULL oracle by the x5_xcodec_dedup certainty bands, one claim
+    * stronger: every within-family pair (either codec) sits ≤ 6 bits
+    * (measured ≤ 4, asserted in XcodecDedupSpec), so each family is a
+    * CLIQUE — the union graph's components are exactly {PNG
+    * components of the closed-form pHash graph} with each re-encode
+    * attached to its own original's component; no re-encode can merge
+    * two components (cross-family ≥ 14 > 6 + nothing to merge within
+    * a clique). The oracle replays PNG reachability recursively and
+    * attaches re-encodes by construction. */
+  def x5XcodecGroups(s: SparkSession, d: String): DataFrame = {
+    val pngs = graft.ext.Multimodal.phashMediaFromDocuments(
+      documents(s, d))
+    val media = pngs.unionByName(
+      graft.ext.Multimodal.reencodeJpegs(pngs, idOffset = 1000000000L))
+    val edges = graft.ext.Dedup.hammingEdges(
+      graft.ext.Multimodal.phashImages(media),
+      "media_id", "phash", maxHamming = 6)
+    graft.ext.DedupResolve.connectedComponents(edges)
+      .select(col("id").as("media_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("keep"))
+      .orderBy("media_id")
+  }
+
   /** X5e-pipeline — the PRODUCTION composition of the dHash family
     * (VERDICT r15 ask #6): the four registered lanes are standalone by
     * contract (each re-decodes the corpus — the documented

@@ -320,8 +320,9 @@ class PlanAuditSpec extends SparkSpec {
     "g23_kl_divergence",
     // the xcodec drop set rides the materialized hammingEdges core
     // (decode+re-encode+hash cache, checkpointed edge set — the
-    // x5_dhash_dropset shape on the union corpus)
-    "x5_xcodec_dedup",
+    // x5_dhash_dropset shape on the union corpus); the groups lane
+    // adds the bounded driver union-find (x5_dhash_groups shape)
+    "x5_xcodec_dedup", "x5_xcodec_groups",
     // (s21_stream_phash is deliberately NOT here — like s19, its
     // per-band anti-join fold is lazy end-to-end once the per-JVM
     // index save is pre-paid)

@@ -67,4 +67,37 @@ class XcodecDedupSpec extends SparkSpec {
     assert(sigs.map(_._1).filter(_ >= Offset).forall(engine.contains))
     assert(sigs.map(_._1).exists(id => id < Offset && !engine.contains(id)))
   }
+
+  test("cross-codec resolution equals brute-force connected components " +
+       "— one cluster per family, both codecs, PNG representative") {
+    assume(Multimodal.jpegSupported && Multimodal.pngSupported,
+      "JVM ships no JPEG/PNG codec")
+    // Brute-force union-find over the full Hamming-<=6 pair relation.
+    val parent = scala.collection.mutable.Map(
+      sigs.map(t => t._1 -> t._1).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    for ((a, ha) <- sigs; (b, hb) <- sigs
+         if a < b && java.lang.Long.bitCount(ha ^ hb) <= 6) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val brute = sigs.map(t => t._1 -> find(t._1)).toMap
+    val engine = Queries.x5XcodecGroups(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(engine.keySet == brute.keySet)
+    engine.foreach { case (id, (cluster, keep)) =>
+      assert(cluster == brute(id), s"$id clustered $cluster vs brute")
+      assert(keep == (cluster == id))
+    }
+    // The production claim: every cluster representative is an
+    // ORIGINAL, and every re-encode resolves into its original's
+    // cluster.
+    assert(engine.values.map(_._1).toSet.forall(_ < Offset))
+    sigs.map(_._1).filter(_ >= Offset).foreach { j =>
+      assert(engine(j)._1 == engine(j - Offset)._1,
+        s"re-encode $j resolved apart from its original")
+    }
+  }
 }
