@@ -1659,6 +1659,54 @@ object Oracles {
        |       c$k.value, c$k.n, c$k.ppm, c$k.contrib_micro
        |FROM c$k, v$k""".stripMargin
 
+  /** The X5i aHash corpus in closed form — every audio-lane document's
+    * 64-bit energy-profile hash: planted samples
+    * (Multimodal.ahashSample mirrored verbatim — byte-mix base,
+    * v-scaled perturbation, the v=6 exact 2× re-gain), floor-div
+    * 65-window pooling, integer energy sums, cross-multiplied
+    * boundary comparisons, bit 63 via the Long.MinValue literal. */
+  private val ahashHashCtes: String =
+    """aimg AS (
+      |  SELECT doc_id, doc_id // 21 AS f, (doc_id % 21) // 3 AS v
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |adim AS (
+      |  SELECT doc_id, v,
+      |         CAST(512 + 64 * (f % 4) AS BIGINT) AS n,
+      |         xor(f % 1000000007, (f % 1000000007) // 65536)
+      |           * 73244475 AS m
+      |  FROM aimg),
+      |asamp AS (SELECT doc_id, v, n, m, unnest(range(0, n)) AS t
+      |          FROM adim),
+      |asv AS (
+      |  SELECT doc_id, n, t,
+      |         CASE WHEN v = 6 THEN
+      |           2 * (6 * (xor(((m + 40503 * t) // 256) % 256,
+      |                         ((m + 40503 * t) // 16777216) % 256) - 128)
+      |                + 320 * ((t % 5) - 2))
+      |         ELSE
+      |           6 * (xor(((m + 40503 * t) // 256) % 256,
+      |                    ((m + 40503 * t) // 16777216) % 256) - 128)
+      |           + v * 64 * ((t % 5) - 2)
+      |         END AS s
+      |  FROM asamp),
+      |awin AS (SELECT doc_id, t * 65 // n AS w,
+      |                CAST(sum(s * s) AS BIGINT) AS e,
+      |                CAST(count(*) AS BIGINT) AS c
+      |         FROM asv GROUP BY 1, 2),
+      |abit AS (
+      |  SELECT a.doc_id, CAST(a.w AS INTEGER) AS pos
+      |  FROM awin a JOIN awin b
+      |    ON a.doc_id = b.doc_id AND b.w = a.w + 1
+      |  WHERE a.w < 64 AND a.e * b.c < b.e * a.c),
+      |ahash AS (
+      |  SELECT i.doc_id,
+      |         coalesce(bit_or(CASE WHEN b.pos = 63
+      |                              THEN (-9223372036854775807 - 1)
+      |                              ELSE 1::BIGINT << b.pos END),
+      |                  0) AS ahash
+      |  FROM aimg i LEFT JOIN abit b ON i.doc_id = b.doc_id
+      |  GROUP BY i.doc_id)""".stripMargin
+
   /** The public IMA step table as a VALUES list — spec DATA (not
     * decoder logic) deliberately taken from the same constant array the
     * engine uses, the GIF-palette-formula sharing class: the state
@@ -6504,6 +6552,34 @@ object Oracles {
           |  WHERE bit_count(xor(a.phash, b.phash)) <= 4)
           |SELECT media_id_a, media_id_b, hamming FROM ppair
           |ORDER BY media_id_a, media_id_b""".stripMargin),
+
+    "x5_ahash_pairs" ->
+      // The audio perceptual-hash near-dup replayed as BRUTE FORCE
+      // over hashes recomputed from the closed-form planted samples —
+      // PCM is lossless and every energy comparison is exact-integer,
+      // so the banded engine must equal the all-pairs Hamming
+      // predicate exactly (the x5_dhash_pairs posture on audio; the
+      // v=5/v=6 exact-re-gain pairs surface at Hamming 0 despite
+      // byte-different payloads — the volume-invariance claim under
+      // the oracle).
+      ("WITH " + ahashHashCtes + ",\n" +
+        """apair AS (
+          |  SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+          |         CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER)
+          |           AS hamming
+          |  FROM ahash a JOIN ahash b ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3)
+          |SELECT media_id_a, media_id_b, hamming FROM apair
+          |ORDER BY media_id_a, media_id_b""".stripMargin),
+
+    "x5_ahash_dropset" ->
+      // Keep-first over the audio near-dup relation: dropped = the
+      // b-side of any qualifying pair.
+      ("WITH " + ahashHashCtes + "\n" +
+        """SELECT DISTINCT b.doc_id AS media_id
+          |FROM ahash a JOIN ahash b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+          |ORDER BY media_id""".stripMargin),
 
     "x5_xcodec_dedup" ->
       // The cross-codec drop set replayed WITHOUT a codec, by certainty

@@ -2043,6 +2043,42 @@ object Queries {
       graft.ext.Multimodal.adpcmMediaFromDocuments(documents(s, d)))
       .orderBy("media_id")
 
+  /** X5i — AUDIO perceptual near-dup ([[graft.ext.Multimodal
+    * .ahash64]]): the dedup composition the audio lane was missing —
+    * images had dHash/pHash, audio only decoded. Real planted WAVs
+    * (PCM lossless, so the oracle replays every sample from
+    * [[graft.ext.Multimodal.ahashSample]]), hashed by the 65-window
+    * energy profile with exact cross-multiplied integer comparisons,
+    * paired by the SAME banded [[graft.ext.Dedup.hammingPairs]] core
+    * as every other 64-bit signature family. The signature is
+    * VOLUME-INVARIANT by construction, and the plant carries an exact
+    * 2× re-gain member per family (byte-different payload, Hamming 0)
+    * — the duplicate class byte-exact audio dedup misses. FULL oracle:
+    * everything is closed-form, so the oracle recomputes every hash
+    * and applies the brute-force Hamming predicate — the pigeonhole
+    * recall guarantee hash-checked, the x5_dhash_pairs posture.
+    * maxHamming = 3 → 4 pigeonhole bands of 16 bits — the widest
+    * bucket space of the image-lane family. */
+  def x5AhashPairs(s: SparkSession, d: String): DataFrame =
+    graft.ext.Dedup.hammingPairs(
+      graft.ext.Multimodal.ahashWavs(
+        graft.ext.Multimodal.ahashMediaFromDocuments(documents(s, d))),
+      "media_id", "ahash", maxHamming = 3)
+      .toDF("media_id_a", "media_id_b", "hamming")
+      .orderBy("media_id_a", "media_id_b")
+
+  /** X5i-dropset — keep-first over the audio near-dup relation via
+    * [[graft.ext.Dedup.hammingEdges]] (linear in duplicate-family
+    * size — the VERDICT r14 #1 discipline); every re-gained copy
+    * drops against its original. */
+  def x5AhashDropset(s: SparkSession, d: String): DataFrame =
+    graft.ext.Dedup.hammingEdges(
+      graft.ext.Multimodal.ahashWavs(
+        graft.ext.Multimodal.ahashMediaFromDocuments(documents(s, d))),
+      "media_id", "ahash", maxHamming = 3)
+      .select(col("doc_id_b").as("media_id")).distinct()
+      .orderBy("media_id")
+
   /** X5e-groups — pair-graph RESOLUTION on the image near-dup relation
     * (the X1f composition applied to dHash): connected components of
     * the Hamming-≤3 pair graph via the SAME min-label machinery as

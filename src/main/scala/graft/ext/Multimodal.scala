@@ -410,6 +410,167 @@ object Multimodal {
       .toDF()
   }
 
+  // ------- energy-profile audio perceptual hash (X5i — the dHash idea
+  // on the audio lane: a training corpus dedups its AUDIO too, and the
+  // duplicate class that matters is the re-encoded/re-gained copy,
+  // which byte-exact dedup misses)
+
+  /** 64-bit energy-profile audio hash over decoded PCM samples: pool
+    * the clip into 65 fixed windows (window of sample t = t·65/n —
+    * the [[phash64]] floor-div pooling, so ANY clip length ≥ 65 maps
+    * to the same grid), per-window integer energy e_w = Σ s², and bit
+    * w (w < 64) set iff the mean energy strictly RISES across the
+    * w→w+1 boundary, compared by cross-multiplication
+    * (e_w·c_{w+1} < e_{w+1}·c_w — exact in integers, the [[dhash64]]
+    * convention, so a SQL oracle replays every bit).
+    *
+    * VOLUME-INVARIANT by construction: scaling every sample by g
+    * multiplies every window energy by g² and cancels out of the
+    * cross-multiplied comparison — a re-gained copy of a clip hashes
+    * IDENTICALLY (the planted corpus carries an exact 2× member pair,
+    * byte-different payloads, Hamming 0; pinned in AhashSpec).
+    * Magnitudes: |s| ≤ 32767 → e_w ≤ n·2³⁰ and e·c ≤ n²·2³⁰ —
+    * long-safe to n ≈ 2 M samples (minutes of audio; longer clips
+    * should window-chunk upstream). Returns 0 for clips shorter than
+    * the 65-window grid (no boundary has two occupied windows —
+    * too short to fingerprint, the caller's length gate's business). */
+  private[graft] def ahash64(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n < 65) return 0L
+    val e = new Array[Long](65)
+    val c = new Array[Long](65)
+    var t = 0
+    while (t < n) {
+      val w = (t.toLong * 65L / n).toInt
+      val s = samples(t).toLong
+      e(w) += s * s
+      c(w) += 1
+      t += 1
+    }
+    var hash = 0L
+    var w = 0
+    while (w < 64) {
+      if (e(w) * c(w + 1) < e(w + 1) * c(w)) hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
+  /** Decode a WAV payload to its exact int16 samples (16-bit signed
+    * PCM mono LE only — the [[decodeWavOne]] layout contract); null
+    * for anything else. */
+  private[graft] def readPcm16(b: Array[Byte]): Array[Int] = {
+    if (!wavSupported || b == null) return null
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (ais == null) return null
+    val fmt = ais.getFormat
+    if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+      fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian)
+      return null
+    val bytes = ais.readAllBytes()
+    val out = new Array[Int](bytes.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Decode one payload and aHash it — the [[decodeDhash]] discipline:
+    * ONE per-payload body for every consumer, null for undecodable
+    * payloads or a codec-less runtime. */
+  private[graft] def decodeAhash(b: Array[Byte]): java.lang.Long = {
+    val samples = readPcm16(b)
+    if (samples == null) null else java.lang.Long.valueOf(ahash64(samples))
+  }
+
+  /** X5i signature half — (media_id, ahash) out of REAL WAV payloads:
+    * one narrow mapPartitions pass through the JDK WAVE reader (the
+    * [[dhashPngs]] batch shape). Feed to [[graft.ext.Dedup
+    * .hammingPairs]]/[[graft.ext.Dedup.hammingEdges]]. */
+  def ahashWavs(media: DataFrame): DataFrame = {
+    val session = media.sparkSession
+    import session.implicits._
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val h = decodeAhash(r.getAs[Array[Byte]](1))
+          if (h == null) None else Some((r.getLong(0), h.longValue))
+        }
+      }
+      .toDF("media_id", "ahash")
+  }
+
+  /** Planted sample for the aHash corpus, sample t of family `f`
+    * variant `v` — mirrored VERBATIM by the DuckDB oracle: a
+    * family-keyed BYTE-MIX base b(t) = 6·(mix(m + 40503t) − 128) with
+    * mix the [[dhashLuma]] xor-of-bytes fold (a modular-arithmetic
+    * base proved WRONG here — (m + 31t) mod p is a pure PHASE SHIFT
+    * of one waveform across families, so window-energy profiles
+    * correlate and cross-family distances collapsed to 3 bits;
+    * the byte mix decorrelates per (f, t)), plus a variant
+    * perturbation v·64·((t mod 5) − 2) for v ≤ 5 — a fixed pattern
+    * scaled by v, so signature distance grows with |Δv| — and
+    * v = 6 an EXACT 2× re-gain of the v = 5 member (byte-different
+    * samples, provably identical hash — the volume-invariance plant).
+    * |s| ≤ 2·(768 + 5·64·2) = 2816 < 32767: int16-safe. */
+  private[graft] def ahashSample(f: Long, v: Int, t: Long): Int = {
+    val fm = f % 1000000007L
+    val m = (fm ^ (fm >>> 16)) * 73244475L
+    val x = m + 40503L * t
+    val base = (((((x >>> 8) & 255L) ^ ((x >>> 24) & 255L)) - 128L) * 6L).toInt
+    if (v == 6) 2 * (base + 5 * 64 * ((t % 5L).toInt - 2))
+    else base + v * 64 * ((t % 5L).toInt - 2)
+  }
+
+  /** Planted aHash corpus: REAL WAVs (PCM is lossless — the decoded
+    * samples ARE [[ahashSample]], so the oracle replays every window
+    * energy from the formula) on audio-kind documents, families
+    * f = doc_id/21 of up to 7 members, variant v = (doc_id%21)/3,
+    * n = 512 + 64·(f%4) samples at a fixed 16 kHz (rate is container
+    * metadata — the hash never reads it). */
+  def ahashMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val f = id / 21
+          val v = ((id % 21) / 3).toInt
+          val n = (512 + 64 * (f % 4)).toInt
+          val pcm = new Array[Byte](n * 2)
+          var t = 0
+          while (t < n) {
+            val s = ahashSample(f, v, t)
+            pcm(2 * t) = (s & 0xFF).toByte
+            pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+            t += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            16000f, 16, 1, 2, 16000f, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Row(id, bos.toByteArray)
+        }
+      }(encoder)
+  }
+
   // ---------------------------------- real animated-GIF codec path (X5c)
 
   /** True when the JVM ships GIF ImageIO read AND write plugins —
