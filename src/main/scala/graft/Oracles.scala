@@ -6581,6 +6581,23 @@ object Oracles {
           |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
           |ORDER BY media_id""".stripMargin),
 
+    "s23_stream_ahash" ->
+      // The streaming audio drop's batch replay in closed form (the
+      // s19/s21 posture on the aHash family): survivors = shard clips
+      // (variants 3-6) with NO history clip (variants 0-2) within
+      // Hamming <= 3 — 31 drop / 64 survive at sf0.01, both outcomes
+      // exercised. Deterministic end-to-end: the closed-form sample
+      // CTE recomputes every signature.
+      ("WITH " + ahashHashCtes + "\n" +
+        """SELECT s.doc_id AS media_id, s.ahash
+          |FROM ahash s
+          |WHERE (s.doc_id % 21) // 3 >= 3
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM ahash h
+          |    WHERE (h.doc_id % 21) // 3 < 3
+          |      AND bit_count(xor(s.ahash, h.ahash)) <= 3)
+          |ORDER BY media_id""".stripMargin),
+
     "x5_xcodec_dedup" ->
       // The cross-codec drop set replayed WITHOUT a codec, by certainty
       // bands (measured at sf0.01: re-encode drift <= 4 bits,

@@ -2355,6 +2355,31 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** s23 — STREAMING audio near-dup drop vs a saved aHash index: the
+    * THIRD consumer of the generalized drop core ([[graft.stream
+    * .StreamingDhash.dropStreamAgainst]] — the r16 claim that a new
+    * 64-bit signature family costs one nullable hasher, proven by
+    * consumption). History = variants 0–2 of every aHash family,
+    * shard = variants 3–6; at maxHamming = 3 both outcomes are
+    * planted (31 drop / 64 survive at sf0.01 — the re-gained v=6
+    * copies of indexed-adjacent profiles drop where byte-fingerprint
+    * dedup would admit them). aHash is deterministic, so the batch
+    * replay carries the FULL closed-form oracle; live two-MemoryStream
+    * parity is pinned in StreamingDhashSpec. */
+  def s23StreamAhash(s: SparkSession, d: String): DataFrame = {
+    val media = graft.ext.Multimodal.ahashMediaFromDocuments(
+      documents(s, d))
+    val dir = persistedIndexDir("ahash_index", d) { dir =>
+      graft.ext.Multimodal.ahashWavs(
+          media.filter(expr("(media_id % 21) div 3 < 3")))
+        .write.mode("overwrite").parquet(dir)
+    }
+    graft.stream.StreamingDhash.ahashDropStreamAgainst(
+        media.filter(expr("(media_id % 21) div 3 >= 3")),
+        s.read.parquet(dir), maxHamming = 3)
+      .orderBy("media_id")
+  }
+
   /** X19 — stage-0 text cleaning over deterministically "dirtied"
     * documents: three planted markup lanes (element wrap + script
     * payload, double-escaped entities + bare tag, trailing entities +

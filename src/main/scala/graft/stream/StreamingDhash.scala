@@ -85,6 +85,21 @@ object StreamingDhash {
     }
   }
 
+  /** aHash decode+hash, null-keeping ([[graft.ext.Multimodal
+    * .decodeAhash]] — the one body shared with [[graft.ext.Multimodal
+    * .ahashWavs]]): the AUDIO arrival lane. */
+  def ahashNullable(media: DataFrame): DataFrame =
+    hashNullable(media, "ahash", graft.ext.Multimodal.decodeAhash)
+
+  /** s23 — survivors of an AUDIO stream against the saved aHash index:
+    * the third consumer of [[dropStreamAgainst]] — a re-gained copy of
+    * an indexed clip drops (the signature is volume-invariant), where
+    * byte-fingerprint dedup would admit it. Output: (media_id, ahash). */
+  def ahashDropStreamAgainst(stream: DataFrame, historySigs: DataFrame,
+                             maxHamming: Int = 3): DataFrame =
+    dropStreamAgainst(ahashNullable(stream), historySigs, "ahash",
+      maxHamming)
+
   /** s19 — survivors of `stream` (media_id, payload) against the saved
     * dHash index. Output: (media_id, dhash). */
   def dhashDropStreamAgainst(stream: DataFrame, historySigs: DataFrame,

@@ -129,6 +129,49 @@ class StreamingDhashSpec extends SparkSpec {
     assert(out.toSet === batch, "stream and batch drop sets diverged")
   }
 
+  test("s23 aHash lane: live two-batch MemoryStream equals the batch " +
+       "replay, and both equal brute force (third drop-core consumer)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val amedia = Multimodal.ahashMediaFromDocuments(docs(504))
+      .localCheckpoint(true)
+    val ahist = Multimodal.ahashWavs(
+      amedia.filter("(media_id % 21) div 3 < 3")).localCheckpoint(true)
+    val ashard = amedia.filter("(media_id % 21) div 3 >= 3")
+    val batch = StreamingDhash.ahashDropStreamAgainst(ashard, ahist,
+      maxHamming = 3).collect().map(_.getLong(0)).toSet
+    val hist = ahist.collect().map(r => r.getLong(1))
+    val sh = Multimodal.ahashWavs(ashard).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = sh.collect {
+      case (id, h) if !hist.exists(x =>
+        java.lang.Long.bitCount(x ^ h) <= 3) => id
+    }.toSet
+    assert(batch === brute)
+    assert(brute.nonEmpty && brute.size < sh.length,
+      "both outcomes must be exercised")
+    val rows = ashard.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val out = scala.collection.mutable.Buffer[Long]()
+    val query = StreamingDhash.ahashDropStreamAgainst(
+        input.toDF().toDF("media_id", "payload"), ahist, maxHamming = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.collect().map(_.getLong(0)); () }
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-s23-ckpt").toString)
+      .start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a); query.processAllAvailable()
+      input.addData(b); query.processAllAvailable()
+    } finally query.stop()
+    assert(out.toSet === batch, "stream and batch drop sets diverged")
+  }
+
   test("the banded drop set equals the brute-force Hamming predicate") {
     val hist = histSigs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val sh = Multimodal.dhashPngs(shard).collect()
