@@ -6581,6 +6581,19 @@ object Oracles {
           |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
           |ORDER BY media_id""".stripMargin),
 
+    "x5_ahash_against" ->
+      // The incremental (cross-shard) audio near-dup replayed as the
+      // brute-force cross predicate over closed-form hashes: history =
+      // variants 0-2 (the persisted signature index), shard = 3-6.
+      ("WITH " + ahashHashCtes + "\n" +
+        """SELECT s.doc_id AS media_id_new, h.doc_id AS media_id_hist,
+          |       CAST(bit_count(xor(s.ahash, h.ahash)) AS INTEGER)
+          |         AS hamming
+          |FROM ahash s JOIN ahash h
+          |  ON bit_count(xor(s.ahash, h.ahash)) <= 3
+          |WHERE (s.doc_id % 21) // 3 >= 3 AND (h.doc_id % 21) // 3 < 3
+          |ORDER BY media_id_new, media_id_hist""".stripMargin),
+
     "s23_stream_ahash" ->
       // The streaming audio drop's batch replay in closed form (the
       // s19/s21 posture on the aHash family): survivors = shard clips

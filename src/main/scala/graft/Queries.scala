@@ -2079,6 +2079,39 @@ object Queries {
       .select(col("doc_id_b").as("media_id")).distinct()
       .orderBy("media_id")
 
+  /** X5i-against — incremental audio near-dup vs a persisted aHash
+    * index (the X1h nightly posture on the audio lane, mirroring
+    * [[x5DhashAgainst]]): today's shard (variants 3–6) decodes,
+    * hashes, and bands against the SAVED signature parquet (variants
+    * 0–2) through [[graft.ext.Dedup.hammingPairsAgainst]] — cross-side
+    * (band, bucket) candidates only, exact Hamming verify — and the
+    * oracle replays the brute-force cross predicate over the
+    * closed-form hashes. */
+  /** The X5i incremental split: history = variants 0–2 of every aHash
+    * family (hashed and SAVED to parquet once per JVM), shard =
+    * variants 3–6 — the ONE builder shared by the batch probe
+    * ([[x5AhashAgainst]]) and the streaming drop ([[s23StreamAhash]]),
+    * the dhashShardAndIndex discipline. */
+  private def ahashShardAndIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val media = graft.ext.Multimodal.ahashMediaFromDocuments(
+      documents(s, d))
+    val dir = persistedIndexDir("ahash_index", d) { dir =>
+      graft.ext.Multimodal.ahashWavs(
+          media.filter(expr("(media_id % 21) div 3 < 3")))
+        .write.mode("overwrite").parquet(dir)
+    }
+    (media.filter(expr("(media_id % 21) div 3 >= 3")), s.read.parquet(dir))
+  }
+
+  def x5AhashAgainst(s: SparkSession, d: String): DataFrame = {
+    val (shard, histSigs) = ahashShardAndIndex(s, d)
+    graft.ext.Dedup.hammingPairsAgainst(
+        graft.ext.Multimodal.ahashWavs(shard), histSigs,
+        "media_id", "ahash", maxHamming = 3)
+      .toDF("media_id_new", "media_id_hist", "hamming")
+      .orderBy("media_id_new", "media_id_hist")
+  }
+
   /** X5e-groups — pair-graph RESOLUTION on the image near-dup relation
     * (the X1f composition applied to dHash): connected components of
     * the Hamming-≤3 pair graph via the SAME min-label machinery as
@@ -2367,16 +2400,9 @@ object Queries {
     * replay carries the FULL closed-form oracle; live two-MemoryStream
     * parity is pinned in StreamingDhashSpec. */
   def s23StreamAhash(s: SparkSession, d: String): DataFrame = {
-    val media = graft.ext.Multimodal.ahashMediaFromDocuments(
-      documents(s, d))
-    val dir = persistedIndexDir("ahash_index", d) { dir =>
-      graft.ext.Multimodal.ahashWavs(
-          media.filter(expr("(media_id % 21) div 3 < 3")))
-        .write.mode("overwrite").parquet(dir)
-    }
-    graft.stream.StreamingDhash.ahashDropStreamAgainst(
-        media.filter(expr("(media_id % 21) div 3 >= 3")),
-        s.read.parquet(dir), maxHamming = 3)
+    val (shard, histSigs) = ahashShardAndIndex(s, d)
+    graft.stream.StreamingDhash.ahashDropStreamAgainst(shard, histSigs,
+        maxHamming = 3)
       .orderBy("media_id")
   }
 

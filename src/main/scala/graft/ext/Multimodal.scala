@@ -429,8 +429,9 @@ object Multimodal {
     * cross-multiplied comparison — a re-gained copy of a clip hashes
     * IDENTICALLY (the planted corpus carries an exact 2× member pair,
     * byte-different payloads, Hamming 0; pinned in AhashSpec).
-    * Magnitudes: |s| ≤ 32767 → e_w ≤ n·2³⁰ and e·c ≤ n²·2³⁰ —
-    * long-safe to n ≈ 2 M samples (minutes of audio; longer clips
+    * Magnitudes: |s| ≤ 32767 and a window holds ~n/65 samples →
+    * e_w ≤ (n/65)·2³⁰ and the cross-product e·c ≤ (n/65)²·2³⁰ —
+    * long-safe past n ≈ 6 M samples (minutes of audio; longer clips
     * should window-chunk upstream). Returns 0 for clips shorter than
     * the 65-window grid (no boundary has two occupied windows —
     * too short to fingerprint, the caller's length gate's business). */

@@ -234,7 +234,7 @@ class PlanAuditSpec extends SparkSpec {
     // deliberately NOT here — its anti-join fold is lazy end-to-end
     "x5_dhash_pairs", "x5_dhash_dropset", "x5_dhash_against",
     // the audio aHash lanes ride the same materialized cores
-    "x5_ahash_pairs", "x5_ahash_dropset",
+    "x5_ahash_pairs", "x5_ahash_dropset", "x5_ahash_against",
     "x5_dhash_groups", // + the bounded driver union-find (x1_dedup_groups shape)
     // builds + SAVES the signature index once per JVM, then probes the
     // loaded parquet (edge materialization + driver union-find)
