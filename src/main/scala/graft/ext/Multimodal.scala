@@ -430,11 +430,17 @@ object Multimodal {
     * IDENTICALLY (the planted corpus carries an exact 2× member pair,
     * byte-different payloads, Hamming 0; pinned in AhashSpec).
     * Magnitudes: |s| ≤ 32767 and a window holds ~n/65 samples →
-    * e_w ≤ (n/65)·2³⁰ and the cross-product e·c ≤ (n/65)²·2³⁰ —
-    * long-safe past n ≈ 6 M samples (minutes of audio; longer clips
-    * should window-chunk upstream). Returns 0 for clips shorter than
-    * the 65-window grid (no boundary has two occupied windows —
-    * too short to fingerprint, the caller's length gate's business). */
+    * e_w ≤ (n/65)·2³⁰, which outgrows a signed 64-bit cross-product
+    * past n ≈ 6 M samples (2.3 min at 44.1 kHz) — so the comparison
+    * runs in EXACT 128-bit arithmetic ([[prodLess]]:
+    * `Math.multiplyHigh` high word + unsigned-low tiebreak). That is
+    * bit-identical to the raw long compare wherever the long compare
+    * was exact, and correct for every clip an `Array[Int]` can hold
+    * (e ≤ 2⁶¹, c ≤ 2³¹ → product ≤ 2⁹² « 2¹²⁷); hour-scale audio
+    * keeps volume invariance instead of silently wrapping. Returns 0
+    * for clips shorter than the 65-window grid (no boundary has two
+    * occupied windows — too short to fingerprint, the caller's length
+    * gate's business). */
   private[graft] def ahash64(samples: Array[Int]): Long = {
     val n = samples.length
     if (n < 65) return 0L
@@ -451,10 +457,23 @@ object Multimodal {
     var hash = 0L
     var w = 0
     while (w < 64) {
-      if (e(w) * c(w + 1) < e(w + 1) * c(w)) hash |= 1L << w
+      if (prodLess(e(w), c(w + 1), e(w + 1), c(w))) hash |= 1L << w
       w += 1
     }
     hash
+  }
+
+  /** Exact `a·b < c·d` over NON-NEGATIVE longs in 128-bit arithmetic:
+    * compare `Math.multiplyHigh` high words signed (non-negative
+    * operands → non-negative products → the high word carries the
+    * sign), tie-break on the wrapped low word UNSIGNED. Branch-free of
+    * overflow for any operands — the [[ahash64]] guard against the
+    * silent Long wrap past ≈6 M-sample clips. */
+  private[graft] def prodLess(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 < hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) < 0
   }
 
   /** Decode a WAV payload to its exact int16 samples (16-bit signed

@@ -68,6 +68,57 @@ class AhashSpec extends SparkSpec {
     assert(dropped.size < sigs.length, "some clip must survive")
   }
 
+  test("past the 6 M-sample Long-overflow bound the 128-bit compare " +
+       "stays EXACT: volume invariance holds and every bit matches a " +
+       "BigInt reference") {
+    // 7 M samples ≈ 2.6 min at 44.1 kHz — past the scaladoc's ≈6 M
+    // bound where e_w·c wraps a signed long. Full-scale ±32767-class
+    // samples maximize window energies so the raw long product would
+    // genuinely overflow (pinned below), then the exact path must (a)
+    // keep the re-gain invariance and (b) agree bit-for-bit with
+    // unbounded-integer arithmetic.
+    val n = 7000000
+    val samples = Array.tabulate(n) { t =>
+      val x = (t.toLong * 2654435761L) ^ (t.toLong >>> 7)
+      val mag = 16000 + math.abs((x % 381L).toInt) // 16000..16380
+      if (((x >>> 13) & 1L) == 0L) mag else -mag   // 2x-gain int16-safe
+    }
+    val h = Multimodal.ahash64(samples)
+    assert(Multimodal.ahash64(samples.map(_ * 2)) == h,
+      "gain x2 changed the hash on a >6M-sample clip")
+    // BigInt reference: same pooling, unbounded comparison.
+    val e = new Array[BigInt](65); val c = new Array[Long](65)
+    java.util.Arrays.fill(c, 0L)
+    (0 until 65).foreach(w => e(w) = BigInt(0))
+    var t = 0
+    while (t < n) {
+      val w = (t.toLong * 65L / n).toInt
+      e(w) += BigInt(samples(t).toLong * samples(t).toLong)
+      c(w) += 1; t += 1
+    }
+    var ref = 0L
+    (0 until 64).foreach { w =>
+      if (e(w) * c(w + 1) < e(w + 1) * c(w)) ref |= 1L << w
+    }
+    assert(h == ref, "ahash64 diverged from the unbounded-integer reference")
+    // ...and the case is non-vacuous: on the 2x-gained clip (energies
+    // 4x) at least one boundary's raw long cross-product genuinely
+    // wraps (hi word nonzero) — the old signed-long compare would have
+    // read garbage exactly where invariance was asserted above.
+    val eL = new Array[Long](65)
+    t = 0
+    while (t < n) {
+      val w = (t.toLong * 65L / n).toInt
+      val s2 = samples(t).toLong * 2L
+      eL(w) += s2 * s2; t += 1
+    }
+    def wraps(a: Long, b: Long): Boolean = // true 128-bit product >= 2^63
+      Math.multiplyHigh(a, b) != 0L || a * b < 0L
+    assert((0 until 64).exists(w =>
+      wraps(eL(w), c(w + 1)) || wraps(eL(w + 1), c(w))),
+      "fixture too small to exercise the overflow path")
+  }
+
   test("undecodable payloads drop out of the signature frame; clips " +
        "shorter than the window grid hash to the documented zero") {
     val junk = df(Seq(
