@@ -1471,8 +1471,13 @@ object Queries {
         Seq("click", "purchase", "signup", "view"),
         Seq(250000L, 250000L, 250000L, 250000L), 10.0))
     checks.map { c =>
-      val r = c.run(ev)
-      c.census(ev).select(
+      // ONE census per check (VERDICT r16 #3): the same pinned census
+      // feeds the verdict aggregate (runFromCensus) and the shipped
+      // per-value rows — previously run() and census() each built and
+      // checkpointed their own, scanning the corpus twice per check.
+      val cen = c.census(ev)
+      val r = c.runFromCensus(cen)
+      cen.select(
         lit(r.validationName).as("validation_name"),
         lit(r.status).as("status"),
         lit(r.elementCount).as("element_count"),

@@ -654,22 +654,47 @@ final case class MonotonicCheck(column: String, orderBy: String,
     // against (r15 review finding #1). Each admitted type normalizes
     // to a native EXACT column (ADVICE r15: cast("double") is illegal
     // for DATE/TIMESTAMP_NTZ on Spark 4 and collapses distinct longs
-    // above 2^53): integral/temporal/narrow-decimal → long,
-    // float/double/wide-decimal → double (the one genuinely
-    // fractional lane). Returns (normalized column, is-long-lane).
+    // above 2^53): integral/temporal/narrow-decimal → long (NTZ by
+    // zone-free wall-clock arithmetic — session-zone reinterpretation
+    // is non-monotonic across DST), float/double/fractional-decimal →
+    // double (the one genuinely fractional lane); scale-0 decimals
+    // wider than long are REJECTED loudly rather than lossily
+    // collapsed. Returns (normalized column, is-long-lane).
     def normalize(c: String): (Column, Boolean) = {
       val dt = df.schema(df.schema.fieldIndex(c)).dataType
       dt match {
         case DateType => (unix_date(col(c)).cast("long"), true)
         case TimestampType => (unix_micros(col(c)), true)
         case TimestampNTZType =>
-          // NTZ carries no zone; reinterpreting in the session zone is
-          // order-preserving, which is all monotonicity needs.
-          (unix_micros(col(c).cast(TimestampType)), true)
+          // NTZ carries no zone, so normalize it ARITHMETICALLY —
+          // wall-date days + wall-clock micros, both zone-free.
+          // Casting to TimestampType instead would reinterpret the
+          // wall time in the SESSION zone, which across a DST
+          // transition is non-monotonic (spring-forward gap times
+          // resolve past later wall times; ADVICE r16): a genuinely
+          // monotonic NTZ column could report fabricated violations.
+          val days = unix_date(col(c).cast(DateType)).cast("long")
+          val tod = hour(col(c)).cast("long") * lit(3600000000L) +
+            minute(col(c)).cast("long") * lit(60000000L) +
+            // SECOND extracts DECIMAL(8,6) seconds-with-fraction;
+            // ×10⁶ in decimal arithmetic is exact integer micros.
+            (date_part(lit("SECOND"), col(c)) * lit(1000000)).cast("long")
+          (days * lit(86400000000L) + tod, true)
         case ByteType | ShortType | IntegerType | LongType =>
           (col(c).cast("long"), true)
         case d: DecimalType if d.scale == 0 && d.precision <= 18 =>
           (col(c).cast("long"), true)
+        case d: DecimalType if d.scale == 0 =>
+          // Wider-than-long INTEGER decimals must not ride the double
+          // lane: distinct values above 2^53 would silently collapse —
+          // the exact class the long lane exists to prevent (ADVICE
+          // r16). Reject loudly; the caller can pre-bucket or declare
+          // within DECIMAL(18,0).
+          throw new IllegalArgumentException(
+            s"monotonic check cannot compare '$c' " +
+              s"DECIMAL(${d.precision},0) exactly: integers above 2^53 " +
+              "collapse in a double cast — re-declare within " +
+              "DECIMAL(18,0) or pre-scale explicitly")
         case FloatType | DoubleType | _: DecimalType =>
           (col(c).cast("double"), false)
         case other => throw new IllegalArgumentException(
@@ -837,8 +862,16 @@ final case class KlDivergenceCheck(column: String,
             * lit(1000000.0), 0).cast("long")).as("contrib_micro"))
   }
 
-  def run(df: DataFrame): ValidationResult = {
-    val row = census(df).agg(
+  def run(df: DataFrame): ValidationResult = runFromCensus(census(df))
+
+  /** Derive the verdict from an ALREADY-BUILT [[census]] frame — the
+    * one-scan path for callers that also ship the census rows (the
+    * registered g23 lane): compute the census once, feed both the
+    * verdict aggregate and the output rows from it, instead of
+    * scanning (and checkpointing) the corpus twice per check
+    * (VERDICT r16 #3). `run` is this over a fresh census. */
+  def runFromCensus(censusDf: DataFrame): ValidationResult = {
+    val row = censusDf.agg(
       sum(col("n")).as("total"),
       sum(when(col("ppm").isNull, col("n"))).as("n_out"),
       sum(col("contrib_micro")).as("kl_micro")).head()

@@ -267,16 +267,36 @@ object SuiteLoader {
       case "expect_column_kl_divergence_to_be_less_than" =>
         // GE's categorical partition_object: {values, weights}. Weights
         // land as integer PPM (the check requires an exact 1,000,000
-        // sum — a declaration two engines can replay bit-for-bit);
-        // doubles that are not exact ppm multiples are caught by the
-        // check's own sum guard, loudly.
+        // sum — a declaration two engines can replay bit-for-bit).
+        // Rounding dust is apportioned by LARGEST REMAINDER (ADVICE
+        // r16): naive per-weight math.round rejected valid GE
+        // partitions like three equal thirds (3 × 333,333 = 999,999
+        // ppm) even though the doubles sum to 1.0. Floor each exact
+        // ppm, then give the residual (< size when the weights
+        // genuinely sum to ~1.0) to the largest fractional remainders,
+        // position-tie-broken for determinism. A weight vector that
+        // does NOT sum to ~1.0 leaves a residual the apportionment
+        // refuses to absorb, and the check's own exact-sum guard still
+        // fails loudly.
         require(kw.hasNonNull("partition_object"),
           s"missing 'partition_object' in $kw — declare the expected " +
             "categorical distribution as {values, weights}")
         val po = kw.get("partition_object")
         val values = strings(po, "values")
-        val ppm = po.path("weights").elements().asScala
-          .map(w => math.round(w.asDouble() * 1e6)).toSeq
+        val raw = po.path("weights").elements().asScala
+          .map(_.asDouble()).toSeq
+        val floors = raw.map(w => math.floor(w * 1e6).toLong)
+        val residual = 1000000L - floors.sum
+        val ppm =
+          if (residual <= 0L || residual > raw.size) floors
+          else {
+            val bumped = raw.indices
+              .sortBy(i => (-(raw(i) * 1e6 - floors(i)), i))
+              .take(residual.toInt).toSet
+            floors.zipWithIndex.map { case (f, i) =>
+              if (bumped(i)) f + 1L else f
+            }
+          }
         require(kw.hasNonNull("threshold"),
           s"missing 'threshold' in $kw")
         KlDivergenceCheck(reqText(kw, "column"), values, ppm,

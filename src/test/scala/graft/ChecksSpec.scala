@@ -290,6 +290,60 @@ class ChecksSpec extends SparkSpec {
       strictly = true).run(longs).passed)
   }
 
+  test("MonotonicCheck NTZ is zone-free: monotonic wall times through " +
+       "a DST spring-forward gap pass in a DST session zone, and " +
+       "micros compare exactly (ADVICE r16)") {
+    // America/New_York 2021-03-14: 02:00-03:00 wall time does not
+    // exist. Under the old cast-to-session-zone normalization, 02:30
+    // resolved to the instant 03:30 EDT — LATER than wall 03:00 — so
+    // this strictly increasing NTZ column reported a fabricated
+    // violation. The arithmetic lane never consults the zone.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val gap = df(Seq(
+        Row(1L, java.time.LocalDateTime.of(2021, 3, 14, 1, 30)),
+        Row(2L, java.time.LocalDateTime.of(2021, 3, 14, 2, 30)),
+        Row(3L, java.time.LocalDateTime.of(2021, 3, 14, 3, 0))),
+        "ord BIGINT, v TIMESTAMP_NTZ")
+      val r = MonotonicCheck("v", "ord", strictly = true).run(gap)
+      assert(r.passed, s"DST gap fabricated a violation: ${r.message}")
+      // Fall-back repeats wall hour 01:xx — wall times stay strictly
+      // increasing, so NTZ (zone-free) must pass strictly.
+      val fb = df(Seq(
+        Row(1L, java.time.LocalDateTime.of(2021, 11, 7, 1, 15)),
+        Row(2L, java.time.LocalDateTime.of(2021, 11, 7, 1, 45)),
+        Row(3L, java.time.LocalDateTime.of(2021, 11, 7, 2, 5))),
+        "ord BIGINT, v TIMESTAMP_NTZ")
+      assert(MonotonicCheck("v", "ord", strictly = true).run(fb).passed)
+      // Micro-resolution inversion still detected (exactness).
+      val micro = df(Seq(
+        Row(1L, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0, 2000)),
+        Row(2L, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0, 1000))),
+        "ord BIGINT, v TIMESTAMP_NTZ")
+      val rm = MonotonicCheck("v", "ord").run(micro)
+      assert(!rm.passed && rm.unexpectedCount == 1L, rm.message)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("MonotonicCheck rejects wider-than-long scale-0 decimals loudly " +
+       "instead of collapsing them through double (ADVICE r16)") {
+    val wide = df(Seq(
+      Row(1L, new java.math.BigDecimal(((BigInt(1) << 53) + 2).bigInteger)),
+      Row(2L, new java.math.BigDecimal(((BigInt(1) << 53) + 1).bigInteger))),
+      "ord BIGINT, v DECIMAL(38,0)")
+    val ex = intercept[IllegalArgumentException] {
+      MonotonicCheck("v", "ord").run(wide)
+    }
+    assert(ex.getMessage.contains("DECIMAL(38,0)"), ex.getMessage)
+    // Fractional wide decimals keep the documented double lane.
+    val frac = df(Seq(
+      Row(1L, new java.math.BigDecimal("1.5")),
+      Row(2L, new java.math.BigDecimal("2.5"))),
+      "ord BIGINT, v DECIMAL(38,2)")
+    assert(MonotonicCheck("v", "ord").run(frac).passed)
+  }
+
   test("MostCommonValueCheck: mode membership, disallowed co-mode fails") {
     val data = df(Seq(
       Row("a"), Row("a"), Row("b"), Row("b"), Row("c")),
@@ -385,5 +439,51 @@ class ChecksSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SuiteLoader.parse(bad, yaml = true)
     }
+  }
+
+  test("SuiteLoader apportions KL partition weights by largest " +
+       "remainder: equal thirds load; a short sum still fails loudly " +
+       "(ADVICE r16)") {
+    import graft.suite.SuiteLoader
+    def klYaml(weights: String, values: String = "[a, b, c]") =
+      s"""suite_name: kl
+         |tables:
+         |  - table: t
+         |    expectations:
+         |      - type: expect_column_kl_divergence_to_be_less_than
+         |        kwargs:
+         |          column: k
+         |          partition_object: { values: $values, weights: $weights }
+         |          threshold: 0.1
+         |""".stripMargin
+    // Three equal thirds: each floors to 333,333 ppm; the 1-ppm
+    // residual goes to the largest remainder, position-first.
+    val thirds = SuiteLoader
+      .parse(klYaml("[0.3333333333333333, 0.3333333333333333, " +
+        "0.3333333333333333]"), yaml = true)
+      .tables.head.checks.head.asInstanceOf[KlDivergenceCheck]
+    assert(thirds.weightsPpm.sum == 1000000L)
+    assert(thirds.weightsPpm.sorted == Seq(333333L, 333333L, 333334L))
+    // Unequal remainders: the bump lands on the LARGEST remainder
+    // (0.2857... = 285714.28 loses to 0.5714... = 571428.57).
+    val sevenths = SuiteLoader
+      .parse(klYaml("[0.14285714285714285, 0.2857142857142857, " +
+        "0.5714285714285714]"), yaml = true)
+      .tables.head.checks.head.asInstanceOf[KlDivergenceCheck]
+    assert(sevenths.weightsPpm.sum == 1000000L)
+    assert(sevenths.weightsPpm == Seq(142857L, 285714L, 571429L),
+      sevenths.weightsPpm.toString)
+    // Exact ppm multiples pass through untouched.
+    val exact = SuiteLoader
+      .parse(klYaml("[0.75, 0.25]", values = "[a, b]"), yaml = true)
+      .tables.head.checks.head.asInstanceOf[KlDivergenceCheck]
+    assert(exact.weightsPpm == Seq(750000L, 250000L))
+    // A genuinely short declaration is NOT silently normalized — the
+    // check's exact-sum guard still fires.
+    val ex = intercept[IllegalArgumentException] {
+      SuiteLoader.parse(klYaml("[0.4, 0.4]", values = "[a, b]"),
+        yaml = true)
+    }
+    assert(ex.getMessage.contains("1,000,000"), ex.getMessage)
   }
 }
