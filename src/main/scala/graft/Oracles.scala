@@ -1659,6 +1659,46 @@ object Oracles {
        |       c$k.value, c$k.n, c$k.ppm, c$k.contrib_micro
        |FROM c$k, v$k""".stripMargin
 
+  /** One G24 chi-square declaration block over the shared
+    * `counts`/`tot` census — mirrors ChiSquareCheck.census VERBATIM:
+    * FULL coverage (declared-but-unobserved values enter at n = 0 with
+    * their real expected-count mass), the per-value difference
+    * D = n·10⁶ − N·ppm computed EXACTLY in integer arithmetic, one
+    * rounding per value on D²/(N·ppm) in doubles (always ≥ 0, so both
+    * engines' round conventions agree). */
+  private def chiCheckCtes(k: Int, parts: Seq[(String, Long)]): String = {
+    val vals = parts.map { case (v, p) => s"('$v', $p)" }.mkString(", ")
+    s"""q$k AS (SELECT v AS value, CAST(ppm AS BIGINT) AS ppm
+       |        FROM (VALUES $vals) t(v, ppm)),
+       |cq$k AS (
+       |  SELECT value, CAST(coalesce(n, 0) AS BIGINT) AS n, q$k.ppm,
+       |         CASE WHEN q$k.ppm IS NOT NULL THEN
+       |           CAST(round(
+       |             CAST(coalesce(n, 0) * 1000000
+       |                  - t.n_total * q$k.ppm AS DOUBLE)
+       |             * CAST(coalesce(n, 0) * 1000000
+       |                    - t.n_total * q$k.ppm AS DOUBLE)
+       |             / CAST(t.n_total * q$k.ppm AS DOUBLE)) AS BIGINT)
+       |         END AS contrib_micro
+       |  FROM counts FULL JOIN q$k USING (value), tot t),
+       |vq$k AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS element_count,
+       |         CAST(coalesce(sum(CASE WHEN ppm IS NULL THEN n END), 0)
+       |           AS BIGINT) AS unexpected_count,
+       |         coalesce(sum(contrib_micro), 0) AS chi_micro
+       |  FROM cq$k)""".stripMargin
+  }
+
+  /** One G24 verdict+census projection. */
+  private def chiCheckSelect(k: Int, name: String, critical: Double): String =
+    s"""SELECT '$name' AS validation_name,
+       |       CASE WHEN vq$k.unexpected_count = 0
+       |                 AND vq$k.chi_micro / 1e6 < $critical
+       |            THEN 'PASSED' ELSE 'FAILED' END AS status,
+       |       vq$k.element_count, vq$k.unexpected_count,
+       |       cq$k.value, cq$k.n, cq$k.ppm, cq$k.contrib_micro
+       |FROM cq$k, vq$k""".stripMargin
+
   /** The X5i aHash corpus in closed form — every audio-lane document's
     * 64-bit energy-profile hash: planted samples
     * (Multimodal.ahashSample mirrored verbatim — byte-mix base,
@@ -4496,6 +4536,35 @@ object Oracles {
         klCheckSelect(2, "kl_divergence:event_type:lt:0.25", 0.25) +
         "\nUNION ALL\n" +
         klCheckSelect(3, "kl_divergence:event_type:lt:10.0", 10.0) +
+        ")\nORDER BY validation_name, value"
+    },
+
+    "g24_chi_square" -> {
+      // The three chi-square screens replayed per value AND per
+      // verdict: shared non-null value census, per-declaration FULL
+      // JOIN against the PPM grid (declared-but-unobserved values
+      // carry their expected-count mass at n = 0), exact-integer
+      // difference, ONE rounding per value, integer sums, the declared
+      // critical-value gate and the out-of-partition infinity rule.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val uniform = types.map(_ -> 200000L)
+      val skewed = types.map(t => t -> (if (t == "click") 600000L else 100000L))
+      val refund = Seq("click", "purchase", "refund", "signup", "view")
+        .map(_ -> 200000L)
+      """WITH counts AS (
+        |  SELECT event_type AS value, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts),
+        |""".stripMargin +
+        chiCheckCtes(1, uniform) + ",\n" +
+        chiCheckCtes(2, skewed) + ",\n" +
+        chiCheckCtes(3, refund) + "\n" +
+        "SELECT * FROM (\n" +
+        chiCheckSelect(1, "chi_square:event_type:lt:13.277", 13.277) +
+        "\nUNION ALL\n" +
+        chiCheckSelect(2, "chi_square:event_type:lt:9.488", 9.488) +
+        "\nUNION ALL\n" +
+        chiCheckSelect(3, "chi_square:event_type:lt:15.086", 15.086) +
         ")\nORDER BY validation_name, value"
     },
 

@@ -1487,6 +1487,48 @@ object Queries {
       .orderBy("validation_name", "value")
   }
 
+  /** G24 — `expect_column_chisquare_test_p_value_to_be_greater_than`
+    * ([[graft.checks.ChiSquareCheck]], VERDICT r16 next #4) run through
+    * the REAL check engine over three declared partitions of the
+    * events type column, gated on PLAN-CONSTANT critical values
+    * ([[graft.checks.ChiSquareCheck.criticalTable]]) instead of a
+    * run-time p-value lookup: uniform fifths at χ²₀.₉₉(4) = 13.277
+    * (the true shape — statistic ≈ 0.6–7.8 across the shipped SFs,
+    * PASSES), a click-heavy declaration at χ²₀.₉₅(4) = 9.488
+    * (statistic in the thousands — FAILS), and at χ²₀.₉₉(5) = 15.086
+    * a five-value declaration missing 'error' but declaring
+    * never-observed 'refund' (out-of-partition rows → infinite
+    * statistic, FAILS; the
+    * refund row ships with n = 0 and its REAL expected-count
+    * contribution — the declared-but-unobserved branch is live). Each
+    * check runs ONE census ([[graft.checks.ChiSquareCheck
+    * .runFromCensus]]); the frame ships verdict AND per-value micro-χ²
+    * census, every contribution one exact-integer-difference rounding
+    * (the G23/PSI discipline). */
+  def g24ChiSquare(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val checks = Seq(
+      graft.checks.ChiSquareCheck("event_type", types,
+        Seq(200000L, 200000L, 200000L, 200000L, 200000L), 13.277),
+      graft.checks.ChiSquareCheck("event_type", types,
+        Seq(600000L, 100000L, 100000L, 100000L, 100000L), 9.488),
+      graft.checks.ChiSquareCheck("event_type",
+        Seq("click", "purchase", "refund", "signup", "view"),
+        Seq(200000L, 200000L, 200000L, 200000L, 200000L), 15.086))
+    checks.map { c =>
+      val cen = c.census(ev)
+      val r = c.runFromCensus(cen)
+      cen.select(
+        lit(r.validationName).as("validation_name"),
+        lit(r.status).as("status"),
+        lit(r.elementCount).as("element_count"),
+        lit(r.unexpectedCount).as("unexpected_count"),
+        col("value"), col("n"), col("ppm"), col("contrib_micro"))
+    }.reduce(_ unionByName _)
+      .orderBy("validation_name", "value")
+  }
+
   /** G20 — exact correlation sufficient statistics ([[graft.checks
     * .Profiling.corrStats]]): quantity vs extended price per return
     * flag — the five mergeable DECIMAL sums plus the 6-dp Pearson

@@ -893,6 +893,136 @@ final case class KlDivergenceCheck(column: String,
   }
 }
 
+/** G24 — `expect_column_chisquare_test_p_value_to_be_greater_than`
+  * (GE 0.18's other distribution check, VERDICT r16 next #4): Pearson's
+  * χ² goodness-of-fit of a categorical column against a DECLARED
+  * partition object, on the G23/PSI exact-integer discipline. Weights
+  * are integer PPM summing to exactly 1,000,000; per value the
+  * difference D = n·10⁶ − N·ppm is computed EXACTLY in long
+  * arithmetic, and the value contributes ONE rounding —
+  * round(D²/(N·ppm)) in micro-χ² units (10⁶·(n − N·p)²/(N·p) —
+  * algebraically D²/(N·ppm), always ≥ 0 so the HALF_UP vs
+  * half-away-from-zero distinction never engages). The verdict
+  * integer-sums the contributions and gates on a DECLARED critical
+  * value instead of a run-time p-value lookup — χ² < critical(df, q)
+  * iff p-value > α = 1 − q; the df→critical table ships as plan
+  * constants ([[ChiSquareCheck.criticalValue]]). Unlike KL, a
+  * DECLARED-but-unobserved value contributes (its expected count:
+  * D = −N·ppm → contrib = N·ppm exactly), so the census FULL-joins
+  * the partition grid. An observed value OUTSIDE the partition makes
+  * the statistic infinite — FAILS any critical value, out-of-partition
+  * rows as unexpectedCount (the G23 convention).
+  *
+  * Scale shape: identical to [[KlDivergenceCheck]] — ONE corpus
+  * shuffle (the partial-agg value census), then arithmetic on the
+  * pinned |distinct|-row census. */
+final case class ChiSquareCheck(column: String,
+    partitionValues: Seq[String], weightsPpm: Seq[Long],
+    critical: Double) extends Check {
+  require(partitionValues.nonEmpty &&
+      partitionValues.size == weightsPpm.size,
+    "partition needs equal-length non-empty values/weights")
+  require(partitionValues.distinct.size == partitionValues.size,
+    s"duplicate partition values in $partitionValues")
+  require(weightsPpm.forall(_ > 0L),
+    "every declared weight must be positive — a zero-weight element " +
+      "is an out-of-partition declaration; drop it instead")
+  require(weightsPpm.sum == 1000000L,
+    s"weights must sum to exactly 1,000,000 ppm, got ${weightsPpm.sum}")
+  require(critical > 0, s"critical value ($critical) must be positive")
+  val name = s"chi_square:$column:lt:$critical"
+
+  /** The per-value micro-χ² census `(value, n, ppm, contrib_micro)` —
+    * FULL coverage: observed values LEFT-extended with ppm (NULL =
+    * out-of-partition, contrib NULL), declared-but-unobserved values
+    * appended with n = 0 (their expected-count term is real χ² mass).
+    * The pinned counts census is |distinct values| rows at any corpus
+    * size (the [[KlDivergenceCheck.census]] discipline). */
+  def census(df: DataFrame, materialize: Boolean = true): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val part = partitionValues.zip(weightsPpm).toDF("__v", "ppm")
+    val counts0 = df.filter(col(column).isNotNull)
+      .groupBy(col(column).cast("string").as("__v"))
+      .agg(count(lit(1)).as("n"))
+    val counts = if (materialize) counts0.localCheckpoint(true) else counts0
+    val totals = counts.agg(sum(col("n")).as("__N"))
+    // Census-side full coverage without a full-outer shuffle: observed
+    // LEFT-joins the broadcast grid; unobserved declared values are the
+    // grid anti-joined against the (tiny, pinned) counts.
+    val observed = counts.join(broadcast(part), Seq("__v"), "left")
+    val unobserved = part
+      .join(counts.select(col("__v")), Seq("__v"), "left_anti")
+      .select(col("__v"), lit(0L).as("n"), col("ppm"))
+    val d = col("n") * lit(1000000L) - col("__N") * col("ppm") // exact long
+    observed.select(col("__v"), col("n"), col("ppm"))
+      .unionByName(unobserved)
+      .crossJoin(broadcast(totals))
+      .select(col("__v").as("value"), col("n"), col("ppm"),
+        when(col("ppm").isNotNull,
+          round(d.cast("double") * d.cast("double")
+            / (col("__N") * col("ppm")).cast("double"), 0).cast("long"))
+          .as("contrib_micro"))
+  }
+
+  def run(df: DataFrame): ValidationResult = runFromCensus(census(df))
+
+  /** Verdict from an already-built [[census]] frame — the one-scan path
+    * for the registered lane (the [[KlDivergenceCheck.runFromCensus]]
+    * contract). */
+  def runFromCensus(censusDf: DataFrame): ValidationResult = {
+    val row = censusDf.agg(
+      sum(col("n")).as("total"),
+      sum(when(col("ppm").isNull, col("n"))).as("n_out"),
+      sum(col("contrib_micro")).as("chi2_micro")).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val nOut = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val chiMicro = if (row.isNullAt(2)) 0L else row.getLong(2)
+    val chi2 = chiMicro / 1e6
+    val ok = total == 0L || (nOut == 0L && chi2 < critical)
+    ValidationResult(name,
+      if (ok) ValidationStatus.Passed else ValidationStatus.Failed,
+      if (nOut > 0L)
+        s"$nOut rows of $column fall outside the declared partition — " +
+          "chi-square is infinite"
+      else f"chi2($column observed vs declared) = $chi2%.6f vs critical " +
+        f"$critical%.6f over $total rows",
+      elementCount = total, unexpectedCount = nOut)
+  }
+}
+
+object ChiSquareCheck {
+  /** Upper-tail χ² critical values — the df→critical table as PLAN
+    * CONSTANTS (no p-value machinery at run time): quantile q of the
+    * χ²(df) distribution, so a GE declaration "p-value > α" gates as
+    * "statistic < criticalValue(df, 1 − α)". Standard published 3-dp
+    * table, df 1–10 × q ∈ {0.90, 0.95, 0.99}. */
+  val criticalTable: Map[(Int, Double), Double] = Map(
+    (1, 0.90) -> 2.706, (1, 0.95) -> 3.841, (1, 0.99) -> 6.635,
+    (2, 0.90) -> 4.605, (2, 0.95) -> 5.991, (2, 0.99) -> 9.210,
+    (3, 0.90) -> 6.251, (3, 0.95) -> 7.815, (3, 0.99) -> 11.345,
+    (4, 0.90) -> 7.779, (4, 0.95) -> 9.488, (4, 0.99) -> 13.277,
+    (5, 0.90) -> 9.236, (5, 0.95) -> 11.070, (5, 0.99) -> 15.086,
+    (6, 0.90) -> 10.645, (6, 0.95) -> 12.592, (6, 0.99) -> 16.812,
+    (7, 0.90) -> 12.017, (7, 0.95) -> 14.067, (7, 0.99) -> 18.475,
+    (8, 0.90) -> 13.362, (8, 0.95) -> 15.507, (8, 0.99) -> 20.090,
+    (9, 0.90) -> 14.684, (9, 0.95) -> 16.919, (9, 0.99) -> 21.666,
+    (10, 0.90) -> 15.987, (10, 0.95) -> 18.307, (10, 0.99) -> 23.209)
+
+  /** Critical value for df = k−1 categories at significance α (the GE
+    * p_value threshold): loud on an untabulated (df, α) — the caller
+    * declares an explicit critical_value instead of getting a silent
+    * approximation. */
+  def criticalValue(df: Int, alpha: Double): Double = {
+    val q = 1.0 - alpha
+    criticalTable.getOrElse((df, math.rint(q * 100) / 100),
+      throw new IllegalArgumentException(
+        s"no tabulated chi-square critical value for df=$df, " +
+          s"alpha=$alpha — declare an explicit critical_value " +
+          "(table covers df 1-10, alpha 0.10/0.05/0.01)"))
+  }
+}
+
 object CheckSuite {
   /** Fuse all agg-expressible checks over one table into a SINGLE Spark
     * job (one scan, one partial+final aggregate). The scale property the

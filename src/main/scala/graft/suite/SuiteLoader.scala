@@ -283,24 +283,29 @@ object SuiteLoader {
             "categorical distribution as {values, weights}")
         val po = kw.get("partition_object")
         val values = strings(po, "values")
-        val raw = po.path("weights").elements().asScala
-          .map(_.asDouble()).toSeq
-        val floors = raw.map(w => math.floor(w * 1e6).toLong)
-        val residual = 1000000L - floors.sum
-        val ppm =
-          if (residual <= 0L || residual > raw.size) floors
-          else {
-            val bumped = raw.indices
-              .sortBy(i => (-(raw(i) * 1e6 - floors(i)), i))
-              .take(residual.toInt).toSet
-            floors.zipWithIndex.map { case (f, i) =>
-              if (bumped(i)) f + 1L else f
-            }
-          }
+        val ppm = weightsToPpm(po)
         require(kw.hasNonNull("threshold"),
           s"missing 'threshold' in $kw")
         KlDivergenceCheck(reqText(kw, "column"), values, ppm,
           kw.get("threshold").asDouble())
+      case "expect_column_chisquare_test_p_value_to_be_greater_than" =>
+        // GE's other distribution check (G24). Same partition_object →
+        // PPM discipline as KL above; the p-value gate resolves to a
+        // DECLARED critical value — either an explicit `critical_value`
+        // kwarg, or the plan-constant table at df = |values| − 1 and
+        // the declared significance `p_value` (GE's default 0.05).
+        require(kw.hasNonNull("partition_object"),
+          s"missing 'partition_object' in $kw — declare the expected " +
+            "categorical distribution as {values, weights}")
+        val po = kw.get("partition_object")
+        val values = strings(po, "values")
+        val ppm = weightsToPpm(po)
+        val critical =
+          if (kw.hasNonNull("critical_value"))
+            kw.get("critical_value").asDouble()
+          else ChiSquareCheck.criticalValue(values.size - 1,
+            kw.path("p_value").asDouble(0.05))
+        ChiSquareCheck(reqText(kw, "column"), values, ppm, critical)
       case "expect_column_values_to_be_unique" =>
         UniqueCheck(Seq(reqText(kw, "column")))
       case "expect_compound_columns_to_be_unique" =>
@@ -367,5 +372,24 @@ object SuiteLoader {
     val v = n.path(field)
     require(v.isArray && v.size() > 0, s"missing/empty array '$field' in $n")
     v.elements().asScala.map(_.asText()).toSeq
+  }
+
+  /** GE partition_object weights → integer PPM by LARGEST-REMAINDER
+    * apportionment (ADVICE r16): floor each weight's exact ppm, then
+    * hand the residual (< size when the weights genuinely sum to ~1.0)
+    * to the largest fractional remainders, position-tie-broken. A
+    * vector that does NOT sum to ~1.0 leaves a residual this refuses
+    * to absorb — the checks' own exact-1,000,000 guard stays loud. */
+  private def weightsToPpm(po: JsonNode): Seq[Long] = {
+    val raw = po.path("weights").elements().asScala.map(_.asDouble()).toSeq
+    val floors = raw.map(w => math.floor(w * 1e6).toLong)
+    val residual = 1000000L - floors.sum
+    if (residual <= 0L || residual > raw.size) floors
+    else {
+      val bumped = raw.indices
+        .sortBy(i => (-(raw(i) * 1e6 - floors(i)), i))
+        .take(residual.toInt).toSet
+      floors.zipWithIndex.map { case (f, i) => if (bumped(i)) f + 1L else f }
+    }
   }
 }

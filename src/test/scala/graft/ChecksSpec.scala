@@ -402,6 +402,102 @@ class ChecksSpec extends SparkSpec {
     }
   }
 
+  test("ChiSquareCheck: matching shape passes, skew fails, unobserved " +
+       "declared values carry expected-count mass, out-of-partition is " +
+       "infinite (G24)") {
+    // 80/20 over two values, declared 800000/200000: D = 0 for both →
+    // statistic exactly 0, passes any critical value.
+    val rows = (1 to 100).map(i => Row(if (i <= 80) "a" else "b"))
+    val data = df(rows, "k STRING")
+    val exact = ChiSquareCheck("k", Seq("a", "b"),
+      Seq(800000L, 200000L), 0.001).run(data)
+    assert(exact.passed && exact.elementCount == 100L, exact.message)
+    // Inverted declaration: chi2 = (80-20)²/20 + (20-80)²/80 = 225.
+    val inv = ChiSquareCheck("k", Seq("a", "b"),
+      Seq(200000L, 800000L), 3.841)
+    val rInv = inv.run(data)
+    assert(!rInv.passed, rInv.message)
+    assert(rInv.message.contains("225.000000"), rInv.message)
+    assert(ChiSquareCheck("k", Seq("a", "b"),
+      Seq(200000L, 800000L), 226.0).run(data).passed)
+    // A DECLARED value never observed enters the census at n = 0 with
+    // its expected-count contribution: declare thirds over a/b/c with
+    // c absent — term for c is N·p = 100·(1/3) ≈ 33.33.
+    val thirds = ChiSquareCheck("k", Seq("a", "b", "c"),
+      Seq(333334L, 333333L, 333333L), 5.991)
+    val cen3 = thirds.census(data).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.isNullAt(3),
+        if (r.isNullAt(3)) 0L else r.getLong(3))).toMap
+    assert(cen3("c") == ((0L, false, 33333300L)), cen3.toString)
+    assert(!thirds.run(data).passed)
+    // An observed value with no declared mass → infinite statistic:
+    // fails ANY critical value, stray rows counted, null contrib.
+    val strays = df(rows ++ Seq(Row("z"), Row("z")), "k STRING")
+    val inf = ChiSquareCheck("k", Seq("a", "b"),
+      Seq(800000L, 200000L), 1e12).run(strays)
+    assert(!inf.passed && inf.unexpectedCount == 2L, inf.message)
+    // Empty basis: vacuous pass; declaration guards shared with KL.
+    assert(ChiSquareCheck("k", Seq("a"), Seq(1000000L), 0.1)
+      .run(data.filter("k = 'zzz'")).passed)
+    intercept[IllegalArgumentException] {
+      ChiSquareCheck("k", Seq("a", "b"), Seq(5000L, 200000L), 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      ChiSquareCheck("k", Seq("a", "a"), Seq(500000L, 500000L), 0.1)
+    }
+    // The plan-constant critical table: tabulated lookups resolve,
+    // untabulated (df, alpha) pairs are loud.
+    assert(ChiSquareCheck.criticalValue(4, 0.05) == 9.488)
+    assert(ChiSquareCheck.criticalValue(4, 0.01) == 13.277)
+    intercept[IllegalArgumentException] {
+      ChiSquareCheck.criticalValue(11, 0.05)
+    }
+    intercept[IllegalArgumentException] {
+      ChiSquareCheck.criticalValue(4, 0.07)
+    }
+  }
+
+  test("SuiteLoader wires the G24 chi-square expectation") {
+    import graft.suite.SuiteLoader
+    val yaml =
+      """suite_name: g24
+        |tables:
+        |  - table: t
+        |    expectations:
+        |      - type: expect_column_chisquare_test_p_value_to_be_greater_than
+        |        kwargs:
+        |          column: k
+        |          partition_object: { values: [a, b, c, d, e],
+        |                              weights: [0.2, 0.2, 0.2, 0.2, 0.2] }
+        |          p_value: 0.05
+        |      - type: expect_column_chisquare_test_p_value_to_be_greater_than
+        |        kwargs:
+        |          column: k
+        |          partition_object: { values: [a, b], weights: [0.5, 0.5] }
+        |          critical_value: 42.0
+        |""".stripMargin
+    val checks = SuiteLoader.parse(yaml, yaml = true).tables.head.checks
+    assert(checks == Seq(
+      ChiSquareCheck("k", Seq("a", "b", "c", "d", "e"),
+        Seq(200000L, 200000L, 200000L, 200000L, 200000L), 9.488),
+      ChiSquareCheck("k", Seq("a", "b"), Seq(500000L, 500000L), 42.0)))
+    // Untabulated significance without an explicit critical_value: loud.
+    val bad =
+      """suite_name: g24bad
+        |tables:
+        |  - table: t
+        |    expectations:
+        |      - type: expect_column_chisquare_test_p_value_to_be_greater_than
+        |        kwargs:
+        |          column: k
+        |          partition_object: { values: [a, b], weights: [0.5, 0.5] }
+        |          p_value: 0.07
+        |""".stripMargin
+    intercept[IllegalArgumentException] {
+      SuiteLoader.parse(bad, yaml = true)
+    }
+  }
+
   test("SuiteLoader wires the G22 expectation names") {
     import graft.suite.SuiteLoader
     val yaml =

@@ -100,10 +100,10 @@ class PlanAuditSpec extends SparkSpec {
       // +100000 collides at sf1); the streaming lane replays the same
       // plant through upsertBatch.
       "t4_scd2_snapshot", "s7_stream_scd2",
-      // The ONE-ROW total-N cross onto the |distinct values| KL census
-      // (the x12 weight-sum shape, per declared partition), plus the
-      // one-row verdict literals cross onto the census rows.
-      "g23_kl_divergence")
+      // The ONE-ROW total-N cross onto the |distinct values| KL/chi²
+      // census (the x12 weight-sum shape, per declared partition),
+      // plus the one-row verdict literals cross onto the census rows.
+      "g23_kl_divergence", "g24_chi_square")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -317,9 +317,10 @@ class PlanAuditSpec extends SparkSpec {
     // s10 stream gate reads the same artifact's params row at plan
     // time — the s8 literal-model discipline)
     "x8_contam_against", "s10_stream_decontam",
-    // runs the REAL check engine's three KL verdicts (each an agg over
-    // the pinned value census — the g22_ge_tail shape) at construction
-    "g23_kl_divergence",
+    // runs the REAL check engine's three KL (resp. chi-square)
+    // verdicts (each an agg over the pinned value census — the
+    // g22_ge_tail shape) at construction
+    "g23_kl_divergence", "g24_chi_square",
     // the xcodec drop set rides the materialized hammingEdges core
     // (decode+re-encode+hash cache, checkpointed edge set — the
     // x5_dhash_dropset shape on the union corpus); the groups lane
