@@ -2159,6 +2159,28 @@ object Queries {
       .orderBy("media_id_new", "media_id_hist")
   }
 
+  /** X5j — window-chunked LONG-CLIP audio near-dup (VERDICT r16 next
+    * #2): the whole-clip aHash fingerprints minutes, so hour-scale
+    * clips chunk into fixed 512-sample segments, each hashed with the
+    * SAME [[graft.ext.Multimodal.ahash64]], and clips pair by SEGMENT
+    * containment ([[graft.ext.Multimodal.ahashChunkPairs]] — the X8
+    * containment shape on audio, hash-equality inverted-index join,
+    * never all-pairs, integer cross-multiplied verdict). The plant
+    * ([[graft.ext.Multimodal.ahashChunkMediaFromDocuments]]) pairs
+    * six-segment clips sharing EXACTLY 3 content segments, the copy
+    * re-gained 2× (byte-different samples, identical segment hashes by
+    * volume invariance): containment 3/6 meets the 500,000-ppm gate
+    * exactly, cross-family pairs share nothing. FULL oracle: every
+    * sample is closed-form, so DuckDB replays each segment's 65-window
+    * hash, the hash-0 drop, the containment counts, and the gate. */
+  def x5AhashChunks(s: SparkSession, d: String): DataFrame =
+    graft.ext.Multimodal.ahashChunkPairs(
+      graft.ext.Multimodal.ahashChunks(
+        graft.ext.Multimodal.ahashChunkMediaFromDocuments(
+          documents(s, d)), segmentSamples = 512),
+      minFracPpm = 500000L)
+      .orderBy("media_id_a", "media_id_b")
+
   /** X5e-groups — pair-graph RESOLUTION on the image near-dup relation
     * (the X1f composition applied to dHash): connected components of
     * the Hamming-≤3 pair graph via the SAME min-label machinery as
