@@ -2181,6 +2181,29 @@ object Queries {
       minFracPpm = 500000L)
       .orderBy("media_id_a", "media_id_b")
 
+  /** X5k — VIDEO near-dup (VERDICT r16 next #5): the engine decoded
+    * animated-GIF frames (x5_gif_decode) and pHashed stills
+    * (x5_phash_pairs) — this lane composes them. REAL six-frame
+    * indexed-color GIFs ([[graft.ext.Multimodal
+    * .videoMediaFromDocuments]] — lossless, decoded pixels ARE the
+    * closed-form palette formula) decode frame-by-frame, each frame
+    * pHashed by the SAME exact-integer DCT ([[graft.ext.Multimodal
+    * .videoFramePhashes]]), and clips pair by FRAME-MAJORITY Hamming
+    * match ([[graft.ext.Multimodal.frameMajorityPairs]] — the banded
+    * `hammingPairs` core at τ = 4 over packed (clip, frame) row ids,
+    * then the X5j integer containment verdict at 600,000 ppm). The
+    * plant's family pair is the clip RE-CUT two frames later — 4 of 6
+    * contents shared (666,667 ppm ≥ gate; cross-family pairs share
+    * nothing). FULL oracle: DuckDB replays every frame's integer DCT
+    * hash from the palette formula, the brute-force τ ≤ 4 frame
+    * predicate, the distinct-frame counts, and the ppm gate. */
+  def x5VideoNeardup(s: SparkSession, d: String): DataFrame =
+    graft.ext.Multimodal.frameMajorityPairs(
+      graft.ext.Multimodal.videoFramePhashes(
+        graft.ext.Multimodal.videoMediaFromDocuments(documents(s, d))),
+      maxHamming = 4, minFracPpm = 600000L)
+      .orderBy("media_id_a", "media_id_b")
+
   /** X5e-groups — pair-graph RESOLUTION on the image near-dup relation
     * (the X1f composition applied to dHash): connected components of
     * the Hamming-≤3 pair graph via the SAME min-label machinery as

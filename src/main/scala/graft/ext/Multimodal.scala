@@ -1559,6 +1559,175 @@ object Multimodal {
       .toDF("media_id", "phash")
   }
 
+  // ------- VIDEO near-dup (X5k — VERDICT r16 next #5: the engine
+  // decoded animated-GIF frames and pHashed stills; nothing deduped
+  // VIDEO. Compose them: per-frame pHash over the real multi-frame
+  // decode → per-clip frame-signature set → near-dup by frame-majority
+  // Hamming match — the X5j containment verdict over the banded
+  // Hamming core instead of hash equality.)
+
+  /** Decode a (possibly multi-frame) payload to its frames — the
+    * image-returning sibling of [[decodeGifOne]] (which reduces to
+    * channel sums); null-safe, empty for undecodable payloads. */
+  private[graft] def readFrames(
+      b: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+    if (!gifSupported || b == null) return Nil
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return Nil }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n =
+        try reader.getNumImages(true)
+        catch { case _: java.io.IOException => return Nil }
+      (0 until n).flatMap { f =>
+        try Option(reader.read(f))
+        catch { case _: java.io.IOException => None }
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** X5k signature half — `(media_id, frame_idx, phash)` out of real
+    * animated-GIF payloads: one narrow mapPartitions codec pass, each
+    * decoded frame hashed by the SAME exact-integer [[phash64]] as the
+    * still-image lanes. */
+  def videoFramePhashes(media: DataFrame): DataFrame = {
+    val session = media.sparkSession
+    import session.implicits._
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          readFrames(r.getAs[Array[Byte]](1)).iterator.zipWithIndex
+            .map { case (img, i) => (id, i, phash64(img)) }
+        }
+      }
+      .toDF("media_id", "frame_idx", "phash")
+  }
+
+  /** Frame index packed beside the clip id for the banded Hamming core
+    * (which keys on ONE ordered column): rid = media_id·2²⁰ +
+    * frame_idx. 2²⁰ frames ≈ 9.7 h at 30 fps — a clip past it should
+    * chunk upstream (the X5j discipline); media ids stay exact to
+    * 2⁴³. */
+  private val FrameRidBase = 1048576L
+
+  /** Clip-level near-dup verdict over [[videoFramePhashes]]
+    * signatures: pairs `(a < b)` where the count of DISTINCT frames
+    * matched across clips at Hamming ≤ `maxHamming` reaches
+    * `minFracPpm` of the smaller clip —
+    * `least(matched_a, matched_b) · 10⁶ ≥ minFracPpm ·
+    * least(frames_a, frames_b)`, cross-multiplied integer-exact (the
+    * [[ahashChunkPairs]] verdict over the BANDED core instead of hash
+    * equality: re-encoded frames drift a few bits, and
+    * [[graft.ext.Dedup.hammingPairs]]'s pigeonhole bands keep recall
+    * exact at ≤ maxHamming without an all-pairs frame join). Because
+    * rid packs frame beside clip and frame < 2²⁰, rid order equals
+    * clip order across clips — cross-clip pair rows always come out
+    * `media_id_a < media_id_b`, and equal-clip rows (within-clip
+    * near-identical frames, common in real video) drop here. */
+  def frameMajorityPairs(frames: DataFrame, maxHamming: Int,
+      minFracPpm: Long): DataFrame = {
+    require(minFracPpm > 0L && minFracPpm <= 1000000L,
+      s"minFracPpm ($minFracPpm) must be in (0, 1e6]")
+    val cnt = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("frames"))
+    val rids = frames.select(
+      (col("media_id") * lit(FrameRidBase) + col("frame_idx")).as("rid"),
+      col("phash"))
+    Dedup.hammingPairs(rids, "rid", "phash", maxHamming)
+      .selectExpr(
+        "doc_id_a div 1048576 AS media_id_a",
+        "doc_id_a % 1048576 AS frame_a",
+        "doc_id_b div 1048576 AS media_id_b",
+        "doc_id_b % 1048576 AS frame_b")
+      .filter(col("media_id_a") < col("media_id_b"))
+      .groupBy(col("media_id_a"), col("media_id_b"))
+      .agg(countDistinct(col("frame_a")).as("matched_a"),
+        countDistinct(col("frame_b")).as("matched_b"))
+      .join(cnt.select(col("media_id").as("media_id_a"),
+        col("frames").as("frames_a")), Seq("media_id_a"))
+      .join(cnt.select(col("media_id").as("media_id_b"),
+        col("frames").as("frames_b")), Seq("media_id_b"))
+      .filter(least(col("matched_a"), col("matched_b")) * lit(1000000L)
+        >= lit(minFracPpm) * least(col("frames_a"), col("frames_b")))
+      .select(col("media_id_a"), col("media_id_b"),
+        col("matched_a"), col("matched_b"),
+        col("frames_a"), col("frames_b"))
+  }
+
+  /** Planted frame palette index for the VIDEO corpus — frame content
+    * `cid`, pixel (x, y): the byte-mix base reduced mod the 64-entry
+    * [[gifPalette]] (mirrored VERBATIM by the DuckDB oracle — the
+    * decoded channel values are 3p%256 / 5p%256 / 7p%256 and luma
+    * replays through the exact (77r+151g+28b)>>8 fold). */
+  private[graft] def videoFrameIndex(cid: Long, x: Int, y: Int): Int = {
+    val fm = cid % 1000000007L
+    val m = (fm ^ (fm >>> 16)) * 73244475L
+    val v = m + 40503L * x + 48271L * y
+    ((((v >>> 8) & 255L) ^ ((v >>> 24) & 255L)) % 64L).toInt
+  }
+
+  /** Planted video corpus: REAL six-frame animated GIFs (indexed color
+    * over the explicit palette — LOSSLESS, so decoded pixels ARE the
+    * formula) on video-kind documents `doc_id % 3 = 0` — family
+    * f = doc_id/6, member m = (doc_id%6)/3 ∈ {0, 1}; frame k of member
+    * m carries content id f·16 + 2m + k, so the family pair shares
+    * EXACTLY 4 of 6 frame contents (member 1 is the clip re-cut two
+    * frames later — the planted partial overlap; offsets ≤ 7 < 16 keep
+    * families disjoint). Frames are 32×32 — exact pooling-grid
+    * multiples, cells are single pixels. */
+  def videoMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val nFrames = 6
+    val dim = 32
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        val icm = gifPalette
+        rows.map { r =>
+          val id = r.getLong(0)
+          val f = id / 6
+          val m = ((id % 6) / 3).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var k = 0
+          while (k < nFrames) {
+            val cid = f * 16 + 2 * m + k
+            val img = new java.awt.image.BufferedImage(
+              dim, dim, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            val raster = img.getRaster
+            var y = 0
+            while (y < dim) {
+              var x = 0
+              while (x < dim) {
+                raster.setSample(x, y, 0, videoFrameIndex(cid, x, y))
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            k += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          writer.dispose()
+          Row(id, bos.toByteArray)
+        }
+      }(encoder)
+  }
+
   // ---------------------- real IMA-ADPCM codec path (X5f)
 
   /** IMA/DVI ADPCM step-size table (89 entries) and index-adjust table
