@@ -1421,17 +1421,74 @@ object Oracles {
     * left-to-right non-rescanning scan, so greedy fusion ([a,a,a] →
     * [aa,a]) and double fusion ([a,b,a,b] → [ab,ab]) agree exactly
     * (probed against DuckDB 1.0.0; pinned in BpeTrainSpec). */
+  private def bpeTrajSelect(merges: Int): String = {
+    val unions = (1 to merges).map(k =>
+      s"""SELECT $k AS step, l AS "left", r AS "right", pc FROM b$k""")
+      .mkString("\n  UNION ALL ")
+    s"""SELECT CAST(step AS BIGINT) AS step, "left", "right",
+       |       "left" || "right" AS merged, pc AS pair_count
+       |FROM ($unions)
+       |ORDER BY step""".stripMargin
+  }
+
   private def bpeTrainSql(maxWords: Int, merges: Int,
                           fullAlphabet: Boolean = false): String =
-    bpeWith(maxWords, merges, fullAlphabet) + "\n" + {
-      val unions = (1 to merges).map(k =>
-        s"""SELECT $k AS step, l AS "left", r AS "right", pc FROM b$k""")
-        .mkString("\n  UNION ALL ")
-      s"""SELECT CAST(step AS BIGINT) AS step, "left", "right",
-         |       "left" || "right" AS merged, pc AS pair_count
-         |FROM ($unions)
-         |ORDER BY step""".stripMargin
-    }
+    bpeWith(maxWords, merges, fullAlphabet) + "\n" + bpeTrajSelect(merges)
+
+  /** X53-bytes: the byte-level trajectory replay. Census over the
+    * café-planted corpus (full-alphabet word gate), then the initial
+    * sequence DECOMPOSES each character into its UTF-8 bytes
+    * arithmetically from the code point (the encoding rules are
+    * closed-form — no blob machinery), each byte wrapped as the
+    * mapped symbol chr(256 + b) (the engine's byte↔char bijection,
+    * order-isomorphic to byte order so `ORDER BY pc DESC, l, r` IS
+    * byte order), and the SAME chained per-step CTEs replay the
+    * merges. */
+  private def bpeBytesSql(maxWords: Int, merges: Int): String = {
+    raw"""WITH t AS (
+      |  SELECT text || ' café café café café café café' AS text
+      |  FROM documents),
+      |w0 AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM t),
+      |wc AS MATERIALIZED (
+      |  SELECT word, count(*) AS cnt FROM w0
+      |  WHERE length(word) > 0
+      |    AND NOT (word LIKE '%' || chr(1) || '%'
+      |             OR word LIKE '%' || chr(2) || '%')
+      |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT $maxWords),
+      |s1 AS MATERIALIZED (
+      |  SELECT word, cnt,
+      |         array_to_string(flatten(list_transform(
+      |           string_split(word, ''), c ->
+      |           CASE
+      |             WHEN unicode(c) < 128 THEN
+      |               [chr(1) || chr(256 + unicode(c)) || chr(2)]
+      |             WHEN unicode(c) < 2048 THEN
+      |               [chr(1) || chr(256 + 192 + unicode(c) // 64)
+      |                  || chr(2),
+      |                chr(1) || chr(256 + 128 + unicode(c) % 64)
+      |                  || chr(2)]
+      |             WHEN unicode(c) < 65536 THEN
+      |               [chr(1) || chr(256 + 224 + unicode(c) // 4096)
+      |                  || chr(2),
+      |                chr(1) || chr(256 + 128 + (unicode(c) // 64) % 64)
+      |                  || chr(2),
+      |                chr(1) || chr(256 + 128 + unicode(c) % 64)
+      |                  || chr(2)]
+      |             ELSE
+      |               [chr(1) || chr(256 + 240 + unicode(c) // 262144)
+      |                  || chr(2),
+      |                chr(1) || chr(256 + 128 + (unicode(c) // 4096) % 64)
+      |                  || chr(2),
+      |                chr(1) || chr(256 + 128 + (unicode(c) // 64) % 64)
+      |                  || chr(2),
+      |                chr(1) || chr(256 + 128 + unicode(c) % 64)
+      |                  || chr(2)]
+      |           END)), '') AS seq
+      |  FROM wc),
+      |""".stripMargin + bpeStepCtes(merges) + "\n" + bpeTrajSelect(merges)
+  }
 
   /** X53b tokenize-apply replay: the SAME chained merge CTEs, then the
     * final sequence table s{merges+1} unwraps to the segmented census. */
@@ -1530,7 +1587,21 @@ object Oracles {
           |  SELECT word, count(*) AS cnt FROM w0
           |  WHERE regexp_matches(word, '^[a-z]+${"$"}')
           |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT $maxWords),""".stripMargin
-    val steps = (1 to merges).map { k =>
+    census + "\n" +
+      raw"""s1 AS MATERIALIZED (
+      |  SELECT word, cnt,
+      |         array_to_string(list_transform(string_split(word, ''),
+      |           c -> chr(1) || c || chr(2)), '') AS seq
+      |  FROM wc),
+      |""".stripMargin + bpeStepCtes(merges)
+  }
+
+  /** The chained per-step (pair census → argmax → fuse) CTEs through
+    * s{merges+1} — alphabet-agnostic (they operate on the wrapped
+    * symbol sequences), shared by the char-level, full-alphabet, and
+    * byte-level trajectory oracles. */
+  private def bpeStepCtes(merges: Int): String =
+    (1 to merges).map { k =>
       val sk = s"s$k"
       s"""p$k AS MATERIALIZED (
          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
@@ -1557,14 +1628,6 @@ object Oracles {
          |         END AS seq
          |  FROM $sk)""".stripMargin
     }.mkString(",\n")
-    census + "\n" +
-      raw"""s1 AS MATERIALIZED (
-      |  SELECT word, cnt,
-      |         array_to_string(list_transform(string_split(word, ''),
-      |           c -> chr(1) || c || chr(2)), '') AS seq
-      |  FROM wc),
-      |""".stripMargin + steps
-  }
 
   /** The X5e dHash corpus + brute-force Hamming pairs as shared CTEs —
     * one definition for the pair lane and its drop-set projection. The
@@ -4840,6 +4903,15 @@ object Oracles {
       // ('e', ',') and an uppercase merge ('E', 'R'), proving the
       // non-letter path under the oracle, not just in spec.
       bpeTrainSql(maxWords = 300, merges = 8, fullAlphabet = true),
+
+    "x53_bpe_bytes" ->
+      // The BYTE-LEVEL merge trajectory (VERDICT r16 next #6): the
+      // same 8 chained merge CTEs with the initial sequence
+      // decomposed to UTF-8 bytes (arithmetic from the code point)
+      // under the chr(256+b) bijection; the café plant puts the
+      // cross-byte-boundary merge (caf·0xC3, 0xA9) — fusing é's two
+      // bytes — in the oracle-matched trajectory at every shipped SF.
+      bpeBytesSql(maxWords = 300, merges = 8),
 
     "x53_bpe_tokenize" -> bpeTokenizeSql(maxWords = 300, merges = 8),
 

@@ -3852,6 +3852,43 @@ object Queries {
   def x53BpeTrainFull(s: SparkSession, d: String): DataFrame =
     graft.ext.BpeTrain.loadMerges(s, bpeMergesFullDir(s, d)).orderBy("step")
 
+  /** The multi-byte plant for the BYTE-LEVEL trajectory: six 'café'
+    * tokens per document — é is two UTF-8 bytes (0xC3 0xA9), and at
+    * count 6·|docs| the café byte pairs enter the k=8 argmax at every
+    * shipped SF (measured: steps 2–5 are (c,a), (ca,f), (caf,0xC3),
+    * (caf0xC3, 0xA9) — the LAST one fuses ACROSS the character's byte
+    * boundary, the cross-byte-boundary merge VERDICT r16 #6 asks
+    * for). */
+  private def byteDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).withColumn("text",
+      concat(col("text"), lit(" café café café café café café")))
+
+  private def bpeMergesBytesDir(s: SparkSession, d: String): String =
+    persistedIndexDir("bpe_merges_bytes", d) { dir =>
+      graft.ext.BpeTrain.saveMerges(
+        graft.ext.BpeTrain.fitMerges(
+          graft.ext.BpeTrain.wordCensus(byteDocs(s, d),
+            maxWords = 300, fullAlphabet = true),
+          merges = 8, byteLevel = true), dir)
+    }
+
+  /** X53-bytes — BYTE-LEVEL BPE training (VERDICT r16 next #6):
+    * production GPT-2-style tokenizers merge UTF-8 BYTES, not code
+    * points — that is what makes token budgets portable across any
+    * Unicode text. Initial symbols are the census words' UTF-8 bytes
+    * under the fixed byte↔char bijection b → U+0100+b (order-
+    * isomorphic to byte order, so the argmax tie-break is byte order
+    * on both engines — [[graft.ext.BpeTrain.fitMerges]]
+    * `byteLevel = true`); the k=8 trajectory replays as the SAME
+    * chained CTEs with the oracle decomposing each character into its
+    * UTF-8 bytes ARITHMETICALLY from the code point (the encoding
+    * rules are closed-form). The planted 'café' census member puts a
+    * merge that fuses é's two bytes ACROSS the character boundary in
+    * the oracle-matched trajectory. */
+  def x53BpeBytes(s: SparkSession, d: String): DataFrame =
+    graft.ext.BpeTrain.loadMerges(s, bpeMergesBytesDir(s, d))
+      .orderBy("step")
+
   /** X53b — the vocab artifact APPLIED ([[graft.ext.BpeTrain
     * .segment]]): every census word tokenized under the trained merge
     * list (merges as plan literals — the X13 posture), the

@@ -140,7 +140,8 @@ object BpeTrain {
     * bit-identical to the full-census formulation (pinned at ~100
     * merges against an independent recompute-everything reference in
     * BpeTrainSpec, and at merges=8 by the unchanged DuckDB oracle). */
-  def fitMerges(words: DataFrame, merges: Int): DataFrame = {
+  def fitMerges(words: DataFrame, merges: Int,
+                byteLevel: Boolean = false): DataFrame = {
     require(merges >= 1 && merges <= 32768,
       s"merges ($merges) must be in [1, 32768]")
     val spark = words.sparkSession
@@ -171,8 +172,29 @@ object BpeTrain {
       }
       out.result()
     }
+    // BYTE-LEVEL mode (VERDICT r16 next #6 — the production
+    // GPT-2-style alphabet): initial symbols are the word's UTF-8
+    // BYTES, each mapped to the single BMP code point U+0100+b — a
+    // fixed byte↔char bijection (the GPT-2 byte-encoder idea) that
+    // keeps every symbol representable in the wrapped-string surgery
+    // AND order-ISOMORPHIC to byte order (code point 0x100+b sorts
+    // exactly as b), so the (count DESC, l, r) tie-break is byte
+    // order on both engines. Merges can cross the byte boundaries of
+    // a multi-byte character — which is the point: byte-level vocabs
+    // make token budgets portable across any Unicode text.
+    def byteSyms(w: String): Array[String] = {
+      val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val out = new Array[String](bs.length)
+      var i = 0
+      while (i < bs.length) {
+        out(i) = String.valueOf((0x100 + (bs(i) & 0xFF)).toChar)
+        i += 1
+      }
+      out
+    }
     val syms: Array[Array[String]] =
-      fetched.map(r => charSyms(r.getString(0)))
+      fetched.map(r =>
+        if (byteLevel) byteSyms(r.getString(0)) else charSyms(r.getString(0)))
     val cnt: Array[Long] = fetched.map(_.getLong(1))
 
     // Code-point order == UTF-8 byte order — the collation BOTH census

@@ -254,4 +254,45 @@ class BpeTrainSpec extends SparkSpec {
     assert(traj.exists { case (l, r) => (l + r).exists(_.isUpper) },
       s"expected an uppercase merge: ${traj.toSeq}")
   }
+
+  test("byte-level mode: initial symbols are UTF-8 bytes under the " +
+       "chr(0x100+b) bijection and merges cross a multi-byte " +
+       "character's byte boundary") {
+    // 'café' alone: bytes c a f 0xC3 0xA9 — char mode sees 4 symbols,
+    // byte mode 5. Hand trajectory at cnt 1: every adjacent pair has
+    // count 1, so the argmax is pure (l, r) byte order:
+    // step 1 fuses the smallest pair (a=0x61, f=0x66); then
+    // (af, 0xC3) vs (c, af) vs (0xC3, 0xA9): l order 'af'(0x161…)
+    // vs 'c'(0x163) vs 0x1C3 → (af, 0xC3) first…
+    val words = df(Seq(Row("café", 1L)), wddl)
+    val got = BpeTrain.fitMerges(words, merges = 4, byteLevel = true)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    def bytesOf(s: String): Seq[Int] = s.map(c => c.toInt - 0x100)
+    // All symbols live in the mapped byte plane.
+    got.foreach { case (l, r, m) =>
+      (l + r + m).foreach(c =>
+        assert(c >= 0x100 && c <= 0x1FF, f"unmapped symbol char ${c.toInt}%x"))
+    }
+    // The final merged symbol is the whole word's UTF-8 byte string —
+    // including é's TWO bytes, fused across the character boundary.
+    assert(bytesOf(got.last._3) == Seq(0x63, 0x61, 0x66, 0xC3, 0xA9),
+      got.map { case (l, r, m) => bytesOf(m) }.toSeq.toString)
+    // …and char-level mode on the same word needs only 3 merges and
+    // keeps é atomic: the alphabets genuinely differ.
+    val charTraj = BpeTrain.fitMerges(words, merges = 4).collect()
+    assert(charTraj.length == 3, s"char mode: ${charTraj.length} merges")
+
+    // The registered byte lane: 8 steps, and the trajectory carries a
+    // merge whose RIGHT is é's continuation byte 0xA9 fused onto a
+    // left ending in 0xC3 — the planted cross-byte-boundary merge.
+    val lane = Queries.x53BpeBytes(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(lane.length == 8, s"expected the 8-step trajectory")
+    assert(lane.exists { case (l, r) =>
+      l.nonEmpty && (l.last.toInt - 0x100) == 0xC3 &&
+        bytesOf(r) == Seq(0xA9)
+    }, s"expected the é cross-byte merge: ${
+      lane.map { case (l, r) => (bytesOf(l), bytesOf(r)) }.toSeq}")
+  }
 }

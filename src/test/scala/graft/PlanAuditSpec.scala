@@ -331,9 +331,9 @@ class PlanAuditSpec extends SparkSpec {
     // (s21_stream_phash is deliberately NOT here — like s19, its
     // per-band anti-join fold is lazy end-to-end once the per-JVM
     // index save is pre-paid)
-    // full-alphabet sibling of x53_bpe_train: the census + merge
-    // argmaxes run once per JVM and persist the vocab artifact
-    "x53_bpe_train_full")
+    // full-alphabet and byte-level siblings of x53_bpe_train: the
+    // census + merge argmaxes run once per JVM and persist the vocab
+    "x53_bpe_train_full", "x53_bpe_bytes")
 
   test("top-N per group never plans a single-partition global sort or window") {
     // The operator exists to avoid the one-reducer-per-group shape; the
