@@ -6501,6 +6501,13 @@ object Oracles {
 
     "x18_sessionize" -> sessionizeSql,
 
+    // The native session_window duel (VERDICT r16 next #7): the
+    // floor-second + gap+1 adapter makes the built-in's semantics
+    // equal the gaps-and-islands convention by construction, so the
+    // SAME oracle binds all three formulations (window, custom-state
+    // stream fold, built-in aggregation) — none can drift.
+    "x18_session_builtin" -> sessionizeSql,
+
     // The STREAMING fold (flatMapGroupsWithState, batch-replayed) must
     // produce the identical session set — ONE oracle bound to both, so
     // the two formulations can never drift.

@@ -3207,6 +3207,46 @@ object Queries {
   def x18Sessionize(s: SparkSession, d: String): DataFrame =
     graft.ext.Sessionize.summary(events(s, d), gapSeconds = 43200L)
 
+  /** X18-builtin — the SAME sessionization through Spark's native
+    * `session_window` aggregation, duelled against the identical x18
+    * oracle (VERDICT r16 next #7). The built-in is NOT a drop-in: it
+    * merges events at full-precision gap < duration where the
+    * gaps-and-islands convention keeps a floor-second gap ≤ threshold
+    * in-session — on this corpus's sub-second timestamps the naive
+    * `session_window(ts, "12 hours")` splits one sf0.1 session the
+    * window formulation keeps (the boundary gap sits in
+    * [43200 s, 43201 s)). The adapter makes the semantics EQUAL by
+    * construction: floor ts to whole seconds and set the duration to
+    * gap+1 — merge iff floored diff < 43201 ⟺ floor-gap ≤ 43200 ⟺
+    * x18's strict-> rule (divergence + adapter both pinned in
+    * SessionWindowDuelSpec). `session_idx` is ranked over window
+    * starts per user (the built-in emits window bounds, not ordinals
+    * — one of the continuity features the custom-state s5 lane
+    * carries natively, along with its open-session sentinel and
+    * timeout-driven exactly-once emission for streams). */
+  def x18SessionBuiltin(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sw.start"))
+    events(s, d)
+      .withColumn("ts_floor",
+        timestamp_seconds(unix_timestamp(col("ts"))))
+      .groupBy(col("user_id"),
+        session_window(col("ts_floor"), "43201 seconds").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_s"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_value"))
+      .withColumn("session_idx", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_ts"), col("end_ts"), col("duration_s"),
+        col("total_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   /** X45 — within-session funnel ([[graft.ext.Sessionize.assign]] ∘
     * [[graft.ext.EventFunnel.funnel]]): the X37 ordered-step funnel
     * with the SESSION as the conversion unit — "did the user get from
