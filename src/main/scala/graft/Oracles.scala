@@ -1762,6 +1762,52 @@ object Oracles {
        |       cq$k.value, cq$k.n, cq$k.ppm, cq$k.contrib_micro
        |FROM cq$k, vq$k""".stripMargin
 
+  /** The X5j chunked-audio corpus in closed form — per (doc, segment)
+    * the 512-sample planted content (byte-mix base keyed by content id
+    * f·16 + 3m + seg, member 1 at 2× gain), 65-window pooling,
+    * cross-multiplied boundary comparisons, and the hash-0 drop:
+    * `ckeep` is the fingerprintable (doc, seg, h) signature set.
+    * Shared by the batch containment pair lane (x5_ahash_chunks) and
+    * the streaming containment drop (s24_stream_chunks). */
+  private val ahashChunkCtes: String =
+    """cdoc AS (
+      |  SELECT doc_id, doc_id // 6 AS f, (doc_id % 6) // 3 AS m
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |cseg AS (
+      |  SELECT doc_id, m, f, unnest(range(0, 6)) AS seg FROM cdoc),
+      |cmix AS (
+      |  SELECT doc_id, m, seg,
+      |         xor((f * 16 + 3 * m + seg) % 1000000007,
+      |             ((f * 16 + 3 * m + seg) % 1000000007) // 65536)
+      |           * 73244475 AS mm
+      |  FROM cseg),
+      |ct AS (SELECT doc_id, m, seg, mm, unnest(range(0, 512)) AS t
+      |       FROM cmix),
+      |csv AS (
+      |  SELECT doc_id, seg, (t * 65) // 512 AS w,
+      |         (m + 1) * 6 *
+      |           (xor(((mm + 40503 * t) // 256) % 256,
+      |                ((mm + 40503 * t) // 16777216) % 256) - 128) AS s
+      |  FROM ct),
+      |cw AS (SELECT doc_id, seg, w, sum(s * s) AS e, count(*) AS c
+      |       FROM csv GROUP BY 1, 2, 3),
+      |cbit AS (
+      |  SELECT a.doc_id, a.seg, CAST(a.w AS INTEGER) AS pos
+      |  FROM cw a JOIN cw b
+      |    ON a.doc_id = b.doc_id AND a.seg = b.seg AND b.w = a.w + 1
+      |  WHERE a.w < 64 AND a.e * b.c < b.e * a.c),
+      |csegs AS (SELECT DISTINCT doc_id, seg FROM cw),
+      |chash AS (
+      |  SELECT cs.doc_id, cs.seg,
+      |         coalesce(bit_or(CASE WHEN cb.pos = 63
+      |                              THEN (-9223372036854775807 - 1)
+      |                              ELSE 1::BIGINT << cb.pos END),
+      |                  0) AS h
+      |  FROM csegs cs LEFT JOIN cbit cb
+      |    ON cs.doc_id = cb.doc_id AND cs.seg = cb.seg
+      |  GROUP BY 1, 2),
+      |ckeep AS (SELECT doc_id, seg, h FROM chash WHERE h <> 0)""".stripMargin
+
   /** The X5i aHash corpus in closed form — every audio-lane document's
     * 64-bit energy-profile hash: planted samples
     * (Multimodal.ahashSample mirrored verbatim — byte-mix base,
@@ -6829,69 +6875,57 @@ object Oracles {
 
     "x5_ahash_chunks" ->
       // The window-chunked long-clip audio near-dup replayed end to
-      // end in closed form: per (doc, segment) the 512-sample content
-      // (byte-mix base keyed by content id f*16 + 3m + seg, member 1
-      // at 2x gain) pools into the 65-window grid, cross-multiplied
-      // boundary comparisons build each segment hash, hash-0 segments
-      // drop, clips pair on EXACT segment-hash equality, and the
-      // 500,000-ppm containment gate replays as the same integer
+      // end in closed form (shared hash chain: ahashChunkCtes): clips
+      // pair on EXACT segment-hash equality and the 500,000-ppm
+      // containment gate replays as the same integer
       // cross-multiplication. The 2x re-gain member matches its
       // original's 3 shared segments bit-for-bit — volume invariance
       // per segment, under the oracle.
-      """WITH cdoc AS (
-        |  SELECT doc_id, doc_id // 6 AS f, (doc_id % 6) // 3 AS m
-        |  FROM documents WHERE doc_id % 3 = 2),
-        |cseg AS (
-        |  SELECT doc_id, m, f, unnest(range(0, 6)) AS seg FROM cdoc),
-        |cmix AS (
-        |  SELECT doc_id, m, seg,
-        |         xor((f * 16 + 3 * m + seg) % 1000000007,
-        |             ((f * 16 + 3 * m + seg) % 1000000007) // 65536)
-        |           * 73244475 AS mm
-        |  FROM cseg),
-        |ct AS (SELECT doc_id, m, seg, mm, unnest(range(0, 512)) AS t
-        |       FROM cmix),
-        |csv AS (
-        |  SELECT doc_id, seg, (t * 65) // 512 AS w,
-        |         (m + 1) * 6 *
-        |           (xor(((mm + 40503 * t) // 256) % 256,
-        |                ((mm + 40503 * t) // 16777216) % 256) - 128) AS s
-        |  FROM ct),
-        |cw AS (SELECT doc_id, seg, w, sum(s * s) AS e, count(*) AS c
-        |       FROM csv GROUP BY 1, 2, 3),
-        |cbit AS (
-        |  SELECT a.doc_id, a.seg, CAST(a.w AS INTEGER) AS pos
-        |  FROM cw a JOIN cw b
-        |    ON a.doc_id = b.doc_id AND a.seg = b.seg AND b.w = a.w + 1
-        |  WHERE a.w < 64 AND a.e * b.c < b.e * a.c),
-        |csegs AS (SELECT DISTINCT doc_id, seg FROM cw),
-        |chash AS (
-        |  SELECT cs.doc_id, cs.seg,
-        |         coalesce(bit_or(CASE WHEN cb.pos = 63
-        |                              THEN (-9223372036854775807 - 1)
-        |                              ELSE 1::BIGINT << cb.pos END),
-        |                  0) AS h
-        |  FROM csegs cs LEFT JOIN cbit cb
-        |    ON cs.doc_id = cb.doc_id AND cs.seg = cb.seg
-        |  GROUP BY 1, 2),
-        |ckeep AS (SELECT doc_id, seg, h FROM chash WHERE h <> 0),
-        |ccnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS segs
-        |         FROM ckeep GROUP BY 1),
-        |cmatch AS (
-        |  SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
-        |         CAST(count(DISTINCT a.seg) AS BIGINT) AS matched_a,
-        |         CAST(count(DISTINCT b.seg) AS BIGINT) AS matched_b
-        |  FROM ckeep a JOIN ckeep b
-        |    ON a.h = b.h AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT m.media_id_a, m.media_id_b, m.matched_a, m.matched_b,
-        |       ca.segs AS segs_a, cb2.segs AS segs_b
-        |FROM cmatch m
-        |JOIN ccnt ca ON ca.doc_id = m.media_id_a
-        |JOIN ccnt cb2 ON cb2.doc_id = m.media_id_b
-        |WHERE least(m.matched_a, m.matched_b) * 1000000
-        |      >= 500000 * least(ca.segs, cb2.segs)
-        |ORDER BY media_id_a, media_id_b""".stripMargin,
+      ("WITH " + ahashChunkCtes + ",\n" +
+        """ccnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS segs
+          |         FROM ckeep GROUP BY 1),
+          |cmatch AS (
+          |  SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+          |         CAST(count(DISTINCT a.seg) AS BIGINT) AS matched_a,
+          |         CAST(count(DISTINCT b.seg) AS BIGINT) AS matched_b
+          |  FROM ckeep a JOIN ckeep b
+          |    ON a.h = b.h AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT m.media_id_a, m.media_id_b, m.matched_a, m.matched_b,
+          |       ca.segs AS segs_a, cb2.segs AS segs_b
+          |FROM cmatch m
+          |JOIN ccnt ca ON ca.doc_id = m.media_id_a
+          |JOIN ccnt cb2 ON cb2.doc_id = m.media_id_b
+          |WHERE least(m.matched_a, m.matched_b) * 1000000
+          |      >= 500000 * least(ca.segs, cb2.segs)
+          |ORDER BY media_id_a, media_id_b""".stripMargin),
+
+    "s24_stream_chunks" ->
+      // The streaming segment-containment drop's batch replay in
+      // closed form: history = member-0 segment hashes of EVEN
+      // families (the saved index), arrivals = every member-1 clip;
+      // a clip drops iff matched*1e6 >= 500000*nsegs over its
+      // fingerprintable segments (even families sit exactly on the
+      // 3/6 boundary — dropped; odd families match nothing —
+      // survive). Zero-segment clips survive by the no-evidence rule.
+      ("WITH " + ahashChunkCtes + ",\n" +
+        """hist AS (SELECT h FROM ckeep
+          |         WHERE doc_id % 6 = 2 AND (doc_id // 6) % 2 = 0),
+          |aseg AS (SELECT doc_id, seg, h FROM ckeep WHERE doc_id % 6 = 5),
+          |acnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsegs
+          |         FROM aseg GROUP BY 1),
+          |amatch AS (
+          |  SELECT doc_id, CAST(count(DISTINCT seg) AS BIGINT) AS matched
+          |  FROM aseg WHERE h IN (SELECT h FROM hist) GROUP BY 1)
+          |SELECT d.doc_id AS media_id,
+          |       CAST(coalesce(c.nsegs, 0) AS BIGINT) AS n_segments
+          |FROM (SELECT doc_id FROM cdoc WHERE m = 1) d
+          |LEFT JOIN acnt c ON c.doc_id = d.doc_id
+          |LEFT JOIN amatch mm ON mm.doc_id = d.doc_id
+          |WHERE NOT (c.nsegs IS NOT NULL
+          |           AND coalesce(mm.matched, 0) * 1000000
+          |               >= 500000 * c.nsegs)
+          |ORDER BY media_id""".stripMargin),
 
     "s23_stream_ahash" ->
       // The streaming audio drop's batch replay in closed form (the

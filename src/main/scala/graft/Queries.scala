@@ -2181,6 +2181,42 @@ object Queries {
       minFracPpm = 500000L)
       .orderBy("media_id_a", "media_id_b")
 
+  /** The s24 split: history = the CHUNK segment-hash index of
+    * member-0 clips of EVEN families, saved to parquet once per JVM;
+    * arrivals = every member-1 clip. Even-family arrivals share 3 of
+    * 6 segments with an indexed clip (exactly the 500,000-ppm gate);
+    * odd-family arrivals share nothing — both outcomes live. */
+  private def ahashChunkIndexDir(s: SparkSession, d: String): String =
+    persistedIndexDir("ahash_chunk_index", d) { dir =>
+      graft.stream.StreamingChunks.chunkSegments(
+          graft.ext.Multimodal.ahashChunkMediaFromDocuments(
+            documents(s, d))
+            .filter(expr(
+              "(media_id % 6) div 3 = 0 AND (media_id div 6) % 2 = 0")),
+          segmentSamples = 512)
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  /** S24 — streaming long-clip audio drop by SEGMENT CONTAINMENT
+    * against the saved chunk index ([[graft.stream.StreamingChunks
+    * .chunkDropBatch]] — the X5j near-dup as an ingest gate, the X8
+    * decontamination shape on audio): an arriving clip drops iff
+    * ≥ 50% of its fingerprintable segments exactly match an indexed
+    * segment hash (volume-invariant, so re-gained partial copies
+    * drop). Even-family arrivals drop at exactly the 3/6 boundary;
+    * odd-family arrivals survive. Live per-micro-batch emission via
+    * foreachBatch is pinned in StreamingChunksSpec; this batch
+    * replay carries the FULL closed-form oracle. */
+  def s24StreamChunks(s: SparkSession, d: String): DataFrame = {
+    val hist = s.read.parquet(ahashChunkIndexDir(s, d))
+    val arrivals = graft.ext.Multimodal.ahashChunkMediaFromDocuments(
+        documents(s, d))
+      .filter(expr("(media_id % 6) div 3 = 1"))
+    graft.stream.StreamingChunks.chunkDropBatch(arrivals, hist,
+        segmentSamples = 512, minFracPpm = 500000L)
+      .orderBy("media_id")
+  }
+
   /** X5k — VIDEO near-dup (VERDICT r16 next #5): the engine decoded
     * animated-GIF frames (x5_gif_decode) and pHashed stills
     * (x5_phash_pairs) — this lane composes them. REAL six-frame

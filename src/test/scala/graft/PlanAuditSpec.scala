@@ -333,7 +333,10 @@ class PlanAuditSpec extends SparkSpec {
     // index save is pre-paid)
     // full-alphabet and byte-level siblings of x53_bpe_train: the
     // census + merge argmaxes run once per JVM and persist the vocab
-    "x53_bpe_train_full", "x53_bpe_bytes")
+    "x53_bpe_train_full", "x53_bpe_bytes",
+    // builds + SAVES the chunk segment-hash index once per JVM; the
+    // registered batch replay probes the loaded parquet
+    "s24_stream_chunks")
 
   test("top-N per group never plans a single-partition global sort or window") {
     // The operator exists to avoid the one-reducer-per-group shape; the
