@@ -1762,6 +1762,70 @@ object Oracles {
        |       cq$k.value, cq$k.n, cq$k.ppm, cq$k.contrib_micro
        |FROM cq$k, vq$k""".stripMargin
 
+  /** The X5k video corpus in closed form — per (clip, frame) the
+    * 32×32 indexed frame's palette pixels, exact integer luma, the
+    * fixed-point DCT pHash, and per-clip frame counts (`vhash`,
+    * `vcnt`). Shared by the frame-majority lane (x5_video_neardup)
+    * and the frame-alignment lane (x5_video_align). */
+  private lazy val videoHashCtes: String =
+    """vdoc AS (
+        |  SELECT doc_id, doc_id // 6 AS f, (doc_id % 6) // 3 AS m
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |vfr AS (SELECT doc_id, m, f, unnest(range(0, 6)) AS k FROM vdoc),
+        |vmix AS (
+        |  SELECT doc_id, k,
+        |         xor((f * 16 + 2 * m + k) % 1000000007,
+        |             ((f * 16 + 2 * m + k) % 1000000007) // 65536)
+        |           * 73244475 AS mm
+        |  FROM vfr),
+        |vxs AS (SELECT doc_id, k, mm, unnest(range(0, 32)) AS x
+        |        FROM vmix),
+        |vpx AS (SELECT doc_id, k, mm, x, unnest(range(0, 32)) AS y
+        |        FROM vxs),
+        |vlum AS (
+        |  SELECT doc_id, k, cx, cy,
+        |         (77 * ((3 * p) % 256) + 151 * ((5 * p) % 256)
+        |          + 28 * ((7 * p) % 256)) // 256 AS l
+        |  FROM (SELECT doc_id, k, x AS cx, y AS cy,
+        |               xor(((mm + 40503 * x + 48271 * y) // 256) % 256,
+        |                   ((mm + 40503 * x + 48271 * y) // 16777216)
+        |                     % 256) % 64 AS p
+        |        FROM vpx)),
+        |vct(u, x, c) AS (VALUES """.stripMargin + phashCosValues +
+        """),
+        |vt1 AS (
+        |  SELECT doc_id, k, cy AS y, t.u, sum(l * t.c) AS a
+        |  FROM vlum JOIN vct t ON t.x = vlum.cx
+        |  GROUP BY 1, 2, 3, 4),
+        |vt2 AS (
+        |  SELECT t1.doc_id, t1.k, t1.u AS u, t.u AS v,
+        |         sum(t1.a * t.c) AS coef
+        |  FROM vt1 t1 JOIN vct t ON t.x = t1.y
+        |  GROUP BY 1, 2, 3, 4),
+        |vmed AS (
+        |  SELECT doc_id, k, coef AS med FROM (
+        |    SELECT doc_id, k, coef,
+        |           row_number() OVER (PARTITION BY doc_id, k
+        |                              ORDER BY coef) AS rn
+        |    FROM vt2 WHERE NOT (u = 0 AND v = 0))
+        |  WHERE rn = 32),
+        |vbits AS (
+        |  SELECT t.doc_id, t.k, CAST(t.v * 8 + t.u AS INTEGER) AS pos
+        |  FROM vt2 t JOIN vmed md
+        |    ON md.doc_id = t.doc_id AND md.k = t.k
+        |  WHERE NOT (t.u = 0 AND t.v = 0) AND t.coef > md.med),
+        |vhash AS (
+        |  SELECT vf.doc_id, vf.k,
+        |         coalesce(bit_or(CASE WHEN b.pos = 63
+        |                              THEN (-9223372036854775807 - 1)
+        |                              ELSE 1::BIGINT << b.pos END),
+        |                  0) AS h
+        |  FROM vmix vf LEFT JOIN vbits b
+        |    ON vf.doc_id = b.doc_id AND vf.k = b.k
+        |  GROUP BY 1, 2),
+        |vcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS frames
+        |         FROM vhash GROUP BY 1)""".stripMargin
+
   /** The X5j chunked-audio corpus in closed form — per (doc, segment)
     * the 512-sample planted content (byte-mix base keyed by content id
     * f·16 + 3m + seg, member 1 at 2× gain), 65-window pooling,
@@ -6790,88 +6854,57 @@ object Oracles {
 
     "x5_video_neardup" ->
       // The video frame-majority near-dup replayed end to end in
-      // closed form: per (clip, frame) the 32x32 indexed frame's
-      // palette index p (byte-mix keyed by content id f*16 + 2m + k),
-      // decoded channels (3p%256, 5p%256, 7p%256), the exact integer
-      // luma fold, the 32x32 pooling (cells ARE pixels), two
-      // fixed-point DCT passes over the shared basis, the
-      // 32nd-order-statistic median, the brute-force Hamming<=4 frame
-      // predicate across clips, distinct-frame containment counts,
-      // and the 600,000-ppm integer gate. The family's re-cut member
-      // shares exactly 4 of 6 frame contents — matched bit-for-bit
-      // (lossless indexed color), 666,667 ppm >= the gate.
-      ("""WITH vdoc AS (
-        |  SELECT doc_id, doc_id // 6 AS f, (doc_id % 6) // 3 AS m
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |vfr AS (SELECT doc_id, m, f, unnest(range(0, 6)) AS k FROM vdoc),
-        |vmix AS (
-        |  SELECT doc_id, k,
-        |         xor((f * 16 + 2 * m + k) % 1000000007,
-        |             ((f * 16 + 2 * m + k) % 1000000007) // 65536)
-        |           * 73244475 AS mm
-        |  FROM vfr),
-        |vxs AS (SELECT doc_id, k, mm, unnest(range(0, 32)) AS x
-        |        FROM vmix),
-        |vpx AS (SELECT doc_id, k, mm, x, unnest(range(0, 32)) AS y
-        |        FROM vxs),
-        |vlum AS (
-        |  SELECT doc_id, k, cx, cy,
-        |         (77 * ((3 * p) % 256) + 151 * ((5 * p) % 256)
-        |          + 28 * ((7 * p) % 256)) // 256 AS l
-        |  FROM (SELECT doc_id, k, x AS cx, y AS cy,
-        |               xor(((mm + 40503 * x + 48271 * y) // 256) % 256,
-        |                   ((mm + 40503 * x + 48271 * y) // 16777216)
-        |                     % 256) % 64 AS p
-        |        FROM vpx)),
-        |vct(u, x, c) AS (VALUES """.stripMargin + phashCosValues +
-        """),
-        |vt1 AS (
-        |  SELECT doc_id, k, cy AS y, t.u, sum(l * t.c) AS a
-        |  FROM vlum JOIN vct t ON t.x = vlum.cx
-        |  GROUP BY 1, 2, 3, 4),
-        |vt2 AS (
-        |  SELECT t1.doc_id, t1.k, t1.u AS u, t.u AS v,
-        |         sum(t1.a * t.c) AS coef
-        |  FROM vt1 t1 JOIN vct t ON t.x = t1.y
-        |  GROUP BY 1, 2, 3, 4),
-        |vmed AS (
-        |  SELECT doc_id, k, coef AS med FROM (
-        |    SELECT doc_id, k, coef,
-        |           row_number() OVER (PARTITION BY doc_id, k
-        |                              ORDER BY coef) AS rn
-        |    FROM vt2 WHERE NOT (u = 0 AND v = 0))
-        |  WHERE rn = 32),
-        |vbits AS (
-        |  SELECT t.doc_id, t.k, CAST(t.v * 8 + t.u AS INTEGER) AS pos
-        |  FROM vt2 t JOIN vmed md
-        |    ON md.doc_id = t.doc_id AND md.k = t.k
-        |  WHERE NOT (t.u = 0 AND t.v = 0) AND t.coef > md.med),
-        |vhash AS (
-        |  SELECT vf.doc_id, vf.k,
-        |         coalesce(bit_or(CASE WHEN b.pos = 63
-        |                              THEN (-9223372036854775807 - 1)
-        |                              ELSE 1::BIGINT << b.pos END),
-        |                  0) AS h
-        |  FROM vmix vf LEFT JOIN vbits b
-        |    ON vf.doc_id = b.doc_id AND vf.k = b.k
-        |  GROUP BY 1, 2),
-        |vcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS frames
-        |         FROM vhash GROUP BY 1),
-        |vmatch AS (
-        |  SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
-        |         CAST(count(DISTINCT a.k) AS BIGINT) AS matched_a,
-        |         CAST(count(DISTINCT b.k) AS BIGINT) AS matched_b
-        |  FROM vhash a JOIN vhash b
-        |    ON a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= 4
-        |  GROUP BY 1, 2)
-        |SELECT m.media_id_a, m.media_id_b, m.matched_a, m.matched_b,
-        |       va.frames AS frames_a, vb.frames AS frames_b
-        |FROM vmatch m
-        |JOIN vcnt va ON va.doc_id = m.media_id_a
-        |JOIN vcnt vb ON vb.doc_id = m.media_id_b
-        |WHERE least(m.matched_a, m.matched_b) * 1000000
-        |      >= 600000 * least(va.frames, vb.frames)
-        |ORDER BY media_id_a, media_id_b""".stripMargin),
+      // closed form (shared hash chain: videoHashCtes): the
+      // brute-force Hamming<=4 frame predicate across clips,
+      // distinct-frame containment counts, and the 600,000-ppm
+      // integer gate. The family's re-cut member shares exactly 4 of
+      // 6 frame contents — matched bit-for-bit (lossless indexed
+      // color), 666,667 ppm >= the gate.
+      ("WITH " + videoHashCtes + ",\n" +
+        """|vmatch AS (
+          |  SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+          |         CAST(count(DISTINCT a.k) AS BIGINT) AS matched_a,
+          |         CAST(count(DISTINCT b.k) AS BIGINT) AS matched_b
+          |  FROM vhash a JOIN vhash b
+          |    ON a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= 4
+          |  GROUP BY 1, 2)
+          |SELECT m.media_id_a, m.media_id_b, m.matched_a, m.matched_b,
+          |       va.frames AS frames_a, vb.frames AS frames_b
+          |FROM vmatch m
+          |JOIN vcnt va ON va.doc_id = m.media_id_a
+          |JOIN vcnt vb ON vb.doc_id = m.media_id_b
+          |WHERE least(m.matched_a, m.matched_b) * 1000000
+          |      >= 600000 * least(va.frames, vb.frames)
+          |ORDER BY media_id_a, media_id_b""".stripMargin),
+
+    "x5_video_align" ->
+      // The temporal-alignment video near-dup replayed in closed form
+      // (shared hash chain: videoHashCtes): matched frame pairs group
+      // by their offset (frame_b - frame_a), the verdict takes the
+      // MAX distinct-frame count over offsets, and the 600,000-ppm
+      // gate replays as the same integer cross-multiplication. The
+      // planted re-cut aligns its 4 shared frames at the single
+      // offset -2.
+      ("WITH " + videoHashCtes + ",\n" +
+        """|valign AS (
+          |  SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+          |         b.k - a.k AS off,
+          |         CAST(count(DISTINCT a.k) AS BIGINT) AS at_offset
+          |  FROM vhash a JOIN vhash b
+          |    ON a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= 4
+          |  GROUP BY 1, 2, 3),
+          |vbest AS (
+          |  SELECT media_id_a, media_id_b,
+          |         CAST(max(at_offset) AS BIGINT) AS aligned
+          |  FROM valign GROUP BY 1, 2)
+          |SELECT m.media_id_a, m.media_id_b, m.aligned,
+          |       va.frames AS frames_a, vb.frames AS frames_b
+          |FROM vbest m
+          |JOIN vcnt va ON va.doc_id = m.media_id_a
+          |JOIN vcnt vb ON vb.doc_id = m.media_id_b
+          |WHERE m.aligned * 1000000
+          |      >= 600000 * least(va.frames, vb.frames)
+          |ORDER BY media_id_a, media_id_b""".stripMargin),
 
     "x5_ahash_chunks" ->
       // The window-chunked long-clip audio near-dup replayed end to

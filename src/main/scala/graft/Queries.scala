@@ -2240,6 +2240,26 @@ object Queries {
       maxHamming = 4, minFracPpm = 600000L)
       .orderBy("media_id_a", "media_id_b")
 
+  /** X5k-align — TEMPORAL-ORDER-aware video near-dup ([[graft.ext
+    * .Multimodal.frameAlignmentPairs]]): the majority lane treats a
+    * clip as a frame SET; this one demands the shared frames appear in
+    * the SAME ORDER at ONE temporal shift — matched frame pairs group
+    * by `frame_b − frame_a` and the verdict takes the max
+    * distinct-frame count over offsets (the re-cut/trim duplicate
+    * class; a shuffled re-ordering passes majority and fails
+    * alignment — pinned in VideoNeardupSpec). On the planted corpus
+    * the family pair aligns 4 of 6 frames at the single offset −2
+    * (member 1 is the re-cut two frames later), so the same 83 pairs
+    * qualify at the 600,000-ppm gate — by the STRICTER criterion.
+    * FULL oracle: the shared closed-form hash chain plus the
+    * per-offset grouping and max. */
+  def x5VideoAlign(s: SparkSession, d: String): DataFrame =
+    graft.ext.Multimodal.frameAlignmentPairs(
+      graft.ext.Multimodal.videoFramePhashes(
+        graft.ext.Multimodal.videoMediaFromDocuments(documents(s, d))),
+      maxHamming = 4, minFracPpm = 600000L)
+      .orderBy("media_id_a", "media_id_b")
+
   /** X5e-groups — pair-graph RESOLUTION on the image near-dup relation
     * (the X1f composition applied to dHash): connected components of
     * the Hamming-≤3 pair graph via the SAME min-label machinery as

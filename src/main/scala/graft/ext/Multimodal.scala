@@ -1658,6 +1658,50 @@ object Multimodal {
         col("frames_a"), col("frames_b"))
   }
 
+  /** TEMPORAL-ORDER-aware video near-dup verdict: pairs `(a < b)`
+    * whose best single ALIGNMENT OFFSET carries `minFracPpm` of the
+    * smaller clip's frames — matched frame pairs group by
+    * `frame_b − frame_a` and the verdict takes the MAX distinct-frame
+    * count over offsets: `max_d |{(i, j) matched : j − i = d}| · 10⁶ ≥
+    * minFracPpm · least(frames_a, frames_b)`. Where
+    * [[frameMajorityPairs]] treats a clip as a frame SET (a shuffled
+    * re-ordering of the same frames still passes), alignment demands
+    * the shared frames appear in the SAME ORDER at ONE temporal shift
+    * — the re-cut/trim duplicate class (discrimination pinned in
+    * VideoNeardupSpec: a frame-permuted copy passes majority and
+    * fails alignment). Same banded Hamming core, one extra tiny
+    * per-pair aggregate — never all-pairs. */
+  def frameAlignmentPairs(frames: DataFrame, maxHamming: Int,
+      minFracPpm: Long): DataFrame = {
+    require(minFracPpm > 0L && minFracPpm <= 1000000L,
+      s"minFracPpm ($minFracPpm) must be in (0, 1e6]")
+    val cnt = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("frames"))
+    val rids = frames.select(
+      (col("media_id") * lit(FrameRidBase) + col("frame_idx")).as("rid"),
+      col("phash"))
+    Dedup.hammingPairs(rids, "rid", "phash", maxHamming)
+      .selectExpr(
+        "doc_id_a div 1048576 AS media_id_a",
+        "doc_id_a % 1048576 AS frame_a",
+        "doc_id_b div 1048576 AS media_id_b",
+        "doc_id_b % 1048576 AS frame_b")
+      .filter(col("media_id_a") < col("media_id_b"))
+      .groupBy(col("media_id_a"), col("media_id_b"),
+        (col("frame_b") - col("frame_a")).as("offset"))
+      .agg(countDistinct(col("frame_a")).as("at_offset"))
+      .groupBy(col("media_id_a"), col("media_id_b"))
+      .agg(max(col("at_offset")).as("aligned"))
+      .join(cnt.select(col("media_id").as("media_id_a"),
+        col("frames").as("frames_a")), Seq("media_id_a"))
+      .join(cnt.select(col("media_id").as("media_id_b"),
+        col("frames").as("frames_b")), Seq("media_id_b"))
+      .filter(col("aligned") * lit(1000000L)
+        >= lit(minFracPpm) * least(col("frames_a"), col("frames_b")))
+      .select(col("media_id_a"), col("media_id_b"), col("aligned"),
+        col("frames_a"), col("frames_b"))
+  }
+
   /** Planted frame palette index for the VIDEO corpus — frame content
     * `cid`, pixel (x, y): the byte-mix base reduced mod the 64-entry
     * [[gifPalette]] (mirrored VERBATIM by the DuckDB oracle — the

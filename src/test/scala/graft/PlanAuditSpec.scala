@@ -241,8 +241,8 @@ class PlanAuditSpec extends SparkSpec {
     "x5_dhash_pipeline",
     // the pHash pair lane rides the same materialized hammingPairs core
     "x5_phash_pairs",
-    // the video lane's per-frame signatures ride the same core
-    "x5_video_neardup",
+    // the video lanes' per-frame signatures ride the same core
+    "x5_video_neardup", "x5_video_align",
     // checkpoints the derived weight column (persisted-X17-state contract)
     "x12_weighted_mix",
     // checkpoints the (week,type,bin) census consumed by five branches

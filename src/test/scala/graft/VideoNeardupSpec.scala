@@ -72,6 +72,42 @@ class VideoNeardupSpec extends SparkSpec {
     }
   }
 
+  test("alignment admits the ordered re-cut but REJECTS a " +
+       "frame-permuted copy that majority admits — the temporal-order " +
+       "discrimination (X5k-align)") {
+    assume(Multimodal.gifSupported, "JVM ships no GIF codec")
+    // The registered alignment lane admits exactly the planted re-cut
+    // pairs, each aligned 4/6 at one offset.
+    val aligned = Multimodal.frameAlignmentPairs(frames, 4, 600000L)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id_a"), r.getAs[Long]("media_id_b"),
+        r.getAs[Long]("aligned")))
+    assert(aligned.nonEmpty)
+    aligned.foreach { case (a, b, n) =>
+      assert(b == a + 3 && a % 6 == 0 && n == 4L, s"($a,$b,$n)")
+    }
+    // Construct a SHUFFLED copy of one clip: same frame multiset with
+    // adjacent pairs swapped ([1,0,3,2,5,4] — NOT a rotation, which
+    // would itself be an ordered shift). Majority (set semantics)
+    // pairs them 6/6; alignment's best offset carries only 3 frames
+    // (offsets alternate +1/−1) — fails the 600,000-ppm gate.
+    val base = frames.filter("media_id = 0").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assume(base.length == 6, "fixture clip 0 must exist")
+    val perm = Array(1, 0, 3, 2, 5, 4)
+    val shuffled = base.map { case (k, h) => (perm(k), h) }
+    val two = df(
+      base.map { case (k, h) => Row(9000001L, k, h) }.toSeq ++
+        shuffled.map { case (k, h) => Row(9000002L, k, h) },
+      "media_id BIGINT, frame_idx INT, phash BIGINT")
+    val maj = Multimodal.frameMajorityPairs(two, 4, 600000L).collect()
+    assert(maj.length == 1 && maj.head.getAs[Long]("matched_a") == 6L,
+      s"majority must admit the shuffled copy: ${maj.toSeq}")
+    val ali = Multimodal.frameAlignmentPairs(two, 4, 600000L).collect()
+    assert(ali.isEmpty,
+      s"alignment must reject the shuffled copy: ${ali.toSeq}")
+  }
+
   test("undecodable payloads decode to zero frames and vanish from " +
        "the signature frame") {
     assume(Multimodal.gifSupported, "JVM ships no GIF codec")
