@@ -6877,6 +6877,61 @@ object Oracles {
           |      >= 600000 * least(va.frames, vb.frames)
           |ORDER BY media_id_a, media_id_b""".stripMargin),
 
+    "x10_media_funnel" ->
+      // The media curation capstone replayed from all three shared
+      // closed-form hash chains: per modality the corpus size, the
+      // signed (decodable) count, and the unique survivors after the
+      // keep-first drop (images/audio: brute-force Hamming <= 3 pair
+      // b-sides; video: the alignment gate's b-sides).
+      ("WITH " + dhashHashCtes + ",\n" + ahashHashCtes + ",\n"
+        + videoHashCtes + ",\n" +
+        """|idrop AS (
+          |  SELECT DISTINCT b.doc_id FROM hash a JOIN hash b
+          |    ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+          |adrop AS (
+          |  SELECT DISTINCT b.doc_id FROM ahash a JOIN ahash b
+          |    ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+          |valign0 AS (
+          |  SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+          |         b.k - a.k AS off,
+          |         CAST(count(DISTINCT a.k) AS BIGINT) AS at_offset
+          |  FROM vhash a JOIN vhash b
+          |    ON a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= 4
+          |  GROUP BY 1, 2, 3),
+          |vax AS (SELECT media_id_a, media_id_b,
+          |               max(at_offset) AS aligned
+          |        FROM valign0 GROUP BY 1, 2),
+          |vdrop AS (
+          |  SELECT DISTINCT v.media_id_b AS doc_id FROM vax v
+          |  JOIN vcnt va ON va.doc_id = v.media_id_a
+          |  JOIN vcnt vb ON vb.doc_id = v.media_id_b
+          |  WHERE v.aligned * 1000000
+          |        >= 600000 * least(va.frames, vb.frames))
+          |SELECT * FROM (
+          |  SELECT 'audio' AS modality,
+          |         (SELECT CAST(count(*) AS BIGINT) FROM aimg) AS n_media,
+          |         (SELECT CAST(count(*) AS BIGINT) FROM ahash) AS n_signed,
+          |         (SELECT CAST(count(*) AS BIGINT) FROM ahash)
+          |           - (SELECT CAST(count(*) AS BIGINT) FROM adrop)
+          |           AS n_unique
+          |  UNION ALL
+          |  SELECT 'image',
+          |         (SELECT CAST(count(*) AS BIGINT) FROM img),
+          |         (SELECT CAST(count(*) AS BIGINT) FROM hash),
+          |         (SELECT CAST(count(*) AS BIGINT) FROM hash)
+          |           - (SELECT CAST(count(*) AS BIGINT) FROM idrop)
+          |  UNION ALL
+          |  SELECT 'video',
+          |         (SELECT CAST(count(*) AS BIGINT) FROM vdoc),
+          |         (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+          |          FROM vhash),
+          |         (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+          |          FROM vhash)
+          |           - (SELECT CAST(count(*) AS BIGINT) FROM vdrop))
+          |ORDER BY modality""".stripMargin),
+
     "x5_video_align" ->
       // The temporal-alignment video near-dup replayed in closed form
       // (shared hash chain: videoHashCtes): matched frame pairs group

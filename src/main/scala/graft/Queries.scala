@@ -2217,6 +2217,52 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** X10-media — the MEDIA curation funnel capstone (r17): the three
+    * perceptual near-dup families composed into one per-modality
+    * funnel card — images (dHash, keep-first at Hamming ≤ 3 via the
+    * LINEAR `hammingEdges`), audio (aHash, same machinery), video
+    * (frame-ALIGNMENT at 600,000 ppm — the order-aware verdict). One
+    * row per modality: corpus size, signed (decodable/fingerprintable)
+    * count, and unique survivors after the keep-first drop — the
+    * dataset-card numbers a multimodal training corpus ships with.
+    * FULL oracle: all three closed-form hash chains are shared with
+    * their pair lanes, so every count replays exactly. */
+  def x10MediaFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    def card(modality: String, media: DataFrame, sigs: DataFrame,
+        dropped: DataFrame): DataFrame =
+      media.agg(count(lit(1)).as("n_media"))
+        .crossJoin(broadcast(sigs.agg(
+          countDistinct(col("media_id")).as("n_signed"))))
+        .crossJoin(broadcast(dropped.agg(
+          countDistinct(col("media_id")).as("n_dropped"))))
+        .select(lit(modality).as("modality"), col("n_media"),
+          col("n_signed"),
+          (col("n_signed") - coalesce(col("n_dropped"), lit(0L)))
+            .as("n_unique"))
+    val img = graft.ext.Multimodal.dhashMediaFromDocuments(docs)
+    val imgSigs = graft.ext.Multimodal.dhashPngs(img)
+    val imgDrop = graft.ext.Dedup.hammingEdges(imgSigs,
+        "media_id", "dhash", maxHamming = 3)
+      .select(col("doc_id_b").as("media_id"))
+    val aud = graft.ext.Multimodal.ahashMediaFromDocuments(docs)
+    val audSigs = graft.ext.Multimodal.ahashWavs(aud)
+    val audDrop = graft.ext.Dedup.hammingEdges(audSigs,
+        "media_id", "ahash", maxHamming = 3)
+      .select(col("doc_id_b").as("media_id"))
+    val vid = graft.ext.Multimodal.videoMediaFromDocuments(docs)
+    val vidFrames = graft.ext.Multimodal.videoFramePhashes(vid)
+    val vidSigs = vidFrames.select(col("media_id")).distinct()
+      .select(col("media_id"))
+    val vidDrop = graft.ext.Multimodal.frameAlignmentPairs(vidFrames,
+        maxHamming = 4, minFracPpm = 600000L)
+      .select(col("media_id_b").as("media_id"))
+    card("audio", aud, audSigs, audDrop)
+      .unionByName(card("image", img, imgSigs, imgDrop))
+      .unionByName(card("video", vid, vidSigs, vidDrop))
+      .orderBy("modality")
+  }
+
   /** X5k — VIDEO near-dup (VERDICT r16 next #5): the engine decoded
     * animated-GIF frames (x5_gif_decode) and pHashed stills
     * (x5_phash_pairs) — this lane composes them. REAL six-frame

@@ -1089,4 +1089,26 @@ class CurationSpec extends SparkSpec {
     assert(soft.getAs[Long]("n_after_dedup") == soft.getAs[Long]("n_raw"))
     assert(hard.getAs[Long]("n_after_dedup") < soft.getAs[Long]("n_after_dedup"))
   }
+
+  test("x10_media_funnel: one card per modality, every corpus fully " +
+       "signed, and every modality's keep-first drop is live") {
+    assume(graft.ext.Multimodal.pngSupported &&
+      graft.ext.Multimodal.wavSupported &&
+      graft.ext.Multimodal.gifSupported, "JVM missing a media codec")
+    val rows = Queries.x10MediaFunnel(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("audio", "image", "video"))
+    rows.foreach { case (m, (media, signed, unique)) =>
+      assert(media > 0 && signed == media,
+        s"$m: every planted payload must decode ($signed of $media)")
+      assert(unique > 0 && unique < signed,
+        s"$m: the drop must be live and non-total ($unique of $signed)")
+    }
+    // Video's planted duplicate structure: exactly one member drops
+    // per family pair (the re-cut member).
+    val (vm, _, vu) = rows("video")
+    assert(vm - vu == Queries.x5VideoAlign(spark, sfDir).count(),
+      "video drops must equal the alignment pair count (one re-cut per family)")
+  }
 }

@@ -103,7 +103,10 @@ class PlanAuditSpec extends SparkSpec {
       // The ONE-ROW total-N cross onto the |distinct values| KL/chi²
       // census (the x12 weight-sum shape, per declared partition),
       // plus the one-row verdict literals cross onto the census rows.
-      "g23_kl_divergence", "g24_chi_square")
+      "g23_kl_divergence", "g24_chi_square",
+      // the media capstone's three ONE-ROW count aggregates cross
+      // onto each modality card row
+      "x10_media_funnel")
 
   test("no registered query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -243,6 +246,8 @@ class PlanAuditSpec extends SparkSpec {
     "x5_phash_pairs",
     // the video lanes' per-frame signatures ride the same core
     "x5_video_neardup", "x5_video_align",
+    // the media capstone composes all three materialized hash cores
+    "x10_media_funnel",
     // checkpoints the derived weight column (persisted-X17-state contract)
     "x12_weighted_mix",
     // checkpoints the (week,type,bin) census consumed by five branches
