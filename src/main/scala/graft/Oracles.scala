@@ -1509,8 +1509,11 @@ object Oracles {
     * CASE-guarded non-rescanning replace), and aggregate symbol counts
     * per document. Exercises the vocab-table serving shape: each
     * distinct word segments once, documents join by word. */
-  private def bpeCountSql(maxWords: Int, merges: Int): String = {
-    val applySteps = (1 to merges).map { k =>
+  /** The apply-chain CTEs a2…a{merges+1} — the trained merges replayed
+    * over the distinct-word sequences (shared by the per-doc count and
+    * the BPE-budget oracles). */
+  private def bpeApplySteps(merges: Int): String =
+    (1 to merges).map { k =>
       s"""a${k + 1} AS MATERIALIZED (
          |  SELECT word,
          |         CASE WHEN (SELECT count(*) FROM b$k) = 0 THEN seq
@@ -1522,6 +1525,56 @@ object Oracles {
          |         END AS seq
          |  FROM a$k)""".stripMargin
     }.mkString(",\n")
+
+  /** The shared per-document serving prelude: the word explode (dwf),
+    * the distinct-word initial sequences (a1), the apply chain, and
+    * the per-word symbol counts (useg). */
+  private def bpeServeCtes(merges: Int): String =
+    raw"""dwf AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id,
+      |           unnest(string_split_regex(trim(lower(text)), '\s+'))
+      |             AS word
+      |    FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+${"$"}')),
+      |a1 AS MATERIALIZED (
+      |  SELECT word,
+      |         array_to_string(list_transform(string_split(word, ''),
+      |           c -> chr(1) || c || chr(2)), '') AS seq
+      |  FROM (SELECT DISTINCT word FROM dwf)),
+      |""".stripMargin + bpeApplySteps(merges) + ",\n" +
+      s"""useg AS (
+         |  SELECT word,
+         |         CAST(len(string_split(substr(seq, 2, length(seq) - 2),
+         |                   chr(2) || chr(1))) AS BIGINT) AS n_syms
+         |  FROM a${merges + 1})""".stripMargin
+
+  /** The X26-bpe budget cut: per-document BPE token counts (the serve
+    * chain, LEFT-joined so wordless docs carry 0) cut by the naive
+    * global window the staged band plan provably equals. */
+  private def bpeBudgetSql(maxWords: Int, merges: Int,
+                           budget: Long): String =
+    bpeWith(maxWords, merges) + ",\n" + bpeServeCtes(merges) + ",\n" +
+      s"""dtok AS (
+         |  SELECT d.doc_id, d.source, d.n_chars,
+         |         CAST(coalesce(t.bpe, 0) AS BIGINT) AS tokens
+         |  FROM documents d LEFT JOIN (
+         |    SELECT w.doc_id, sum(u.n_syms) AS bpe
+         |    FROM dwf w JOIN useg u USING (word) GROUP BY 1) t
+         |    USING (doc_id)),
+         |ckum AS (
+         |  SELECT doc_id, source, tokens,
+         |         sum(tokens) OVER (ORDER BY n_chars DESC, doc_id ASC
+         |                           ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM dtok)
+         |SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+         |       CAST(sum(tokens) AS BIGINT) AS kept_tokens,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM ckum WHERE cum <= $budget
+         |GROUP BY source ORDER BY source""".stripMargin
+
+  private def bpeCountSql(maxWords: Int, merges: Int): String = {
+    val applySteps = bpeApplySteps(merges)
     bpeWith(maxWords, merges) + ",\n" +
       raw"""dwf AS (
         |  SELECT doc_id, word FROM (
@@ -6531,6 +6584,14 @@ object Oracles {
         |LEFT JOIN g ON d.source IS NOT DISTINCT FROM g.source
         |           AND d.n_chars = g.n_chars
         |ORDER BY d.doc_id""".stripMargin,
+
+    "x26_budget_bpe" ->
+      // The BPE-denominated budget cut: merges re-derived from the
+      // census chain, the apply chain replayed per distinct word,
+      // wordless docs at 0 tokens, then the same naive global-window
+      // prefix cut (ROWS frame — the strict (n_chars DESC, doc_id)
+      // total order).
+      bpeBudgetSql(maxWords = 300, merges = 8, budget = 30000L),
 
     "x26_budget_cut" ->
       // The staged budget cut replayed as the NAIVE global-window plan

@@ -3101,6 +3101,49 @@ object Queries {
         max("doc_id").as("max_doc"))
       .orderBy("source")
 
+  /** Per-document REAL BPE token counts under the saved k=8 vocab —
+    * the x53d serving shape (distinct words segment once, documents
+    * join by word), LEFT-joined back onto every document so docs with
+    * no census-admissible word carry an explicit 0 (they cost nothing
+    * against a budget but remain cuttable rows). */
+  private def bpeDocTokens(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.ext.BpeTrain.loadMerges(s, bpeMergesDir(s, d))
+      .orderBy("step").collect() // bounded: the k-row merge list
+      .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+    val dw = documents(s, d).select(col("doc_id"),
+        explode(graft.ext.TextAnalysis.tokens(lower(col("text"))))
+          .as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val vocab = dw.select("word").distinct()
+      .withColumn("n_syms",
+        size(graft.ext.BpeTrain.segment(col("word"), merges)).cast("long"))
+    documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      .join(dw.join(vocab, "word").groupBy("doc_id")
+        .agg(sum("n_syms").as("bpe_tokens")), Seq("doc_id"), "left")
+      .withColumn("bpe_tokens", coalesce(col("bpe_tokens"), lit(0L)))
+  }
+
+  /** X26-bpe — the token-budget cut denominated in REAL BPE tokens
+    * (x26's own contract names the gap: "a real budget is BPE
+    * tokens"; the whitespace lane approximates it). Composes the
+    * saved x53 vocab's per-document counts ([[bpeDocTokens]]) with
+    * the SAME staged band-census cut machinery ([[graft.ext.BudgetCut
+    * .cutBy]] — the caller-supplied-counter generalization of `cut`),
+    * quality-ordered by n_chars, budget 30,000 BPE tokens (a real cut
+    * at every shipped SF — neither empty nor total). The oracle
+    * re-derives the merges from the census chain, replays the apply
+    * chain per distinct word, and cuts with the naive global window
+    * the staged plan provably equals. */
+  def x26BudgetBpe(s: SparkSession, d: String): DataFrame =
+    graft.ext.BudgetCut.cutBy(bpeDocTokens(s, d), qualityCol = "n_chars",
+        budget = 30000L, tokensOf = col("bpe_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum("tokens").as("kept_tokens"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("source")
+
   /** X21 — AS-OF join: each event annotated with the user's latest
     * 'purchase' event at-or-before it ([[graft.ext.AsofJoin]] — the
     * point-in-time-correct feature lookup). Right side deduped

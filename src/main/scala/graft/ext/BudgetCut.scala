@@ -66,10 +66,24 @@ object BudgetCut {
     * job) at construction. */
   def cut(docs: DataFrame, qualityCol: String, budget: Long,
           textCol: String = "text", keyCol: String = "doc_id",
-          bandWidth: Long = 16L): DataFrame = {
+          bandWidth: Long = 16L): DataFrame =
+    cutBy(docs, qualityCol, budget,
+      TextAnalysis.tokenCount(col(textCol)), keyCol, bandWidth)
+
+  /** [[cut]] measured in a CALLER-SUPPLIED per-row token count (e.g.
+    * real BPE tokens from the trained vocab — what a production budget
+    * is actually denominated in; `cut` is this with the whitespace
+    * counter). `tokensOf` must be non-negative and non-null on every
+    * row the quality filter admits — a null would silently vanish
+    * from the census sum while the row itself stayed cuttable, so it
+    * is rejected loudly per-row in the banding projection. */
+  def cutBy(docs: DataFrame, qualityCol: String, budget: Long,
+            tokensOf: org.apache.spark.sql.Column,
+            keyCol: String = "doc_id",
+            bandWidth: Long = 16L): DataFrame = {
     require(budget >= 0L, s"budget ($budget) must be >= 0")
     require(bandWidth >= 1L, s"bandWidth ($bandWidth) must be >= 1")
-    val banded = withBands(docs, qualityCol, textCol, bandWidth)
+    val banded = withBands(docs, qualityCol, tokensOf, bandWidth)
 
     val census = banded.groupBy("__bc_band")
       .agg(sum("tokens").as("__bc_t"))
@@ -124,16 +138,24 @@ object BudgetCut {
                                 keyCol: String = "doc_id",
                                 bandWidth: Long = 16L, band: Long,
                                 leftover: Long): DataFrame =
-    phaseB(withBands(docs, qualityCol, textCol, bandWidth),
+    phaseB(withBands(docs, qualityCol,
+        TextAnalysis.tokenCount(col(textCol)), bandWidth),
       qualityCol, keyCol, band, leftover)
 
-  /** Null-quality rows dropped; `tokens` + the order-respecting band
-    * (`floor` keeps band order correct for negative qualities too —
-    * integer division would truncate toward zero). */
+  /** Null-quality rows dropped; `tokens` (loud on null/negative — a
+    * null token count would silently vanish from the census sum while
+    * its row stayed cuttable) + the order-respecting band (`floor`
+    * keeps band order correct for negative qualities too — integer
+    * division would truncate toward zero). */
   private def withBands(docs: DataFrame, qualityCol: String,
-                        textCol: String, bandWidth: Long): DataFrame =
+                        tokensOf: org.apache.spark.sql.Column,
+                        bandWidth: Long): DataFrame =
     docs.filter(col(qualityCol).isNotNull)
-      .withColumn("tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("tokens",
+        when(tokensOf.isNull || tokensOf < 0,
+          raise_error(lit("BudgetCut: null/negative token count on a " +
+            "cuttable row")).cast("long"))
+          .otherwise(tokensOf.cast("long")))
       .withColumn("__bc_band",
         floor(col(qualityCol).cast("double") / lit(bandWidth.toDouble))
           .cast("long"))

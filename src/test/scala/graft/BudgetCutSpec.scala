@@ -94,4 +94,34 @@ class BudgetCutSpec extends SparkSpec {
     val kept = out.map(_.getLong(2)).sum
     assert(kept > 0L && kept <= 12000L, s"kept_tokens $kept")
   }
+
+  test("cutBy with the whitespace counter equals cut; a null supplied " +
+       "count fails loudly; the registered BPE cut is non-trivial") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val a = graft.ext.BudgetCut.cut(docs, "n_chars", 9000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.ext.BudgetCut.cutBy(
+        docs.withColumn("wt",
+          graft.ext.TextAnalysis.tokenCount(col("text"))),
+        "n_chars", 9000L, tokensOf = col("wt"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "cutBy(whitespace) must equal cut")
+    val ex = intercept[Exception] {
+      graft.ext.BudgetCut.cutBy(
+        docs.withColumn("wt", when(col("doc_id") === 3L, lit(null))
+          .otherwise(lit(1L))),
+        "n_chars", 9000L, tokensOf = col("wt")).count()
+    }
+    assert(ex.getMessage != null &&
+      (ex.getMessage.contains("token count") ||
+        Option(ex.getCause).exists(_.getMessage.contains("token count"))),
+      s"want the loud null-count error, got: ${ex.getMessage}")
+    val bpe = Queries.x26BudgetBpe(spark, sfDir).collect()
+    assert(bpe.nonEmpty)
+    val keptTok = bpe.map(_.getLong(2)).sum
+    assert(keptTok > 0L && keptTok <= 30000L, s"kept BPE tokens $keptTok")
+    val keptDocs = bpe.map(_.getLong(1)).sum
+    assert(keptDocs < docs.count(), "the BPE cut must be non-trivial")
+  }
 }

@@ -223,6 +223,9 @@ class PlanAuditSpec extends SparkSpec {
     // to pick the cut band; the plan-audit shapes come from the
     // planOnly fixed-cut variant
     "x26_budget_cut",
+    // the BPE variant additionally reads the saved merge list into
+    // plan literals and runs the same band census at construction
+    "x26_budget_bpe",
     // the streaming SCD-2 replay localCheckpoints the dimension state
     // per micro-batch (the transactional-table stand-in)
     "s7_stream_scd2",
