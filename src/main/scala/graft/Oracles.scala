@@ -3424,6 +3424,28 @@ object Oracles {
         |         AS groups_suppressed
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "x31_ldiversity" ->
+      // The l-diversity audit replayed: per-customer distinct-status
+      // census, null-safe join back (NULL custkey is a real quasi
+      // group for rows_total/rows_kept but excluded from the DISTINCT
+      // group censuses in both engines — count(DISTINCT) drops
+      // nulls), the l=3 verdict per row, per-status rollup.
+      """WITH du AS (
+        |  SELECT o_custkey,
+        |         count(DISTINCT o_orderstatus) AS div
+        |  FROM orders GROUP BY 1),
+        |g AS (
+        |  SELECT o.o_orderstatus, o.o_custkey, du.div
+        |  FROM orders o JOIN du
+        |    ON o.o_custkey IS NOT DISTINCT FROM du.o_custkey)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS rows_total,
+        |       CAST(sum(CASE WHEN div >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS rows_kept,
+        |       count(DISTINCT o_custkey) AS groups_total,
+        |       count(DISTINCT CASE WHEN div < 3 THEN o_custkey END)
+        |         AS groups_suppressed
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "x12_upsample" ->
       // The epoch expansion replayed copy for copy: per-source ppm
       // factor (when-chain restated as CASE), whole epochs by integer

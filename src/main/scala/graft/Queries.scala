@@ -4185,6 +4185,29 @@ object Queries {
           .as("groups_suppressed"))
       .orderBy("event_type")
 
+  /** X31b — l-DIVERSITY release audit ([[graft.ext.Privacy
+    * .lDiversity]] — the homogeneity attack k-anonymity misses: a
+    * customer whose orders ALL share one status discloses that status
+    * to anyone who can name the customer, however many orders there
+    * are). Quasi = customer, sensitive = order status, l = 3: the
+    * customer's orders release only if they span all three statuses
+    * (at sf0.01, 168 of 1,500 customers fail — both outcomes live at
+    * every shipped SF). Output mirrors the x31 audit card, per
+    * status. The oracle replays the per-customer distinct-status
+    * census through a null-safe join (NULL custkey is a real quasi
+    * group). */
+  def x31LDiversity(s: SparkSession, d: String): DataFrame =
+    graft.ext.Privacy.lDiversity(
+        orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus"),
+        Seq("o_custkey"), sensitiveCol = "o_orderstatus", l = 3L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("rows_total"),
+        sum(when(col("is_ldiverse"), 1L).otherwise(0L)).as("rows_kept"),
+        countDistinct(col("o_custkey")).as("groups_total"),
+        countDistinct(when(!col("is_ldiverse"), col("o_custkey")))
+          .as("groups_suppressed"))
+      .orderBy("o_orderstatus")
+
   /** X19d — Unicode-normalization-aware dedup ([[graft.functions
     * .UnicodeNormalize]]): "café" composed (U+00E9) and decomposed
     * (e + U+0301) are different BYTES but the same text — byte-keyed

@@ -53,4 +53,44 @@ object Privacy {
   def suppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
     kAnonymity(df, quasiCols, k).filter(col("is_kanon"))
       .drop("group_size", "is_kanon")
+
+  /** L-DIVERSITY (r17 — the homogeneity attack k-anonymity misses): a
+    * quasi-identifier group of ANY size still discloses its sensitive
+    * attribute if every member shares one value; distinct-l-diversity
+    * requires ≥ `l` DISTINCT non-null sensitive values per group
+    * (Machanavajjhala et al. 2007's simplest instantiation). Appends
+    * `group_size`, `sensitive_diversity`, and `is_ldiverse` — the
+    * annotate-don't-filter discipline, same census+null-safe-join
+    * shape as [[kAnonymity]] (one partial-agg census over the quasi
+    * columns, never a per-row window; NULL quasi values form a real
+    * group via `<=>`). NULL sensitive values do NOT count toward
+    * diversity (a null discloses nothing and protects nothing —
+    * matching `count(DISTINCT …)`'s null semantics on both engines);
+    * an all-null-sensitive group has diversity 0 and is suppressed. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi column" +
+        " — diversity within its own group is always 1")
+    require(l >= 1L, s"l ($l) must be >= 1")
+    val census = df
+      .groupBy(quasiCols.map(c => col(c).as(s"__q_$c")): _*)
+      .agg(count(lit(1)).as("__q_n"),
+        countDistinct(col(sensitiveCol)).as("__q_div"))
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    df.drop("group_size", "sensitive_diversity", "is_ldiverse")
+      .join(census, cond)
+      .drop(quasiCols.map(c => s"__q_$c"): _*)
+      .withColumn("group_size", col("__q_n"))
+      .withColumn("sensitive_diversity", col("__q_div"))
+      .withColumn("is_ldiverse", col("__q_div") >= lit(l))
+      .drop("__q_n", "__q_div")
+  }
+
+  /** Only the rows in l-diverse groups. */
+  def suppressNonDiverse(df: DataFrame, quasiCols: Seq[String],
+                         sensitiveCol: String, l: Long): DataFrame =
+    lDiversity(df, quasiCols, sensitiveCol, l).filter(col("is_ldiverse"))
+      .drop("group_size", "sensitive_diversity", "is_ldiverse")
 }

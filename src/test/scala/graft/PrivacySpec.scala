@@ -60,4 +60,37 @@ class PrivacySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "k-anonymity must not plan a window")
   }
+
+  test("lDiversity: homogeneous groups suppressed regardless of size, " +
+       "null sensitive values never count, guards are loud") {
+    import org.apache.spark.sql.functions._
+    // Group a: 4 rows, all status X (k-anonymous at k=4, NOT 2-diverse).
+    // Group b: 2 rows, statuses X/Y (2-diverse). Group null: X/null ->
+    // diversity 1. Group c: nulls only -> diversity 0.
+    val rows = Seq(
+      Row(1L, "a", "X"), Row(2L, "a", "X"), Row(3L, "a", "X"),
+      Row(4L, "a", "X"),
+      Row(5L, "b", "X"), Row(6L, "b", "Y"),
+      Row(7L, null, "X"), Row(8L, null, null),
+      Row(9L, "c", null))
+    val data = df(rows, "id BIGINT, q STRING, s STRING")
+    val ann = graft.ext.Privacy.lDiversity(data, Seq("q"), "s", 2L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("group_size"), r.getAs[Long]("sensitive_diversity"),
+          r.getAs[Boolean]("is_ldiverse"))).toMap
+    assert(ann(1L) == ((4L, 1L, false)), "homogeneous big group must fail")
+    assert(ann(5L) == ((2L, 2L, true)))
+    assert(ann(7L) == ((2L, 1L, false)), "null quasi is a real group; " +
+      "null sensitive does not add diversity")
+    assert(ann(9L) == ((1L, 0L, false)), "all-null sensitive: diversity 0")
+    val kept = graft.ext.Privacy.suppressNonDiverse(data, Seq("q"), "s", 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 6L))
+    intercept[IllegalArgumentException] {
+      graft.ext.Privacy.lDiversity(data, Seq("s"), "s", 2L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Privacy.lDiversity(data, Seq("q"), "s", 0L)
+    }
+  }
 }
