@@ -5100,6 +5100,12 @@ object Oracles {
 
     "x53_bpe_tokenize" -> bpeTokenizeSql(maxWords = 300, merges = 8),
 
+    // The STREAMING per-document counter (stateless projection, merge
+    // list as plan literals) must produce the identical counts as the
+    // batch vocab-table serving shape — ONE oracle bound to both, so
+    // the two formulations can never drift (the s5/x18 discipline).
+    "s25_stream_bpe" -> bpeCountSql(maxWords = 300, merges = 8),
+
     "x53_bpe_count" -> bpeCountSql(maxWords = 300, merges = 8),
 
     "s15_stream_ingest" -> nestedFlattenSql,

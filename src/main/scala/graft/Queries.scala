@@ -3144,6 +3144,23 @@ object Queries {
         max("doc_id").as("max_doc"))
       .orderBy("source")
 
+  /** S25 — streaming BPE token counting under the saved vocab
+    * ([[graft.stream.StreamingBpe.tokenCounts]] — the x53d serving
+    * result as a stateless per-document projection, merge list as
+    * plan literals): the ingest-path token-budget meter. Each
+    * arriving document segments its OWN words inside one expression
+    * (no census join, no state store); both formulations apply the
+    * identical greedy fuse, so this batch replay binds to the SAME
+    * oracle as x53_bpe_count — the two serving shapes can never
+    * drift. Live MemoryStream parity pinned in StreamingBpeSpec. */
+  def s25StreamBpe(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.ext.BpeTrain.loadMerges(s, bpeMergesDir(s, d))
+      .orderBy("step").collect() // bounded: the k-row merge list
+      .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+    graft.stream.StreamingBpe.tokenCounts(documents(s, d), merges)
+      .orderBy("doc_id")
+  }
+
   /** X21 — AS-OF join: each event annotated with the user's latest
     * 'purchase' event at-or-before it ([[graft.ext.AsofJoin]] — the
     * point-in-time-correct feature lookup). Right side deduped
@@ -3992,7 +4009,7 @@ object Queries {
     * registered frame reads the saved merges). The oracle replays the
     * full merge TRAJECTORY as 8 chained CTEs over the same wrapped-
     * symbol string surgery (the x30 training-is-exact discipline). */
-  private def bpeMergesDir(s: SparkSession, d: String): String =
+  private[graft] def bpeMergesDir(s: SparkSession, d: String): String =
     persistedIndexDir("bpe_merges", d) { dir =>
       graft.ext.BpeTrain.saveMerges(
         graft.ext.BpeTrain.fitMerges(

@@ -342,6 +342,8 @@ class PlanAuditSpec extends SparkSpec {
     // full-alphabet and byte-level siblings of x53_bpe_train: the
     // census + merge argmaxes run once per JVM and persist the vocab
     "x53_bpe_train_full", "x53_bpe_bytes",
+    // reads the persisted merge list into plan literals at construction
+    "s25_stream_bpe",
     // builds + SAVES the chunk segment-hash index once per JVM; the
     // registered batch replay probes the loaded parquet
     "s24_stream_chunks")
