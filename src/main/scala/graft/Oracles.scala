@@ -7050,7 +7050,31 @@ object Oracles {
           |      >= 600000 * least(va.frames, vb.frames)
           |ORDER BY media_id_a, media_id_b""".stripMargin),
 
-    "x5_ahash_chunks" ->
+    "x5_video_against" ->
+      // The incremental video probe replayed as the brute-force cross
+      // predicate over closed-form hashes: history = member-0 frames,
+      // probes = member-1; the frame-majority containment verdict
+      // keyed (new, hist).
+      ("WITH " + videoHashCtes + ",\n" +
+        """|vx AS (
+          |  SELECT n.doc_id AS media_id_new, h.doc_id AS media_id_hist,
+          |         CAST(count(DISTINCT n.k) AS BIGINT) AS matched_new,
+          |         CAST(count(DISTINCT h.k) AS BIGINT) AS matched_hist
+          |  FROM vhash n JOIN vhash h
+          |    ON bit_count(xor(n.h, h.h)) <= 4
+          |  WHERE n.doc_id % 6 = 3 AND h.doc_id % 6 = 0
+          |  GROUP BY 1, 2)
+          |SELECT v.media_id_new, v.media_id_hist,
+          |       v.matched_new, v.matched_hist,
+          |       cn.frames AS frames_new, ch.frames AS frames_hist
+          |FROM vx v
+          |JOIN vcnt cn ON cn.doc_id = v.media_id_new
+          |JOIN vcnt ch ON ch.doc_id = v.media_id_hist
+          |WHERE least(v.matched_new, v.matched_hist) * 1000000
+          |      >= 600000 * least(cn.frames, ch.frames)
+          |ORDER BY media_id_new, media_id_hist""".stripMargin),
+
+        "x5_ahash_chunks" ->
       // The window-chunked long-clip audio near-dup replayed end to
       // end in closed form (shared hash chain: ahashChunkCtes): clips
       // pair on EXACT segment-hash equality and the 500,000-ppm

@@ -2217,6 +2217,39 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** The X5k incremental split: history = member-0 clips' frame
+    * signatures (hashed and SAVED to parquet once per JVM), probes =
+    * member-1 clips — the dhash/ahash ShardAndIndex discipline on
+    * video. */
+  private def videoShardAndIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val media = graft.ext.Multimodal.videoMediaFromDocuments(
+      documents(s, d))
+    val dir = persistedIndexDir("video_frame_index", d) { dir =>
+      graft.ext.Multimodal.videoFramePhashes(
+          media.filter(expr("(media_id % 6) div 3 = 0")))
+        .write.mode("overwrite").parquet(dir)
+    }
+    (media.filter(expr("(media_id % 6) div 3 = 1")), s.read.parquet(dir))
+  }
+
+  /** X5k-against — incremental VIDEO near-dup vs the persisted frame
+    * index (the X1h nightly posture on video, completing the family:
+    * images and audio both carry their `_against` probes): tonight's
+    * clips decode, pHash per frame, and band against the SAVED
+    * signature parquet through [[graft.ext.Multimodal
+    * .frameMajorityAgainst]] — cross-side candidates only, exact
+    * Hamming verify, the frame-majority containment verdict keyed
+    * (new, hist). Every probe matches its family original 4/6; the
+    * oracle replays the brute-force cross predicate over the
+    * closed-form hashes. */
+  def x5VideoAgainst(s: SparkSession, d: String): DataFrame = {
+    val (probes, histFrames) = videoShardAndIndex(s, d)
+    graft.ext.Multimodal.frameMajorityAgainst(
+        graft.ext.Multimodal.videoFramePhashes(probes), histFrames,
+        maxHamming = 4, minFracPpm = 600000L)
+      .orderBy("media_id_new", "media_id_hist")
+  }
+
   /** X10-media — the MEDIA curation funnel capstone (r17): the three
     * perceptual near-dup families composed into one per-modality
     * funnel card — images (dHash, keep-first at Hamming ≤ 3 via the

@@ -1702,6 +1702,45 @@ object Multimodal {
         col("frames_a"), col("frames_b"))
   }
 
+  /** Incremental (cross-sided) frame-majority near-dup: a NEW clip's
+    * frame signatures against a SAVED history frame index — the X1h
+    * nightly posture on video ([[graft.ext.Dedup.hammingPairsAgainst]]
+    * over packed rids: cross-side (band, bucket) candidates only,
+    * exact Hamming verify, the shard never re-hashes history). Same
+    * containment verdict as [[frameMajorityPairs]], keyed
+    * (new, hist). */
+  def frameMajorityAgainst(newFrames: DataFrame, histFrames: DataFrame,
+      maxHamming: Int, minFracPpm: Long): DataFrame = {
+    require(minFracPpm > 0L && minFracPpm <= 1000000L,
+      s"minFracPpm ($minFracPpm) must be in (0, 1e6]")
+    def pack(f: DataFrame) = f.select(
+      (col("media_id") * lit(FrameRidBase) + col("frame_idx")).as("rid"),
+      col("phash"))
+    def cnt(f: DataFrame, out: String) = f.groupBy(col("media_id"))
+      .agg(count(lit(1)).as(out))
+    Dedup.hammingPairsAgainst(pack(newFrames), pack(histFrames),
+        "rid", "phash", maxHamming)
+      .selectExpr(
+        "doc_id_new div 1048576 AS media_id_new",
+        "doc_id_new % 1048576 AS frame_new",
+        "doc_id_hist div 1048576 AS media_id_hist",
+        "doc_id_hist % 1048576 AS frame_hist")
+      .groupBy(col("media_id_new"), col("media_id_hist"))
+      .agg(countDistinct(col("frame_new")).as("matched_new"),
+        countDistinct(col("frame_hist")).as("matched_hist"))
+      .join(cnt(newFrames, "frames_new")
+        .select(col("media_id").as("media_id_new"), col("frames_new")),
+        Seq("media_id_new"))
+      .join(cnt(histFrames, "frames_hist")
+        .select(col("media_id").as("media_id_hist"), col("frames_hist")),
+        Seq("media_id_hist"))
+      .filter(least(col("matched_new"), col("matched_hist")) * lit(1000000L)
+        >= lit(minFracPpm) * least(col("frames_new"), col("frames_hist")))
+      .select(col("media_id_new"), col("media_id_hist"),
+        col("matched_new"), col("matched_hist"),
+        col("frames_new"), col("frames_hist"))
+  }
+
   /** Planted frame palette index for the VIDEO corpus — frame content
     * `cid`, pixel (x, y): the byte-mix base reduced mod the 64-entry
     * [[gifPalette]] (mirrored VERBATIM by the DuckDB oracle — the

@@ -249,6 +249,9 @@ class PlanAuditSpec extends SparkSpec {
     "x5_phash_pairs",
     // the video lanes' per-frame signatures ride the same core
     "x5_video_neardup", "x5_video_align",
+    // builds + SAVES the frame-signature index once per JVM, then
+    // rides the materialized hammingPairsAgainst core
+    "x5_video_against",
     // the media capstone composes all three materialized hash cores
     "x10_media_funnel",
     // checkpoints the derived weight column (persisted-X17-state contract)

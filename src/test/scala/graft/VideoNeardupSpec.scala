@@ -117,4 +117,35 @@ class VideoNeardupSpec extends SparkSpec {
       "media_id BIGINT, payload BINARY")
     assert(Multimodal.videoFramePhashes(junk).count() === 0L)
   }
+
+  test("the incremental probe vs the persisted frame index equals the " +
+       "brute-force cross predicate (X1h posture on video)") {
+    assume(Multimodal.gifSupported, "JVM ships no GIF codec")
+    val hist = frames.filter("(media_id % 6) div 3 = 0")
+      .localCheckpoint(true)
+    val probes = frames.filter("(media_id % 6) div 3 = 1")
+    def byClip(f: org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3))).toMap
+    val hc = byClip(hist); val pc = byClip(probes)
+    def matched(as: Seq[(Int, Long)], bs: Seq[(Int, Long)]): Long =
+      as.filter { case (_, ha) => bs.exists { case (_, hb) =>
+        java.lang.Long.bitCount(ha ^ hb) <= 4 } }
+        .map(_._1).distinct.size.toLong
+    val brute = (for {
+      n <- pc.keys.toSeq; h <- hc.keys.toSeq
+      mn = matched(pc(n), hc(h)); mh = matched(hc(h), pc(n))
+      if math.min(mn, mh) * 1000000L >= 600000L * 6L
+    } yield (n, h, mn, mh)).toSet
+    val engine = Multimodal.frameMajorityAgainst(probes, hist, 4, 600000L)
+      .collect().map(r => (r.getAs[Long]("media_id_new"),
+        r.getAs[Long]("media_id_hist"), r.getAs[Long]("matched_new"),
+        r.getAs[Long]("matched_hist"))).toSet
+    assert(engine == brute,
+      s"engine ${engine.size} vs brute ${brute.size}")
+    assert(engine.nonEmpty)
+    engine.foreach { case (n, h, mn, mh) =>
+      assert(n == h + 3 && mn == 4L && mh == 4L, s"($n,$h,$mn,$mh)")
+    }
+  }
 }
