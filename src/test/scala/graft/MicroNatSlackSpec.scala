@@ -205,6 +205,37 @@ class MicroNatSlackSpec extends SparkSpec {
     assert(s >= MinSlack, f"g23 kl slack $s%.3e < $MinSlack%.0e")
   }
 
+  test("g24 chi-square contributions sit >=1e-6 from rounding " +
+       "boundaries") {
+    // Mirrors the g24 lane's three declared partitions
+    // (ChiSquareCheck.census): one rounding per (declaration, value)
+    // of D²/(N·ppm) with D = n·1e6 − N·ppm exact in longs — including
+    // the declared-but-unobserved refund term (n = 0 → the value is
+    // the exact integer N·ppm, maximal slack by construction).
+    val ev = Tables.events(spark, oracleSf)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val decls = Seq(
+      types.map(_ -> 200000L),
+      types.map(t => t -> (if (t == "click") 600000L else 100000L)),
+      Seq("click", "purchase", "refund", "signup", "view")
+        .map(_ -> 200000L))
+    val counts = ev.filter(col("event_type").isNotNull)
+      .groupBy(col("event_type").cast("string").as("__v"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val pre = for {
+      decl <- decls
+      (v, ppm) <- decl
+      n = counts.getOrElse(v, 0L)
+      d = n * 1000000L - total * ppm
+    } yield d.toDouble * d.toDouble / (total * ppm).toDouble
+    assert(pre.nonEmpty)
+    import spark.implicits._
+    val s = minSlack(pre.toDF("v"))
+    assert(s >= MinSlack, f"g24 chi2 slack $s%.3e < $MinSlack%.0e")
+  }
+
   test("x24 idf micro-nats sit >=1e-6 from rounding boundaries") {
     // Mirrors the oracle's dfc/n CTEs: one ln per distinct df value
     // (ln(N/N) = 0 is exact in every libm and excluded like x20's
