@@ -99,7 +99,8 @@ object Queries {
   /** T3 — mart model: one-shuffle fact join + broadcast dims. */
   def t3MartSales(s: SparkSession, d: String): DataFrame =
     Stages.martSalesPerformance(
-      lineitem(s, d), orders(s, d), customer(s, d), nation(s, d), region(s, d))
+      spreadDocs(lineitem(s, d), "l_orderkey"),
+      orders(s, d), customer(s, d), nation(s, d), region(s, d))
       .orderBy("region_name", "nation_name")
 
   /** T3b — the mart under ROLLUP ([[graft.etl.Stages.martSalesRollup]]):
@@ -109,7 +110,8 @@ object Queries {
     * not an engine's. */
   def t3MartRollup(s: SparkSession, d: String): DataFrame =
     Stages.martSalesRollup(
-      lineitem(s, d), orders(s, d), customer(s, d), nation(s, d), region(s, d))
+      spreadDocs(lineitem(s, d), "l_orderkey"),
+      orders(s, d), customer(s, d), nation(s, d), region(s, d))
       .orderBy("grouping_level", "region_name", "nation_name")
 
   /** T4 — SCD-2 snapshot merge ([[graft.etl.Scd2]]): dimension history
@@ -734,7 +736,7 @@ object Queries {
     * document with the md5 of the rebuilt text: a single wrong
     * keep/drop decision on either engine breaks the hash. */
   def x1SubstringDedup(s: SparkSession, d: String): DataFrame = {
-    val planted = documents(s, d).withColumn("text",
+    val planted = spreadDocs(documents(s, d)).withColumn("text",
       when(pmod(col("doc_id"), lit(17)) === 0,
         concat(col("text"), expr("repeat(' off', doc_id % 3)"),
           lit(" the shared boilerplate sentence that repeats across many" +
@@ -1026,6 +1028,19 @@ object Queries {
     * and must not probe another corpus's index. */
   private val indexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Spread a corpus frame across every core before a CPU-dense
+    * per-row stage (r17 opt): the fixture parquet is single-row-group,
+    * so its scan cannot split below ONE task and any expensive
+    * projection rooted directly on it runs serially (the
+    * unsplittable-input case — repartition right after the read). The
+    * EXPLICIT partition count (deterministic hash on the key) pins the
+    * layout against AQE folding the KB-sized partitions back into one.
+    * At cluster scale `defaultParallelism` is the executor-core total
+    * and the corpus arrives in thousands of row groups, where this
+    * exchange is a cheap rebalance of an already-parallel scan. */
+  private def spreadDocs(df: DataFrame, key: String = "doc_id"): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   private def persistedIndexDir(index: String, d: String)
                                (build: String => Unit): String =
     indexDirs.computeIfAbsent(s"$index @ $d", _ => {
@@ -1213,7 +1228,7 @@ object Queries {
     * benchmark doc's 4-grams flags (the benchmark docs themselves at
     * containment 1.0, plus any planted near-duplicates of them). */
   def x8Contamination(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = spreadDocs(documents(s, d))
     val bench = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("bench_id"), col("text"))
     Dedup.contaminationPairs(docs, bench, n = 4, minContainment = 0.8)
@@ -1228,7 +1243,7 @@ object Queries {
     * construction, so this probe hash-matches the SAME oracle; the
     * nightly fit-once contract applied to decontamination. */
   def x8ContamAgainst(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = spreadDocs(documents(s, d))
     val dir = persistedIndexDir("bench_shingles", d)(dir =>
       Dedup.saveBenchShingles(
         docs.filter(col("doc_id") < 3)
@@ -1352,7 +1367,7 @@ object Queries {
     * honest answer, and both engines must agree on exactly which rows
     * win. */
   def x38FuzzyJoin(s: SparkSession, d: String): DataFrame = {
-    val cust = customer(s, d)
+    val cust = spreadDocs(customer(s, d), "c_custkey")
     val clean = cust.select(col("c_custkey").as("rkey"),
       col("c_name").as("rname"))
     val dirty = cust.select(col("c_custkey").as("lkey"),
@@ -1932,7 +1947,7 @@ object Queries {
     * already oracle-checked there); stage flags stay corpus-global,
     * only the counting is per source. */
   def x10FunnelBySource(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = spreadDocs(documents(s, d))
     val bench = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("bench_id"), col("text"))
     graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
@@ -1966,7 +1981,7 @@ object Queries {
     * replays the whole composition: redaction, token band, the LM
     * count/backoff/micro-nat arithmetic, band cut, sampling, packing. */
   def x10PplFunnel(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = spreadDocs(documents(s, d))
     val bench = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("bench_id"), col("text"))
     // Gate on the PERSISTED reference LM (trained + saved once per
@@ -1988,7 +2003,7 @@ object Queries {
     * composes into X10 like X15 does. The oracle replays the DSIR
     * weights, the Gumbel draw, and the funnel aggregate end-to-end. */
   def x10DsirFunnel(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = spreadDocs(documents(s, d))
     val bench = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("bench_id"), col("text"))
     // Score against the PERSISTED bucket model (fit + saved once per
@@ -2213,7 +2228,7 @@ object Queries {
         documents(s, d))
       .filter(expr("(media_id % 6) div 3 = 1"))
     graft.stream.StreamingChunks.chunkDropBatch(arrivals, hist,
-        segmentSamples = 512, minFracPpm = 500000L)
+        segmentSamples = 512, minFracPpm = 500000L, materialize = true)
       .orderBy("media_id")
   }
 
@@ -2260,11 +2275,23 @@ object Queries {
     * dataset-card numbers a multimodal training corpus ships with.
     * FULL oracle: all three closed-form hash chains are shared with
     * their pair lanes, so every count replays exactly. */
-  def x10MediaFunnel(s: SparkSession, d: String): DataFrame = {
+  def x10MediaFunnel(s: SparkSession, d: String): DataFrame =
+    x10MediaFunnelImpl(s, d, materialize = true)
+
+  private[graft] def x10MediaFunnelImpl(s: SparkSession, d: String,
+      materialize: Boolean): DataFrame = {
     val docs = documents(s, d)
+    // Corpus sizes census the slim document ids through the SHARED
+    // generator predicates (the generators are 1-row-per-doc maps over
+    // exactly these filters, so the counts are identical by
+    // construction) — an aggregate cannot push below the opaque encode
+    // mapPartitions, so counting the generated frames would pay a full
+    // codec pass per modality just to count rows (r17 opt).
+    def nMedia(pred: Column): DataFrame =
+      docs.filter(pred).agg(count(lit(1)).as("n_media"))
     def card(modality: String, media: DataFrame, sigs: DataFrame,
         dropped: DataFrame): DataFrame =
-      media.agg(count(lit(1)).as("n_media"))
+      media
         .crossJoin(broadcast(sigs.agg(
           countDistinct(col("media_id")).as("n_signed"))))
         .crossJoin(broadcast(dropped.agg(
@@ -2273,26 +2300,35 @@ object Queries {
           col("n_signed"),
           (col("n_signed") - coalesce(col("n_dropped"), lit(0L)))
             .as("n_unique"))
-    val img = graft.ext.Multimodal.dhashMediaFromDocuments(docs)
-    val imgSigs = graft.ext.Multimodal.dhashPngs(img)
+    // Each modality's signature frame pins ONCE (eager localCheckpoint
+    // of the slim (id, hash) rows) and feeds both the signed census
+    // and the drop arm — one decode pass per modality instead of 2–3
+    // (r17 opt; the dhashPngsDistinct pin discipline).
+    def pin(f: DataFrame): DataFrame =
+      if (materialize) f.localCheckpoint(true) else f
+    val imgSigs = pin(graft.ext.Multimodal.dhashPngs(
+      graft.ext.Multimodal.dhashMediaFromDocuments(docs)))
     val imgDrop = graft.ext.Dedup.hammingEdges(imgSigs,
-        "media_id", "dhash", maxHamming = 3)
+        "media_id", "dhash", maxHamming = 3, materialize = materialize)
       .select(col("doc_id_b").as("media_id"))
-    val aud = graft.ext.Multimodal.ahashMediaFromDocuments(docs)
-    val audSigs = graft.ext.Multimodal.ahashWavs(aud)
+    val audSigs = pin(graft.ext.Multimodal.ahashWavs(
+      graft.ext.Multimodal.ahashMediaFromDocuments(docs)))
     val audDrop = graft.ext.Dedup.hammingEdges(audSigs,
-        "media_id", "ahash", maxHamming = 3)
+        "media_id", "ahash", maxHamming = 3, materialize = materialize)
       .select(col("doc_id_b").as("media_id"))
-    val vid = graft.ext.Multimodal.videoMediaFromDocuments(docs)
-    val vidFrames = graft.ext.Multimodal.videoFramePhashes(vid)
+    val vidFrames = pin(graft.ext.Multimodal.videoFramePhashes(
+      graft.ext.Multimodal.videoMediaFromDocuments(docs)))
     val vidSigs = vidFrames.select(col("media_id")).distinct()
       .select(col("media_id"))
     val vidDrop = graft.ext.Multimodal.frameAlignmentPairs(vidFrames,
-        maxHamming = 4, minFracPpm = 600000L)
+        maxHamming = 4, minFracPpm = 600000L, materialize = materialize)
       .select(col("media_id_b").as("media_id"))
-    card("audio", aud, audSigs, audDrop)
-      .unionByName(card("image", img, imgSigs, imgDrop))
-      .unionByName(card("video", vid, vidSigs, vidDrop))
+    card("audio", nMedia(graft.ext.Multimodal.ahashDocPred),
+        audSigs, audDrop)
+      .unionByName(card("image", nMedia(graft.ext.Multimodal.dhashDocPred),
+        imgSigs, imgDrop))
+      .unionByName(card("video", nMedia(graft.ext.Multimodal.videoDocPred),
+        vidSigs, vidDrop))
       .orderBy("modality")
   }
 
@@ -2780,7 +2816,7 @@ object Queries {
     * using NFC(NFD(x)) = NFC(x) to avoid computing NFD in SQL. */
   def x10NfcFunnel(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.unicodeNormalize
-    val docs = documents(s, d)
+    val docs = spreadDocs(documents(s, d))
     val bench = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("bench_id"), col("text"))
     val twins = docs.select("doc_id", "lang", "text")
@@ -2835,7 +2871,7 @@ object Queries {
     * oracle replays the gate as the list_filter token split inside
     * the standard funnel body. */
   def x10BlocklistFunnel(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = spreadDocs(documents(s, d))
     val planted = docs.select("doc_id", "lang", "text")
       .withColumn("text",
         when(pmod(col("doc_id"), lit(9L)) === 2L,
@@ -2860,7 +2896,7 @@ object Queries {
     * while Luhn-INVALID candidates keep their tokens — restraint and
     * redaction both visible in one hash. */
   def x10CardFunnel(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = spreadDocs(documents(s, d))
     val planted = docs.select("doc_id", "lang", "text").withColumn("text",
       when(col("doc_id") % 17 === 0,
         concat(col("text"),
@@ -2892,7 +2928,7 @@ object Queries {
     * shared parts (gram4Ctes + benchGramsRawCtes + noFuzzyFunnelBody),
     * zero new SQL bodies to drift. */
   def x10RecipeFunnel(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = spreadDocs(documents(s, d))
     val bench = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("bench_id"), col("text"))
     graft.ext.Curation.funnel(docs, bench,
@@ -2912,7 +2948,7 @@ object Queries {
     * document through the SAME c4LineCtes the standalone bundle
     * uses. */
   def x10C4Funnel(s: SparkSession, d: String): DataFrame = {
-    val planted = documents(s, d).withColumn("text",
+    val planted = spreadDocs(documents(s, d)).withColumn("text",
       concat(coalesce(col("text"), lit("")),
         when(pmod(col("doc_id"), lit(2L)) === 0L,
           lit("\nthis is a good first sentence here." +
@@ -2938,7 +2974,7 @@ object Queries {
     * left at 1 so the quality stage isolates the Gopher verdict; the
     * oracle replays every rule per document plus the funnel census. */
   def x10GopherFunnel(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = spreadDocs(documents(s, d))
     val bench = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("bench_id"), col("text"))
     graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
@@ -2957,7 +2993,7 @@ object Queries {
     * language-cased tokenization, stop lists, script symbol classes,
     * and every rule. */
   def x10GopherByLang(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = spreadDocs(documents(s, d))
     val bench = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("bench_id"), col("text"))
     graft.ext.Curation.funnel(docs, bench, graft.ext.Curation.Config(
@@ -2982,7 +3018,7 @@ object Queries {
     * Row-level write→read parity and the in-file order are
     * additionally pinned by CurationSpec. */
   def x10WriteVerify(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = spreadDocs(documents(s, d))
     val bench = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("bench_id"), col("text"))
     val curated = graft.ext.Curation.curate(docs, bench,
@@ -3190,7 +3226,11 @@ object Queries {
     val merges = graft.ext.BpeTrain.loadMerges(s, bpeMergesDir(s, d))
       .orderBy("step").collect() // bounded: the k-row merge list
       .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
-    graft.stream.StreamingBpe.tokenCounts(documents(s, d), merges)
+    // Batch replay spreads the corpus first (r17 opt): the per-document
+    // merge-replay expression is the whole cost and would otherwise run
+    // inside the unsplittable single-task scan stage. The LIVE path is
+    // untouched — a stream's parallelism comes from its source.
+    graft.stream.StreamingBpe.tokenCounts(spreadDocs(documents(s, d)), merges)
       .orderBy("doc_id")
   }
 
@@ -3546,7 +3586,8 @@ object Queries {
     * in the oracle (the x7_pii_scan pattern). */
   def x3GopherRules(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val base = spreadDocs(documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text")))
       .unionByName(gopherCjkFixtures.toDF("doc_id", "lang", "text"))
     val planted = base.withColumn("text",
       when(pmod(col("doc_id"), lit(13)) === 0,
@@ -4017,7 +4058,7 @@ object Queries {
     val dir = langPerceptronDir(s, d)
     val w = graft.ext.LangTrained.finalWeights(
       graft.ext.LangTrained.loadTrajectory(s, s"$dir/traj"))
-    graft.ext.LangTrained.confusionVsHeuristic(documents(s, d), w)
+    graft.ext.LangTrained.confusionVsHeuristic(spreadDocs(documents(s, d)), w)
   }
 
   /** S17 — streaming language-ID ([[graft.stream.StreamingLang]]): the
@@ -4030,7 +4071,7 @@ object Queries {
     val dir = langPerceptronDir(s, d)
     val w = graft.ext.LangTrained.finalWeights(
       graft.ext.LangTrained.loadTrajectory(s, s"$dir/traj"))
-    graft.stream.StreamingLang.classifyStream(documents(s, d), w)
+    graft.stream.StreamingLang.classifyStream(spreadDocs(documents(s, d)), w)
       .groupBy("label", "pred_trained", "pred_heur")
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "pred_trained", "pred_heur")
@@ -4691,7 +4732,57 @@ object Queries {
       // probe join + re-rank — stays lazy and inspectable.
       graft.ext.IvfIndex.topK(model, emb, emb.filter(col("vec_id") < 10),
         k = 5, nProbe = 3)
-    }))
+    }),
+    // The r17 single-decode pins: the registered forms cache the frame
+    // /segment signatures and pin the verdict (decode once); the dumps
+    // below run materialize = false so the census + banded-core shapes
+    // stay visible instead of a checkpoint scan.
+    "x5_video_neardup" -> ((s, d) =>
+      graft.ext.Multimodal.frameMajorityPairs(
+        graft.ext.Multimodal.videoFramePhashes(
+          graft.ext.Multimodal.videoMediaFromDocuments(documents(s, d))),
+        maxHamming = 4, minFracPpm = 600000L, materialize = false)
+        .orderBy("media_id_a", "media_id_b")),
+    "x5_video_align" -> ((s, d) =>
+      graft.ext.Multimodal.frameAlignmentPairs(
+        graft.ext.Multimodal.videoFramePhashes(
+          graft.ext.Multimodal.videoMediaFromDocuments(documents(s, d))),
+        maxHamming = 4, minFracPpm = 600000L, materialize = false)
+        .orderBy("media_id_a", "media_id_b")),
+    "x5_video_against" -> ((s, d) => {
+      val media = graft.ext.Multimodal.videoMediaFromDocuments(
+        documents(s, d))
+      graft.ext.Multimodal.frameMajorityAgainst(
+          graft.ext.Multimodal.videoFramePhashes(
+            media.filter(expr("(media_id % 6) div 3 = 1"))),
+          graft.ext.Multimodal.videoFramePhashes(
+            media.filter(expr("(media_id % 6) div 3 = 0"))),
+          maxHamming = 4, minFracPpm = 600000L, materialize = false)
+        .orderBy("media_id_new", "media_id_hist")
+    }),
+    "x5_ahash_chunks" -> ((s, d) =>
+      graft.ext.Multimodal.ahashChunkPairs(
+        graft.ext.Multimodal.ahashChunks(
+          graft.ext.Multimodal.ahashChunkMediaFromDocuments(
+            documents(s, d)), segmentSamples = 512),
+        minFracPpm = 500000L, materialize = false)
+        .orderBy("media_id_a", "media_id_b")),
+    "s24_stream_chunks" -> ((s, d) => {
+      val arrivals = graft.ext.Multimodal.ahashChunkMediaFromDocuments(
+          documents(s, d))
+        .filter(expr("(media_id % 6) div 3 = 1"))
+      graft.stream.StreamingChunks.chunkDropBatch(arrivals,
+          graft.stream.StreamingChunks.chunkSegments(
+            graft.ext.Multimodal.ahashChunkMediaFromDocuments(
+              documents(s, d))
+              .filter(expr(
+                "(media_id % 6) div 3 = 0 AND (media_id div 6) % 2 = 0")),
+            segmentSamples = 512),
+          segmentSamples = 512, minFracPpm = 500000L)
+        .orderBy("media_id")
+    }),
+    "x10_media_funnel" -> ((s, d) =>
+      x10MediaFunnelImpl(s, d, materialize = false)))
 
   /** S2 — streaming exact dedup, batch-replayed (the watermark is a
     * no-op on a static frame; `dropDuplicatesWithinWatermark` degenerates
@@ -4778,7 +4869,8 @@ object Queries {
     val docs = documents(s, d)
     val model = graft.ext.NgramLm.train(docs.filter(col("doc_id") < 300))
       .materialize()
-    graft.ext.NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
+    graft.ext.NgramLm.scored(spreadDocs(docs.filter(col("doc_id") >= 300)),
+        model)
       .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro",
         "lm_ppl", "lm_band")
       .orderBy("doc_id")
@@ -4806,7 +4898,8 @@ object Queries {
   def x15LmPplAgainst(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val model = graft.ext.NgramLm.load(s, lmModelDir(s, d))
-    graft.ext.NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
+    graft.ext.NgramLm.scored(spreadDocs(docs.filter(col("doc_id") >= 300)),
+        model)
       .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro",
         "lm_ppl", "lm_band")
       .orderBy("doc_id")
@@ -4823,7 +4916,8 @@ object Queries {
     val docs = documents(s, d)
     val model = graft.ext.NgramLm
       .train(docs.filter(col("doc_id") < 300), order = 3).materialize()
-    graft.ext.NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
+    graft.ext.NgramLm.scored(spreadDocs(docs.filter(col("doc_id") >= 300)),
+        model)
       .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro",
         "lm_ppl", "lm_band")
       .orderBy("doc_id")
@@ -4839,7 +4933,8 @@ object Queries {
     val docs = documents(s, d)
     val model = graft.ext.NgramLm
       .train(docs.filter(col("doc_id") < 300), order = 5).materialize()
-    graft.ext.NgramLm.scored(docs.filter(col("doc_id") >= 300), model)
+    graft.ext.NgramLm.scored(spreadDocs(docs.filter(col("doc_id") >= 300)),
+        model)
       .select("doc_id", "lm_grams", "lm_hits", "lm_logp_micro",
         "lm_ppl", "lm_band")
       .orderBy("doc_id")
@@ -4885,7 +4980,8 @@ object Queries {
   def x16DsirAgainst(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val model = graft.ext.Dsir.load(s, dsirModelDir(s, d))
-    graft.ext.Dsir.weighted(docs.filter(col("doc_id") >= 300), model)
+    graft.ext.Dsir.weighted(spreadDocs(docs.filter(col("doc_id") >= 300)),
+      model)
       .select("doc_id", "dsir_grams", "dsir_logw_micro", "dsir_logw")
       .orderBy("doc_id")
   }

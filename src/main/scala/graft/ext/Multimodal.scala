@@ -27,6 +27,43 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's createImageInputStream/createImageOutputStream default to
+  // FILE-backed cache streams — every encode/decode round trip creates,
+  // writes, and deletes a temp file. Payloads here are in-memory byte
+  // arrays (KB-scale), so the disk round trip buys nothing serially and
+  // under a 32-way codec stage the temp-dir metadata traffic serializes
+  // the whole stage. Memory-cached streams are the right default for
+  // byte-array payloads on any JVM running this module.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Spread the slim id frame across every core BEFORE the codec pass.
+    * The planted corpora generate out of single-row-group fixture
+    * parquet whose scan cannot split below one task, so without an
+    * explicit exchange the whole encode(+decode) chain of every media
+    * lane runs on ONE core (the unsplittable-input case: repartition
+    * right after the read). The exchange moves only the 8-byte ids;
+    * the EXPLICIT partition count (hash on the id — deterministic
+    * under task retry, unlike round-robin of a re-read scan) pins the
+    * layout against AQE coalescing, which would fold KB-sized id
+    * partitions back into one and re-serialize the codec stage. At
+    * cluster scale `defaultParallelism` is the executor-core total, so
+    * the same code spreads the generation fleet-wide. */
+  private def spreadIds(ids: DataFrame): DataFrame =
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism,
+      col("doc_id"))
+
+  /** Document subsets backing the dHash / aHash / video planted media
+    * corpora — ONE definition shared by the generators (which map each
+    * matching doc to exactly one media row) and consumers that need
+    * the corpus SIZE without paying the opaque encode pass just to
+    * count rows (Catalyst cannot push an aggregate below a
+    * mapPartitions; counting the slim ids is provably the same number
+    * because the generators are 1-row-per-doc maps over these exact
+    * predicates). */
+  private[graft] def dhashDocPred: Column = pmod(col("doc_id"), lit(3)) === 0
+  private[graft] def ahashDocPred: Column = pmod(col("doc_id"), lit(3)) === 1
+  private[graft] def videoDocPred: Column = pmod(col("doc_id"), lit(3)) === 0
+
   /** Metadata contract for a media row. */
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -249,6 +286,7 @@ object Multimodal {
       .encoderFor(outSchema)
     docs.filter(pmod(col("doc_id"), lit(3)) === 0)
       .select(col("doc_id"))
+      .transform(spreadIds)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -562,7 +600,7 @@ object Multimodal {
       StructField("payload", BinaryType)))
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
-    docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    docs.filter(ahashDocPred)
       .select(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -644,16 +682,24 @@ object Multimodal {
     * scale-safe, never all-pairs. A production corpus with ultra-hot
     * segment hashes (shared intros/jingles) caps them upstream the
     * way the MinHash lane caps hot shingles. */
-  def ahashChunkPairs(chunks: DataFrame, minFracPpm: Long): DataFrame = {
+  def ahashChunkPairs(chunks0: DataFrame, minFracPpm: Long,
+      materialize: Boolean = true): DataFrame = {
     require(minFracPpm > 0L && minFracPpm <= 1000000L,
       s"minFracPpm ($minFracPpm) must be in (0, 1e6]")
+    // The segment frame feeds THREE consumers (the per-clip census and
+    // BOTH sides of the containment self-join) — uncached, each scan
+    // re-runs the WAV decode + per-segment hashing. Cache + eager
+    // count → decode once; pin the tiny verdict, release the cache
+    // (the hammingPairs discipline).
+    val chunks = if (materialize) chunks0.cache() else chunks0
+    if (materialize) chunks.count()
     val segs = chunks.groupBy(col("media_id"))
       .agg(count(lit(1)).as("segs"))
     val a = chunks.select(col("media_id").as("media_id_a"),
       col("seg").as("seg_a"), col("ahash"))
     val b = chunks.select(col("media_id").as("media_id_b"),
       col("seg").as("seg_b"), col("ahash"))
-    a.join(b, Seq("ahash"))
+    val out = a.join(b, Seq("ahash"))
       .filter(col("media_id_a") < col("media_id_b"))
       .groupBy(col("media_id_a"), col("media_id_b"))
       .agg(countDistinct(col("seg_a")).as("matched_a"),
@@ -666,6 +712,12 @@ object Multimodal {
         >= lit(minFracPpm) * least(col("segs_a"), col("segs_b")))
       .select(col("media_id_a"), col("media_id_b"),
         col("matched_a"), col("matched_b"), col("segs_a"), col("segs_b"))
+    if (!materialize) out
+    else {
+      val pinned = out.localCheckpoint(true)
+      chunks.unpersist()
+      pinned
+    }
   }
 
   /** Segment sample for the CHUNKED aHash corpus — segment content
@@ -808,6 +860,7 @@ object Multimodal {
       .encoderFor(outSchema)
     docs.filter(pmod(col("doc_id"), lit(3)) === 2)
       .select(col("doc_id"))
+      .transform(spreadIds)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -1064,7 +1117,7 @@ object Multimodal {
       StructField("payload", BinaryType)))
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
-    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    docs.filter(dhashDocPred)
       .select(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -1299,6 +1352,7 @@ object Multimodal {
       .encoderFor(outSchema)
     docs.filter(pmod(col("doc_id"), lit(3)) === 0)
       .select(col("doc_id"))
+      .transform(spreadIds)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -1628,16 +1682,25 @@ object Multimodal {
     * clip order across clips — cross-clip pair rows always come out
     * `media_id_a < media_id_b`, and equal-clip rows (within-clip
     * near-identical frames, common in real video) drop here. */
-  def frameMajorityPairs(frames: DataFrame, maxHamming: Int,
-      minFracPpm: Long): DataFrame = {
+  def frameMajorityPairs(frames0: DataFrame, maxHamming: Int,
+      minFracPpm: Long, materialize: Boolean = true): DataFrame = {
     require(minFracPpm > 0L && minFracPpm <= 1000000L,
       s"minFracPpm ($minFracPpm) must be in (0, 1e6]")
+    // The signature frame feeds TWO consumers (the per-clip frame
+    // census and the banded Hamming core) — uncached, each would
+    // re-run the upstream decode+pHash of every frame (the costly
+    // subtree; signatures themselves are 20 B/row). Cache + eager
+    // count → decode once; the verdict output pins and the cache
+    // releases before returning (the hammingPairs discipline).
+    val frames = if (materialize) frames0.cache() else frames0
+    if (materialize) frames.count()
     val cnt = frames.groupBy(col("media_id"))
       .agg(count(lit(1)).as("frames"))
     val rids = frames.select(
       (col("media_id") * lit(FrameRidBase) + col("frame_idx")).as("rid"),
       col("phash"))
-    Dedup.hammingPairs(rids, "rid", "phash", maxHamming)
+    val out = Dedup.hammingPairs(rids, "rid", "phash", maxHamming,
+        materialize = materialize)
       .selectExpr(
         "doc_id_a div 1048576 AS media_id_a",
         "doc_id_a % 1048576 AS frame_a",
@@ -1656,6 +1719,12 @@ object Multimodal {
       .select(col("media_id_a"), col("media_id_b"),
         col("matched_a"), col("matched_b"),
         col("frames_a"), col("frames_b"))
+    if (!materialize) out
+    else {
+      val pinned = out.localCheckpoint(true)
+      frames.unpersist()
+      pinned
+    }
   }
 
   /** TEMPORAL-ORDER-aware video near-dup verdict: pairs `(a < b)`
@@ -1671,16 +1740,22 @@ object Multimodal {
     * VideoNeardupSpec: a frame-permuted copy passes majority and
     * fails alignment). Same banded Hamming core, one extra tiny
     * per-pair aggregate — never all-pairs. */
-  def frameAlignmentPairs(frames: DataFrame, maxHamming: Int,
-      minFracPpm: Long): DataFrame = {
+  def frameAlignmentPairs(frames0: DataFrame, maxHamming: Int,
+      minFracPpm: Long, materialize: Boolean = true): DataFrame = {
     require(minFracPpm > 0L && minFracPpm <= 1000000L,
       s"minFracPpm ($minFracPpm) must be in (0, 1e6]")
+    // Same two-consumer shape as [[frameMajorityPairs]]: cache the slim
+    // signatures so the frame decode runs once, pin the tiny verdict,
+    // release the cache.
+    val frames = if (materialize) frames0.cache() else frames0
+    if (materialize) frames.count()
     val cnt = frames.groupBy(col("media_id"))
       .agg(count(lit(1)).as("frames"))
     val rids = frames.select(
       (col("media_id") * lit(FrameRidBase) + col("frame_idx")).as("rid"),
       col("phash"))
-    Dedup.hammingPairs(rids, "rid", "phash", maxHamming)
+    val out = Dedup.hammingPairs(rids, "rid", "phash", maxHamming,
+        materialize = materialize)
       .selectExpr(
         "doc_id_a div 1048576 AS media_id_a",
         "doc_id_a % 1048576 AS frame_a",
@@ -1700,6 +1775,12 @@ object Multimodal {
         >= lit(minFracPpm) * least(col("frames_a"), col("frames_b")))
       .select(col("media_id_a"), col("media_id_b"), col("aligned"),
         col("frames_a"), col("frames_b"))
+    if (!materialize) out
+    else {
+      val pinned = out.localCheckpoint(true)
+      frames.unpersist()
+      pinned
+    }
   }
 
   /** Incremental (cross-sided) frame-majority near-dup: a NEW clip's
@@ -1709,17 +1790,24 @@ object Multimodal {
     * exact Hamming verify, the shard never re-hashes history). Same
     * containment verdict as [[frameMajorityPairs]], keyed
     * (new, hist). */
-  def frameMajorityAgainst(newFrames: DataFrame, histFrames: DataFrame,
-      maxHamming: Int, minFracPpm: Long): DataFrame = {
+  def frameMajorityAgainst(newFrames0: DataFrame, histFrames: DataFrame,
+      maxHamming: Int, minFracPpm: Long,
+      materialize: Boolean = true): DataFrame = {
     require(minFracPpm > 0L && minFracPpm <= 1000000L,
       s"minFracPpm ($minFracPpm) must be in (0, 1e6]")
+    // Probe-side signatures feed the census AND the banded core; cache
+    // so tonight's clips decode once. History is a parquet signature
+    // index — re-scanning it is a footer-cheap columnar read, not a
+    // codec pass, so it stays uncached.
+    val newFrames = if (materialize) newFrames0.cache() else newFrames0
+    if (materialize) newFrames.count()
     def pack(f: DataFrame) = f.select(
       (col("media_id") * lit(FrameRidBase) + col("frame_idx")).as("rid"),
       col("phash"))
     def cnt(f: DataFrame, out: String) = f.groupBy(col("media_id"))
       .agg(count(lit(1)).as(out))
-    Dedup.hammingPairsAgainst(pack(newFrames), pack(histFrames),
-        "rid", "phash", maxHamming)
+    val out = Dedup.hammingPairsAgainst(pack(newFrames), pack(histFrames),
+        "rid", "phash", maxHamming, materialize = materialize)
       .selectExpr(
         "doc_id_new div 1048576 AS media_id_new",
         "doc_id_new % 1048576 AS frame_new",
@@ -1739,6 +1827,12 @@ object Multimodal {
       .select(col("media_id_new"), col("media_id_hist"),
         col("matched_new"), col("matched_hist"),
         col("frames_new"), col("frames_hist"))
+    if (!materialize) out
+    else {
+      val pinned = out.localCheckpoint(true)
+      newFrames.unpersist()
+      pinned
+    }
   }
 
   /** Planted frame palette index for the VIDEO corpus — frame content
@@ -1770,8 +1864,9 @@ object Multimodal {
       StructField("payload", BinaryType)))
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
-    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    docs.filter(videoDocPred)
       .select(col("doc_id"))
+      .transform(spreadIds)
       .mapPartitions { rows =>
         val icm = gifPalette
         rows.map { r =>

@@ -77,11 +77,25 @@ object StreamingChunks {
     * produced no fingerprintable segment (always survivors). Use
     * directly on a batch frame, or per micro-batch via
     * `foreachBatch`. */
-  def chunkDropBatch(media: DataFrame, histChunks: DataFrame,
-      segmentSamples: Int, minFracPpm: Long): DataFrame = {
+  def chunkDropBatch(media0: DataFrame, histChunks: DataFrame,
+      segmentSamples: Int, minFracPpm: Long,
+      materialize: Boolean = false): DataFrame = {
     require(minFracPpm > 0L && minFracPpm <= 1000000L,
       s"minFracPpm ($minFracPpm) must be in (0, 1e6]")
-    val segs = chunkSegments(media, segmentSamples)
+    // materialize = true (BATCH callers only — a streaming frame cannot
+    // cache): the arrivals frame feeds the segment pass AND the
+    // survivor anti-join, and the segment frame feeds the drop verdict
+    // AND the per-clip census — uncached, the payload generation runs
+    // 3× and the WAV decode 2×. Cache both (arrivals are one
+    // micro-batch-sized slice, segments are 28 B/row), pin the tiny
+    // survivor output, release. The live foreachBatch path keeps the
+    // lazy default: each micro-batch is small and Spark pins the batch
+    // source itself.
+    val media = if (materialize) media0.cache() else media0
+    if (materialize) media.count()
+    val segs0 = chunkSegments(media, segmentSamples)
+    val segs = if (materialize) segs0.cache() else segs0
+    if (materialize) segs.count()
     val dropped = segs
       .join(histChunks.select(col("ahash")).distinct(), Seq("ahash"),
         "left_semi")
@@ -93,10 +107,17 @@ object StreamingChunks {
       .select(col("media_id"))
     val counts = segs.groupBy(col("media_id"))
       .agg(first(col("nsegs")).as("n_segments"))
-    media.join(dropped, Seq("media_id"), "left_anti")
+    val out = media.join(dropped, Seq("media_id"), "left_anti")
       .select(col("media_id"))
       .join(counts, Seq("media_id"), "left")
       .select(col("media_id"),
         coalesce(col("n_segments"), lit(0L)).as("n_segments"))
+    if (!materialize) out
+    else {
+      val pinned = out.localCheckpoint(true)
+      segs.unpersist()
+      media.unpersist()
+      pinned
+    }
   }
 }

@@ -241,6 +241,10 @@ class PlanAuditSpec extends SparkSpec {
     "x5_dhash_pairs", "x5_dhash_dropset", "x5_dhash_against",
     // the audio aHash lanes ride the same materialized cores
     "x5_ahash_pairs", "x5_ahash_dropset", "x5_ahash_against",
+    // r17: the chunked-audio lanes cache their segment signatures and
+    // pin the containment verdict (decode once — the hammingPairs
+    // discipline applied to the segment self-join / drop anti-join)
+    "x5_ahash_chunks", "s24_stream_chunks",
     "x5_dhash_groups", // + the bounded driver union-find (x1_dedup_groups shape)
     // builds + SAVES the signature index once per JVM, then probes the
     // loaded parquet (edge materialization + driver union-find)
