@@ -614,7 +614,18 @@ object Curation {
       else (base.withColumn("shard", shardOf(col("shuffle_key"), numShards)),
         Seq("split", sourceCol, "shard"))
     sharded
-      .repartition(layout.map(col): _*)
+      // EXPLICIT partition count (r17 opt): a keyed repartition without
+      // one is AQE-coalescible, and on any batch under the advisory
+      // size AQE folds EVERY leaf group into ONE partition — the write
+      // stage the sharding exists to parallelize ran as a single task
+      // (measured: the whole 120-leaf write serialized through one
+      // 6.7 s task, ~60% of it per-file open/commit latency). Pinning
+      // the session's configured reduce width keeps each leaf in
+      // exactly one task (hash on the leaf columns — one file per
+      // directory still holds; collisions merge leaves, never split
+      // them) while restoring write parallelism at every scale.
+      .repartition(sharded.sparkSession.sessionState.conf.numShufflePartitions,
+        layout.map(col): _*)
       // The sort LEADS with the partition columns: the parquet writer
       // requires rows clustered by its dynamic-partition columns and
       // would otherwise insert its own (not-order-preserving) sort,
@@ -742,7 +753,11 @@ object Curation {
           pmod(col("seq_id"), lit(numShards.toLong)).cast("int")),
         Seq("split", "shard"))
     sharded
-      .repartition(layout.map(col): _*)
+      // Explicit reduce width for the same reason as [[write]]: an
+      // unpinned keyed repartition is AQE-coalescible and the terminal
+      // write stage collapses to one task on any sub-advisory batch.
+      .repartition(sharded.sparkSession.sessionState.conf.numShufflePartitions,
+        layout.map(col): _*)
       .sortWithinPartitions((layout.map(col) :+ col("seq_id")): _*)
       .write.mode("overwrite").partitionBy(layout: _*).parquet(dir)
   }
