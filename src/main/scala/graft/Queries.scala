@@ -1038,8 +1038,16 @@ object Queries {
     * At cluster scale `defaultParallelism` is the executor-core total
     * and the corpus arrives in thousands of row groups, where this
     * exchange is a cheap rebalance of an already-parallel scan. */
-  private def spreadDocs(df: DataFrame, key: String = "doc_id"): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+  private def spreadDocs(df: DataFrame, key: String = "doc_id"): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // Conditional on the frame's ACTUAL scan parallelism: at corpus
+    // scale the parquet arrives in thousands of row groups and the
+    // exchange would be a full-corpus shuffle bought for nothing — the
+    // spread is the identity there. (`.rdd.getNumPartitions` plans the
+    // frame but runs no job.)
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(key))
+  }
 
   private def persistedIndexDir(index: String, d: String)
                                (build: String => Unit): String =

@@ -48,9 +48,15 @@ object Multimodal {
     * partitions back into one and re-serialize the codec stage. At
     * cluster scale `defaultParallelism` is the executor-core total, so
     * the same code spreads the generation fleet-wide. */
-  private def spreadIds(ids: DataFrame): DataFrame =
-    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism,
-      col("doc_id"))
+  private def spreadIds(ids: DataFrame): DataFrame = {
+    val target = ids.sparkSession.sparkContext.defaultParallelism
+    // Conditional on the id frame's ACTUAL scan parallelism: a corpus
+    // that already arrives in >= cores row groups needs no exchange —
+    // the spread is the identity there. (`.rdd.getNumPartitions` plans
+    // the frame but runs no job.)
+    if (ids.rdd.getNumPartitions >= target) ids
+    else ids.repartition(target, col("doc_id"))
+  }
 
   /** Document subsets backing the dHash / aHash / video planted media
     * corpora — ONE definition shared by the generators (which map each
